@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the `noop` sink (full plan runs,
+rows are consumed on executors, nothing is collected to the driver — measures
+engine throughput, not driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "c2v_prep_contexts",          # flagship pipeline (scan→filter→topN→semi→W1→A2)
+    "topn_parts_by_lineitems",    # distributed top-k
+    "semi_join_topn_flag_counts", # broadcast semi-join
+    "order_lineitem_ship_delay",  # fact-to-fact shuffle join + agg
+    "order_thread_documents",     # ordered group-concat (A8)
+    "user_event_contexts",        # ordered group-concat (A2)
+    "exclude_top_users",          # histogram percent-rank (W1)
+    "describe_value_by_event_type",
+    "doc_quality_features",       # text feature extraction
+    "exact_duplicate_groups",     # dedup tier 1
+    "ngram_jaccard_pairs",        # dedup tier 4 (similarity join)
+    "knn_bruteforce_cosine",      # similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from ihop_reddit_spark.session import get_spark_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark_session(
+        "bench",
+        config={
+            "spark.ui.enabled": "false",
+            "spark.sql.shuffle.partitions": cpus,
+        },
+        master=f"local[{cpus}]",
+    )
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen once on the smallest SF so the measured runs are
+    # engine time, not first-call JIT/analysis overhead.
+    queries["topn_parts_by_lineitems"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

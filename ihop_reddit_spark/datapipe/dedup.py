@@ -1,0 +1,196 @@
+"""Deduplication operators (north-star extension; BASELINE.json).
+
+Four tiers, cheapest first — at 100 TB you run them in this order and each
+tier only sees the previous tier's survivors:
+
+1. exact (hash-groupBy on an md5 fingerprint) — one shuffle on the hash.
+2. SimHash banding — signature is a pure column expression, candidates come
+   from equality self-joins on signature bands (shuffle on 16-bit band keys).
+3. MinHash + LSH (MLlib ``MinHashLSH`` over shingle vectors) — band/bucket
+   join, probabilistic Jaccard.
+4. exact n-gram Jaccard verification — explode + equi-join on shingle, only
+   ever run on candidate pairs (or small corpora); quadratic if unleashed on
+   everything, so keep it LAST.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, simhash64
+
+
+def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles of a document (array<string>).
+
+    ``sequence`` + ``transform`` + ``slice`` — JVM higher-order functions, no
+    UDF. Short docs (< n tokens) yield their whole token string as the single
+    shingle so they still participate.
+    """
+    tokens = F.split(F.lower(text), sep)
+    n_tok = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n_tok - (n - 1), F.lit(1)))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact-dup groups: one row per distinct text with its canonical (min)
+    id and multiplicity. Filter ``n_dups > 1`` for the actual duplicates;
+    semi-join on ``keep_id`` to dedup the corpus.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus minus exact duplicates (keeps an arbitrary witness per text —
+    use :func:`exact_duplicates` + semi-join for a deterministic witness)."""
+    return df.dropDuplicates([text_col])
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    band_bits: int = 15,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via banding.
+
+    Two docs are candidates if ANY of the ``n_bands`` 15-bit bands of their
+    60-bit SimHash match (Hamming-distance ≤ n_bands−1 guarantee). Shuffles
+    on (band_index, band_value) — uniformly distributed keys, no skew. Output:
+    distinct (left_id, right_id) with left < right.
+    """
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sig")
+    )
+    bands = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("__sig"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sig", "b.band", "b.val")
+    left = bands.select(
+        F.col("band"), F.col("val"), F.col("__id").alias("left_id")
+    )
+    right = bands.select(
+        F.col("band"), F.col("val"), F.col("__id").alias("right_id")
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (verification tier).
+
+    explode(shingles) → self-equi-join on shingle → |A∩B| per pair →
+    Jaccard = inter / (|A| + |B| − inter). All counts are ints; the final
+    division is deterministic, so this op is duckdb-oracle comparable.
+    Quadratic in the worst case — run on candidates / bounded corpora only.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    )
+    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    exploded = shingled.select("__id", F.explode("__sh").alias("__g"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "__g")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("left_id"), F.col("b.__id").alias("right_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("__id").alias("left_id"), F.col("__n").alias("n_left"))),
+            "left_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__id").alias("right_id"), F.col("__n").alias("n_right"))),
+            "right_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_left") + F.col("n_right") - F.col("inter")),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+):
+    """MinHash+LSH near-dup candidate pairs (MLlib tier).
+
+    shingle → HashingTF (binary) → MinHashLSH → approxSimilarityJoin at
+    Jaccard distance ≤ 1−threshold. Returns (left_id, right_id, jaccard_dist).
+    Probabilistic; verify survivors with :func:`ngram_jaccard_pairs`.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), n).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    tf = HashingTF(
+        inputCol="__sh", outputCol="__vec", numFeatures=num_features, binary=True
+    )
+    vectors = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(vectors)
+    joined = model.approxSimilarityJoin(
+        vectors, vectors, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias("left_id"),
+            F.col("datasetB.__id").alias("right_id"),
+            F.col("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis column expressions (north-star extension; BASELINE.json).
+
+Everything here is a pure Catalyst expression over a string column — JVM-side,
+codegen'd, zero Python in the hot path. These are the building blocks for the
+training-data-pipeline operators (quality filtering, language ID, token
+budgeting, fingerprint dedup) that a 100 TB text corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword-hit
+#: language heuristic. Real deployments swap in fastText et al. via a Pandas
+#: UDF; the heuristic keeps the plumbing test-able without model files.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有"),
+}
+
+
+def _tokens(text: Column, sep: str = " ") -> Column:
+    return F.split(text, sep)
+
+
+def token_count(text: Column, sep: str = " ") -> Column:
+    """Whitespace token count — the cheap token-budget estimator."""
+    return F.size(_tokens(text, sep))
+
+
+def approx_bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex segments + digit runs.
+
+    A deterministic, JVM-side proxy for tokenizer budgeting when the real
+    tokenizer (Python-side) would be the bottleneck: counts maximal runs of
+    letters (split every 4 chars, the empirical subword length), digits, and
+    non-space punctuation.
+    """
+    # 1 token per ≤4-char chunk of each letter run + 1 per digit run + 1 per
+    # punctuation char. ceil(len/4) via (len + 3) div 4.
+    letters_len = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    digit_runs = F.size(F.split(F.regexp_replace(text, r"[^0-9]+", " "), " ")) - 1
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return ((letters_len + 3) / F.lit(4)).cast("long") + digit_runs + punct
+
+
+def stopword_hits(text: Column, words: tuple[str, ...], sep: str = " ") -> Column:
+    """Count of tokens that are in ``words`` (case-insensitive)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(_tokens(F.lower(text), sep), lambda t: F.array_contains(arr, t))
+    )
+
+
+def quality_features(text: Column, sep: str = " ") -> dict[str, Column]:
+    """Quality-scoring features: lengths + character-class ratios.
+
+    Ratios are int/int double divisions — deterministic across engines, so
+    these stay oracle-comparable.
+    """
+    n_chars = F.length(text)
+    n_tokens = token_count(text, sep)
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(text, r"[^ ]", ""))
+    punct = n_chars - alpha - digits - spaces
+    denom = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha / denom,
+        "digit_ratio": digits / denom,
+        "punct_ratio": punct / denom,
+        "mean_token_len": (n_chars - spaces) / F.greatest(n_tokens, F.lit(1)),
+        "stopword_ratio": stopword_hits(text, LANG_MARKERS["en"], sep)
+        / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_score(text: Column, sep: str = " ") -> Column:
+    """Scalar quality score in [0, 1]: high alpha ratio, sane token length,
+    some stopwords, low digit/punct noise. Weights are heuristic; the value
+    is deterministic arithmetic over the features."""
+    f = quality_features(text, sep)
+    score = (
+        F.lit(0.4) * f["alpha_ratio"]
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3)
+        * F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 1.0)
+        .otherwise(0.0)
+    )
+    return F.round(score, 6)
+
+
+def lang_scores(text: Column, sep: str = " ") -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic scorer)."""
+    lowered = F.lower(text)
+    return {
+        lang: stopword_hits(lowered, words, sep)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column, sep: str = " ", default: str = "und") -> Column:
+    """argmax over :func:`lang_scores` with deterministic tie-break
+    (lexicographically smallest language code wins ties; 'und' if no hits)."""
+    scores = lang_scores(text, sep)
+    # array of structs (score DESC via negation, lang ASC) → sort → first
+    entries = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_sort(entries)[0]
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit(default))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint for exact dedup: md5 hex (engine-portable, unlike
+    murmur3 ``F.hash``). For near-dup see ``datapipe/dedup.py``."""
+    return F.md5(text)
+
+
+def simhash64(text: Column, sep: str = " ") -> Column:
+    """64-bit SimHash over whitespace tokens, md5-derived per-token hashes.
+
+    Classic near-dup signature: per token take a 64-bit hash (first 16 hex
+    chars of md5 → signed bigint via conv), sum ±1 per bit position weighted
+    by token frequency, sign → bit. Pure higher-order array functions — no
+    UDF, fully distributed, deterministic across engines.
+    """
+    tokens = _tokens(F.lower(text), sep)
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bits = F.sequence(F.lit(0), F.lit(59))
+    # for each bit position: sum(+1 if bit set else -1 over tokens) > 0 → bit
+    bit_vals = F.transform(
+        bits,
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(bit_vals, bits, lambda v, b: F.shiftleft(v, b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

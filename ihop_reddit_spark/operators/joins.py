@@ -1,0 +1,111 @@
+"""Join operators (SURVEY §2.3, J1-J3 + range-join generalization).
+
+Scale notes baked into each operator:
+
+* Membership filters against small derived tables (top-N vocabularies) are
+  LEFT SEMI joins with an explicit ``broadcast`` hint — no shuffle of the big
+  side, no duplicate-row inflation, and Catalyst rewrites them to a broadcast
+  hash semi-join.
+* The big fact-to-fact equi-join shuffles both sides by the join key; AQE
+  handles skew (skewJoin) and coalesces post-shuffle partitions. At 100 TB,
+  pre-bucketing both tables on the join key removes this shuffle entirely —
+  see ``sources/io.py:write_bucketed``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .projections import rename_with_prefix, with_difference, with_prefixed_id
+
+
+def semi_join_filter(
+    df: DataFrame,
+    keep: DataFrame,
+    on: str | list[str] | Column,
+    broadcast_keep: bool = True,
+) -> DataFrame:
+    """J1/J2 — keep rows of ``df`` whose key appears in ``keep`` (left semi).
+
+    Reference: ``ihop/import_data.py:63-72`` (``filter_top_n``: keep comments
+    whose subreddit is in the top-N table) and ``:293-297`` (keep non-top
+    users). The reference relies on auto-broadcast; we hint explicitly so the
+    plan is broadcast-semi even when stats are missing (e.g. post-shuffle).
+    """
+    right = F.broadcast(keep) if broadcast_keep else keep
+    return df.join(right, on, "left_semi")
+
+
+def anti_join_filter(
+    df: DataFrame,
+    remove: DataFrame,
+    on: str | list[str] | Column,
+    broadcast_remove: bool = True,
+) -> DataFrame:
+    """Complement of :func:`semi_join_filter` (left anti).
+
+    Not in the reference's surface (it re-derives the keep-set instead,
+    ``ihop/import_data.py:280-297``) but the direct expression of "exclude
+    these keys" — one broadcast anti-join instead of an extra aggregation.
+    """
+    right = F.broadcast(remove) if broadcast_remove else remove
+    return df.join(right, on, "left_anti")
+
+
+def join_submissions_and_comments(
+    submissions: DataFrame,
+    comments: DataFrame,
+    submission_id_col: str = "id",
+    comment_link_col: str = "link_id",
+    submission_ts_col: str = "created_utc",
+    comment_ts_col: str = "created_utc",
+    comment_prefix: str = "comments_",
+    fullname_prefix: str = "t3_",
+    time_delta_col: str = "time_to_comment_in_seconds",
+) -> DataFrame:
+    """J3+P6+P7+P8 — thread join: submissions × their comments + time delta.
+
+    Reference: ``ihop/import_data.py:369-419`` (prefix comment columns, build
+    ``fullname_id = 't3_' + id``, inner join on ``fullname_id == link_id``,
+    derive ``time_to_comment_in_seconds``). Fact-to-fact shuffle join; both
+    sides hash-partition on the thread id, which is also the natural bucketing
+    key for materialized thread tables.
+    """
+    subs = with_prefixed_id(submissions, submission_id_col, fullname_prefix, "fullname_id")
+    renamed = rename_with_prefix(comments, comments.columns, comment_prefix)
+    joined = subs.join(
+        renamed,
+        subs["fullname_id"] == renamed[f"{comment_prefix}{comment_link_col}"],
+        "inner",
+    )
+    return with_difference(
+        joined,
+        f"{comment_prefix}{comment_ts_col}",
+        submission_ts_col,
+        time_delta_col,
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_cond: Column,
+    delta: Column,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Generalized time-window join (J3+P5 as one condition).
+
+    The reference expresses "comments within T of submission" as join-then-
+    filter; Catalyst pushes the range predicate into the join anyway, but
+    declaring it in the join condition keeps the intent explicit and lets the
+    planner consider it for partition pruning. Bounds are exclusive, matching
+    P5 (``ihop/import_data.py:343-366``).
+    """
+    cond = equi_cond
+    if lower is not None:
+        cond = cond & (delta > F.lit(lower))
+    if upper is not None:
+        cond = cond & (delta < F.lit(upper))
+    return left.join(right, cond, "inner")

@@ -1,0 +1,673 @@
+"""Query catalog: every SURVEY §2 operator mapped onto the driver's synthetic
+tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Cross-engine determinism rules used throughout (these make the value-hash
+gate meaningful instead of flaky):
+
+* Float aggregation: cast each value to a fixed-scale DECIMAL before SUM
+  (exact, order-independent), cast the final scalar back to DOUBLE. Double
+  ratios/means are then identical IEEE operations on identical inputs.
+* Embedding math: floor(v * 2^24) integer quantization (exact for floats —
+  power-of-two scaling introduces NO rounding), int64 sums, doubles only at
+  the very end. See ``functions/vectors.py``.
+* Every ordered/limited result carries a unique total order (metric DESC,
+  key ASC).
+* Integer outputs are LONG, floats DOUBLE, so Spark and DuckDB schemas line
+  up; timestamps leave the result as epoch seconds.
+* ``collect_list`` orderings are made total with in-group ``array_sort`` over
+  ``struct(order_cols..., value)`` ⟺ ``string_agg(... ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.dedup import exact_duplicates, ngram_jaccard_pairs
+from ..datapipe.similarity import brute_force_knn
+from ..functions import text as TX
+from ..operators.aggregates import (
+    assemble_thread_documents,
+    contingency_table,
+    decimal_sum,
+    describe_column,
+    grouped_concat,
+)
+from ..operators.filters import filter_by_regex, filter_not_in, filter_open_range
+from ..operators.joins import semi_join_filter
+from ..operators.projections import recategorize, with_prefixed_id
+from ..operators.setops import key_alignment, union_dedup
+from ..operators.topn import top_n_by_count
+from ..operators.windows import exclude_top_percent, top_k_per_group
+from .c2v_prep import C2VPrepConfig, user_contexts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: events.ts is parquet TIMESTAMP(NANOS) → read as LONG nanoseconds (see
+#: session.py). Epoch seconds via integer div (ns > 2^53, double would lose
+#: precision); DuckDB oracles use floor(epoch(ts)) on its TIMESTAMP_NS read.
+_TS_EPOCH = "ts div 1000000000"
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/O1/O2 — group-count top-N with deterministic tie-break (the vocabulary
+# query, ihop/import_data.py:48-60). Plans as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "topn_parts_by_lineitems",
+    """
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY cnt DESC, l_partkey ASC LIMIT 100
+    """,
+)
+def topn_parts_by_lineitems(spark, sf_dir):
+    return top_n_by_count(_t(spark, sf_dir, "lineitem"), "l_partkey", 100, "cnt")
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast left-semi membership filter against the top-N table
+# (filter_top_n, ihop/import_data.py:63-72), then a downstream aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_topn_flag_counts",
+    """
+    WITH topn AS (
+      SELECT l_partkey FROM (
+        SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+        ORDER BY cnt DESC, l_partkey ASC LIMIT 100))
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM topn)
+    GROUP BY l_returnflag
+    """,
+)
+def semi_join_topn_flag_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    topn = top_n_by_count(li, "l_partkey", 100, "cnt").select("l_partkey")
+    kept = semi_join_filter(li, topn, "l_partkey")
+    return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# P2 — regex filter + complement (remove_rows_by_regex_match,
+# ihop/import_data.py:74-87).
+# ---------------------------------------------------------------------------
+@query(
+    "regex_filter_parts",
+    """
+    SELECT p_partkey, p_type FROM part
+    WHERE NOT regexp_matches(p_type, 'BRASS|COPPER')
+    """,
+)
+def regex_filter_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return filter_by_regex(part, "p_type", "BRASS|COPPER").select(
+        "p_partkey", "p_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P5 — inequality, negated IN-list, exclusive range predicates
+# (ihop/import_data.py:90-114, 343-366) composed on one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "filtered_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type NOT IN ('error', 'signup')
+      AND user_id <> 0 AND value > 1.0 AND value < 40.0
+    GROUP BY event_type
+    """,
+)
+def filtered_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev = filter_not_in(ev, "event_type", ["error", "signup"])
+    ev = ev.where(F.col("user_id") != 0)
+    ev = filter_open_range(ev, "value", 1.0, 40.0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        decimal_sum("value").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 + E4 — literal-prefix derived key (fullname_id pattern,
+# ihop/import_data.py:300-313) and CASE-WHEN recategorization
+# (ihop/visualizations.py:70-74).
+# ---------------------------------------------------------------------------
+@query(
+    "derived_and_recategorized_customers",
+    """
+    SELECT c_custkey,
+           'cust_' || CAST(c_custkey AS VARCHAR) AS cust_tag,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+                THEN c_mktsegment ELSE 'other' END AS segment_cat
+    FROM customer
+    """,
+)
+def derived_and_recategorized_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    out = with_prefixed_id(cust, "c_custkey", "cust_", "cust_tag")
+    out = recategorize(out, "c_mktsegment", ["BUILDING", "MACHINERY"], "segment_cat")
+    return out.select("c_custkey", "cust_tag", "segment_cat")
+
+
+# ---------------------------------------------------------------------------
+# J3 + P7 + P5 — fact-to-fact equi-join with derived time delta and exclusive
+# window (join_submissions_and_comments + filter_by_time_between,
+# ihop/import_data.py:369-419, 343-366), rolled up per priority.
+# ---------------------------------------------------------------------------
+@query(
+    "order_lineitem_ship_delay",
+    """
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT)
+          - CAST(floor(epoch(o_orderdate)) AS BIGINT)
+          BETWEEN 0 AND 5184000
+    GROUP BY o_orderpriority
+    """,
+)
+def order_lineitem_ship_delay(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    delta = F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    joined = joined.where((delta >= 0) & (delta <= 60 * 86400))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        decimal_sum("l_extendedprice").cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — ordered group-concat context assembly (user → "sentence",
+# ihop/import_data.py:228-272) with defined in-group ordering.
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_contexts",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS context_concat,
+           COUNT(*) AS context_length
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_contexts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return grouped_concat(
+        ev, "user_id", "event_type", order_cols=["ts", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — global percent_rank heavy-user exclusion, histogram-scalable plan
+# (ihop/import_data.py:197-225; SURVEY §4 single-partition hazard removed).
+# ---------------------------------------------------------------------------
+@query(
+    "exclude_top_users",
+    """
+    WITH uc AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    r AS (SELECT user_id, cnt, percent_rank() OVER (ORDER BY cnt) AS pr FROM uc)
+    SELECT user_id, cnt FROM r WHERE pr <= 0.95
+    """,
+)
+def exclude_top_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return exclude_top_percent(counts, "cnt", 0.05)
+
+
+# ---------------------------------------------------------------------------
+# A8 — thread-document assembly: first() of functionally-dependent columns +
+# event-time-ordered concat (ihop/text_processing.py:208-219), with the
+# ordering made total (array_sort over struct) instead of the reference's
+# undefined sort-before-groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "order_thread_documents",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           string_agg(l_returnflag, ' '
+                      ORDER BY l_shipdate, l_linenumber, l_returnflag)
+             AS document_text,
+           COUNT(*) AS num_comments
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderpriority
+    """,
+)
+def order_thread_documents(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return assemble_thread_documents(
+        joined,
+        "o_orderkey",
+        ["o_orderpriority"],
+        "l_returnflag",
+        ["l_shipdate", "l_linenumber"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4-A7 — one-pass corpus statistics (print_comparison_stats,
+# ihop/import_data.py:117-178, collapsed from 5 actions to 1), with the
+# deterministic decimal-sum / formula-stddev kernel.
+# ---------------------------------------------------------------------------
+@query(
+    "events_corpus_stats",
+    """
+    SELECT COUNT(*) AS num_rows,
+           COUNT(DISTINCT user_id) AS distinct_user_id,
+           COUNT(DISTINCT event_type) AS distinct_event_type,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_ts_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_ts_epoch,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def events_corpus_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.count(F.lit(1)).alias("num_rows"),
+        F.countDistinct("user_id").alias("distinct_user_id"),
+        F.countDistinct("event_type").alias("distinct_event_type"),
+        F.expr(f"min({_TS_EPOCH})").alias("min_ts_epoch"),
+        F.expr(f"max({_TS_EPOCH})").alias("max_ts_epoch"),
+        decimal_sum("value").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A11 — per-group describe() (count/mean/stddev/min/max,
+# ihop/text_processing.py:43-47) from exact decimal partials.
+# ---------------------------------------------------------------------------
+@query(
+    "describe_value_by_event_type",
+    """
+    WITH d AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x, value
+               FROM events)
+    SELECT event_type,
+           COUNT(*) AS count,
+           CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_value,
+           sqrt((CAST(SUM(x*x) AS DOUBLE)
+                 - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM d GROUP BY event_type
+    """,
+)
+def describe_value_by_event_type(spark, sf_dir):
+    return describe_column(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# A10/W — deterministic per-group top-k via row_number (the reference's
+# groupby().head(top_n), ihop/annotation_task_export.py:139).
+# ---------------------------------------------------------------------------
+@query(
+    "top3_customers_per_segment",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS spend
+      FROM orders GROUP BY o_custkey),
+    j AS (SELECT c_mktsegment, c_custkey, spend
+          FROM customer JOIN spend ON c_custkey = o_custkey),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS rank
+          FROM j)
+    SELECT c_mktsegment, c_custkey, spend, rank FROM r WHERE rank <= 3
+    """,
+)
+def top3_customers_per_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        decimal_sum("o_totalprice").cast("double").alias("spend")
+    )
+    joined = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_mktsegment", "c_custkey", "spend"
+    )
+    out = top_k_per_group(
+        joined, "c_mktsegment", [F.col("spend").desc(), F.col("c_custkey").asc()], 3
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# U1 — union + dedup (app.py:626-628).
+# ---------------------------------------------------------------------------
+@query(
+    "union_dedup_customers",
+    """
+    SELECT DISTINCT c_custkey, c_name FROM (
+      SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 1
+      UNION ALL
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def union_dedup_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.where(F.col("c_nationkey") == 1).select("c_custkey", "c_name")
+    right = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return union_dedup(left, right)
+
+
+# ---------------------------------------------------------------------------
+# U2 — key-set union alignment with missing = −1 (cluster-comparison
+# universes, ihop/clustering.py:163-175).
+# ---------------------------------------------------------------------------
+@query(
+    "nation_customer_supplier_alignment",
+    """
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_customers, -1) AS n_customers,
+           COALESCE(s.n_suppliers, -1) AS n_suppliers
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) s
+    ON c.k = s.k
+    """,
+)
+def nation_customer_supplier_alignment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    cc = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    ss = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return key_alignment(
+        cc, ss, "nationkey", "full_outer", fill={"n_customers": -1, "n_suppliers": -1}
+    )
+
+
+# ---------------------------------------------------------------------------
+# M9 (distributed half) — long-form contingency table over two labelings
+# (ihop/clustering.py:96-128).
+# ---------------------------------------------------------------------------
+@query(
+    "segment_nation_contingency",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def segment_nation_contingency(spark, sf_dir):
+    return contingency_table(_t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# F1-F8 showcase — concat_ws/split/size/from_unixtime/regexp extraction on one
+# projection (ihop/import_data.py & utils.py scalar surface; F9 via regex).
+# ---------------------------------------------------------------------------
+@query(
+    "event_scalar_functions",
+    """
+    SELECT event_id,
+           event_type || '-' || CAST(user_id AS VARCHAR) AS type_user,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(len(string_split(props, ' ')) AS BIGINT) AS n_props_tokens,
+           regexp_extract(props, '"k": ([0-9]+)', 1) AS prop_k
+    FROM events
+    """,
+)
+def event_scalar_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        F.from_unixtime(F.expr(_TS_EPOCH), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.size(F.split(F.col("props"), " ")).cast("long").alias("n_props_tokens"),
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the full community2vec prep pipeline (SURVEY §7 minimum slice)
+# run against the events table: S1→P2→A1→J1→W1→A2 + length filter.
+# ---------------------------------------------------------------------------
+_C2V_CFG = C2VPrepConfig(
+    user_col="user_id",
+    item_col="event_type",
+    order_cols=("ts", "event_id"),
+    top_n=4,
+    exclude_user_fraction=0.05,
+    min_sentence_length=2,
+    exclude_item_regex="^err.*",
+    deleted_user_sentinel=None,
+)
+
+
+@query(
+    "c2v_prep_contexts",
+    """
+    WITH filtered AS (
+      SELECT * FROM events WHERE NOT regexp_matches(event_type, '^err.*')),
+    topn AS (
+      SELECT event_type FROM (
+        SELECT event_type, COUNT(*) AS cnt FROM filtered GROUP BY event_type
+        ORDER BY cnt DESC, event_type ASC LIMIT 4)),
+    base AS (
+      SELECT * FROM filtered
+      WHERE event_type IN (SELECT event_type FROM topn)),
+    uc AS (SELECT user_id, COUNT(*) AS cnt FROM base GROUP BY user_id),
+    ranked AS (SELECT user_id, percent_rank() OVER (ORDER BY cnt) AS pr FROM uc),
+    keep AS (SELECT user_id FROM ranked WHERE pr <= 0.95),
+    ctx AS (
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS context_concat,
+             COUNT(*) AS context_length
+      FROM base WHERE user_id IN (SELECT user_id FROM keep)
+      GROUP BY user_id)
+    SELECT * FROM ctx WHERE context_length >= 2
+    """,
+)
+def c2v_prep_contexts(spark, sf_dir):
+    return user_contexts(_t(spark, sf_dir, "events"), _C2V_CFG)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star): token counting + per-language rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_token_stats_by_lang",
+    """
+    WITH d AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM d GROUP BY lang
+    """,
+)
+def doc_token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star): per-document quality features. Ratios are
+# int/int double divisions — deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_quality_features",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('the','and','of','to','a','in','is'))) AS BIGINT)
+               AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+           CAST(digits AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+           CAST(n_chars - alpha - digits - spaces AS DOUBLE)
+             / greatest(n_chars, 1) AS punct_ratio,
+           CAST(n_chars - spaces AS DOUBLE) / greatest(n_tokens, 1)
+             AS mean_token_len,
+           CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio
+    FROM f
+    """,
+)
+def doc_quality_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["digit_ratio"].alias("digit_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["mean_token_len"].alias("mean_token_len"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 1 (north star): exact fingerprint groups (md5 — engine-portable).
+# ---------------------------------------------------------------------------
+@query(
+    "exact_duplicate_groups",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_duplicate_groups(spark, sf_dir):
+    return exact_duplicates(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup tier 4 (north star): exact n-gram Jaccard similarity join.
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
+      FROM toks),
+    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT p.left_id, p.right_id, p.inter,
+             sa.n AS n_left, sb.n AS n_right,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.left_id
+      JOIN sizes sb ON sb.doc_id = p.right_id)
+    SELECT * FROM j WHERE jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_query(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return out.select(
+        "left_id",
+        "right_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star / M6): exact cosine top-k with the
+# integer-quantized deterministic kernel. Query set: vec_id % 50 == 0.
+# ---------------------------------------------------------------------------
+_KNN_SQL = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+                 generate_subscripts(qv, 1) AS pos
+          FROM q),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS dotp
+      FROM e a JOIN e b ON a.pos = b.pos
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cosims AS (
+      SELECT query_id, neighbor_id,
+             dotp / (na.nrm * nb.nrm) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM cosims)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+@query("knn_bruteforce_cosine", _KNN_SQL)
+def knn_bruteforce_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = brute_force_knn(emb, queries, k=5, deterministic=True)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,70 @@
+"""Sinks (SURVEY §2.1, S5-S7) + scale-oriented write helpers.
+
+The reference writes flat parquet dirs and bzip2 CSV (``ihop/import_data.py:
+668-692``). At 100 TB the layout IS the query plan: month-partitioned parquet
+gives dynamic partition pruning for free, and bucketing by a join key removes
+the shuffle from every subsequent join on that key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """S5 — parquet sink (``ihop/import_data.py:692``), optionally partitioned
+    (e.g. by month — the reference partitions by FILE NAMING, one job per
+    month, ``dvc.yaml:32-41``; directory partitioning makes pruning automatic).
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table — co-locates join/agg keys so later joins on
+    ``bucket_cols`` are shuffle-free (both sides read pre-hashed buckets).
+    Requires saveAsTable (bucket metadata lives in the catalog).
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def write_compressed_csv(
+    df: DataFrame, path: str, compression: str = "bzip2", mode: str = "overwrite"
+) -> None:
+    """S6 — compressed CSV sink for the community2vec hand-off
+    (``ihop/import_data.py:674-676``). Kept for format parity; prefer parquet.
+    """
+    df.write.mode(mode).option("compression", compression).csv(path)
+
+
+def write_single_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """S7 — single-file CSV for small outputs (vocab tables, metrics).
+
+    Reference does ``toPandas().to_csv`` (``ihop/import_data.py:668``);
+    ``coalesce(1)`` keeps it distributed-write shaped. Guard: only call this
+    on bounded results (top-N tables, ≤~1M rows).
+    """
+    df.coalesce(1).write.mode(mode).option("header", str(header).lower()).csv(path)

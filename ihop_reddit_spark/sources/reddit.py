@@ -1,0 +1,83 @@
+"""Sources (SURVEY §2.1, S1-S4, S9).
+
+Schema-on-read everywhere: JSON scans ALWAYS carry an explicit schema (an
+inference pass over 100 TB of JSON is a full extra scan) plus a
+``_corrupt_record`` channel so bad rows are observable instead of silently
+null-filled (the reference's known failure mode, ``README.md:84``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import COMMENTS_SCHEMA, CONTEXTS_SCHEMA, SUBMISSIONS_SCHEMA
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """S1 — JSON-lines scan with fixed schema.
+
+    Reference: ``get_spark_dataframe`` (``ihop/import_data.py:181-194``),
+    ``spark.read.format("json").option("mode", "PERMISSIVE").schema(...)``.
+    Compressed inputs (bz2/gzip/zstd) decompress transparently via Hadoop
+    codecs (S2) — no shell pre-stage needed.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    read_schema = schema
+    if keep_corrupt and CORRUPT_COL not in [f.name for f in schema.fields]:
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    df = (
+        spark.read.format("json")
+        .option("mode", mode)
+        .schema(read_schema)
+        .load(list(paths))
+    )
+    if keep_corrupt:
+        return df
+    return df.drop(CORRUPT_COL) if CORRUPT_COL in df.columns else df
+
+
+def read_comments(spark: SparkSession, paths, **kwargs) -> DataFrame:
+    """Comments table (``ihop/import_data.py:33-34`` schema)."""
+    return read_jsonl(spark, paths, COMMENTS_SCHEMA, **kwargs)
+
+
+def read_submissions(spark: SparkSession, paths, **kwargs) -> DataFrame:
+    """Submissions table (``ihop/import_data.py:35`` schema; epoch normalized
+    to LONG instead of the reference's STRING)."""
+    return read_jsonl(spark, paths, SUBMISSIONS_SCHEMA, **kwargs)
+
+
+def read_contexts_csv(spark: SparkSession, paths) -> DataFrame:
+    """S3 — one-column context CSV (``ihop/community2vec.py:64-71``)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.csv(list(paths), header=False, schema=CONTEXTS_SCHEMA)
+
+
+def read_parquet_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str]
+) -> dict[str, DataFrame]:
+    """S4 — load the driver's synthetic tables from a scale-factor dir."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def corrupt_record_count(df: DataFrame) -> int:
+    """Observability for PERMISSIVE scans: how many rows failed the schema."""
+    if CORRUPT_COL not in df.columns:
+        return 0
+    return df.where(F.col(CORRUPT_COL).isNotNull()).count()

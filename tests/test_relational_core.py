@@ -1,0 +1,263 @@
+"""Operator unit tests on literal rows — the reference's test style
+(SURVEY §5: operator → literal rows → collected assertion), covering the
+relational core against hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.operators.aggregates import (
+    assemble_thread_documents,
+    contingency_table,
+    describe_column,
+    grouped_concat,
+)
+from ihop_reddit_spark.operators.filters import (
+    filter_by_regex,
+    filter_not_equal,
+    filter_not_in,
+    filter_open_range,
+)
+from ihop_reddit_spark.operators.joins import (
+    anti_join_filter,
+    join_submissions_and_comments,
+    semi_join_filter,
+)
+from ihop_reddit_spark.operators.projections import (
+    recategorize,
+    rename_with_prefix,
+    with_difference,
+    with_prefixed_id,
+)
+from ihop_reddit_spark.operators.setops import key_alignment, union_dedup
+from ihop_reddit_spark.operators.topn import top_n_by_count
+from ihop_reddit_spark.operators.windows import (
+    exclude_top_percent,
+    percent_rank_exact,
+    top_k_per_group,
+)
+
+
+@pytest.fixture(scope="module")
+def author_subreddit(spark):
+    # Mirrors the reference's inline fixture (tests/test_import_data.py:30-52):
+    # mixed-case names + u_-prefixed user-page subreddits.
+    rows = [
+        ("alice", "nba", 1, "c1"),
+        ("alice", "nba", 2, "c2"),
+        ("alice", "NBA2K", 3, "c3"),
+        ("bob", "nba", 4, "c4"),
+        ("bob", "u_bob", 5, "c5"),
+        ("carol", "funny", 6, "c6"),
+        ("[deleted]", "nba", 7, "c7"),
+        ("dave", "funny", 8, "c8"),
+        ("dave", "nba", 9, "c9"),
+        ("dave", "funny", 10, "c10"),
+    ]
+    return spark.createDataFrame(
+        rows, "author string, subreddit string, created_utc long, id string"
+    )
+
+
+def test_filter_by_regex_removes_user_pages(author_subreddit):
+    out = filter_by_regex(author_subreddit, "subreddit", "^u_.*")
+    assert out.where(F.col("subreddit") == "u_bob").count() == 0
+    assert out.count() == 9
+    kept = filter_by_regex(author_subreddit, "subreddit", "^u_.*", keep_matches=True)
+    assert kept.count() == 1
+
+
+def test_filter_not_equal_drops_deleted(author_subreddit):
+    out = filter_not_equal(author_subreddit, "author", "[deleted]")
+    assert out.count() == 9
+    assert out.where(F.col("author") == "[deleted]").count() == 0
+
+
+def test_filter_not_in(spark):
+    df = spark.createDataFrame(
+        [("a", "[removed]"), ("b", "hello"), ("c", "[deleted]")], "id string, body string"
+    )
+    out = filter_not_in(df, "body", ["[removed]", "[deleted]"])
+    assert [r.id for r in out.collect()] == ["b"]
+
+
+def test_filter_open_range_exclusive(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    out = filter_open_range(df, "x", lower=2, upper=7)
+    assert sorted(r.x for r in out.collect()) == [3, 4, 5, 6]
+    only_lower = filter_open_range(df, "x", lower=8)
+    assert sorted(r.x for r in only_lower.collect()) == [9]
+
+
+def test_top_n_by_count_tie_break(author_subreddit):
+    # counts: nba=5, funny=3, NBA2K=1, u_bob=1 → ties broken name-asc
+    out = top_n_by_count(author_subreddit, "subreddit", 3).collect()
+    assert [(r.subreddit, r["count"]) for r in out] == [
+        ("nba", 5),
+        ("funny", 3),
+        ("NBA2K", 1),
+    ]
+
+
+def test_semi_and_anti_join(author_subreddit, spark):
+    keep = spark.createDataFrame([("nba",)], "subreddit string")
+    semi = semi_join_filter(author_subreddit, keep, "subreddit")
+    assert semi.count() == 5
+    assert set(semi.columns) == set(author_subreddit.columns)
+    anti = anti_join_filter(author_subreddit, keep, "subreddit")
+    assert anti.count() == 5
+
+
+def test_prefixed_id_and_rename(spark):
+    df = spark.createDataFrame([("6xauyf",)], "id string")
+    out = with_prefixed_id(df, "id", "t3_", "fullname_id")
+    assert out.first().fullname_id == "t3_6xauyf"
+    renamed = rename_with_prefix(df, ["id"], "comments_")
+    assert renamed.columns == ["comments_id"]
+
+
+def test_join_submissions_and_comments(spark):
+    subs = spark.createDataFrame(
+        [("s1", "alice", 100, "text1", "title1", "sub1")],
+        "id string, author string, created_utc long, selftext string, title string, subreddit string",
+    )
+    comments = spark.createDataFrame(
+        [
+            ("c1", "t3_s1", "bob", 160, "first!"),
+            ("c2", "t3_s1", "carol", 700, "second"),
+            ("c3", "t3_zz", "dan", 100, "other thread"),
+        ],
+        "id string, link_id string, author string, created_utc long, body string",
+    )
+    joined = join_submissions_and_comments(subs, comments)
+    rows = {r.comments_id: r for r in joined.collect()}
+    assert set(rows) == {"c1", "c2"}
+    assert rows["c1"].time_to_comment_in_seconds == 60
+    assert rows["c2"].time_to_comment_in_seconds == 600
+    # P5 range filter composes on the derived column
+    windowed = filter_open_range(joined, "time_to_comment_in_seconds", 0, 300)
+    assert [r.comments_id for r in windowed.collect()] == ["c1"]
+
+
+def test_grouped_concat_ordered(author_subreddit):
+    clean = filter_not_equal(
+        filter_by_regex(author_subreddit, "subreddit", "^u_.*"), "author", "[deleted]"
+    )
+    out = grouped_concat(
+        clean, "author", "subreddit", order_cols=["created_utc"],
+    )
+    got = {r.author: (r.context_concat, r.context_length) for r in out.collect()}
+    assert got["alice"] == ("nba nba NBA2K", 3)
+    assert got["dave"] == ("funny nba funny", 3)
+    assert got["carol"] == ("funny", 1)
+
+
+def test_grouped_concat_max_items(author_subreddit):
+    out = grouped_concat(
+        author_subreddit, "author", "subreddit",
+        order_cols=["created_utc"], max_items=2,
+    )
+    got = {r.author: r.context_concat for r in out.collect()}
+    assert got["alice"] == "nba nba"  # truncated after ordering
+    assert got["alice"] is not None and len(got["alice"].split()) == 2
+
+
+def test_exclude_top_percent_matches_exact_window(spark):
+    # 20 users with activity 1..20; exclude top 10% → drop counts 19, 20
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(1, 21)], "user string, cnt long")
+    out = exclude_top_percent(df, "cnt", 0.10)
+    kept = sorted(r.cnt for r in out.collect())
+    # exact spec: percent_rank = (cnt-1)/19 <= 0.9 → cnt <= 18.1 → keep 1..18
+    assert kept == list(range(1, 19))
+    # cross-check against the reference-literal single-partition window
+    exact = percent_rank_exact(df, "cnt")
+    ref_kept = sorted(r.cnt for r in exact.where(F.col("percent_rank") <= 0.9).collect())
+    assert kept == ref_kept
+
+
+def test_exclude_top_percent_with_ties(spark):
+    # ties at the boundary: all rows with the same metric share a rank
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 2), ("d", 2), ("e", 5)], "user string, cnt long"
+    )
+    out = exclude_top_percent(df, "cnt", 0.05)
+    exact = percent_rank_exact(df, "cnt")
+    ref = sorted(r.user for r in exact.where(F.col("percent_rank") <= 0.95).collect())
+    assert sorted(r.user for r in out.collect()) == ref
+
+
+def test_exclude_zero_fraction_keeps_all(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 9)], "user string, cnt long")
+    assert exclude_top_percent(df, "cnt", 0.0).count() == 2
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", "x", 5), ("g1", "y", 9), ("g1", "z", 9), ("g2", "w", 1)],
+        "g string, item string, score long",
+    )
+    out = top_k_per_group(
+        df, "g", [F.col("score").desc(), F.col("item").asc()], 2
+    )
+    got = [(r.g, r.item, r.rank) for r in out.orderBy("g", "rank").collect()]
+    assert got == [("g1", "y", 1), ("g1", "z", 2), ("g2", "w", 1)]
+
+
+def test_assemble_thread_documents(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "title1", "body B", 200, "cB"),
+            ("s1", "title1", "body A", 100, "cA"),
+            ("s2", "title2", "solo", 50, "cC"),
+        ],
+        "sid string, title string, body string, delta long, cid string",
+    )
+    out = assemble_thread_documents(
+        df, "sid", ["title"], "body", ["delta", "cid"]
+    )
+    got = {r.sid: (r.title, r.document_text, r.num_comments) for r in out.collect()}
+    assert got["s1"] == ("title1", "body A body B", 2)
+    assert got["s2"] == ("title2", "solo", 1)
+
+
+def test_recategorize(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    out = recategorize(df, "v", ["a"], "cat")
+    got = {r.v: r.cat for r in out.collect()}
+    assert got == {"a": "a", "b": "other", "c": "other"}
+
+
+def test_union_dedup(spark):
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    assert union_dedup(d1, d2).count() == 3
+
+
+def test_key_alignment_full_outer_fill(spark):
+    d1 = spark.createDataFrame([("x", 1), ("y", 2)], "k string, c1 int")
+    d2 = spark.createDataFrame([("y", 20), ("z", 30)], "k string, c2 int")
+    out = key_alignment(d1, d2, "k", "full_outer", fill={"c1": -1, "c2": -1})
+    got = {r.k: (r.c1, r.c2) for r in out.collect()}
+    assert got == {"x": (1, -1), "y": (2, 20), "z": (-1, 30)}
+
+
+def test_contingency_table(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], "l string, r string"
+    )
+    out = contingency_table(df, "l", "r")
+    got = {(r.l, r.r): r.n for r in out.collect()}
+    assert got == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
+
+
+def test_describe_column(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0)], "g string, v double"
+    )
+    row = describe_column(df, "g", "v").first()
+    assert row["count"] == 3
+    assert row["mean_v"] == pytest.approx(2.0)
+    assert row["stddev_v"] == pytest.approx(1.0)
+    assert row["min_v"] == 1.0 and row["max_v"] == 3.0
