@@ -134,27 +134,32 @@ def simhash64(text: Column, sep: str = " ") -> Column:
     by token frequency, sign → bit. Pure higher-order array functions — no
     UDF, fully distributed, deterministic across engines.
     """
+    n_bits = 60
     tokens = _tokens(F.lower(text), sep)
     hashes = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    bits = F.sequence(F.lit(0), F.lit(59))
-    # for each bit position: sum(+1 if bit set else -1 over tokens) > 0 → bit
-    bit_vals = F.transform(
-        bits,
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    # per-token bit vector (shift amounts must be literals), then one
+    # elementwise fold → per-position set-bit counts
+    bit_arrays = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+                for b in range(n_bits)
+            ]
+        ),
     )
-    return F.aggregate(
-        F.zip_with(bit_vals, bits, lambda v, b: F.shiftleft(v, b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(n_bits)])
+    ones_count = F.aggregate(
+        bit_arrays, zeros, lambda acc, x: F.zip_with(acc, x, lambda a, v: a + v)
     )
+    n_tok = F.size(tokens)
+    # bit b set ⟺ (#ones > #zeros) at position b; disjoint powers sum = OR
+    sig = None
+    for b in range(n_bits):
+        term = F.when(
+            F.element_at(ones_count, b + 1) * 2 > n_tok, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sig

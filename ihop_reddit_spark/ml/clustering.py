@@ -1,0 +1,312 @@
+"""Clustering & topic models (SURVEY §2.10, M4-M5, M8).
+
+Spark-native mappings of the reference's model zoo:
+
+* KMeans / BisectingKMeans — ``pyspark.ml.clustering`` (distributed Lloyd /
+  divisive hierarchical). The reference's sklearn KMeans
+  (``ihop/clustering.py:353-447``) runs driver-side on ≤10k embedded points;
+  BisectingKMeans is the scalable analog of its AgglomerativeClustering.
+* sklearn escape hatch — agglomerative / affinity propagation have no
+  distributed equivalent; gated behind an import-try + row-count guard, on
+  L2-normalized vectors (cosine geometry), exactly the reference's intended
+  ≤10k-point regime.
+* LDA — ``pyspark.ml.clustering.LDA`` with the reference's exact config
+  (``ihop/clustering.py:875-1145``): online optimizer, asymmetric
+  doc-concentration ``1/(i + sqrt(k))``, k=250, maxIter=50,
+  subsamplingRate=0.05.
+* quality metrics (M8) — silhouette via ``ClusteringEvaluator``; CH / DB as
+  closed-form distributed aggregations over (point, cluster) rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_features(df: DataFrame, vec_col: str, out: str = "__features") -> DataFrame:
+    """array<float|double> → VectorUDT column for MLlib estimators."""
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out, array_to_vector(F.col(vec_col)))
+
+
+def l2_normalize_df(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-normalize an array column (cosine geometry for KMeans, matching
+    the reference's ``normed_vectors`` convention, ``ihop/clustering.py:420``).
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.transform(vec_col, lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))),
+    )
+
+
+@dataclass
+class ClusteringConfig:
+    """Defaults mirror ``ihop/clustering.py:363-390`` / ``app.py:49-50``."""
+
+    n_clusters: int = 250
+    seed: int = 100            # the reference's random_state=100 convention
+    max_iter: int = 100
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    cfg: ClusteringConfig | None = None,
+    id_cols: list[str] | None = None,
+    prediction_col: str = "cluster_id",
+):
+    """Distributed KMeans on (optionally pre-normalized) vectors.
+
+    Returns (assignments DataFrame, fitted model). Euclidean on unit vectors
+    is monotone in cosine — normalize first for the reference's cosine
+    semantics.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    cfg = cfg or ClusteringConfig()
+    feat = _with_features(df, vec_col)
+    model = KMeans(
+        k=cfg.n_clusters,
+        seed=cfg.seed,
+        maxIter=cfg.max_iter,
+        featuresCol="__features",
+        predictionCol=prediction_col,
+    ).fit(feat)
+    out = model.transform(feat).drop("__features")
+    if id_cols:
+        out = out.select(*id_cols, prediction_col)
+    return out, model
+
+
+def bisecting_kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    cfg: ClusteringConfig | None = None,
+    prediction_col: str = "cluster_id",
+):
+    """Divisive hierarchical clustering — the scalable stand-in for the
+    reference's AgglomerativeClustering (no distributed agglomerative
+    exists; SURVEY §7 "what's hard" #4)."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    cfg = cfg or ClusteringConfig()
+    feat = _with_features(df, vec_col)
+    model = BisectingKMeans(
+        k=cfg.n_clusters,
+        seed=cfg.seed,
+        maxIter=cfg.max_iter,
+        featuresCol="__features",
+        predictionCol=prediction_col,
+    ).fit(feat)
+    return model.transform(feat).drop("__features"), model
+
+
+def sklearn_cluster_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    algorithm: str = "agglomerative",
+    n_clusters: int = 250,
+    max_driver_rows: int = 20_000,
+    **kwargs,
+):
+    """Driver-side sklearn escape hatch (agglomerative / affinity), size-
+    guarded. Returns a (id, cluster_id) DataFrame. Mirrors
+    ``ihop/clustering.py:353-447`` defaults: cosine metric + average linkage
+    for agglomerative."""
+    n = df.count()
+    if n > max_driver_rows:
+        raise ValueError(f"{n} rows exceed driver guard {max_driver_rows}")
+    try:
+        import numpy as np
+        from sklearn.cluster import AffinityPropagation, AgglomerativeClustering
+    except ImportError as e:  # pragma: no cover - env without sklearn
+        raise NotImplementedError("sklearn not available in this environment") from e
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = [r[id_col] for r in rows]
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=float)
+    if algorithm == "agglomerative":
+        model = AgglomerativeClustering(
+            n_clusters=n_clusters, metric="cosine", linkage="average", **kwargs
+        )
+    elif algorithm == "affinity":
+        model = AffinityPropagation(random_state=kwargs.pop("seed", 100), **kwargs)
+    else:
+        raise ValueError(algorithm)
+    labels = model.fit_predict(mat)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, int(l)) for i, l in zip(ids, labels)], f"{id_col} long, cluster_id int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LDA (M5) — the reference's SparkLDAModel config, verbatim semantics
+# ---------------------------------------------------------------------------
+def asymmetric_alpha(k: int) -> list[float]:
+    """``1/(i + sqrt(k))`` per topic — ``ihop/clustering.py:1108-1140``."""
+    return [1.0 / (i + math.sqrt(k)) for i in range(k)]
+
+
+def fit_lda(
+    df: DataFrame,
+    features_col: str,
+    k: int = 250,
+    max_iter: int = 50,
+    subsampling_rate: float = 0.05,
+    seed: int = 100,
+    optimizer: str = "online",
+):
+    """Distributed LDA exactly as the reference configures it
+    (``ihop/clustering.py:914-948``). ``features_col`` must be the
+    count-vectorized VectorUDT column from the text pipeline."""
+    from pyspark.ml.clustering import LDA
+
+    lda = LDA(
+        k=k,
+        maxIter=max_iter,
+        seed=seed,
+        optimizer=optimizer,
+        subsamplingRate=subsampling_rate,
+        docConcentration=asymmetric_alpha(k),
+        featuresCol=features_col,
+    )
+    return lda.fit(df)
+
+
+def topic_terms(model, vocab_df: DataFrame, max_terms: int = 10) -> DataFrame:
+    """(topic, term, weight) via describeTopics + vocab JOIN — replaces the
+    reference's lookup UDF (U-1, ``ihop/clustering.py:932-936``) with a
+    broadcast join; stays on the JVM."""
+    topics = model.describeTopics(max_terms)
+    exploded = topics.select(
+        "topic",
+        F.explode(F.arrays_zip("termIndices", "termWeights")).alias("tw"),
+    ).select(
+        "topic",
+        F.col("tw.termIndices").alias("term_id"),
+        F.col("tw.termWeights").alias("weight"),
+    )
+    return exploded.join(F.broadcast(vocab_df), "term_id", "inner").select(
+        "topic", "term", "weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics (M8) — silhouette builtin; CH / DB as distributed aggs
+# ---------------------------------------------------------------------------
+def silhouette(assignments: DataFrame, vec_col: str, prediction_col: str = "cluster_id") -> float:
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    feat = _with_features(assignments, vec_col)
+    return ClusteringEvaluator(
+        featuresCol="__features", predictionCol=prediction_col, metricName="silhouette"
+    ).evaluate(feat)
+
+
+def _exploded(assignments: DataFrame, vec_col: str, prediction_col: str) -> DataFrame:
+    return assignments.select(
+        F.col(prediction_col).alias("__c"), F.posexplode(vec_col).alias("__d", "__v")
+    ).withColumn("__v", F.col("__v").cast("double"))
+
+
+def calinski_harabasz(
+    assignments: DataFrame, vec_col: str, prediction_col: str = "cluster_id"
+) -> float:
+    """CH = (B/(k−1)) / (W/(n−k)), B/W from per-cluster & global centroids —
+    two groupBy aggregations over (cluster, dim) rows, no driver matrices."""
+    ex = _exploded(assignments, vec_col, prediction_col).cache()
+    per_cd = ex.groupBy("__c", "__d").agg(
+        F.avg("__v").alias("mean_cd"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ss_cd"),
+        F.count(F.lit(1)).alias("n_cd"),
+    )
+    # W = Σ_points ||x − c_k||² = Σ_cd (ss_cd − n_cd·mean_cd²)
+    stats = per_cd.select(
+        (F.col("ss_cd") - F.col("n_cd") * F.col("mean_cd") * F.col("mean_cd")).alias("w_cd"),
+        "__d",
+        "mean_cd",
+        "n_cd",
+    )
+    w = stats.agg(F.sum("w_cd")).first()[0]
+    global_mean = per_cd.groupBy("__d").agg(
+        (F.sum(F.col("mean_cd") * F.col("n_cd")) / F.sum("n_cd")).alias("gmean")
+    )
+    b = (
+        stats.join(global_mean, "__d")
+        .select(
+            (
+                F.col("n_cd")
+                * (F.col("mean_cd") - F.col("gmean"))
+                * (F.col("mean_cd") - F.col("gmean"))
+            ).alias("b_cd")
+        )
+        .agg(F.sum("b_cd"))
+        .first()[0]
+    )
+    n = assignments.count()
+    k = assignments.select(prediction_col).distinct().count()
+    ex.unpersist()
+    if k <= 1 or n == k:
+        return float("nan")
+    return float((b / (k - 1)) / (w / (n - k)))
+
+
+def davies_bouldin(
+    assignments: DataFrame, vec_col: str, prediction_col: str = "cluster_id"
+) -> float:
+    """DB = mean_i max_{j≠i} (s_i+s_j)/d(c_i,c_j); per-cluster scatter s_i is
+    a distributed agg, the final k×k max is a driver loop on k rows."""
+    import numpy as np
+
+    ex = _exploded(assignments, vec_col, prediction_col)
+    cent = ex.groupBy("__c", "__d").agg(F.avg("__v").alias("mean_cd"))
+    # per-point distance to own centroid
+    pts = assignments.select(
+        F.col(prediction_col).alias("__c"),
+        F.monotonically_increasing_id().alias("__pid"),
+        F.col(vec_col).alias("__vec"),
+    ).select("__c", "__pid", F.posexplode("__vec").alias("__d", "__v"))
+    dists = (
+        pts.join(cent, ["__c", "__d"])
+        .groupBy("__c", "__pid")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("__v").cast("double") - F.col("mean_cd"))
+                    * (F.col("__v").cast("double") - F.col("mean_cd"))
+                )
+            ).alias("dist")
+        )
+    )
+    scatter = {r["__c"]: r["s"] for r in dists.groupBy("__c").agg(F.avg("dist").alias("s")).collect()}
+    crows = cent.collect()
+    dims = max(r["__d"] for r in crows) + 1
+    clusters = sorted(scatter)
+    cmat = {c: np.zeros(dims) for c in clusters}
+    for r in crows:
+        cmat[r["__c"]][r["__d"]] = r["mean_cd"]
+    vals = []
+    for i in clusters:
+        worst = 0.0
+        for j in clusters:
+            if i == j:
+                continue
+            d = float(np.linalg.norm(cmat[i] - cmat[j]))
+            if d > 0:
+                worst = max(worst, (scatter[i] + scatter[j]) / d)
+        vals.append(worst)
+    return float(np.mean(vals)) if vals else float("nan")

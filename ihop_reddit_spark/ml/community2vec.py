@@ -1,0 +1,229 @@
+"""Community2vec: item embeddings from user contexts (SURVEY §2.10, M1-M3, M6).
+
+Reference: ``ihop/community2vec.py`` trains Gensim Word2Vec (skip-gram,
+negative sampling, window=max-context) on bzip2 CSV contexts and evaluates
+P@1 on subreddit analogies. This engine keeps the data Spark-side end-to-end:
+
+* training input is a DataFrame with an ``ArrayType(String)`` context column
+  (no filesystem hand-off, no ``PathLineSentences``);
+* the model is ``pyspark.ml.feature.Word2Vec`` — distributed skip-gram with
+  hierarchical softmax. NOT bit-compatible with Gensim SGNS (SURVEY §7
+  "what's hard" #1): parity target is analogy-accuracy band, not weights.
+* the embedding matrix (vocab≈10k × dim≈100, ~4 MB) is deliberately
+  driver-sized for evaluation — the one place the reference's driver-drop is
+  the right call; guarded by ``max_driver_vocab``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class C2VParams:
+    """Hyperparameters, named as the reference names them
+    (``ihop/community2vec.py:203-218``; grid defaults ``params.yaml:70-72``)."""
+
+    vector_size: int = 100
+    alpha: float = 0.025
+    min_alpha: float = 0.0001
+    epochs: int = 5
+    window: int = 1000         # ref uses max context length ⇒ effectively ∞
+    min_count: int = 0
+    seed: int = 42
+    num_partitions: int = 1    # >1 trades determinism for speed
+
+    def model_id(self) -> str:
+        return f"alpha{self.alpha}_vectorSize{self.vector_size}_epochs{self.epochs}"
+
+
+class Community2Vec:
+    """Spark-native trainer: contexts DataFrame → (word, vector) DataFrame."""
+
+    def __init__(self, params: C2VParams | None = None, tokens_col: str = "context") -> None:
+        self.params = params or C2VParams()
+        self.tokens_col = tokens_col
+        self.model = None
+
+    def fit(self, contexts: DataFrame) -> "Community2Vec":
+        from pyspark.ml.feature import Word2Vec
+
+        p = self.params
+        w2v = Word2Vec(
+            vectorSize=p.vector_size,
+            minCount=p.min_count,
+            numPartitions=p.num_partitions,
+            stepSize=p.alpha,
+            maxIter=p.epochs,
+            seed=p.seed,
+            windowSize=p.window,
+            inputCol=self.tokens_col,
+            outputCol="__w2v",
+        )
+        self.model = w2v.fit(contexts)
+        return self
+
+    def vectors(self) -> DataFrame:
+        """(word STRING, vector VectorUDT) — stays distributed."""
+        if self.model is None:
+            raise RuntimeError("call fit() first")
+        return self.model.getVectors()
+
+    def save(self, path: str) -> None:
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str, params: C2VParams | None = None) -> "Community2Vec":
+        from pyspark.ml.feature import Word2VecModel
+
+        obj = cls(params)
+        obj.model = Word2VecModel.load(path)
+        return obj
+
+
+def split_contexts(df: DataFrame, concat_col: str = "context_concat", out_col: str = "context") -> DataFrame:
+    """c2v-prep output → training input (space-joined string → array)."""
+    return df.select(F.split(F.col(concat_col), " ").alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Driver-side embedding matrix + analogy evaluation (M3)
+# ---------------------------------------------------------------------------
+@dataclass
+class EmbeddingMatrix:
+    """L2-normalized embedding matrix + string index, driver-local.
+
+    The reference's Gensim ``KeyedVectors`` equivalent
+    (``ihop/community2vec.py:291-305``). Construction is size-guarded: this
+    is a presentation/eval structure for ≤``max_driver_vocab`` items, never
+    the corpus itself.
+    """
+
+    words: list[str]
+    matrix: np.ndarray  # (vocab, dim) float32, unit rows
+    index: dict[str, int] = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.index = {w: i for i, w in enumerate(self.words)}
+
+    @classmethod
+    def from_vectors_df(
+        cls, vectors: DataFrame, max_driver_vocab: int = 200_000
+    ) -> "EmbeddingMatrix":
+        n = vectors.count()
+        if n > max_driver_vocab:
+            raise ValueError(
+                f"vocab {n} exceeds driver guard {max_driver_vocab}; "
+                "use distributed ops (datapipe.similarity) instead"
+            )
+        rows = vectors.collect()
+        words = [r["word"] for r in rows]
+        mat = np.array([r["vector"].toArray() for r in rows], dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return cls(words, mat / norms)
+
+    def most_similar(self, word: str, topn: int = 10) -> list[tuple[str, float]]:
+        """M6 — cosine nearest neighbors (``ihop/community2vec.py:330-340``)."""
+        i = self.index[word]
+        sims = self.matrix @ self.matrix[i]
+        order = np.argsort(-sims)
+        out = []
+        for j in order:
+            if j != i:
+                out.append((self.words[j], float(sims[j])))
+            if len(out) >= topn:
+                break
+        return out
+
+    def analogy(self, a: str, b: str, c: str) -> str | None:
+        """b − a + c → nearest word excluding inputs (vector-algebra P@1)."""
+        if any(w not in self.index for w in (a, b, c)):
+            return None
+        ia, ib, ic = self.index[a], self.index[b], self.index[c]
+        target = self.matrix[ib] - self.matrix[ia] + self.matrix[ic]
+        norm = np.linalg.norm(target)
+        if norm:
+            target = target / norm
+        sims = self.matrix @ target
+        sims[[ia, ib, ic]] = -np.inf
+        return self.words[int(np.argmax(sims))]
+
+
+def evaluate_analogies(
+    emb: EmbeddingMatrix, analogies: list[tuple[str, str, str, str, str]]
+) -> dict:
+    """Sectioned P@1 accuracy over (section, a, b, c, expected) 4-tuples.
+
+    Mirrors ``wv.evaluate_word_analogies`` + ``analogy_sections_to_str``
+    (``ihop/community2vec.py:85-97, 307-328``): tuples with OOV words are
+    skipped (not counted), per-section and total accuracy reported.
+    """
+    sections: dict[str, list[int]] = {}
+    for section, a, b, c, expected in analogies:
+        if any(w not in emb.index for w in (a, b, c, expected)):
+            continue
+        pred = emb.analogy(a, b, c)
+        sections.setdefault(section, []).append(int(pred == expected))
+    per_section = {
+        s: (sum(v) / len(v) if v else 0.0, len(v)) for s, v in sections.items()
+    }
+    solved = sum(sum(v) for v in sections.values())
+    total = sum(len(v) for v in sections.values())
+    return {
+        "sections": {s: {"accuracy": acc, "n": n} for s, (acc, n) in per_section.items()},
+        "total_accuracy": (solved / total) if total else 0.0,
+        "total_evaluated": total,
+    }
+
+
+def generate_analogies(pairs_by_section: dict[str, list[tuple[str, str]]]) -> list:
+    """All ordered pair-combinations per section → (section, a, b, c, d):
+    a:b :: c:d. Mirrors ``ihop/resources/analogies/__init__.py:24-56``."""
+    out = []
+    for section, pairs in pairs_by_section.items():
+        for (a, b), (c, d) in itertools.permutations(pairs, 2):
+            out.append((section, a, b, c, d))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Grid search (M2)
+# ---------------------------------------------------------------------------
+def grid_search(
+    contexts: DataFrame,
+    grid: dict[str, list],
+    analogies: list,
+    base: C2VParams | None = None,
+    metrics_path: str | None = None,
+) -> tuple["Community2Vec", dict]:
+    """Cartesian-product grid over C2VParams fields, best-by-analogy-accuracy
+    retained (``ihop/community2vec.py:410-626``). Trials run sequentially —
+    each trial is itself a distributed Word2Vec fit, so the cluster stays
+    busy; contexts are cached across trials.
+    """
+    base = base or C2VParams()
+    contexts = contexts.cache()
+    keys = sorted(grid)
+    results = []
+    best: tuple[float, Community2Vec | None] = (-1.0, None)
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        params = C2VParams(**{**base.__dict__, **dict(zip(keys, combo))})
+        model = Community2Vec(params).fit(contexts)
+        emb = EmbeddingMatrix.from_vectors_df(model.vectors())
+        metrics = evaluate_analogies(emb, analogies)
+        results.append({"params": dict(zip(keys, combo)), **metrics})
+        if metrics["total_accuracy"] > best[0]:
+            best = (metrics["total_accuracy"], model)
+    contexts.unpersist()
+    summary = {"trials": results, "best_accuracy": best[0]}
+    if metrics_path:
+        with open(metrics_path, "w") as f:
+            json.dump(summary, f, indent=2)
+    return best[1], summary

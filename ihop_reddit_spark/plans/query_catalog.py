@@ -671,3 +671,132 @@ def knn_bruteforce_cosine(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 50 == 0)
     out = brute_force_knn(emb, queries, k=5, deterministic=True)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (SURVEY §2.12): the SAME answers as batch, computed by a
+# Structured Streaming plan (availableNow → memory sink). The oracles are the
+# batch-SQL equivalents, so the streaming operators pass the t2 gate too.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_windowed_event_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_event_counts(spark, sf_dir):
+    from ..streaming.events import windowed_event_counts_stream
+
+    return windowed_event_counts_stream(spark, sf_dir)
+
+
+@query(
+    "stream_user_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events),
+    o AS (
+      SELECT user_id, t, v,
+             LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+      FROM e),
+    s AS (
+      SELECT user_id, t, v,
+             SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, MIN(t) AS session_start_epoch,
+           COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_user_sessions(spark, sf_dir):
+    from ..streaming.events import user_sessions_stream
+
+    return user_sessions_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# ML operators (rows-only checks — not SQL-expressible; the driver records
+# the weaker gate, closed-form correctness lives in tests/test_ml_models.py).
+# ---------------------------------------------------------------------------
+@query("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark, sf_dir):
+    from ..datapipe.dedup import minhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(docs, "text", "doc_id", jaccard_threshold=0.2)
+
+
+@query("simhash_candidate_pairs")
+def simhash_candidate_pairs(spark, sf_dir):
+    from ..datapipe.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "text", "doc_id")
+
+
+@query("kmeans_cluster_sizes")
+def kmeans_cluster_sizes(spark, sf_dir):
+    from ..ml.clustering import ClusteringConfig, kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans_assign(emb, "embedding", ClusteringConfig(n_clusters=8, seed=100))
+    return (
+        out.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster_id")
+    )
+
+
+@query("cluster_compare_kmeans_vs_labels")
+def cluster_compare_kmeans_vs_labels(spark, sf_dir):
+    from ..ml.cluster_metrics import align_labelings, comparison_metrics
+    from ..ml.clustering import ClusteringConfig, kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans_assign(emb, "embedding", ClusteringConfig(n_clusters=4, seed=100))
+    left = out.select("vec_id", F.col("cluster_id").alias("c1"))
+    right = emb.select("vec_id", F.col("label").alias("c2"))
+    metrics = comparison_metrics(align_labelings(left, right, "vec_id"))
+    return spark.createDataFrame([metrics])
+
+
+@query("lda_topic_terms")
+def lda_topic_terms(spark, sf_dir):
+    from ..ml.clustering import fit_lda, topic_terms
+    from ..ml.text_pipeline import SparkTextPipeline
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "document_text")
+    pipe = SparkTextPipeline(min_df=1.0, max_df=1.0e18)
+    vec = pipe.fit_transform(docs)
+    model = fit_lda(vec, "vectorized", k=5, max_iter=10, subsampling_rate=1.0, seed=100)
+    return topic_terms(model, pipe.vocab_df(spark), max_terms=5)
+
+
+@query("c2v_event_embeddings")
+def c2v_event_embeddings(spark, sf_dir):
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.community2vec import C2VParams, Community2Vec, split_contexts
+
+    contexts = split_contexts(user_contexts(_t(spark, sf_dir, "events"), _C2V_CFG))
+    model = Community2Vec(C2VParams(vector_size=16, epochs=3, seed=100)).fit(contexts)
+    return model.vectors().select(
+        "word", vector_to_array(F.col("vector")).alias("vector")
+    )
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark, sf_dir):
+    from ..datapipe.similarity import build_ivf_index, ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    assigned, model = build_ivf_index(emb, n_centroids=16, seed=100)
+    out = ivf_knn(assigned, model, queries, k=5, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,136 @@
+"""Structured Streaming surface over the events table (SURVEY §2.12).
+
+The reference is strictly monthly batch; these are the engine's streaming
+mappings of its time semantics (P5 range predicates → watermark + event-time
+filter; A1 top-N → windowed counts; A8 thread assembly → session windows).
+
+Each operator exists in two forms with IDENTICAL semantics:
+
+* ``*_stream`` — a Structured Streaming query (readStream → watermark →
+  windowed agg). For bounded verification it runs with
+  ``trigger(availableNow=True)`` into a memory sink and returns the final
+  table — proving the streaming plan computes the same answer as batch.
+* the batch equivalent is the SQL oracle in the query catalog (tumbling
+  window = epoch div; session window = gaps-and-islands), so the driver's
+  DuckDB gate covers the streaming operators too.
+
+At production scale the same code pointed at a Kafka/file source with a real
+trigger is incremental: state-store-backed windowed aggs, watermark-bounded
+state eviction.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet read-schema under nanosAsLong (ts = LONG nanoseconds).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with a proper event-time col.
+
+    The file source only accepts directories; the testdata table is a single
+    parquet file, so expose it through a symlink inside a temp dir (zero
+    copy). Real deployments point this at the landing directory / Kafka.
+    """
+    import os
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
+    return raw.withColumn(
+        "event_time", F.expr("CAST(ts div 1000000000 AS TIMESTAMP)")
+    )
+
+
+def _run_to_memory(windowed: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a bounded streaming query to completion (availableNow) into a
+    memory sink; return the materialized result."""
+    sink = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type (streaming A1).
+
+    Batch-equivalent: ``floor(epoch/3600)*3600`` bucket counts — the SQL
+    oracle in the catalog. Watermark bounds state at production scale.
+    """
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(windowed, spark)
+
+
+def user_sessions_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user (streaming A8 analog): events within ``gap``
+    of each other merge into one session.
+
+    Batch-equivalent: gaps-and-islands (lag + cumulative new-session flags) —
+    the SQL oracle. ``session_window`` keeps per-user open-session state,
+    evicted past the watermark.
+    """
+    ev = _event_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(sessions, spark)

@@ -1,0 +1,251 @@
+"""ML surface tests: community2vec (W2V + analogy eval), clustering,
+cluster-comparison metrics vs closed-form / sklearn oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.ml.cluster_metrics import (
+    align_labelings,
+    comparison_metrics,
+    greedy_max_match,
+)
+from ihop_reddit_spark.ml.clustering import (
+    ClusteringConfig,
+    asymmetric_alpha,
+    calinski_harabasz,
+    davies_bouldin,
+    fit_lda,
+    kmeans_assign,
+    silhouette,
+    topic_terms,
+)
+from ihop_reddit_spark.ml.community2vec import (
+    C2VParams,
+    Community2Vec,
+    EmbeddingMatrix,
+    evaluate_analogies,
+    generate_analogies,
+    split_contexts,
+)
+
+
+# ---------------------------------------------------------------------------
+# community2vec
+# ---------------------------------------------------------------------------
+def test_word2vec_trains_and_neighbors(spark):
+    # two cliques of co-occurring items: in-clique similarity must beat cross
+    rows = []
+    for i in range(30):
+        rows.append((["nba", "nfl", "sports" + str(i % 3)],))
+        rows.append((["cooking", "baking", "food" + str(i % 3)],))
+    df = spark.createDataFrame(rows, "context array<string>")
+    model = Community2Vec(C2VParams(vector_size=16, epochs=3, seed=7)).fit(df)
+    emb = EmbeddingMatrix.from_vectors_df(model.vectors())
+    sims = dict(emb.most_similar("nba", topn=len(emb.words)))
+    assert sims["nfl"] > sims["cooking"]
+
+
+def test_split_contexts(spark):
+    df = spark.createDataFrame([("a b c", 3)], "context_concat string, context_length int")
+    out = split_contexts(df).first()
+    assert out.context == ["a", "b", "c"]
+
+
+def test_analogy_closed_form():
+    # crafted geometry: king - man + woman = queen
+    words = ["man", "woman", "king", "queen", "noise"]
+    mat = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [1.0, 0.0, 1.0],
+            [0.0, 1.0, 1.0],
+            [0.5, 0.5, -1.0],
+        ],
+        dtype=np.float32,
+    )
+    emb = EmbeddingMatrix(words, mat / np.linalg.norm(mat, axis=1, keepdims=True))
+    assert emb.analogy("man", "king", "woman") == "queen"
+    res = evaluate_analogies(
+        emb,
+        [
+            ("royal", "man", "king", "woman", "queen"),
+            ("royal", "woman", "queen", "man", "king"),
+            ("oov", "man", "king", "missing", "queen"),  # skipped
+        ],
+    )
+    assert res["total_accuracy"] == 1.0
+    assert res["total_evaluated"] == 2
+    assert res["sections"]["royal"]["n"] == 2
+
+
+def test_generate_analogies():
+    out = generate_analogies({"s": [("a", "b"), ("c", "d"), ("e", "f")]})
+    assert ("s", "a", "b", "c", "d") in out
+    assert len(out) == 6  # P(3,2) ordered pairs
+
+
+def test_embedding_matrix_size_guard(spark):
+    df = spark.createDataFrame([("w", [0.1] * 4)], "word string, vector array<double>")
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("vector", array_to_vector("vector"))
+    with pytest.raises(ValueError):
+        EmbeddingMatrix.from_vectors_df(vec, max_driver_vocab=0)
+
+
+# ---------------------------------------------------------------------------
+# clustering
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rng = np.random.default_rng(0)
+    rows = []
+    for label, center in enumerate([(0, 0), (10, 10), (-10, 10)]):
+        for _ in range(30):
+            x = rng.normal(center, 0.5)
+            rows.append((label, [float(x[0]), float(x[1])]))
+    return spark.createDataFrame(rows, "true_label int, vec array<double>")
+
+
+def test_kmeans_recovers_blobs(blobs):
+    out, model = kmeans_assign(blobs, "vec", ClusteringConfig(n_clusters=3, seed=1))
+    # purity: each true label maps to exactly one cluster
+    purity = (
+        out.groupBy("true_label")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert purity == 1
+    assert silhouette(out, "vec") > 0.8
+
+
+def test_ch_db_match_sklearn(blobs):
+    out, _ = kmeans_assign(blobs, "vec", ClusteringConfig(n_clusters=3, seed=1))
+    rows = out.select("vec", "cluster_id").collect()
+    X = np.array([r.vec for r in rows])
+    labels = np.array([r.cluster_id for r in rows])
+    # numpy closed-form oracles (sklearn's definitions)
+    uniq = np.unique(labels)
+    n, k = len(X), len(uniq)
+    gmean = X.mean(axis=0)
+    W = sum(((X[labels == c] - X[labels == c].mean(axis=0)) ** 2).sum() for c in uniq)
+    B = sum(
+        len(X[labels == c]) * ((X[labels == c].mean(axis=0) - gmean) ** 2).sum()
+        for c in uniq
+    )
+    ch_expected = (B / (k - 1)) / (W / (n - k))
+    cents = {c: X[labels == c].mean(axis=0) for c in uniq}
+    scat = {
+        c: np.linalg.norm(X[labels == c] - cents[c], axis=1).mean() for c in uniq
+    }
+    db_expected = np.mean(
+        [
+            max(
+                (scat[i] + scat[j]) / np.linalg.norm(cents[i] - cents[j])
+                for j in uniq
+                if j != i
+            )
+            for i in uniq
+        ]
+    )
+    assert calinski_harabasz(out, "vec") == pytest.approx(ch_expected, rel=1e-6)
+    assert davies_bouldin(out, "vec") == pytest.approx(db_expected, rel=1e-6)
+
+
+def test_lda_fits_and_topic_terms(spark):
+    from ihop_reddit_spark.ml.text_pipeline import SparkTextPipeline
+
+    docs = spark.createDataFrame(
+        [(str(i), "alpha beta gamma" if i % 2 else "delta epsilon zeta") for i in range(20)],
+        "id string, document_text string",
+    )
+    pipe = SparkTextPipeline(min_df=1.0, max_df=1.0e18)
+    vec = pipe.fit_transform(docs)
+    model = fit_lda(vec, "vectorized", k=2, max_iter=5, subsampling_rate=1.0, seed=1)
+    terms = topic_terms(model, pipe.vocab_df(spark), max_terms=3)
+    assert terms.count() == 6
+    assert set(terms.columns) == {"topic", "term", "weight"}
+
+
+def test_asymmetric_alpha_matches_reference_formula():
+    k = 4
+    alphas = asymmetric_alpha(k)
+    assert alphas[0] == pytest.approx(1 / (0 + 2.0))
+    assert alphas[3] == pytest.approx(1 / (3 + 2.0))
+
+
+# ---------------------------------------------------------------------------
+# cluster-comparison metrics vs sklearn / closed form
+# ---------------------------------------------------------------------------
+def test_comparison_metrics_match_sklearn(spark):
+    left_labels = [0, 0, 1, 1, 2, 2, 2, 0]
+    right_labels = [1, 1, 0, 0, 2, 2, 0, 1]
+    keys = [f"k{i}" for i in range(len(left_labels))]
+    left = spark.createDataFrame(list(zip(keys, left_labels)), "key string, c1 int")
+    right = spark.createDataFrame(list(zip(keys, right_labels)), "key string, c2 int")
+    aligned = align_labelings(left, right, "key")
+    m = comparison_metrics(aligned)
+
+    # numpy closed-form oracles (sklearn's definitions, log2)
+    L, R = np.array(left_labels), np.array(right_labels)
+    n = len(L)
+    cont = {}
+    for a, b in zip(L, R):
+        cont[(a, b)] = cont.get((a, b), 0) + 1
+    a_i = {a: (L == a).sum() for a in set(L)}
+    b_j = {b: (R == b).sum() for b in set(R)}
+    h1 = -sum(c / n * np.log2(c / n) for c in a_i.values())
+    h2 = -sum(c / n * np.log2(c / n) for c in b_j.values())
+    mi = sum(
+        c / n * np.log2(n * c / (a_i[a] * b_j[b])) for (a, b), c in cont.items()
+    )
+
+    def comb2(x):
+        return x * (x - 1) / 2
+
+    sum_ij = sum(comb2(c) for c in cont.values())
+    sum_a = sum(comb2(c) for c in a_i.values())
+    sum_b = sum(comb2(c) for c in b_j.values())
+    tp = comb2(n)
+    expected = sum_a * sum_b / tp
+    ari = (sum_ij - expected) / (0.5 * (sum_a + sum_b) - expected)
+    homo, comp = mi / h1, mi / h2
+
+    assert m["mutual_info"] == pytest.approx(mi, rel=1e-9)
+    assert m["nmi"] == pytest.approx(mi / ((h1 + h2) / 2), rel=1e-9)
+    assert m["adjusted_rand_index"] == pytest.approx(ari, rel=1e-9)
+    assert m["homogeneity"] == pytest.approx(homo, rel=1e-9)
+    assert m["completeness"] == pytest.approx(comp, rel=1e-9)
+    assert m["v_measure"] == pytest.approx(
+        2 * homo * comp / (homo + comp), rel=1e-9
+    )
+    assert m["rand_index"] == pytest.approx(
+        (tp + 2 * sum_ij - sum_a - sum_b) / tp, rel=1e-9
+    )
+    # VOI closed form: H1 + H2 − 2·MI
+    assert m["voi"] == pytest.approx(
+        m["entropy_left"] + m["entropy_right"] - 2 * m["mutual_info"]
+    )
+
+
+def test_union_universe_fills_missing(spark):
+    left = spark.createDataFrame([("a", 0), ("b", 1)], "key string, c1 int")
+    right = spark.createDataFrame([("b", 1), ("c", 2)], "key string, c2 int")
+    aligned = align_labelings(left, right, "key", universe="union")
+    got = {r.key: (r.c1, r.c2) for r in aligned.collect()}
+    assert got == {"a": (0, -1), "b": (1, 1), "c": (-1, 2)}
+
+
+def test_greedy_max_match():
+    rows = [(0, "x", 5), (0, "y", 3), (1, "y", 4), (2, "z", 2), (3, "z", 1)]
+    res = greedy_max_match(rows)
+    assert (0, "x", 5) in res["pairs"]
+    assert (1, "y", 4) in res["pairs"]
+    assert (2, "z", 2) in res["pairs"]
+    assert res["unpaired_left"] == [3]
+    assert res["unpaired_right"] == []

@@ -1,0 +1,67 @@
+"""Structured Streaming operators: bounded (availableNow) runs must equal
+their batch equivalents computed in the same session."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.streaming.events import (
+    user_sessions_stream,
+    windowed_event_counts_stream,
+)
+
+
+def _events_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_windowed_counts_equal_batch(spark, sf_dir):
+    streamed = windowed_event_counts_stream(spark, sf_dir)
+    batch = (
+        _events_batch(spark, sf_dir)
+        .select(
+            F.expr("(ts div 1000000000) div 3600 * 3600").alias("window_start_epoch"),
+            "event_type",
+        )
+        .groupBy("window_start_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(r.window_start_epoch, r.event_type): r.cnt for r in streamed.collect()}
+    want = {(r.window_start_epoch, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want
+
+
+def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
+    streamed = user_sessions_stream(spark, sf_dir)
+    batch = _events_batch(spark, sf_dir).selectExpr(
+        "user_id", "ts div 1000000000 AS t", "CAST(value AS DECIMAL(18,4)) AS v"
+    )
+    batch.createOrReplaceTempView("ev_batch")
+    islands = spark.sql(
+        """
+        WITH o AS (
+          SELECT user_id, t, v,
+                 LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+          FROM ev_batch),
+        s AS (
+          SELECT user_id, t, v,
+                 SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o)
+        SELECT user_id, MIN(t) AS session_start_epoch,
+               COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        """
+    )
+    got = {
+        (r.user_id, r.session_start_epoch): (r.n_events, r.sum_value)
+        for r in streamed.collect()
+    }
+    want = {
+        (r.user_id, r.session_start_epoch): (r.n_events, r.sum_value)
+        for r in islands.collect()
+    }
+    assert got == want
