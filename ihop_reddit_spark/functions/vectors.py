@@ -61,6 +61,25 @@ def cosine_q(a: Column, b: Column, scale: int = QUANT_SCALE) -> Column:
     )
 
 
+def raw_dot(qa: Column, qb: Column) -> Column:
+    """int64 dot product of two PRE-quantized arrays (see :func:`quantize`).
+
+    Hot-path kernel: quantization and norms are computed once per row before
+    a pairwise join, so each pair costs exactly one fold — not three folds
+    plus re-quantization (6× less work than ``cosine_q`` per pair).
+    """
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def raw_norm(qa: Column) -> Column:
+    """double sqrt of the int64 self-dot of a pre-quantized array."""
+    return F.sqrt(raw_dot(qa, qa).cast("double"))
+
+
 def dot_dec(a: Column, b: Column) -> Column:
     """Exact decimal dot product → double."""
     products = F.zip_with(a, b, lambda x, y: x.cast(_ELEM_DEC) * y.cast(_ELEM_DEC))
