@@ -674,6 +674,80 @@ def knn_bruteforce_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (north star): binary payload columns + typed metadata. The
+# synthesized asset table is pure integer/byte arithmetic over documents, so
+# the JVM-side plumbing is hash-gated against DuckDB; the Arrow/mapInPandas
+# decode stage is covered by the frame-sample query (Python crossing, SQL-
+# checkable projection) and closed-form tests in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+_ASSET_SQL_CTE = """
+    a AS (
+      SELECT doc_id AS asset_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(16 + (doc_id % 8) * 16 AS INTEGER) AS width,
+             CAST(16 + (doc_id % 5) * 16 AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 25) * 4
+                       ELSE 1 END AS BIGINT) AS n_frames
+      FROM documents)
+    """
+
+
+@query(
+    "multimodal_asset_byte_stats",
+    f"""
+    WITH {_ASSET_SQL_CTE}
+    SELECT kind, COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+    FROM a GROUP BY kind
+    """,
+)
+def multimodal_asset_byte_stats(spark, sf_dir):
+    from ..datapipe.multimodal import asset_byte_stats, synthesize_assets
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"))
+    out = asset_byte_stats(assets)
+    return out.select(
+        "kind",
+        "n_assets",
+        F.col("sum_bytes").cast("long").alias("sum_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+        "sum_frames",
+    )
+
+
+@query(
+    "multimodal_frame_samples",
+    f"""
+    WITH {_ASSET_SQL_CTE},
+    v AS (SELECT asset_id, n_bytes, n_frames FROM a WHERE kind = 'video')
+    SELECT asset_id, CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_index,
+           n_bytes
+    FROM v
+    """,
+)
+def multimodal_frame_samples(spark, sf_dir):
+    """Frame-sample explosion + Arrow round-trip, hash-gated on the SQL-
+    expressible projection (the fake per-frame stat is test-asserted)."""
+    from ..datapipe.multimodal import sample_frames, synthesize_assets
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"))
+    return sample_frames(assets, every_n=4).select(
+        "asset_id", "frame_index", "n_bytes"
+    )
+
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark, sf_dir):
+    from ..datapipe.multimodal import extract_image_features, synthesize_assets
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"))
+    return extract_image_features(assets)
+
+
+# ---------------------------------------------------------------------------
 # Streaming (SURVEY §2.12): the SAME answers as batch, computed by a
 # Structured Streaming plan (availableNow → memory sink). The oracles are the
 # batch-SQL equivalents, so the streaming operators pass the t2 gate too.

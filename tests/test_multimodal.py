@@ -1,0 +1,95 @@
+"""Multimodal binary-column plumbing tests (north-star extension).
+
+The codec is a deterministic fake (md5-digest stats) so every value here is
+closed-form; the Spark-side plumbing — schema, Arrow batching, explosion,
+partitioning — runs for real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.datapipe.multimodal import (
+    ASSET_SCHEMA,
+    asset_byte_stats,
+    extract_image_features,
+    sample_frames,
+    synthesize_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    return synthesize_assets(docs).cache()
+
+
+def _expected_stats(payload: bytes):
+    digest = hashlib.md5(payload).digest()
+    mean = sum(digest) / 16
+    var = sum((b - mean) ** 2 for b in digest) / 16
+    return mean, var**0.5
+
+
+def test_asset_schema_and_kinds(assets):
+    assert [(f.name, f.dataType.simpleString()) for f in assets.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in ASSET_SCHEMA.fields
+    ]
+    kinds = {r["kind"] for r in assets.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    img = assets.where(F.col("asset_id") == 3).head()
+    assert img["kind"] == "image"  # 3 % 3 == 0 → first kind
+    assert bytes(img["payload"]) == b"document number 3 body text"
+    assert img["meta"]["channels"] == 3 and img["meta"]["n_frames"] == 1
+
+
+def test_image_features_exact(assets):
+    feats = {r["asset_id"]: r for r in extract_image_features(assets).collect()}
+    images = assets.where(F.col("kind") == "image").collect()
+    assert set(feats) == {r["asset_id"] for r in images}
+    for row in images:
+        mean, std = _expected_stats(bytes(row["payload"]))
+        got = feats[row["asset_id"]]
+        assert got["pixel_mean"] == pytest.approx(mean, abs=1e-12)
+        assert got["pixel_std"] == pytest.approx(std, abs=1e-12)
+        assert got["n_bytes"] == len(bytes(row["payload"]))
+        assert got["width"] == row["meta"]["width"]
+
+
+def test_real_decoder_is_marked_stub(assets):
+    with pytest.raises(Exception) as exc:
+        extract_image_features(assets, decode_fn="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_explodes_before_python(assets):
+    frames = sample_frames(assets, every_n=4).collect()
+    videos = assets.where(F.col("kind") == "video").collect()
+    expected_n = sum(len(range(0, r["meta"]["n_frames"], 4)) for r in videos)
+    assert len(frames) == expected_n
+    # per-frame decode is keyed by (payload, frame_index) — distinct frames of
+    # one video disagree, and values are the closed-form digest means
+    by_key = {(r["asset_id"], r["frame_index"]): r["frame_mean"] for r in frames}
+    v = videos[0]
+    payload = bytes(v["payload"])
+    for idx in range(0, v["meta"]["n_frames"], 4):
+        mean, _ = _expected_stats(payload + idx.to_bytes(4, "big"))
+        assert by_key[(v["asset_id"], idx)] == pytest.approx(mean, abs=1e-12)
+
+
+def test_byte_stats_rollup(assets):
+    stats = {r["kind"]: r for r in asset_byte_stats(assets).collect()}
+    assert stats["video"]["sum_frames"] > stats["image"]["sum_frames"]
+    rows = assets.collect()
+    for kind in ("image", "audio", "video"):
+        mine = [r for r in rows if r["kind"] == kind]
+        assert stats[kind]["n_assets"] == len(mine)
+        assert stats[kind]["sum_bytes"] == sum(len(bytes(r["payload"])) for r in mine)
