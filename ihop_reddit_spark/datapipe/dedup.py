@@ -242,3 +242,95 @@ def minhash_near_dup(
             F.col("jaccard_dist"),
         )
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Tier 5: embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Exact all-pairs scoring with the integer-quantized cosine kernel
+    (``functions/vectors.py`` — bit-stable across engines, oracle-comparable).
+    Quantization + norms are projected once per row before the self cross
+    join, so each pair costs a single int64 array fold.
+
+    SCALE NOTE: all-pairs is O(n²) — correct as the verifier tier, wrong as
+    the discovery tier at 100 TB. There, generate candidates first with
+    :func:`embedding_near_dup_lsh` (random-hyperplane buckets, shuffle on
+    bucket key) and feed only candidates through this exact check.
+    """
+    from ..functions.vectors import cosine, quantize, raw_dot, raw_norm
+
+    if deterministic:
+        side = df.select(
+            F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__v")
+        ).withColumn("__n", raw_norm(F.col("__v")))
+        a, b = side.alias("a"), side.alias("b")
+        sim = raw_dot(F.col("a.__v"), F.col("b.__v")).cast("double") / (
+            F.col("a.__n") * F.col("b.__n")
+        )
+    else:
+        side = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        a, b = side.alias("a"), side.alias("b")
+        sim = cosine(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("left_id"),
+            F.col("b.__id").alias("right_id"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Tier-5 scale path: LSH candidate generation + exact cosine verify.
+
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on L2-NORMALIZED
+    vectors: for unit vectors, Euclidean distance d and cosine c satisfy
+    c = 1 - d²/2, so a cosine threshold t maps exactly to a Euclidean
+    threshold sqrt(2(1-t)). Join cost is bucket-local (shuffle on hash
+    bucket), not all-pairs; the emitted pairs are then re-scored with the
+    exact double cosine.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import cosine, l2_normalize
+
+    unit = df.select(
+        F.col(id_col).alias("__id"),
+        l2_normalize(F.col(vec_col)).alias("__u"),
+    ).withColumn("__features", array_to_vector(F.col("__u")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(unit)
+    dist_threshold = (2.0 * (1.0 - cosine_threshold)) ** 0.5
+    pairs = model.approxSimilarityJoin(unit, unit, dist_threshold, "__dist")
+    return (
+        pairs.where(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias("left_id"),
+            F.col("datasetB.__id").alias("right_id"),
+            cosine(F.col("datasetA.__u"), F.col("datasetB.__u")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+    )

@@ -169,3 +169,38 @@ def contingency_table(
     """
     w = F.sum(weight_col) if weight_col else F.count(F.lit(1))
     return df.groupBy(left_col, right_col).agg(w.alias(count_col))
+
+
+def vector_sum_by_group(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    quantized: bool = True,
+) -> DataFrame:
+    """A9 — per-group element-wise vector sum, long form (group, pos, sum).
+
+    Reference: ``Summarizer.sum(vectorized)`` per subreddit (PMI notebook
+    cell 7). Here: ``posexplode`` + ``groupBy(group, pos)`` — a plain
+    columnar aggregation that map-side combines and never builds a dense
+    per-group buffer, so it scales to any dimensionality / group count.
+    ``quantized=True`` sums floor(v·2²⁴) int64s (exact, order-independent,
+    oracle-comparable); False sums raw doubles. ``pos`` is 1-based.
+    Pivot back to arrays at the edge with
+    ``groupBy(group).agg(array_sort(collect_list(struct(pos, s))))`` if a
+    dense row is needed.
+    """
+    from ..functions.vectors import QUANT_SCALE
+
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    )
+    if quantized:
+        val = F.floor(F.col("__v").cast("double") * F.lit(float(QUANT_SCALE))).cast(
+            "long"
+        )
+        agg = F.sum(val).alias("qsum")
+    else:
+        agg = F.sum(F.col("__v").cast("double")).alias("sum")
+    return ex.select(
+        group_col, (F.col("pos") + 1).cast("long").alias("pos"), F.col("__v")
+    ).groupBy(group_col, "pos").agg(agg)

@@ -665,6 +665,68 @@ _KNN_SQL = """
     """
 
 
+# ---------------------------------------------------------------------------
+# Dedup tier 5 (north star): embedding-cosine near-duplicate pairs, exact
+# all-pairs with the quantized kernel (verifier tier; the LSH discovery tier
+# is embedding_near_dup_lsh, recall-tested in tests/test_datapipe.py).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+                 generate_subscripts(qv, 1) AS pos
+          FROM q),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS dotp
+      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT left_id, right_id, dotp / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = left_id
+    JOIN norms nb ON nb.vec_id = right_id
+    WHERE dotp / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    from ..datapipe.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, cosine_threshold=0.4, deterministic=True)
+
+
+# ---------------------------------------------------------------------------
+# A9 — per-group element-wise vector sum, long form (Summarizer.sum
+# semantics, PMI notebook cell 7), exact int64 quantized partial sums.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_sum_by_label",
+    """
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT))
+                AS BIGINT) AS qsum
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_sum_by_label(spark, sf_dir):
+    from ..operators.aggregates import vector_sum_by_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector_sum_by_group(emb, "label", "embedding", quantized=True)
+
+
 @query("knn_bruteforce_cosine", _KNN_SQL)
 def knn_bruteforce_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

@@ -124,3 +124,63 @@ def test_lsh_knn_runs(embeddings):
     qvec = embeddings.where(F.col("vec_id") == 0).first().embedding
     out = lsh_knn(embeddings, [float(x) for x in qvec], k=3)
     assert out.count() == 3
+
+
+def test_embedding_near_dup_exact_and_lsh_recall(spark):
+    import random
+
+    from ihop_reddit_spark.datapipe.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = []
+    vid = 0
+    for vec in base:
+        rows.append((vid, [float(x) for x in vec]))
+        vid += 1
+    # 5 jittered near-duplicates of the first 5 bases
+    for i in range(5):
+        rows.append(
+            (vid, [float(x + rng.uniform(-0.01, 0.01)) for x in base[i]])
+        )
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = embedding_near_dup(df, cosine_threshold=0.99).collect()
+    exact_pairs = {(r["left_id"], r["right_id"]) for r in exact}
+    assert exact_pairs == {(i, 20 + i) for i in range(5)}
+    assert all(r["cosine"] >= 0.99 for r in exact)
+
+    # LSH discovery tier must recover every exact pair (generous buckets)
+    lsh = embedding_near_dup_lsh(
+        df, cosine_threshold=0.99, bucket_length=1.0, num_hash_tables=8
+    ).collect()
+    lsh_pairs = {(r["left_id"], r["right_id"]) for r in lsh}
+    assert exact_pairs <= lsh_pairs
+
+
+def test_vector_sum_by_group_closed_form(spark):
+    from ihop_reddit_spark.operators.aggregates import vector_sum_by_group
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, -1.0]),
+            ("b", [0.5, 0.25]),
+        ],
+        "label string, embedding array<float>",
+    )
+    out = {
+        (r["label"], r["pos"]): r["qsum"]
+        for r in vector_sum_by_group(df, "label", "embedding").collect()
+    }
+    s = 1 << 24
+    assert out == {
+        ("a", 1): 4 * s,
+        ("a", 2): 1 * s,
+        ("b", 1): s // 2,
+        ("b", 2): s // 4,
+    }
