@@ -109,3 +109,79 @@ def range_join(
     if upper is not None:
         cond = cond & (delta < F.lit(upper))
     return left.join(right, cond, "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    right_prefix: str = "asof_",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` for the same key(s); unmatched rows keep NULLs.
+
+    Not in the reference (SURVEY §2.3 "not present" row) — added because
+    time-aligned enrichment is a staple the J3+P5 pattern only approximates.
+
+    Spark-first plan: instead of a range join (which explodes to |L|×|R| per
+    key before filtering), tag both sides, UNION them, and run ONE window
+    pass per key ordered by (ts, side): ``last(right_payload, ignorenulls)``
+    over an unbounded-preceding frame carries the latest right row forward
+    onto each left row. Cost = one shuffle on the key + an in-partition sort
+    — the same plan shape DuckDB/Pandas use for ASOF, fully distributed.
+    Right rows sort BEFORE left rows at equal ts, so the match is inclusive.
+    At equal (key, ts) on the right, the row sorting last wins — pre-dedup
+    the right side for full determinism. Heavily skewed keys: pre-split hot
+    keys (window skew is not AQE-rescued).
+
+    ``tolerance``: max allowed ``left_ts - right_ts``; staler matches null
+    out (pandas ``merge_asof`` semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    rpayload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rpayload.alias("__r"),
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    from pyspark.sql import Window
+
+    u = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType)).unionByName(l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__ts") - F.col("__m.__rts") <= F.lit(tolerance), F.col("__m")
+            ),
+        )
+    out = matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__m.__rts").alias(f"{right_prefix}{right_ts}"),
+        *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    return out

@@ -204,6 +204,53 @@ def order_lineitem_ship_delay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 "not present" row — engine extension): every
+# purchase matched to the user's latest preceding-or-simultaneous click.
+# One window pass per key (union + last ignorenulls), no |L|×|R| explosion;
+# the oracle is DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_purchase_to_click",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id,
+           COALESCE(c.click_event_id, -1) AS click_event_id,
+           COALESCE(p.t - c.t, -1) AS lag_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+    """,
+)
+def asof_purchase_to_click(spark, sf_dir):
+    from ..operators.joins import asof_join
+
+    # µs timestamps: DuckDB's parquet TIMESTAMP_NS read only keeps µs
+    # precision, so the cross-engine comparison floors ns → µs on both sides.
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=["click_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_click_event_id"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.col("ts_us") - F.col("asof_ts_us"), F.lit(-1)).alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2 — ordered group-concat context assembly (user → "sentence",
 # ihop/import_data.py:228-272) with defined in-group ordering.
 # ---------------------------------------------------------------------------

@@ -261,3 +261,32 @@ def test_describe_column(spark):
     assert row["mean_v"] == pytest.approx(2.0)
     assert row["stddev_v"] == pytest.approx(1.0)
     assert row["min_v"] == 1.0 and row["max_v"] == 3.0
+
+
+def test_asof_join_backward_semantics(spark):
+    from ihop_reddit_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 5, "l5"), (2, 7, "l7")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")],
+        "k long, ts long, rv string",
+    )
+    out = {
+        r["lv"]: (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(left, right, "k", "ts", "ts").collect()
+    }
+    assert out == {
+        "l10": (10, "r10"),   # inclusive at equal ts
+        "l20": (15, "r15"),   # latest preceding
+        "l5": (None, None),   # nothing before
+        "l7": (None, None),   # right row is later
+    }
+    # tolerance nulls out stale matches
+    tol = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(left, right, "k", "ts", "ts", tolerance=3).collect()
+    }
+    assert tol == {"l10": "r10", "l20": None, "l5": None, "l7": None}
