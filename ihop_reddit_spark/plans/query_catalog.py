@@ -621,6 +621,102 @@ def doc_quality_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# M11 — PMI/Popescul-Ungar term labeling per class, distributed (the oracle
+# gates the exact rational `lift`; log2 stays out of the hash, see
+# ml/labeling.py).
+# ---------------------------------------------------------------------------
+@query(
+    "pmi_terms_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tc AS (SELECT lang, term, COUNT(*) AS n_tc FROM toks GROUP BY 1, 2),
+    c AS (SELECT lang, COUNT(*) AS n_c FROM toks GROUP BY 1),
+    t AS (SELECT term, COUNT(*) AS n_t FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    j AS (
+      SELECT tc.lang, tc.term, n_tc, n_c, n_t,
+             CAST(n_tc * n.n_total AS DOUBLE) / (n_c * n_t) AS lift
+      FROM tc JOIN c USING (lang) JOIN t USING (term) CROSS JOIN n
+      WHERE n_tc >= 5),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY lift DESC, term) AS rank FROM j)
+    SELECT lang, term, n_tc, n_c, n_t, lift, rank FROM r WHERE rank <= 10
+    """,
+)
+def pmi_terms_by_lang(spark, sf_dir):
+    from ..ml.labeling import pmi_term_labels
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_term_labels(docs, "lang", "text", min_count=5, top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star): language-ID — stopword-marker argmax with
+# lexicographic tie-break. The oracle SQL is GENERATED from the same
+# LANG_MARKERS table the Spark expression uses, so they cannot drift.
+# ---------------------------------------------------------------------------
+def _lang_id_sql() -> str:
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, '{lang}' AS cand,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ({", ".join("'" + w + "'" for w in words)})))
+               AS BIGINT) AS score
+      FROM documents"""
+        for lang, words in sorted(TX.LANG_MARKERS.items())
+    )
+    return f"""
+    WITH s AS (
+{arms}),
+    r AS (SELECT doc_id, cand, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM s)
+    SELECT doc_id, CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred
+    FROM r WHERE rn = 1
+    """
+
+
+@query("doc_lang_id", _lang_id_sql())
+def doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.predict_lang(F.col("text")).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star): token budgeting — whitespace count + the
+# BPE-ish deterministic estimator (letter runs chunked by 4 + digit runs +
+# punctuation chars).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_token_budgets",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS letters,
+             CAST(len(string_split(
+                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' ')) AS BIGINT) - 1
+               AS digit_runs,
+             length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+      FROM documents)
+    SELECT doc_id, ws_tokens,
+           CAST(floor((letters + 3) / 4) AS BIGINT) + digit_runs + punct
+             AS bpe_tokens
+    FROM d
+    """,
+)
+def doc_token_budgets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.approx_bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup tier 1 (north star): exact fingerprint groups (md5 — engine-portable).
 # ---------------------------------------------------------------------------
 @query(

@@ -249,3 +249,24 @@ def test_greedy_max_match():
     assert (2, "z", 2) in res["pairs"]
     assert res["unpaired_left"] == [3]
     assert res["unpaired_right"] == []
+
+
+def test_pmi_term_labels_closed_form(spark):
+    from ihop_reddit_spark.ml.labeling import pmi_term_labels
+
+    # class a: 4 tokens (x x x y), class b: 4 tokens (y y y x) → N=8
+    df = spark.createDataFrame(
+        [("a", "x x x y"), ("b", "y y y x")], "cls string, text string"
+    )
+    out = {
+        (r["cls"], r["term"]): (r["n_tc"], r["n_c"], r["n_t"], r["lift"])
+        for r in pmi_term_labels(
+            df, "cls", "text", min_count=1, top_k=None
+        ).collect()
+    }
+    # lift(x|a) = (3*8)/(4*4) = 1.5 ; lift(y|a) = (1*8)/(4*4) = 0.5
+    assert out[("a", "x")] == (3, 4, 4, 1.5)
+    assert out[("a", "y")] == (1, 4, 4, 0.5)
+    assert out[("b", "y")] == (3, 4, 4, 1.5)
+    ranked = pmi_term_labels(df, "cls", "text", min_count=1, top_k=1).collect()
+    assert {(r["cls"], r["term"]) for r in ranked} == {("a", "x"), ("b", "y")}
