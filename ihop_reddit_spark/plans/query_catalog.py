@@ -879,6 +879,99 @@ def knn_bruteforce_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# E1/E2 — annotation-task exports (ihop/annotation_task_export.py) over the
+# customer/orders "clusters": cluster = market segment, item = customer,
+# popularity = order count. Randomness is content-addressed (md5) so both
+# engines pick the identical intruder and shuffle order.
+# ---------------------------------------------------------------------------
+_POP_SQL_CTE = """
+    pop AS (
+      SELECT c_mktsegment AS cluster, c_custkey AS item, COUNT(*) AS popularity
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    """
+
+
+def _popularity(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("cluster"),
+            F.col("c_custkey").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("popularity"))
+    )
+
+
+@query(
+    "coherence_task_export",
+    f"""
+    WITH {_POP_SQL_CTE}
+    SELECT cluster,
+           string_agg(CAST(item AS VARCHAR), ' '
+                      ORDER BY popularity DESC, item) AS items_concat,
+           COUNT(*) AS n_items
+    FROM pop GROUP BY cluster
+    """,
+)
+def coherence_task_export(spark, sf_dir):
+    from ..ml.exports import coherence_export
+
+    return coherence_export(_popularity(spark, sf_dir), "cluster", "item", "popularity")
+
+
+@query(
+    "intruder_task_export",
+    f"""
+    WITH {_POP_SQL_CTE},
+    members AS (
+      SELECT cluster, item, popularity FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster ORDER BY popularity DESC, item) AS rn
+        FROM pop) WHERE rn <= 5),
+    g AS (
+      SELECT sqrt((CAST(SUM(popularity * popularity) AS DOUBLE)
+                   - CAST(SUM(popularity) AS DOUBLE)
+                     * CAST(SUM(popularity) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)) AS std
+      FROM pop),
+    m AS (SELECT cluster AS target,
+                 CAST(SUM(popularity) AS DOUBLE) / COUNT(*) AS mean
+          FROM pop GROUP BY 1),
+    cand AS (
+      SELECT m.target, p.item, p.popularity,
+             md5(m.target || chr(31) || CAST(p.item AS VARCHAR)) AS pick
+      FROM pop p JOIN m ON p.cluster <> m.target CROSS JOIN g
+      WHERE p.popularity >= m.mean - g.std AND p.popularity <= m.mean + g.std),
+    intr AS (
+      SELECT target AS cluster, item, popularity, 1 AS is_intruder FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target ORDER BY pick, item) AS rn FROM cand)
+      WHERE rn = 1),
+    task AS (
+      SELECT cluster, item, popularity, 0 AS is_intruder FROM members
+      UNION ALL SELECT * FROM intr)
+    SELECT cluster, item, popularity,
+           CAST(is_intruder AS BIGINT) AS is_intruder,
+           CAST(row_number() OVER (
+             PARTITION BY cluster
+             ORDER BY md5(cluster || chr(30) || CAST(item AS VARCHAR)), item)
+            AS BIGINT) AS slot
+    FROM task
+    """,
+)
+def intruder_task_export(spark, sf_dir):
+    from ..ml.exports import intruder_export
+
+    out = intruder_export(
+        _popularity(spark, sf_dir), "cluster", "item", "popularity", top_k=5
+    )
+    return out.withColumn("is_intruder", F.col("is_intruder").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (north star): binary payload columns + typed metadata. The
 # synthesized asset table is pure integer/byte arithmetic over documents, so
 # the JVM-side plumbing is hash-gated against DuckDB; the Arrow/mapInPandas

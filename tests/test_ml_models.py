@@ -270,3 +270,35 @@ def test_pmi_term_labels_closed_form(spark):
     assert out[("b", "y")] == (3, 4, 4, 1.5)
     ranked = pmi_term_labels(df, "cls", "text", min_count=1, top_k=1).collect()
     assert {(r["cls"], r["term"]) for r in ranked} == {("a", "x"), ("b", "y")}
+
+
+def test_intruder_export_semantics(spark):
+    from ihop_reddit_spark.ml.exports import coherence_export, intruder_export
+
+    rows = [
+        ("a", "a1", 10), ("a", "a2", 9), ("a", "a3", 8),
+        ("b", "b1", 9), ("b", "b2", 8), ("b", "b3", 7),
+    ]
+    df = spark.createDataFrame(rows, "cluster string, item string, popularity long")
+
+    coh = {r["cluster"]: r for r in coherence_export(df, "cluster", "item", "popularity").collect()}
+    assert coh["a"]["items_concat"] == "a1 a2 a3"
+    assert coh["b"]["n_items"] == 3
+
+    task = intruder_export(df, "cluster", "item", "popularity", top_k=2).collect()
+    by_cluster = {}
+    for r in task:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        intruders = [r for r in members if r["is_intruder"] == 1]
+        own = [r for r in members if r["is_intruder"] == 0]
+        assert len(intruders) <= 1
+        assert len(own) == 2  # top_k
+        # top-k by popularity: a → a1,a2 ; b → b1,b2
+        assert {r["item"] for r in own} == (
+            {"a1", "a2"} if cl == "a" else {"b1", "b2"}
+        )
+        for r in intruders:
+            assert not r["item"].startswith(cl)  # out-of-cluster
+        # slots are a permutation 1..n
+        assert sorted(r["slot"] for r in members) == list(range(1, len(members) + 1))
