@@ -30,6 +30,11 @@ HEADLINE = [
     "exact_duplicate_groups",     # dedup tier 1
     "ngram_jaccard_pairs",        # dedup tier 4 (similarity join)
     "knn_bruteforce_cosine",      # similarity search
+    "asof_purchase_to_click",     # as-of join (union + window)
+    "embedding_near_dup_pairs",   # dedup tier 5 (quantized cosine all-pairs)
+    "pmi_terms_by_lang",          # M11 distributed PMI labeling
+    "multimodal_frame_samples",   # binary columns + Arrow mapInPandas
+    "intruder_task_export",       # E2 annotation export
 ]
 
 
