@@ -56,9 +56,13 @@ def main() -> None:
     )
     queries = entrymod.queries()
 
-    # Warm the JVM/codegen once on the smallest SF so the measured runs are
-    # engine time, not first-call JIT/analysis overhead.
+    # Warm the JVM/codegen AND the Arrow Python-worker pool once on the
+    # smallest SF so the measured runs are engine time, not first-call
+    # JIT/analysis/worker-fork overhead.
     queries["topn_parts_by_lineitems"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    queries["embedding_near_dup_pairs"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
 

@@ -29,6 +29,7 @@ def brute_force_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     deterministic: bool = True,
+    strategy: str = "gemm",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
@@ -37,11 +38,30 @@ def brute_force_knn(
     double path. Self-matches (same id) are excluded. Ties break by neighbor
     id.
 
-    Plan shape: quantization + norms are one narrow projection PER ROW on
-    each side before the join, so the |Q|×|C| pairwise stage does exactly one
-    array fold per pair; queries are broadcast (no corpus shuffle). The
-    per-query top-k is a window over query_id — |Q| groups of |C| rows.
+    ``strategy="gemm"`` (deterministic only, default): the query matrix is
+    collected (queries are the small side BY CONTRACT — same assumption as
+    broadcasting them) and each corpus partition is scored with one numpy int64
+    matmul in ``mapInPandas``; each Arrow batch pre-reduces to its local
+    top-k per query (same (cosine desc, id asc) order), so the final window
+    sees k·n_batches rows per query instead of |C|. Identical integers to
+    the fold kernel — oracle hashes unchanged.
+
+    ``strategy="fold"`` plan shape: quantization + norms are one narrow
+    projection per row before the join, so the |Q|×|C| pairwise stage does
+    exactly one array fold per pair; queries are broadcast (no corpus
+    shuffle). The per-query top-k is a window over query_id — |Q| groups of
+    |C| rows.
     """
+    if deterministic and strategy == "gemm":
+        scored = _gemm_query_scores(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+        return top_k_per_group(
+            scored,
+            query_id_col,
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            k,
+        )
     if deterministic:
         q = queries.select(
             F.col(id_col).alias(query_id_col),
@@ -73,6 +93,65 @@ def brute_force_knn(
         query_id_col,
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
+    )
+
+
+def _gemm_query_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) candidates: one int64 GEMM per Arrow
+    batch of the corpus against the collected query matrix, pre-reduced to
+    the per-batch top-k per query under (cosine desc, neighbor asc)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import quantize
+
+    qrows = queries.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
+    ).collect()
+    q_ids = np.array([r["__id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["__qv"] for r in qrows], dtype=np.int64)
+    q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Q, q_norm))
+
+    cq = corpus.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__cv")
+    )
+
+    def score(it):
+        q_ids, Q, q_norm = bq.value
+        for pdf in it:
+            c_ids = pdf["__id"].to_numpy(dtype=np.int64)
+            C = np.array(pdf["__cv"].tolist(), dtype=np.int64)
+            dots = Q @ C.T
+            c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / np.outer(q_norm, c_norm)
+            # exclude self-matches, then per-query local top-k with the
+            # global tie order (cosine desc, neighbor id asc)
+            cos[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            order = np.lexsort((c_ids[None, :].repeat(len(q_ids), 0), -cos), axis=1)
+            top = order[:, :kk]
+            qi = np.repeat(np.arange(len(q_ids)), kk)
+            ci = top.ravel()
+            keep = np.isfinite(cos[qi, ci])
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi[keep]],
+                    "neighbor_id": c_ids[ci[keep]],
+                    "cosine": cos[qi[keep], ci[keep]],
+                }
+            )
+
+    return cq.mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, cosine double"
     )
 
 
