@@ -428,6 +428,54 @@ def union_dedup_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# E5 — the app's interactive table query (app.py:569-637): union of explicit
+# key selection and category selection, plus "include neighbors" expansion
+# (everything sharing a group with a selected row), deduped.
+# ---------------------------------------------------------------------------
+@query(
+    "table_selection_with_neighbors",
+    """
+    WITH base AS (
+      SELECT * FROM customer WHERE c_custkey IN (1, 7, 42, 100)),
+    seg AS (
+      SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+    neighbors AS (
+      SELECT c.* FROM customer c
+      WHERE c.c_nationkey IN (SELECT DISTINCT c_nationkey FROM base))
+    SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_nationkey FROM (
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM base
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM seg
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM neighbors)
+    """,
+)
+def table_selection_with_neighbors(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    base = cust.where(F.col("c_custkey").isin(1, 7, 42, 100))
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING")
+    groups = base.select("c_nationkey").distinct()
+    neighbors = semi_join_filter(cust, groups, "c_nationkey")
+    out = union_dedup(
+        union_dedup(base.select(cols), seg.select(cols)), neighbors.select(cols)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M7 — distributed 2-D PCA projection (viz backbone; TSNE stays a driver
+# escape hatch, see ml/projection.py). Sign-indeterminate → rows-only.
+# ---------------------------------------------------------------------------
+@query("pca_projection_2d")
+def pca_projection_2d(spark, sf_dir):
+    from ..ml.projection import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, "embedding", "vec_id", dims=2)
+
+
+# ---------------------------------------------------------------------------
 # U2 — key-set union alignment with missing = −1 (cluster-comparison
 # universes, ihop/clustering.py:163-175).
 # ---------------------------------------------------------------------------
@@ -1090,6 +1138,21 @@ def stream_user_sessions(spark, sf_dir):
     from ..streaming.events import user_sessions_stream
 
     return user_sessions_stream(spark, sf_dir)
+
+
+@query(
+    "stream_user_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+             AS qsum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_running_totals(spark, sf_dir):
+    from ..streaming.events import user_running_totals_stream
+
+    return user_running_totals_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

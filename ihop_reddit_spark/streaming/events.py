@@ -134,3 +134,62 @@ def user_sessions_stream(
         )
     )
     return _run_to_memory(sessions, spark)
+
+
+def user_running_totals_stream(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (the arbitrary-state API — what session/window
+    aggs can't express: hand-managed per-key state with timeouts).
+
+    State = (n_events, qsum_value) where qsum is the int64 sum of
+    floor(value·10⁴) — exact, order-independent, oracle-comparable (the batch
+    SQL oracle computes the same quantized sum). Each micro-batch folds its
+    Arrow batches into the state and emits the updated totals; at production
+    scale the same code with a processing-time timeout evicts idle users.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, qsum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            qsum += int(np.floor(pdf["value"].to_numpy() * 10000.0).sum())
+        state.update((n, qsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "qsum_value": [qsum]}
+        )
+
+    totals = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, qsum_value long",
+        stateStructType="n long, qsum long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may hold one row per key per micro-batch; totals are
+    # monotone, so the final state is the per-key max
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("qsum_value").alias("qsum_value"),
+        )
+    )

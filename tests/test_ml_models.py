@@ -302,3 +302,34 @@ def test_intruder_export_semantics(spark):
             assert not r["item"].startswith(cl)  # out-of-cluster
         # slots are a permutation 1..n
         assert sorted(r["slot"] for r in members) == list(range(1, len(members) + 1))
+
+
+def test_pca_project_shapes_and_variance_order(spark, sf_dir):
+    import numpy as np
+
+    from ihop_reddit_spark.ml.projection import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pca_project(emb, "embedding", "vec_id", dims=2).collect()
+    assert len(out) == emb.count()
+    mat = np.array([r["projection"] for r in out])
+    assert mat.shape[1] == 2
+    # first component carries at least as much variance as the second
+    assert mat[:, 0].var() >= mat[:, 1].var()
+
+
+def test_tsne_project_is_guarded(spark, sf_dir):
+    import pytest as _pytest
+
+    from ihop_reddit_spark.ml.projection import tsne_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        import sklearn  # noqa: F401
+
+        has_sklearn = True
+    except ImportError:
+        has_sklearn = False
+    if not has_sklearn:
+        with _pytest.raises(NotImplementedError):
+            tsne_project(emb)

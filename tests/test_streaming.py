@@ -65,3 +65,26 @@ def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
         for r in islands.collect()
     }
     assert got == want
+
+
+def test_user_running_totals_stateful(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.streaming.events import user_running_totals_stream
+
+    out = {r["user_id"]: r for r in user_running_totals_stream(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qsum_value"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for uid, row in batch.items():
+        assert out[uid]["n_events"] == row["n_events"]
+        assert out[uid]["qsum_value"] == row["qsum_value"]
