@@ -77,7 +77,17 @@ def read_parquet_tables(
 
 
 def corrupt_record_count(df: DataFrame) -> int:
-    """Observability for PERMISSIVE scans: how many rows failed the schema."""
+    """Observability for PERMISSIVE scans: how many rows failed the schema.
+
+    Spark refuses queries that reference ONLY ``_corrupt_record`` on a raw
+    JSON scan (the column is populated during parsing, so a corrupt-only
+    projection would re-parse inconsistently); the documented pattern is to
+    materialize the parsed rows first, which this does with a scoped cache.
+    """
     if CORRUPT_COL not in df.columns:
         return 0
-    return df.where(F.col(CORRUPT_COL).isNotNull()).count()
+    df.cache()
+    try:
+        return df.where(F.col(CORRUPT_COL).isNotNull()).count()
+    finally:
+        df.unpersist()

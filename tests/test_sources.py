@@ -1,0 +1,92 @@
+"""Source/sink round-trip tests (SURVEY §2.1, S1-S7 + corrupt-record channel).
+
+Mirrors the reference's fixture style (tiny JSON-lines inputs,
+``tests/test_import_data.py`` in /root/reference) with engine additions:
+compressed round-trips, partitioned parquet, and observable corrupt rows.
+"""
+
+from __future__ import annotations
+
+import bz2
+import os
+
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.sources.io import (
+    write_compressed_csv,
+    write_parquet,
+    write_single_csv,
+)
+from ihop_reddit_spark.sources.reddit import (
+    corrupt_record_count,
+    read_comments,
+    read_contexts_csv,
+    read_jsonl,
+    read_parquet_tables,
+)
+
+COMMENT = (
+    '{"id": "c1", "parent_id": "t3_s1", "score": 4, "link_id": "t3_s1",'
+    ' "author": "alice", "subreddit": "aww", "body": "hello",'
+    ' "created_utc": 1609459200, "extra_field_ignored": true}'
+)
+BAD_LINE = '{"id": "c2", "score": "not-a-number"}'
+
+
+def test_read_jsonl_fixed_schema_and_corrupt_channel(spark, tmp_path):
+    p = tmp_path / "comments.json"
+    p.write_text(COMMENT + "\n" + BAD_LINE + "\n")
+    df = read_comments(spark, str(p))
+    rows = df.collect()
+    # fixed projection: extra JSON fields pruned at parse time, bad row nulled
+    assert "extra_field_ignored" not in df.columns
+    good = [r for r in rows if r["id"] == "c1"]
+    assert good[0]["subreddit"] == "aww" and good[0]["score"] == 4
+
+    with_corrupt = read_comments(spark, str(p), keep_corrupt=True)
+    assert corrupt_record_count(with_corrupt) == 1
+    assert corrupt_record_count(df) == 0  # channel off → 0 by definition
+
+
+def test_read_jsonl_bz2_transparent_decompression(spark, tmp_path):
+    p = tmp_path / "comments.json.bz2"
+    p.write_bytes(bz2.compress((COMMENT + "\n").encode()))
+    df = read_comments(spark, str(p))
+    assert df.count() == 1 and df.head()["author"] == "alice"
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2021-04", "a"), (2, "2021-04", "b"), (3, "2021-05", "c")],
+        "id long, month string, v string",
+    )
+    out = str(tmp_path / "part")
+    write_parquet(df, out, partition_by=["month"])
+    assert os.path.isdir(os.path.join(out, "month=2021-04"))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: only one directory read for a month predicate
+    pruned = back.where(F.col("month") == "2021-05")
+    assert pruned.count() == 1
+
+
+def test_csv_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("alice sub1 sub2",), ("bob sub3",)], "context string"
+    )
+    bz_dir = str(tmp_path / "ctx_bz2")
+    write_compressed_csv(df, bz_dir)
+    assert any(f.endswith(".bz2") for f in os.listdir(bz_dir))
+    back = read_contexts_csv(spark, bz_dir)
+    assert sorted(r[0] for r in back.collect()) == ["alice sub1 sub2", "bob sub3"]
+
+    single = str(tmp_path / "single")
+    write_single_csv(df.toDF("context"), single)
+    files = [f for f in os.listdir(single) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesced to one part file
+
+
+def test_read_parquet_tables(spark, sf_dir):
+    tables = read_parquet_tables(spark, sf_dir, ["region", "nation"])
+    assert set(tables) == {"region", "nation"}
+    assert tables["region"].count() > 0
