@@ -65,7 +65,11 @@ def exclude_top_percent(
     )
     cmp = pr <= F.lit(threshold) if keep_boundary else pr < F.lit(threshold)
     keep_values = ranked.where(cmp).select(metric_col)
-    return df.join(F.broadcast(keep_values), metric_col, "left_semi")
+    # re-select to keep the input column ORDER (a semi-join moves the join
+    # key first; this operator promises output schema == input schema)
+    return df.join(F.broadcast(keep_values), metric_col, "left_semi").select(
+        df.columns
+    )
 
 
 def percent_rank_exact(df: DataFrame, metric_col: str, out_col: str = "percent_rank") -> DataFrame:

@@ -46,6 +46,11 @@ class C2VPrepConfig:
     exclude_item_regex: str | None = USER_PAGE_SUBREDDIT_REGEX
     deleted_user_sentinel: str | None = DELETED_AUTHOR
     max_context_items: int | None = None  # 100 TB guard on collect_list state
+    #: True = count users in a separate pass and semi-join the keep-set
+    #: BEFORE aggregating (reference's shape — avoids building contexts for
+    #: soon-dropped heavy users). False (default) = fused single-aggregation
+    #: plan; see user_contexts.
+    prefilter_heavy_users: bool = False
 
 
 def top_n_items(df: DataFrame, cfg: C2VPrepConfig) -> DataFrame:
@@ -63,6 +68,16 @@ def user_contexts(
 ) -> DataFrame:
     """Surviving users' ordered item contexts:
     ``(user, context_concat, context_length)``.
+
+    Fused plan (default): the heavy-user exclusion metric (per-user row
+    count over the vocab-filtered rows) EQUALS the aggregated
+    ``context_length``, so the engine aggregates once and applies the
+    percentile exclusion to the aggregated table — 2 source scans total
+    (top-N count + context aggregation) and one wide shuffle, vs the
+    reference shape's separate count pass + keep-set semi-join (5 scans as
+    one Catalyst plan). Set ``cfg.prefilter_heavy_users`` for the
+    reference shape when contexts of soon-dropped heavy users are too
+    expensive to even build and ``max_context_items`` must stay None.
     """
     filtered = df
     if cfg.exclude_item_regex:
@@ -74,7 +89,7 @@ def user_contexts(
     )
     if cfg.deleted_user_sentinel is not None:
         filtered = filter_not_equal(filtered, cfg.user_col, cfg.deleted_user_sentinel)
-    if cfg.exclude_user_fraction:
+    if cfg.exclude_user_fraction and cfg.prefilter_heavy_users:
         user_counts = filtered.groupBy(cfg.user_col).agg(
             F.count(F.lit(1)).alias("__activity")
         )
@@ -89,4 +104,11 @@ def user_contexts(
         order_cols=list(cfg.order_cols),
         max_items=cfg.max_context_items,
     )
+    if cfg.exclude_user_fraction and not cfg.prefilter_heavy_users:
+        # NOTE: valid only while context_length counts the same rows the
+        # reference's activity count does (max_context_items caps the LIST,
+        # not the count — grouped_concat always emits the full count).
+        contexts = exclude_top_percent(
+            contexts, "context_length", cfg.exclude_user_fraction
+        )
     return contexts.where(F.col("context_length") >= cfg.min_sentence_length)
