@@ -343,3 +343,26 @@ def blocked_pair_scores(
     return pairs.mapInPandas(
         score, "left_id long, right_id long, cosine double"
     )
+
+
+def write_ivf_index(
+    assigned_corpus: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize an IVF index as centroid-partitioned parquet.
+
+    The layout IS the index: one directory per ``centroid_id``, so a probe's
+    ``centroid_id IN (...)`` (or the broadcast probe join via dynamic
+    partition pruning) prunes at the FILE level — a 256-cell index with
+    nprobe=8 reads ~3% of the corpus bytes. This is what makes IVF an
+    actual scale win instead of a full-scan with extra steps.
+    """
+    assigned_corpus.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str, cells: list[int] | None = None) -> DataFrame:
+    """Read an IVF index, optionally restricted to probe cells (static
+    partition pruning — check ``PartitionFilters`` in ``.explain``)."""
+    df = spark.read.parquet(path)
+    if cells is not None:
+        df = df.where(F.col("centroid_id").isin(cells))
+    return df

@@ -184,3 +184,36 @@ def test_vector_sum_by_group_closed_form(spark):
         ("b", 1): s // 2,
         ("b", 2): s // 4,
     }
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from ihop_reddit_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_knn,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, model = build_ivf_index(emb, n_centroids=4, seed=100)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+
+    pruned = read_ivf_index(spark, path, cells=[0, 1])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # pruned read only contains the probed cells
+    cells = {r["centroid_id"] for r in pruned.select("centroid_id").distinct().collect()}
+    assert cells <= {0, 1}
+
+    # kNN over the on-disk index returns the same answers as the in-memory one
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    from_disk = ivf_knn(read_ivf_index(spark, path), model, queries, k=3, nprobe=2)
+    in_mem = ivf_knn(assigned, model, queries, k=3, nprobe=2)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(map(tuple, in_mem.collect()))
