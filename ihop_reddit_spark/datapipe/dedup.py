@@ -343,3 +343,126 @@ def embedding_near_dup_lsh(
         )
         .where(F.col("cosine") >= cosine_threshold)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard join with PREFIX FILTERING (Vernica et al., SIGMOD'10).
+
+    Same answers as :func:`ngram_jaccard_pairs`, different plan: under a
+    global shingle order (rarest first), two sets can reach Jaccard ≥ t only
+    if their first ``|S| − ceil(t·|S|) + 1`` shingles intersect — so the
+    candidate self-join runs on the short, rare-first PREFIX stream instead
+    of every (doc, shingle) row, which removes exactly the high-frequency
+    shingles that dominate the equi-join's fan-out. Candidates are then
+    verified exactly: join each pair back to its full shingle array and
+    take ``size(array_intersect)`` (O(|A|+|B|) per candidate).
+
+    Shuffle budget: shingle-frequency agg + per-doc rank window + prefix
+    self-join (small) + two array-fetch joins on doc id. The win grows with
+    threshold (prefix shrinks as t grows) and with shingle skew. MEASURED
+    trade-off (sf0.1 documents, t=0.2, near-uniform shingle frequencies):
+    prefix length ≈ 0.8·|S| prunes almost nothing and the extra stages cost
+    ~4× vs :func:`ngram_jaccard_pairs` — use this variant for HIGH
+    thresholds (t ≥ 0.7, prefix ≤ 0.3·|S|) or heavy-tailed shingle
+    distributions (natural text), and the plain join otherwise.
+    """
+    ex = exploded_word_shingles(df, text_col, id_col, n)
+    from pyspark.sql import Window
+
+    gfreq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__id").orderBy("__df", "__g")
+    ranked = (
+        ex.join(gfreq, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "__id")
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = ranked.where(F.col("__rn") <= prefix_len).select("__id", "__g")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "__g")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("left_id"), F.col("b.__id").alias("right_id")
+        )
+        .distinct()
+    )
+    arrays = ex.groupBy("__id").agg(F.collect_list("__g").alias("__sh"))
+    out = (
+        cand.join(
+            arrays.select(
+                F.col("__id").alias("left_id"), F.col("__sh").alias("__sha")
+            ),
+            "left_id",
+        )
+        .join(
+            arrays.select(
+                F.col("__id").alias("right_id"), F.col("__sh").alias("__shb")
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.size(F.array_intersect("__sha", "__shb")).alias("inter"),
+            F.size("__sha").alias("n_left"),
+            F.size("__shb").alias("n_right"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_left") + F.col("n_right") - F.col("inter")),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+    )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    max_driver_pairs: int = 5_000_000,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components): (doc_id, component_id = smallest id in the component).
+
+    Training-data dedup keeps one representative per component, not per
+    pair (A~B, B~C must collapse to one survivor even when A≁C directly).
+    Components of a thresholded similarity graph are tiny and the pair list
+    is already threshold-pruned, so this runs union-find on the driver with
+    an explicit size guard — the same driver-drop discipline as the
+    reference's ≤10k-point sklearn stages. For billion-edge graphs swap in
+    iterative large-star/small-star (GraphFrames' algorithm) behind the
+    same output contract.
+    """
+    cnt = pairs.count()
+    if cnt > max_driver_pairs:
+        raise ValueError(
+            f"duplicate_components: {cnt} pairs exceed the driver guard "
+            f"({max_driver_pairs}); use an iterative CC implementation"
+        )
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs.select("left_id", "right_id").toLocalIterator():
+        a, b = row[0], row[1]
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(v, find(v)) for v in parent]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(rows, "doc_id long, component_id long")

@@ -822,6 +822,55 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dedup: near-duplicate PAIRS → duplicate COMPONENTS (connected components;
+# keep-one-per-cluster is the training-data dedup contract). Spark side =
+# threshold-pruned pairs + driver union-find (size-guarded); oracle =
+# recursive-CTE transitive closure with min-label per node.
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_components_ngram",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
+      FROM toks),
+    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    p0 AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT left_id, right_id FROM p0
+      JOIN sizes sa ON sa.doc_id = p0.left_id
+      JOIN sizes sb ON sb.doc_id = p0.right_id
+      WHERE CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter) >= 0.2),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM pairs
+      UNION SELECT right_id, left_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT * FROM r)
+    SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+    """,
+)
+def duplicate_components_ngram(spark, sf_dir):
+    from ..datapipe.dedup import duplicate_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return duplicate_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (north star / M6): exact cosine top-k with the
 # integer-quantized deterministic kernel. Query set: vec_id % 50 == 0.
 # ---------------------------------------------------------------------------

@@ -217,3 +217,19 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     from_disk = ivf_knn(read_ivf_index(spark, path), model, queries, k=3, nprobe=2)
     in_mem = ivf_knn(assigned, model, queries, k=3, nprobe=2)
     assert sorted(map(tuple, from_disk.collect())) == sorted(map(tuple, in_mem.collect()))
+
+
+def test_duplicate_components_union_find(spark):
+    from ihop_reddit_spark.datapipe.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 1)],
+        "left_id long, right_id long",
+    )
+    out = {r["doc_id"]: r["component_id"] for r in duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_components(pairs, max_driver_pairs=2)
