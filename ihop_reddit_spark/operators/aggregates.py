@@ -204,3 +204,51 @@ def vector_sum_by_group(
     return ex.select(
         group_col, (F.col("pos") + 1).cast("long").alias("pos"), F.col("__v")
     ).groupBy(group_col, "pos").agg(agg)
+
+
+def grouped_concat_salted(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str],
+    n_salts: int = 16,
+    sep: str = " ",
+    concat_col: str = "context_concat",
+    length_col: str = "context_length",
+) -> DataFrame:
+    """Skew-hardened :func:`grouped_concat` — two-phase salted aggregation.
+
+    A2's scale hazard: one hot key (a bot user with 10⁷ comments) turns the
+    single ``groupBy(user)`` into one straggler task holding the whole
+    group's sort buffer. Salting splits every group into ``n_salts``
+    sub-groups for the wide phase:
+
+    1. ``groupBy(key, salt)`` where salt = hash(order cols) mod n — each
+       partial sorts/collects only ~1/n of a hot group (map-side combine
+       still applies);
+    2. ``groupBy(key)`` merges the ≤n pre-sorted partial arrays (flatten +
+       one final ``array_sort`` of already-collected structs — no row data
+       moves twice).
+
+    Same total order and output as ``grouped_concat(order_cols=...)``
+    (property-tested); use when key skew is known/observed. The final merge
+    still materializes one full array per key — cap output with downstream
+    ``slice`` or pre-aggregate if even that is too large.
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [F.col(value_col)]
+    salt = F.pmod(F.hash(*[F.col(c) for c in order_cols], F.col(value_col)), F.lit(n_salts))
+    partial = df.groupBy(F.col(group_col), salt.alias("__salt")).agg(
+        F.collect_list(F.struct(*struct_cols)).alias("__part"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    merged = partial.groupBy(group_col).agg(
+        F.array_sort(F.flatten(F.collect_list("__part"))).alias("__all"),
+        F.sum("__cnt").alias(length_col),
+    )
+    return merged.select(
+        group_col,
+        F.concat_ws(
+            sep, F.transform(F.col("__all"), lambda s: s[value_col])
+        ).alias(concat_col),
+        length_col,
+    )

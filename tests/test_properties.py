@@ -182,3 +182,32 @@ def test_prefix_filter_jaccard_equals_plain(spark, docs, threshold):
         ).collect()
     }
     assert plain == pref
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9), st.sampled_from("xyzw")),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.sampled_from([1, 3, 16]),
+)
+def test_salted_grouped_concat_equals_plain(spark, rows, n_salts):
+    from ihop_reddit_spark.operators.aggregates import (
+        grouped_concat,
+        grouped_concat_salted,
+    )
+
+    df = spark.createDataFrame(rows, "g long, ord long, v string")
+    plain = {
+        tuple(r)
+        for r in grouped_concat(df, "g", "v", order_cols=["ord"]).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in grouped_concat_salted(
+            df, "g", "v", order_cols=["ord"], n_salts=n_salts
+        ).collect()
+    }
+    assert plain == salted
