@@ -35,6 +35,7 @@ HEADLINE = [
     "pmi_terms_by_lang",          # M11 distributed PMI labeling
     "multimodal_frame_samples",   # binary columns + Arrow mapInPandas
     "intruder_task_export",       # E2 annotation export
+    "corpus_prep_survivors",      # end-to-end corpus prep (capstone)
 ]
 
 

@@ -441,8 +441,12 @@ def duplicate_components(
     iterative large-star/small-star (GraphFrames' algorithm) behind the
     same output contract.
     """
+    # the pair lineage (usually a similarity join) is consumed by TWO actions
+    # (guard count + edge iteration) — persist across them, drop after
+    pairs = pairs.persist()
     cnt = pairs.count()
     if cnt > max_driver_pairs:
+        pairs.unpersist()
         raise ValueError(
             f"duplicate_components: {cnt} pairs exceed the driver guard "
             f"({max_driver_pairs}); use an iterative CC implementation"
@@ -465,4 +469,5 @@ def duplicate_components(
             parent[hi] = lo
     rows = [(v, find(v)) for v in parent]
     spark = pairs.sparkSession
+    pairs.unpersist()
     return spark.createDataFrame(rows, "doc_id long, component_id long")

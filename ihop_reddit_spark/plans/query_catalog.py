@@ -822,6 +822,97 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# North-star capstone: the END-TO-END corpus-prep pipeline (quality gate →
+# lang gate → exact dedup → near-dup component collapse → token budgets) as
+# one Spark plan, hash-gated against the same composition in DuckDB SQL.
+# ---------------------------------------------------------------------------
+def _corpus_prep_sql() -> str:
+    lang_arms = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, '{lang}' AS cand,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ({", ".join("'" + w + "'" for w in words)})))
+               AS BIGINT) AS score
+      FROM documents"""
+        for lang, words in sorted(TX.LANG_MARKERS.items())
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM documents),
+    s AS (
+{lang_arms}),
+    lr AS (SELECT doc_id, cand, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM s),
+    langp AS (
+      SELECT doc_id, CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred
+      FROM lr WHERE rn = 1),
+    gated AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN f USING (doc_id) JOIN langp USING (doc_id)
+      WHERE CAST(f.alpha AS DOUBLE) / greatest(f.n_chars, 1) >= 0.55
+        AND CAST(f.digits AS DOUBLE) / greatest(f.n_chars, 1) <= 0.2
+        AND f.n_tokens >= 10
+        AND langp.lang_pred IN ('en')),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    exact AS (
+      SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM exact),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
+      FROM toks),
+    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    p0 AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT left_id, right_id FROM p0
+      JOIN sizes sa ON sa.doc_id = p0.left_id
+      JOIN sizes sb ON sb.doc_id = p0.right_id
+      WHERE CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter) >= 0.4),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM pairs
+      UNION SELECT right_id, left_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT * FROM r),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+    survivors AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) + 3)
+                      / 4) AS BIGINT)
+             + CAST(len(string_split(
+                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' ')) AS BIGINT) - 1
+             + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+             AS bpe_tokens
+    FROM survivors
+    """
+
+
+@query("corpus_prep_survivors", _corpus_prep_sql())
+def corpus_prep_survivors(spark, sf_dir):
+    from .corpus_prep import prepare_corpus
+
+    return prepare_corpus(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Dedup: near-duplicate PAIRS → duplicate COMPONENTS (connected components;
 # keep-one-per-cluster is the training-data dedup contract). Spark side =
 # threshold-pruned pairs + driver union-find (size-guarded); oracle =

@@ -233,3 +233,23 @@ def test_duplicate_components_union_find(spark):
 
     with _pytest.raises(ValueError):
         duplicate_components(pairs, max_driver_pairs=2)
+
+
+def test_prepare_corpus_stage_semantics(spark):
+    from ihop_reddit_spark.plans.corpus_prep import CorpusPrepConfig, prepare_corpus
+
+    good = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, good),                                   # survives
+        (2, good),                                   # exact dup of 1 → dropped
+        (3, good + " again"),                        # near-dup of 1 → dropped
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12"),           # digit junk → quality gate
+        (5, "el la de que y en los ocho palabras mas aqui ahora"),  # es → lang gate
+        (6, "short text"),                           # < min_tokens
+        (7, "a completely different sentence with many other plain common words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus(df, CorpusPrepConfig()).collect()}
+    assert set(out) == {1, 7}
+    assert out[1]["n_tokens"] == len(good.split())
+    assert out[1]["bpe_tokens"] > 0
