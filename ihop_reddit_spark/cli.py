@@ -1,0 +1,156 @@
+"""Command-line entry points — parity with the reference's module CLIs.
+
+Reference surface (SURVEY §3): ``python -m ihop.import_data c2v|bow``,
+``python -m ihop.text_processing``, ``python -m ihop.clustering``. This
+engine exposes the same workflows over its Spark-first plans:
+
+    python -m ihop_reddit_spark c2v-prep  --input comments.json --output out/
+    python -m ihop_reddit_spark corpus-prep --input docs.parquet --output out/
+    python -m ihop_reddit_spark cluster   --input emb.parquet --output out/ -k 250
+    python -m ihop_reddit_spark topics    --input docs.parquet --output out/ -k 250
+
+Every subcommand reads/writes parquet (plus the reference's bzip2-CSV
+context format for ``c2v-prep``), builds one lazy plan, and writes
+distributed outputs — no driver materialization except the documented
+small-table edges.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def _session(args) -> SparkSession:
+    from .session import get_spark_session
+
+    return get_spark_session("ihop_reddit_spark_cli", master=args.master)
+
+
+def _cmd_c2v_prep(args) -> None:
+    """Reference: ``python -m ihop.import_data c2v`` (ihop/import_data.py:649-676)."""
+    from .plans.c2v_prep import C2VPrepConfig, top_n_items, user_contexts
+    from .sources.io import write_compressed_csv, write_parquet, write_single_csv
+    from .sources.reddit import read_comments
+
+    spark = _session(args)
+    comments = read_comments(spark, args.input)
+    cfg = C2VPrepConfig(
+        top_n=args.top_n,
+        exclude_user_fraction=args.exclude_top_users,
+        min_sentence_length=args.min_sentence_length,
+    )
+    vocab = top_n_items(comments, cfg)
+    contexts = user_contexts(comments, cfg, top_n_df=vocab)
+    write_single_csv(vocab, f"{args.output}/vocab_csv")
+    if args.csv_contexts:
+        write_compressed_csv(
+            contexts.select("context_concat"), f"{args.output}/contexts_csv"
+        )
+    write_parquet(contexts, f"{args.output}/contexts")
+
+
+def _cmd_corpus_prep(args) -> None:
+    """North-star pipeline (plans/corpus_prep.py)."""
+    from .plans.corpus_prep import CorpusPrepConfig, prepare_corpus
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    docs = spark.read.parquet(args.input)
+    cfg = CorpusPrepConfig(jaccard_threshold=args.jaccard_threshold)
+    write_parquet(prepare_corpus(docs, cfg), args.output)
+
+
+def _cmd_cluster(args) -> None:
+    """Reference: ``python -m ihop.clustering`` KMeans path
+    (ihop/clustering.py:1290-1354) + quality metrics JSON."""
+    from .ml.clustering import (
+        ClusteringConfig,
+        kmeans_assign,
+        l2_normalize_df,
+        silhouette,
+    )
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    emb = spark.read.parquet(args.input)
+    vecs = l2_normalize_df(emb, args.vector_col)
+    assigned, _model = kmeans_assign(
+        vecs, args.vector_col, ClusteringConfig(n_clusters=args.k, seed=args.seed)
+    )
+    write_parquet(assigned.drop(args.vector_col), f"{args.output}/assignments")
+    metrics = {"silhouette": silhouette(assigned, args.vector_col)}
+    with open(f"{args.output}/metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+
+
+def _cmd_topics(args) -> None:
+    """Reference: Spark LDA path (ihop/clustering.py:875-1145)."""
+    from .ml.clustering import fit_lda, topic_terms
+    from .ml.text_pipeline import SparkTextPipeline
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    docs = spark.read.parquet(args.input)
+    if args.text_col != "document_text":
+        docs = docs.withColumnRenamed(args.text_col, "document_text")
+    pipe = SparkTextPipeline(min_df=args.min_df, max_df=args.max_df)
+    vectorized = pipe.fit_transform(docs)
+    model = fit_lda(vectorized, "vectorized", k=args.k, seed=args.seed)
+    write_parquet(
+        topic_terms(model, pipe.vocab_df(spark), max_terms=args.max_terms),
+        f"{args.output}/topic_terms",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ihop_reddit_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: local)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c2v = sub.add_parser("c2v-prep", help="community2vec context prep")
+    c2v.add_argument("--input", required=True, nargs="+")
+    c2v.add_argument("--output", required=True)
+    c2v.add_argument("--top-n", type=int, default=10_000)
+    c2v.add_argument("--exclude-top-users", type=float, default=0.05)
+    c2v.add_argument("--min-sentence-length", type=int, default=2)
+    c2v.add_argument("--csv-contexts", action="store_true",
+                     help="also write the reference's bzip2 CSV contexts")
+    c2v.set_defaults(func=_cmd_c2v_prep)
+
+    cp = sub.add_parser("corpus-prep", help="training-data corpus prep")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--jaccard-threshold", type=float, default=0.4)
+    cp.set_defaults(func=_cmd_corpus_prep)
+
+    cl = sub.add_parser("cluster", help="KMeans over an embedding table")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--vector-col", default="embedding")
+    cl.add_argument("-k", type=int, default=250)
+    cl.add_argument("--seed", type=int, default=100)
+    cl.set_defaults(func=_cmd_cluster)
+
+    tp = sub.add_parser("topics", help="LDA topic terms over documents")
+    tp.add_argument("--input", required=True)
+    tp.add_argument("--output", required=True)
+    tp.add_argument("--text-col", default="text")
+    tp.add_argument("-k", type=int, default=250)
+    tp.add_argument("--seed", type=int, default=100)
+    tp.add_argument("--min-df", type=float, default=1.0)
+    tp.add_argument("--max-df", type=float, default=1.0e18)
+    tp.add_argument("--max-terms", type=int, default=10)
+    tp.set_defaults(func=_cmd_topics)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

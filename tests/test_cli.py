@@ -1,0 +1,73 @@
+"""CLI parity tests — each subcommand end-to-end on tiny inputs
+(the reference's CLI-main test style, e.g. ``tests/test_clustering.py:148-173``
+in /root/reference)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ihop_reddit_spark.cli import main
+
+COMMENTS = """\
+{"id": "c1", "author": "alice", "subreddit": "aww", "body": "x", "created_utc": 1, "score": 1, "parent_id": "t3_a", "link_id": "t3_a"}
+{"id": "c2", "author": "alice", "subreddit": "pics", "body": "x", "created_utc": 2, "score": 1, "parent_id": "t3_a", "link_id": "t3_a"}
+{"id": "c3", "author": "bob", "subreddit": "aww", "body": "x", "created_utc": 3, "score": 1, "parent_id": "t3_a", "link_id": "t3_a"}
+{"id": "c4", "author": "bob", "subreddit": "aww", "body": "x", "created_utc": 4, "score": 1, "parent_id": "t3_a", "link_id": "t3_a"}
+"""
+
+
+def test_cli_c2v_prep(spark, tmp_path):
+    src = tmp_path / "comments.json"
+    src.write_text(COMMENTS)
+    out = str(tmp_path / "c2v")
+    main(
+        [
+            "c2v-prep", "--input", str(src), "--output", out,
+            "--top-n", "2", "--exclude-top-users", "0.0",
+            "--min-sentence-length", "1", "--csv-contexts",
+        ]
+    )
+    contexts = spark.read.parquet(f"{out}/contexts")
+    got = {r["user_id" if "user_id" in contexts.columns else "author"]: r["context_concat"]
+           for r in contexts.collect()}
+    assert got == {"alice": "aww pics", "bob": "aww aww"}
+    assert os.path.isdir(f"{out}/vocab_csv") and os.path.isdir(f"{out}/contexts_csv")
+
+
+def test_cli_corpus_prep(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    main(
+        [
+            "corpus-prep", "--input", f"{sf_dir}/documents.parquet",
+            "--output", out, "--jaccard-threshold", "0.4",
+        ]
+    )
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert set(res.columns) == {"doc_id", "n_tokens", "bpe_tokens"}
+
+
+def test_cli_cluster_and_topics(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cl")
+    main(
+        [
+            "cluster", "--input", f"{sf_dir}/embeddings.parquet",
+            "--output", out, "-k", "4",
+        ]
+    )
+    assigned = spark.read.parquet(f"{out}/assignments")
+    assert assigned.select("cluster_id").distinct().count() <= 4
+    metrics = json.load(open(f"{out}/metrics.json"))
+    assert -1.0 <= metrics["silhouette"] <= 1.0
+
+    tout = str(tmp_path / "tp")
+    main(
+        [
+            "topics", "--input", f"{sf_dir}/documents.parquet",
+            "--output", tout, "-k", "3", "--min-df", "1.0", "--max-df", "1e18",
+        ]
+    )
+    terms = spark.read.parquet(f"{tout}/topic_terms")
+    assert terms.count() > 0
+    assert set(terms.columns) == {"topic", "term", "weight"}
