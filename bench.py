@@ -67,11 +67,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # best-of-N per query (default 2): one JSON number per query that
+    # reflects engine throughput, not scheduler/GC jitter of a single run
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -333,3 +333,26 @@ def test_tsne_project_is_guarded(spark, sf_dir):
     if not has_sklearn:
         with _pytest.raises(NotImplementedError):
             tsne_project(emb)
+
+
+def test_grid_search_picks_best_and_writes_metrics(spark, tmp_path):
+    from ihop_reddit_spark.ml.community2vec import C2VParams, grid_search
+
+    # structured contexts: a/b always co-occur, c/d always co-occur
+    rows = [(["a", "b", "a", "b"],), (["c", "d", "c", "d"],)] * 10
+    contexts = spark.createDataFrame(rows, "context array<string>")
+    analogies = [("s", "a", "b", "c", "d")]
+    path = str(tmp_path / "grid.json")
+    model, summary = grid_search(
+        contexts,
+        grid={"vector_size": [8, 16]},
+        analogies=analogies,
+        base=C2VParams(epochs=2, seed=1),
+        metrics_path=path,
+    )
+    assert model is not None and len(summary["trials"]) == 2
+    assert 0.0 <= summary["best_accuracy"] <= 1.0
+    import json
+
+    on_disk = json.load(open(path))
+    assert on_disk["best_accuracy"] == summary["best_accuracy"]
