@@ -175,6 +175,12 @@ def ngram_jaccard_pairs(
     """
     exploded = exploded_word_shingles(df, text_col, id_col, n)
     sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # NOTE (measured): pre-filtering the join on the exact length band
+    # (t·|B| ≤ |A| ≤ |B|/t) was tried and REJECTED — attaching sizes to the
+    # shingle stream costs an extra broadcast join and wider shuffle rows,
+    # which outweighed its pruning at t ≤ 0.4 on near-uniform doc lengths
+    # (sf0.1 corpus-prep: 8.7s → 14.3s). Pair counts stay narrow; the size
+    # join happens after aggregation on the (small) pair table instead.
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "__g")
