@@ -173,7 +173,11 @@ def ngram_jaccard_pairs(
     division is deterministic, so this op is duckdb-oracle comparable.
     Quadratic in the worst case — run on candidates / bounded corpora only.
     """
-    exploded = exploded_word_shingles(df, text_col, id_col, n)
+    # the shingle stream feeds BOTH self-join sides and the size table, and
+    # Catalyst does not reuse the exchange across the aliased self-join
+    # (measured: 16 scans, 0 ReusedExchange without persist) — persist the
+    # ~|tokens| row stream once, in memory with disk spill
+    exploded = exploded_word_shingles(df, text_col, id_col, n).persist()
     sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     # NOTE (measured): pre-filtering the join on the exact length band
     # (t·|B| ≤ |A| ≤ |B|/t) was tried and REJECTED — attaching sizes to the
