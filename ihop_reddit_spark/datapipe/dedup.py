@@ -125,9 +125,11 @@ def simhash_candidates(
     on (band_index, band_value) — uniformly distributed keys, no skew. Output:
     distinct (left_id, right_id) with left < right.
     """
+    # the 60-bit signature expression is heavy (per-bit md5-derived terms)
+    # and feeds both sides of the band self-join — persist one row per doc
     sig = df.select(
         F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sig")
-    )
+    ).persist()
     bands = sig.select(
         "__id",
         "__sig",
@@ -238,7 +240,9 @@ def minhash_near_dup(
     tf = HashingTF(
         inputCol="__sh", outputCol="__vec", numFeatures=num_features, binary=True
     )
-    vectors = tf.transform(shingled)
+    # vectors feed fit + BOTH approxSimilarityJoin sides; persist so the
+    # shingle window + hashing runs once
+    vectors = tf.transform(shingled).persist()
     lsh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(vectors)
     joined = model.approxSimilarityJoin(
