@@ -103,18 +103,28 @@ def corpus_stats(
     distinct_cols: list[str],
     ts_col: str | None = None,
     value_col: str | None = None,
+    approx_rsd: float | None = None,
 ) -> DataFrame:
     """A4-A7 — one-pass corpus statistics (single-row result).
 
     Reference: ``print_comparison_stats`` (``ihop/import_data.py:117-178``)
     runs 5 separate actions re-scanning the source each time; here the stats
-    are ONE aggregate (one scan, one job). Count-distinct is exact here;
-    at 100 TB swap in ``approx_count_distinct`` (HLL) — see the
-    ``approx`` variants in callers.
+    are ONE aggregate (one scan, one job). ``approx_rsd`` switches the
+    count-distincts to ``approx_count_distinct`` (HLL++, one pass, bounded
+    state) — exact distinct over billions of user ids is itself a massive
+    shuffle, so at 100 TB the approx path is the default posture and the
+    rsd (relative standard deviation, e.g. 0.01) is the contract.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("num_rows")]
     for c in distinct_cols:
-        aggs.append(F.countDistinct(F.col(c)).alias(f"distinct_{c}"))
+        if approx_rsd is not None:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd=approx_rsd).alias(
+                    f"distinct_{c}"
+                )
+            )
+        else:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"distinct_{c}"))
     if ts_col is not None:
         aggs.append(F.min(ts_col).alias(f"min_{ts_col}"))
         aggs.append(F.max(ts_col).alias(f"max_{ts_col}"))

@@ -85,3 +85,24 @@ def test_range_predicate_reaches_join_condition(spark, sf_dir):
     plan = plan_of(q)
     cond_lines = [l for l in plan.splitlines() if "Join condition" in l]
     assert cond_lines and "unix_timestamp" in cond_lines[0]
+
+
+def test_dynamic_partition_pruning_on_month_layout(spark, sf_dir, tmp_path):
+    """The month-partitioned layout (sources/io.write_parquet partition_by)
+    must let a dim-filtered join prune fact partitions at runtime (DPP)."""
+    from ihop_reddit_spark.sources.io import write_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "month", F.from_unixtime(F.expr("ts div 1000000000"), "yyyy-MM")
+    )
+    path = str(tmp_path / "events_by_month")
+    write_parquet(ev, path, partition_by=["month"])
+
+    fact = spark.read.parquet(path)
+    months = [r["month"] for r in fact.select("month").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(sorted(months))], "month string, tag int"
+    )
+    joined = fact.join(dim.where(F.col("tag") == 0), "month").groupBy("month").count()
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower()

@@ -290,3 +290,14 @@ def test_asof_join_backward_semantics(spark):
         for r in asof_join(left, right, "k", "ts", "ts", tolerance=3).collect()
     }
     assert tol == {"l10": "r10", "l20": None, "l5": None, "l7": None}
+
+
+def test_corpus_stats_approx_within_rsd(spark, sf_dir):
+    from ihop_reddit_spark.operators.aggregates import corpus_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = corpus_stats(ev, ["user_id", "event_type"]).first()
+    approx = corpus_stats(ev, ["user_id", "event_type"], approx_rsd=0.02).first()
+    assert approx["num_rows"] == exact["num_rows"]
+    for c in ("distinct_user_id", "distinct_event_type"):
+        assert abs(approx[c] - exact[c]) <= max(3, 0.1 * exact[c])
