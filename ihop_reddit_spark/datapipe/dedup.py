@@ -485,3 +485,72 @@ def duplicate_components(
     spark = pairs.sparkSession
     pairs.unpersist()
     return spark.createDataFrame(rows, "doc_id long, component_id long")
+
+
+def duplicate_components_distributed(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Distributed connected components: min-label propagation to fixpoint.
+
+    The scale path past :func:`duplicate_components`' driver guard — no
+    driver materialization of edges. Each iteration joins current labels
+    across undirected edges and takes the per-node min; convergence when an
+    iteration changes nothing. Near-dup graphs have tiny diameters (a dup
+    cluster is near-clique), so this converges in a handful of iterations;
+    each is one shuffle-join + one aggregation, with the label frontier
+    persisted and the previous iteration unpersisted (bounded lineage — no
+    1000-stage plans). Same output contract as the union-find:
+    (doc_id, component_id = min id in component).
+    """
+    edges = (
+        pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "component_id", "nbr_label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

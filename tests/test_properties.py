@@ -211,3 +211,32 @@ def test_salted_grouped_concat_equals_plain(spark, rows, n_salts):
         ).collect()
     }
     assert plain == salted
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_distributed_components_match_union_find(spark, edges):
+    from ihop_reddit_spark.datapipe.dedup import (
+        duplicate_components,
+        duplicate_components_distributed,
+    )
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    pairs = spark.createDataFrame(norm, "left_id long, right_id long")
+    uf = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components_distributed(pairs).collect()
+    }
+    assert uf == dist
