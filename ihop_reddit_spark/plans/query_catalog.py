@@ -1281,6 +1281,26 @@ def stream_user_sessions(spark, sf_dir):
 
 
 @query(
+    "stream_windowed_top_event_types",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+               AS window_start_epoch,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY window_start_epoch
+            ORDER BY cnt DESC, event_type) AS rank FROM c)
+    SELECT window_start_epoch, event_type, cnt, rank FROM r WHERE rank <= 2
+    """,
+)
+def stream_windowed_top_event_types(spark, sf_dir):
+    from ..streaming.events import windowed_top_event_types_stream
+
+    return windowed_top_event_types_stream(spark, sf_dir, k=2)
+
+
+@query(
     "stream_user_running_totals",
     """
     SELECT user_id, COUNT(*) AS n_events,

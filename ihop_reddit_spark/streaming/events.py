@@ -193,3 +193,43 @@ def user_running_totals_stream(
             F.max("qsum_value").alias("qsum_value"),
         )
     )
+
+
+def windowed_top_event_types_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 2,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming A1 top-N: per event-time window, the k most frequent event
+    types (count desc, type asc).
+
+    Streaming DataFrames don't support rank windows, so the plan is the
+    standard two-stage shape: the STREAMING stage maintains watermarked
+    windowed counts (all state bounded by the watermark); the per-window
+    top-k rank runs at the SINK EDGE over the emitted counts — at
+    production scale that edge is foreachBatch writing ranked parquet per
+    trigger, here the bounded availableNow result table.
+    """
+    from ..operators.windows import top_k_per_group
+
+    ev = _event_stream(spark, sf_dir)
+    counts = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )
+    emitted = _run_to_memory(counts, spark)
+    out = top_k_per_group(
+        emitted,
+        "window_start_epoch",
+        [F.col("cnt").desc(), F.col("event_type").asc()],
+        k,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
