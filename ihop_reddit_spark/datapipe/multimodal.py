@@ -230,3 +230,44 @@ def asset_byte_stats(assets: DataFrame) -> DataFrame:
         F.max(F.length("payload")).alias("max_bytes"),
         F.sum(F.col("meta.n_frames").cast("long")).alias("sum_frames"),
     )
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, decode_fn: str = "fake"
+) -> DataFrame:
+    """Resize image assets → same asset schema with new payload + meta.
+
+    Real pipelines decode → resample → re-encode per Arrow batch; payload
+    sizes change, metadata must track it. The fake codec emits a
+    deterministic payload of exactly ``width·height·channels`` bytes
+    (md5 digest of the source payload cycled to length), so tests assert
+    byte-exact outputs while the batching/schema plumbing is real. The
+    ``"real"`` codec is the marked PIL stub.
+    """
+    decode = _DECODERS[decode_fn]  # raises in "real" mode at first batch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                decode(row["payload"])  # the decode step (stub-aware)
+                channels = row["meta"]["channels"]
+                size = width * height * channels
+                digest = hashlib.md5(row["payload"]).digest()
+                payload = (digest * (size // len(digest) + 1))[:size]
+                meta = dict(row["meta"])
+                meta["width"], meta["height"] = width, height
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "kind": row["kind"],
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+                rows = []
+
+    images = assets.where(F.col("kind") == "image")
+    return images.mapInPandas(batches, ASSET_SCHEMA)

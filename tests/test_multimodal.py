@@ -93,3 +93,18 @@ def test_byte_stats_rollup(assets):
         mine = [r for r in rows if r["kind"] == kind]
         assert stats[kind]["n_assets"] == len(mine)
         assert stats[kind]["sum_bytes"] == sum(len(bytes(r["payload"])) for r in mine)
+
+
+def test_resize_images_payload_and_meta(assets):
+    from ihop_reddit_spark.datapipe.multimodal import resize_images
+
+    out = resize_images(assets, 8, 4).collect()
+    srcs = {r["asset_id"]: r for r in assets.where(F.col("kind") == "image").collect()}
+    assert {r["asset_id"] for r in out} == set(srcs)
+    for r in out:
+        c = srcs[r["asset_id"]]["meta"]["channels"]
+        assert len(bytes(r["payload"])) == 8 * 4 * c
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+        digest = hashlib.md5(bytes(srcs[r["asset_id"]]["payload"])).digest()
+        expected = (digest * (8 * 4 * c // 16 + 1))[: 8 * 4 * c]
+        assert bytes(r["payload"]) == expected
