@@ -765,6 +765,52 @@ def doc_token_budgets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# T1-T3 + U-2 — the text pipeline's tokenize → stop-words → count-vectorize
+# stages, hash-gated: with an all-terms vocabulary (min_df=1) the
+# (doc, term, count) explosion is fully determined, and DuckDB's RE2
+# evaluates the reference's unicode token pattern identically. The stopword
+# list is a fixed shared constant so both engines drop the same tokens.
+# ---------------------------------------------------------------------------
+_PIPE_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "that", "are", "or",
+)
+
+
+def _term_counts_sql() -> str:
+    from ..ml.text_pipeline import DEFAULT_TOKEN_PATTERN
+
+    stop = ", ".join(f"'{w}'" for w in _PIPE_STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '{DEFAULT_TOKEN_PATTERN}')) AS term
+      FROM documents)
+    SELECT doc_id, term, COUNT(*) AS n
+    FROM toks WHERE term NOT IN ({stop})
+    GROUP BY doc_id, term
+    """
+
+
+@query("text_pipeline_term_counts", _term_counts_sql())
+def text_pipeline_term_counts(spark, sf_dir):
+    from ..ml.text_pipeline import SparkTextPipeline, vectorized_to_terms
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed(
+        "text", "document_text"
+    )
+    pipe = SparkTextPipeline(
+        stop_words=list(_PIPE_STOPWORDS), min_df=1.0, max_df=1.0e18
+    )
+    vec = pipe.fit_transform(docs).select("doc_id", "vectorized")
+    out = vectorized_to_terms(vec, "vectorized", pipe.vocab_df(spark))
+    return out.select(
+        "doc_id", "term", F.col("weight").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup tier 1 (north star): exact fingerprint groups (md5 — engine-portable).
 # ---------------------------------------------------------------------------
 @query(
