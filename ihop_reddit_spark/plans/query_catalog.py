@@ -1327,6 +1327,25 @@ def stream_user_sessions(spark, sf_dir):
 
 
 @query(
+    "stream_sliding_event_counts",
+    """
+    WITH starts AS (
+      SELECT event_type,
+             unnest([CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+                     CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)])
+               AS window_start_epoch
+      FROM events)
+    SELECT window_start_epoch, event_type, COUNT(*) AS cnt
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def stream_sliding_event_counts(spark, sf_dir):
+    from ..streaming.events import sliding_event_counts_stream
+
+    return sliding_event_counts_stream(spark, sf_dir)
+
+
+@query(
     "stream_windowed_top_event_types",
     """
     WITH c AS (

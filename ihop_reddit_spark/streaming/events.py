@@ -233,3 +233,30 @@ def windowed_top_event_types_stream(
         k,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def sliding_event_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in duration/slide
+    overlapping buckets (state bounded by watermark + window length).
+
+    Batch-equivalent for the oracle: every event contributes one row per
+    covering window start (an unnest over the k covering starts).
+    """
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(windowed, spark)
