@@ -52,6 +52,26 @@ def _cmd_c2v_prep(args) -> None:
     write_parquet(contexts, f"{args.output}/contexts")
 
 
+def _cmd_bow(args) -> None:
+    """Reference: ``python -m ihop.import_data bow`` (ihop/import_data.py:677-692)."""
+    from .plans.bow import BowConfig, bag_of_words
+    from .sources.io import write_parquet
+    from .sources.reddit import read_comments, read_submissions
+
+    spark = _session(args)
+    cfg = BowConfig(
+        top_n=args.top_n,
+        exclude_user_fraction=args.exclude_top_users,
+        max_time_delta=args.max_time_delta,
+    )
+    joined = bag_of_words(
+        read_comments(spark, args.comments),
+        read_submissions(spark, args.submissions),
+        cfg,
+    )
+    write_parquet(joined, args.output)
+
+
 def _cmd_corpus_prep(args) -> None:
     """North-star pipeline (plans/corpus_prep.py)."""
     from .plans.corpus_prep import CorpusPrepConfig, prepare_corpus
@@ -119,6 +139,15 @@ def build_parser() -> argparse.ArgumentParser:
     c2v.add_argument("--csv-contexts", action="store_true",
                      help="also write the reference's bzip2 CSV contexts")
     c2v.set_defaults(func=_cmd_c2v_prep)
+
+    bow = sub.add_parser("bow", help="bag-of-words thread-table prep")
+    bow.add_argument("--comments", required=True, nargs="+")
+    bow.add_argument("--submissions", required=True, nargs="+")
+    bow.add_argument("--output", required=True)
+    bow.add_argument("--top-n", type=int, default=10_000)
+    bow.add_argument("--exclude-top-users", type=float, default=0.05)
+    bow.add_argument("--max-time-delta", type=int, default=None)
+    bow.set_defaults(func=_cmd_bow)
 
     cp = sub.add_parser("corpus-prep", help="training-data corpus prep")
     cp.add_argument("--input", required=True)

@@ -71,3 +71,26 @@ def test_cli_cluster_and_topics(spark, sf_dir, tmp_path):
     terms = spark.read.parquet(f"{tout}/topic_terms")
     assert terms.count() > 0
     assert set(terms.columns) == {"topic", "term", "weight"}
+
+
+SUBMISSIONS = """\
+{"author": "sue", "created_utc": 50, "id": "a", "score": 2, "selftext": "b", "title": "t", "url": "u", "subreddit": "aww"}
+"""
+
+
+def test_cli_bow(spark, tmp_path):
+    csrc = tmp_path / "comments.json"
+    csrc.write_text(COMMENTS.replace('"link_id": "t3_a"', '"link_id": "t3_a"'))
+    ssrc = tmp_path / "subs.json"
+    ssrc.write_text(SUBMISSIONS)
+    out = str(tmp_path / "bow")
+    main(
+        [
+            "bow", "--comments", str(csrc), "--submissions", str(ssrc),
+            "--output", out, "--top-n", "5", "--exclude-top-users", "0.0",
+        ]
+    )
+    res = spark.read.parquet(out)
+    # all four comments link to t3_a and survive the filters
+    assert res.count() == 4
+    assert "time_to_comment_in_seconds" in res.columns

@@ -301,3 +301,37 @@ def test_corpus_stats_approx_within_rsd(spark, sf_dir):
     assert approx["num_rows"] == exact["num_rows"]
     for c in ("distinct_user_id", "distinct_event_type"):
         assert abs(approx[c] - exact[c]) <= max(3, 0.1 * exact[c])
+
+
+def test_bag_of_words_pipeline(spark):
+    from ihop_reddit_spark.plans.bow import BowConfig, bag_of_words
+
+    comments = spark.createDataFrame(
+        [
+            # (id, parent, score, link, author, subreddit, body, ts)
+            ("c1", "t3_s1", 1, "t3_s1", "alice", "aww", "nice", 100),
+            ("c2", "t3_s1", 1, "t3_s1", "bob", "aww", "[removed]", 110),
+            ("c3", "t3_s1", 1, "t3_s1", "[deleted]", "aww", "hey", 120),
+            ("c4", "t3_s2", 1, "t3_s2", "alice", "u_page", "spam", 130),
+            ("c5", "t3_s1", 1, "t3_s1", "carol", "aww", "late", 100 + 90000),
+        ],
+        "id string, parent_id string, score int, link_id string,"
+        " author string, subreddit string, body string, created_utc long",
+    )
+    submissions = spark.createDataFrame(
+        [
+            ("alice", 50, "s1", 2, "body text", "title one", "u", "aww"),
+            ("bob", 60, "s2", 2, "x", "title two", "u", "u_page"),
+        ],
+        "author string, created_utc long, id string, score int,"
+        " selftext string, title string, url string, subreddit string",
+    )
+    cfg = BowConfig(
+        top_n=5, exclude_user_fraction=0.0, max_time_delta=86400
+    )
+    rows = bag_of_words(comments, submissions, cfg).collect()
+    # c1 joins s1 within the window; c2 [removed], c3 deleted author,
+    # c4 user-page subreddit, c5 outside the time window
+    assert [r["comments_id"] for r in rows] == ["c1"]
+    assert rows[0]["time_to_comment_in_seconds"] == 50
+    assert rows[0]["fullname_id"] == "t3_s1"
