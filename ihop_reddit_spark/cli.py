@@ -69,7 +69,11 @@ def _cmd_bow(args) -> None:
         read_submissions(spark, args.submissions),
         cfg,
     )
-    write_parquet(joined, args.output)
+    write_parquet(joined, f"{args.output}/joined")
+    if args.documents:
+        from .plans.bow import thread_documents
+
+        write_parquet(thread_documents(joined), f"{args.output}/documents")
 
 
 def _cmd_corpus_prep(args) -> None:
@@ -147,6 +151,8 @@ def build_parser() -> argparse.ArgumentParser:
     bow.add_argument("--top-n", type=int, default=10_000)
     bow.add_argument("--exclude-top-users", type=float, default=0.05)
     bow.add_argument("--max-time-delta", type=int, default=None)
+    bow.add_argument("--documents", action="store_true",
+                     help="also assemble the thread-document table (A8)")
     bow.set_defaults(func=_cmd_bow)
 
     cp = sub.add_parser("corpus-prep", help="training-data corpus prep")

@@ -88,3 +88,31 @@ def bag_of_words(
             cfg.max_time_delta,
         )
     return joined
+
+
+def thread_documents(joined: DataFrame, comment_prefix: str = "comments_") -> DataFrame:
+    """bow output → topic-model document table (``SparkCorpus.
+    init_from_joined_dataframe``, ``ihop/text_processing.py:176-232``):
+    one row per submission with ``document_text`` = title ∥ selftext ∥
+    comment bodies in event-time order — A8 with the reference's undefined
+    sort-before-groupBy replaced by an explicit in-group total order.
+
+    Output: (id, subreddit, document_text).
+    """
+    from ..operators.aggregates import assemble_thread_documents
+
+    assembled = assemble_thread_documents(
+        joined,
+        "fullname_id",
+        ["id", "subreddit", "title", "selftext"],
+        f"{comment_prefix}body",
+        ["time_to_comment_in_seconds", f"{comment_prefix}id"],
+        doc_col="__comments_concat",
+    )
+    return assembled.select(
+        "id",
+        "subreddit",
+        F.concat_ws(
+            " ", F.col("title"), F.col("selftext"), F.col("__comments_concat")
+        ).alias("document_text"),
+    )

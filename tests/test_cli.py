@@ -88,9 +88,13 @@ def test_cli_bow(spark, tmp_path):
         [
             "bow", "--comments", str(csrc), "--submissions", str(ssrc),
             "--output", out, "--top-n", "5", "--exclude-top-users", "0.0",
+            "--documents",
         ]
     )
-    res = spark.read.parquet(out)
+    res = spark.read.parquet(f"{out}/joined")
     # all four comments link to t3_a and survive the filters
     assert res.count() == 4
     assert "time_to_comment_in_seconds" in res.columns
+    docs = spark.read.parquet(f"{out}/documents")
+    assert docs.count() == 1  # one submission thread
+    assert set(docs.columns) == {"id", "subreddit", "document_text"}

@@ -335,3 +335,28 @@ def test_bag_of_words_pipeline(spark):
     assert [r["comments_id"] for r in rows] == ["c1"]
     assert rows[0]["time_to_comment_in_seconds"] == 50
     assert rows[0]["fullname_id"] == "t3_s1"
+
+
+def test_thread_documents_assembly(spark):
+    from ihop_reddit_spark.plans.bow import BowConfig, bag_of_words, thread_documents
+
+    comments = spark.createDataFrame(
+        [
+            ("c2", "t3_s1", 1, "t3_s1", "bob", "aww", "second", 200),
+            ("c1", "t3_s1", 1, "t3_s1", "alice", "aww", "first", 150),
+        ],
+        "id string, parent_id string, score int, link_id string,"
+        " author string, subreddit string, body string, created_utc long",
+    )
+    submissions = spark.createDataFrame(
+        [("sue", 100, "s1", 2, "self words", "title words", "u", "aww")],
+        "author string, created_utc long, id string, score int,"
+        " selftext string, title string, url string, subreddit string",
+    )
+    joined = bag_of_words(
+        comments, submissions, BowConfig(top_n=5, exclude_user_fraction=0.0)
+    )
+    docs = thread_documents(joined).collect()
+    assert len(docs) == 1
+    assert docs[0]["document_text"] == "title words self words first second"
+    assert docs[0]["subreddit"] == "aww"
