@@ -86,3 +86,32 @@ def test_idf_chain(docs):
     # IDF downweights the term appearing in more docs
     vec = {r.id: r.vectorized for r in out.collect()}
     assert vec["d1"].numNonzeros() > 0
+
+
+def test_idf_weights_closed_form(spark):
+    import math
+
+    from ihop_reddit_spark.ml.text_pipeline import (
+        SparkTextPipeline,
+        vectorized_to_terms,
+    )
+
+    # "shared" appears in both docs, "rare" in one → idf distinguishes them
+    docs = spark.createDataFrame(
+        [(1, "shared rare"), (2, "shared shared")],
+        "doc_id long, document_text string",
+    )
+    pipe = SparkTextPipeline(
+        stop_words=["nothing"], min_df=1.0, max_df=1.0e18, use_idf=True
+    )
+    vec = pipe.fit_transform(docs).select("doc_id", "vectorized")
+    out = {
+        (r["doc_id"], r["term"]): r["weight"]
+        for r in vectorized_to_terms(vec, "vectorized", pipe.vocab_df(spark)).collect()
+    }
+    n = 2
+    idf_shared = math.log((n + 1) / (2 + 1))  # df=2 → 0
+    idf_rare = math.log((n + 1) / (1 + 1))
+    assert out[(1, "rare")] == pytest.approx(1 * idf_rare, rel=1e-9)
+    assert out.get((1, "shared"), 0.0) == pytest.approx(1 * idf_shared, abs=1e-12)
+    assert out.get((2, "shared"), 0.0) == pytest.approx(2 * idf_shared, abs=1e-12)
