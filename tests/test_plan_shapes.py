@@ -106,3 +106,40 @@ def test_dynamic_partition_pruning_on_month_layout(spark, sf_dir, tmp_path):
     joined = fact.join(dim.where(F.col("tag") == 0), "month").groupBy("month").count()
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed's contract: joins on the bucket key read pre-hashed
+    buckets on both sides — no Exchange in the join plan."""
+    from ihop_reddit_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "t_orders_b", str(tmp_path / "ob"), ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        li, "t_lineitem_b", str(tmp_path / "lb"), ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucketed layout is what saves
+        # the shuffle (at 100 TB neither side broadcasts anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # bucketed reads: no shuffle at all
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
