@@ -251,6 +251,48 @@ def asof_purchase_to_click(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J3+P5 as a declared range join (operators/joins.range_join): clicks in the
+# open (0, 30min) window before each purchase, per user.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_clicks_before_purchase",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND p.t - c.t > 0 AND p.t - c.t < 1800000000
+    GROUP BY 1, 2
+    """,
+)
+def range_join_clicks_before_purchase(spark, sf_dir):
+    from ..operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("t", F.expr("ts div 1000"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("t").alias("p_t")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("t").alias("c_t")
+    )
+    joined = range_join(
+        p,
+        c,
+        equi_cond=F.col("p_user") == F.col("c_user"),
+        delta=F.col("p_t") - F.col("c_t"),
+        lower=0,
+        upper=30 * 60 * 1_000_000,
+    )
+    return joined.groupBy(
+        "event_id", F.col("p_user").alias("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# ---------------------------------------------------------------------------
 # A2 — ordered group-concat context assembly (user → "sentence",
 # ihop/import_data.py:228-272) with defined in-group ordering.
 # ---------------------------------------------------------------------------
