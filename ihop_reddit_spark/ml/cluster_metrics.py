@@ -108,7 +108,6 @@ def comparison_metrics(
     sum_ij = cont.agg(F.sum(comb2(F.col("cnt_ij"))).alias("x")).first()["x"] or 0.0
     sum_a = row_m.agg(F.sum(comb2(F.col("ca_i"))).alias("x")).first()["x"] or 0.0
     sum_b = col_m.agg(F.sum(comb2(F.col("cb_j"))).alias("x")).first()["x"] or 0.0
-    pairs = comb2(F.lit(cnt_total))
     total_pairs = cnt_total * (cnt_total - 1) / 2.0
     cont.unpersist()
 

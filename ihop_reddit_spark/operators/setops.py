@@ -36,3 +36,22 @@ def key_alignment(
     if fill:
         joined = joined.na.fill(fill)
     return joined
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 100,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy`` — E2's stratified
+    sampling surface, ``ihop/annotation_task_export.py:106-190``, made an
+    explicit operator).
+
+    Deterministic for a fixed seed AND fixed partitioning of the input —
+    reproducible within Spark, NOT across engines (exports that must be
+    cross-engine-stable use content-addressed md5 choice instead, see
+    ``ml/exports.py``). Strata missing from ``fractions`` are dropped
+    (sampleBy semantics).
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -360,3 +360,20 @@ def test_thread_documents_assembly(spark):
     assert len(docs) == 1
     assert docs[0]["document_text"] == "title words self words first second"
     assert docs[0]["subreddit"] == "aww"
+
+
+def test_stratified_sample_fractions(spark):
+    from ihop_reddit_spark.operators.setops import stratified_sample
+
+    rows = [(("a" if i % 2 else "b"), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "stratum string, v long").repartition(8)
+    out = stratified_sample(df, "stratum", {"a": 0.5, "b": 0.1}, seed=7)
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 350 < counts["a"] < 650      # ~500 of 1000
+    assert 40 < counts["b"] < 180       # ~100 of 1000
+    # same seed + partitioning → identical sample
+    again = stratified_sample(df, "stratum", {"a": 0.5, "b": 0.1}, seed=7)
+    assert sorted(r["v"] for r in out.collect()) == sorted(
+        r["v"] for r in again.collect()
+    )
