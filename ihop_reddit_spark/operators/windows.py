@@ -101,3 +101,33 @@ def top_k_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: events within ``gap`` of the previous
+    event (same key) share a session; ``session_col`` numbers sessions per
+    key from 1 in time order.
+
+    Batch twin of ``streaming/events.user_sessions_stream``'s
+    ``session_window``. Two stacked window functions over the SAME
+    (partitionBy key, orderBy ts) spec — one shuffle, one sort, both
+    windows evaluated in a single WindowExec pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    new_session = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.col(ts_col) - F.lag(ts_col).over(w) >= gap),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -1370,6 +1370,44 @@ def stream_user_sessions(spark, sf_dir):
 
 
 @query(
+    "user_sessions_batch",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events),
+    o AS (
+      SELECT user_id, t, v,
+             LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+      FROM e),
+    s AS (
+      SELECT user_id, t, v,
+             SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(t) AS session_start_epoch,
+           COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def user_sessions_batch(spark, sf_dir):
+    from ..operators.aggregates import decimal_sum
+    from ..operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(_TS_EPOCH).alias("t"), "value"
+    )
+    s = sessionize(ev, "user_id", "t", gap=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "stream_sliding_event_counts",
     """
     WITH starts AS (
