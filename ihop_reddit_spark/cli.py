@@ -5,6 +5,8 @@ Reference surface (SURVEY §3): ``python -m ihop.import_data c2v|bow``,
 engine exposes the same workflows over its Spark-first plans:
 
     python -m ihop_reddit_spark c2v-prep  --input comments.json --output out/
+    python -m ihop_reddit_spark bow --comments c.json --submissions s.json \
+        --output out/ --documents
     python -m ihop_reddit_spark corpus-prep --input docs.parquet --output out/
     python -m ihop_reddit_spark cluster   --input emb.parquet --output out/ -k 250
     python -m ihop_reddit_spark topics    --input docs.parquet --output out/ -k 250
