@@ -128,3 +128,29 @@ def vec_add(a: Column, b: Column) -> Column:
 
 def vec_sub(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Compress a float embedding to struct(scale DOUBLE, q ARRAY<TINYINT>).
+
+    Max-abs symmetric int8 quantization — the storage format for embedding
+    columns at corpus scale (4×/8× smaller than float32/float64 parquet,
+    and still prunable/filterable). Pure higher-order expressions; round to
+    nearest with ties away from zero (Spark ``round`` on DOUBLE).
+    """
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        a, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(packed: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ARRAY<DOUBLE> ≈ original (abs error
+    ≤ scale/2 = absmax/254 per element)."""
+    return F.transform(
+        packed["q"], lambda x: x.cast("double") * packed["scale"]
+    )

@@ -253,3 +253,26 @@ def test_prepare_corpus_stage_semantics(spark):
     assert set(out) == {1, 7}
     assert out[1]["n_tokens"] == len(good.split())
     assert out[1]["bpe_tokens"] > 0
+
+
+def test_int8_embedding_roundtrip_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from ihop_reddit_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    packed = emb.select(
+        "vec_id", "embedding", quantize_int8(F2.col("embedding")).alias("p")
+    )
+    restored = packed.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(F2.col("p")).alias("back"),
+        F2.col("p.scale").alias("scale"),
+    )
+    for r in restored.collect():
+        for orig, back in zip(r["embedding"], r["back"]):
+            assert abs(float(orig) - back) <= r["scale"] / 2 + 1e-12
+    # storage shape: int8 payload + one double
+    row = packed.select("p").head()
+    assert all(-128 <= v <= 127 for v in row["p"]["q"])
