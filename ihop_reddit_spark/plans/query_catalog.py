@@ -1507,6 +1507,50 @@ def cluster_compare_kmeans_vs_labels(spark, sf_dir):
     return spark.createDataFrame([metrics])
 
 
+@query("kmeans_quality_metrics")
+def kmeans_quality_metrics(spark, sf_dir):
+    """M8 — silhouette / Calinski-Harabasz / Davies-Bouldin over a seeded
+    KMeans run (rows-only: seeded ML + float metrics; closed-form
+    correctness vs numpy oracles lives in tests/test_ml_models.py)."""
+    from ..ml.clustering import (
+        ClusteringConfig,
+        calinski_harabasz,
+        davies_bouldin,
+        kmeans_assign,
+        silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans_assign(emb, "embedding", ClusteringConfig(n_clusters=8, seed=100))
+    return spark.createDataFrame(
+        [
+            {
+                "silhouette": silhouette(out, "embedding"),
+                "calinski_harabasz": calinski_harabasz(out, "embedding"),
+                "davies_bouldin": davies_bouldin(out, "embedding"),
+            }
+        ]
+    )
+
+
+@query("cluster_greedy_max_match")
+def cluster_greedy_max_match(spark, sf_dir):
+    """M10 — greedy argmax pairing of the segment×nation contingency
+    (deterministic: cells taken by (-n, c1, c2)); rows-only because the
+    sequential greedy loop has no SQL form."""
+    from ..ml.cluster_metrics import greedy_max_match
+
+    cont = contingency_table(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
+    )
+    rows = [(r[0], r[1], r[2]) for r in cont.collect()]
+    result = greedy_max_match(rows)
+    return spark.createDataFrame(
+        [(c1, int(c2), int(n)) for c1, c2, n in result["pairs"]],
+        "segment string, nationkey long, n long",
+    )
+
+
 @query("lda_topic_terms")
 def lda_topic_terms(spark, sf_dir):
     from ..ml.clustering import fit_lda, topic_terms
