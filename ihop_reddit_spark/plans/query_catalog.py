@@ -312,6 +312,50 @@ def user_event_contexts(spark, sf_dir):
     )
 
 
+@query(
+    "user_event_contexts_salted",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS context_concat,
+           COUNT(*) AS context_length
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_contexts_salted(spark, sf_dir):
+    """A2 skew path: the salted two-phase aggregation must produce the
+    byte-identical contexts (same oracle as the plain plan)."""
+    from ..operators.aggregates import grouped_concat_salted
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_concat_salted(
+        ev, "user_id", "event_type", order_cols=["ts", "event_id"], n_salts=8
+    )
+
+
+@query(
+    "user_event_contexts_capped",
+    """
+    WITH g AS (
+      SELECT user_id,
+             list_slice(list(event_type ORDER BY ts, event_id, event_type),
+                        1, 5) AS items,
+             COUNT(*) AS context_length
+      FROM events GROUP BY user_id)
+    SELECT user_id, array_to_string(items, ' ') AS context_concat,
+           context_length
+    FROM g
+    """,
+)
+def user_event_contexts_capped(spark, sf_dir):
+    """A2 with the 100 TB state guard: the emitted context is capped at 5
+    items while context_length still counts every row (the guard caps the
+    LIST, not the count)."""
+    ev = _t(spark, sf_dir, "events")
+    return grouped_concat(
+        ev, "user_id", "event_type", order_cols=["ts", "event_id"], max_items=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # W1 — global percent_rank heavy-user exclusion, histogram-scalable plan
 # (ihop/import_data.py:197-225; SURVEY §4 single-partition hazard removed).
