@@ -115,6 +115,9 @@ def _gemm_query_scores(
     qrows = queries.select(
         F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
     ).collect()
+    out_schema = f"{query_id_col} long, neighbor_id long, cosine double"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r["__id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["__qv"] for r in qrows], dtype=np.int64)
     q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
@@ -128,6 +131,8 @@ def _gemm_query_scores(
     def score(it):
         q_ids, Q, q_norm = bq.value
         for pdf in it:
+            if pdf.empty:
+                continue
             c_ids = pdf["__id"].to_numpy(dtype=np.int64)
             C = np.array(pdf["__cv"].tolist(), dtype=np.int64)
             dots = Q @ C.T
@@ -150,9 +155,7 @@ def _gemm_query_scores(
                 }
             )
 
-    return cq.mapInPandas(
-        score, f"{query_id_col} long, neighbor_id long, cosine double"
-    )
+    return cq.mapInPandas(score, out_schema)
 
 
 def build_ivf_index(

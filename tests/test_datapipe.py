@@ -276,3 +276,31 @@ def test_int8_embedding_roundtrip_error_bound(spark, sf_dir):
     # storage shape: int8 payload + one double
     row = packed.select("p").head()
     assert all(-128 <= v <= 127 for v in row["p"]["q"])
+
+
+def test_empty_input_robustness(spark):
+    from pyspark.sql import functions as F2
+
+    from ihop_reddit_spark.datapipe.dedup import (
+        duplicate_components,
+        embedding_near_dup,
+        ngram_jaccard_pairs,
+    )
+    from ihop_reddit_spark.datapipe.similarity import brute_force_knn
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).count() == 0
+
+    pairs = spark.createDataFrame([], "left_id long, right_id long")
+    assert duplicate_components(pairs).count() == 0
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup(empty_emb, cosine_threshold=0.5).count() == 0
+    # zero queries against a non-empty corpus
+    no_queries = emb.where(F2.col("vec_id") > 100)
+    assert brute_force_knn(emb, no_queries, k=3).count() == 0
+    # zero corpus against real queries
+    assert brute_force_knn(empty_emb, emb, k=3).count() == 0
