@@ -78,6 +78,9 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # operators persist multi-consumer intermediates scoped to a query;
+        # drop them between queries so caches don't accumulate across 18 runs
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

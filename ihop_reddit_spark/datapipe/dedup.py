@@ -79,7 +79,11 @@ def exploded_word_shingles(
     short = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.lower(F.col(text_col)).alias("__g"),
+            # re-join with ' ' — the same joiner the n-gram path uses — so
+            # semantics match word_shingles for ANY sep
+            F.array_join(
+                F.split(F.lower(F.col(text_col)), sep), " "
+            ).alias("__g"),
             F.size(F.split(F.lower(F.col(text_col)), sep)).alias("__n"),
         )
         .where(F.col("__n") < n)
@@ -484,7 +488,16 @@ def duplicate_components(
     rows = [(v, find(v)) for v in parent]
     spark = pairs.sparkSession
     pairs.unpersist()
-    return spark.createDataFrame(rows, "doc_id long, component_id long")
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema["left_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("component_id", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def duplicate_components_distributed(
@@ -552,5 +565,12 @@ def duplicate_components_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_components_distributed did not converge within "
+            f"{max_iterations} iterations ({changed} labels still changing); "
+            "raise max_iterations (diameter-long duplicate chains)"
+        )
     edges.unpersist()
     return labels

@@ -87,6 +87,9 @@ def brute_force_knn(
         .crossJoin(c)
         .where(F.col(query_id_col) != F.col("neighbor_id"))
         .select(query_id_col, "neighbor_id", sim.alias("cosine"))
+        # zero-norm vectors have no defined cosine: drop them here exactly
+        # like the gemm path's isfinite filter, so both strategies agree
+        .where(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     return top_k_per_group(
         scored,
@@ -331,16 +334,24 @@ def blocked_pair_scores(
                 na = np.sqrt((a * a).sum(axis=1).astype(np.float64))
                 nb = np.sqrt((b * b).sum(axis=1).astype(np.float64))
                 cos = dots.astype(np.float64) / np.outer(na, nb)
-                ia, ib = np.where(
-                    (cos >= cosine_threshold) & (a_ids[:, None] < b_ids[None, :])
-                )
+                same_block = row["a_blk"] == row["b_blk"]
+                if same_block:
+                    # diagonal: each unordered pair appears once per side order
+                    mask = a_ids[:, None] < b_ids[None, :]
+                else:
+                    # off-diagonal: blocks are disjoint and this (a_blk, b_blk)
+                    # combination is the ONLY one joined (a_blk < b_blk), so
+                    # every a×b pair belongs here — canonicalize ids below
+                    # instead of filtering (hash order ≠ id order!)
+                    mask = np.ones_like(cos, dtype=bool)
+                ia, ib = np.where((cos >= cosine_threshold) & mask)
                 if len(ia):
+                    left = a_ids[ia]
+                    right = b_ids[ib]
+                    lo = np.minimum(left, right)
+                    hi = np.maximum(left, right)
                     yield pd.DataFrame(
-                        {
-                            "left_id": a_ids[ia],
-                            "right_id": b_ids[ib],
-                            "cosine": cos[ia, ib],
-                        }
+                        {"left_id": lo, "right_id": hi, "cosine": cos[ia, ib]}
                     )
 
     return pairs.mapInPandas(

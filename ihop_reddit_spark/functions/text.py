@@ -41,9 +41,16 @@ def approx_bpe_token_count(text: Column) -> Column:
     non-space punctuation.
     """
     # 1 token per ≤4-char chunk of each letter run + 1 per digit run + 1 per
-    # punctuation char. ceil(len/4) via (len + 3) div 4.
+    # punctuation char. ceil(len/4) via (len + 3) div 4. Digit runs count the
+    # NON-EMPTY split segments (split keeps leading/trailing empties, so the
+    # old size()-1 miscounted texts starting/ending with digits or with none).
     letters_len = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
-    digit_runs = F.size(F.split(F.regexp_replace(text, r"[^0-9]+", " "), " ")) - 1
+    digit_runs = F.size(
+        F.filter(
+            F.split(F.regexp_replace(text, r"[^0-9]+", " "), " "),
+            lambda t: t != "",
+        )
+    )
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
     return ((letters_len + 3) / F.lit(4)).cast("long") + digit_runs + punct
 

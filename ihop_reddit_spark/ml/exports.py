@@ -70,7 +70,7 @@ def intruder_export(
         cluster_col,
         [F.col(popularity_col).desc(), F.col(item_col).asc()],
         top_k,
-    ).drop("rank")
+    ).select(cluster_col, item_col, popularity_col)
 
     # eligibility window: per-cluster mean popularity ± one GLOBAL sample std
     n = F.count(F.lit(1))

@@ -46,6 +46,11 @@ def grouped_concat(
     else:
         values = F.collect_list(F.col(value_col))
     if max_items is not None:
+        if not order_cols:
+            raise ValueError(
+                "max_items without order_cols would truncate an unordered "
+                "collect_list nondeterministically; pass order_cols"
+            )
         values = F.slice(values, 1, max_items)
     return df.groupBy(group_col).agg(
         F.concat_ws(sep, values).alias(concat_col),

@@ -830,9 +830,9 @@ def doc_lang_id(spark, sf_dir):
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS letters,
-             CAST(len(string_split(
-                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' ')) AS BIGINT) - 1
-               AS digit_runs,
+             CAST(len(list_filter(string_split(
+                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' '),
+                 t -> t <> '')) AS BIGINT) AS digit_runs,
              length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
       FROM documents)
     SELECT doc_id, ws_tokens,
@@ -1029,8 +1029,9 @@ def _corpus_prep_sql() -> str:
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(floor((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) + 3)
                       / 4) AS BIGINT)
-             + CAST(len(string_split(
-                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' ')) AS BIGINT) - 1
+             + CAST(len(list_filter(string_split(
+                 regexp_replace(text, '[^0-9]+', ' ', 'g'), ' '),
+                 t -> t <> '')) AS BIGINT)
              + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
              AS bpe_tokens
     FROM survivors

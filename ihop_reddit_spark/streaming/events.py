@@ -183,14 +183,16 @@ def user_running_totals_stream(
         .start()
     )
     q.awaitTermination()
-    # update-mode sink may hold one row per key per micro-batch; totals are
-    # monotone, so the final state is the per-key max
+    # update-mode sink may hold one row per key per micro-batch; the LATEST
+    # emission is the one with the highest n_events (event counts are
+    # monotone even when value sums are not — negative values must not
+    # tempt a max(qsum))
     return (
         spark.table(sink)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("qsum_value").alias("qsum_value"),
+            F.expr("max_by(qsum_value, n_events)").alias("qsum_value"),
         )
     )
 

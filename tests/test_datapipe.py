@@ -304,3 +304,24 @@ def test_empty_input_robustness(spark):
     assert brute_force_knn(emb, no_queries, k=3).count() == 0
     # zero corpus against real queries
     assert brute_force_knn(empty_emb, emb, k=3).count() == 0
+
+
+def test_blocked_pair_scores_cross_block_pairs(spark):
+    """Regression: pairs whose ids land in different hash blocks must not be
+    dropped (the off-diagonal block join sees them in hash order, not id
+    order)."""
+    import itertools
+
+    from ihop_reddit_spark.datapipe.similarity import blocked_pair_scores
+
+    # 8 identical vectors → every unordered pair must be reported, for any
+    # block count
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected = {(a, b) for a, b in itertools.combinations(range(8), 2)}
+    for n_blocks in (1, 2, 4, 8):
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in blocked_pair_scores(df, 0.99, n_blocks=n_blocks).collect()
+        }
+        assert got == expected, f"n_blocks={n_blocks}: missing {expected - got}"

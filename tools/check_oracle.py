@@ -82,6 +82,9 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # drop per-query scoped persists so 50+ queries don't accumulate
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
