@@ -77,10 +77,12 @@ def main() -> None:
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # operators persist multi-consumer intermediates scoped to a
+            # query; drop them between EVERY run so each repeat is a cold
+            # execution (no flattering cache reuse) and caches don't
+            # accumulate across the suite
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        # operators persist multi-consumer intermediates scoped to a query;
-        # drop them between queries so caches don't accumulate across 18 runs
-        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
