@@ -42,6 +42,8 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # session.py accepts '*' for this variable; shuffle.partitions needs an int
+    shuffle_parts = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
 
     from ihop_reddit_spark.session import get_spark_session
 
@@ -51,21 +53,22 @@ def main() -> None:
         "bench",
         config={
             "spark.ui.enabled": "false",
-            "spark.sql.shuffle.partitions": cpus,
+            "spark.sql.shuffle.partitions": shuffle_parts,
         },
         master=f"local[{cpus}]",
     )
     queries = entrymod.queries()
 
-    # Warm the JVM/codegen AND the Arrow Python-worker pool once on the
-    # smallest SF so the measured runs are engine time, not first-call
-    # JIT/analysis/worker-fork overhead.
-    queries["topn_parts_by_lineitems"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    queries["embedding_near_dup_pairs"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm the JVM/codegen AND the Arrow Python-worker pool once — on the
+    # smallest sibling SF if present, else the bench dir itself — so the
+    # measured runs are engine time, not first-call JIT/worker-fork overhead.
+    sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = sibling if os.path.isdir(sibling) else sf_dir
+    for warm_q in ("topn_parts_by_lineitems", "embedding_near_dup_pairs"):
+        queries[warm_q](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark.catalog.clearCache()
 
     # best-of-N per query (default 2): one JSON number per query that
     # reflects engine throughput, not scheduler/GC jitter of a single run

@@ -56,6 +56,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: events.ts is parquet TIMESTAMP(NANOS) → read as LONG nanoseconds (see
 #: session.py). Epoch seconds via integer div (ns > 2^53, double would lose
 #: precision); DuckDB oracles use floor(epoch(ts)) on its TIMESTAMP_NS read.
+#: CONTRACT: event time is post-1970 (ts >= 0) — `div` truncates toward zero
+#: while floor() floors, so the two would disagree on negative timestamps.
 _TS_EPOCH = "ts div 1000000000"
 
 
@@ -161,7 +163,7 @@ def filtered_event_counts(spark, sf_dir):
     "derived_and_recategorized_customers",
     """
     SELECT c_custkey,
-           'cust_' || CAST(c_custkey AS VARCHAR) AS cust_tag,
+           concat_ws('', 'cust_', CAST(c_custkey AS VARCHAR)) AS cust_tag,
            CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
                 THEN c_mktsegment ELSE 'other' END AS segment_cat
     FROM customer
@@ -616,7 +618,7 @@ def segment_nation_contingency(spark, sf_dir):
     "event_scalar_functions",
     """
     SELECT event_id,
-           event_type || '-' || CAST(user_id AS VARCHAR) AS type_user,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS type_user,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            CAST(len(string_split(props, ' ')) AS BIGINT) AS n_props_tokens,
            regexp_extract(props, '"k": ([0-9]+)', 1) AS prop_k
@@ -787,22 +789,75 @@ def pmi_terms_by_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shared oracle-SQL fragment builders — each semantic block exists ONCE so a
+# change to one tier cannot silently miss its other call sites.
+# ---------------------------------------------------------------------------
+def _lang_score_arms(src: str = "documents") -> str:
+    """UNION ALL arms of per-language stopword-hit scores over ``src``,
+    generated from the same LANG_MARKERS table the Spark expression uses."""
+    return "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, '{lang}' AS cand,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ({", ".join("'" + w + "'" for w in words)})))
+               AS BIGINT) AS score
+      FROM {src}"""
+        for lang, words in sorted(TX.LANG_MARKERS.items())
+    )
+
+
+def _jaccard_ctes(src: str, threshold: float) -> str:
+    """CTE chain ``toks→sh→sizes→ex→p0→jpairs`` over ``src``(doc_id, text):
+    distinct word 3-gram shingles, pair intersection counts, and
+    ``jpairs``(left_id, right_id, inter, n_left, n_right, jaccard ≥ t)."""
+    return f"""toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
+      FROM toks),
+    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    p0 AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT p0.left_id, p0.right_id, p0.inter,
+             sa.n AS n_left, sb.n AS n_right,
+             CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter) AS jaccard
+      FROM p0
+      JOIN sizes sa ON sa.doc_id = p0.left_id
+      JOIN sizes sb ON sb.doc_id = p0.right_id
+      WHERE CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter)
+            >= {threshold})"""
+
+
+def _closure_ctes() -> str:
+    """CTE chain ``edges→nodes→reach`` — connected components (min-label via
+    recursive transitive closure) over ``jpairs``."""
+    return """edges AS (
+      SELECT left_id AS src, right_id AS dst FROM jpairs
+      UNION SELECT right_id, left_id FROM jpairs),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+      SELECT * FROM r)"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (north star): language-ID — stopword-marker argmax with
 # lexicographic tie-break. The oracle SQL is GENERATED from the same
 # LANG_MARKERS table the Spark expression uses, so they cannot drift.
 # ---------------------------------------------------------------------------
 def _lang_id_sql() -> str:
-    arms = "\n      UNION ALL\n".join(
-        f"""      SELECT doc_id, '{lang}' AS cand,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                  t -> t IN ({", ".join("'" + w + "'" for w in words)})))
-               AS BIGINT) AS score
-      FROM documents"""
-        for lang, words in sorted(TX.LANG_MARKERS.items())
-    )
     return f"""
     WITH s AS (
-{arms}),
+{_lang_score_arms("documents")}),
     r AS (SELECT doc_id, cand, score, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM s)
     SELECT doc_id, CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred
@@ -915,29 +970,9 @@ def exact_duplicate_groups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query(
     "ngram_jaccard_pairs",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
-      FROM toks),
-    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    j AS (
-      SELECT p.left_id, p.right_id, p.inter,
-             sa.n AS n_left, sb.n AS n_right,
-             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
-      FROM pairs p
-      JOIN sizes sa ON sa.doc_id = p.left_id
-      JOIN sizes sb ON sb.doc_id = p.right_id)
-    SELECT * FROM j WHERE jaccard >= 0.2
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)}
+    SELECT left_id, right_id, inter, n_left, n_right, jaccard FROM jpairs
     """,
 )
 def ngram_jaccard_pairs_query(spark, sf_dir):
@@ -959,14 +994,6 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 # one Spark plan, hash-gated against the same composition in DuckDB SQL.
 # ---------------------------------------------------------------------------
 def _corpus_prep_sql() -> str:
-    lang_arms = "\n      UNION ALL\n".join(
-        f"""      SELECT doc_id, '{lang}' AS cand,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                  t -> t IN ({", ".join("'" + w + "'" for w in words)})))
-               AS BIGINT) AS score
-      FROM documents"""
-        for lang, words in sorted(TX.LANG_MARKERS.items())
-    )
     return f"""
     WITH f AS (
       SELECT doc_id,
@@ -976,7 +1003,7 @@ def _corpus_prep_sql() -> str:
              length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
       FROM documents),
     s AS (
-{lang_arms}),
+{_lang_score_arms("documents")}),
     lr AS (SELECT doc_id, cand, score, row_number() OVER (
              PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM s),
     langp AS (
@@ -993,34 +1020,8 @@ def _corpus_prep_sql() -> str:
       SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
     exact AS (
       SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keepers)),
-    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM exact),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
-      FROM toks),
-    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-    p0 AS (
-      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT left_id, right_id FROM p0
-      JOIN sizes sa ON sa.doc_id = p0.left_id
-      JOIN sizes sb ON sb.doc_id = p0.right_id
-      WHERE CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter) >= 0.4),
-    edges AS (
-      SELECT left_id AS src, right_id AS dst FROM pairs
-      UNION SELECT right_id, left_id FROM pairs),
-    nodes AS (SELECT DISTINCT src AS v FROM edges),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT v, v FROM nodes
-        UNION
-        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
-      SELECT * FROM r),
+    {_jaccard_ctes("exact", 0.4)},
+    {_closure_ctes()},
     comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
     losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
     survivors AS (
@@ -1053,36 +1054,9 @@ def corpus_prep_survivors(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query(
     "duplicate_components_ngram",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS grams
-      FROM toks),
-    sizes AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-    p0 AS (
-      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT left_id, right_id FROM p0
-      JOIN sizes sa ON sa.doc_id = p0.left_id
-      JOIN sizes sb ON sb.doc_id = p0.right_id
-      WHERE CAST(p0.inter AS DOUBLE) / (sa.n + sb.n - p0.inter) >= 0.2),
-    edges AS (
-      SELECT left_id AS src, right_id AS dst FROM pairs
-      UNION SELECT right_id, left_id FROM pairs),
-    nodes AS (SELECT DISTINCT src AS v FROM edges),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT v, v FROM nodes
-        UNION
-        SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
-      SELECT * FROM r)
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)},
+    {_closure_ctes()}
     SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
     """,
 )
@@ -1263,7 +1237,7 @@ def coherence_task_export(spark, sf_dir):
           FROM pop GROUP BY 1),
     cand AS (
       SELECT m.target, p.item, p.popularity,
-             md5(m.target || chr(31) || CAST(p.item AS VARCHAR)) AS pick
+             md5(concat_ws(chr(31), m.target, CAST(p.item AS VARCHAR))) AS pick
       FROM pop p JOIN m ON p.cluster <> m.target CROSS JOIN g
       WHERE p.popularity >= m.mean - g.std AND p.popularity <= m.mean + g.std),
     intr AS (
@@ -1278,7 +1252,7 @@ def coherence_task_export(spark, sf_dir):
            CAST(is_intruder AS BIGINT) AS is_intruder,
            CAST(row_number() OVER (
              PARTITION BY cluster
-             ORDER BY md5(cluster || chr(30) || CAST(item AS VARCHAR)), item)
+             ORDER BY md5(concat_ws(chr(30), cluster, CAST(item AS VARCHAR))), item)
             AS BIGINT) AS slot
     FROM task
     """,

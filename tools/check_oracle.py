@@ -1,7 +1,9 @@
 """Local differential harness mimicking the driver's t2 gate:
 run each ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
 the same parquet tables; compare row count, column names, and an
-order-insensitive value hash.
+order-insensitive value hash. (The hash stringifies values — it does not
+distinguish 5 from '5', and multi-byte separator collisions are possible in
+pathological string data; the driver's own comparator is authoritative.)
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -69,6 +71,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL unknown query name(s): {sorted(unknown)}")
+            print(f"     available: {sorted(qs)}")
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
