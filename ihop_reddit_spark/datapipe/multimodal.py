@@ -271,3 +271,48 @@ def resize_images(
 
     images = assets.where(F.col("kind") == "image")
     return images.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def resample_audio(
+    assets: DataFrame, target_rate: int, decode_fn: str = "fake"
+) -> DataFrame:
+    """Resample audio assets to ``target_rate`` Hz → same asset schema.
+
+    Models the decode → resample → re-encode stage of an audio pipeline
+    (torchaudio/libav in deployment — the ``"real"`` codec is the marked
+    stub). Payload bytes stand in for PCM samples, so duration is preserved:
+    the new payload length is ``floor(n_bytes * target_rate / source_rate)``
+    — pure integer arithmetic, which keeps the size/metadata projection
+    ANSI-SQL-checkable. The fake codec emits the source payload's md5 digest
+    cycled to that length, so tests assert byte-exact outputs while the
+    Arrow batching and schema plumbing are real. ``meta.sample_rate`` tracks
+    the new rate; everything else in the struct is carried through.
+    """
+    decode = _DECODERS[decode_fn]  # raises in "real" mode at first batch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                decode(row["payload"])  # the decode step (stub-aware)
+                src_rate = row["meta"]["sample_rate"]
+                size = len(row["payload"]) * target_rate // src_rate
+                digest = hashlib.md5(row["payload"]).digest()
+                payload = (digest * (size // len(digest) + 1))[:size]
+                meta = dict(row["meta"])
+                meta["sample_rate"] = target_rate
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "kind": row["kind"],
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    audio = assets.where(
+        (F.col("kind") == "audio") & (F.col("meta.sample_rate") > 0)
+    )
+    return audio.mapInPandas(batches, ASSET_SCHEMA)

@@ -108,3 +108,31 @@ def test_resize_images_payload_and_meta(assets):
         digest = hashlib.md5(bytes(srcs[r["asset_id"]]["payload"])).digest()
         expected = (digest * (8 * 4 * c // 16 + 1))[: 8 * 4 * c]
         assert bytes(r["payload"]) == expected
+
+
+def test_resample_audio_payload_and_meta(assets):
+    from ihop_reddit_spark.datapipe.multimodal import resample_audio
+
+    out = resample_audio(assets, 8000).collect()
+    srcs = {r["asset_id"]: r for r in assets.where(F.col("kind") == "audio").collect()}
+    assert {r["asset_id"] for r in out} == set(srcs)
+    for r in out:
+        src = srcs[r["asset_id"]]
+        n = len(bytes(src["payload"])) * 8000 // src["meta"]["sample_rate"]
+        assert len(bytes(r["payload"])) == n
+        assert r["meta"]["sample_rate"] == 8000
+        # everything else in the struct carries through
+        assert r["meta"]["width"] == src["meta"]["width"]
+        assert r["kind"] == "audio"
+        digest = hashlib.md5(bytes(src["payload"])).digest()
+        assert bytes(r["payload"]) == (digest * (n // 16 + 1))[:n]
+
+
+def test_resample_audio_real_codec_is_stub(assets):
+    from ihop_reddit_spark.datapipe.multimodal import resample_audio
+
+    with pytest.raises(Exception) as exc:
+        resample_audio(assets, 8000, decode_fn="real").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
