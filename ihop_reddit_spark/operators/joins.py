@@ -111,6 +111,67 @@ def range_join(
     return left.join(right, cond, "inner")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    force_shuffle: bool = True,
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the big side, replicate the small side.
+
+    The AQE skew-join rescue only splits partitions it SEES as skewed at
+    shuffle time and only for sort-merge joins; a join whose key is
+    intrinsically low-cardinality (e.g. events × per-event-type dimension)
+    concentrates each hot key in ONE task regardless. Salting fixes the
+    partitioning itself:
+
+    * left rows get ``__salt = pmod(xxhash64(all join keys, uid), n)`` —
+      derived, not ``rand()``, so replays/retries are deterministic;
+    * the right side is exploded ×``n_salts`` (it must be the SMALL side —
+      replication cost is ``n_salts × |right|``);
+    * the join key becomes ``(keys…, __salt)``, so each formerly-hot key now
+      spreads over ``n_salts`` tasks.
+
+    Output equals the unsalted join bit-for-bit (every left row still meets
+    every right row of its key exactly once). Supported ``how``: inner /
+    left / left_semi / left_anti — right-side-preserving joins would
+    duplicate unmatched right rows ×``n_salts`` and are rejected.
+
+    ``force_shuffle`` hints ``shuffle_hash`` on the replicated side: if
+    Catalyst auto-broadcasts the right side the salt is dead weight, and a
+    shuffled hash join on (keys, salt) is the balanced plan this operator
+    exists to produce. Complements :func:`aggregates.grouped_concat_salted`
+    (two-phase agg) — this is the join-shaped skew tool.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    for df in (left, right):
+        if "__salt" in df.columns:
+            raise ValueError("__salt column name is reserved")
+    # monotonically_increasing_id decorrelates the salt from the key hash so
+    # rows of ONE hot key still spread; it never affects the join result.
+    salted_left = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salts)
+        ).cast("int"),
+    )
+    replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    if force_shuffle:
+        replicated = replicated.hint("shuffle_hash")
+    out = salted_left.join(replicated, keys + ["__salt"], how)
+    keep = [c for c in out.columns if c != "__salt"]
+    return out.select(keep)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

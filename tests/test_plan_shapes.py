@@ -143,3 +143,16 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    from ihop_reddit_spark.operators.joins import salted_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_cnt"))
+    plan = plan_of(salted_join(events, dim, "event_type", n_salts=8))
+    # the hot low-cardinality key must NOT collapse to one task: the join is
+    # a shuffled hash join keyed on (event_type, __salt), never a broadcast
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "__salt" in plan

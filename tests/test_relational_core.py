@@ -377,3 +377,38 @@ def test_stratified_sample_fractions(spark):
     assert sorted(r["v"] for r in out.collect()) == sorted(
         r["v"] for r in again.collect()
     )
+
+
+def test_salted_join_equals_plain_join(spark):
+    from ihop_reddit_spark.operators.joins import salted_join
+
+    # heavy skew: 90% of fact rows share one key; dim has extras (unmatched)
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(200)],
+        "row_id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k30", 3), ("absent", 9)], "k string, v int"
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = fact.join(dim, "k", how)
+        salted = salted_join(fact, dim, "k", n_salts=7, how=how)
+        assert salted.columns == [c for c in plain.columns]
+        assert rows(salted, salted.columns) == rows(plain, plain.columns)
+
+
+def test_salted_join_rejects_right_preserving_and_reserved(spark):
+    import pytest as _pytest
+
+    from ihop_reddit_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with _pytest.raises(ValueError, match="supports"):
+        salted_join(df, df, "k", how="full_outer")
+    bad = df.withColumnRenamed("id", "__salt")
+    with _pytest.raises(ValueError, match="reserved"):
+        salted_join(bad, df, "k")
