@@ -227,23 +227,44 @@ def grid_search(
     analogies: list,
     base: C2VParams | None = None,
     metrics_path: str | None = None,
+    parallelism: int = 1,
 ) -> tuple["Community2Vec", dict]:
     """Cartesian-product grid over C2VParams fields, best-by-analogy-accuracy
-    retained (``ihop/community2vec.py:410-626``). Trials run sequentially —
-    each trial is itself a distributed Word2Vec fit, so the cluster stays
-    busy; contexts are cached across trials.
+    retained (``ihop/community2vec.py:410-626``; the reference is strictly
+    sequential). Each trial is itself a distributed Word2Vec fit; contexts
+    are cached across trials.
+
+    ``parallelism > 1`` runs that many trials concurrently from driver
+    threads — one SparkSession schedules all of them, so narrow stages of one
+    trial fill the scheduler gaps of another (Word2Vec alternates cluster-wide
+    stages with driver-side bookkeeping that leaves executors idle). Results
+    are deterministic regardless of completion order: trials are reported in
+    grid order and ties on accuracy keep the EARLIEST combo, exactly like the
+    sequential path.
     """
     base = base or C2VParams()
     contexts = contexts.cache()
     keys = sorted(grid)
-    results = []
-    best: tuple[float, Community2Vec | None] = (-1.0, None)
-    for combo in itertools.product(*(grid[k] for k in keys)):
+    combos = list(itertools.product(*(grid[k] for k in keys)))
+
+    def run_trial(combo) -> tuple[dict, "Community2Vec"]:
         params = C2VParams(**{**base.__dict__, **dict(zip(keys, combo))})
         model = Community2Vec(params).fit(contexts)
         emb = EmbeddingMatrix.from_vectors_df(model.vectors())
         metrics = evaluate_analogies(emb, analogies)
-        results.append({"params": dict(zip(keys, combo)), **metrics})
+        return {"params": dict(zip(keys, combo)), **metrics}, model
+
+    if parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            trials = list(pool.map(run_trial, combos))
+    else:
+        trials = [run_trial(c) for c in combos]
+
+    results = [t[0] for t in trials]
+    best: tuple[float, Community2Vec | None] = (-1.0, None)
+    for metrics, model in trials:
         if metrics["total_accuracy"] > best[0]:
             best = (metrics["total_accuracy"], model)
     contexts.unpersist()

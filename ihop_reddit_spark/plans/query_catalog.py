@@ -295,6 +295,37 @@ def range_join_clicks_before_purchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew-salted join (operators/joins.salted_join): events fact × a per-type
+# dimension on the intrinsically hot low-cardinality event_type key. The
+# oracle is the PLAIN join — salting must be invisible in the result.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_join_event_type_weights",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_cnt
+      FROM events GROUP BY event_type)
+    SELECT e.user_id, COUNT(*) AS n_events,
+           CAST(SUM(d.type_cnt) AS BIGINT) AS sum_type_cnt
+    FROM events e JOIN d USING (event_type)
+    GROUP BY e.user_id
+    """,
+)
+def salted_join_event_type_weights(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_cnt")
+    )
+    joined = salted_join(events, dim, "event_type", n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("type_cnt").alias("sum_type_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2 — ordered group-concat context assembly (user → "sentence",
 # ihop/import_data.py:228-272) with defined in-group ordering.
 # ---------------------------------------------------------------------------
@@ -1339,6 +1370,30 @@ def multimodal_image_features(spark, sf_dir):
 
     assets = synthesize_assets(_t(spark, sf_dir, "documents"))
     return extract_image_features(assets)
+
+
+@query(
+    "multimodal_audio_resample",
+    f"""
+    WITH {_ASSET_SQL_CTE}
+    SELECT asset_id,
+           CAST((n_bytes * 8000) // 16000 AS BIGINT) AS n_bytes_resampled,
+           CAST(8000 AS INTEGER) AS sample_rate
+    FROM a WHERE kind = 'audio'
+    """,
+)
+def multimodal_audio_resample(spark, sf_dir):
+    """Audio resample Arrow round-trip, hash-gated on the SQL-expressible
+    size/metadata projection (payload bytes are test-asserted exactly in
+    tests/test_multimodal.py — duration-preserving integer length math)."""
+    from ..datapipe.multimodal import resample_audio, synthesize_assets
+
+    assets = synthesize_assets(_t(spark, sf_dir, "documents"))
+    return resample_audio(assets, 8000).select(
+        "asset_id",
+        F.length("payload").cast("long").alias("n_bytes_resampled"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -356,3 +356,22 @@ def test_grid_search_picks_best_and_writes_metrics(spark, tmp_path):
 
     on_disk = json.load(open(path))
     assert on_disk["best_accuracy"] == summary["best_accuracy"]
+
+
+def test_grid_search_parallel_matches_sequential(spark):
+    from ihop_reddit_spark.ml.community2vec import C2VParams, grid_search
+
+    rows = [(["a", "b", "a", "b"],), (["c", "d", "c", "d"],)] * 10
+    contexts = spark.createDataFrame(rows, "context array<string>")
+    analogies = [("s", "a", "b", "c", "d")]
+    kwargs = dict(
+        grid={"vector_size": [8, 16], "epochs": [1, 2]},
+        analogies=analogies,
+        base=C2VParams(seed=1),
+    )
+    _, seq = grid_search(contexts, **kwargs)
+    _, par = grid_search(contexts, parallelism=4, **kwargs)
+    # same trials in the same (grid) order, same winner — concurrency is
+    # invisible in the result
+    assert par["trials"] == seq["trials"]
+    assert par["best_accuracy"] == seq["best_accuracy"]
