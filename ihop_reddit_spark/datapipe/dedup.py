@@ -511,9 +511,18 @@ def duplicate_components_distributed(
     across undirected edges and takes the per-node min; convergence when an
     iteration changes nothing. Near-dup graphs have tiny diameters (a dup
     cluster is near-clique), so this converges in a handful of iterations;
-    each is one shuffle-join + one aggregation, with the label frontier
-    persisted and the previous iteration unpersisted (bounded lineage — no
-    1000-stage plans). Same output contract as the union-find:
+    each is one shuffle-join + one aggregation.
+
+    Lineage discipline: each iteration's frontier is cut with
+    ``localCheckpoint(eager=True)`` — ``persist()`` alone caches partitions
+    but leaves the LOGICAL plan nested one level deeper per iteration
+    (geometric plan growth; the driver OOMs just stringifying the plan long
+    before any data pressure). Checkpoint blocks from superseded iterations
+    are released by Spark's ContextCleaner once the frame is rebound. On a
+    real cluster where executor loss must be survivable, swap
+    ``localCheckpoint`` for reliable ``checkpoint`` (needs
+    ``spark.sparkContext.setCheckpointDir``) — same truncation, HDFS-backed.
+    Same output contract as the union-find:
     (doc_id, component_id = min id in component).
     """
     edges = (
@@ -530,9 +539,8 @@ def duplicate_components_distributed(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -553,7 +561,7 @@ def duplicate_components_distributed(
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
                 ).alias("component_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -561,7 +569,6 @@ def duplicate_components_distributed(
             .where(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
