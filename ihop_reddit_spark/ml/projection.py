@@ -7,8 +7,11 @@ design. This module provides:
 * :func:`pca_project` — the Spark-NATIVE projection: ``pyspark.ml.feature.PCA``
   on the distributed embedding table. Fully scalable (one pass for the
   covariance, one for the transform); the axes the reference's TSNE uses for
-  initialization. Deterministic up to component sign, so catalog coverage is
-  rows-only.
+  initialization. Output is scalar coordinate columns (``x``, ``y``, …) with
+  component sign canonicalized (largest-|loading| entry forced positive), so
+  the result is deterministic and driver-gateable; eigen-solver values are
+  still floating-point, so catalog coverage stays rows+schema (no SQL oracle
+  computes an eigendecomposition).
 * :func:`tsne_project` — the reference-literal TSNE, driver-side behind an
   import-try (sklearn is not in this container; the function raises a marked
   NotImplementedError there). Size-guarded like every driver drop in this
@@ -25,13 +28,25 @@ TSNE_DEFAULTS = {"init": "pca", "metric": "cosine", "random_state": 77}
 MAX_DRIVER_POINTS = 50_000
 
 
+#: column names for the first projection axes; higher dims get ``c{i}``
+_AXIS_NAMES = ("x", "y", "z")
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dims: int = 2,
 ) -> DataFrame:
-    """Distributed PCA to ``dims`` components: (id, [x, y, ...])."""
+    """Distributed PCA to ``dims`` components: (id, x, y, ...).
+
+    Scalar coordinate columns (not an array) so downstream pandas/oracle
+    canonicalization can sort them, and per-component sign canonicalized:
+    PCA is only determined up to a sign flip per eigenvector, so each
+    component is flipped (if needed) to make its largest-|loading| entry
+    positive. The loading matrix is k×dim on the driver — tiny.
+    """
+    import numpy as np
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -39,8 +54,24 @@ def pca_project(
         id_col, array_to_vector(F.col(vec_col)).alias("__features")
     )
     model = PCA(k=dims, inputCol="__features", outputCol="__proj").fit(feat)
-    return model.transform(feat).select(
-        id_col, vector_to_array(F.col("__proj")).alias("projection")
+    pc = model.pc.toArray()  # (n_features, dims) loadings, driver-local
+    signs = []
+    for j in range(pc.shape[1]):
+        lead = pc[int(np.argmax(np.abs(pc[:, j]))), j]
+        signs.append(-1.0 if lead < 0 else 1.0)
+    proj = model.transform(feat).select(
+        id_col, vector_to_array(F.col("__proj")).alias("__p")
+    )
+    names = [
+        _AXIS_NAMES[j] if j < len(_AXIS_NAMES) else f"c{j}"
+        for j in range(dims)
+    ]
+    return proj.select(
+        id_col,
+        *[
+            (F.col("__p")[j] * F.lit(signs[j])).alias(names[j])
+            for j in range(dims)
+        ],
     )
 
 

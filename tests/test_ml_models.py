@@ -310,12 +310,20 @@ def test_pca_project_shapes_and_variance_order(spark, sf_dir):
     from ihop_reddit_spark.ml.projection import pca_project
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = pca_project(emb, "embedding", "vec_id", dims=2).collect()
+    proj = pca_project(emb, "embedding", "vec_id", dims=2)
+    assert proj.columns == ["vec_id", "x", "y"]  # scalar axes, not an array
+    out = proj.collect()
     assert len(out) == emb.count()
-    mat = np.array([r["projection"] for r in out])
-    assert mat.shape[1] == 2
+    mat = np.array([(r["x"], r["y"]) for r in out])
     # first component carries at least as much variance as the second
     assert mat[:, 0].var() >= mat[:, 1].var()
+    # sign canonicalization: a second fit produces identical coordinates
+    again = {
+        r["vec_id"]: (r["x"], r["y"])
+        for r in pca_project(emb, "embedding", "vec_id", dims=2).collect()
+    }
+    first = {r["vec_id"]: (r["x"], r["y"]) for r in out}
+    assert first == again
 
 
 def test_tsne_project_is_guarded(spark, sf_dir):
