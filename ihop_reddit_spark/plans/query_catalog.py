@@ -723,8 +723,9 @@ def c2v_prep_contexts(spark, sf_dir):
       SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              n_chars
       FROM documents)
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
-           SUM(n_chars) AS sum_chars,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
     FROM d GROUP BY lang
     """,

@@ -1,6 +1,9 @@
 """Local differential harness mimicking the driver's t2 gate:
 run each ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
-the same parquet tables; compare row count, column names, and an
+the same parquet tables; compare row count, column names, coarse column TYPE
+CLASSES (the driver's value canon is dtype-sensitive: DuckDB ``SUM(BIGINT)``
+returns HUGEINT where Spark returns LONG and the driver hashes them
+differently — round-1 `doc_token_stats_by_lang` regression), and an
 order-insensitive value hash. (The hash stringifies values — it does not
 distinguish 5 from '5', and multi-byte separator collisions are possible in
 pathological string data; the driver's own comparator is authoritative.)
@@ -24,6 +27,48 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+_INT_CLASSES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def duck_type_class(t) -> str:
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "HUGEINT":
+        return "hugeint"  # deliberately != "int": the driver canon differs
+    if s in _INT_CLASSES:
+        return "int"
+    if s in ("DOUBLE", "FLOAT"):
+        return "float"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    return s.lower()
+
+
+def spark_type_class(dt: str) -> str:
+    s = dt.lower()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if s in ("double", "float"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s.startswith("timestamp"):
+        return "ts"
+    return s
 
 
 def norm_value(v):
@@ -97,8 +142,9 @@ def main():
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {c: duck_type_class(t) for c, t in zip(dcols, rel.types)}
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
@@ -107,6 +153,15 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            stypes = {c: spark_type_class(t) for c, t in sdf.dtypes}
+            mismatched = {
+                c: (stypes[c], dtypes[c])
+                for c in scols
+                if stypes[c] != dtypes[c]
+            }
+            if mismatched:
+                problems.append(f"type-class mismatch {mismatched}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
