@@ -24,9 +24,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _configure(spark: SparkSession) -> None:
     """Session invariants the catalog relies on (UTC epoch semantics; the
-    events table's TIMESTAMP(NANOS) column reads as LONG nanoseconds)."""
+    events table's TIMESTAMP(NANOS) column reads as LONG nanoseconds), plus
+    runtime-settable execution config a vanilla session lacks: AQE (runtime
+    shuffle-partition coalescing + skew-join splitting — the 100 TB default)
+    and a parallelism-sized initial shuffle-partition count instead of the
+    static 200, which at small SF means 200 near-empty tasks per exchange.
+    Arrow speeds the executor→driver pandas hand-off at the presentation
+    edge. None of these change results — only physical execution."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 8)))
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:
