@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, quantize, raw_dot, raw_norm
 from ..operators.windows import top_k_per_group
 
+#: "queries are the small side" is a CONTRACT — enforce it like every other
+#: driver materialization in this engine (EmbeddingMatrix.from_vectors_df,
+#: duplicate_components, tsne_project) instead of trusting the caller.
+MAX_DRIVER_QUERIES = 200_000
+
+
+def _guard_query_side(queries: DataFrame, max_driver_queries: int) -> None:
+    n = queries.count()
+    if n > max_driver_queries:
+        raise ValueError(
+            f"query side has {n} rows, over the driver guard "
+            f"({max_driver_queries}); for corpus-vs-corpus scoring use "
+            "blocked_pair_scores / embedding_near_dup instead"
+        )
+
 
 def brute_force_knn(
     corpus: DataFrame,
@@ -30,6 +45,7 @@ def brute_force_knn(
     query_id_col: str = "query_id",
     deterministic: bool = True,
     strategy: str = "gemm",
+    max_driver_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
@@ -54,7 +70,8 @@ def brute_force_knn(
     """
     if deterministic and strategy == "gemm":
         scored = _gemm_query_scores(
-            corpus, queries, k, id_col, vec_col, query_id_col
+            corpus, queries, k, id_col, vec_col, query_id_col,
+            max_driver_queries=max_driver_queries,
         )
         return top_k_per_group(
             scored,
@@ -106,6 +123,7 @@ def _gemm_query_scores(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    max_driver_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine) candidates: one int64 GEMM per Arrow
     batch of the corpus against the collected query matrix, pre-reduced to
@@ -115,6 +133,7 @@ def _gemm_query_scores(
 
     from ..functions.vectors import quantize
 
+    _guard_query_side(queries, max_driver_queries)
     qrows = queries.select(
         F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
     ).collect()
@@ -193,12 +212,14 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_driver_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: score queries only against the ``nprobe`` nearest
     centroid cells. Centroid table is driver-built (tiny) and broadcast.
     """
     import numpy as np
 
+    _guard_query_side(queries, max_driver_queries)
     centers = model.clusterCenters()
     norms = [c / (np.linalg.norm(c) or 1.0) for c in centers]
 

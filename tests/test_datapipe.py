@@ -120,6 +120,17 @@ def test_ivf_knn_recall(embeddings):
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 cells
 
 
+def test_query_side_driver_guard(embeddings):
+    from ihop_reddit_spark.datapipe.similarity import ivf_knn as _ivf
+
+    queries = embeddings.where(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="driver guard"):
+        brute_force_knn(embeddings, queries, k=2, max_driver_queries=3)
+    assigned, model = build_ivf_index(embeddings, n_centroids=4, seed=1)
+    with pytest.raises(ValueError, match="driver guard"):
+        _ivf(assigned, model, queries, k=2, max_driver_queries=3)
+
+
 def test_lsh_knn_runs(embeddings):
     qvec = embeddings.where(F.col("vec_id") == 0).first().embedding
     out = lsh_knn(embeddings, [float(x) for x in qvec], k=3)
