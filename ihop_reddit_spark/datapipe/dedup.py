@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import register_scoped_persists
 from ..functions.text import fingerprint, simhash64
 
 
@@ -127,7 +128,10 @@ def simhash_candidates(
     Two docs are candidates if ANY of the ``n_bands`` 15-bit bands of their
     60-bit SimHash match (Hamming-distance ≤ n_bands−1 guarantee). Shuffles
     on (band_index, band_value) — uniformly distributed keys, no skew. Output:
-    distinct (left_id, right_id) with left < right.
+    distinct (left_id, right_id) with left < right. The signature frame stays
+    persisted for the result's lifetime — release it with
+    :func:`ihop_reddit_spark.caching.release_scoped_persists` (or
+    ``spark.catalog.clearCache()``) after consuming.
     """
     # the 60-bit signature expression is heavy (per-bit md5-derived terms)
     # and feeds both sides of the band self-join — persist one row per doc
@@ -157,12 +161,13 @@ def simhash_candidates(
     right = bands.select(
         F.col("band"), F.col("val"), F.col("__id").alias("right_id")
     )
-    return (
+    out = (
         left.join(right, ["band", "val"])
         .where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
     )
+    return register_scoped_persists(out, sig)
 
 
 def ngram_jaccard_pairs(
@@ -214,8 +219,11 @@ def ngram_jaccard_pairs(
             F.col("inter") / (F.col("n_left") + F.col("n_right") - F.col("inter")),
         )
     )
-    return out.where(F.col("jaccard") >= threshold).select(
-        "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+    return register_scoped_persists(
+        out.where(F.col("jaccard") >= threshold).select(
+            "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+        ),
+        exploded,
     )
 
 
@@ -252,7 +260,7 @@ def minhash_near_dup(
     joined = model.approxSimilarityJoin(
         vectors, vectors, 1.0 - jaccard_threshold, distCol="jaccard_dist"
     )
-    return (
+    out = (
         joined.where(F.col("datasetA.__id") < F.col("datasetB.__id"))
         .select(
             F.col("datasetA.__id").alias("left_id"),
@@ -260,6 +268,7 @@ def minhash_near_dup(
             F.col("jaccard_dist"),
         )
     )
+    return register_scoped_persists(out, vectors)
 
 
 def embedding_near_dup(

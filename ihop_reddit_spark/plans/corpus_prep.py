@@ -79,8 +79,13 @@ def prepare_corpus(
         F.col("doc_id").alias(id_col)
     )
     survivors = anti_join_filter(exact, losers, id_col)
-    return survivors.select(
-        id_col,
-        TX.token_count(text).cast("long").alias("n_tokens"),
-        TX.approx_bpe_token_count(text).alias("bpe_tokens"),
+    from ..caching import register_scoped_persists
+
+    return register_scoped_persists(
+        survivors.select(
+            id_col,
+            TX.token_count(text).cast("long").alias("n_tokens"),
+            TX.approx_bpe_token_count(text).alias("bpe_tokens"),
+        ),
+        exact,
     )

@@ -1292,11 +1292,15 @@ def coherence_task_export(spark, sf_dir):
 def intruder_task_export(spark, sf_dir):
     from ..ml.exports import intruder_export
 
+    from ..caching import register_scoped_persists
+
     # the popularity rollup feeds four consumers inside the export
     # (members, global std, cluster means, candidates) — persist it
     pop = _popularity(spark, sf_dir).persist()
     out = intruder_export(pop, "cluster", "item", "popularity", top_k=5)
-    return out.withColumn("is_intruder", F.col("is_intruder").cast("long"))
+    return register_scoped_persists(
+        out.withColumn("is_intruder", F.col("is_intruder").cast("long")), pop
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,20 @@ def test_ivf_knn_recall(embeddings):
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 cells
 
 
+def test_scoped_persist_handle_releases_caches(near_dup_docs):
+    from ihop_reddit_spark.caching import release_scoped_persists
+    from ihop_reddit_spark.datapipe.dedup import simhash_candidates
+
+    out = simhash_candidates(near_dup_docs, "text", "doc_id")
+    out.count()  # materialize (and populate the scoped cache)
+    released = release_scoped_persists(out)
+    assert released == 1
+    # idempotent: second release finds nothing
+    assert release_scoped_persists(out) == 0
+    # derived frames carry no handle
+    assert release_scoped_persists(out.limit(1)) == 0
+
+
 def test_query_side_driver_guard(embeddings):
     from ihop_reddit_spark.datapipe.similarity import ivf_knn as _ivf
 
