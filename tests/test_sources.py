@@ -55,6 +55,26 @@ def test_read_jsonl_bz2_transparent_decompression(spark, tmp_path):
     assert df.count() == 1 and df.head()["author"] == "alice"
 
 
+def test_read_jsonl_zst_roundtrip(spark, tmp_path):
+    import pyarrow as pa
+
+    from ihop_reddit_spark.schemas import COMMENTS_SCHEMA
+    from ihop_reddit_spark.sources.reddit import read_jsonl_zst
+
+    bad = '{"id": broken'
+    p = tmp_path / "comments.json.zst"
+    with pa.output_stream(str(p), compression="zstd") as out:
+        out.write((COMMENT + "\n" + bad + "\n").encode())
+    df = read_jsonl_zst(spark, str(p), COMMENTS_SCHEMA)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["c1"]["author"] == "alice" and rows["c1"]["score"] == 4
+    # corrupt-record channel parity with the uncompressed path
+    with_corrupt = read_jsonl_zst(
+        spark, str(p), COMMENTS_SCHEMA, keep_corrupt=True
+    )
+    assert corrupt_record_count(with_corrupt) == 1
+
+
 def test_parquet_sink_partitioned_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2021-04", "a"), (2, "2021-04", "b"), (3, "2021-05", "c")],
