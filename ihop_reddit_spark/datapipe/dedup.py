@@ -590,3 +590,108 @@ def duplicate_components_distributed(
         )
     edges.unpersist()
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its LARGER neighbors to the
+    minimum of its closed neighborhood. One shuffle (window on ``u``)."""
+    from pyspark.sql import Window
+
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links its SMALLER neighbors (and itself)
+    to the minimum of its smaller neighbors. One shuffle (window on ``u``)."""
+    from pyspark.sql import Window
+
+    directed = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    with_m = directed.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    to_min = with_m.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = with_m.select("u", F.col("m").alias("v"))
+    return (
+        to_min.unionByName(self_link)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def duplicate_components_star(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14).
+
+    Same output contract as :func:`duplicate_components` /
+    :func:`duplicate_components_distributed`:
+    ``(doc_id, component_id = min id in component)``.
+
+    WHEN to prefer which distributed path: min-label propagation converges
+    in O(diameter) rounds — ideal for near-dup graphs (dup clusters are
+    near-cliques, diameter 2-3). Star contraction converges in O(log n)
+    rounds REGARDLESS of diameter, so it wins on chain-shaped duplicate
+    graphs (e.g. drifting near-dups A~B~C~...~Z where consecutive versions
+    match but distant ones don't). Each round is two window shuffles +
+    distinct; lineage is cut per round with ``localCheckpoint`` (same
+    discipline as the min-label loop — persist alone grows the plan
+    geometrically). The tests pin both the union-find equivalence and the
+    round-count advantage on a long path graph.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col("left_id"), F.col("right_id")).alias("u"),
+            F.least(F.col("left_id"), F.col("right_id")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_components_star did not converge within "
+            f"{max_iterations} rounds"
+        )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+    )
+    nodes = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+    )
+    out = nodes.unionByName(roots).distinct()
+    out._cc_rounds = rounds  # observability for tests/benchmarks
+    return out

@@ -1100,6 +1100,26 @@ def duplicate_components_ngram(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+# Same closure oracle, FULLY DISTRIBUTED Spark side: alternating
+# large-star/small-star contraction (O(log n) rounds regardless of
+# diameter) instead of the size-guarded driver union-find — the 100 TB
+# path, hash-gated against the identical recursive-CTE ground truth.
+@query(
+    "duplicate_components_star_ngram",
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)},
+    {_closure_ctes()}
+    SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+    """,
+)
+def duplicate_components_star_ngram(spark, sf_dir):
+    from ..datapipe.dedup import duplicate_components_star, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return duplicate_components_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north star / M6): exact cosine top-k with the
 # integer-quantized deterministic kernel. Query set: vec_id % 50 == 0.

@@ -240,3 +240,48 @@ def test_distributed_components_match_union_find(spark, edges):
         for r in duplicate_components_distributed(pairs).collect()
     }
     assert uf == dist
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    from ihop_reddit_spark.datapipe.dedup import (
+        duplicate_components,
+        duplicate_components_star,
+    )
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    pairs = spark.createDataFrame(norm, "left_id long, right_id long")
+    uf = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components(pairs).collect()
+    }
+    star = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components_star(pairs).collect()
+    }
+    assert uf == star
+
+
+def test_star_components_converge_fast_on_chains(spark):
+    """The reason duplicate_components_star exists: O(log n) rounds on
+    diameter-n graphs, where min-label propagation needs n-1 rounds (it
+    would blow its default iteration cap on this input)."""
+    from ihop_reddit_spark.datapipe.dedup import duplicate_components_star
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "left_id long, right_id long"
+    )
+    out = duplicate_components_star(pairs)
+    rows = {(r["doc_id"], r["component_id"]) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(n)}
+    assert out._cc_rounds <= 10  # log-ish, vs 63 label-propagation rounds
