@@ -206,6 +206,65 @@ def order_lineitem_ship_delay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multi-level aggregation (engine extension — the reference has no
+# cube/rollup, SURVEY §2.4; an analytics engine needs them and Catalyst
+# plans them as one Expand + single shuffle, not one job per level).
+# grouping_id uses the same leftmost-is-MSB bit encoding in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_order_status_totals",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+             AS grouping_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_status_totals(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.count(F.lit(1)).alias("cnt"),
+        decimal_sum("o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead window functions (SURVEY §2.5 "not present" row — engine
+# extension, "free in Spark"): per-user previous/next event and inter-event
+# gap. One shuffle on user_id; deterministic order key (t, event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "event_neighbor_lags",
+    """
+    SELECT user_id, event_id,
+           COALESCE(lag(event_id) OVER w, -1) AS prev_event_id,
+           COALESCE(lead(event_id) OVER w, -1) AS next_event_id,
+           COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def event_neighbor_lags(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")  # ns → µs (DuckDB parquet ns keeps µs)
+    w = Window.partitionBy("user_id").orderBy(t_us, F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_event_id"),
+        F.coalesce(t_us - F.lag(t_us).over(w), F.lit(-1)).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (SURVEY §2.3 "not present" row — engine extension): every
 # purchase matched to the user's latest preceding-or-simultaneous click.
 # One window pass per key (union + last ignorenulls), no |L|×|R| explosion;
@@ -1558,6 +1617,21 @@ def stream_user_running_totals(spark, sf_dir):
     from ..streaming.events import user_running_totals_stream
 
     return user_running_totals_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: dropDuplicates state bounded by the watermark; the
+# surviving-row choice is arrival-dependent, so the gated projection is the
+# key set (deterministic — batch oracle is a plain DISTINCT).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_user_event_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_event_types(spark, sf_dir):
+    from ..streaming.events import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

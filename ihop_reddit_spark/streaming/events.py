@@ -61,14 +61,16 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(windowed: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    windowed: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a bounded streaming query to completion (availableNow) into a
     memory sink; return the materialized result."""
     sink = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         windowed.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -195,6 +197,35 @@ def user_running_totals_stream(
             F.expr("max_by(qsum_value, n_events)").alias("qsum_value"),
         )
     )
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup (the streaming face of dedup tier 1): keep the
+    first arrival per ``keys``, state bounded by the event-time watermark.
+
+    This is how a training-data pipeline dedups a live ingest feed:
+    ``dropDuplicates`` over the dedup key holds one state entry per key and
+    emits only first-seen rows; the watermark evicts state for keys whose
+    event time has passed, so state is bounded by (keys active within the
+    watermark horizon), not the full history. WHICH physical row survives
+    is arrival-order dependent, so the returned projection is the KEY SET
+    only — deterministic and hash-gateable (batch oracle:
+    ``SELECT DISTINCT keys FROM events``); downstream consumers that need
+    payload columns pick a deterministic witness per key (min event_id) as
+    ``exact_duplicates`` does in batch.
+    """
+    ev = _event_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("event_time", watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+    return _run_to_memory(deduped, spark, output_mode="append")
 
 
 def windowed_top_event_types_stream(

@@ -32,6 +32,17 @@ def test_windowed_counts_equal_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    from ihop_reddit_spark.streaming.events import dedup_events_stream
+
+    streamed = dedup_events_stream(spark, sf_dir)
+    batch = _events_batch(spark, sf_dir).select("user_id", "event_type").distinct()
+    got = {(r.user_id, r.event_type) for r in streamed.collect()}
+    want = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert got == want
+    assert len(got) == streamed.count()  # exactly one emission per key
+
+
 def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
     streamed = user_sessions_stream(spark, sf_dir)
     batch = _events_batch(spark, sf_dir).selectExpr(
