@@ -111,6 +111,35 @@ def semi_join_topn_flag_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J2 complement — broadcast left-ANTI membership filter (operators/joins.
+# anti_join_filter): customers with no finished ('F') order. The reference
+# re-derives keep-sets instead of excluding (ihop/import_data.py:280-297);
+# the anti-join is the direct one-broadcast expression.
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_customers_without_f_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def anti_join_customers_without_f_orders(spark, sf_dir):
+    from ..operators.joins import anti_join_filter
+
+    cust = _t(spark, sf_dir, "customer")
+    f_custs = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join_filter(cust, f_custs, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
 # P2 — regex filter + complement (remove_rows_by_regex_match,
 # ihop/import_data.py:74-87).
 # ---------------------------------------------------------------------------
@@ -230,6 +259,117 @@ def rollup_order_status_totals(spark, sf_dir):
         F.grouping_id().cast("long").alias("grouping_id"),
         F.count(F.lit(1)).alias("cnt"),
         decimal_sum("o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "cube_order_status_totals",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+             AS grouping_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_order_status_totals(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations in ONE Expand + single shuffle
+    (vs 4 separate jobs); same GROUPING() bit encoding as ROLLUP."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.count(F.lit(1)).alias("cnt"),
+        decimal_sum("o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+#: c_mktsegment domain — pinned so the pivot is a static projection (no
+#: driver-side distinct-collect pass) and column names are deterministic.
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_nation_segment_counts",
+    """
+    SELECT c_nationkey,
+           COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+           COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS building,
+           COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS furniture,
+           COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS household,
+           COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS machinery
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_nation_segment_counts(spark, sf_dir):
+    """Pivot (long→wide) with an EXPLICIT value list: Catalyst plans it as a
+    single conditional-aggregate pass (one shuffle on c_nationkey, no extra
+    job to discover pivot values — at 100 TB the distinct-scan pivot
+    triggers is the cost to avoid). Missing cells coalesce to 0 so the
+    output matches the FILTER-count oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").pivot("c_mktsegment", _SEGMENTS).count()
+    return wide.select(
+        "c_nationkey",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s.lower())
+            for s in _SEGMENTS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete quantiles (type-1 / quantile_disc semantics) per group —
+# rank-indexed selection, NOT interpolation: the output is a value that
+# EXISTS in the data, so both engines hash identical stored doubles and no
+# cross-engine FP-interpolation ulp hazard exists. Plan: one shuffle on
+# event_type, per-group sort in WindowExec, conditional-agg pivot of the
+# three target ranks. Scales with shuffle parallelism (contrast
+# percentile_approx, kept for the true at-scale path where exactness is
+# negotiable).
+# ---------------------------------------------------------------------------
+@query(
+    "quantiles_value_by_event_type",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER
+               (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END)
+             AS p25,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END)
+             AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END)
+             AS p75
+    FROM s GROUP BY event_type
+    """,
+)
+def quantiles_value_by_event_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        # p ∈ {.25,.5,.75} are exact binary fractions: p*n is exact FP in
+        # both engines, so ceil agrees everywhere.
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(name)
+
+    return s.groupBy("event_type").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75")
     )
 
 
@@ -1632,6 +1772,32 @@ def stream_dedup_user_event_types(spark, sf_dir):
     from ..streaming.events import dedup_events_stream
 
     return dedup_events_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream watermarked interval join (streaming face of range_join):
+# every (purchase, preceding click ≤30min) pair per user. State bounded by
+# watermark + lookback; oracle is the batch self-join on second epochs.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_stream_click_purchase_pairs",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id,
+           p.user_id, p.t - c.t AS gap_s
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.t < p.t AND c.t >= p.t - 1800
+    """,
+)
+def stream_stream_click_purchase_pairs(spark, sf_dir):
+    from ..streaming.events import click_purchase_join_stream
+
+    return click_purchase_join_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,70 @@ def dedup_events_stream(
     return _run_to_memory(deduped, spark, output_mode="append")
 
 
+def click_purchase_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every (purchase, preceding click)
+    pair per user within ``lookback`` — the streaming face of the batch
+    ``range_join`` (J3+P5).
+
+    Both sides are independent streams with their own event-time watermark;
+    the join condition carries the time-range constraint
+    (``click < purchase <= click + lookback``), which is what lets the state
+    store evict buffered rows: a click older than
+    ``watermark + lookback`` can never match a future purchase, so per-key
+    state is bounded by the lookback horizon, not the stream history. The
+    join co-partitions both streams on ``user_id`` (one shuffle each side);
+    no broadcast — both sides are unbounded.
+
+    Batch oracle: plain self-join of events on second-floored epochs (the
+    stream's event_time is ``CAST(ts div 1e9 AS TIMESTAMP)``, so second
+    precision is the shared clock).
+    """
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user
+            AND click_time < purchase_time
+            AND click_time >= purchase_time - INTERVAL {lookback}
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_event_id",
+        "click_event_id",
+        F.col("p_user").alias("user_id"),
+        (
+            F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")
+        ).alias("gap_s"),
+    )
+    return _run_to_memory(joined, spark, output_mode="append")
+
+
 def windowed_top_event_types_stream(
     spark: SparkSession,
     sf_dir: str,

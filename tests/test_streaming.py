@@ -43,6 +43,39 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     assert len(got) == streamed.count()  # exactly one emission per key
 
 
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
+    from ihop_reddit_spark.streaming.events import click_purchase_join_stream
+
+    streamed = click_purchase_join_stream(spark, sf_dir)
+    ev = _events_batch(spark, sf_dir).selectExpr(
+        "event_id", "user_id", "event_type", "ts div 1000000000 AS t"
+    )
+    p = ev.where("event_type = 'purchase'")
+    c = ev.where("event_type = 'click'")
+    batch = p.alias("p").join(
+        c.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.t") < F.col("p.t"))
+        & (F.col("c.t") >= F.col("p.t") - 1800),
+    )
+    got = {
+        (r.purchase_event_id, r.click_event_id, r.user_id, r.gap_s)
+        for r in streamed.collect()
+    }
+    want = {
+        (r.pid, r.cid, r.uid, r.pt - r.ct)
+        for r in batch.select(
+            F.col("p.event_id").alias("pid"),
+            F.col("c.event_id").alias("cid"),
+            F.col("p.user_id").alias("uid"),
+            F.col("p.t").alias("pt"),
+            F.col("c.t").alias("ct"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
     streamed = user_sessions_stream(spark, sf_dir)
     batch = _events_batch(spark, sf_dir).selectExpr(
