@@ -38,6 +38,37 @@ def key_alignment(
     return joined
 
 
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Content-addressed Bernoulli sample: keep a row iff the first 8 hex
+    digits of ``md5(salt ∥ key)`` fall below ``floor(fraction · 16^8)``.
+
+    The complement of :func:`stratified_sample`'s RNG sampling: selection is
+    a pure function of row CONTENT, so the sample is identical across
+    engines, runs, partitionings, and cluster sizes — the property a
+    training-data pipeline needs for reproducible held-out splits. At scale
+    it is a narrow filter (no shuffle, no seed-plumbing, no sampleBy
+    stats job); granularity is 16^-8 ≈ 4e-10 of ``fraction``. Different
+    ``salt`` values draw independent samples from the same keys (e.g.
+    train/validation splits that stay disjoint under re-runs).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 0.0:
+        return df.where(F.lit(False))
+    threshold = int(fraction * 16**8)
+    if threshold >= 16**8:
+        return df
+    digest = F.md5(
+        F.concat_ws("\x1e", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    )
+    return df.where(F.substring(digest, 1, 8) < F.lit(format(threshold, "08x")))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

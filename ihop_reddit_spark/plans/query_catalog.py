@@ -841,6 +841,58 @@ def segment_nation_contingency(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction (engine extension): pull typed fields out of the
+# JSON props column JVM-side (get_json_object — no Python, no full from_json
+# schema pass) and aggregate. At 100 TB the string column never leaves the
+# scan stage un-pruned; extraction fuses into WholeStageCodegen.
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_stats_by_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed sampling (operators/setops.deterministic_sample): the
+# reproducible-split primitive — selection is md5(content), so the SAME rows
+# are drawn on any engine/run/partitioning. fraction=1/8 ⇒ threshold
+# 0x20000000 exactly (power of two — no rounding in either engine).
+# ---------------------------------------------------------------------------
+@query(
+    "deterministic_sample_documents",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(concat_ws(chr(30), 'split1', CAST(doc_id AS VARCHAR))),
+                 1, 8) < '20000000'
+    """,
+)
+def deterministic_sample_documents(spark, sf_dir):
+    from ..operators.setops import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, ["doc_id"], 0.125, salt="split1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1-F8 showcase — concat_ws/split/size/from_unixtime/regexp extraction on one
 # projection (ihop/import_data.py & utils.py scalar surface; F9 via regex).
 # ---------------------------------------------------------------------------

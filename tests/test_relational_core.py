@@ -379,6 +379,31 @@ def test_stratified_sample_fractions(spark):
     )
 
 
+def test_deterministic_sample_content_addressed(spark):
+    import hashlib
+
+    from ihop_reddit_spark.operators.setops import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    out = deterministic_sample(df, ["k"], 0.25, salt="s")
+    got = sorted(r.k for r in out.collect())
+    want = sorted(
+        i for i in range(2000)
+        if hashlib.md5(f"s\x1e{i}".encode()).hexdigest()[:8] < "40000000"
+    )
+    assert got == want                     # selection is md5(content), exactly
+    assert 350 < len(got) < 650            # ~500 of 2000
+    # partitioning-independent (the whole point vs RNG sampling)
+    repart = deterministic_sample(df.repartition(13), ["k"], 0.25, salt="s")
+    assert sorted(r.k for r in repart.collect()) == got
+    # different salt → a different (independent) draw
+    other = deterministic_sample(df, ["k"], 0.25, salt="t")
+    assert sorted(r.k for r in other.collect()) != got
+    # edges
+    assert deterministic_sample(df, ["k"], 0.0).count() == 0
+    assert deterministic_sample(df, ["k"], 1.0).count() == 2000
+
+
 def test_salted_join_equals_plain_join(spark):
     from ihop_reddit_spark.operators.joins import salted_join
 
