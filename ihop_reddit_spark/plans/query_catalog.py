@@ -893,6 +893,71 @@ def deterministic_sample_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time-spine gap fill (engine extension): hourly event counts with ZERO rows
+# for silent hours — sequence() over the global [min,max] hour bounds,
+# exploded into a spine, left-joined to the counts. The spine explode runs in
+# one task off a 1-row bounds aggregate (fine for hour/day grains; a
+# sub-second grain over years would repartition the spine after explode).
+# Both join sides are post-aggregation small; counts stay partial-agg'd
+# map-side at any data volume.
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_event_counts_gapfilled",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour FROM events),
+    b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM e),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS hour FROM b),
+    c AS (SELECT hour, COUNT(*) AS cnt FROM e GROUP BY hour)
+    SELECT spine.hour * 3600 AS hour_epoch,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM spine LEFT JOIN c USING (hour)
+    """,
+)
+def hourly_event_counts_gapfilled(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000000 div 3600").alias("hour")
+    )
+    bounds = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hour"))
+    counts = ev.groupBy("hour").agg(F.count(F.lit(1)).alias("cnt"))
+    return spine.join(counts, "hour", "left").select(
+        (F.col("hour") * 3600).alias("hour_epoch"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch with a driver-gateable tolerance contract: approx distinct is
+# the 100 TB path (constant memory per group vs exact's shuffle of the full
+# key set); HLL is deterministic for fixed data, so the within-tolerance
+# boolean is a stable oracle row — if the sketch ever drifted past ±15% the
+# hash gate would go red. exact_users is in the output so the oracle also
+# re-derives the ground truth.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_distinct_users_by_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_users_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        <= 0.15 * F.col("exact_users")
+    )
+    return agg.select("event_type", "exact_users", within.alias("within_tol"))
+
+
+# ---------------------------------------------------------------------------
 # F1-F8 showcase — concat_ws/split/size/from_unixtime/regexp extraction on one
 # projection (ihop/import_data.py & utils.py scalar surface; F9 via regex).
 # ---------------------------------------------------------------------------
@@ -1864,14 +1929,13 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return minhash_near_dup(docs, "text", "doc_id", jaccard_threshold=0.2)
 
 
-@query(
-    "simhash_candidate_pairs",
-    # Full cross-engine reimplementation of the 60-bit SimHash + 4×15-bit
-    # banding: md5-derived per-token hashes (first 15 hex chars → BIGINT),
-    # per-bit majority vote weighted by token frequency, band equality join.
-    # Every step is integer/md5 arithmetic — bit-identical across engines.
-    """
-    WITH toks AS (
+# Full cross-engine reimplementation of the 60-bit SimHash + 4×15-bit
+# banding: md5-derived per-token hashes (first 15 hex chars → BIGINT),
+# per-bit majority vote weighted by token frequency, band equality join.
+# Every step is integer/md5 arithmetic — bit-identical across engines.
+# Shared between simhash_candidate_pairs and its levenshtein verifier tier.
+_SIMHASH_CTES = """
+    toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       FROM documents),
     th AS (
@@ -1900,16 +1964,83 @@ def minhash_near_dup_pairs(spark, sf_dir):
       SELECT doc_id, r.band,
              (s >> CAST(r.band * 15 AS INTEGER)) & 32767 AS val
       FROM sig CROSS JOIN range(4) r(band))
+"""
+
+_SIMHASH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
     FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
     WHERE a.doc_id < b.doc_id
-    """,
+"""
+
+
+@query(
+    "simhash_candidate_pairs",
+    f"WITH {_SIMHASH_CTES} {_SIMHASH_PAIRS_SELECT}",
 )
 def simhash_candidate_pairs(spark, sf_dir):
     from ..datapipe.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_candidates(docs, "text", "doc_id")
+
+
+@query(
+    "levenshtein_verified_pairs",
+    f"""
+    WITH {_SIMHASH_CTES},
+    pairs AS ({_SIMHASH_PAIRS_SELECT}),
+    d AS (
+      SELECT doc_id, substr(text, 1, 120) AS prefix
+      FROM documents WHERE strlen(text) = length(text))
+    SELECT p.left_id, p.right_id,
+           CAST(levenshtein(da.prefix, db.prefix) AS BIGINT) AS dist
+    FROM pairs p
+    JOIN d da ON da.doc_id = p.left_id
+    JOIN d db ON db.doc_id = p.right_id
+    WHERE levenshtein(da.prefix, db.prefix) <= 40
+    """,
+)
+def levenshtein_verified_pairs(spark, sf_dir):
+    """Edit-distance verifier tier over SimHash banding candidates (the
+    tiering contract from ``datapipe/dedup.py``: exact pairwise work runs
+    ONLY on candidates from a bucketed-shuffle tier, never all-pairs — a
+    length-band blocking variant was measured quadratic-within-block and
+    rejected). Levenshtein runs on a bounded 120-char prefix, so per-pair
+    cost is a constant ≤120² DP. ASCII-equality predicate on both sides of
+    the gate: Spark's levenshtein counts codepoints, DuckDB's counts bytes,
+    so the cross-engine contract is ASCII-only text.
+    """
+    from ..datapipe.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_candidates(docs, "text", "doc_id")
+    d = (
+        docs.where(F.length("text") == F.octet_length("text"))
+        .select("doc_id", F.substring("text", 1, 120).alias("prefix"))
+    )
+    out = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("left_id"),
+                F.col("prefix").alias("__lp"),
+            ),
+            "left_id",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("right_id"),
+                F.col("prefix").alias("__rp"),
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("__lp", "__rp").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 40)
+    )
+    return out
 
 
 @query("kmeans_cluster_sizes")
