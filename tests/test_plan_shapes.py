@@ -156,3 +156,52 @@ def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "__salt" in plan
+
+
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes of a type in a formatted plan (each node appears
+    once in the tree and once in the numbered details — count the latter)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", plan, flags=re.MULTILINE))
+
+
+def test_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    plan = plan_of(QUERIES["rollup_order_status_totals"](spark, sf_dir))
+    # all grouping levels come from ONE Expand feeding ONE shuffle with
+    # map-side partial aggregation — never one job per level
+    assert n_nodes(plan, "Expand") == 1
+    assert n_nodes(plan, "Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_quantiles_share_one_exchange(spark, sf_dir):
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    plan = plan_of(QUERIES["quantiles_value_by_event_type"](spark, sf_dir))
+    # row_number and the partition count window must reuse the SAME
+    # hash partitioning on event_type; the rank-pivot aggregates map-side
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 2
+
+
+def test_pivot_has_no_distinct_discovery_job(spark, sf_dir):
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    df = QUERIES["pivot_nation_segment_counts"](spark, sf_dir)
+    plan = plan_of(df)
+    # explicit value list ⇒ the pivot is a pure aggregate plan: no separate
+    # collect-distinct job materializes before this plan can be built
+    assert "pivotfirst" in plan
+    assert n_nodes(plan, "Exchange") <= 2
+
+
+def test_gapfill_counts_aggregate_map_side(spark, sf_dir):
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    plan = plan_of(QUERIES["hourly_event_counts_gapfilled"](spark, sf_dir))
+    # the event scan reaches the join only AFTER partial+final aggregation —
+    # the spine join never sees raw event rows
+    assert "partial_count" in plan
