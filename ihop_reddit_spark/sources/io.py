@@ -28,6 +28,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — same layout semantics as :func:`write_parquet` (directory
+    partitioning ⇒ partition pruning; columnar + predicate pushdown via ORC
+    stripe/row-group statistics). For interop with Hive/Trino warehouses
+    where ORC is the table format; parquet remains the engine default.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan — vectorized read with pushdown/pruning like parquet."""
+    return spark.read.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -90,6 +90,24 @@ def test_parquet_sink_partitioned_roundtrip(spark, tmp_path):
     assert pruned.count() == 1
 
 
+def test_orc_sink_partitioned_roundtrip(spark, tmp_path):
+    from ihop_reddit_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "2021-04", "a"), (2, "2021-04", "b"), (3, "2021-05", "c")],
+        "id long, month string, v string",
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["month"])
+    assert os.path.isdir(os.path.join(out, "month=2021-04"))
+    back = read_orc(spark, out)
+    assert back.count() == 3
+    assert back.where(F.col("month") == "2021-05").count() == 1
+    assert {tuple(r) for r in back.select("id", "month", "v").collect()} == {
+        (1, "2021-04", "a"), (2, "2021-04", "b"), (3, "2021-05", "c")
+    }
+
+
 def test_csv_sinks_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [("alice sub1 sub2",), ("bob sub3",)], "context string"
