@@ -1,0 +1,270 @@
+"""Training-data curation operators: repetition/quality signals, benchmark
+decontamination, deterministic dataset splits, temperature-weighted source
+mixing, and sequence packing.
+
+These extend the reference's corpus-prep surface (ihop/import_data.py — which
+stops at filtering + context assembly) with the operations an LLM pretraining
+pipeline runs between "raw corpus" and "training batches". Everything here is
+engine-portable by construction (the cross-engine determinism rules from
+plans/query_catalog.py): integer/ratio arithmetic, md5 content addressing for
+every random choice, and sqrt (correctly-rounded IEEE) instead of pow for the
+one fractional exponent.
+
+Scale notes per operator are in each docstring; none of them collects data to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Unit separator joining salt and key material for md5 content addressing —
+#: same convention as operators/setops.deterministic_sample.
+_SEP = "\x1e"
+
+
+def _md5_prefix(salt: str, key: Column) -> Column:
+    """First 8 hex chars of md5(salt ␞ key) — a uniform 32-bit draw that any
+    engine reproduces exactly (DuckDB: substr(md5(concat_ws(chr(30), ...)), 1, 8))."""
+    return F.substring(
+        F.md5(F.concat_ws(_SEP, F.lit(salt), key.cast("string"))), 1, 8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, sep: str = " "
+) -> DataFrame:
+    """Per-document repetition signals used as pretraining quality filters
+    (the "repetitious document" rules of Rae et al. 2021, §A1.1):
+
+    * ``dup_token_frac``  — fraction of token instances that repeat an
+      earlier token (1 − distinct/total).
+    * ``top_2gram_frac``  — occurrences of the most frequent word 2-gram over
+      total 2-grams.
+    * ``dup_3gram_frac``  — fraction of 3-gram instances that are repeats.
+
+    Plan: one posexplode of the token stream, 2-/3-grams from ``lead()``
+    neighbors over the per-doc window (O(tokens) per doc, same construction
+    as dedup.exploded_word_shingles), then two aggregates keyed by the doc id
+    — shuffles stay balanced regardless of corpus size because the key is
+    doc-grain. No Python, no driver materialization. Ratios are int/int
+    double divisions — deterministic.
+
+    Documents shorter than 3 tokens have no 3-gram (and <2 no 2-gram) and are
+    dropped by the inner join, mirroring the SQL oracle's inner joins.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), sep)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    lead1, lead2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    fr = toks.select(
+        "__id",
+        "tok",
+        F.when(
+            lead1.isNotNull(), F.concat_ws(" ", F.col("tok"), lead1)
+        ).alias("g2"),
+        F.when(
+            lead2.isNotNull(),
+            F.concat_ws(" ", F.col("tok"), lead1, lead2),
+        ).alias("g3"),
+    )
+    base = fr.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+        F.count("g3").alias("tot3"),
+        F.count_distinct("g3").alias("d3"),
+    )
+    top2 = (
+        fr.where(F.col("g2").isNotNull())
+        .groupBy("__id", "g2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(F.max("c").alias("top2"), F.sum("c").alias("tot2"))
+    )
+    joined = base.join(top2, "__id")
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens"),
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+        (F.col("top2").cast("double") / F.col("tot2")).alias("top_2gram_frac"),
+        ((F.col("tot3") - F.col("d3")).cast("double") / F.col("tot3")).alias(
+            "dup_3gram_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    sep: str = " ",
+) -> DataFrame:
+    """Drop every training document sharing any word ``n``-gram with the
+    benchmark set (eval-set decontamination à la GPT-3 appendix C / PaLM:
+    13-gram overlap removal; ``n`` is configurable — the catalog query uses 5
+    to suit the short synthetic docs).
+
+    Plan: shingle both sides with the O(tokens) exploded-shingle operator,
+    inner-join training shingles against the **broadcast** distinct benchmark
+    shingle set (benchmarks are small by nature — a few thousand eval docs vs
+    a 100 TB corpus), take the distinct contaminated ids, and left-anti join
+    the corpus. The corpus-side shuffle keys are (doc, gram) — balanced; the
+    benchmark never shuffles the corpus. Returns ``df`` rows that survive,
+    schema unchanged.
+    """
+    from .dedup import exploded_word_shingles
+
+    bg = (
+        exploded_word_shingles(benchmark, text_col, id_col, n=n, sep=sep)
+        .select("__g")
+        .distinct()
+    )
+    tg = exploded_word_shingles(df, text_col, id_col, n=n, sep=sep)
+    contaminated = (
+        tg.join(F.broadcast(bg), "__g").select("__id").distinct()
+    )
+    return df.join(
+        contaminated.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split
+# ---------------------------------------------------------------------------
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    salt: str,
+    bounds: list[tuple[str, str]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Content-addressed train/val/test assignment: the split of a row is a
+    pure function of (salt, key) — stable across engines, runs, partitionings
+    and data growth (a doc keeps its split when the corpus around it
+    changes, unlike ``randomSplit``).
+
+    ``bounds`` is a list of ``(name, upper_hex)`` pairs ordered by ascending
+    8-char lowercase hex upper bound; the final pair's bound should be
+    ``"ffffffff"`` + 1 semantics — pass e.g. ``[("train", "e6666666"),
+    ("val", "f3333333"), ("test", None)]`` where ``None`` catches the rest.
+    floor(weight·2³²) hex literals keep both engines comparing identical
+    strings. Zero shuffles — a projection.
+    """
+    h = _md5_prefix(salt, F.col(key_col))
+    expr = None
+    otherwise = None
+    for name, bound in bounds:
+        if bound is None:
+            otherwise = name
+            continue
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None and otherwise is not None
+    return df.withColumn(out_col, expr.otherwise(otherwise))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing
+# ---------------------------------------------------------------------------
+def mixture_rates(df: DataFrame, source_col: str) -> DataFrame:
+    """Per-source keep rates for √-temperature mixing (α = 0.5): sampling the
+    corpus at ``rate_s = sqrt(n_min / n_s)`` yields source s contributing
+    ∝ √n_s documents — the classic temperature re-weighting that upsamples
+    the tail relative to proportional sampling (multilingual/multi-corpus
+    pretraining mixtures). α is fixed at ½ because ``sqrt`` is correctly
+    rounded in IEEE-754 (bit-identical across engines) while ``pow`` is not.
+
+    Returns (source, n_docs, rate, threshold) where ``threshold`` is the
+    8-hex md5 cutoff ``floor(rate·2³²)``. One partial-aggregate shuffle over
+    a handful of source keys; the result is dimension-sized.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rate = F.sqrt(F.col("n_min") / F.col("n_docs"))
+    return (
+        counts.join(F.broadcast(n_min))
+        .withColumn("rate", rate)
+        .withColumn(
+            "threshold",
+            F.lpad(
+                F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)))),
+                8,
+                "0",
+            ),
+        )
+        .select(source_col, "n_docs", "rate", "threshold")
+    )
+
+
+def mixture_sample(
+    df: DataFrame, source_col: str, key_col: str, salt: str
+) -> DataFrame:
+    """Materialize the √-temperature mixture: keep a row iff its md5 draw
+    falls under its source's threshold (the smallest source keeps rate 1.0 —
+    the explicit ``rate >= 1`` arm avoids a 9-hex-digit threshold string).
+
+    Plan: the dimension-sized rates table broadcast-joins onto the corpus —
+    no corpus shuffle at all; selection is a per-row filter. Deterministic:
+    same rows survive on any engine/run/partitioning.
+    """
+    rates = mixture_rates(df, source_col)
+    h = _md5_prefix(salt, F.col(key_col))
+    keep = (F.col("rate") >= 1.0) | (h < F.col("threshold"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(keep)
+        .select(*df.columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    source_col: str,
+    order_col: str,
+    token_count_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins: stream the
+    per-source corpus in ``order_col`` order and start bin k at cumulative
+    token offset k·budget (the standard "concatenate-then-chunk" packing; a
+    document belongs to the bin its first token lands in).
+
+    Plan: one window cumsum partitioned by source — integer arithmetic end to
+    end (``div``, not float floor). At 100 TB a single source's window is one
+    task's sort; real deployments sub-partition the window key by a coarse
+    order prefix (e.g. (source, shard) where shard = order_col div N) which
+    preserves bin math exactly because the cumsum offset per shard can be
+    rebased — the catalog query documents the single-key form for oracle
+    parity.
+
+    Returns df columns + ``n_tokens`` + ``bin``.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", token_count_col.cast("long"))
+    out = out.withColumn("__cum", F.sum("n_tokens").over(w))
+    # integer `div` (not float /, not floor(double)) — exact past 2^53 token
+    # offsets; offsets are non-negative so div == floor.
+    return out.withColumn(
+        "bin", F.expr(f"(__cum - n_tokens) div {int(budget)}")
+    ).drop("__cum")

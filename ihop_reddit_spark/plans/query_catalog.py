@@ -2221,6 +2221,211 @@ def ivf_ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation tier (datapipe/curation.py) — the operations an LLM
+# pretraining pipeline runs between "raw corpus" and "training batches".
+# The reference stops at corpus filtering (ihop/import_data.py:243-297);
+# these extend it. All five are engine-portable by construction: integer
+# ratios, md5 content addressing, sqrt instead of pow.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      FROM toks),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i : i+1], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 2),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    g2s AS (SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS tot2
+            FROM g2c GROUP BY 1),
+    g3 AS (
+      SELECT doc_id, array_to_string(t[i : i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+      WHERE len(t) >= 3),
+    g3s AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS d3
+            FROM g3 GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens
+             AS dup_token_frac,
+           CAST(g2s.top2 AS DOUBLE) / g2s.tot2 AS top_2gram_frac,
+           CAST(g3s.tot3 - g3s.d3 AS DOUBLE) / g3s.tot3 AS dup_3gram_frac
+    FROM base b JOIN g2s USING (doc_id) JOIN g3s USING (doc_id)
+    """,
+)
+def doc_repetition_features(spark, sf_dir):
+    from ..datapipe.curation import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs, "text", "doc_id")
+
+
+@query(
+    "decontaminated_documents",
+    """
+    WITH bench AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id % 25 = 0),
+    bg AS (
+      SELECT DISTINCT array_to_string(t[i : i+4], ' ') AS g
+      FROM bench, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    train AS (
+      SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id % 25 <> 0),
+    tg AS (
+      SELECT doc_id, array_to_string(t[i : i+4], ' ') AS g
+      FROM train, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+    SELECT doc_id, source, n_chars FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminated_documents(spark, sf_dir):
+    """Eval-set decontamination: the 'benchmark' is the doc_id % 25 == 0
+    slice; every remaining doc sharing a 5-gram with it is dropped."""
+    from ..datapipe.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return decontaminate(train, bench, "text", "doc_id", n=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "dataset_split_sizes",
+    """
+    WITH a AS (
+      SELECT n_chars,
+             substr(md5(concat_ws(chr(30), 'split9',
+                                  CAST(doc_id AS VARCHAR))), 1, 8) AS h
+      FROM documents),
+    s AS (
+      SELECT CASE WHEN h < 'e6666666' THEN 'train'
+                  WHEN h < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM a)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def dataset_split_sizes(spark, sf_dir):
+    """Content-addressed 90/5/5 split: bounds are floor(w·2³²) hex literals
+    (0.9 → e6666666, 0.95 → f3333333) so both engines compare identical
+    strings; a doc's split never changes as the corpus grows."""
+    from ..datapipe.curation import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = assign_split(
+        docs,
+        "doc_id",
+        "split9",
+        [("train", "e6666666"), ("val", "f3333333"), ("test", None)],
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@query(
+    "mixture_sample_by_source",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_docs,
+             sqrt((SELECT MIN(n_docs) FROM counts) / n_docs) AS rate
+      FROM counts),
+    thresh AS (
+      SELECT source, n_docs, rate,
+             printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) AS th
+      FROM rates),
+    kept AS (
+      SELECT d.source, t.n_docs, t.rate, d.n_chars,
+             (t.rate >= 1.0 OR
+              substr(md5(concat_ws(chr(30), 'mix1',
+                                   CAST(d.doc_id AS VARCHAR))), 1, 8) < t.th)
+               AS keep
+      FROM documents d JOIN thresh t USING (source))
+    SELECT source, n_docs AS n_before, rate,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_after,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE keep), 0) AS BIGINT)
+             AS sum_chars_after
+    FROM kept GROUP BY source, n_docs, rate
+    """,
+)
+def mixture_sample_by_source(spark, sf_dir):
+    """√-temperature source mixing (α=½): keep rate sqrt(n_min/n_s) per
+    source, md5-thresholded selection. sqrt is correctly rounded IEEE —
+    bit-identical across engines — which is why α is fixed at ½ rather than
+    a pow() exponent."""
+    from ..datapipe.curation import mixture_rates, _md5_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "source")
+    h = _md5_prefix("mix1", F.col("doc_id"))
+    keep = (F.col("rate") >= 1.0) | (h < F.col("threshold"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            F.col("n_docs").alias("n_before"),
+            "rate",
+            "n_chars",
+            keep.alias("keep"),
+        )
+        .groupBy("source", "n_before", "rate")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_after"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("sum_chars_after"),
+        )
+    )
+
+
+@query(
+    "packed_sequence_bins",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d)
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def packed_sequence_bins(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing: per-source doc stream in
+    doc_id order, bin = token-offset div 512. Integer arithmetic end to end."""
+    from ..datapipe.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "source", "doc_id", TX.token_count(F.col("text")), 512
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # time budget; in round 1 it stopped after 50 entries, so the last-registered
 # 8 (the ML tier) got no CORRECTNESS row at all. Promote that block to just
@@ -2239,6 +2444,12 @@ _PROMOTED = [
     "simhash_candidate_pairs",
     "minhash_near_dup_pairs",
     "minhash_verified_pairs",
+    # round-2 curation tier — documents-table cheap; score them early too
+    "doc_repetition_features",
+    "decontaminated_documents",
+    "dataset_split_sizes",
+    "mixture_sample_by_source",
+    "packed_sequence_bins",
 ]
 _ANCHOR = "event_scalar_functions"  # end of the cheap relational block
 

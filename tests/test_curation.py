@@ -1,0 +1,118 @@
+"""Closed-form tests for the training-data curation tier
+(datapipe/curation.py): repetition signals, decontamination, splits,
+mixture sampling, sequence packing.
+
+The catalog queries built on these are DuckDB-oracle-gated at sf0.01
+(plans/query_catalog.py); these tests pin hand-computable semantics on tiny
+inputs plus the partitioning-invariance contracts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.datapipe.curation import (
+    assign_split,
+    decontaminate,
+    mixture_rates,
+    mixture_sample,
+    pack_sequences,
+    repetition_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 1: "a b a b a" — dup tokens 3/5, top 2-gram "a b" 2/4, 3-grams:
+        # "a b a","b a b","a b a" → 1 dup of 3
+        (1, "a b a b a", "s1"),
+        # doc 2: all distinct tokens, no repeated grams
+        (2, "p q r s t", "s1"),
+        # doc 3: near-dup of doc 2 (shares 5-gram)
+        (3, "p q r s t u", "s2"),
+        (4, "x y z w v", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_repetition_features_closed_form(docs):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, "text", "doc_id").collect()
+    }
+    d1 = out[1]
+    assert d1["n_tokens"] == 5
+    assert d1["dup_token_frac"] == pytest.approx(3 / 5)
+    assert d1["top_2gram_frac"] == pytest.approx(2 / 4)
+    assert d1["dup_3gram_frac"] == pytest.approx(1 / 3)
+    d2 = out[2]
+    assert d2["dup_token_frac"] == 0.0
+    assert d2["top_2gram_frac"] == pytest.approx(1 / 4)
+    assert d2["dup_3gram_frac"] == 0.0
+
+
+def test_decontaminate_drops_ngram_overlap(spark, docs):
+    bench = docs.where(F.col("doc_id") == 2)
+    train = docs.where(F.col("doc_id") != 2)
+    kept = decontaminate(train, bench, "text", "doc_id", n=5)
+    # doc 3 shares the 5-gram "p q r s t" with the benchmark; 1 and 4 don't
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    assert kept.columns == train.columns
+
+
+def test_assign_split_is_content_addressed(spark, docs):
+    bounds = [("train", "e6666666"), ("val", "f3333333"), ("test", None)]
+    out = assign_split(docs, "doc_id", "split9", bounds)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    for doc_id, split in rows.items():
+        h = hashlib.md5(f"split9\x1e{doc_id}".encode()).hexdigest()[:8]
+        expect = "train" if h < "e6666666" else ("val" if h < "f3333333" else "test")
+        assert split == expect, doc_id
+    # partitioning-invariant: same assignment after a repartition
+    re = assign_split(docs.repartition(7), "doc_id", "split9", bounds)
+    assert {r["doc_id"]: r["split"] for r in re.collect()} == rows
+
+
+def test_mixture_rates_sqrt_temperature(spark):
+    rows = [(i, "big") for i in range(16)] + [(100 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {r["source"]: r for r in mixture_rates(df, "source").collect()}
+    assert rates["small"]["rate"] == 1.0
+    assert rates["big"]["rate"] == pytest.approx((4 / 16) ** 0.5)
+    assert rates["big"]["threshold"] == "80000000"  # sqrt(.25)=.5 → 0x80000000
+
+    sampled = mixture_sample(df, "source", "doc_id", "mix1")
+    got = sampled.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    # the smallest source is kept whole (rate >= 1 arm)
+    assert by_src["small"] == 4
+    # the big source is thresholded: exactly the ids whose md5 draw < 0.5
+    expect_big = sum(
+        1
+        for i in range(16)
+        if hashlib.md5(f"mix1\x1e{i}".encode()).hexdigest()[:8] < "80000000"
+    )
+    assert by_src.get("big", 0) == expect_big
+    assert sampled.columns == df.columns
+
+
+def test_pack_sequences_bins(spark):
+    # budget 10; source s: token counts 4,4,4 → offsets 0,4,8 → bins 0,0,0;
+    # fourth doc offset 12 → bin 1
+    rows = [
+        (1, "a b c d", "s"),
+        (2, "a b c d", "s"),
+        (3, "a b c d", "s"),
+        (4, "a b c d", "s"),
+        (5, "a b", "t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = pack_sequences(
+        df, "source", "doc_id", F.size(F.split(F.col("text"), " ")), 10
+    )
+    bins = {r["doc_id"]: r["bin"] for r in out.collect()}
+    assert bins == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
