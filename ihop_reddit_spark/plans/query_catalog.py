@@ -2426,6 +2426,113 @@ def packed_sequence_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Curation capstone — the full corpus→training-batches pipeline in one plan:
+# repetition filter → benchmark decontamination → √-temperature mixing →
+# content-addressed train split → sequence packing → per-source summary.
+# Every stage is individually oracle-proven above; this gates the
+# composition (stage interactions: the mixture rates are computed on the
+# POST-decontamination survivor counts, the packing stream on the
+# post-split train subset).
+# ---------------------------------------------------------------------------
+@query(
+    "curated_training_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i : i+1], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 2),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    keep AS (
+      SELECT doc_id FROM g2c GROUP BY doc_id
+      HAVING CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.05),
+    bench AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id % 25 = 0),
+    bg AS (
+      SELECT DISTINCT array_to_string(t[i : i+4], ' ') AS g
+      FROM bench, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    train_pool AS (
+      SELECT d.doc_id, d.source, d.text, t.t
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE d.doc_id % 25 <> 0
+        AND d.doc_id IN (SELECT doc_id FROM keep)),
+    tg AS (
+      SELECT doc_id, array_to_string(t[i : i+4], ' ') AS g
+      FROM train_pool, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    decon AS (
+      SELECT doc_id, source, t FROM train_pool
+      WHERE doc_id NOT IN (
+        SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))),
+    counts AS (SELECT source, COUNT(*) AS n_docs FROM decon GROUP BY source),
+    thresh AS (
+      SELECT source,
+             sqrt((SELECT MIN(n_docs) FROM counts) / n_docs) AS rate,
+             printf('%08x', CAST(floor(
+               sqrt((SELECT MIN(n_docs) FROM counts) / n_docs)
+               * 4294967296) AS BIGINT)) AS th
+      FROM counts),
+    mixed AS (
+      SELECT d.doc_id, d.source, d.t
+      FROM decon d JOIN thresh USING (source)
+      WHERE rate >= 1.0 OR
+            substr(md5(concat_ws(chr(30), 'mixcap',
+                                 CAST(d.doc_id AS VARCHAR))), 1, 8) < th),
+    tr AS (
+      SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens FROM mixed
+      WHERE substr(md5(concat_ws(chr(30), 'splitcap',
+                                 CAST(doc_id AS VARCHAR))), 1, 8)
+            < 'e6666666'),
+    packed AS (
+      SELECT source, n_tokens,
+             (CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - n_tokens) // 512 AS bin
+      FROM tr)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY source
+    """,
+)
+def curated_training_corpus(spark, sf_dir):
+    from ..datapipe.curation import (
+        assign_split,
+        decontaminate,
+        mixture_sample,
+        pack_sequences,
+        repetition_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        repetition_features(docs, "text", "doc_id")
+        .where(F.col("top_2gram_frac") <= 0.05)
+        .select("doc_id")
+    )
+    clean = docs.join(keep, "doc_id", "left_semi").select(*docs.columns)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    pool = clean.where(F.col("doc_id") % 25 != 0)
+    decon = decontaminate(pool, bench, "text", "doc_id", n=5)
+    mixed = mixture_sample(decon, "source", "doc_id", "mixcap")
+    tr = assign_split(
+        mixed,
+        "doc_id",
+        "splitcap",
+        [("train", "e6666666"), ("rest", None)],
+    ).where(F.col("split") == "train")
+    packed = pack_sequences(
+        tr, "source", "doc_id", TX.token_count(F.col("text")), 512
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("bin").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # time budget; in round 1 it stopped after 50 entries, so the last-registered
 # 8 (the ML tier) got no CORRECTNESS row at all. Promote that block to just
@@ -2450,6 +2557,7 @@ _PROMOTED = [
     "dataset_split_sizes",
     "mixture_sample_by_source",
     "packed_sequence_bins",
+    "curated_training_corpus",
 ]
 _ANCHOR = "event_scalar_functions"  # end of the cheap relational block
 
