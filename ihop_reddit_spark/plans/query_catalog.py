@@ -958,6 +958,72 @@ def approx_distinct_users_by_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Approximate percentile + tolerance contract (same gate shape as the HLL
+# query above): exact rank-selection quantiles are hash-gated directly;
+# percentile_approx's GK sketch is merge-order-dependent, but its rank-error
+# bound (accuracy=100 ⇒ ≤ n/100 ranks) keeps |approx − exact| within 15% of
+# the per-group value spread for ANY partitioning, so the boolean is
+# deterministic and the oracle emits TRUE. At 100 TB the sketch is the only
+# viable path (exact needs a per-group sort); this query proves the engine
+# can bound its error against the exact answer.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_quantiles_value_tolerance",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER
+               (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END)
+             AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END)
+             AS p90,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM s GROUP BY event_type
+    """,
+)
+def approx_quantiles_value_tolerance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("value"))).alias(name)
+
+    exact = s.groupBy("event_type").agg(
+        pick(0.50, "p50"),
+        pick(0.90, "p90"),
+        F.min("value").alias("__mn"),
+        F.max("value").alias("__mx"),
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.50, 0.90], 100).alias("__ap")
+    )
+    j = exact.join(approx, "event_type")
+    tol = 0.15 * (F.col("__mx") - F.col("__mn"))
+    return j.select(
+        "event_type",
+        "p50",
+        "p90",
+        (F.abs(F.col("__ap")[0] - F.col("p50")) <= tol).alias("p50_within_tol"),
+        (F.abs(F.col("__ap")[1] - F.col("p90")) <= tol).alias("p90_within_tol"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1-F8 showcase — concat_ws/split/size/from_unixtime/regexp extraction on one
 # projection (ihop/import_data.py & utils.py scalar surface; F9 via regex).
 # ---------------------------------------------------------------------------

@@ -51,6 +51,28 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the interchange twin of ``sources/reddit.read_jsonl``
+    (the reference's native ingest format, ``ihop/import_data.py:300-311``).
+    One JSON object per line, optionally gzip/bzip2-compressed and
+    directory-partitioned; for handing curated corpora to non-columnar
+    consumers (tokenizer trainers, external loaders). Parquet remains the
+    analytics default — JSONL trades scan efficiency for universality.
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

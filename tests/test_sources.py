@@ -128,3 +128,23 @@ def test_read_parquet_tables(spark, sf_dir):
     tables = read_parquet_tables(spark, sf_dir, ["region", "nation"])
     assert set(tables) == {"region", "nation"}
     assert tables["region"].count() > 0
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from ihop_reddit_spark.sources.io import write_jsonl
+    from ihop_reddit_spark.sources.reddit import read_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "2021-04", "hello world"), (2, "2021-04", "emoji 🎉"),
+         (3, "2021-05", 'quotes "and" commas,')],
+        "id long, month string, body string",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out, partition_by=["month"], compression="gzip")
+    assert os.path.isdir(os.path.join(out, "month=2021-04"))
+    part = os.path.join(out, "month=2021-04")
+    assert any(f.endswith(".json.gz") for f in os.listdir(part))
+    back = read_jsonl(spark, out, schema="id long, body string")
+    got = {(r["id"], r["body"]) for r in back.select("id", "body").collect()}
+    assert got == {(1, "hello world"), (2, "emoji 🎉"),
+                   (3, 'quotes "and" commas,')}
