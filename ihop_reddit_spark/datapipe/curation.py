@@ -102,6 +102,39 @@ def repetition_features(
     )
 
 
+def top_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, sep: str = " "
+) -> DataFrame:
+    """Just the top-n-gram occupancy signal: (id, ``top_ngram_frac``).
+
+    The single-signal path for repetition *filtering* (the common case in a
+    curation pipeline): skips :func:`repetition_features`'s distinct
+    aggregates and join — one explode, one (doc, gram) count, one per-doc
+    max/sum. Docs with fewer than ``n`` tokens have no n-gram and are absent
+    from the output (treat as unfiltered or dropped at the call site).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), sep)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    gram = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("tok"), *leads)
+    )
+    return (
+        toks.select("__id", gram.alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_ngram_frac")
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -2568,13 +2568,16 @@ def curated_training_corpus(spark, sf_dir):
         decontaminate,
         mixture_sample,
         pack_sequences,
-        repetition_features,
+        top_ngram_fraction,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # single-signal repetition filter — top_ngram_fraction skips the full
+    # repetition_features distinct-aggregates + join (measured 7.4s → see
+    # PERFORMANCE.md)
     keep = (
-        repetition_features(docs, "text", "doc_id")
-        .where(F.col("top_2gram_frac") <= 0.05)
+        top_ngram_fraction(docs, "text", "doc_id", n=2)
+        .where(F.col("top_ngram_frac") <= 0.05)
         .select("doc_id")
     )
     clean = docs.join(keep, "doc_id", "left_semi").select(*docs.columns)

@@ -116,3 +116,17 @@ def test_pack_sequences_bins(spark):
     )
     bins = {r["doc_id"]: r["bin"] for r in out.collect()}
     assert bins == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+
+def test_top_ngram_fraction_matches_repetition_features(docs):
+    from ihop_reddit_spark.datapipe.curation import top_ngram_fraction
+
+    light = {
+        r["doc_id"]: r["top_ngram_frac"]
+        for r in top_ngram_fraction(docs, "text", "doc_id", n=2).collect()
+    }
+    full = {
+        r["doc_id"]: r["top_2gram_frac"]
+        for r in repetition_features(docs, "text", "doc_id").collect()
+    }
+    assert light == full
