@@ -86,3 +86,70 @@ def stratified_sample(
     (sampleBy semantics).
     """
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Apply a change batch to a snapshot: delta rows win on key collision,
+    base rows without a delta survive unchanged (MERGE ... WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT, as a pure transformation — the
+    engine's tables are immutable parquet snapshots, so "merge" produces the
+    next snapshot rather than mutating in place).
+
+    Plan: one left-anti join of base against the delta key set + a union.
+    Deltas are small relative to the snapshot in steady state — broadcast by
+    default, so the 100 TB base never shuffles; pass ``broadcast_delta=False``
+    for backfill-sized deltas (falls back to a key-partitioned shuffle join,
+    AQE-handled).
+    """
+    delta_keys = delta.select(*keys)
+    if broadcast_delta:
+        delta_keys = F.broadcast(delta_keys)
+    keep = base.join(delta_keys, keys, "left_anti")
+    return keep.select(*base.columns).unionByName(delta.select(*base.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two snapshot versions: one row per key that was
+    ``added``, ``removed``, or ``changed`` (any compare col differs,
+    null-safe); unchanged keys are dropped. The audit/CDC primitive for
+    dataset versioning — "what did this rebuild change?".
+
+    Plan: one full-outer shuffle join on the key (both sides hash-partition;
+    skew on key is data-model skew, not plan skew). Comparison is null-safe
+    ``<=>`` so NULL→value and value→NULL count as changes.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

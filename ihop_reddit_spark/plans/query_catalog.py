@@ -2492,6 +2492,90 @@ def packed_sequence_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dataset maintenance (operators/setops.merge_upsert / snapshot_diff): apply
+# a change batch to an immutable snapshot (MERGE-as-transformation — the
+# base never shuffles, the delta broadcasts) and diff two snapshot versions
+# (full-outer on the key, null-safe compare). The delta here is
+# deterministic: every 10th customer re-priced, five new synthetic rows,
+# every 97th key deleted from the next snapshot.
+# ---------------------------------------------------------------------------
+_DELTA_SQL = """
+    delta AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 9000000 + r, 'new_' || CAST(r AS VARCHAR), CAST(r AS INTEGER),
+             0.0, 'NEW'
+      FROM range(5) t(r)),
+    merged AS (
+      SELECT * FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+      UNION ALL SELECT * FROM delta)
+"""
+
+
+def _customer_delta(spark, cust):
+    mod = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    new = spark.range(5).select(
+        (F.col("id") + 9000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("id").cast("string")).alias("c_name"),
+        F.col("id").cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return mod.unionByName(new)
+
+
+@query(
+    "merge_upsert_customers",
+    f"""
+    WITH {_DELTA_SQL}
+    SELECT * FROM merged
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    from ..operators.setops import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    return merge_upsert(cust, _customer_delta(spark, cust), ["c_custkey"])
+
+
+@query(
+    "snapshot_diff_customers",
+    f"""
+    WITH {_DELTA_SQL},
+    nxt AS (SELECT * FROM merged WHERE c_custkey % 97 <> 1),
+    d AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                    OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    THEN 'changed' END AS change
+      FROM customer o FULL OUTER JOIN nxt n ON o.c_custkey = n.c_custkey)
+    SELECT c_custkey, change FROM d WHERE change IS NOT NULL
+    """,
+)
+def snapshot_diff_customers(spark, sf_dir):
+    from ..operators.setops import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    merged = merge_upsert_customers(spark, sf_dir)
+    nxt = merged.where(F.col("c_custkey") % 97 != 1)
+    return snapshot_diff(
+        cust, nxt, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Curation capstone — the full corpus→training-batches pipeline in one plan:
 # repetition filter → benchmark decontamination → √-temperature mixing →
 # content-addressed train split → sequence packing → per-source summary.
@@ -2627,6 +2711,8 @@ _PROMOTED = [
     "mixture_sample_by_source",
     "packed_sequence_bins",
     "curated_training_corpus",
+    "merge_upsert_customers",
+    "snapshot_diff_customers",
 ]
 _ANCHOR = "event_scalar_functions"  # end of the cheap relational block
 

@@ -437,3 +437,31 @@ def test_salted_join_rejects_right_preserving_and_reserved(spark):
     bad = df.withColumnRenamed("id", "__salt")
     with _pytest.raises(ValueError, match="reserved"):
         salted_join(bad, df, "k")
+
+
+def test_merge_upsert_semantics(spark):
+    from ihop_reddit_spark.operators.setops import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    delta = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    out = {r["k"]: (r["v"], r["x"]) for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from ihop_reddit_spark.operators.setops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (5, 50.0)], "k long, x double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 3.0), (4, 40.0)], "k long, x double"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], ["x"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 NULL->value counts as changed
+    # (null-safe compare), 4 added, 5 removed
+    assert got == {2: "changed", 3: "changed", 4: "added", 5: "removed"}
