@@ -205,3 +205,43 @@ def test_gapfill_counts_aggregate_map_side(spark, sf_dir):
     # the event scan reaches the join only AFTER partial+final aggregation —
     # the spine join never sees raw event rows
     assert "partial_count" in plan
+
+
+def test_merge_upsert_broadcasts_delta_base_never_shuffles(spark, sf_dir):
+    from ihop_reddit_spark.operators.setops import merge_upsert
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    delta = cust.limit(10)
+    plan = plan_of(merge_upsert(cust, delta, ["c_custkey"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    pool = docs.where(F.col("doc_id") % 25 != 0)
+    plan = plan_of(decontaminate(pool, bench, "text", "doc_id", n=5))
+    # the corpus side joins the benchmark gram set and the contaminated id
+    # set via broadcast — never a corpus-wide sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assign_split_and_mixture_have_no_corpus_shuffle(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.curation import assign_split, mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_plan = plan_of(
+        assign_split(docs, "doc_id", "s", [("a", "80000000"), ("b", None)])
+    )
+    assert "Exchange" not in split_plan  # pure projection
+
+    mix_plan = plan_of(mixture_sample(docs, "source", "doc_id", "m"))
+    # rates are dimension-sized and broadcast back; the only Exchanges build
+    # the per-source counts, never repartition the corpus for the join
+    assert "BroadcastHashJoin" in mix_plan
+    assert "SortMergeJoin" not in mix_plan
