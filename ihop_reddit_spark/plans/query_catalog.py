@@ -2492,6 +2492,62 @@ def packed_sequence_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Data-quality gate (datapipe/quality.py): violation counts per named rule —
+# four row-local rules + a key-uniqueness rule in ONE map-side-partial
+# aggregate over the scan, plus an FK-orphan check via broadcast anti-join
+# against the distinct parent key set. The ingest/rebuild gate a pipeline
+# runs before promoting a snapshot.
+# ---------------------------------------------------------------------------
+@query(
+    "data_quality_report",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_date,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_dup
+      FROM orders),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    SELECT 'o_totalprice_nonpositive' AS rule, v_price AS violations,
+           n AS n_rows, CAST(v_price AS DOUBLE) / n AS violation_rate
+    FROM base
+    UNION ALL SELECT 'o_orderdate_null', v_date, n,
+                     CAST(v_date AS DOUBLE) / n FROM base
+    UNION ALL SELECT 'o_orderstatus_invalid', v_status, n,
+                     CAST(v_status AS DOUBLE) / n FROM base
+    UNION ALL SELECT 'o_orderkey_dup', v_dup, n,
+                     CAST(v_dup AS DOUBLE) / n FROM base
+    UNION ALL SELECT 'fk_orphans', v, (SELECT n FROM base),
+                     CAST(v AS DOUBLE) / (SELECT n FROM base) FROM fk
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    from ..datapipe.quality import constraint_report, referential_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    st = F.col("o_orderstatus")
+    report = constraint_report(
+        orders,
+        violations={
+            "o_totalprice_nonpositive": F.col("o_totalprice") <= 0,
+            "o_orderdate_null": F.col("o_orderdate").isNull(),
+            "o_orderstatus_invalid": st.isNull() | ~st.isin("O", "F", "P"),
+        },
+        unique_keys={"o_orderkey_dup": ["o_orderkey"]},
+    )
+    fk = referential_violations(orders, cust, ["o_custkey"], ["c_custkey"])
+    return report.unionByName(fk)
+
+
+# ---------------------------------------------------------------------------
 # Dataset maintenance (operators/setops.merge_upsert / snapshot_diff): apply
 # a change batch to an immutable snapshot (MERGE-as-transformation — the
 # base never shuffles, the delta broadcasts) and diff two snapshot versions
@@ -2713,6 +2769,7 @@ _PROMOTED = [
     "curated_training_corpus",
     "merge_upsert_customers",
     "snapshot_diff_customers",
+    "data_quality_report",
 ]
 _ANCHOR = "event_scalar_functions"  # end of the cheap relational block
 

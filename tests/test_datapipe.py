@@ -350,3 +350,34 @@ def test_blocked_pair_scores_cross_block_pairs(spark):
             for r in blocked_pair_scores(df, 0.99, n_blocks=n_blocks).collect()
         }
         assert got == expected, f"n_blocks={n_blocks}: missing {expected - got}"
+
+
+def test_constraint_report_single_pass(spark):
+    from ihop_reddit_spark.datapipe.quality import (
+        constraint_report,
+        referential_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "X"), (2, 0.0, None), (4, 3.0, "F")],
+        "k long, price double, status string",
+    )
+    rep = constraint_report(
+        df,
+        violations={
+            "price_nonpositive": F.col("price") <= 0,
+            "status_invalid": F.col("status").isNull()
+            | ~F.col("status").isin("O", "F"),
+        },
+        unique_keys={"k_dup": ["k"]},
+    )
+    got = {r["rule"]: (r["violations"], r["n_rows"]) for r in rep.collect()}
+    assert got == {
+        "price_nonpositive": (2, 4),
+        "status_invalid": (2, 4),
+        "k_dup": (1, 4),
+    }
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    fk = referential_violations(df, parent, ["k"]).collect()[0]
+    assert (fk["rule"], fk["violations"], fk["n_rows"]) == ("fk_orphans", 1, 4)
