@@ -2492,6 +2492,35 @@ def packed_sequence_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout (sources/layout.py): Morton interleave of two key columns —
+# the multi-dimensional clustering key behind write_zordered's file layout
+# (file-level min/max pruning on EITHER filter column at 100 TB). The
+# z-value is pure bit arithmetic, gated cross-engine here; the layout win
+# itself is measured in tests/test_sources.py.
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from ..sources.layout import morton_sql
+
+    expr = morton_sql("(user_id % 1024)", "(event_id % 1024)", bits=10)
+    return f"SELECT event_id, CAST({expr} AS BIGINT) AS z FROM events"
+
+
+@query("zorder_values_events", None)
+def zorder_values_events(spark, sf_dir):
+    from ..sources.layout import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zvalue(F.col("user_id") % 1024, F.col("event_id") % 1024, bits=10)
+        .alias("z"),
+    )
+
+
+ORACLE_SQL["zorder_values_events"] = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Data-quality gate (datapipe/quality.py): violation counts per named rule —
 # four row-local rules + a key-uniqueness rule in ONE map-side-partial
 # aggregate over the scan, plus an FK-orphan check via broadcast anti-join

@@ -148,3 +148,32 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     got = {(r["id"], r["body"]) for r in back.select("id", "body").collect()}
     assert got == {(1, "hello world"), (2, "emoji 🎉"),
                    (3, 'quotes "and" commas,')}
+
+
+def test_zordered_layout_bounds_both_dimensions(spark, tmp_path):
+    from ihop_reddit_spark.sources.layout import write_zordered
+
+    # 64x64 grid; 16 output files → ideal z-blocks are 16x16 squares
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(grid, zpath, F.col("x"), F.col("y"), num_files=16, bits=6)
+    # naive comparison layout: sorted by x only
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def spans(path):
+        df = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        ).groupBy("f").agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        return [(r["sx"], r["sy"]) for r in df.collect()]
+
+    zs, ss = spans(zpath), spans(spath)
+    # x-only sort leaves files spanning (almost) the full y range
+    assert sum(sy for _, sy in ss) / len(ss) > 55
+    # z-order bounds BOTH dims: every file a small rectangle
+    assert max((sx + 1) * (sy + 1) for sx, sy in zs) <= 4 * 256
+    assert sum(sy for _, sy in zs) / len(zs) <= 32
