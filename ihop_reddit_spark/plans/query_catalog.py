@@ -1823,6 +1823,24 @@ def stream_windowed_event_counts(spark, sf_dir):
 
 
 @query(
+    "stream_quality_violations",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS v_value_nonpositive,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_props_missing_k
+    FROM events GROUP BY 1
+    """,
+)
+def stream_quality_violations(spark, sf_dir):
+    from ..streaming.events import quality_violations_stream
+
+    return quality_violations_stream(spark, sf_dir)
+
+
+@query(
     "stream_user_sessions",
     """
     WITH e AS (

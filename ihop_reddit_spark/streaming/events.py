@@ -357,3 +357,43 @@ def sliding_event_counts_stream(
         )
     )
     return _run_to_memory(windowed, spark)
+
+
+def quality_violations_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming data-quality monitor: per-window violation counts for the
+    same rule style as ``datapipe/quality.constraint_report``, continuously
+    over the ingest stream (alert when a window's violation rate spikes —
+    the online half of the batch promotion gate).
+
+    Conditional sums ride the one windowed aggregation — adding rules adds
+    expressions, not state; watermark bounds state size. Wide one-row-per-
+    window output keeps the streaming sink schema static.
+    """
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") <= 0, 1).otherwise(0)
+            ).cast("long").alias("v_value_nonpositive"),
+            F.sum(
+                F.when(
+                    F.get_json_object("props", "$.k").isNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("v_props_missing_k"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "n_events",
+            "v_value_nonpositive",
+            "v_props_missing_k",
+        )
+    )
+    return _run_to_memory(windowed, spark)

@@ -132,3 +132,32 @@ def test_user_running_totals_stateful(spark, sf_dir):
     for uid, row in batch.items():
         assert out[uid]["n_events"] == row["n_events"]
         assert out[uid]["qsum_value"] == row["qsum_value"]
+
+
+def test_stream_quality_violations_equal_batch(spark, sf_dir):
+    from ihop_reddit_spark.streaming.events import quality_violations_stream
+
+    out = {
+        r["window_start_epoch"]: r
+        for r in quality_violations_stream(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        r["h"]: r
+        for r in ev.groupBy(
+            ((F.expr("ts div 1000000000") / 3600).cast("long") * 3600).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("v_val"),
+            F.sum(
+                F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+            ).alias("v_props"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for h, row in batch.items():
+        assert out[h]["n_events"] == row["n_events"]
+        assert out[h]["v_value_nonpositive"] == row["v_val"]
+        assert out[h]["v_props_missing_k"] == row["v_props"]
