@@ -285,3 +285,72 @@ def test_star_components_converge_fast_on_chains(spark):
     rows = {(r["doc_id"], r["component_id"]) for r in out.collect()}
     assert rows == {(i, 0) for i in range(n)}
     assert out._cc_rounds <= 10  # log-ish, vs 63 label-propagation rounds
+
+
+@SETTINGS
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-5, max_value=5),
+        max_size=20,
+    ),
+    delta=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=-5, max_value=5),
+        max_size=15,
+    ),
+)
+def test_merge_then_diff_recovers_delta(spark, base, delta):
+    """diff(base, merge(base, delta)) must classify exactly the keys delta
+    actually changed: inserts of unseen keys + updates with a new value."""
+    from ihop_reddit_spark.operators.setops import merge_upsert, snapshot_diff
+
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long"
+    ) if base else spark.createDataFrame([], "k long, v long")
+    ddf = spark.createDataFrame(
+        [(k, v) for k, v in delta.items()], "k long, v long"
+    ) if delta else spark.createDataFrame([], "k long, v long")
+    merged = merge_upsert(bdf, ddf, ["k"])
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(bdf, merged, ["k"], ["v"]).collect()
+    }
+    expect = {}
+    for k, v in delta.items():
+        if k not in base:
+            expect[k] = "added"
+        elif base[k] != v:
+            expect[k] = "changed"
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.sampled_from([5, 16, 100]),
+)
+def test_pack_sequences_matches_python_cumsum(spark, tokens, budget):
+    from ihop_reddit_spark.datapipe.curation import pack_sequences
+
+    rows = [(i, "w " * n, src, n) for i, (n, src) in enumerate(tokens)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s, _ in rows], "doc_id long, text string, source string"
+    )
+    out = pack_sequences(
+        df, "source", "doc_id", F.size(F.split(F.col("text"), " ")), budget
+    )
+    got = {r["doc_id"]: (r["bin"], r["n_tokens"]) for r in out.collect()}
+    # python model: per-source doc_id-ordered running offset
+    offsets: dict[str, int] = {}
+    for i, _, src, n in rows:
+        off = offsets.get(src, 0)
+        assert got[i] == (off // budget, n), (i, src, off)
+        offsets[src] = off + n
