@@ -71,34 +71,48 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # best-of-N per query (default 2): one JSON number per query that
-    # reflects engine throughput, not scheduler/GC jitter of a single run
+    # reflects engine throughput, not scheduler/GC jitter of a single run.
+    # FAILURE-ISOLATED: a query that throws records an error string instead
+    # of a timing and the suite keeps going — one broken query must never
+    # zero out the whole round's perf evidence (round 2 lesson: rc=1, no
+    # timings at all).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(max(repeats, 1)):
             t0 = time.time()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 - isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
             best = min(best, time.time() - t0)
             # operators persist multi-consumer intermediates scoped to a
             # query; drop them between EVERY run so each repeat is a cold
             # execution (no flattering cache reuse) and caches don't
             # accumulate across the suite
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        # survivors' total is still reported above; failures are explicit
+        result["errors"] = errors
+        result["n_failed"] = len(errors)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -53,12 +53,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-#: events.ts is parquet TIMESTAMP(NANOS) → read as LONG nanoseconds (see
-#: session.py). Epoch seconds via integer div (ns > 2^53, double would lose
-#: precision); DuckDB oracles use floor(epoch(ts)) on its TIMESTAMP_NS read.
-#: CONTRACT: event time is post-1970 (ts >= 0) — `div` truncates toward zero
-#: while floor() floors, so the two would disagree on negative timestamps.
-_TS_EPOCH = "ts div 1000000000"
+#: Event-time storage dispatch lives in functions/event_time.py — the ONE
+#: place that knows whether events.ts is LONG nanoseconds (legacy
+#: TIMESTAMP(NANOS) under nanosAsLong) or a Spark timestamp type (parquet
+#: timestamp[us] → TIMESTAMP_NTZ). DuckDB oracles use floor(epoch(ts)) /
+#: epoch_us(ts), which read either storage correctly on their side.
+from ..functions.event_time import ts_epoch_micros, ts_epoch_seconds  # noqa: E402
 
 
 def query(name: str, sql: str | None = None):
@@ -393,7 +393,7 @@ def event_neighbor_lags(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    t_us = F.expr("ts div 1000")  # ns → µs (DuckDB parquet ns keeps µs)
+    t_us = ts_epoch_micros(ev)  # µs — the shared cross-engine grain
     w = Window.partitionBy("user_id").orderBy(t_us, F.col("event_id"))
     return ev.select(
         "user_id",
@@ -428,9 +428,10 @@ def event_neighbor_lags(spark, sf_dir):
 def asof_purchase_to_click(spark, sf_dir):
     from ..operators.joins import asof_join
 
-    # µs timestamps: DuckDB's parquet TIMESTAMP_NS read only keeps µs
-    # precision, so the cross-engine comparison floors ns → µs on both sides.
-    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    # µs timestamps: DuckDB's parquet timestamp reads keep µs precision, so
+    # the cross-engine comparison floors to µs on both sides.
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_epoch_micros(ev))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
     )
@@ -473,7 +474,8 @@ def asof_purchase_to_click(spark, sf_dir):
 def range_join_clicks_before_purchase(spark, sf_dir):
     from ..operators.joins import range_join
 
-    ev = _t(spark, sf_dir, "events").withColumn("t", F.expr("ts div 1000"))
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("t", ts_epoch_micros(ev))
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", F.col("user_id").alias("p_user"), F.col("t").alias("p_t")
     )
@@ -660,8 +662,8 @@ def events_corpus_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("num_rows"),
         F.countDistinct("user_id").alias("distinct_user_id"),
         F.countDistinct("event_type").alias("distinct_event_type"),
-        F.expr(f"min({_TS_EPOCH})").alias("min_ts_epoch"),
-        F.expr(f"max({_TS_EPOCH})").alias("max_ts_epoch"),
+        F.min(ts_epoch_seconds(ev)).alias("min_ts_epoch"),
+        F.max(ts_epoch_seconds(ev)).alias("max_ts_epoch"),
         decimal_sum("value").cast("double").alias("sum_value"),
     )
 
@@ -915,8 +917,9 @@ def deterministic_sample_documents(spark, sf_dir):
     """,
 )
 def hourly_event_counts_gapfilled(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select(
-        F.expr("ts div 1000000000 div 3600").alias("hour")
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(ts_epoch_seconds(raw).alias("t")).select(
+        F.expr("t div 3600").alias("hour")
     )
     bounds = ev.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
     spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("hour"))
@@ -1045,7 +1048,7 @@ def event_scalar_functions(spark, sf_dir):
         F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
             "type_user"
         ),
-        F.from_unixtime(F.expr(_TS_EPOCH), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.from_unixtime(ts_epoch_seconds(ev), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.size(F.split(F.col("props"), " ")).cast("long").alias("n_props_tokens"),
         F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).alias("prop_k"),
     )
@@ -1895,9 +1898,8 @@ def user_sessions_batch(spark, sf_dir):
     from ..operators.aggregates import decimal_sum
     from ..operators.windows import sessionize
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr(_TS_EPOCH).alias("t"), "value"
-    )
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_epoch_seconds(raw).alias("t"), "value")
     s = sessionize(ev, "user_id", "t", gap=1800)
     return s.groupBy("user_id", "session_id").agg(
         F.min("t").alias("session_start_epoch"),

@@ -25,19 +25,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: events.parquet read-schema under nanosAsLong (ts = LONG nanoseconds).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..functions.event_time import ts_event_time
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,6 +35,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source only accepts directories; the testdata table is a single
     parquet file, so expose it through a symlink inside a temp dir (zero
     copy). Real deployments point this at the landing directory / Kafka.
+
+    readStream needs a declared schema; take it from a batch footer read of
+    the same file so the stream follows whatever the parquet actually stores
+    (LONG nanoseconds vs timestamp[us] — see ``functions/event_time.py``)
+    instead of hard-coding one generation's encoding.
     """
     import os
     import tempfile
@@ -55,10 +49,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
-    return raw.withColumn(
-        "event_time", F.expr("CAST(ts div 1000000000 AS TIMESTAMP)")
-    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    return raw.withColumn("event_time", ts_event_time(raw))
 
 
 def _run_to_memory(
@@ -248,7 +241,7 @@ def click_purchase_join_stream(
     no broadcast — both sides are unbounded.
 
     Batch oracle: plain self-join of events on second-floored epochs (the
-    stream's event_time is ``CAST(ts div 1e9 AS TIMESTAMP)``, so second
+    stream's event_time is second-truncated — ``ts_event_time`` — so second
     precision is the shared clock).
     """
     clicks = (

@@ -13,6 +13,8 @@ from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
 
+from ihop_reddit_spark.functions.event_time import ts_epoch_seconds
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -92,8 +94,9 @@ def test_dynamic_partition_pruning_on_month_layout(spark, sf_dir, tmp_path):
     must let a dim-filtered join prune fact partitions at runtime (DPP)."""
     from ihop_reddit_spark.sources.io import write_parquet
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "month", F.from_unixtime(F.expr("ts div 1000000000"), "yyyy-MM")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.withColumn(
+        "month", F.from_unixtime(ts_epoch_seconds(raw), "yyyy-MM")
     )
     path = str(tmp_path / "events_by_month")
     write_parquet(ev, path, partition_by=["month"])

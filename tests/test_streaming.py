@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ihop_reddit_spark.functions.event_time import ts_epoch_seconds
 from ihop_reddit_spark.streaming.events import (
     user_sessions_stream,
     windowed_event_counts_stream,
@@ -18,10 +19,11 @@ def _events_batch(spark, sf_dir):
 
 def test_windowed_counts_equal_batch(spark, sf_dir):
     streamed = windowed_event_counts_stream(spark, sf_dir)
+    ev = _events_batch(spark, sf_dir)
     batch = (
-        _events_batch(spark, sf_dir)
+        ev.select(ts_epoch_seconds(ev).alias("t"), "event_type")
         .select(
-            F.expr("(ts div 1000000000) div 3600 * 3600").alias("window_start_epoch"),
+            F.expr("t div 3600 * 3600").alias("window_start_epoch"),
             "event_type",
         )
         .groupBy("window_start_epoch", "event_type")
@@ -47,8 +49,9 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
     from ihop_reddit_spark.streaming.events import click_purchase_join_stream
 
     streamed = click_purchase_join_stream(spark, sf_dir)
-    ev = _events_batch(spark, sf_dir).selectExpr(
-        "event_id", "user_id", "event_type", "ts div 1000000000 AS t"
+    raw = _events_batch(spark, sf_dir)
+    ev = raw.select(
+        "event_id", "user_id", "event_type", ts_epoch_seconds(raw).alias("t")
     )
     p = ev.where("event_type = 'purchase'")
     c = ev.where("event_type = 'click'")
@@ -78,8 +81,11 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
 
 def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
     streamed = user_sessions_stream(spark, sf_dir)
-    batch = _events_batch(spark, sf_dir).selectExpr(
-        "user_id", "ts div 1000000000 AS t", "CAST(value AS DECIMAL(18,4)) AS v"
+    raw = _events_batch(spark, sf_dir)
+    batch = raw.select(
+        "user_id",
+        ts_epoch_seconds(raw).alias("t"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
     )
     batch.createOrReplaceTempView("ev_batch")
     islands = spark.sql(
@@ -145,7 +151,7 @@ def test_stream_quality_violations_equal_batch(spark, sf_dir):
     batch = {
         r["h"]: r
         for r in ev.groupBy(
-            ((F.expr("ts div 1000000000") / 3600).cast("long") * 3600).alias("h")
+            ((ts_epoch_seconds(ev) / 3600).cast("long") * 3600).alias("h")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
