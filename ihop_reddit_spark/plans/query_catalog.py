@@ -2142,8 +2142,32 @@ def kmeans_cluster_sizes(spark, sf_dir):
     )
 
 
-@query("cluster_compare_kmeans_vs_labels")
+@query(
+    "cluster_compare_kmeans_vs_labels",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           TRUE AS self_identity_ok,
+           TRUE AS bounds_ok
+    FROM embeddings
+    """,
+)
 def cluster_compare_kmeans_vs_labels(spark, sf_dir):
+    """M9 as a driver-thresholdable gate (the `approx_distinct` pattern —
+    booleans the DuckDB oracle asserts TRUE, converting a rows-only row
+    into a hash-gated one).
+
+    The synthetic embeddings carry no geometric label structure (measured
+    ARI≈0 at sf0.001/sf0.01), so an agreement floor would gate noise.
+    What IS provable on driver data:
+
+    * ``self_identity_ok`` — comparing the label column against ITSELF must
+      hit the closed-form identities exactly: ARI = NMI = rand = 1, VOI = 0.
+      Any drift in the contingency/metric math breaks this loudly.
+    * ``bounds_ok`` — the kmeans-vs-labels metrics obey their theoretical
+      ranges (ARI ∈ [-0.5, 1], NMI/homogeneity/completeness ∈ [0, 1],
+      VOI ∈ [0, H(U)+H(V)], rand ∈ [0, 1]).
+    """
     from ..ml.cluster_metrics import align_labelings, comparison_metrics
     from ..ml.clustering import ClusteringConfig, kmeans_assign
 
@@ -2151,15 +2175,61 @@ def cluster_compare_kmeans_vs_labels(spark, sf_dir):
     out, _ = kmeans_assign(emb, "embedding", ClusteringConfig(n_clusters=4, seed=100))
     left = out.select("vec_id", F.col("cluster_id").alias("c1"))
     right = emb.select("vec_id", F.col("label").alias("c2"))
-    metrics = comparison_metrics(align_labelings(left, right, "vec_id"))
-    return spark.createDataFrame([metrics])
+    m = comparison_metrics(align_labelings(left, right, "vec_id"))
+    sm = comparison_metrics(
+        align_labelings(
+            emb.select("vec_id", F.col("label").alias("c1")), right, "vec_id"
+        )
+    )
+    eps = 1e-9
+    self_ok = (
+        abs(sm["adjusted_rand_index"] - 1.0) < eps
+        and abs(sm["nmi"] - 1.0) < eps
+        and abs(sm["rand_index"] - 1.0) < eps
+        and abs(sm["voi"]) < eps
+        and abs(sm["homogeneity"] - 1.0) < eps
+    )
+    bounds_ok = (
+        -0.5 - eps <= m["adjusted_rand_index"] <= 1.0 + eps
+        and -eps <= m["nmi"] <= 1.0 + eps
+        and -eps <= m["homogeneity"] <= 1.0 + eps
+        and -eps <= m["completeness"] <= 1.0 + eps
+        and -eps <= m["rand_index"] <= 1.0 + eps
+        and -eps <= m["voi"] <= m["entropy_left"] + m["entropy_right"] + eps
+    )
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+    return stats.select(
+        "n_points",
+        "n_labels",
+        F.lit(bool(self_ok)).alias("self_identity_ok"),
+        F.lit(bool(bounds_ok)).alias("bounds_ok"),
+    )
 
 
-@query("kmeans_quality_metrics")
+@query(
+    "kmeans_quality_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS silhouette_ok, TRUE AS ch_ok, TRUE AS db_ok
+    FROM embeddings
+    """,
+)
 def kmeans_quality_metrics(spark, sf_dir):
-    """M8 — silhouette / Calinski-Harabasz / Davies-Bouldin over a seeded
-    KMeans run (rows-only: seeded ML + float metrics; closed-form
-    correctness vs numpy oracles lives in tests/test_ml_models.py)."""
+    """M8 as a driver-thresholdable gate: silhouette / Calinski-Harabasz /
+    Davies-Bouldin of a seeded KMeans run, reduced to booleans the DuckDB
+    oracle asserts TRUE (closed-form metric correctness vs numpy oracles
+    lives in tests/test_ml_models.py).
+
+    Floors are fixture-calibrated at noise level, not clusterability level
+    (the synthetic embeddings are near-unclusterable — measured silhouette
+    0.007/0.026, CH 5.2/5.5, DB 4.9/5.0 at sf0.001/sf0.01): a random
+    labeling scores CH≈1 and much larger DB, and broken distance math goes
+    NaN/negative, so silhouette > -0.05, CH > 2, DB < 10 catch regressions
+    to noise with ≥2x margin while staying green on real runs.
+    """
     from ..ml.clustering import (
         ClusteringConfig,
         calinski_harabasz,
@@ -2170,14 +2240,14 @@ def kmeans_quality_metrics(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out, _ = kmeans_assign(emb, "embedding", ClusteringConfig(n_clusters=8, seed=100))
-    return spark.createDataFrame(
-        [
-            {
-                "silhouette": silhouette(out, "embedding"),
-                "calinski_harabasz": calinski_harabasz(out, "embedding"),
-                "davies_bouldin": davies_bouldin(out, "embedding"),
-            }
-        ]
+    sil = silhouette(out, "embedding")
+    ch = calinski_harabasz(out, "embedding")
+    db = davies_bouldin(out, "embedding")
+    return emb.agg(F.count(F.lit(1)).alias("n_points")).select(
+        "n_points",
+        F.lit(bool(sil > -0.05)).alias("silhouette_ok"),
+        F.lit(bool(ch > 2.0)).alias("ch_ok"),
+        F.lit(bool(db < 10.0)).alias("db_ok"),
     )
 
 
@@ -2225,6 +2295,62 @@ def c2v_event_embeddings(spark, sf_dir):
     return model.vectors().select(
         "word",
         F.posexplode(vector_to_array(F.col("vector"))).alias("dim", "value"),
+    )
+
+
+@query(
+    "c2v_planted_analogy_gate",
+    """
+    SELECT CAST(30 AS BIGINT) AS n_analogies, TRUE AS p_at_1_ok
+    """,
+)
+def c2v_planted_analogy_gate(spark, sf_dir):
+    """M1/M3 quality gate, driver-thresholdable: train community2vec on a
+    corpus with analogy structure planted BY CONSTRUCTION and assert the
+    analogy P@1 stays above a fixture-calibrated floor (0.8; measured 1.0
+    across dims/epochs, random baseline ≈ 1/(2·n_sections+2) ≈ 0.07).
+
+    The reference's analogy accuracy band (0.62–0.66 on real Reddit months,
+    BASELINE.md) is not reachable from synthetic tables, so the planted
+    fixture is the measurable stand-in for that quality contract — the same
+    construction as tests/test_ml_models.py::test_word2vec_solves_planted_analogies,
+    surfaced as a CORRECTNESS row so the driver gates it every round.
+    Deliberately data-independent (ignores sf_dir): it gates the TRAINER,
+    not the tables; the trainer on real event data is covered by
+    c2v_event_embeddings.
+    """
+    import random
+
+    from ..ml.community2vec import (
+        C2VParams,
+        Community2Vec,
+        EmbeddingMatrix,
+        evaluate_analogies,
+        generate_analogies,
+    )
+
+    rng = random.Random(7)
+    n_sections = 6
+    rows = []
+    for i in range(n_sections):
+        for _ in range(30):
+            s1 = [f"city{i}", f"region{i}", "cityness"]
+            s2 = [f"team{i}", f"region{i}", "teamness"]
+            rng.shuffle(s1)
+            rng.shuffle(s2)
+            rows.append((s1,))
+            rows.append((s2,))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "context array<string>")
+    model = Community2Vec(C2VParams(vector_size=16, epochs=10, seed=100)).fit(df)
+    emb = EmbeddingMatrix.from_vectors_df(model.vectors())
+    analogies = generate_analogies(
+        {"city-team": [(f"city{i}", f"team{i}") for i in range(n_sections)]}
+    )
+    res = evaluate_analogies(emb, analogies)
+    return spark.range(1).select(
+        F.lit(int(res["total_evaluated"])).cast("long").alias("n_analogies"),
+        F.lit(bool(res["total_accuracy"] >= 0.8)).alias("p_at_1_ok"),
     )
 
 
@@ -2277,8 +2403,23 @@ def minhash_verified_pairs(spark, sf_dir):
 # is a FLOOR relative to real embedding corpora; nprobe=8 of 16 cells
 # measures 0.92 at sf0.01. Deterministic given the fixed KMeans seed.
 # ---------------------------------------------------------------------------
-@query("ivf_ann_recall")
+@query(
+    "ivf_ann_recall",
+    """
+    WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT CAST(nq AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+           CAST(nq * 5 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM q
+    """,
+)
 def ivf_ann_recall(spark, sf_dir):
+    """IVF recall@k vs brute force as a driver-thresholdable gate: the
+    oracle re-derives the query-set size and the exact-neighbor count
+    (brute force returns exactly k per query), and asserts ``recall_ok``.
+    Floor 0.7 is fixture-calibrated: measured recall 0.80 (sf0.001) / 0.92
+    (sf0.01) with nprobe=8 of 16 centroids; an index regression to random
+    bucketing scores ≈ nprobe/n_centroids-independent chance (k/N ≈ 0.01).
+    """
     from ..datapipe.similarity import brute_force_knn, build_ivf_index, ivf_knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2300,8 +2441,9 @@ def ivf_ann_recall(spark, sf_dir):
             "n_queries",
             F.lit(k).alias("k"),
             "n_exact",
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact") >= 0.7
+            ).alias("recall_ok"),
         )
     )
 
@@ -2792,41 +2934,79 @@ def curated_training_corpus(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
-# time budget; in round 1 it stopped after 50 entries, so the last-registered
-# 8 (the ML tier) got no CORRECTNESS row at all. Promote that block to just
-# after the cheap relational queries so a budget cut costs the least
-# evidence. Reordering only — the key sets are untouched.
+# TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
+# policy, round 3: EVIDENCE-FIRST — (a) queries whose last CORRECTNESS row
+# was red (now fixed) and queries never scored in any round go first, (b)
+# then this round's new/converted driver-thresholdable gates, (c) then one
+# cheap canary per already-proven tier so a regression there still shows,
+# (d) then everything else in registration order, with pure variants of
+# already-proven operators (same operator, different knob) dead last.
+# Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
-_PROMOTED = [
-    "kmeans_cluster_sizes",
-    "cluster_compare_kmeans_vs_labels",
-    "kmeans_quality_metrics",
-    "cluster_greedy_max_match",
-    "lda_topic_terms",
-    "c2v_event_embeddings",
-    "ivf_ann_topk",
-    "ivf_ann_recall",
-    "simhash_candidate_pairs",
-    "minhash_near_dup_pairs",
-    "minhash_verified_pairs",
-    # round-2 curation tier — documents-table cheap; score them early too
-    "doc_repetition_features",
-    "decontaminated_documents",
-    "dataset_split_sizes",
-    "mixture_sample_by_source",
-    "packed_sequence_bins",
-    "curated_training_corpus",
+_SCORING_PRIORITY = [
+    # round-1's only hash mismatch, never re-scored since (oracle HUGEINT
+    # casts fixed in round 2) — prove it green first
+    "doc_token_stats_by_lang",
+    # red in round 2 (events ts dtype, fixed by functions/event_time.py)
+    "events_corpus_stats",
+    "event_scalar_functions",
+    "hourly_event_counts_gapfilled",
+    "event_neighbor_lags",
+    "asof_purchase_to_click",
+    "range_join_clicks_before_purchase",
+    # never scored in any round — batch
+    "levenshtein_verified_pairs",
+    "duplicate_components_star_ngram",
+    "zorder_values_events",
+    "data_quality_report",
     "merge_upsert_customers",
     "snapshot_diff_customers",
-    "data_quality_report",
+    "curated_training_corpus",
+    # never scored in any round — streaming
+    "stream_quality_violations",
+    "stream_dedup_user_event_types",
+    "stream_stream_click_purchase_pairs",
+    # round-3 new/converted driver-thresholdable ML gates
+    "c2v_planted_analogy_gate",
+    "ivf_ann_recall",
+    "kmeans_quality_metrics",
+    "cluster_compare_kmeans_vs_labels",
+    # canaries — one per proven tier (all green in r1 and/or r2)
+    "topn_parts_by_lineitems",       # relational top-N
+    "order_lineitem_ship_delay",     # joins + range predicate
+    "user_event_contexts",           # ordered group-concat
+    "text_pipeline_term_counts",     # text pipeline (green r1, out of r2 window)
+    "doc_quality_features",          # text quality features
+    "exact_duplicate_groups",        # dedup tier 1
+    "simhash_candidate_pairs",       # simhash banding
+    "minhash_verified_pairs",        # minhash containment gate
+    "knn_bruteforce_cosine",         # similarity search
+    "embedding_sum_by_label",        # vector aggregation
+    "multimodal_asset_byte_stats",   # multimodal binary columns
+    "stream_windowed_event_counts",  # streaming windows
+    "user_sessions_batch",           # sessionization
+    "intruder_task_export",          # annotation exports
+    "doc_repetition_features",       # curation signals
+    "dataset_split_sizes",           # content-addressed split
+    "corpus_prep_survivors",         # end-to-end capstone
 ]
-_ANCHOR = "event_scalar_functions"  # end of the cheap relational block
+#: Same operator as user_event_contexts, different execution knob — their
+#: green rows (r2) prove nothing extra; spend the window elsewhere.
+_SCORING_DEMOTED = [
+    "user_event_contexts_salted",
+    "user_event_contexts_capped",
+]
 
 
 def _scoring_order(d: dict) -> dict:
-    rest = [n for n in d if n not in _PROMOTED]
-    cut = rest.index(_ANCHOR) + 1 if _ANCHOR in rest else len(rest)
-    order = rest[:cut] + [n for n in _PROMOTED if n in d] + rest[cut:]
+    rest = [
+        n for n in d if n not in _SCORING_PRIORITY and n not in _SCORING_DEMOTED
+    ]
+    order = (
+        [n for n in _SCORING_PRIORITY if n in d]
+        + rest
+        + [n for n in _SCORING_DEMOTED if n in d]
+    )
     return {n: d[n] for n in order}
 
 
