@@ -273,31 +273,83 @@ def pack_sequences(
     order_col: str,
     token_count_col: Column,
     budget: int,
+    shard_width: int | None = 1_000_000,
 ) -> DataFrame:
     """Assign documents to fixed token-budget training bins: stream the
     per-source corpus in ``order_col`` order and start bin k at cumulative
     token offset k·budget (the standard "concatenate-then-chunk" packing; a
     document belongs to the bin its first token lands in).
 
-    Plan: one window cumsum partitioned by source — integer arithmetic end to
-    end (``div``, not float floor). At 100 TB a single source's window is one
-    task's sort; real deployments sub-partition the window key by a coarse
-    order prefix (e.g. (source, shard) where shard = order_col div N) which
-    preserves bin math exactly because the cumsum offset per shard can be
-    rebased — the catalog query documents the single-key form for oracle
-    parity.
+    DEFAULT PATH (``shard_width`` set) — the sharded two-pass rebase, the
+    100 TB shape: a window keyed on ``source`` alone serializes each
+    source's entire corpus into ONE task's sort (5 sources → 5 tasks, no
+    matter the cluster size). Instead:
 
-    Returns df columns + ``n_tokens`` + ``bin``.
+    1. shard = ``order_col div shard_width`` — a coarse, order-preserving
+       prefix of the stream, so (source, shard) windows parallelize each
+       source across ``range/shard_width`` tasks;
+    2. intra-shard window cumsum on (source, shard);
+    3. per-shard token totals (map-side partial agg — shard-count rows),
+       exclusive-prefix-summed per source (dimension-sized window) to give
+       each shard its global starting offset;
+    4. broadcast the offsets back (the big side, already shuffled for step
+       2's window, never reshuffles) and rebase: cum = offset + intra_cum.
+
+    Cost shape (verified via .explain): ONE big-data shuffle + broadcast
+    join; the totals branch is a second column-pruned scan collapsed by
+    map-side partial aggregation to shard-count rows. If the token-count
+    expression is expensive (real tokenizers), precompute it into a column
+    and pass ``F.col(...)`` so neither scan re-tokenizes.
+
+    The rebase is exact — bin assignment is identical to the single-key
+    form for every row — because token offsets are associative integer
+    sums (property-tested in tests/test_properties.py).
+
+    ``shard_width=None`` keeps the one-window-per-source form (the oracle's
+    literal SQL shape; also the fallback for non-numeric order columns).
+
+    Returns df columns + ``n_tokens`` + ``bin``. Integer arithmetic end to
+    end (``div``, not float floor — exact past 2^53 token offsets; offsets
+    are non-negative so div == floor).
     """
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     out = df.withColumn("n_tokens", token_count_col.cast("long"))
-    out = out.withColumn("__cum", F.sum("n_tokens").over(w))
-    # integer `div` (not float /, not floor(double)) — exact past 2^53 token
-    # offsets; offsets are non-negative so div == floor.
+    if shard_width is None:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__cum", F.sum("n_tokens").over(w))
+    else:
+        out = out.withColumn(
+            "__shard", F.expr(f"{order_col} div {int(shard_width)}")
+        )
+        w_in = (
+            Window.partitionBy(source_col, "__shard")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+        totals = out.groupBy(source_col, "__shard").agg(
+            F.sum("n_tokens").alias("__shard_tokens")
+        )
+        w_off = (
+            Window.partitionBy(source_col)
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            source_col,
+            "__shard",
+            F.coalesce(F.sum("__shard_tokens").over(w_off), F.lit(0)).alias(
+                "__offset"
+            ),
+        )
+        out = (
+            out.join(F.broadcast(offsets), [source_col, "__shard"])
+            .withColumn("__cum", F.col("__cum_in") + F.col("__offset"))
+            .drop("__cum_in", "__offset", "__shard")
+        )
     return out.withColumn(
         "bin", F.expr(f"(__cum - n_tokens) div {int(budget)}")
     ).drop("__cum")

@@ -2644,8 +2644,12 @@ def packed_sequence_bins(spark, sf_dir):
     from ..datapipe.curation import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
+    # shard_width=100: even at sf0.01 (5k doc_ids → 50 shards) the scored
+    # run exercises the sharded rebase path, not a degenerate single shard;
+    # the oracle stays the single-window SQL — bins are provably identical.
     packed = pack_sequences(
-        docs, "source", "doc_id", TX.token_count(F.col("text")), 512
+        docs, "source", "doc_id", TX.token_count(F.col("text")), 512,
+        shard_width=100,
     )
     return packed.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2923,7 +2927,8 @@ def curated_training_corpus(spark, sf_dir):
         [("train", "e6666666"), ("rest", None)],
     ).where(F.col("split") == "train")
     packed = pack_sequences(
-        tr, "source", "doc_id", TX.token_count(F.col("text")), 512
+        tr, "source", "doc_id", TX.token_count(F.col("text")), 512,
+        shard_width=100,
     )
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

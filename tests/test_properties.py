@@ -354,3 +354,39 @@ def test_pack_sequences_matches_python_cumsum(spark, tokens, budget):
         off = offsets.get(src, 0)
         assert got[i] == (off // budget, n), (i, src, off)
         offsets[src] = off + n
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.sampled_from([5, 16, 100]),
+    shard_width=st.sampled_from([1, 3, 7]),
+)
+def test_pack_sequences_sharded_equals_single_window(
+    spark, tokens, budget, shard_width
+):
+    """The sharded two-pass rebase (the 100 TB default path) must assign
+    every row the exact bin of the one-window-per-source form."""
+    from ihop_reddit_spark.datapipe.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * n, s) for i, (n, s) in enumerate(tokens)],
+        "doc_id long, text string, source string",
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    single = pack_sequences(
+        df, "source", "doc_id", n_tok, budget, shard_width=None
+    )
+    sharded = pack_sequences(
+        df, "source", "doc_id", n_tok, budget, shard_width=shard_width
+    )
+    got_single = {r["doc_id"]: (r["bin"], r["n_tokens"]) for r in single.collect()}
+    got_sharded = {r["doc_id"]: (r["bin"], r["n_tokens"]) for r in sharded.collect()}
+    assert got_sharded == got_single
