@@ -23,8 +23,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _configure(spark: SparkSession) -> None:
-    """Session invariants the catalog relies on (UTC epoch semantics; the
-    events table's TIMESTAMP(NANOS) column reads as LONG nanoseconds), plus
+    """Session invariants the catalog relies on (UTC epoch semantics — also
+    what makes a TIMESTAMP_NTZ read of events.ts equal DuckDB's naive
+    epoch(); nanosAsLong kept for legacy TIMESTAMP(NANOS) data — the actual
+    storage dispatch lives in ihop_reddit_spark/functions/event_time.py), plus
     runtime-settable execution config a vanilla session lacks: AQE (runtime
     shuffle-partition coalescing + skew-join splitting — the 100 TB default)
     and a parallelism-sized initial shuffle-partition count instead of the

@@ -36,6 +36,11 @@ HEADLINE = [
     "multimodal_frame_samples",   # binary columns + Arrow mapInPandas
     "intruder_task_export",       # E2 annotation export
     "corpus_prep_survivors",      # end-to-end corpus prep (capstone)
+    # round-3 additions: the curation tier's heaviest composed pipeline and
+    # the sharded sequence-packing path (new default) — measured so the
+    # north-star tier has per-round perf evidence, not just correctness
+    "curated_training_corpus",    # repetition→decontam→mixture→split→pack
+    "packed_sequence_bins",       # sharded two-pass packing rebase
 ]
 
 

@@ -795,6 +795,53 @@ def pca_projection_2d(spark, sf_dir):
     return pca_project(emb, "embedding", "vec_id", dims=2)
 
 
+@query(
+    "pca_invariants_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS decorrelated_ok,
+           TRUE AS variance_ordered_ok,
+           TRUE AS nondegenerate_ok
+    FROM embeddings
+    """,
+)
+def pca_invariants_gate(spark, sf_dir):
+    """M7 as a driver-thresholdable gate: linear-algebra invariants any
+    correct PCA must satisfy on ANY data, checked on the driver tables and
+    hash-gated (the projection coordinates themselves stay rows-only in
+    ``pca_projection_2d`` — eigenvector floats are not oracle-derivable).
+
+    * ``n_points`` — the projection is row-preserving (oracle re-derives
+      the count from the source table, so a dropped/duplicated row reds
+      the hash).
+    * ``decorrelated_ok`` — principal components are uncorrelated:
+      |cov(x, y)| ≤ 1e-6·√(var(x)·var(y)).
+    * ``variance_ordered_ok`` — PC1 carries at least PC2's variance.
+    * ``nondegenerate_ok`` — var(x) > 0 (a collapsed projection fails).
+    """
+    import math
+
+    from ..ml.projection import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, "embedding", "vec_id", dims=2)
+    s = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_samp("x", "y").alias("cov"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+    ).first()
+    scale = math.sqrt(max(s["vx"], 0.0) * max(s["vy"], 0.0))
+    return spark.range(1).select(
+        F.lit(int(s["n"])).cast("long").alias("n_points"),
+        F.lit(bool(abs(s["cov"]) <= 1e-6 * max(scale, 1e-12))).alias(
+            "decorrelated_ok"
+        ),
+        F.lit(bool(s["vx"] >= s["vy"] - 1e-12)).alias("variance_ordered_ok"),
+        F.lit(bool(s["vx"] > 0.0)).alias("nondegenerate_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # U2 — key-set union alignment with missing = −1 (cluster-comparison
 # universes, ihop/clustering.py:163-175).
@@ -2976,6 +3023,7 @@ _SCORING_PRIORITY = [
     "ivf_ann_recall",
     "kmeans_quality_metrics",
     "cluster_compare_kmeans_vs_labels",
+    "pca_invariants_gate",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate
