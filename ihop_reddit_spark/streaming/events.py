@@ -29,12 +29,18 @@ from pyspark.sql import functions as F
 from ..functions.event_time import ts_event_time
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
     """File-source stream of the events table with a proper event-time col.
 
     The file source only accepts directories; the testdata table is a single
     parquet file, so expose it through a symlink inside a temp dir (zero
     copy). Real deployments point this at the landing directory / Kafka.
+
+    ``stream_dir`` pins the source directory; checkpointed queries MUST pass
+    a stable one — the checkpoint records source paths, so a fresh temp dir
+    on restart would not match the committed offsets.
 
     readStream needs a declared schema; take it from a batch footer read of
     the same file so the stream follows whatever the parquet actually stores
@@ -44,11 +50,13 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    else:
+        os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     return raw.withColumn("event_time", ts_event_time(raw))
@@ -323,6 +331,76 @@ def windowed_top_event_types_stream(
         k,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ranked_window_parquet_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 2,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> None:
+    """The production sink edge for streaming top-N: ``foreachBatch``
+    writing per-window ranked parquet with EXACTLY-ONCE file semantics.
+
+    The streaming stage maintains watermarked windowed counts (state
+    bounded by the watermark); each micro-batch ranks the emitted counts
+    (the rank is a per-window top-k over batch-local rows — no unbounded
+    state) and overwrites ONLY the window partitions present in the batch
+    (dynamic partitionOverwriteMode). Idempotence is what upgrades
+    Structured Streaming's at-least-once ``foreachBatch`` contract to
+    exactly-once effective semantics: a replayed batch after a failure
+    rewrites the same partitions with the same deterministic rows, and the
+    checkpoint guarantees a committed batch is never re-emitted with less
+    data. Readers see whole partitions atomically by window_start_epoch.
+    """
+    from ..operators.windows import top_k_per_group
+
+    # source dir derived from the checkpoint: restarts resume against the
+    # SAME committed source paths (a fresh temp dir would break replay)
+    ev = _event_stream(spark, sf_dir, stream_dir=f"{checkpoint_dir}_src")
+    counts = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+    def write_ranked(batch_df: DataFrame, batch_id: int) -> None:
+        ranked = top_k_per_group(
+            batch_df,
+            "window_start_epoch",
+            [F.col("cnt").desc(), F.col("event_type").asc()],
+            k,
+        ).withColumn("rank", F.col("rank").cast("long"))
+        session = batch_df.sparkSession
+        prev = session.conf.get("spark.sql.sources.partitionOverwriteMode")
+        session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                ranked.write.mode("overwrite")
+                .partitionBy("window_start_epoch")
+                .parquet(out_path)
+            )
+        finally:
+            session.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    q = (
+        counts.writeStream.foreachBatch(write_ranked)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def sliding_event_counts_stream(

@@ -248,3 +248,30 @@ def test_assign_split_and_mixture_have_no_corpus_shuffle(spark, sf_dir):
     # the per-source counts, never repartition the corpus for the join
     assert "BroadcastHashJoin" in mix_plan
     assert "SortMergeJoin" not in mix_plan
+
+
+def test_pack_sequences_sharded_one_corpus_shuffle_broadcast_rebase(
+    spark, sf_dir
+):
+    from ihop_reddit_spark.datapipe.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(
+        pack_sequences(
+            docs,
+            "source",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")),
+            512,
+            shard_width=100,
+        )
+    )
+    # the corpus shuffles ONCE — into the (source, shard) window; the
+    # per-shard offsets come back via broadcast, never a corpus re-shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one corpus-sized exchange: the remaining non-broadcast
+    # exchanges sit on the shard-count-sized totals branch (partial agg +
+    # dimension window), which a partial HashAggregate has already collapsed
+    big_side = plan.split("BroadcastExchange")[0]
+    assert big_side.count("Exchange") == 1

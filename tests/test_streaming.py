@@ -167,3 +167,51 @@ def test_stream_quality_violations_equal_batch(spark, sf_dir):
         assert out[h]["n_events"] == row["n_events"]
         assert out[h]["v_value_nonpositive"] == row["v_val"]
         assert out[h]["v_props_missing_k"] == row["v_props"]
+
+
+def test_ranked_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch ranked sink: output equals the batch top-k, and
+    re-running against the same checkpoint is a no-op (exactly-once
+    effective semantics — no duplicate or truncated partitions)."""
+    from ihop_reddit_spark.operators.windows import top_k_per_group
+    from ihop_reddit_spark.streaming.events import ranked_window_parquet_sink
+
+    out = str(tmp_path / "ranked")
+    ckpt = str(tmp_path / "ckpt")
+    ranked_window_parquet_sink(spark, sf_dir, out, ckpt, k=2)
+
+    got_df = spark.read.parquet(out)
+    got = {
+        (r.window_start_epoch, r.event_type): (r.cnt, r.rank)
+        for r in got_df.collect()
+    }
+
+    ev = _events_batch(spark, sf_dir)
+    counts = (
+        ev.select(ts_epoch_seconds(ev).alias("t"), "event_type")
+        .select(
+            F.expr("t div 3600 * 3600").alias("window_start_epoch"), "event_type"
+        )
+        .groupBy("window_start_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want_df = top_k_per_group(
+        counts,
+        "window_start_epoch",
+        [F.col("cnt").desc(), F.col("event_type").asc()],
+        2,
+    )
+    want = {
+        (r.window_start_epoch, r.event_type): (r.cnt, r.rank)
+        for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay with the same checkpoint: availableNow sees no new files, the
+    # committed output must be byte-identical (no dupes, no truncation)
+    ranked_window_parquet_sink(spark, sf_dir, out, ckpt, k=2)
+    again = {
+        (r.window_start_epoch, r.event_type): (r.cnt, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
