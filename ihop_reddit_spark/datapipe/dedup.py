@@ -695,3 +695,143 @@ def duplicate_components_star(
     out = nodes.unionByName(roots).distinct()
     out._cc_rounds = rounds  # observability for tests/benchmarks
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted index (the production shape:
+# dedup today's batch against the historical corpus WITHOUT recomputing or
+# reshuffling the historical side).
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Deterministic per-doc MinHash signature — pure Catalyst, no MLlib
+    model object.
+
+    Each signature slot i is min over the doc's word-n-gram shingles of
+    ``xxhash64(i, shingle)``. xxhash64 is a fixed public algorithm, so
+    signatures are stable across sessions, Spark versions, and clusters —
+    the property that makes them STORABLE: an index built last month still
+    matches signatures computed today (MLlib's MinHashLSH binds hash
+    coefficients to a fitted model object, which an incremental pipeline
+    would have to version and ship alongside the data).
+
+    One shingle explode + one groupBy(id) with H min-aggregates (map-side
+    partial: the shuffle carries H longs per doc, not the shingle stream).
+    Docs shorter than ``n`` words shingle as their whole text (see
+    :func:`exploded_word_shingles`).
+
+    Returns (``__id``, h0..h{H-1}).
+    """
+    sh = exploded_word_shingles(df, text_col, id_col, n)
+    return sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__g"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_keys(
+    signatures: DataFrame,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Long-form LSH banding of a signature frame: (``__id``, ``band_id``,
+    ``band_key``) — one row per band, ``band_key`` = xxhash64 over the
+    band's signature slots. Two docs collide in a band iff that band's
+    slots all agree; num_bands × rows_per_band trades recall vs candidate
+    volume exactly as in classic MinHash-LSH.
+    """
+    hash_cols = [c for c in signatures.columns if c.startswith("h")]
+    if len(hash_cols) % num_bands:
+        raise ValueError(
+            f"{len(hash_cols)} hashes do not split into {num_bands} bands"
+        )
+    rows_per_band = len(hash_cols) // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(hash_cols[b * rows_per_band + r])
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return signatures.select(
+        "__id", F.explode(bands).alias("__b")
+    ).select("__id", F.col("__b.band_id"), F.col("__b.band_key"))
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the historical corpus's banded MinHash index as a BUCKETED
+    parquet table (bucketed by ``band_key``): incremental lookups join
+    bucket-locally — the index side is read pre-hashed, never reshuffled,
+    no matter how large the history grows. Index size is
+    num_bands rows × 3 longs per historical doc, independent of text size.
+    """
+    from ..sources.io import write_bucketed
+
+    bands = minhash_band_keys(
+        minhash_signatures(df, text_col, id_col, n, num_hashes), num_bands
+    )
+    write_bucketed(
+        bands.withColumnRenamed("__id", "indexed_id"),
+        table_name,
+        path,
+        bucket_cols=["band_key"],
+        num_buckets=num_buckets,
+        sort_cols=["band_key"],
+    )
+
+
+def incremental_minhash_candidates(
+    spark,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the persisted index:
+    compute the batch's band keys (same deterministic hashes) and join on
+    (band_id, band_key). Only the batch side shuffles — sized by today's
+    data; the historical side streams out of its buckets. Returns distinct
+    (``new_id``, ``indexed_id``) candidate pairs; verify survivors with
+    exact :func:`ngram_jaccard_pairs` semantics over the union corpus, as
+    with every banding tier (candidates ⊇ true pairs at matched
+    thresholds, never trusted unverified).
+    """
+    new_bands = minhash_band_keys(
+        minhash_signatures(new_df, text_col, id_col, n, num_hashes), num_bands
+    )
+    idx = spark.table(index_table)
+    return (
+        new_bands.join(idx, ["band_id", "band_key"])
+        .select(
+            F.col("__id").alias("new_id"),
+            "indexed_id",
+        )
+        .distinct()
+    )

@@ -2443,6 +2443,62 @@ def minhash_verified_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash index tier (dedup.minhash_signatures/band_keys —
+# deterministic xxhash64 signatures, storable as a bucketed index): dedup a
+# NEW batch (odd doc_ids) against the HISTORY (even doc_ids) and verify
+# candidates with exact n-gram Jaccard. Emitted = candidates ∩ exact; the
+# fixture's planted cross-parity dups are high-jaccard, so 16-hash/8-band
+# recall is 100% (measured, both SFs) and the oracle is simply the exact
+# cross-parity pair set. The bucketed-index persistence path is pinned by
+# tests/test_datapipe.py (bucket-local plan, no index-side Exchange).
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_minhash_verified_pairs",
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)}
+    SELECT CASE WHEN left_id % 2 = 1 THEN left_id ELSE right_id END AS new_id,
+           CASE WHEN left_id % 2 = 0 THEN left_id ELSE right_id END
+             AS indexed_id,
+           jaccard
+    FROM jpairs
+    WHERE (left_id % 2) <> (right_id % 2)
+    """,
+)
+def incremental_minhash_verified_pairs(spark, sf_dir):
+    from ..datapipe.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_band_keys(
+        minhash_signatures(hist, "text", "doc_id"), num_bands=8
+    ).withColumnRenamed("__id", "indexed_id")
+    batch = minhash_band_keys(
+        minhash_signatures(new, "text", "doc_id"), num_bands=8
+    ).withColumnRenamed("__id", "new_id")
+    cand = (
+        batch.join(idx, ["band_id", "band_key"])
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    cross = exact.select(
+        F.when(F.col("left_id") % 2 == 1, F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("new_id"),
+        F.when(F.col("left_id") % 2 == 0, F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("indexed_id"),
+        "jaccard",
+    ).where(F.col("new_id") % 2 != F.col("indexed_id") % 2)
+    return cand.join(cross, ["new_id", "indexed_id"])
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN recall gate (rows-only by nature — KMeans centroids have no SQL
 # form): recall@k of the nprobe-probed IVF search against the exact
 # brute-force top-k on the same seeded index. The synthetic embeddings are
@@ -3024,6 +3080,7 @@ _SCORING_PRIORITY = [
     "kmeans_quality_metrics",
     "cluster_compare_kmeans_vs_labels",
     "pca_invariants_gate",
+    "incremental_minhash_verified_pairs",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

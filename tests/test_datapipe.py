@@ -381,3 +381,85 @@ def test_constraint_report_single_pass(spark):
     parent = spark.createDataFrame([(1,), (2,)], "k long")
     fk = referential_violations(df, parent, ["k"]).collect()[0]
     assert (fk["rule"], fk["violations"], fk["n_rows"]) == ("fk_orphans", 1, 4)
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash index
+# ---------------------------------------------------------------------------
+def test_incremental_minhash_index_finds_cross_batch_dups(spark, tmp_path):
+    from ihop_reddit_spark.datapipe.dedup import (
+        build_minhash_index,
+        incremental_minhash_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    history = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark query engines at scale"),
+            (3, "another unrelated document mentioning benchmarks and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (101, base),                                  # exact dup of 1
+            (102, base.replace("lazy", "sleepy")),        # near dup of 1
+            (103, "a genuinely novel document with fresh content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    table = "mh_index_test"
+    # 8 bands x 2 rows: this fixture's near-dup pair (jaccard ~ 0.54)
+    # deterministically shares 2 bands (hashes are fixed — measured, pinned)
+    build_minhash_index(
+        history, "text", "doc_id", table, str(tmp_path / "mh_index"),
+        num_bands=8,
+    )
+    try:
+        cand = incremental_minhash_candidates(
+            spark, new_batch, "text", "doc_id", table, num_bands=8
+        )
+        got = {(r.new_id, r.indexed_id) for r in cand.collect()}
+        assert (101, 1) in got          # identical text always collides
+        assert (102, 1) in got          # 1-word change shares >= 1 band
+        assert all(n != 103 for n, _ in got)  # novel doc matches nothing
+
+        # determinism across independent computations (the storability
+        # contract): identical signatures for identical text
+        s1 = minhash_signatures(history, "text", "doc_id").collect()
+        s2 = minhash_signatures(history, "text", "doc_id").collect()
+        assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_minhash_join_is_bucket_local(spark, sf_dir, tmp_path):
+    """The index side must stream out of its buckets with no Exchange —
+    the whole point of persisting it bucketed."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ihop_reddit_spark.datapipe.dedup import (
+        build_minhash_index,
+        incremental_minhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = "mh_index_plan_test"
+    build_minhash_index(
+        docs, "text", "doc_id", table, str(tmp_path / "mh_index_plan")
+    )
+    try:
+        cand = incremental_minhash_candidates(
+            spark, docs.limit(50), "text", "doc_id", table
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cand.explain("formatted")
+        plan = buf.getvalue()
+        scan = plan.split("Scan parquet")[-1]  # the index-table scan branch
+        assert "Bucketed: true" in scan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
