@@ -2328,6 +2328,68 @@ def lda_topic_terms(spark, sf_dir):
     return topic_terms(model, pipe.vocab_df(spark), max_terms=5)
 
 
+@query(
+    "lda_invariants_gate",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_topics, CAST(25 AS BIGINT) AS n_rows,
+           TRUE AS weights_ok, TRUE AS terms_ok
+    FROM (SELECT 1)
+    """,
+)
+def lda_invariants_gate(spark, sf_dir):
+    """M5 as a driver-thresholdable gate: structural invariants of the
+    seeded online-LDA topic table that any healthy fit satisfies (the
+    term/weight floats themselves stay rows-only in ``lda_topic_terms``).
+
+    * ``n_topics``/``n_rows`` — exactly k topics × max_terms rows (a vocab
+      join that drops terms, or an empty topic, reds the hash).
+    * ``weights_ok`` — every weight finite and positive, and each topic's
+      top-terms mass sums to ≤ 1 (the weights are a PARTIAL probability
+      mass of the topic-word distribution — a normalization bug that
+      inflates weights reds this).
+    * ``terms_ok`` — no NULL/duplicate term within a topic.
+    """
+    from ..ml.clustering import fit_lda, topic_terms
+    from ..ml.text_pipeline import SparkTextPipeline
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "document_text")
+    pipe = SparkTextPipeline(min_df=1.0, max_df=1.0e18)
+    vec = pipe.fit_transform(docs)
+    model = fit_lda(vec, "vectorized", k=5, max_iter=10, subsampling_rate=1.0, seed=100)
+    tt = topic_terms(model, pipe.vocab_df(spark), max_terms=5)
+    # per-topic stats in one pass over the tiny (k*max_terms)-row frame
+    stats = (
+        tt.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("term").alias("n_terms"),
+            F.min(
+                (F.col("weight") > 0) & ~F.isnan("weight")
+            ).alias("w_pos"),
+            F.sum("weight").alias("w_sum"),
+            F.min(F.col("term").isNotNull()).alias("t_notnull"),
+        )
+        .withColumn(
+            "w_ok", F.col("w_pos") & (F.col("w_sum") <= 1.0 + 1e-9)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_topics"),
+            F.sum("n").alias("n_rows"),
+            F.min("w_ok").alias("weights_ok"),
+            F.min((F.col("n_terms") == F.col("n")) & F.col("t_notnull")).alias(
+                "terms_ok"
+            ),
+        )
+        .first()
+    )
+    return spark.range(1).select(
+        F.lit(int(stats["n_topics"])).cast("long").alias("n_topics"),
+        F.lit(int(stats["n_rows"])).cast("long").alias("n_rows"),
+        F.lit(bool(stats["weights_ok"])).alias("weights_ok"),
+        F.lit(bool(stats["terms_ok"])).alias("terms_ok"),
+    )
+
+
 @query("c2v_event_embeddings")
 def c2v_event_embeddings(spark, sf_dir):
     """M1 — scalar (word, dim, value) rows, NOT an array column: the
@@ -3081,6 +3143,7 @@ _SCORING_PRIORITY = [
     "cluster_compare_kmeans_vs_labels",
     "pca_invariants_gate",
     "incremental_minhash_verified_pairs",
+    "lda_invariants_gate",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate
