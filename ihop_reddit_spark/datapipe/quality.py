@@ -95,3 +95,77 @@ def referential_violations(
             ),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Partition-skew diagnostic for a prospective join/agg key: the top-N
+    heaviest key values with their share of all rows and the skew ratio
+    vs a perfectly uniform key (share × distinct-key count).
+
+    This is the table you read BEFORE keying a 100 TB shuffle: a key whose
+    top value holds 30% of rows serializes 30% of the data into one task —
+    the number that says "salt this join" (``operators/joins.salted_join``)
+    or "pick another partitioning". One shuffle on the key builds the
+    per-key counts; everything downstream (totals, ranking) runs on the
+    key-cardinality-sized frame, broadcast back — never a second pass over
+    the data.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total")).alias("share"),
+            (
+                F.col("cnt").cast("double") * F.col("__n_keys") / F.col("__total")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_n)
+    )
+    return ranked
+
+
+def heavy_hitters_gate(
+    df: DataFrame,
+    key_col: str,
+    support: float = 0.2,
+) -> DataFrame:
+    """Single-pass approximate heavy hitters (``DataFrame.stat.freqItems``,
+    Karp-Shenker-Papadimitriou) checked against its algorithmic guarantee:
+    the candidate set CONTAINS every key with true share ≥ support
+    (supersets allowed — that is the contract; false positives are pruned
+    by one exact count pass over the candidate list only).
+
+    Returns one row: (n_true_heavy, all_heavy_found). At 100 TB the sketch
+    pass is constant memory per partition vs the exact groupBy's shuffle of
+    the full key set — the gate proves the cheap path is trustworthy on
+    driver data.
+    """
+    candidates = set(
+        df.stat.freqItems([key_col], support).first()[0] or []
+    )
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("__total")))
+        )
+        .where(F.col("cnt").cast("double") / F.col("__total") >= support)
+    )
+    true_heavy = [r[key_col] for r in exact.select(key_col).collect()]
+    found = all(k in candidates for k in true_heavy)
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(len(true_heavy)).cast("long").alias("n_true_heavy"),
+        F.lit(bool(found)).alias("all_heavy_found"),
+    )

@@ -2908,6 +2908,53 @@ def data_quality_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew diagnostics (datapipe/quality.key_skew_report): the pre-shuffle
+# check that tells you to salt a join. Shares/ratios are int/int double
+# divisions on identical inputs — cross-engine deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "key_skew_report_events",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT user_id, cnt,
+           CAST(cnt AS DOUBLE) / total AS share,
+           CAST(cnt AS DOUBLE) * n_keys / total AS skew_ratio
+    FROM c, t
+    ORDER BY cnt DESC, user_id ASC LIMIT 10
+    """,
+)
+def key_skew_report_events(spark, sf_dir):
+    from ..datapipe.quality import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters sketch gate (datapipe/quality.heavy_hitters_gate): the
+# freqItems candidate superset must contain every key with true share >=
+# support — the algorithmic guarantee, asserted on driver data. The oracle
+# re-derives the true heavy count exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters_event_types",
+    """
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_heavy, TRUE AS all_heavy_found
+    FROM c, t WHERE CAST(cnt AS DOUBLE) / total >= 0.15
+    """,
+)
+def heavy_hitters_event_types(spark, sf_dir):
+    from ..datapipe.quality import heavy_hitters_gate
+
+    return heavy_hitters_gate(_t(spark, sf_dir, "events"), "event_type", 0.15)
+
+
+# ---------------------------------------------------------------------------
 # Dataset maintenance (operators/setops.merge_upsert / snapshot_diff): apply
 # a change batch to an immutable snapshot (MERGE-as-transformation — the
 # base never shuffles, the delta broadcasts) and diff two snapshot versions
@@ -3144,6 +3191,8 @@ _SCORING_PRIORITY = [
     "pca_invariants_gate",
     "incremental_minhash_verified_pairs",
     "lda_invariants_gate",
+    "key_skew_report_events",
+    "heavy_hitters_event_types",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

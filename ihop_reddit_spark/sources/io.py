@@ -113,3 +113,52 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True, mode: str = 
     on bounded results (top-N tables, ≤~1M rows).
     """
     df.coalesce(1).write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet dataset via the pyarrow
+    filesystem API — generic over local/S3/HDFS (pass-through of whatever
+    filesystem ``pyarrow.dataset`` infers from the path/URI)."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    fs = dataset.filesystem
+    infos = fs.get_file_info(list(dataset.files))
+    return len(infos), sum(i.size for i in infos)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    compression: str = "zstd",
+) -> int:
+    """Small-files compaction — the maintenance op every long-lived dataset
+    needs: streaming sinks, incremental batches, and dynamic-partition
+    overwrites all accrete files far below the scan-efficient size, and at
+    100 TB the file count (driver memory for listings, task-launch
+    overhead, metadata RPCs) degrades every reader.
+
+    Sizes the output from the CURRENT on-disk bytes: n_out =
+    ceil(total_bytes / target_file_bytes), then rewrites through
+    ``repartition(n_out)`` — a full shuffle, chosen over ``coalesce``
+    deliberately: coalesce merges whole input partitions and inherits
+    their skew, so one giant file can survive compaction; repartition
+    rebalances by row and its cost IS the rewrite cost.
+
+    Writes to ``out_path`` (swap is the caller's transaction: rename /
+    catalog repoint / table-format commit). Returns n_out.
+    """
+    import math
+
+    _, total_bytes = parquet_file_stats(path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return n_out

@@ -130,3 +130,25 @@ def test_top_ngram_fraction_matches_repetition_features(docs):
         for r in repetition_features(docs, "text", "doc_id").collect()
     }
     assert light == full
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    from ihop_reddit_spark.datapipe.quality import key_skew_report
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "row_id long, k string")
+    top = key_skew_report(df, ["k"], top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["cnt"] == 50
+    assert abs(top[0]["share"] - 0.5) < 1e-12
+    # 51 distinct keys, uniform share would be 100/51 rows -> ratio 50*51/100
+    assert abs(top[0]["skew_ratio"] - 50 * 51 / 100) < 1e-12
+
+
+def test_heavy_hitters_gate_superset_guarantee(spark):
+    from ihop_reddit_spark.datapipe.quality import heavy_hitters_gate
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters_gate(df, "k", support=0.25).first()
+    assert out["n_true_heavy"] == 2  # a (50%) and b (30%)
+    assert out["all_heavy_found"] is True

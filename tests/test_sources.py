@@ -177,3 +177,25 @@ def test_zordered_layout_bounds_both_dimensions(spark, tmp_path):
     # z-order bounds BOTH dims: every file a small rectangle
     assert max((sx + 1) * (sy + 1) for sx, sy in zs) <= 4 * 256
     assert sum(sy for _, sy in zs) / len(zs) <= 32
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from ihop_reddit_spark.sources.io import compact_parquet, parquet_file_stats
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)  # simulate small-files accretion
+    n_before, total_bytes = parquet_file_stats(src)
+    assert n_before == 64
+
+    out = str(tmp_path / "compacted")
+    # target sized to land ~4 files from the measured bytes
+    n_out = compact_parquet(spark, src, out, target_file_bytes=total_bytes // 4 + 1)
+    n_after, _ = parquet_file_stats(out)
+    assert n_after == n_out <= 4
+
+    before = {r.doc_id for r in docs.collect()}
+    after_df = spark.read.parquet(out)
+    after = {r.doc_id for r in after_df.collect()}
+    assert after == before
+    assert sorted(after_df.columns) == sorted(docs.columns)
