@@ -353,3 +353,51 @@ def pack_sequences(
     return out.withColumn(
         "bin", F.expr(f"(__cum - n_tokens) div {int(budget)}")
     ).drop("__cum")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the inverse of
+    :func:`pack_sequences` for corpora whose documents EXCEED the training
+    context: chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap.
+
+    Pure Catalyst: one ``split`` per doc, a ``sequence`` of chunk starts,
+    ``posexplode`` + ``slice`` — no shuffle at all (chunking is row-local),
+    so it composes with any downstream repartition for free. Short docs
+    yield exactly one chunk.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.array_join(
+            F.slice(F.col("__t"), F.col("__start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )

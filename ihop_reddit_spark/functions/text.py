@@ -170,3 +170,35 @@ def simhash64(text: Column, sep: str = " ") -> Column:
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sig
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pretraining-pipeline hygiene): regex redaction of the
+# common identifier shapes. Patterns deliberately use only syntax shared by
+# Java regex (Spark) and RE2 (DuckDB/oracle): no backrefs, no lookaround.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace each PII kind with a ``[PII-<KIND>]`` token — chained
+    ``regexp_replace``, pure Catalyst, order fixed (email before phone so
+    digit runs inside addresses are claimed by the email pass first is NOT
+    needed — patterns are disjoint — but a fixed order keeps the output
+    deterministic and oracle-reproducible)."""
+    out = text
+    for kind in kinds or tuple(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[PII-{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (LONG) — the audit side of :func:`scrub_pii`."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }

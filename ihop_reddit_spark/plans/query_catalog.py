@@ -2908,6 +2908,97 @@ def data_quality_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (functions/text.scrub_pii): regex redaction + audit counts.
+# The synthetic docs carry no PII, so the query PLANTS deterministic
+# identifiers derived from doc_id first — both engines synthesize and
+# scrub the identical text, making redaction behavior hash-gateable.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_scrubbed_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7' AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+               '[PII-EMAIL]', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PII-PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[PII-IPV4]', 'g')
+               AS scrubbed,
+             CAST(len(regexp_extract_all(t,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t,
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS BIGINT) AS n_phone
+      FROM d)
+    SELECT doc_id, scrubbed, n_email, n_phone,
+           CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed
+    FROM s
+    """,
+)
+def pii_scrubbed_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = TX.pii_counts(F.col("t"))
+    return planted.select(
+        "doc_id",
+        TX.scrub_pii(F.col("t")).alias("scrubbed"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        F.length(TX.scrub_pii(F.col("t"))).cast("long").alias("n_chars_scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (datapipe/curation.chunk_documents): overlapping token
+# windows, row-local (zero shuffle). Chunk text + exact token accounting
+# are both hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "chunked_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(range(0, len(t), 24)) AS start
+      FROM d)
+    SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, start + 1, start + 32), ' ')
+             AS chunk_text,
+           CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def chunked_documents(spark, sf_dir):
+    from ..datapipe.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=32, overlap=8,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnostics (datapipe/quality.key_skew_report): the pre-shuffle
 # check that tells you to salt a join. Shares/ratios are int/int double
 # divisions on identical inputs — cross-engine deterministic.
@@ -3193,6 +3284,8 @@ _SCORING_PRIORITY = [
     "lda_invariants_gate",
     "key_skew_report_events",
     "heavy_hitters_event_types",
+    "pii_scrubbed_documents",
+    "chunked_documents",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

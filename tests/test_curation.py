@@ -152,3 +152,45 @@ def test_heavy_hitters_gate_superset_guarantee(spark):
     out = heavy_hitters_gate(df, "k", support=0.25).first()
     assert out["n_true_heavy"] == 2  # a (50%) and b (30%)
     assert out["all_heavy_found"] is True
+
+
+def test_chunk_documents_windows_and_counts(spark):
+    from ihop_reddit_spark.datapipe.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "a b")], "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+    assert {c for d, c in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(1, 1)].chunk_text == "w3 w4 w5 w6"   # overlap 1
+    assert rows[(1, 3)].chunk_text == "w9"            # tail
+    assert rows[(1, 3)].n_chunk_tokens == 1
+    # short doc: exactly one chunk
+    assert {c for d, c in rows if d == 2} == {0}
+    assert rows[(2, 0)].chunk_text == "a b"
+    # every token of doc 1 is covered at least once
+    covered = " ".join(rows[(1, c)].chunk_text for c in range(4)).split()
+    assert set(covered) == {f"w{i}" for i in range(10)}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail me at a.b-c@test.org or call +1 (222) 333-4455 from 10.0.0.1",)],
+        "t string",
+    )
+    counts = pii_counts(F.col("t"))
+    row = df.select(
+        scrub_pii(F.col("t")).alias("s"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+    ).first()
+    assert "[PII-EMAIL]" in row.s and "[PII-PHONE]" in row.s and "[PII-IPV4]" in row.s
+    assert "a.b-c@test.org" not in row.s and "333-4455" not in row.s
+    assert (row.e, row.p, row.i) == (1, 1, 1)
