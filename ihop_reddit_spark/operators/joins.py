@@ -246,3 +246,58 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join via bucket banding — the scale path
+    for a join Spark has no native strategy for: without a selective equi
+    key, ``a.start <= b.end AND b.start <= a.end`` plans as a
+    nested-loop/cartesian and explodes at any real volume.
+
+    Each interval explodes into the coarse time buckets it covers
+    (``sequence(start div W, end div W)``); the join becomes an EQUI join
+    on (keys..., bucket) — hash-partitioned, AQE-skew-splittable — then the
+    exact overlap predicate filters survivors. Duplicate candidates from
+    multi-bucket overlaps are eliminated WITHOUT a distinct: a pair is kept
+    only in the bucket where their overlap starts
+    (``greatest(l_start, r_start) div W``), which both sides provably
+    cover. Choose ``bucket_width`` near the typical interval length: cost
+    is (interval_len/W + 1) candidate rows per interval vs |bucket
+    population|² pair work within a bucket.
+
+    Bounds are INCLUSIVE integer columns (epoch seconds/micros — use
+    ``functions/event_time`` accessors upstream). Returns matched pairs
+    with all columns of both inputs; name-collision management is the
+    caller's (prefix-rename upstream).
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    w = int(bucket_width)
+    lb = left.withColumn(
+        "__lb", F.expr(f"explode(sequence({ls} div {w}, {le} div {w}))")
+    )
+    rb = right.withColumn(
+        "__rb", F.expr(f"explode(sequence({rs} div {w}, {re_} div {w}))")
+    )
+    cond = F.col("__lb") == F.col("__rb")
+    for k in keys or []:
+        cond = cond & (lb[k] == rb[k])
+    out = (
+        lb.join(rb.drop(*(keys or [])), cond)
+        .where(
+            (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+        )
+        # overlap-start bucket: the unique bucket both intervals cover
+        .where(
+            F.col("__lb")
+            == F.expr(f"greatest({ls}, {rs}) div {w}")
+        )
+    )
+    return out.drop("__lb", "__rb")

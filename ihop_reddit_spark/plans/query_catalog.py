@@ -2908,6 +2908,76 @@ def data_quality_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Interval × interval overlap join (operators/joins.interval_overlap_join):
+# daily 02:00-03:59:59 windows (derived from the data's day span) against
+# user activity sessions. The operator's bucket banding turns the
+# no-equi-key overlap theta-join into an equi join on coarse time buckets;
+# the oracle is DuckDB's direct theta join (fine at oracle scale).
+# ---------------------------------------------------------------------------
+@query(
+    "interval_overlap_window_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    o AS (
+      SELECT user_id, t,
+             LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+             SUM(CASE WHEN prev IS NULL OR t - prev >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
+      FROM s GROUP BY 1, 2),
+    b AS (SELECT MIN(t) // 86400 AS d0, MAX(t) // 86400 AS d1 FROM e),
+    wi AS (
+      SELECT day, day * 86400 + 7200 AS w_start, day * 86400 + 14399 AS w_end
+      FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b))
+    SELECT day AS window_day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM wi JOIN sess ON w_start <= s_end AND s_start <= w_end
+    GROUP BY day
+    """,
+)
+def interval_overlap_window_sessions(spark, sf_dir):
+    from ..operators.joins import interval_overlap_join
+    from ..operators.windows import sessionize
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_epoch_seconds(raw).alias("t"))
+    sess = (
+        sessionize(ev, "user_id", "t", gap=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("s_start"), F.max("t").alias("s_end"))
+    )
+    bounds = ev.agg(
+        F.expr("min(t div 86400)").alias("d0"),
+        F.expr("max(t div 86400)").alias("d1"),
+    )
+    windows = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    ).select(
+        "day",
+        (F.col("day") * 86400 + 7200).alias("w_start"),
+        (F.col("day") * 86400 + 14399).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        windows,
+        sess,
+        ("w_start", "w_end"),
+        ("s_start", "s_end"),
+        bucket_width=7200,
+    )
+    return joined.groupBy(F.col("day").alias("window_day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (functions/text.scrub_pii): regex redaction + audit counts.
 # The synthetic docs carry no PII, so the query PLANTS deterministic
 # identifiers derived from doc_id first — both engines synthesize and
@@ -3286,6 +3356,7 @@ _SCORING_PRIORITY = [
     "heavy_hitters_event_types",
     "pii_scrubbed_documents",
     "chunked_documents",
+    "interval_overlap_window_sessions",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

@@ -465,3 +465,36 @@ def test_snapshot_diff_classifies_changes(spark):
     # 1 unchanged (absent), 2 changed, 3 NULL->value counts as changed
     # (null-safe compare), 4 added, 5 removed
     assert got == {2: "changed", 3: "changed", 4: "added", 5: "removed"}
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    """Bucket-banded overlap join ≡ the naive theta join, including
+    multi-bucket intervals (no duplicate pairs) and touching endpoints."""
+    from ihop_reddit_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 95, 205), (3, 300, 300), (4, 400, 410)],
+        "lid long, w_start long, w_end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 7), (11, 10, 20), (12, 100, 104), (13, 90, 300), (14, 301, 310)],
+        "rid long, s_start long, s_end long",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ("w_start", "w_end"), ("s_start", "s_end"),
+            bucket_width=100,
+        ).collect()
+    }
+    want = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (left.w_start <= right.s_end) & (right.s_start <= left.w_end),
+        ).collect()
+    }
+    assert got == want
+    assert (1, 11) in got   # touching endpoints (inclusive bounds)
+    assert (3, 13) in got   # point interval inside a long interval
+    assert (3, 14) not in got
