@@ -41,6 +41,8 @@ HEADLINE = [
     # north-star tier has per-round perf evidence, not just correctness
     "curated_training_corpus",    # repetition→decontam→mixture→split→pack
     "packed_sequence_bins",       # sharded two-pass packing rebase
+    "incremental_minhash_verified_pairs",  # index-tier dedup + exact verify
+    "interval_overlap_window_sessions",    # bucket-banded overlap join
 ]
 
 

@@ -131,6 +131,31 @@ def _cmd_topics(args) -> None:
     )
 
 
+def _cmd_compact(args) -> None:
+    from .sources.io import compact_parquet
+
+    spark = _session(args)
+    n_out = compact_parquet(
+        spark, args.input, args.output,
+        target_file_bytes=args.target_file_mb << 20,
+    )
+    print(f"compacted {args.input} -> {args.output} ({n_out} files)")
+
+
+def _cmd_skew_report(args) -> None:
+    from .datapipe.quality import key_skew_report
+    from .sources.io import write_single_csv
+
+    spark = _session(args)
+    report = key_skew_report(
+        spark.read.parquet(args.input), args.keys, top_n=args.top_n
+    )
+    if args.output:
+        write_single_csv(report, args.output)
+    else:
+        report.show(args.top_n, truncate=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ihop_reddit_spark")
     p.add_argument("--master", default=None, help="Spark master (default: local)")
@@ -181,6 +206,19 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--max-df", type=float, default=1.0e18)
     tp.add_argument("--max-terms", type=int, default=10)
     tp.set_defaults(func=_cmd_topics)
+
+    co = sub.add_parser("compact", help="rewrite a parquet dataset to target file sizes")
+    co.add_argument("--input", required=True)
+    co.add_argument("--output", required=True)
+    co.add_argument("--target-file-mb", type=int, default=128)
+    co.set_defaults(func=_cmd_compact)
+
+    sk = sub.add_parser("skew-report", help="top-N heaviest key values (pre-shuffle check)")
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--keys", required=True, nargs="+")
+    sk.add_argument("--top-n", type=int, default=10)
+    sk.add_argument("--output", default=None, help="optional CSV output (default: print)")
+    sk.set_defaults(func=_cmd_skew_report)
     return p
 
 

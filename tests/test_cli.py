@@ -98,3 +98,27 @@ def test_cli_bow(spark, tmp_path):
     docs = spark.read.parquet(f"{out}/documents")
     assert docs.count() == 1  # one submission thread
     assert set(docs.columns) == {"id", "subreddit", "document_text"}
+
+
+def test_cli_compact_and_skew_report(spark, sf_dir, tmp_path, capsys):
+    src = str(tmp_path / "frag")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(16).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    main(["compact", "--input", src, "--output", out, "--target-file-mb", "512"])
+    assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
+    assert "compacted" in capsys.readouterr().out
+
+    csv_out = str(tmp_path / "skew.csv")
+    main(
+        [
+            "skew-report", "--input", f"{sf_dir}/events.parquet",
+            "--keys", "event_type", "--top-n", "5", "--output", csv_out,
+        ]
+    )
+    part = next(
+        f for f in os.listdir(csv_out)
+        if f.startswith("part-") and f.endswith(".csv")
+    )
+    lines = open(os.path.join(csv_out, part)).read().strip().splitlines()
+    assert lines[0].split(",")[:2] == ["event_type", "cnt"]
+    assert len(lines) == 6  # header + 5 event types
