@@ -169,3 +169,41 @@ def heavy_hitters_gate(
         F.lit(len(true_heavy)).cast("long").alias("n_true_heavy"),
         F.lit(bool(found)).alias("all_heavy_found"),
     )
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content fingerprint for dataset integrity checks
+    (migration/copy/compaction verification): one row
+    (n_rows, xor_hash, sum_hash) that any engine reproduces from the same
+    data regardless of row order or partitioning.
+
+    Per row: md5 over the unit-separator-joined canonical strings of
+    ``cols`` (sorted names; NULL → chr(0)), first 15 hex digits as int64.
+    Reduced by COUNT, BIT_XOR (permutation-invariant, no overflow), and a
+    modular sum (mod 1e9+7; second independent accumulator so a pair of
+    rows whose hashes XOR-cancel still shifts the sum). Restrict ``cols``
+    to integer/string columns — float-to-string rendering is not
+    cross-engine stable.
+    """
+    use = sorted(cols or df.columns)
+    canon = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in use
+            ],
+        )
+    )
+    h = F.conv(F.substring(canon, 1, 15), 16, 10).cast("long")
+    p = 1_000_000_007
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("xor_hash"),
+        (
+            F.sum(F.pmod(F.col("__h"), F.lit(p)).cast("decimal(38,0)"))
+            % F.lit(p)
+        )
+        .cast("long")
+        .alias("sum_hash"),
+    )

@@ -181,9 +181,12 @@ def asof_join(
     right_cols: list[str] | None = None,
     right_prefix: str = "asof_",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the latest right row with
-    ``right_ts <= left_ts`` for the same key(s); unmatched rows keep NULLs.
+    """As-of join: each left row gets the closest right row for the same
+    key(s) — ``direction="backward"`` (default) the latest right with
+    ``right_ts <= left_ts``, ``direction="forward"`` the earliest right
+    with ``right_ts >= left_ts``; unmatched rows keep NULLs.
 
     Not in the reference (SURVEY §2.3 "not present" row) — added because
     time-aligned enrichment is a staple the J3+P5 pattern only approximates.
@@ -199,9 +202,17 @@ def asof_join(
     the right side for full determinism. Heavily skewed keys: pre-split hot
     keys (window skew is not AQE-rescued).
 
-    ``tolerance``: max allowed ``left_ts - right_ts``; staler matches null
-    out (pandas ``merge_asof`` semantics).
+    ``tolerance``: max allowed gap (``left_ts - right_ts`` backward,
+    ``right_ts - left_ts`` forward); staler matches null out (pandas
+    ``merge_asof`` semantics).
+
+    Forward is the SAME one-window plan run over descending timestamps:
+    in a descending frame, "preceding" rows are the later-or-equal ones,
+    so the carried-forward last right payload is the earliest
+    ``right_ts >= left_ts``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -225,20 +236,25 @@ def asof_join(
     from pyspark.sql import Window
 
     u = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType)).unionByName(l)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
         F.col("__side") == 1
     )
     if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col("__m.__rts")
+            if direction == "backward"
+            else F.col("__m.__rts") - F.col("__ts")
+        )
         matched = matched.withColumn(
-            "__m",
-            F.when(
-                F.col("__ts") - F.col("__m.__rts") <= F.lit(tolerance), F.col("__m")
-            ),
+            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
         )
     out = matched.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],

@@ -453,6 +453,51 @@ def asof_purchase_to_click(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of (asof_join direction="forward"): every purchase matched to
+# the user's EARLIEST following-or-simultaneous click — the same one-window
+# plan over descending timestamps. Oracle: DuckDB ASOF with <=.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_forward_purchase_to_click",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id,
+           COALESCE(c.click_event_id, -1) AS click_event_id,
+           COALESCE(c.t - p.t, -1) AS lead_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t <= c.t
+    """,
+)
+def asof_forward_purchase_to_click(spark, sf_dir):
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_epoch_micros(ev))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=["click_event_id"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_click_event_id"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.col("asof_ts_us") - F.col("ts_us"), F.lit(-1)).alias("lead_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J3+P5 as a declared range join (operators/joins.range_join): clicks in the
 # open (0, 30min) window before each purchase, per user.
 # ---------------------------------------------------------------------------
@@ -3069,6 +3114,42 @@ def chunked_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Table fingerprint (datapipe/quality.table_fingerprint): order-insensitive
+# content hash for integrity verification — the check you run after a
+# migration/compaction/engine swap. The oracle re-derives the md5-based row
+# hashes with DuckDB's hex-digit reduce and must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "table_fingerprint_customer",
+    """
+    WITH h AS (
+      SELECT list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(concat_ws(chr(31),
+                          coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+                          coalesce(c_mktsegment, chr(0)),
+                          coalesce(c_name, chr(0)),
+                          coalesce(CAST(c_nationkey AS VARCHAR), chr(0)))),
+                        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+           CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS sum_hash
+    FROM h
+    """,
+)
+def table_fingerprint_customer(spark, sf_dir):
+    from ..datapipe.quality import table_fingerprint
+
+    return table_fingerprint(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew diagnostics (datapipe/quality.key_skew_report): the pre-shuffle
 # check that tells you to salt a join. Shares/ratios are int/int double
 # divisions on identical inputs — cross-engine deterministic.
@@ -3357,6 +3438,8 @@ _SCORING_PRIORITY = [
     "pii_scrubbed_documents",
     "chunked_documents",
     "interval_overlap_window_sessions",
+    "asof_forward_purchase_to_click",
+    "table_fingerprint_customer",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

@@ -194,3 +194,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "[PII-EMAIL]" in row.s and "[PII-PHONE]" in row.s and "[PII-IPV4]" in row.s
     assert "a.b-c@test.org" not in row.s and "333-4455" not in row.s
     assert (row.e, row.p, row.i) == (1, 1, 1)
+
+
+def test_table_fingerprint_order_invariant_and_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.quality import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    base = table_fingerprint(df).first()
+    shuffled = table_fingerprint(df.repartition(7).orderBy(F.rand(42))).first()
+    assert (base.n_rows, base.xor_hash, base.sum_hash) == (
+        shuffled.n_rows, shuffled.xor_hash, shuffled.sum_hash,
+    )
+    changed = table_fingerprint(
+        df.withColumn("v", F.when(F.col("k") == 1, "z").otherwise(F.col("v")))
+    ).first()
+    assert (changed.xor_hash, changed.sum_hash) != (base.xor_hash, base.sum_hash)
+    assert changed.n_rows == base.n_rows

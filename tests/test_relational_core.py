@@ -292,6 +292,38 @@ def test_asof_join_backward_semantics(spark):
     assert tol == {"l10": "r10", "l20": None, "l5": None, "l7": None}
 
 
+def test_asof_join_forward_semantics(spark):
+    from ihop_reddit_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 5, "l5"), (2, 12, "l12")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")],
+        "k long, ts long, rv string",
+    )
+    out = {
+        r["lv"]: (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(
+            left, right, "k", "ts", "ts", direction="forward"
+        ).collect()
+    }
+    assert out == {
+        "l10": (10, "r10"),   # inclusive at equal ts
+        "l20": (None, None),  # nothing after
+        "l5": (10, "r10"),    # earliest following
+        "l12": (None, None),  # right row is earlier
+    }
+    tol = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", direction="forward", tolerance=3
+        ).collect()
+    }
+    assert tol == {"l10": "r10", "l20": None, "l5": None, "l12": None}
+
+
 def test_corpus_stats_approx_within_rsd(spark, sf_dir):
     from ihop_reddit_spark.operators.aggregates import corpus_stats
 
