@@ -2001,6 +2001,29 @@ def user_sessions_batch(spark, sf_dir):
 
 
 @query(
+    "stream_static_enriched_counts",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY event_type),
+    e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+               AS window_start_epoch
+      FROM events)
+    SELECT e.window_start_epoch, e.event_type, COUNT(*) AS cnt,
+           MAX(d.type_total) AS type_total
+    FROM e JOIN d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enriched_counts(spark, sf_dir):
+    from ..streaming.events import enriched_event_counts_stream
+
+    return enriched_event_counts_stream(spark, sf_dir)
+
+
+@query(
     "stream_sliding_event_counts",
     """
     WITH starts AS (
@@ -3440,6 +3463,7 @@ _SCORING_PRIORITY = [
     "interval_overlap_window_sessions",
     "asof_forward_purchase_to_click",
     "table_fingerprint_customer",
+    "stream_static_enriched_counts",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

@@ -333,6 +333,46 @@ def windowed_top_event_types_stream(
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def enriched_event_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (per-type aggregate weights computed batch-side) before the
+    windowed aggregation — the standard "enrich the feed with reference
+    data" pattern.
+
+    A static side needs no watermark and keeps no join state: Spark
+    re-plans it per micro-batch (broadcast at dim size), so the stream
+    side never shuffles for the join. Batch oracle: identical join + group
+    in SQL.
+    """
+    static_dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.join(F.broadcast(static_dim), "event_type")
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("type_total").alias("type_total"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+            "type_total",
+        )
+    )
+    return _run_to_memory(windowed, spark)
+
+
 def ranked_window_parquet_sink(
     spark: SparkSession,
     sf_dir: str,

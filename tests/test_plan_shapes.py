@@ -275,3 +275,28 @@ def test_pack_sequences_sharded_one_corpus_shuffle_broadcast_rebase(
     # dimension window), which a partial HashAggregate has already collapsed
     big_side = plan.split("BroadcastExchange")[0]
     assert big_side.count("Exchange") == 1
+
+
+def test_interval_overlap_join_avoids_nested_loop(spark):
+    from ihop_reddit_spark.operators.joins import interval_overlap_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 50).alias("w_start"),
+        (F.col("id") * 50 + 120).alias("w_end"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 37).alias("s_start"),
+        (F.col("id") * 37 + 80).alias("s_end"),
+    )
+    plan = plan_of(
+        interval_overlap_join(
+            left, right, ("w_start", "w_end"), ("s_start", "s_end"),
+            bucket_width=100,
+        )
+    )
+    # the banding must plan as an EQUI join on the bucket — never the
+    # nested-loop/cartesian a bare overlap predicate produces
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
