@@ -2384,6 +2384,57 @@ def cluster_greedy_max_match(spark, sf_dir):
     )
 
 
+@query(
+    "greedy_match_invariants_gate",
+    """
+    WITH c AS (SELECT COUNT(DISTINCT c_mktsegment) AS k1,
+                      COUNT(DISTINCT c_nationkey) AS k2 FROM customer)
+    SELECT CAST(least(k1, k2) AS BIGINT) AS n_pairs,
+           TRUE AS one_to_one, TRUE AS cells_valid, TRUE AS mass_bounds_ok
+    FROM c
+    """,
+)
+def greedy_match_invariants_gate(spark, sf_dir):
+    """M10 as a driver-thresholdable gate: invariants the greedy argmax
+    pairing provably satisfies (the pair LIST stays rows-only — the
+    sequential removal loop has no SQL form):
+
+    * ``n_pairs`` = min(|left labels|, |right labels|) — oracle-derived.
+    * ``one_to_one`` — no label reused on either side.
+    * ``cells_valid`` — every emitted pair's mass equals its true
+      contingency cell.
+    * ``mass_bounds_ok`` — total matched mass is ≥ the global max cell
+      (greedy's first pick) and ≤ the sum of per-left-label max cells.
+    """
+    from ..ml.cluster_metrics import greedy_max_match
+
+    cont = contingency_table(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
+    )
+    rows = [(r[0], r[1], r[2]) for r in cont.collect()]
+    result = greedy_max_match(rows)
+    pairs = result["pairs"]
+    cell = {(c1, c2): n for c1, c2, n in rows}
+    n_pairs = len(pairs)
+    one_to_one = (
+        len({p[0] for p in pairs}) == n_pairs
+        and len({p[1] for p in pairs}) == n_pairs
+    )
+    cells_valid = all(cell.get((c1, c2)) == n for c1, c2, n in pairs)
+    mass = sum(n for _, _, n in pairs)
+    lefts = {c1 for c1, _, _ in rows}
+    per_left_max_sum = sum(
+        max(v for (a, _), v in cell.items() if a == c1) for c1 in lefts
+    )
+    mass_ok = max(cell.values()) <= mass <= per_left_max_sum
+    return spark.range(1).select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.lit(bool(one_to_one)).alias("one_to_one"),
+        F.lit(bool(cells_valid)).alias("cells_valid"),
+        F.lit(bool(mass_ok)).alias("mass_bounds_ok"),
+    )
+
+
 @query("lda_topic_terms")
 def lda_topic_terms(spark, sf_dir):
     from ..ml.clustering import fit_lda, topic_terms
@@ -3464,6 +3515,7 @@ _SCORING_PRIORITY = [
     "asof_forward_purchase_to_click",
     "table_fingerprint_customer",
     "stream_static_enriched_counts",
+    "greedy_match_invariants_gate",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate
