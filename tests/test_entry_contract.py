@@ -36,3 +36,21 @@ def test_every_catalog_query_runs_at_smallest_sf(spark):
         except Exception as exc:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+def test_scoring_order_integrity():
+    """The scoring rotation must never silently drop or duplicate a query:
+    every priority/demoted name exists, the reordered dicts hold exactly
+    the registered key set, and oracle keys are a subset of queries."""
+    from ihop_reddit_spark.plans import query_catalog as qc
+
+    assert len(set(qc._SCORING_PRIORITY)) == len(qc._SCORING_PRIORITY)
+    assert set(qc._SCORING_PRIORITY) <= set(qc.QUERIES)
+    assert set(qc._SCORING_DEMOTED) <= set(qc.QUERIES)
+    assert set(qc.ORACLE_SQL) <= set(qc.QUERIES)
+    order = list(qc.QUERIES)
+    # priority block leads, demoted block trails
+    assert order[: len(qc._SCORING_PRIORITY)] == [
+        n for n in qc._SCORING_PRIORITY if n in qc.QUERIES
+    ]
+    assert order[-len(qc._SCORING_DEMOTED):] == qc._SCORING_DEMOTED
