@@ -2001,6 +2001,22 @@ def user_sessions_batch(spark, sf_dir):
 
 
 @query(
+    "stream_windowed_approx_users",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+             AS window_start_epoch,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_approx_users(spark, sf_dir):
+    from ..streaming.events import windowed_approx_users_stream
+
+    return windowed_approx_users_stream(spark, sf_dir)
+
+
+@query(
     "stream_static_enriched_counts",
     """
     WITH d AS (
@@ -3515,6 +3531,7 @@ _SCORING_PRIORITY = [
     "asof_forward_purchase_to_click",
     "table_fingerprint_customer",
     "stream_static_enriched_counts",
+    "stream_windowed_approx_users",
     "greedy_match_invariants_gate",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N

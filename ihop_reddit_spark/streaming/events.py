@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.event_time import ts_event_time
+from ..functions.event_time import ts_epoch_seconds, ts_event_time
 
 
 def _event_stream(
@@ -371,6 +371,57 @@ def enriched_event_counts_stream(
         )
     )
     return _run_to_memory(windowed, spark)
+
+
+def windowed_approx_users_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming HLL: approx distinct users per event-time window — the
+    streaming twin of the batch ``approx_distinct_users_by_type`` gate.
+    Sketch state is constant per window (vs exact distinct's
+    per-key-per-window state — THE scale difference for high-cardinality
+    keys on unbounded streams). The bounded run joins the batch-exact
+    counts and emits a tolerance boolean — |approx − exact| ≤
+    max(15%·exact, 5) — so the driver hash-gates the sketch's accuracy,
+    not its raw value. The absolute floor covers small windows, where
+    HLL's ±1–3 noise (measured: max 3 at sf0.01) exceeds any relative
+    band; the relative bound governs real window populations.
+    """
+    ev = _event_stream(spark, sf_dir)
+    windowed = (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "approx_users",
+        )
+    )
+    streamed = _run_to_memory(windowed, spark)
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = (
+        batch.select(
+            ((ts_epoch_seconds(batch) / 3600).cast("long") * 3600).alias(
+                "window_start_epoch"
+            ),
+            "user_id",
+        )
+        .groupBy("window_start_epoch")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return streamed.join(exact, "window_start_epoch").select(
+        "window_start_epoch",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(0.15 * F.col("exact_users"), F.lit(5.0))
+        ).alias("within_tol"),
+    )
 
 
 def ranked_window_parquet_sink(
