@@ -390,3 +390,68 @@ def test_pack_sequences_sharded_equals_single_window(
     got_single = {r["doc_id"]: (r["bin"], r["n_tokens"]) for r in single.collect()}
     got_sharded = {r["doc_id"]: (r["bin"], r["n_tokens"]) for r in sharded.collect()}
     assert got_sharded == got_single
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
+    chunk=st.sampled_from([3, 5, 8]),
+    overlap=st.sampled_from([0, 1, 2]),
+)
+def test_chunk_documents_matches_python_model(spark, tokens, chunk, overlap):
+    from ihop_reddit_spark.datapipe.curation import chunk_documents
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=chunk, overlap=overlap)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    stride = chunk - overlap
+    want = {}
+    for i, n in enumerate(tokens):
+        toks = [f"t{i}_{j}" for j in range(n)]
+        starts = list(range(0, max(n - 1, 0) + 1, stride))
+        for cid, s in enumerate(starts):
+            piece = toks[s : s + chunk]
+            want[(i, cid)] = (" ".join(piece), len(piece))
+    assert got == want
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 60)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 60)),
+        min_size=1, max_size=15,
+    ),
+    width=st.sampled_from([7, 50, 200]),
+)
+def test_interval_overlap_join_equals_theta_join(spark, lefts, rights, width):
+    from ihop_reddit_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(lefts)],
+        "lid long, ls long, le long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(rights)],
+        "rid long, rs long, re long",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, ("ls", "le"), ("rs", "re"), bucket_width=width
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (ls, ld) in enumerate(lefts)
+        for ri, (rs, rd) in enumerate(rights)
+        if ls <= rs + rd and rs <= ls + ld
+    }
+    assert got == want
