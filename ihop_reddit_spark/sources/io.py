@@ -162,3 +162,29 @@ def compact_parquet(
         .parquet(out_path)
     )
     return n_out
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    compression: str = "zstd",
+) -> None:
+    """Idempotent partition backfill — the batch twin of the streaming
+    ``ranked_window_parquet_sink``: rewrite ONLY the partitions present in
+    ``df`` (dynamic partitionOverwriteMode), leaving every other partition
+    untouched. Re-running the same backfill converges to the same files,
+    which is what makes retry-on-failure safe without a table format.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

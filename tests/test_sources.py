@@ -199,3 +199,33 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after = {r.doc_id for r in after_df.collect()}
     assert after == before
     assert sorted(after_df.columns) == sorted(docs.columns)
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources.io import overwrite_partitions, write_parquet
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, v long",
+    )
+    path = str(tmp_path / "tbl")
+    write_parquet(base, path, partition_by=["part"])
+
+    # backfill partition 'a' only, with corrected values
+    fixed = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 21)], "id long, part string, v long"
+    )
+    overwrite_partitions(fixed, path, ["part"])
+    got = {
+        (r.id, r.part): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"): 11, (2, "a"): 21, (3, "b"): 30, (4, "c"): 40}
+
+    # idempotent: re-running the same backfill changes nothing
+    overwrite_partitions(fixed, path, ["part"])
+    again = {
+        (r.id, r.part): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
