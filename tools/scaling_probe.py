@@ -1,0 +1,144 @@
+"""Scaling probe: measure headline operators at sf0.1 and at a ×N
+replication of it, print time ratios vs the data ratio.
+
+The 100 TB argument is a plan-shape argument; this probe is the local
+measurement behind it: an operator whose time ratio tracks the data ratio
+(≈N on a fixed-core machine) scales linearly in work — no hidden
+quadratic blowup, no driver bottleneck. Replicas perturb text with a
+replica token and remap ids, so exact-dup structure does NOT collapse
+(every replica stays distinct) while near-dup density per replica is
+preserved.
+
+Usage: python tools/scaling_probe.py [N] [workdir]
+Writes the replicated tables under workdir (default /tmp/spark_graft_scale)
+and prints one JSON line: {"factor": N, "queries": {name: {"base": s,
+"scaled": s, "ratio": r}}}.
+
+Text replication suffixes EVERY token with the replica id, so shingle
+sets are disjoint across replicas: per-replica duplicate/near-dup
+structure is preserved exactly, cross-replica similarity is zero, and
+the dedup tiers therefore face ×N work — a scaling measurement — rather
+than ×N² pair density (which a trailing-token perturbation would cause,
+measuring a harder PROBLEM instead of a bigger one).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+
+#: (query name, tables it reads) — replicated tables only; everything else
+#: resolves to the base sf dir via symlink.
+#: Content-gate-free probes only: quality/language-gated pipelines
+#: (corpus_prep_survivors) are excluded because NO text perturbation can
+#: keep their gate behavior identical across replicas — their scaling
+#: evidence is the per-stage plan audit in PERFORMANCE.md instead.
+PROBES = [
+    "doc_repetition_features",
+    "packed_sequence_bins",
+    "user_event_contexts",
+    "exclude_top_users",
+    "hourly_event_counts_gapfilled",
+    "interval_overlap_window_sessions",
+    "user_sessions_batch",
+    "decontaminated_documents",
+    "exact_duplicate_groups",
+    "simhash_candidate_pairs",
+]
+
+
+def replicate(spark, factor: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(workdir, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    reps = spark.range(factor).withColumnRenamed("id", "__r")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * factor + F.col("__r")).alias("doc_id"),
+            # letter-only replica suffix (chr('a'+r)): keeps alpha/digit
+            # ratios realistic so the quality gates still pass — a '#0'
+            # style suffix silently zeroes the corpus-prep survivor set
+            # and the dedup stages measure nothing
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1q"), F.char(F.col("__r") + 97)),
+            ).alias("text"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/documents.parquet")
+    )
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") * factor + F.col("__r")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * factor + F.col("__r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/events.parquet")
+    )
+    # remaining tables: symlink to base (probes don't scale them)
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        link = f"{workdir}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{BASE_SF}/{t}.parquet", link)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+
+    from ihop_reddit_spark.session import get_spark_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark_session("scaling_probe", config={"spark.ui.enabled": "false"})
+    queries = entrymod.queries()
+
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    replicate(spark, factor, workdir)
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.time() - t0, 2)
+
+    out = {}
+    for name in PROBES:
+        base = run(name, BASE_SF)
+        scaled = run(name, workdir)
+        out[name] = {
+            "base": base,
+            "scaled": scaled,
+            "ratio": round(scaled / base, 2) if base > 0 else None,
+        }
+    print(json.dumps({"factor": factor, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
