@@ -122,35 +122,89 @@ def sklearn_cluster_assign(
     max_driver_rows: int = 20_000,
     **kwargs,
 ):
-    """Driver-side sklearn escape hatch (agglomerative / affinity), size-
-    guarded. Returns a (id, cluster_id) DataFrame. Mirrors
+    """Driver-side escape hatch (agglomerative / affinity), size-guarded.
+    Returns a (id, cluster_id) DataFrame. Mirrors
     ``ihop/clustering.py:353-447`` defaults: cosine metric + average linkage
-    for agglomerative."""
+    for agglomerative. Uses sklearn when importable (the reference's exact
+    code path); without sklearn, agglomerative falls back to the seeded
+    pure-numpy Lance-Williams implementation (:func:`_agglomerative_numpy`,
+    capped at 2000 points — O(n³) merging), so the operator stays runnable;
+    affinity propagation has no numpy fallback and raises."""
+    import numpy as np
+
+    if algorithm not in ("agglomerative", "affinity"):
+        raise ValueError(algorithm)
     n = df.count()
     if n > max_driver_rows:
         raise ValueError(f"{n} rows exceed driver guard {max_driver_rows}")
-    try:
-        import numpy as np
-        from sklearn.cluster import AffinityPropagation, AgglomerativeClustering
-    except ImportError as e:  # pragma: no cover - env without sklearn
-        raise NotImplementedError("sklearn not available in this environment") from e
-
     rows = df.select(id_col, vec_col).collect()
     ids = [r[id_col] for r in rows]
     mat = np.array([list(r[vec_col]) for r in rows], dtype=float)
-    if algorithm == "agglomerative":
-        model = AgglomerativeClustering(
-            n_clusters=n_clusters, metric="cosine", linkage="average", **kwargs
-        )
-    elif algorithm == "affinity":
-        model = AffinityPropagation(random_state=kwargs.pop("seed", 100), **kwargs)
-    else:
-        raise ValueError(algorithm)
-    labels = model.fit_predict(mat)
+    try:
+        from sklearn.cluster import AffinityPropagation, AgglomerativeClustering
+
+        if algorithm == "agglomerative":
+            model = AgglomerativeClustering(
+                n_clusters=n_clusters, metric="cosine", linkage="average", **kwargs
+            )
+        elif algorithm == "affinity":
+            model = AffinityPropagation(random_state=kwargs.pop("seed", 100), **kwargs)
+        else:
+            raise ValueError(algorithm)
+        labels = model.fit_predict(mat)
+    except ImportError as e:
+        if algorithm != "agglomerative":
+            raise NotImplementedError(
+                "affinity propagation requires sklearn; agglomerative has a "
+                "numpy fallback"
+            ) from e
+        labels = _agglomerative_numpy(mat, n_clusters)
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i, int(l)) for i, l in zip(ids, labels)], f"{id_col} long, cluster_id int"
     )
+
+
+def _agglomerative_numpy(mat, n_clusters: int, max_points: int = 2000):
+    """Average-linkage agglomerative clustering on cosine distance —
+    pure-numpy Lance-Williams merging, deterministic (ties break to the
+    lowest index pair). O(n³) worst case, hence its own point cap below the
+    driver guard; the reference's corpus fits (~10k subreddits is above
+    this cap — use sklearn there; fixtures and samples fit comfortably).
+    """
+    import numpy as np
+
+    n = mat.shape[0]
+    if n > max_points:
+        raise ValueError(
+            f"numpy agglomerative fallback capped at {max_points} points "
+            f"(got {n}); install sklearn or pre-sample"
+        )
+    if n_clusters >= n:
+        return list(range(n))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    normed = mat / np.maximum(norms, 1e-12)
+    D = 1.0 - normed @ normed.T
+    np.fill_diagonal(D, np.inf)
+    active = np.ones(n, dtype=bool)
+    sizes = np.ones(n)
+    parent = np.arange(n)
+    for _ in range(n - n_clusters):
+        masked = np.where(active[:, None] & active[None, :], D, np.inf)
+        i, j = np.unravel_index(np.argmin(masked), masked.shape)
+        if i > j:
+            i, j = j, i
+        # average-linkage Lance-Williams: d(i∪j, m) weighted by sizes
+        wi, wj = sizes[i], sizes[j]
+        D[i, :] = (wi * D[i, :] + wj * D[j, :]) / (wi + wj)
+        D[:, i] = D[i, :]
+        D[i, i] = np.inf
+        sizes[i] = wi + wj
+        active[j] = False
+        parent[parent == j] = i
+    roots = sorted(set(parent[k] for k in range(n)))
+    relabel = {r: c for c, r in enumerate(roots)}
+    return [relabel[parent[k]] for k in range(n)]
 
 
 # ---------------------------------------------------------------------------

@@ -365,21 +365,25 @@ def test_pca_project_shapes_and_variance_order(spark, sf_dir):
     assert first == again
 
 
-def test_tsne_project_is_guarded(spark, sf_dir):
+def test_tsne_project_runs_and_is_size_guarded(spark, sf_dir):
     import pytest as _pytest
 
+    from ihop_reddit_spark.ml import projection as proj
     from ihop_reddit_spark.ml.projection import tsne_project
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # runnable with OR without sklearn (numpy exact t-SNE fallback)
+    pdf = tsne_project(emb.limit(60), perplexity=10.0)
+    assert set(pdf.columns) == {"vec_id", "tsne_x", "tsne_y"}
+    assert len(pdf) == 60
+    # the driver size guard still enforces
+    old = proj.MAX_DRIVER_POINTS
+    proj.MAX_DRIVER_POINTS = 10
     try:
-        import sklearn  # noqa: F401
-
-        has_sklearn = True
-    except ImportError:
-        has_sklearn = False
-    if not has_sklearn:
-        with _pytest.raises(NotImplementedError):
-            tsne_project(emb)
+        with _pytest.raises(ValueError, match="driver-side"):
+            tsne_project(emb.limit(60))
+    finally:
+        proj.MAX_DRIVER_POINTS = old
 
 
 def test_grid_search_picks_best_and_writes_metrics(spark, tmp_path):
@@ -422,3 +426,50 @@ def test_grid_search_parallel_matches_sequential(spark):
     # invisible in the result
     assert par["trials"] == seq["trials"]
     assert par["best_accuracy"] == seq["best_accuracy"]
+
+
+def test_tsne_numpy_separates_planted_clusters(spark):
+    """Without sklearn in this environment, tsne_project runs the seeded
+    numpy exact t-SNE — two well-separated input clusters must stay
+    separated in the 2-D output (1-NN label purity 100%)."""
+    import numpy as np
+
+    from ihop_reddit_spark.ml.projection import tsne_project
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(20, 8) * 0.05
+    b = rng.randn(20, 8) * 0.05 + 5.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pdf = tsne_project(df, "embedding", "vec_id", perplexity=10.0)
+    coords = pdf.sort_values("vec_id")[["tsne_x", "tsne_y"]].to_numpy()
+    labels = np.array([0] * 20 + [1] * 20)
+    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=2)
+    np.fill_diagonal(d, np.inf)
+    nn = d.argmin(axis=1)
+    assert (labels[nn] == labels).all()
+    # determinism: same seed, same coordinates
+    pdf2 = tsne_project(df, "embedding", "vec_id", perplexity=10.0)
+    coords2 = pdf2.sort_values("vec_id")[["tsne_x", "tsne_y"]].to_numpy()
+    assert np.allclose(coords, coords2)
+
+
+def test_agglomerative_numpy_recovers_planted_partition(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.ml.clustering import sklearn_cluster_assign
+
+    rng = np.random.RandomState(11)
+    base = np.eye(3)
+    rows = []
+    for i in range(30):
+        c = i % 3
+        v = base[c] + rng.randn(3) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sklearn_cluster_assign(df, "embedding", "vec_id", n_clusters=3)
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    # every planted group lands in exactly one output cluster
+    groups = {c: {got[i] for i in range(30) if i % 3 == c} for c in range(3)}
+    assert all(len(g) == 1 for g in groups.values())
+    assert len({next(iter(g)) for g in groups.values()}) == 3
