@@ -207,3 +207,44 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         .cast("long")
         .alias("sum_hash"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile — (column, n_nulls, n_distinct, min_value,
+    max_value) with values rendered as strings so one narrow schema covers
+    every column type. The ingest-time companion to
+    :func:`constraint_report`: constraints check what you EXPECT, the
+    profile shows what arrived.
+
+    One pass: a single wide aggregate computes every column's stats
+    simultaneously (Catalyst evaluates all aggregates in one
+    HashAggregate over one scan), then a literal unpivot to long form —
+    adding columns adds expressions, never passes. Exact distinct counts
+    keep the result oracle-comparable; at 100 TB swap
+    ``approx_count_distinct`` in via ``approx=True`` (constant memory,
+    no exactness contract).
+    """
+    use = cols or df.columns
+    aggs = []
+    for c in use:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in use
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")

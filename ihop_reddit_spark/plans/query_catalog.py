@@ -3204,6 +3204,46 @@ def chunked_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Column profile (datapipe/quality.profile_table): one-pass per-column
+# nulls/distinct/min/max — ingest-time observability. Integer/string
+# columns only in the gated query (float rendering is not cross-engine).
+# ---------------------------------------------------------------------------
+@query(
+    "profile_customer_columns",
+    """
+    SELECT 'c_custkey' AS "column",
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT c_mktsegment),
+           MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+    FROM customer
+    """,
+)
+def profile_customer_columns(spark, sf_dir):
+    from ..datapipe.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_mktsegment", "c_nationkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Table fingerprint (datapipe/quality.table_fingerprint): order-insensitive
 # content hash for integrity verification — the check you run after a
 # migration/compaction/engine swap. The oracle re-derives the md5-based row
@@ -3533,6 +3573,7 @@ _SCORING_PRIORITY = [
     "stream_static_enriched_counts",
     "stream_windowed_approx_users",
     "greedy_match_invariants_gate",
+    "profile_customer_columns",
     # canaries — one per proven tier (all green in r1 and/or r2)
     "topn_parts_by_lineitems",       # relational top-N
     "order_lineitem_ship_delay",     # joins + range predicate

@@ -214,3 +214,17 @@ def test_table_fingerprint_order_invariant_and_sensitive(spark):
     ).first()
     assert (changed.xor_hash, changed.sum_hash) != (base.xor_hash, base.sum_hash)
     assert changed.n_rows == base.n_rows
+
+
+def test_profile_table_all_types_one_pass(spark):
+    from ihop_reddit_spark.datapipe.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (None, "b", None)],
+        "k long, s string, v double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_nulls == 1 and got["k"].n_distinct == 2
+    assert got["k"].min_value == "1" and got["k"].max_value == "2"
+    assert got["s"].n_nulls == 1 and got["s"].min_value == "a"
+    assert got["v"].n_nulls == 1 and got["v"].max_value == "2.5"
