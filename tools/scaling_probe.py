@@ -9,7 +9,10 @@ replica token and remap ids, so exact-dup structure does NOT collapse
 (every replica stays distinct) while near-dup density per replica is
 preserved.
 
-Usage: python tools/scaling_probe.py [N] [workdir]
+Usage: python tools/scaling_probe.py [N] [workdir] [--events-only]
+(--events-only replicates just the events table and runs the event-time
+probes — the doc-replication cost at high N is skipped, enabling e.g.
+×100 on 10M events.)
 Writes the replicated tables under workdir (default /tmp/spark_graft_scale)
 and prints one JSON line: {"factor": N, "queries": {name: {"base": s,
 "scaled": s, "ratio": r}}}.
@@ -41,26 +44,47 @@ BASE_SF = "/root/testdata/sf0.1"
 #: (corpus_prep_survivors) are excluded because NO text perturbation can
 #: keep their gate behavior identical across replicas — their scaling
 #: evidence is the per-stage plan audit in PERFORMANCE.md instead.
-PROBES = [
-    "doc_repetition_features",
-    "packed_sequence_bins",
+EVENT_PROBES = [
     "user_event_contexts",
     "exclude_top_users",
     "hourly_event_counts_gapfilled",
     "interval_overlap_window_sessions",
     "user_sessions_batch",
+]
+DOC_PROBES = [
+    "doc_repetition_features",
+    "packed_sequence_bins",
     "decontaminated_documents",
     "exact_duplicate_groups",
     "simhash_candidate_pairs",
 ]
+PROBES = EVENT_PROBES + DOC_PROBES
 
 
-def replicate(spark, factor: int, workdir: str) -> None:
+def replicate(spark, factor: int, workdir: str, events_only: bool = False) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(workdir, exist_ok=True)
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     reps = spark.range(factor).withColumnRenamed("id", "__r")
+    if events_only:
+        link = f"{workdir}/documents.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{BASE_SF}/documents.parquet", link)
+    else:
+        _replicate_documents(docs, reps, factor, workdir)
+    _replicate_events(spark, reps, factor, workdir)
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        link = f"{workdir}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{BASE_SF}/{t}.parquet", link)
+
+
+def _replicate_documents(docs, reps, factor: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
     (
         docs.crossJoin(reps)
         .select(
@@ -83,6 +107,11 @@ def replicate(spark, factor: int, workdir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{workdir}/documents.parquet")
     )
+
+
+def _replicate_events(spark, reps, factor: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
     ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     (
         ev.crossJoin(reps)
@@ -97,18 +126,13 @@ def replicate(spark, factor: int, workdir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{workdir}/events.parquet")
     )
-    # remaining tables: symlink to base (probes don't scale them)
-    for t in (
-        "region nation customer supplier part orders lineitem embeddings"
-    ).split():
-        link = f"{workdir}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{BASE_SF}/{t}.parquet", link)
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    args = [a for a in sys.argv[1:] if a != "--events-only"]
+    events_only = "--events-only" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    workdir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
 
     from ihop_reddit_spark.session import get_spark_session
 
@@ -119,7 +143,7 @@ def main() -> None:
 
     if os.path.isdir(workdir):
         shutil.rmtree(workdir)
-    replicate(spark, factor, workdir)
+    replicate(spark, factor, workdir, events_only=events_only)
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()
@@ -128,7 +152,7 @@ def main() -> None:
         return round(time.time() - t0, 2)
 
     out = {}
-    for name in PROBES:
+    for name in (EVENT_PROBES if events_only else PROBES):
         base = run(name, BASE_SF)
         scaled = run(name, workdir)
         out[name] = {
