@@ -1,0 +1,333 @@
+"""Full-text retrieval operators: inverted index, TF-IDF and BM25 ranked
+search, and an n-gram language-model quality scorer.
+
+The reference stops at bag-of-words features for topic models
+(``ihop/text_processing.py:381-397`` builds CountVectorizer counts; nearest
+neighbors are embedding-space only, ``ihop/community2vec.py:330-340``). A
+training-data pipeline additionally needs *lexical* retrieval over the raw
+corpus — "find the documents matching this probe query" is how contamination
+audits, targeted decontamination, and corpus debugging are actually run at
+scale — plus model-based quality scoring (perplexity filtering a la CCNet /
+Gopher) to rank documents by fluency. This module supplies those as pure
+DataFrame plans.
+
+Scale design (100 TB rules):
+
+* The probe query is a handful of terms — it rides every plan as a broadcast
+  literal array; only tokens that MATCH a query term survive the explode
+  before any shuffle, so the per-query shuffle carries O(matching tokens),
+  not O(corpus tokens).
+* Document-frequency / corpus statistics are tiny (one row per query term, a
+  1-row corpus total) — they join back by broadcast; the corpus-sized side
+  never reshuffles for them.
+* The inverted index is the only corpus-sized shuffle (one, keyed by term —
+  the same shape CountVectorizer's vocabulary aggregation uses), and posting
+  lists are explicitly capped (``max_postings``) so a stop-word term cannot
+  materialize an unbounded row.
+* Scoring arithmetic follows the cross-engine determinism rules from
+  plans/query_catalog.py: integer counts, IEEE-exact divisions of those
+  integers, decimal-cast sums (order-independent), and the one transcendental
+  (ln / log2) applied to identical doubles in both engines with the hashed
+  output rounded to 4 decimals so a ulp of libm skew cannot flip the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import decimal_sum
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing/double
+    separators would otherwise mint '' terms — DuckDB's string_split does
+    the same, so both engines must filter identically)."""
+    return F.filter(F.split(text, sep), lambda t: t != "")
+
+
+def doc_term_freqs(
+    df: DataFrame, text_col: str, id_col: str, sep: str = " "
+) -> DataFrame:
+    """(doc_id, term, tf) term frequencies + (doc_id, dl) document length.
+
+    One explode, one doc×term-grain aggregate. The groupBy key is
+    (doc_id, term) — finer than doc-grain, so skew follows document length,
+    which upstream quality filters already bound.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col), sep)).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def doc_lengths(df: DataFrame, text_col: str, id_col: str, sep: str = " ") -> DataFrame:
+    """(doc_id, dl) token counts — row-local, zero shuffle."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col), sep)).cast("long").alias("dl"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = " ",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Term → posting-list index: (term, doc_freq, total_tf, postings).
+
+    ``postings`` is the ascending doc-id list, capped at ``max_postings``
+    entries (``doc_freq``/``total_tf`` still count everything): an uncapped
+    stop-word posting row is the classic unbounded-row hazard at corpus
+    scale. One term-keyed shuffle builds the whole index; at 100 TB the
+    output is written bucketed by term so probe lookups are bucket-local.
+
+    The list is emitted pre-sorted via ``sort_array(collect_list(...))`` —
+    in-group sort, no extra exchange (same construction as the thread
+    assembly in operators/aggregates.assemble_thread_documents).
+    """
+    tf = doc_term_freqs(df, text_col, id_col, sep)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, max_postings
+        ).alias("postings"),
+    )
+
+
+def _query_matches(
+    df: DataFrame, text_col: str, id_col: str, query_terms: list[str], sep: str
+) -> DataFrame:
+    """(doc_id, term, tf) restricted to the probe terms.
+
+    The IN-filter on a literal array runs inside the explode's projection —
+    non-matching tokens die before the tf aggregate's shuffle, so the
+    shuffle carries only matching tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col), sep)).alias("term"),
+    ).where(F.col("term").isin(query_terms))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Top-k documents for a probe query by rational TF-IDF.
+
+    Score(d) = Σ_t (tf(t,d) · N / df(t)) / dl(d) — the classic tf·idf with
+    the *rational* idf N/df (no logarithm): every per-term contribution is
+    one IEEE-exact division chain over integers, so the score is
+    bit-identical on any engine with NO transcendental in the hash path
+    (the same log-avoidance discipline as ml/labeling.pmi_term_labels'
+    rational lift). Ranking is (score DESC, doc_id ASC) — a unique total
+    order.
+
+    Plan: matches (filtered explode) → broadcast df(t) per query term
+    (|query| rows) → broadcast doc lengths join at doc grain → decimal-sum
+    per doc → TakeOrderedAndProject. The corpus shuffles once, at
+    (doc_id, term) grain, already probe-filtered.
+    """
+    matches = _query_matches(df, text_col, id_col, query_terms, sep)
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfreq = matches.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dl = doc_lengths(df, text_col, id_col, sep)
+    contrib = (
+        matches.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("tf").cast("double")
+                * F.col("n_docs")
+                / F.col("df")
+                / F.col("dl")
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        decimal_sum("part", 38, 12).cast("double").alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a probe query by BM25 (Robertson/Sparck Jones).
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   [Lucene's positive form]
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Determinism: every input to ``ln`` is an IEEE-exact rational of integer
+    corpus stats, identical cross-engine; ``ln`` itself may differ by an ulp
+    between libm implementations, so the emitted score is rounded to 4
+    decimals and the decimal-cast sum keeps aggregation order-independent.
+    avgdl is an exact decimal ratio cast to double.
+
+    Plan shape is tfidf_topk's: the corpus-sized side shuffles once
+    (probe-filtered matches); N/df/avgdl are broadcast scalars.
+    """
+    matches = _query_matches(df, text_col, id_col, query_terms, sep)
+    dl = doc_lengths(df, text_col, id_col, sep)
+    stats = dl.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (decimal_sum("dl", 38, 0).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = matches.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    contrib = (
+        matches.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(decimal_sum("part", 38, 12).cast("double"), 4).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring (perplexity filtering)
+# ---------------------------------------------------------------------------
+def doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, sep: str = " "
+) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs — row-local via an indexed
+    ``transform`` over the token array (each element pairs with its
+    successor), zero shuffle, O(tokens) expression work. Documents with <2
+    tokens contribute no rows."""
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+        " (t, i) -> struct(t AS w1, _toks[i + 1] AS w2))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col), sep).alias("_toks"),
+        )
+        .select("doc_id", F.explode(pairs).alias("_pair"))
+        .select("doc_id", F.col("_pair.w1"), F.col("_pair.w2"))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str, id_col: str, sep: str = " "
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Add-one-smoothed bigram LM counts over a reference corpus.
+
+    Returns (bigram_counts(w1, w2, c12), unigram_counts(w1, c1),
+    vocab_size(v)) — the sufficient statistics of
+    P(w2|w1) = (c12 + 1) / (c1 + V). Two count shuffles keyed by n-gram;
+    the model tables are vocabulary-sized (≪ corpus) and broadcast at
+    scoring time.
+    """
+    bg = doc_bigrams(df, text_col, id_col, sep)
+    bigram_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    unigrams = df.select(
+        F.explode(tokens(F.col(text_col), sep)).alias("w1")
+    )
+    unigram_counts = unigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    vocab_size = unigram_counts.select(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    return bigram_counts, unigram_counts, vocab_size
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    vocab_size: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Per-document LM fluency: (doc_id, n_bigrams, avg_logprob).
+
+    avg_logprob = mean over the doc's bigrams of log2 P(w2|w1) under the
+    add-one model — the negative of per-token cross-entropy; perplexity
+    filtering keeps documents above a corpus-calibrated floor (CCNet uses
+    exactly this signal from a KenLM model; the bigram model here is the
+    engine-shaped stand-in with the identical dataflow).
+
+    Plan: doc bigrams (row-local) LEFT-join the broadcast model tables
+    (unseen bigrams/unigrams fall back to the smoothing floor — COALESCE to
+    0 counts), per-bigram log2 of an IEEE-exact rational, decimal-cast mean
+    per doc rounded to 4 decimals (libm-ulp discipline, see module
+    docstring). Corpus shuffles once, at doc grain, for the final mean.
+    """
+    bg = doc_bigrams(df, text_col, id_col, sep)
+    scored = (
+        bg.join(F.broadcast(bigram_counts), ["w1", "w2"], "left")
+        .join(F.broadcast(unigram_counts), "w1", "left")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "doc_id",
+            F.log2(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            decimal_sum("lp", 38, 12).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_logprob"),
+    )

@@ -3522,76 +3522,506 @@ def curated_training_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 retrieval tier: inverted index, TF-IDF / BM25 ranked search, and
+# n-gram-LM perplexity quality scoring (datapipe/retrieval.py). The
+# reference's lexical surface stops at CountVectorizer counts
+# (ihop/text_processing.py:381-397); probe-query retrieval over the raw
+# corpus is how contamination audits and corpus debugging run at 100 TB.
+# ---------------------------------------------------------------------------
+#: Probe query for the ranked-search gates — mid-frequency terms from the
+#: synthetic vocabulary so scores spread (an all-stopword probe would tie).
+_PROBE_TERMS = ["spark", "join", "fast", "vector"]
+
+
+@query(
+    "inverted_index_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) WHERE term <> ''
+      GROUP BY doc_id, term)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+             list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings_csv
+    FROM tf GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT 30
+    """,
+)
+def inverted_index_terms(spark, sf_dir):
+    """Posting-list index rows (postings CSV-joined: the driver's
+    canonicalizer cannot sort list-valued cells, so arrays leave as
+    strings). One term-keyed shuffle; lists capped at 20 entries."""
+    from ..datapipe.retrieval import inverted_index
+
+    idx = inverted_index(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_postings=20
+    )
+    return (
+        idx.select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            F.concat_ws(
+                ",", F.transform(F.col("postings"), lambda d: d.cast("string"))
+            ).alias("postings_csv"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(30)
+    )
+
+
+@query(
+    "tfidf_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    m AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'fast', 'vector')
+      GROUP BY doc_id, term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY term),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS dl
+      FROM documents),
+    contrib AS (
+      SELECT m.doc_id,
+             CAST(m.tf AS DOUBLE) * n.n_docs / dfq.df / dl.dl AS part
+      FROM m CROSS JOIN n
+      JOIN dfq USING (term) JOIN dl ON m.doc_id = dl.doc_id)
+    SELECT doc_id,
+           round(CAST(SUM(CAST(part AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+)
+def tfidf_topk_docs(spark, sf_dir):
+    """Rational TF-IDF top-k (no transcendental in the hash path); ranking
+    carries a unique total order (rounded score DESC, doc_id ASC)."""
+    from ..datapipe.retrieval import tfidf_topk
+
+    ranked = tfidf_topk(_t(spark, sf_dir, "documents"), _PROBE_TERMS, 50)
+    return ranked.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+@query(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    m AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'fast', 'vector')
+      GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY term),
+    idf AS (
+      -- e0 suffixes force DOUBLE literals (a bare 0.5 is DECIMAL in DuckDB
+      -- but DOUBLE via Spark's F.lit — the arithmetic must be IEEE-identical)
+      SELECT term,
+             ln(1.0e0 + (stats.n_docs - df + 0.5e0) / (df + 0.5e0)) AS idf,
+             stats.avgdl AS avgdl
+      FROM dfq CROSS JOIN stats),
+    contrib AS (
+      SELECT m.doc_id,
+             idf.idf * (m.tf * 2.2e0)
+               / (m.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / idf.avgdl))
+               AS part
+      FROM m JOIN idf USING (term) JOIN dl ON m.doc_id = dl.doc_id)
+    SELECT doc_id,
+           round(CAST(SUM(CAST(part AS DECIMAL(38,12))) AS DOUBLE), 4)
+             AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene positive idf). The one transcendental
+    (ln) sees IEEE-identical rational inputs in both engines; the hashed
+    score is rounded to 4 decimals so a libm ulp cannot flip the gate, and
+    the ORDER BY uses the rounded score + doc_id (unique total order)."""
+    from ..datapipe.retrieval import bm25_topk
+
+    ranked = bm25_topk(_t(spark, sf_dir, "documents"), _PROBE_TERMS, 50)
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+@query(
+    "lm_doc_quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents),
+    bg AS (
+      -- two same-length unnests in one SELECT zip positionally in DuckDB:
+      -- tokens[0:n-1] paired with tokens[1:n] = adjacent bigrams
+      SELECT doc_id,
+             unnest(list_slice(ts, 1, greatest(len(ts) - 1, 0))) AS w1,
+             unnest(list_slice(ts, 2, len(ts))) AS w2
+      FROM toks),
+    bigrams AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2),
+    unigrams AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(ts) AS w1 FROM toks) GROUP BY w1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigrams),
+    lp AS (
+      SELECT bg.doc_id,
+             log2(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
+                  / (COALESCE(u.c1, 0) + v.v)) AS lp
+      FROM bg
+      LEFT JOIN bigrams b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN unigrams u ON bg.w1 = u.w1
+      CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*),
+                 4) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def lm_doc_quality_scores(spark, sf_dir):
+    """Bigram-LM fluency scores (perplexity-filter signal, CCNet-style):
+    train add-one bigram counts on the corpus, score every document's mean
+    log2 bigram probability. Model tables are vocab-sized broadcasts; the
+    corpus shuffles once at doc grain."""
+    from ..datapipe.retrieval import lm_quality_scores, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, unigrams, vocab = train_bigram_lm(docs, "text", "doc_id")
+    return lm_quality_scores(docs, bigrams, unigrams, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 relational coverage: GROUPING SETS (arbitrary grouping combos —
+# rollup/cube cover only their fixed lattices), INTERSECT/EXCEPT set ops
+# (SURVEY §2.7 notes them "available free" — here is the driver-gated
+# proof), a window-function suite (rank/dense_rank/ntile/cume_dist/lag in
+# ONE WindowExec pass), and a sessionized conversion funnel.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def grouping_sets_order_totals(spark, sf_dir):
+    """GROUPING SETS — one Expand + a single shuffle (same plan family as
+    rollup_/cube_order_status_totals), arbitrary grouping combinations."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "intersect_except_customers",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+    o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS side, o_custkey FROM (
+      SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'f_only' AS side, o_custkey FROM (
+      SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    """,
+)
+def intersect_except_customers(spark, sf_dir):
+    """U-extension — relational INTERSECT / EXCEPT over key sets; both
+    plan as a single hash aggregate over the union of marked sides."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).select(F.lit("both").alias("side"), "o_custkey")
+    f_only = f.exceptAll(o).select(F.lit("f_only").alias("side"), "o_custkey")
+    return both.unionByName(f_only)
+
+
+@query(
+    "window_suite_customer_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS p
+      FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+           CAST(RANK() OVER win AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER win AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER win AS BIGINT) AS quartile,
+           CUME_DIST() OVER win AS cume,
+           CAST(SUM(p) OVER (win ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS running_total,
+           CAST(COALESCE(LAG(t) OVER win, -1) AS BIGINT) AS prev_t
+    FROM w
+    WINDOW win AS (PARTITION BY o_custkey ORDER BY t, o_orderkey)
+    """,
+)
+def window_suite_customer_orders(spark, sf_dir):
+    """W-extension — the full ranking-window surface in ONE WindowExec pass:
+    every function shares the identical (partitionBy, orderBy) spec, so
+    Catalyst fuses them into a single shuffle + sort (the running SUM adds a
+    frame variant of the same spec). Order key (t, o_orderkey) is a unique
+    total order — rank/ntile/cume_dist are engine-independent."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        orders.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("t"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        )
+    )
+    win = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    frame = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return w.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(win).cast("long").alias("rn"),
+        F.rank().over(win).cast("long").alias("rnk"),
+        F.dense_rank().over(win).cast("long").alias("drnk"),
+        F.ntile(4).over(win).cast("long").alias("quartile"),
+        F.cume_dist().over(win).alias("cume"),
+        F.sum("p").over(frame).cast("double").alias("running_total"),
+        F.coalesce(F.lag("t").over(win), F.lit(-1)).cast("long").alias("prev_t"),
+    )
+
+
+@query(
+    "session_funnel_stages",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+      FROM events),
+    o AS (
+      SELECT user_id, t, event_type,
+             LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+      FROM e),
+    s AS (
+      SELECT user_id, t, event_type,
+             SUM(CASE WHEN prev_t IS NULL OR t - prev_t >= 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o),
+    stage AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view
+      FROM s GROUP BY user_id, session_id),
+    stage2 AS (
+      SELECT s.user_id, s.session_id, stage.t_view,
+             MIN(CASE WHEN s.event_type = 'click' AND s.t >= stage.t_view
+                      THEN s.t END) AS t_click
+      FROM s JOIN stage USING (user_id, session_id)
+      GROUP BY s.user_id, s.session_id, stage.t_view),
+    stage3 AS (
+      SELECT s.user_id, s.session_id, stage2.t_view, stage2.t_click,
+             MIN(CASE WHEN s.event_type = 'purchase' AND s.t >= stage2.t_click
+                      THEN s.t END) AS t_purchase
+      FROM s JOIN stage2 USING (user_id, session_id)
+      GROUP BY s.user_id, s.session_id, stage2.t_view, stage2.t_click)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS reached_view,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS reached_purchase
+    FROM stage3
+    """,
+)
+def session_funnel_stages(spark, sf_dir):
+    """Sessionized conversion funnel view → click → purchase: per session,
+    the first view, the first click at-or-after it, the first purchase
+    at-or-after that; one row of stage-reach counts. Composition of
+    sessionize (one WindowExec) + three conditional-min aggregates at
+    session grain — session keys partition evenly, no driver state."""
+    from ..operators.windows import sessionize
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", ts_epoch_seconds(raw).alias("t"), "event_type"
+    )
+    s = sessionize(ev, "user_id", "t", gap=1800)
+    t_view = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias(
+            "t_view"
+        )
+    )
+    t_click = (
+        s.join(t_view, ["user_id", "session_id"])
+        .groupBy("user_id", "session_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") >= F.col("t_view")),
+                    F.col("t"),
+                )
+            ).alias("t_click")
+        )
+    )
+    t_purchase = (
+        s.join(t_click, ["user_id", "session_id"])
+        .groupBy("user_id", "session_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") >= F.col("t_click")),
+                    F.col("t"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return t_purchase.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("long"))
+        .cast("long")
+        .alias("reached_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long"))
+        .cast("long")
+        .alias("reached_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long"))
+        .cast("long")
+        .alias("reached_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
-# policy, round 3: EVIDENCE-FIRST — (a) queries whose last CORRECTNESS row
-# was red (now fixed) and queries never scored in any round go first, (b)
-# then this round's new/converted driver-thresholdable gates, (c) then one
-# cheap canary per already-proven tier so a regression there still shows,
-# (d) then everything else in registration order, with pure variants of
-# already-proven operators (same operator, different knob) dead last.
-# Reordering only — the key sets are untouched.
+# policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
+# new queries — never scored anywhere; (b) the round-3 priority block whose
+# only possible green rows are in CORRECTNESS_r03 (r1/r2 have them red or
+# absent — re-proving them is cheap insurance against that artifact being
+# incomplete); (c) queries whose newest green row is ROUND 1 (two rounds
+# stale); (d) queries whose newest green row is round 2, red-in-r2 first;
+# (e) everything else in registration order, pure variants of proven
+# operators dead last. Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    # round-1's only hash mismatch, never re-scored since (oracle HUGEINT
-    # casts fixed in round 2) — prove it green first
-    "doc_token_stats_by_lang",
-    # red in round 2 (events ts dtype, fixed by functions/event_time.py)
-    "events_corpus_stats",
+    # (a) round-4 retrieval + relational-coverage tier, never scored
+    "inverted_index_terms",
+    "tfidf_topk_docs",
+    "bm25_topk_docs",
+    "lm_doc_quality_scores",
+    "grouping_sets_order_totals",
+    "intersect_except_customers",
+    "window_suite_customer_orders",
+    "session_funnel_stages",
+    # (b) no green row in r1/r2 — newest evidence (if any) is r03 only
+    "doc_token_stats_by_lang",       # red r1, the one hash mismatch
+    "events_corpus_stats",           # red r2 (ts dtype, fixed r3)
     "event_scalar_functions",
     "hourly_event_counts_gapfilled",
     "event_neighbor_lags",
     "asof_purchase_to_click",
     "range_join_clicks_before_purchase",
-    # never scored in any round — batch
-    "levenshtein_verified_pairs",
+    "levenshtein_verified_pairs",    # never scored r1/r2 — batch
     "duplicate_components_star_ngram",
     "zorder_values_events",
     "data_quality_report",
     "merge_upsert_customers",
     "snapshot_diff_customers",
     "curated_training_corpus",
-    # never scored in any round — streaming
-    "stream_quality_violations",
+    "stream_quality_violations",     # never scored r1/r2 — streaming
     "stream_dedup_user_event_types",
     "stream_stream_click_purchase_pairs",
-    # round-3 new/converted driver-thresholdable ML gates
-    "c2v_planted_analogy_gate",
+    "stream_static_enriched_counts",
+    "stream_windowed_approx_users",
+    "c2v_planted_analogy_gate",      # round-3 thresholdable gates
     "ivf_ann_recall",
     "kmeans_quality_metrics",
     "cluster_compare_kmeans_vs_labels",
     "pca_invariants_gate",
     "incremental_minhash_verified_pairs",
     "lda_invariants_gate",
-    "key_skew_report_events",
+    "greedy_match_invariants_gate",
+    "key_skew_report_events",        # round-3 ops
     "heavy_hitters_event_types",
     "pii_scrubbed_documents",
     "chunked_documents",
     "interval_overlap_window_sessions",
     "asof_forward_purchase_to_click",
     "table_fingerprint_customer",
-    "stream_static_enriched_counts",
-    "stream_windowed_approx_users",
-    "greedy_match_invariants_gate",
     "profile_customer_columns",
-    # canaries — one per proven tier (all green in r1 and/or r2)
-    "topn_parts_by_lineitems",       # relational top-N
-    "order_lineitem_ship_delay",     # joins + range predicate
-    "user_event_contexts",           # ordered group-concat
-    "text_pipeline_term_counts",     # text pipeline (green r1, out of r2 window)
-    "doc_quality_features",          # text quality features
-    "exact_duplicate_groups",        # dedup tier 1
-    "simhash_candidate_pairs",       # simhash banding
-    "minhash_verified_pairs",        # minhash containment gate
-    "knn_bruteforce_cosine",         # similarity search
-    "embedding_sum_by_label",        # vector aggregation
-    "multimodal_asset_byte_stats",   # multimodal binary columns
-    "stream_windowed_event_counts",  # streaming windows
-    "user_sessions_batch",           # sessionization
-    "intruder_task_export",          # annotation exports
-    "doc_repetition_features",       # curation signals
-    "dataset_split_sizes",           # content-addressed split
-    "corpus_prep_survivors",         # end-to-end capstone
+    # (c) newest green row is ROUND 1 — stalest proven evidence
+    "c2v_prep_contexts",
+    "pmi_terms_by_lang",
+    "doc_lang_id",
+    "doc_token_budgets",
+    "ngram_jaccard_pairs",
+    "duplicate_components_ngram",
+    "embedding_near_dup_pairs",
+    "coherence_task_export",
+    "multimodal_frame_samples",
+    "multimodal_image_features",
+    "multimodal_audio_resample",
+    "stream_user_sessions",
+    "stream_sliding_event_counts",
+    "stream_windowed_top_event_types",
+    "stream_user_running_totals",
+    "text_pipeline_term_counts",
+    "embedding_sum_by_label",
+    "intruder_task_export",
+    # (d) newest green row is round 2 — red-in-r2 rows first
+    "pca_projection_2d",
+    "minhash_near_dup_pairs",
+    "kmeans_cluster_sizes",
+    "cluster_greedy_max_match",
+    "lda_topic_terms",
+    "c2v_event_embeddings",
+    "ivf_ann_topk",
+    # r3-priority canaries proven green in r1/r2 AND (presumably) r3 —
+    # keep a thin regression net across tiers before the bulk r2 block
+    "topn_parts_by_lineitems",
+    "order_lineitem_ship_delay",
+    "user_event_contexts",
+    "doc_quality_features",
+    "exact_duplicate_groups",
+    "simhash_candidate_pairs",
+    "minhash_verified_pairs",
+    "knn_bruteforce_cosine",
+    "multimodal_asset_byte_stats",
+    "stream_windowed_event_counts",
+    "user_sessions_batch",
+    "doc_repetition_features",
+    "dataset_split_sizes",
+    "corpus_prep_survivors",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.
