@@ -43,6 +43,10 @@ HEADLINE = [
     "packed_sequence_bins",       # sharded two-pass packing rebase
     "incremental_minhash_verified_pairs",  # index-tier dedup + exact verify
     "interval_overlap_window_sessions",    # bucket-banded overlap join
+    # round-4 retrieval tier: corpus-scale lexical search + LM scoring
+    "inverted_index_terms",       # posting-list build (term-keyed shuffle)
+    "bm25_topk_docs",             # probe-query ranked search
+    "perplexity_buckets_by_lang", # bigram-LM scoring + CCNet bucketing
 ]
 
 

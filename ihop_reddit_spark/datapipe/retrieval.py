@@ -238,6 +238,79 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def build_postings_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    path: str,
+    max_postings: int = 1000,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the corpus's inverted index as a TERM-BUCKETED parquet table
+    (same maintenance pattern as dedup.build_minhash_index): incremental
+    merges and probe lookups join bucket-locally, so the historical index —
+    which grows with the corpus — is never reshuffled by an update.
+
+    Pick ``num_buckets`` to match the cluster's join parallelism
+    (``spark.sql.shuffle.partitions``): with a mismatched count the planner
+    DISABLES the bucketed read ("Bucketed: false (disabled by query
+    planner)" — measured) and the index shuffles after all. Pinned by
+    tests/test_retrieval.test_bucketed_postings_index_merges_without_index_shuffle.
+    """
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        inverted_index(df, text_col, id_col, max_postings=max_postings),
+        table_name,
+        path,
+        bucket_cols=["term"],
+        num_buckets=num_buckets,
+        sort_cols=["term"],
+    )
+
+
+def merge_postings_index(
+    index_df: DataFrame,
+    delta_df: DataFrame,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Merged index = historical ⊎ delta: full-outer join on term, counts
+    summed, posting lists merged sorted and re-capped.
+
+    EXACT under capping: each side's capped list holds its smallest
+    ``max_postings`` doc ids, and doc-id spaces are disjoint across batches,
+    so the global smallest ``max_postings`` ids are always contained in the
+    union of the two capped lists — cap(merge(cap(A), cap(B))) ==
+    cap(A ∪ B). The index side streams out of its term buckets (zero
+    shuffle when ``index_df`` is a bucketed table); only the delta — sized
+    by today's batch — shuffles.
+    """
+    a, b = index_df.alias("a"), delta_df.alias("b")
+    empty = F.array().cast("array<bigint>")
+    return a.join(b, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce(F.col("a.doc_freq"), F.lit(0))
+            + F.coalesce(F.col("b.doc_freq"), F.lit(0))
+        ).cast("long").alias("doc_freq"),
+        (
+            F.coalesce(F.col("a.total_tf"), F.lit(0))
+            + F.coalesce(F.col("b.total_tf"), F.lit(0))
+        ).cast("long").alias("total_tf"),
+        F.slice(
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("a.postings"), empty),
+                    F.coalesce(F.col("b.postings"), empty),
+                )
+            ),
+            1,
+            max_postings,
+        ).alias("postings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram language-model quality scoring (perplexity filtering)
 # ---------------------------------------------------------------------------

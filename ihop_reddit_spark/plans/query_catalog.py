@@ -3708,6 +3708,140 @@ def lm_doc_quality_scores(spark, sf_dir):
     return lm_quality_scores(docs, bigrams, unigrams, vocab)
 
 
+@query(
+    "incremental_postings_merge",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) WHERE term <> ''
+      GROUP BY doc_id, term)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+             list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings_csv
+    FROM tf GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT 30
+    """,
+)
+def incremental_postings_merge(spark, sf_dir):
+    """Index maintenance: the inverted index built on the historical corpus
+    (doc_id % 5 != 0) merged with a new batch's delta index (doc_id % 5 ==
+    0) must equal the index recomputed over the full corpus — the oracle IS
+    that full recompute (same SQL as inverted_index_terms), so the
+    cap-exactness argument in merge_postings_index is hash-gated, not just
+    asserted. At scale the historical side is a term-bucketed table (see
+    build_postings_index) and never reshuffles; here the merge is checked
+    logically."""
+    from ..datapipe.retrieval import inverted_index, merge_postings_index
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = inverted_index(
+        docs.where(F.col("doc_id") % 5 != 0), "text", "doc_id",
+        max_postings=20,
+    )
+    delta = inverted_index(
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        max_postings=20,
+    )
+    merged = merge_postings_index(hist, delta, max_postings=20)
+    return (
+        merged.select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            F.concat_ws(
+                ",", F.transform(F.col("postings"), lambda d: d.cast("string"))
+            ).alias("postings_csv"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(30)
+    )
+
+
+@query(
+    "perplexity_buckets_by_lang",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_slice(ts, 1, greatest(len(ts) - 1, 0))) AS w1,
+             unnest(list_slice(ts, 2, len(ts))) AS w2
+      FROM toks),
+    bigrams AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2),
+    unigrams AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(ts) AS w1 FROM toks) GROUP BY w1),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigrams),
+    lp AS (
+      SELECT bg.doc_id, bg.lang,
+             log2(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
+                  / (COALESCE(u.c1, 0) + v.v)) AS lp
+      FROM bg
+      LEFT JOIN bigrams b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN unigrams u ON bg.w1 = u.w1
+      CROSS JOIN v),
+    scored AS (
+      SELECT doc_id, lang,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_logprob
+      FROM lp GROUP BY doc_id, lang),
+    bucketed AS (
+      SELECT lang,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id ASC) AS bucket,
+             avg_logprob
+      FROM scored)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(avg_logprob AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_logprob
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def perplexity_buckets_by_lang(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document with the
+    bigram LM, then tercile each language's documents into head/middle/tail
+    by fluency (NTILE over a per-lang window with a unique total order —
+    score DESC, doc_id ASC). The real CCNet keeps head+middle for training;
+    this emits per-(lang, bucket) counts + mean score so the whole split is
+    hash-gated.
+
+    Scale: the NTILE window partitions by language — bounded cardinality,
+    even partitions; everything upstream is the lm_doc_quality_scores plan.
+    """
+    from pyspark.sql import Window
+
+    from ..datapipe.retrieval import lm_quality_scores, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, unigrams, vocab = train_bigram_lm(docs, "text", "doc_id")
+    scores = lm_quality_scores(docs, bigrams, unigrams, vocab).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    bucketed = scores.select(
+        "lang",
+        F.ntile(3).over(win).cast("long").alias("bucket"),
+        "avg_logprob",
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            decimal_sum("avg_logprob", 38, 12).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 relational coverage: GROUPING SETS (arbitrary grouping combos —
 # rollup/cube cover only their fixed lattices), INTERSECT/EXCEPT set ops
@@ -3939,6 +4073,8 @@ _SCORING_PRIORITY = [
     "tfidf_topk_docs",
     "bm25_topk_docs",
     "lm_doc_quality_scores",
+    "perplexity_buckets_by_lang",
+    "incremental_postings_merge",
     "grouping_sets_order_totals",
     "intersect_except_customers",
     "window_suite_customer_orders",

@@ -300,3 +300,60 @@ def test_interval_overlap_join_avoids_nested_loop(spark):
     # nested-loop/cartesian a bare overlap predicate produces
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_suite_is_one_windowexec_pass(spark, sf_dir):
+    """Every ranking function shares one (partitionBy, orderBy) spec — the
+    plan must contain exactly ONE shuffle on o_custkey feeding the window
+    stack, not one per function."""
+    from ihop_reddit_spark.plans.query_catalog import (
+        window_suite_customer_orders,
+    )
+
+    plan = plan_of(window_suite_customer_orders(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert plan.count(") Window") == 1  # a single WindowExec node
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_bm25_filters_probe_terms_before_any_shuffle(spark, sf_dir):
+    """The probe-term IN filter must run in the explode's projection stage
+    (before the tf aggregate's exchange) so the corpus-sized shuffle
+    carries matching tokens only; the df/avgdl stats sides join broadcast."""
+    from ihop_reddit_spark.datapipe.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(bm25_topk(docs, ["spark", "join"], 10))
+    pre_exchange = plan.split("Exchange")[0]
+    assert "term#" in plan
+    assert "BroadcastHashJoin" in plan
+    # the idf/stats enrichment sides must never sort-merge the match stream
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_is_single_term_shuffle(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.retrieval import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(inverted_index(docs, "text", "doc_id"))
+    # one exchange for the (doc_id, term) tf grain, one for term grain —
+    # and nothing else (no joins, no extra sorts beyond the in-group
+    # sort_array which is an expression, not a SortExec)
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_lm_scoring_model_tables_broadcast(spark, sf_dir):
+    """Bigram/unigram/vocab model tables are vocab-sized — they must ride
+    as broadcasts; the only corpus-grain exchange is the final per-doc
+    mean."""
+    from ihop_reddit_spark.datapipe.retrieval import (
+        lm_quality_scores,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bigrams, unigrams, vocab = train_bigram_lm(docs, "text", "doc_id")
+    plan = plan_of(lm_quality_scores(docs, bigrams, unigrams, vocab))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

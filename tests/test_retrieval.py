@@ -186,3 +186,77 @@ def test_lm_scores_unseen_bigrams_get_smoothing_floor(spark):
     r = rows[0]
     assert r["n_bigrams"] == 2
     assert r["avg_logprob"] is not None and r["avg_logprob"] < 0
+
+
+def test_merge_postings_index_equals_full_recompute(spark):
+    """cap(merge(cap(A), cap(B))) == cap(A ∪ B) — the exactness claim."""
+    from ihop_reddit_spark.datapipe.retrieval import merge_postings_index
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} shared") for i in range(1, 11)],
+        ["doc_id", "text"],
+    )
+    hist = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    cap = 3
+    merged = merge_postings_index(
+        inverted_index(hist, "text", "doc_id", max_postings=cap),
+        inverted_index(new, "text", "doc_id", max_postings=cap),
+        max_postings=cap,
+    )
+    full = inverted_index(docs, "text", "doc_id", max_postings=cap)
+    m = {r["term"]: r for r in merged.collect()}
+    f = {r["term"]: r for r in full.collect()}
+    assert set(m) == set(f)
+    for t in f:
+        assert m[t]["doc_freq"] == f[t]["doc_freq"]
+        assert m[t]["total_tf"] == f[t]["total_tf"]
+        assert m[t]["postings"] == f[t]["postings"]
+
+
+def test_bucketed_postings_index_merges_without_index_shuffle(
+    spark, tmp_path
+):
+    """The persisted index side must stream out of its term buckets — the
+    merge plan shows exactly ONE exchange (the delta's), none over the
+    index scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ihop_reddit_spark.datapipe.retrieval import (
+        build_postings_index,
+        merge_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} shared text") for i in range(1, 41)],
+        ["doc_id", "text"],
+    )
+    # bucket count MUST match the join's shuffle parallelism (the test
+    # session pins spark.sql.shuffle.partitions=8) — a mismatched count
+    # makes the planner disable the bucketed read entirely
+    # ("Bucketed: false (disabled by query planner)", measured)
+    build_postings_index(
+        docs.where("doc_id % 2 = 0"), "text", "doc_id",
+        "postings_idx_test", str(tmp_path / "idx"), num_buckets=8,
+    )
+    try:
+        idx = spark.table("postings_idx_test")
+        delta = inverted_index(
+            docs.where("doc_id % 2 = 1"), "text", "doc_id"
+        )
+        merged = merge_postings_index(idx, delta)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            merged.explain("formatted")
+        plan = buf.getvalue()
+        # the only exchanges are the delta's two aggregate shuffles — the
+        # index side sorts directly over its bucketed scan
+        assert plan.count("Arguments: hashpartitioning") == 2
+        assert "Bucketed: true" in plan
+        full = inverted_index(docs, "text", "doc_id")
+        got = {r["term"]: r["doc_freq"] for r in merged.collect()}
+        want = {r["term"]: r["doc_freq"] for r in full.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_idx_test")
