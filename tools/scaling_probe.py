@@ -57,6 +57,13 @@ DOC_PROBES = [
     "decontaminated_documents",
     "exact_duplicate_groups",
     "simhash_candidate_pairs",
+    # retrieval tier (round 4). Probe-term searches (tfidf/bm25) are
+    # excluded: the replica token suffix renames every token, so a fixed
+    # probe matches only the base replica and the query-side work would NOT
+    # scale with the corpus (that is the point of probe filtering — their
+    # scaling story is the index/LM builds below plus the plan shape).
+    "inverted_index_terms",
+    "lm_doc_quality_scores",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
