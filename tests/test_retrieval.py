@@ -232,10 +232,16 @@ def test_bucketed_postings_index_merges_without_index_shuffle(
         [(i, f"tok{i % 5} shared text") for i in range(1, 41)],
         ["doc_id", "text"],
     )
-    # bucket count MUST match the join's shuffle parallelism (the test
-    # session pins spark.sql.shuffle.partitions=8) — a mismatched count
-    # makes the planner disable the bucketed read entirely
-    # ("Bucketed: false (disabled by query planner)", measured)
+    # bucket count MUST match the join's shuffle parallelism — a mismatched
+    # count makes the planner disable the bucketed read entirely
+    # ("Bucketed: false (disabled by query planner)", measured). Pin the
+    # conf HERE rather than trusting the conftest value: any test that goes
+    # through get_spark_session (e.g. the CLI suite) re-applies
+    # DEFAULT_CONFIG to the shared session via getOrCreate, resetting
+    # shuffle.partitions to the core count (measured: 8 → 32 on local[32],
+    # which un-buckets this plan and adds a third exchange).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     build_postings_index(
         docs.where("doc_id % 2 = 0"), "text", "doc_id",
         "postings_idx_test", str(tmp_path / "idx"), num_buckets=8,
@@ -259,4 +265,5 @@ def test_bucketed_postings_index_merges_without_index_shuffle(
         want = {r["term"]: r["doc_freq"] for r in full.collect()}
         assert got == want
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.sql("DROP TABLE IF EXISTS postings_idx_test")
