@@ -835,3 +835,110 @@ def incremental_minhash_candidates(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS algorithm).
+# The one fingerprinting scheme with a LOCALITY GUARANTEE: any substring
+# match of length >= w + k - 1 chars yields at least one shared selected
+# hash, independent of where the match sits. Complements the tiers above:
+# SimHash/MinHash fingerprint whole-document similarity; winnowing catches
+# shared PASSAGES (partial plagiarism, boilerplate reuse, quote chains).
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed fingerprint set per document: distinct (``__id``, ``fp``).
+
+    Char k-gram rolling hashes (md5 first 15 hex chars → BIGINT, the
+    engine-portable hash used by every fingerprint tier here), then each
+    window of ``w`` consecutive gram hashes selects its MINIMUM; the
+    distinct selected values are the document's fingerprints (expected
+    density 2/(w+1) of all grams).
+
+    Plan: one O(chars) posexplode per doc, then ONE shuffle on the doc id
+    for the sliding-window min — balanced by doc regardless of length skew,
+    same shape as :func:`exploded_word_shingles`. No UDF anywhere.
+
+    ASCII-only contract (docs with multi-byte chars are excluded on BOTH
+    engines): Spark ``substring`` counts codepoints while DuckDB ``substr``
+    counts chars but ``strlen`` bytes — the ASCII gate is where they agree,
+    the same contract as the levenshtein verifier tier. Docs shorter than
+    ``w + k - 1`` chars have no full window and yield no fingerprints.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.where(F.octet_length(F.col(text_col)) == F.length(F.col(text_col)))
+        .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
+        .where(F.length("__t") >= k + w - 1)
+    )
+    grams = base.select(
+        "__id",
+        (F.length("__t") - (k - 1)).alias("__n"),
+        F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("p"),
+        F.col("__t"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("__t").substr(F.col("p"), F.lit(k))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = grams.select("__id", "p", "__n", h.alias("h"))
+    win = Window.partitionBy("__id").orderBy("p").rowsBetween(0, w - 1)
+    return (
+        hashed.select(
+            "__id", "p", "__n", F.min("h").over(win).alias("fp")
+        )
+        # positions whose window would run past the last gram select nothing
+        .where(F.col("p") <= F.col("__n") - (w - 1))
+        .select("__id", "fp")
+        .dropDuplicates(["__id", "fp"])
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    w: int = 4,
+    min_shared: int = 10,
+    max_df: int = 20,
+) -> DataFrame:
+    """MOSS-style shared-passage candidates: (left_id, right_id, shared).
+
+    Inverted-index join on winnowed fingerprints — two docs pair once per
+    shared fingerprint, aggregated to a shared-count, thresholded at
+    ``min_shared``. ``max_df`` drops fingerprints present in more than that
+    many docs BEFORE the join (boilerplate/stop-gram guard): it bounds the
+    per-key join fanout at ``max_df²`` rows, so the candidate volume is
+    sum-of-squares over capped posting lists, never corpus-quadratic — the
+    identical cap contract as the retrieval tier's posting lists.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    capped = (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= max_df)
+        .select("__id", "fp")
+        .persist()
+    )
+    a = capped.select(F.col("fp"), F.col("__id").alias("left_id"))
+    b = capped.select(F.col("fp"), F.col("__id").alias("right_id"))
+    out = (
+        a.join(b, "fp")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return register_scoped_persists(out, capped)

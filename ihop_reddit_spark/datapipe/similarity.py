@@ -295,6 +295,7 @@ def blocked_pair_scores(
     vec_col: str = "embedding",
     block_size: int = 1024,
     n_blocks: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ t via distributed blocked GEMM (id_a < id_b).
 
@@ -311,6 +312,13 @@ def blocked_pair_scores(
     count bounds parallelism — with B=1024, 100k vectors is ~4.9k balanced
     tasks. For corpora where even the triangle is too large, cut candidates
     first (``embedding_near_dup_lsh``) and verify pairs exactly.
+
+    ``group_col`` restricts scoring to WITHIN-group pairs (the SemDeDup
+    partitioned-dedup shape, ``datapipe/semantic.py``): blocks are keyed by
+    (group, block) and the triangle self-join adds a group-equality
+    conjunct, so cross-group pairs are never materialized and each group's
+    quadratic stays bounded by its own size. Blocks-per-group is sized from
+    the LARGEST group so no task exceeds block_size² regardless of skew.
     """
     import math
 
@@ -320,28 +328,45 @@ def blocked_pair_scores(
     from ..functions.vectors import quantize
 
     if n_blocks is None:
-        n_rows = df.count()
+        if group_col is None:
+            n_rows = df.count()
+        else:
+            # size block count for the largest group — one tiny agg action
+            n_rows = (
+                df.groupBy(group_col)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+                or 0
+            )
         n_blocks = max(1, math.ceil(n_rows / block_size))
 
+    grp = F.col(group_col) if group_col is not None else F.lit(0)
     q = df.select(
+        grp.alias("__grp"),
         F.col(id_col).alias("__id"),
         quantize(F.col(vec_col)).alias("__qv"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
     )
-    blocks = q.groupBy("__blk").agg(
+    blocks = q.groupBy("__grp", "__blk").agg(
         F.collect_list(F.struct("__id", "__qv")).alias("__items")
     )
     pairs = (
         blocks.select(
-            F.col("__blk").alias("a_blk"), F.col("__items").alias("a_items")
+            F.col("__grp").alias("a_grp"),
+            F.col("__blk").alias("a_blk"),
+            F.col("__items").alias("a_items"),
         )
         .join(
             blocks.select(
-                F.col("__blk").alias("b_blk"), F.col("__items").alias("b_items")
+                F.col("__grp").alias("b_grp"),
+                F.col("__blk").alias("b_blk"),
+                F.col("__items").alias("b_items"),
             ),
-            F.col("a_blk") <= F.col("b_blk"),
+            (F.col("a_grp") == F.col("b_grp"))
+            & (F.col("a_blk") <= F.col("b_blk")),
         )
-        .repartition(F.col("a_blk"), F.col("b_blk"))
+        .repartition(F.col("a_grp"), F.col("a_blk"), F.col("b_blk"))
     )
 
     def score(it):

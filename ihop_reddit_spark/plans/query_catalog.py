@@ -4071,6 +4071,144 @@ def session_funnel_stages(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — MOSS): the
+# shared-PASSAGE detector of the dedup suite (SimHash/MinHash fingerprint
+# whole-doc similarity; winnowing guarantees any shared substring of length
+# ≥ w+k-1 chars yields a shared selected hash). Same md5-hex→BIGINT hash and
+# ASCII contract as the SimHash tier; the fp-frequency cap (max_df) bounds
+# the inverted-index join fanout exactly like the retrieval tier's posting
+# caps. Parameters tuned on the synthetic docs: k=12, w=4, max_df=20,
+# min_shared=10 → 30 selective shared-passage pairs at sf0.01.
+# ---------------------------------------------------------------------------
+_WINNOW_K, _WINNOW_W, _WINNOW_MAXDF, _WINNOW_MINSHARED = 12, 4, 20, 10
+
+
+@query(
+    "winnow_fingerprint_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE strlen(text) = length(text)
+        AND length(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+    pos AS (
+      SELECT doc_id, txt, length(txt) - {_WINNOW_K} + 1 AS n,
+             unnest(range(1, length(txt) - {_WINNOW_K} + 2)) AS p
+      FROM t),
+    h AS (
+      SELECT doc_id, p, n,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(substr(txt, CAST(p AS INTEGER),
+                                          {_WINNOW_K})),
+                               CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM pos),
+    win AS (
+      SELECT doc_id, p, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM h),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM win
+      WHERE p <= n - {_WINNOW_W - 1}),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM sel)
+      WHERE df <= {_WINNOW_MAXDF})
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MINSHARED}
+    """,
+)
+def winnow_fingerprint_pairs(spark, sf_dir):
+    from ..datapipe.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MINSHARED,
+        max_df=_WINNOW_MAXDF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, arXiv:2303.09540) with DERANDOMIZED sign-LSH
+# partitioning: hyperplanes are md5-derived ±1 vectors (datapipe/semantic.py
+# is the single source of truth for both engines — the oracle's VALUES list
+# below is generated from the same rows), buckets are signs of integer-exact
+# dot products, candidates come from per-(table, bucket) self-joins, and the
+# verifier is the quantized cosine kernel every embedding tier shares. The
+# ENTIRE pipeline — partition, candidate, verify, drop — is a pure function
+# of the data, so the survivor set itself is the hash-matched contract (the
+# paper's k-means partitioner is datapipe/semantic.kmeans_semantic_dedup,
+# gated in tests: a fitted model isn't portable SQL). Catches 43 of the 53
+# globally-droppable vectors at sf0.01 (recall 0.81, soundness exact).
+# ---------------------------------------------------------------------------
+def _semantic_dedup_sql() -> str:
+    from ..datapipe.semantic import hyperplane_code_values
+
+    return f"""
+    WITH hp(t, j, code) AS (VALUES {hyperplane_code_values()}),
+    q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+                 generate_subscripts(qv, 1) AS pos
+          FROM q),
+    proj AS (
+      SELECT e.vec_id, hp.t, hp.j,
+             SUM(e.v * CASE WHEN substr(hp.code, CAST(e.pos AS INTEGER), 1)
+                            = '+' THEN 1 ELSE -1 END) AS dot
+      FROM e CROSS JOIN hp GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dot >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY 1),
+    dots AS (
+      SELECT c.l, c.r, CAST(SUM(ea.v * eb.v) AS DOUBLE) AS d
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.l
+      JOIN e eb ON eb.vec_id = c.r AND ea.pos = eb.pos
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT d.r AS vec_id FROM dots d
+      JOIN norms na ON na.vec_id = d.l
+      JOIN norms nb ON nb.vec_id = d.r
+      WHERE d.d / (na.nrm * nb.nrm) >= 0.4)
+    SELECT vec_id, label FROM q
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("semantic_dedup_survivors", _semantic_dedup_sql())
+def semantic_dedup_survivors(spark, sf_dir):
+    from ..datapipe.semantic import sign_lsh_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sign_lsh_semantic_dedup(emb, cosine_threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -4083,7 +4221,10 @@ def session_funnel_stages(spark, sf_dir):
 # operators dead last. Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    # (a) round-4 retrieval + relational-coverage tier, never scored
+    # (a) round-4 retrieval + relational-coverage + semantic-dedup tier,
+    # never scored
+    "winnow_fingerprint_pairs",
+    "semantic_dedup_survivors",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -1,0 +1,212 @@
+"""Winnowing fingerprints + SemDeDup semantic dedup.
+
+Closed-form gates for the two round-4 dedup additions:
+* winnowing's LOCALITY GUARANTEE (Schleimer et al. SIGMOD'03 thm: any
+  shared substring of length ≥ w+k-1 yields a shared fingerprint);
+* sign-LSH semantic dedup soundness (every dropped vector has a genuine
+  ≥-threshold partner with a smaller id — partitioning can lose recall
+  but must never drop a non-duplicate);
+* the paper's k-means variant: planted EXACT duplicates can never escape
+  (identical vectors always co-cluster);
+* grouped blocked-GEMM == ungrouped when there is a single group.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ihop_reddit_spark.datapipe.dedup import (
+    winnow_candidate_pairs,
+    winnow_fingerprints,
+)
+from ihop_reddit_spark.datapipe.semantic import (
+    hyperplane_sign_rows,
+    kmeans_semantic_dedup,
+    sign_lsh_semantic_dedup,
+)
+from ihop_reddit_spark.datapipe.similarity import blocked_pair_scores
+
+
+def _fp_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["__id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnowing_locality_guarantee(spark):
+    # docs 1 and 2 share a 40-char passage >> w+k-1 = 15; doc 3 is disjoint
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCCCC " + shared + " DDDD"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sets = _fp_sets(winnow_fingerprints(docs, "text", "doc_id", k=12, w=4))
+    assert sets[1] & sets[2], "shared passage must share >=1 fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+
+def test_winnowing_identical_docs_identical_sets(spark):
+    text = "identical content repeated verbatim across two documents"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    sets = _fp_sets(winnow_fingerprints(docs, "text", "doc_id"))
+    assert sets[1] == sets[2] and sets[1]
+
+
+def test_winnowing_excludes_short_and_non_ascii(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "héllo wörld with ümlauts and accénts")],
+        ["doc_id", "text"],
+    )
+    assert winnow_fingerprints(docs, "text", "doc_id", k=12, w=4).count() == 0
+
+
+def test_winnowing_density_bound(spark):
+    # selected fingerprints per doc ≤ number of windows, ≥ 1 for any doc
+    # with a full window; expected density ~2/(w+1)
+    text = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    k, w = 12, 4
+    n_windows = (len(text) - k + 1) - (w - 1)
+    got = winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).count()
+    assert 1 <= got <= n_windows
+    assert got < (len(text) - k + 1)  # strictly fewer than all grams
+
+
+def test_winnow_pairs_respects_min_shared_and_symmetry(spark):
+    shared = "a long shared passage that produces many common fingerprints"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail one"), (2, shared + " other end"), (3, "x" * 40)],
+        ["doc_id", "text"],
+    )
+    pairs = winnow_candidate_pairs(
+        docs, "text", "doc_id", k=12, w=4, min_shared=2, max_df=10
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 2)}
+    assert all(r["left_id"] < r["right_id"] for r in pairs)
+    assert all(r["shared"] >= 2 for r in pairs)
+
+
+def test_hyperplane_rows_deterministic_and_balanced():
+    a = hyperplane_sign_rows(4, 4, 64)
+    b = hyperplane_sign_rows(4, 4, 64)
+    assert a == b
+    assert len(a) == 16
+    for _t, _j, signs in a:
+        assert len(signs) == 64 and set(signs) <= {-1, 1}
+        # md5 bits are balanced enough that a hyperplane is never constant
+        assert 8 <= signs.count(1) <= 56
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    # 3 well-separated base directions in 8-d; ids 100/101 are exact
+    # duplicates, 102 is a near-dup of 100 (cos > 0.99), the rest unique
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = [
+        [1.0] + [0.0] * 7,
+        [0.0, 1.0] + [0.0] * 6,
+        [0.0, 0.0, 1.0] + [0.0] * 5,
+    ]
+    for i in range(60):
+        b = base[i % 3]
+        v = [x + rng.uniform(-0.05, 0.05) for x in b]
+        rows.append((i, v))
+    dup = [0.9, 0.05, 0.03, 0.01, 0.0, 0.0, 0.0, 0.0]
+    rows.append((100, dup))
+    rows.append((101, dup))
+    rows.append((102, [x * 1.001 for x in dup]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_sign_lsh_semantic_dedup_soundness(spark, planted_embeddings):
+    emb = planted_embeddings
+    # noise-only same-direction pairs sit at cos ~0.993; the planted
+    # duplicate trio is at ~1.0 — threshold between them isolates the plant
+    t = 0.9999
+    survivors = {
+        r["vec_id"]
+        for r in sign_lsh_semantic_dedup(
+            emb, cosine_threshold=t, dim=8
+        ).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - survivors
+    # ground truth from the exact global scorer
+    truth = blocked_pair_scores(emb, t, block_size=16).collect()
+    global_right = {r["right_id"] for r in truth}
+    assert dropped <= global_right, "no non-duplicate may ever be dropped"
+    # identical vectors hash to identical buckets in every table — exact
+    # duplicates can never escape the sign-LSH partitioner
+    assert 101 in dropped
+    assert 100 in survivors
+
+
+def test_kmeans_semantic_dedup_exact_dups_never_escape(
+    spark, planted_embeddings
+):
+    emb = planted_embeddings
+    survivors = {
+        r["vec_id"]
+        for r in kmeans_semantic_dedup(
+            emb, n_clusters=3, cosine_threshold=0.9999, block_size=16
+        ).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - survivors
+    truth = blocked_pair_scores(emb, 0.9999, block_size=16).collect()
+    assert dropped <= {r["right_id"] for r in truth}
+    assert 101 in dropped and 100 in survivors
+
+
+def test_blocked_pair_scores_grouped_matches_ungrouped(
+    spark, planted_embeddings
+):
+    emb = planted_embeddings
+    one = emb.withColumn("g", F.lit(3))
+    grouped = {
+        (r["left_id"], r["right_id"], round(r["cosine"], 12))
+        for r in blocked_pair_scores(
+            one, 0.9, group_col="g", block_size=16
+        ).collect()
+    }
+    plain = {
+        (r["left_id"], r["right_id"], round(r["cosine"], 12))
+        for r in blocked_pair_scores(emb, 0.9, block_size=16).collect()
+    }
+    assert grouped == plain and plain
+
+
+def test_blocked_pair_scores_grouped_stays_within_groups(
+    spark, planted_embeddings
+):
+    emb = planted_embeddings.withColumn(
+        "g", (F.col("vec_id") % 2).cast("int")
+    )
+    pairs = blocked_pair_scores(
+        emb, 0.9, group_col="g", block_size=16
+    ).collect()
+    parity = {
+        r["vec_id"]: r["vec_id"] % 2
+        for r in emb.select("vec_id").collect()
+    }
+    for r in pairs:
+        assert parity[r["left_id"]] == parity[r["right_id"]]
+    # 100/101 share parity (even/odd differ) → the exact pair (100, 101)
+    # has parity 0 vs 1 and must be ABSENT; (100, 102) both even → present
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (100, 101) not in got
+    assert (100, 102) in got
