@@ -64,6 +64,14 @@ DOC_PROBES = [
     # scaling story is the index/LM builds below plus the plan shape).
     "inverted_index_terms",
     "lm_doc_quality_scores",
+    # winnowing (round 4): the replica token suffix changes every char
+    # k-gram, so fingerprint sets are disjoint across replicas — per-replica
+    # shared-passage structure is preserved and the df cap sees the same
+    # per-fingerprint frequencies: work scales ×N, candidates ×N.
+    # (semantic_dedup_survivors is NOT probed here: its oracle pins
+    # n_bits=4, and honest LSH scaling grows cells ∝ corpus to hold bucket
+    # size constant — measured separately in tools/semantic_scale_probe.py.)
+    "winnow_fingerprint_pairs",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
