@@ -47,9 +47,10 @@ HEADLINE = [
     "inverted_index_terms",       # posting-list build (term-keyed shuffle)
     "bm25_topk_docs",             # probe-query ranked search
     "perplexity_buckets_by_lang", # bigram-LM scoring + CCNet bucketing
-    # round-4 semantic/passage dedup tier
+    # round-4 semantic/passage dedup + data-selection tier
     "winnow_fingerprint_pairs",   # MOSS winnowing shared-passage pairs
     "semantic_dedup_survivors",   # SemDeDup via derandomized sign-LSH
+    "dsir_importance_weights",    # DSIR hashed-ngram importance weights
 ]
 
 

@@ -401,3 +401,107 @@ def chunk_documents(
         .cast("long")
         .alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al., NeurIPS
+# 2023, arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+# distribution looks like a TARGET corpus. The published recipe: featurize
+# docs as hashed unigram+bigram counts, fit bag-of-buckets models p (target)
+# and q (raw), weight each doc by log p(doc) − log q(doc), resample by
+# weight. The engine keeps every step deterministic (md5 bucket hashing,
+# add-one smoothing, decimal-cast sums, 4-decimal rounding of the one
+# transcendental) so the weights themselves are oracle-comparable.
+# ---------------------------------------------------------------------------
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+    sep: str = " ",
+) -> DataFrame:
+    """(doc_id, b): one row per unigram AND bigram occurrence, hashed into
+    ``n_buckets`` via the engine-portable md5→BIGINT hash. Row-local (zero
+    shuffle), O(tokens) per doc — the DSIR featurizer."""
+    from .retrieval import doc_bigrams, tokens
+
+    def bucket(g: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    uni = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col), sep)).alias("g"),
+    )
+    bi = doc_bigrams(df, text_col, id_col, sep).select(
+        "doc_id", F.concat_ws(" ", "w1", "w2").alias("g")
+    )
+    return uni.unionByName(bi).select("doc_id", bucket(F.col("g")).alias("b"))
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    sep: str = " ",
+) -> DataFrame:
+    """Per-document DSIR importance weights: (doc_id, n_features, weight,
+    selected). ``weight`` = Σ over the doc's hashed-n-gram occurrences of
+    log2 p̂(b) − log2 q̂(b) with add-one smoothing over the bucket vocab;
+    ``selected`` = weight > 0 (doc looks more target- than corpus-like).
+
+    Plan (the 100 TB shape): the corpus feature stream aggregates to AT
+    MOST ``n_buckets`` model rows (map-side partials collapse the shuffle
+    to bucket grain); the target model is target-sized and targets are
+    benchmark-scale (tiny); the per-bucket log-ratio table (≤ n_buckets
+    rows) broadcasts onto the corpus feature stream; the only corpus-sized
+    shuffle is the final doc-grain sum. Nothing quadratic, nothing
+    collected.
+
+    Determinism: counts are exact integers; the smoothed probabilities are
+    exact rationals; log2 is the single transcendental and its per-doc sum
+    is decimal-cast then rounded to 4 decimals — the same libm-ulp
+    discipline as the perplexity tier (hash-green since round 4).
+    """
+    from ..operators.aggregates import decimal_sum
+
+    cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, sep)
+    tf_ = hashed_ngram_features(target, text_col, id_col, n_buckets, sep)
+    q_counts = cf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cq"))
+    p_counts = tf_.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    q_total = q_counts.agg(F.sum("cq").alias("tq"))
+    p_total = p_counts.agg(F.sum("cp").alias("tp"))
+    ratio = (
+        q_counts.join(p_counts, "b", "left")
+        .crossJoin(F.broadcast(q_total))
+        .crossJoin(F.broadcast(p_total))
+        .select(
+            "b",
+            (
+                F.log2(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("tp") + F.lit(n_buckets))
+                )
+                - F.log2(
+                    (F.col("cq") + F.lit(1)).cast("double")
+                    / (F.col("tq") + F.lit(n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = cf.join(F.broadcast(ratio), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.round(decimal_sum("lr", 38, 12).cast("double"), 4).alias("weight"),
+    ).select(
+        "doc_id",
+        "n_features",
+        "weight",
+        (F.col("weight") > 0).alias("selected"),
+    )

@@ -4209,6 +4209,67 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., NeurIPS 2023 — datapipe/curation.
+# dsir_weights): hashed unigram+bigram bucket models for a TARGET slice
+# (sources src0/src1) vs the raw corpus; per-doc weight = Σ log2 p̂ − log2 q̂.
+# The md5 bucket hash, add-one rationals, decimal-cast sum, and 4-decimal
+# rounding keep the weights themselves hash-comparable across engines.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET = "('src0', 'src1')"
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tarr AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents),
+    tok AS (SELECT doc_id, source, unnest(t) AS g FROM tarr),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM tarr),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(g), CAST(i AS INTEGER), 1)) - 1
+                           AS BIGINT)),
+               (a, b) -> a * 16 + b) % {_DSIR_BUCKETS} AS BIGINT) AS b
+      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)),
+    q AS (SELECT b, COUNT(*) AS cq FROM feats GROUP BY 1),
+    p AS (SELECT b, COUNT(*) AS cp
+          FROM feats WHERE source IN {_DSIR_TARGET} GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(cq) FROM q) AS tq,
+                   (SELECT SUM(cp) FROM p) AS tp),
+    ratio AS (
+      SELECT q.b,
+             log2(CAST(COALESCE(p.cp, 0) + 1 AS DOUBLE)
+                  / (tot.tp + {_DSIR_BUCKETS}))
+           - log2(CAST(q.cq + 1 AS DOUBLE)
+                  / (tot.tq + {_DSIR_BUCKETS})) AS lr
+      FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tot)
+    SELECT doc_id, n_features, weight, weight > 0 AS selected FROM (
+      SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+             round(CAST(SUM(CAST(r.lr AS DECIMAL(38, 12))) AS DOUBLE), 4)
+               AS weight
+      FROM feats f JOIN ratio r ON f.b = r.b
+      GROUP BY 1)
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    from ..datapipe.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -4225,6 +4286,7 @@ _SCORING_PRIORITY = [
     # never scored
     "winnow_fingerprint_pairs",
     "semantic_dedup_survivors",
+    "dsir_importance_weights",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -228,3 +228,51 @@ def test_profile_table_all_types_one_pass(spark):
     assert got["k"].min_value == "1" and got["k"].max_value == "2"
     assert got["s"].n_nulls == 1 and got["s"].min_value == "a"
     assert got["v"].n_nulls == 1 and got["v"].max_value == "2.5"
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (dsir_weights)
+# ---------------------------------------------------------------------------
+def test_dsir_ranks_target_like_docs_above_off_target(spark):
+    from ihop_reddit_spark.datapipe.curation import dsir_weights
+
+    target = spark.createDataFrame(
+        [
+            (100, "cats purr and cats nap on warm windowsills"),
+            (101, "a cat chases yarn while cats watch birds"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "cats purr and nap while a cat chases yarn"),   # target-like
+            (2, "stock markets rallied as bond yields fell"),   # off-target
+            (3, "cats watch birds from warm windowsills"),      # target-like
+            (4, "the committee approved the quarterly budget"), # off-target
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+    # the contract is the RANKING: target-like docs outweigh off-target
+    # ones (absolute sign is smoothing-dominated at toy scale — add-one
+    # over 1024 buckets vs ~30 observed features pulls all weights down)
+    assert got[1]["weight"] > got[2]["weight"]
+    assert got[3]["weight"] > got[4]["weight"]
+    assert min(got[1]["weight"], got[3]["weight"]) > max(
+        got[2]["weight"], got[4]["weight"]
+    )
+    assert all(r["n_features"] > 0 for r in got.values())
+    assert all(r["selected"] == (r["weight"] > 0) for r in got.values())
+
+
+def test_dsir_weight_is_zero_when_target_equals_corpus(spark):
+    from ihop_reddit_spark.datapipe.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    # p̂ == q̂ bucket-for-bucket → every log-ratio is exactly 0
+    got = dsir_weights(docs, docs).collect()
+    assert {r["weight"] for r in got} == {0.0}
+    assert not any(r["selected"] for r in got)
