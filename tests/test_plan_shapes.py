@@ -357,3 +357,36 @@ def test_lm_scoring_model_tables_broadcast(spark, sf_dir):
     plan = plan_of(lm_quality_scores(docs, bigrams, unigrams, vocab))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_pairs_two_corpus_exchanges_before_pair_agg(spark, sf_dir):
+    """Winnowing promises: O(chars) gram stream shuffles ONCE on doc id for
+    the window min; the per-doc fingerprint dedup RIDES that partitioning
+    (hashpartitioning(id) satisfies the (id, fp) aggregate's clustering);
+    the df cap adds one fp-keyed exchange. Everything after the persisted
+    capped frame is candidate-sized."""
+    from ihop_reddit_spark.datapipe.dedup import winnow_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(winnow_candidate_pairs(docs, "text", "doc_id"))
+    pre = plan.split("InMemoryRelation")[-1]  # lineage below the persist
+    assert pre.count("Exchange") == 2, plan
+    assert "Python" not in plan  # pure Catalyst end-to-end
+
+
+def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
+    """Sign-LSH semantic dedup promises: the candidate self-join carries
+    ids + bucket keys only (vectors never ride that shuffle), and the final
+    drop is a BROADCAST anti-join — the corpus scan feeds the anti-join
+    with zero Exchange on the corpus side."""
+    from ihop_reddit_spark.datapipe.semantic import sign_lsh_semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(sign_lsh_semantic_dedup(emb))
+    assert "Python" not in plan  # no UDF anywhere
+    # the dropped-set side reaches the anti-join via BroadcastExchange
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the corpus side of the anti-join is a bare scan (no Exchange between
+    # the last parquet scan and the anti-join)
+    tail = plan.split("LeftAnti")[0].splitlines()[-8:]
+    assert not any("Exchange hashpartitioning" in ln for ln in tail), plan
