@@ -505,3 +505,47 @@ def dsir_weights(
         "weight",
         (F.col("weight") > 0).alias("selected"),
     )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    sep: str = " ",
+) -> DataFrame:
+    """DSIR's resampling half: Gumbel top-k over the importance weights —
+    sampling WITHOUT replacement proportionally to 2^weight, derandomized.
+
+    The Gumbel-max trick (argtop-k of log w + Gumbel(0,1) draws a sample
+    ∝ w without replacement) with the engine's md5 content addressing as
+    the uniform source: u = (md5_32(salt ␞ doc_id) + 0.5) / 2³²,
+    G = −ln(−ln u). Keys live in the weight's log2 domain (G / ln 2), so
+    selection is ∝ 2^weight exactly as DSIR prescribes — and the whole
+    draw is a pure function of (data, salt), reproducible on any engine.
+
+    Plan: :func:`dsir_weights` + a row-local key expression + a global
+    top-k, which Spark executes as TakeOrderedAndProject (per-partition
+    heaps, never a global sort).
+    """
+    import math
+
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets, sep)
+    u = (
+        F.conv(_md5_prefix(salt, F.col("doc_id")), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("weight") + gumbel / F.lit(math.log(2.0)), 4
+    ).alias("gkey")
+    return (
+        w.select("doc_id", "weight", key)
+        .orderBy(F.col("gkey").desc(), F.col("doc_id"))
+        .limit(k)
+    )

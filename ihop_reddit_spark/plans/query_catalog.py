@@ -4218,11 +4218,10 @@ def semantic_dedup_survivors(spark, sf_dir):
 _DSIR_BUCKETS = 1024
 _DSIR_TARGET = "('src0', 'src1')"
 
-
-@query(
-    "dsir_importance_weights",
-    f"""
-    WITH tarr AS (
+#: Shared CTE chain ending at ``weights(doc_id, n_features, weight)`` —
+#: reused by the weights query and its Gumbel-resample companion.
+_DSIR_CTES = f"""
+    tarr AS (
       SELECT doc_id, source,
              list_filter(string_split(text, ' '), t -> t <> '') AS t
       FROM documents),
@@ -4252,13 +4251,21 @@ _DSIR_TARGET = "('src0', 'src1')"
                   / (tot.tp + {_DSIR_BUCKETS}))
            - log2(CAST(q.cq + 1 AS DOUBLE)
                   / (tot.tq + {_DSIR_BUCKETS})) AS lr
-      FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tot)
-    SELECT doc_id, n_features, weight, weight > 0 AS selected FROM (
+      FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tot),
+    weights AS (
       SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
              round(CAST(SUM(CAST(r.lr AS DECIMAL(38, 12))) AS DOUBLE), 4)
                AS weight
       FROM feats f JOIN ratio r ON f.b = r.b
       GROUP BY 1)
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_features, weight, weight > 0 AS selected FROM weights
     """,
 )
 def dsir_importance_weights(spark, sf_dir):
@@ -4267,6 +4274,38 @@ def dsir_importance_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("source").isin("src0", "src1"))
     return dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
+
+
+# DSIR's resampling half: Gumbel top-k on the log2-domain weights with the
+# engine's md5 content addressing as the uniform source (u = (md5_32 + ½)/2³²,
+# G = −ln(−ln u), key = weight + G/ln 2) — a without-replacement draw
+# ∝ 2^weight that is a pure function of (data, salt) on any engine.
+@query(
+    "dsir_resampled_documents",
+    f"""
+    WITH {_DSIR_CTES},
+    keyed AS (
+      SELECT doc_id, weight,
+             round(weight + (-ln(-ln(
+               (CAST(list_reduce(
+                  list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef',
+                           substr(md5(concat_ws(chr(30), 'dsir',
+                                                CAST(doc_id AS VARCHAR))),
+                                  CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4294967296.0
+             ))) / ln(2), 4) AS gkey
+      FROM weights)
+    SELECT doc_id, weight, gkey FROM keyed
+    ORDER BY gkey DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_resampled_documents(spark, sf_dir):
+    from ..datapipe.curation import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_resample(docs, target, k=50, n_buckets=_DSIR_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -4287,6 +4326,7 @@ _SCORING_PRIORITY = [
     "winnow_fingerprint_pairs",
     "semantic_dedup_survivors",
     "dsir_importance_weights",
+    "dsir_resampled_documents",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -276,3 +276,25 @@ def test_dsir_weight_is_zero_when_target_equals_corpus(spark):
     got = dsir_weights(docs, docs).collect()
     assert {r["weight"] for r in got} == {0.0}
     assert not any(r["selected"] for r in got)
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    from ihop_reddit_spark.datapipe.curation import dsir_resample
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta" if i % 2 == 0 else "omega psi chi phi")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = dsir_resample(corpus, target, k=10).collect()
+    b = dsir_resample(corpus, target, k=10).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]  # pure function
+    assert len(a) == 10
+    c = dsir_resample(corpus, target, k=10, salt="other").collect()
+    assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a}  # salt moves it
+    # target-like docs (even ids) dominate a weight-proportional draw
+    evens = sum(1 for r in a if r["doc_id"] % 2 == 0)
+    assert evens >= 8
