@@ -243,3 +243,110 @@ def kmeans_semantic_dedup(
     dropped = pairs.select(F.col("right_id").alias(id_col)).distinct()
     out = df.join(F.broadcast(dropped), id_col, "left_anti")
     return register_scoped_persists(out, assigned)
+
+
+def semantic_index_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The sign-LSH index rows for a corpus: (indexed_id, t, bucket,
+    indexed_qv, indexed_nrm). The quantized vector rides the index row
+    (n_tables copies) so the verify step needs no second pass over the
+    archive; at very large dim store it once in a side table keyed by id."""
+    buckets = sign_lsh_buckets(df, vec_col, id_col, n_tables, n_bits, dim)
+    qv = df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
+    ).withColumn("__nrm", raw_norm(F.col("__qv")))
+    return buckets.join(qv, "__id").select(
+        F.col("__id").alias("indexed_id"),
+        "t",
+        "bucket",
+        F.col("__qv").alias("indexed_qv"),
+        F.col("__nrm").alias("indexed_nrm"),
+    )
+
+
+def build_semantic_index(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+    num_buckets: int = 32,
+) -> None:
+    """Persist a corpus's sign-LSH index (:func:`semantic_index_rows`) as a
+    BUCKETED parquet table (bucketed by the LSH bucket key): incremental
+    semantic-dedup lookups join bucket-locally — the historical side is
+    read pre-hashed and never reshuffles, no matter how large the archive
+    grows. The same incremental contract as the MinHash and postings
+    indexes (``dedup.build_minhash_index``, ``retrieval.build_postings_index``).
+    """
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        semantic_index_rows(df, vec_col, id_col, n_tables, n_bits, dim),
+        table_name,
+        path,
+        bucket_cols=["bucket"],
+        num_buckets=num_buckets,
+        sort_cols=["bucket"],
+    )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    index: DataFrame | str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.4,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """New-batch rows that are NOT semantic near-dups of the indexed
+    archive (returns the surviving new rows, all original columns).
+
+    The batch's buckets come from the same derandomized hyperplanes, so a
+    new vector lands in exactly the buckets its archived near-dups
+    occupy; the join is bucket-local (only today's batch shuffles), the
+    exact quantized-cosine verify runs on candidate rows only, and the
+    drop set broadcasts back onto the batch. The archive is consulted,
+    never rewritten — append today's survivors to the index table to roll
+    the window forward.
+
+    ``index``: a table name (the bucketed table from
+    :func:`build_semantic_index` — bucket-local join, zero index-side
+    exchange) or an index-rows DataFrame (oracle/testing path).
+    """
+    new_buckets = sign_lsh_buckets(
+        new_df, vec_col, id_col, n_tables, n_bits, dim
+    )
+    new_qv = new_df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
+    ).withColumn("__nrm", raw_norm(F.col("__qv")))
+    idx = (
+        new_df.sparkSession.table(index) if isinstance(index, str) else index
+    )
+    cand = (
+        new_buckets.join(idx, ["t", "bucket"])
+        .select("__id", "indexed_id", "indexed_qv", "indexed_nrm")
+        .dropDuplicates(["__id", "indexed_id"])
+    )
+    dropped = (
+        cand.join(new_qv, "__id")
+        .where(
+            raw_dot(F.col("__qv"), F.col("indexed_qv")).cast("double")
+            / (F.col("__nrm") * F.col("indexed_nrm"))
+            >= cosine_threshold
+        )
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(dropped), id_col, "left_anti")

@@ -4151,11 +4151,13 @@ def winnow_fingerprint_pairs(spark, sf_dir):
 # gated in tests: a fitted model isn't portable SQL). Catches 43 of the 53
 # globally-droppable vectors at sf0.01 (recall 0.81, soundness exact).
 # ---------------------------------------------------------------------------
-def _semantic_dedup_sql() -> str:
+def _semantic_bucket_ctes() -> str:
+    """Shared CTE chain ending at ``buckets``/``norms`` — reused by the
+    full-corpus dedup oracle and its incremental (batch-vs-archive) twin."""
     from ..datapipe.semantic import hyperplane_code_values
 
     return f"""
-    WITH hp(t, j, code) AS (VALUES {hyperplane_code_values()}),
+    hp(t, j, code) AS (VALUES {hyperplane_code_values()}),
     q AS (
       SELECT vec_id, label,
              list_transform(embedding,
@@ -4175,13 +4177,19 @@ def _semantic_dedup_sql() -> str:
                            THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
                            ELSE 0 END) AS BIGINT) AS bucket
       FROM proj GROUP BY 1, 2),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY 1)
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+    WITH {_semantic_bucket_ctes()},
     cand AS (
       SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
       FROM buckets a JOIN buckets b
         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-    norms AS (
-      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
-      FROM e GROUP BY 1),
     dots AS (
       SELECT c.l, c.r, CAST(SUM(ea.v * eb.v) AS DOUBLE) AS d
       FROM cand c
@@ -4198,6 +4206,31 @@ def _semantic_dedup_sql() -> str:
     """
 
 
+def _incremental_semantic_sql() -> str:
+    return f"""
+    WITH {_semantic_bucket_ctes()},
+    cand AS (
+      SELECT DISTINCT b.vec_id AS new_id, a.vec_id AS indexed_id
+      FROM buckets b JOIN buckets a
+        ON b.t = a.t AND b.bucket = a.bucket
+      WHERE b.vec_id % 2 = 1 AND a.vec_id % 2 = 0),
+    dots AS (
+      SELECT c.new_id, c.indexed_id, CAST(SUM(en.v * ei.v) AS DOUBLE) AS d
+      FROM cand c
+      JOIN e en ON en.vec_id = c.new_id
+      JOIN e ei ON ei.vec_id = c.indexed_id AND en.pos = ei.pos
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT d.new_id AS vec_id FROM dots d
+      JOIN norms na ON na.vec_id = d.new_id
+      JOIN norms nb ON nb.vec_id = d.indexed_id
+      WHERE d.d / (na.nrm * nb.nrm) >= 0.4)
+    SELECT vec_id, label FROM q
+    WHERE vec_id % 2 = 1
+      AND vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
 @query("semantic_dedup_survivors", _semantic_dedup_sql())
 def semantic_dedup_survivors(spark, sf_dir):
     from ..datapipe.semantic import sign_lsh_semantic_dedup
@@ -4206,6 +4239,25 @@ def semantic_dedup_survivors(spark, sf_dir):
     return sign_lsh_semantic_dedup(emb, cosine_threshold=0.4).select(
         "vec_id", "label"
     )
+
+
+# Incremental face: today's batch (odd ids) deduped against the archived
+# index (even ids). In production the archive is the bucketed table from
+# build_semantic_index (bucket-local join, zero index-side exchange —
+# pytest-pinned like the MinHash/postings indexes); the oracle path builds
+# the identical index rows in-memory so the query stays side-effect-free.
+@query("incremental_semantic_dedup_survivors", _incremental_semantic_sql())
+def incremental_semantic_dedup_survivors(spark, sf_dir):
+    from ..datapipe.semantic import (
+        incremental_semantic_dedup,
+        semantic_index_rows,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    idx = semantic_index_rows(hist)
+    return incremental_semantic_dedup(new, idx).select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
@@ -4325,6 +4377,7 @@ _SCORING_PRIORITY = [
     # never scored
     "winnow_fingerprint_pairs",
     "semantic_dedup_survivors",
+    "incremental_semantic_dedup_survivors",
     "dsir_importance_weights",
     "dsir_resampled_documents",
     "inverted_index_terms",

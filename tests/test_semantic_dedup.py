@@ -210,3 +210,51 @@ def test_blocked_pair_scores_grouped_stays_within_groups(
     got = {(r["left_id"], r["right_id"]) for r in pairs}
     assert (100, 101) not in got
     assert (100, 102) in got
+
+
+def test_incremental_semantic_index_bucket_local_and_result_identical(
+    spark, tmp_path
+):
+    """The persisted sign-LSH index must stream out of its buckets (no
+    index-side exchange in the candidate join), and the bucketed-table
+    path must produce exactly the in-memory index path's survivors."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ihop_reddit_spark.datapipe.semantic import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+        semantic_index_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hist = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    # bucket count MUST equal the join's shuffle parallelism or the planner
+    # disables the bucketed read (same gotcha as the postings index; any
+    # test that used get_spark_session resets the conf, so pin it here)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    build_semantic_index(
+        hist, "semantic_idx_test", str(tmp_path / "idx"), num_buckets=8
+    )
+    try:
+        via_table = incremental_semantic_dedup(new, "semantic_idx_test")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            via_table.explain("formatted")
+        assert "Bucketed: true" in buf.getvalue()
+        got = {r["vec_id"] for r in via_table.collect()}
+        want = {
+            r["vec_id"]
+            for r in incremental_semantic_dedup(
+                new, semantic_index_rows(hist)
+            ).collect()
+        }
+        assert got == want
+        # soundness: dropped new ids must each have an archived near-dup
+        all_new = {r["vec_id"] for r in new.select("vec_id").collect()}
+        assert got <= all_new
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.sql("DROP TABLE IF EXISTS semantic_idx_test")
