@@ -852,6 +852,7 @@ def winnow_fingerprints(
     id_col: str,
     k: int = 12,
     w: int = 4,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Winnowed fingerprint set per document: distinct (``__id``, ``fp``).
 
@@ -870,6 +871,13 @@ def winnow_fingerprints(
     counts chars but ``strlen`` bytes — the ASCII gate is where they agree,
     the same contract as the levenshtein verifier tier. Docs shorter than
     ``w + k - 1`` chars have no full window and yield no fingerprints.
+
+    ``portable_hash``: md5-derived gram hashes (default — the cross-engine
+    oracle contract). ``False`` swaps in ``xxhash64`` — same winnowing
+    guarantees (they hold for ANY hash), JVM-intrinsic speed for
+    production runs where DuckDB parity is not required. The ×10 probe
+    measured the md5 path exactly linear (ratio 9.9 at ×10 docs) with the
+    per-gram hash as the dominant term — this is the knob that moves it.
     """
     from pyspark.sql import Window
 
@@ -884,11 +892,11 @@ def winnow_fingerprints(
         F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("p"),
         F.col("__t"),
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("__t").substr(F.col("p"), F.lit(k))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    gram = F.col("__t").substr(F.col("p"), F.lit(k))
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram)
     hashed = grams.select("__id", "p", "__n", h.alias("h"))
     win = Window.partitionBy("__id").orderBy("p").rowsBetween(0, w - 1)
     return (
@@ -910,6 +918,7 @@ def winnow_candidate_pairs(
     w: int = 4,
     min_shared: int = 10,
     max_df: int = 20,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """MOSS-style shared-passage candidates: (left_id, right_id, shared).
 
@@ -923,7 +932,7 @@ def winnow_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, portable_hash)
     capped = (
         fps.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))

@@ -4261,6 +4261,52 @@ def incremental_semantic_dedup_survivors(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# fasttext-style quality classifier (ml/quality_classifier.py): distill the
+# heuristic quality_score into a linear model over hashed unigram+bigram
+# features (HashingTF → LogisticRegression) — the GPT-3/LLaMA-style
+# quality-filter classifier. Content-addressed md5 80/20 split (SQL-
+# expressible → the oracle checks the exact split sizes); holdout AUC and
+# accuracy are thresholdable gates (measured 0.86 / 0.79 at sf0.01 with
+# deterministic repeats; floors leave ≥0.09 margin).
+# ---------------------------------------------------------------------------
+@query(
+    "quality_classifier_gate",
+    """
+    WITH split AS (
+      SELECT doc_id,
+             substr(md5(concat_ws(chr(30), 'qcls', CAST(doc_id AS VARCHAR))),
+                    1, 8) < 'cccccccc' AS is_train
+      FROM documents)
+    SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_test,
+           TRUE AS auc_ok, TRUE AS acc_ok
+    FROM split
+    """,
+)
+def quality_classifier_gate(spark, sf_dir):
+    from ..functions.text import quality_score
+    from ..ml.quality_classifier import train_and_evaluate
+
+    docs = _t(spark, sf_dir, "documents")
+    _model, m = train_and_evaluate(
+        docs, "text", "doc_id", quality_score(F.col("text")) >= 0.7
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["n_train"],
+                m["n_test"],
+                m["auc"] >= 0.75,
+                m["accuracy"] >= 0.70,
+            )
+        ],
+        "n_train long, n_test long, auc_ok boolean, acc_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al., NeurIPS 2023 — datapipe/curation.
 # dsir_weights): hashed unigram+bigram bucket models for a TARGET slice
 # (sources src0/src1) vs the raw corpus; per-doc weight = Σ log2 p̂ − log2 q̂.
@@ -4380,6 +4426,7 @@ _SCORING_PRIORITY = [
     "incremental_semantic_dedup_survivors",
     "dsir_importance_weights",
     "dsir_resampled_documents",
+    "quality_classifier_gate",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -473,3 +473,45 @@ def test_agglomerative_numpy_recovers_planted_partition(spark):
     groups = {c: {got[i] for i in range(30) if i % 3 == c} for c in range(3)}
     assert all(len(g) == 1 for g in groups.values())
     assert len({next(iter(g)) for g in groups.values()}) == 3
+
+
+# ---------------------------------------------------------------------------
+# fasttext-style quality classifier (ml/quality_classifier.py)
+# ---------------------------------------------------------------------------
+def test_quality_classifier_learns_planted_signal_and_round_trips(
+    spark, tmp_path
+):
+    from pyspark.ml import PipelineModel
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.ml.quality_classifier import train_and_evaluate
+
+    # planted separable signal: label tokens vs noise tokens
+    rows = [
+        (i, ("good clean prose tokens here" if i % 2 == 0
+             else "zz9 xx8 qq7 ww6 vv5 noise"))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    model, m = train_and_evaluate(
+        docs, "text", "doc_id", F.col("doc_id") % 2 == 0
+    )
+    assert m["n_train"] + m["n_test"] == 200
+    assert m["auc"] >= 0.99 and m["accuracy"] >= 0.99  # trivially separable
+    # determinism: identical metrics on a repeat run (no RNG anywhere)
+    _, m2 = train_and_evaluate(
+        docs, "text", "doc_id", F.col("doc_id") % 2 == 0
+    )
+    assert m == m2
+    # S8 model save/load round-trip: identical predictions after reload
+    path = str(tmp_path / "qcls_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    from ihop_reddit_spark.ml.quality_classifier import _token_arrays
+
+    feat = _token_arrays(docs, "text")
+    a = {r["doc_id"]: r["prediction"] for r in model.transform(feat).collect()}
+    b = {
+        r["doc_id"]: r["prediction"] for r in reloaded.transform(feat).collect()
+    }
+    assert a == b

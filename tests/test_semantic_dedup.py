@@ -46,10 +46,17 @@ def test_winnowing_locality_guarantee(spark):
         ],
         ["doc_id", "text"],
     )
-    sets = _fp_sets(winnow_fingerprints(docs, "text", "doc_id", k=12, w=4))
-    assert sets[1] & sets[2], "shared passage must share >=1 fingerprint"
-    assert not (sets[1] & sets[3])
-    assert not (sets[2] & sets[3])
+    # the guarantee holds for ANY hash — assert on both the md5 oracle
+    # path and the xxhash64 production path
+    for portable in (True, False):
+        sets = _fp_sets(
+            winnow_fingerprints(
+                docs, "text", "doc_id", k=12, w=4, portable_hash=portable
+            )
+        )
+        assert sets[1] & sets[2], "shared passage must share >=1 fingerprint"
+        assert not (sets[1] & sets[3])
+        assert not (sets[2] & sets[3])
 
 
 def test_winnowing_identical_docs_identical_sets(spark):
