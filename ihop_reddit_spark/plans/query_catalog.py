@@ -4260,6 +4260,18 @@ def incremental_semantic_dedup_survivors(spark, sf_dir):
     return incremental_semantic_dedup(new, idx).select("vec_id", "label")
 
 
+# Streaming face: the same batches arrive on a file-source stream and each
+# micro-batch dedups against the static archive inside foreachBatch. The
+# per-row drop decision depends only on (row, archive) — batch-boundary
+# independent — so the streamed survivors equal the batch incremental
+# result and share its oracle.
+@query("stream_semantic_dedup_survivors", _incremental_semantic_sql())
+def stream_semantic_dedup_survivors(spark, sf_dir):
+    from ..streaming.embeddings import semantic_dedup_stream
+
+    return semantic_dedup_stream(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # fasttext-style quality classifier (ml/quality_classifier.py): distill the
 # heuristic quality_score into a linear model over hashed unigram+bigram
@@ -4457,6 +4469,7 @@ _SCORING_PRIORITY = [
     "stream_stream_click_purchase_pairs",
     "stream_static_enriched_counts",
     "stream_windowed_approx_users",
+    "stream_semantic_dedup_survivors",
     "c2v_planted_analogy_gate",      # round-3 thresholdable gates
     "ivf_ann_recall",
     "kmeans_quality_metrics",

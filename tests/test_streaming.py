@@ -215,3 +215,29 @@ def test_ranked_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_semantic_dedup_stream_matches_batch_incremental(spark):
+    """The streamed survivors must equal the one-shot batch incremental
+    result — the per-row drop decision is batch-boundary independent."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.semantic import (
+        incremental_semantic_dedup,
+        semantic_index_rows,
+    )
+    from ihop_reddit_spark.streaming.embeddings import semantic_dedup_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        r["vec_id"] for r in semantic_dedup_stream(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = {
+        r["vec_id"]
+        for r in incremental_semantic_dedup(
+            emb.where(F.col("vec_id") % 2 == 1),
+            semantic_index_rows(emb.where(F.col("vec_id") % 2 == 0)),
+        ).collect()
+    }
+    assert streamed == batch and batch
