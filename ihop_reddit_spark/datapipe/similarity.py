@@ -426,3 +426,219 @@ def read_ivf_index(spark, path: str, cells: list[int] | None = None) -> DataFram
     if cells is not None:
         df = df.where(F.col("centroid_id").isin(cells))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — the FAISS IVFADC memory tier): vectors are
+# stored as m sub-space code indices (m bytes instead of dim·4), distances
+# are computed against per-query lookup tables (ADC), and a final exact
+# rerank of the ADC shortlist restores accuracy (the "refine" stage). At
+# 100 TB this is what makes the index FIT: 64-d float32 → 8 codes is a 32×
+# compression of the scan payload, and the probe reads codes, not vectors.
+# ---------------------------------------------------------------------------
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    seed: int = 100,
+    iters: int = 20,
+):
+    """Driver-side Lloyd on a DETERMINISTIC sample (first ``sample_size``
+    rows by id — the FAISS convention of training on a bounded sample,
+    made reproducible). Returns codebooks ndarray (m, n_codes, dim/m).
+
+    Deterministic end-to-end: seeded init permutation, argmin ties resolve
+    to the lowest index, fixed iteration count — the same corpus always
+    yields the same codebooks on any cluster.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub))
+    for b in range(m):
+        Xb = X[:, b * dsub : (b + 1) * dsub]
+        init = rng.permutation(len(Xb))[:n_codes]
+        C = Xb[init].copy()
+        for _ in range(iters):
+            d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xb[mask].mean(axis=0)
+        books[b] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes array<int>) — per-subspace nearest-codeword indices.
+    Arrow-batched numpy argmin per block; the codebooks ship to executors
+    as a closure constant (m·n_codes·dsub floats — bytes, not data)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, _n_codes, dsub = books.shape
+
+    def encode(it):
+        for pdf in it:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for b in range(m):
+                Xb = X[:, b * dsub : (b + 1) * dsub]
+                d2 = ((Xb[:, None, :] - books[b][None, :, :]) ** 2).sum(axis=2)
+                codes[:, b] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].values, "pq_codes": list(codes)}
+            )
+
+    return corpus.mapInPandas(
+        encode, f"__id long, pq_codes array<int>"
+    ).withColumnRenamed("__id", id_col)
+
+
+def ivf_pq_knn(
+    assigned_encoded: DataFrame,
+    model,
+    codebooks,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_driver_queries: int = MAX_DRIVER_QUERIES,
+) -> DataFrame:
+    """IVFADC + refine: probe ``nprobe`` cells, score candidates by PQ
+    lookup-table cosine (per-query m×n_codes dot tables, numpy gather —
+    the scan touches CODES only), keep an ADC shortlist of ``rerank``
+    (default 4k) per query, exactly re-score just the shortlist against
+    the true vectors, return the top k.
+
+    ``assigned_encoded`` = IVF assignment (``centroid_id``) + true vector
+    + ``pq_codes`` (from :func:`pq_encode`). At scale the rerank join is
+    shortlist-sized; everything corpus-sized reads integers.
+    """
+    import numpy as np
+
+    from ..functions.vectors import cosine
+
+    _guard_query_side(queries, max_driver_queries)
+    rerank = rerank or 4 * k
+    books = np.asarray(codebooks)
+    m, n_codes, dsub = books.shape
+    cnorm2 = (books**2).sum(axis=2)  # (m, n_codes)
+
+    centers = model.clusterCenters()
+    norms = [c / (np.linalg.norm(c) or 1.0) for c in centers]
+
+    def nearest_cells(vec):
+        v = np.asarray(vec, dtype=float)
+        v = v / (np.linalg.norm(v) or 1.0)
+        sims = [float(v @ c) for c in norms]
+        return sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:nprobe]
+
+    spark = assigned_encoded.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = [
+        (row[id_col], row[vec_col], cell)
+        for row in qrows
+        for cell in nearest_cells(row[vec_col])
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, __qvec array<float>, centroid_id int"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assigned_encoded.select("centroid_id", id_col, "pq_codes"),
+            "centroid_id",
+        )
+        .where(F.col(query_id_col) != F.col(id_col))
+    )
+
+    def adc_score(it):
+        import pandas as pd
+
+        tables: dict[int, tuple] = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out_q, out_n, out_c = [], [], []
+            for qid, grp in pdf.groupby(query_id_col):
+                if qid not in tables:
+                    q = np.asarray(grp["__qvec"].iloc[0], dtype=np.float64)
+                    dots = np.einsum(
+                        "bd,bjd->bj", q.reshape(m, dsub), books
+                    )  # (m, n_codes)
+                    tables[qid] = (dots, float(np.linalg.norm(q)) or 1.0)
+                dots, qn = tables[qid]
+                codes = np.array(list(grp["pq_codes"]), dtype=np.int64)
+                rows_idx = np.arange(m)[None, :]
+                num = dots[rows_idx, codes].sum(axis=1)
+                xnorm = np.sqrt(cnorm2[rows_idx, codes].sum(axis=1))
+                cos = num / (qn * np.where(xnorm == 0.0, 1.0, xnorm))
+                out_q.append(np.full(len(grp), qid))
+                out_n.append(grp[id_col].values)
+                out_c.append(cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc_cosine": np.concatenate(out_c),
+                    }
+                )
+
+    shortlist = top_k_per_group(
+        cand.mapInPandas(
+            adc_score, f"{query_id_col} long, neighbor_id long, adc_cosine double"
+        ),
+        query_id_col,
+        [F.col("adc_cosine").desc(), F.col("neighbor_id").asc()],
+        rerank,
+    )
+    refined = (
+        shortlist.join(
+            F.broadcast(probes.select(query_id_col, "__qvec").dropDuplicates([query_id_col])),
+            query_id_col,
+        )
+        .join(
+            assigned_encoded.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__nvec")).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        refined,
+        query_id_col,
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

@@ -2764,6 +2764,61 @@ def ivf_ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ recall gate (similarity.train_pq_codebooks/pq_encode/ivf_pq_knn —
+# Jégou et al. TPAMI 2011, the FAISS IVFADC+refine memory tier): probe
+# cells, score candidates against CODES via per-query lookup tables, exact-
+# rerank the ADC shortlist. Floor 0.6 is fixture-calibrated: measured
+# recall 0.80 (sf0.001) / 0.84 (sf0.01) with m=8 × 64 codes + rerank 50 —
+# at the IVF ceiling (0.80/0.92) on these near-isotropic vectors, PQ's
+# worst case. Deterministic: seeded sample Lloyd, lowest-index argmin ties.
+# ---------------------------------------------------------------------------
+@query(
+    "pq_ann_recall",
+    """
+    WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT CAST(nq AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+           CAST(nq * 5 AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM q
+    """,
+)
+def pq_ann_recall(spark, sf_dir):
+    from ..datapipe.similarity import (
+        brute_force_knn,
+        build_ivf_index,
+        ivf_pq_knn,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    k = 5
+    bf = brute_force_knn(emb, queries, k).select("query_id", "neighbor_id")
+    assigned, model = build_ivf_index(emb, n_centroids=16, seed=100)
+    books = train_pq_codebooks(emb, m=8, n_codes=64)
+    encoded = assigned.join(pq_encode(assigned, books), "vec_id")
+    pq = ivf_pq_knn(
+        encoded, model, books, queries, k, nprobe=8, rerank=50
+    ).select("query_id", "neighbor_id")
+    hits = pq.join(bf, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        bf.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.countDistinct("query_id").alias("n_queries"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            F.lit(k).alias("k"),
+            "n_exact",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact") >= 0.6
+            ).alias("recall_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data curation tier (datapipe/curation.py) — the operations an LLM
 # pretraining pipeline runs between "raw corpus" and "training batches".
 # The reference stops at corpus filtering (ihop/import_data.py:243-297);
@@ -4439,6 +4494,7 @@ _SCORING_PRIORITY = [
     "dsir_importance_weights",
     "dsir_resampled_documents",
     "quality_classifier_gate",
+    "pq_ann_recall",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -463,3 +463,53 @@ def test_incremental_minhash_join_is_bucket_local(spark, sf_dir, tmp_path):
         assert "Bucketed: true" in scan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVFADC + refine)
+# ---------------------------------------------------------------------------
+def test_pq_codebooks_deterministic_and_encode_shapes(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = train_pq_codebooks(emb, m=8, n_codes=16)
+    b = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert np.array_equal(a, b)  # pure function of the corpus
+    assert a.shape == (8, 16, 8)  # 64-d → 8 subspaces of 8
+    enc = pq_encode(emb, a).collect()
+    assert len(enc) == emb.count()
+    for r in enc:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_ivf_pq_rerank_recovers_planted_duplicate(spark):
+    import pyspark.sql.functions as F
+
+    from ihop_reddit_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_pq_knn,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate of vec 0 under a fresh id
+    dup = emb.where("vec_id = 0").withColumn("vec_id", F.lit(999_999).cast("long"))
+    corpus = emb.unionByName(dup)
+    assigned, model = build_ivf_index(corpus, n_centroids=8, seed=100)
+    books = train_pq_codebooks(corpus, m=8, n_codes=16)
+    encoded = assigned.join(pq_encode(assigned, books), "vec_id")
+    out = ivf_pq_knn(
+        encoded, model, books, emb.where("vec_id = 0"), k=3, nprobe=4
+    ).collect()
+    # identical vectors share every cell and every code; the exact rerank
+    # puts the planted duplicate at rank 1 with cosine ~1
+    top = sorted(out, key=lambda r: -r["cosine"])[0]
+    assert top["neighbor_id"] == 999_999
+    assert top["cosine"] > 0.999999
