@@ -642,3 +642,51 @@ def ivf_pq_knn(
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
     )
+
+
+def write_pq_index(
+    spark,
+    assigned_encoded: DataFrame,
+    codebooks,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an IVF-PQ index: the encoded corpus centroid-partitioned
+    (same file-pruning layout as :func:`write_ivf_index` — the probe scan
+    reads ~nprobe/cells of the files, and those files carry CODES, not
+    vectors) plus the codebooks as a tiny flattened parquet side table
+    (one row per (subspace, code), engine-portable — no pickles).
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, n_codes, dsub = books.shape
+    rows = [
+        (b, j, [float(x) for x in books[b, j]])
+        for b in range(m)
+        for j in range(n_codes)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/codebooks")
+    assigned_encoded.write.mode(mode).partitionBy("centroid_id").parquet(
+        f"{path}/corpus"
+    )
+
+
+def read_pq_index(spark, path: str, cells: list[int] | None = None):
+    """Load (assigned_encoded, codebooks ndarray) written by
+    :func:`write_pq_index`, optionally pruned to probe ``cells``."""
+    import numpy as np
+
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in brows) + 1
+    n_codes = max(r["code"] for r in brows) + 1
+    dsub = len(brows[0]["centroid"])
+    books = np.empty((m, n_codes, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    df = spark.read.parquet(f"{path}/corpus")
+    if cells is not None:
+        df = df.where(F.col("centroid_id").isin(cells))
+    return df, books

@@ -513,3 +513,32 @@ def test_ivf_pq_rerank_recovers_planted_duplicate(spark):
     top = sorted(out, key=lambda r: -r["cosine"])[0]
     assert top["neighbor_id"] == 999_999
     assert top["cosine"] > 0.999999
+
+
+def test_pq_index_round_trip(spark, tmp_path):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ihop_reddit_spark.datapipe.similarity import (
+        build_ivf_index,
+        pq_encode,
+        read_pq_index,
+        train_pq_codebooks,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, _ = build_ivf_index(emb, n_centroids=4, seed=100)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    encoded = assigned.join(pq_encode(assigned, books), "vec_id")
+    path = str(tmp_path / "pq_index")
+    write_pq_index(spark, encoded, books, path)
+    got_df, got_books = read_pq_index(spark, path)
+    assert np.array_equal(got_books, books)
+    want = {(r["vec_id"], tuple(r["pq_codes"])) for r in encoded.collect()}
+    got = {(r["vec_id"], tuple(r["pq_codes"])) for r in got_df.collect()}
+    assert got == want
+    # probe-cell pruning restricts rows to those cells
+    cells = [0, 1]
+    pruned, _ = read_pq_index(spark, path, cells=cells)
+    assert {r["centroid_id"] for r in pruned.collect()} <= set(cells)
