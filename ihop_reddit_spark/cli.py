@@ -156,6 +156,64 @@ def _cmd_skew_report(args) -> None:
         report.show(args.top_n, truncate=False)
 
 
+def _cmd_semantic_dedup(args) -> None:
+    from .datapipe.semantic import sign_lsh_semantic_dedup
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    survivors = sign_lsh_semantic_dedup(
+        spark.read.parquet(args.input),
+        vec_col=args.vector_col,
+        id_col=args.id_col,
+        cosine_threshold=args.threshold,
+        n_bits=args.bits,
+        dim=args.dim,
+    )
+    write_parquet(survivors, args.output)
+
+
+def _cmd_winnow(args) -> None:
+    from .datapipe.dedup import winnow_candidate_pairs
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    pairs = winnow_candidate_pairs(
+        spark.read.parquet(args.input),
+        args.text_col,
+        args.id_col,
+        k=args.k,
+        w=args.w,
+        min_shared=args.min_shared,
+        max_df=args.max_df,
+        portable_hash=not args.fast_hash,
+    )
+    write_parquet(pairs, args.output)
+
+
+def _cmd_dsir(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .datapipe.curation import dsir_resample, dsir_weights
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    corpus = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    if args.sample_k:
+        out = dsir_resample(
+            corpus, target, args.sample_k,
+            text_col=args.text_col, id_col=args.id_col,
+            n_buckets=args.buckets,
+        )
+    else:
+        out = dsir_weights(
+            corpus, target,
+            text_col=args.text_col, id_col=args.id_col,
+            n_buckets=args.buckets,
+        )
+    write_parquet(out, args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ihop_reddit_spark")
     p.add_argument("--master", default=None, help="Spark master (default: local)")
@@ -219,6 +277,49 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--top-n", type=int, default=10)
     sk.add_argument("--output", default=None, help="optional CSV output (default: print)")
     sk.set_defaults(func=_cmd_skew_report)
+
+    sd = sub.add_parser(
+        "semantic-dedup",
+        help="drop embedding near-dups (SemDeDup, derandomized sign-LSH)",
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--vector-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--bits", type=int, default=4,
+                    help="bucket bits per table — grow with corpus size")
+    sd.add_argument("--dim", type=int, default=64)
+    sd.set_defaults(func=_cmd_semantic_dedup)
+
+    wn = sub.add_parser(
+        "winnow", help="MOSS winnowing shared-passage candidate pairs"
+    )
+    wn.add_argument("--input", required=True)
+    wn.add_argument("--output", required=True)
+    wn.add_argument("--text-col", default="text")
+    wn.add_argument("--id-col", default="doc_id")
+    wn.add_argument("-k", type=int, default=12, help="char k-gram length")
+    wn.add_argument("-w", type=int, default=4, help="winnowing window")
+    wn.add_argument("--min-shared", type=int, default=10)
+    wn.add_argument("--max-df", type=int, default=20)
+    wn.add_argument("--fast-hash", action="store_true",
+                    help="xxhash64 grams (1.7x faster; md5 is the"
+                         " cross-engine default)")
+    wn.set_defaults(func=_cmd_winnow)
+
+    ds = sub.add_parser(
+        "dsir", help="DSIR importance weights / Gumbel top-k resample"
+    )
+    ds.add_argument("--input", required=True, help="raw corpus parquet")
+    ds.add_argument("--target", required=True, help="target-domain parquet")
+    ds.add_argument("--output", required=True)
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--buckets", type=int, default=1024)
+    ds.add_argument("--sample-k", type=int, default=None,
+                    help="resample this many docs (default: write weights)")
+    ds.set_defaults(func=_cmd_dsir)
     return p
 
 

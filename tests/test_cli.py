@@ -122,3 +122,28 @@ def test_cli_compact_and_skew_report(spark, sf_dir, tmp_path, capsys):
     lines = open(os.path.join(csv_out, part)).read().strip().splitlines()
     assert lines[0].split(",")[:2] == ["event_type", "cnt"]
     assert len(lines) == 6  # header + 5 event types
+
+
+def test_cli_semantic_dedup_winnow_dsir(spark, tmp_path):
+    emb_src = "/root/testdata/sf0.001/embeddings.parquet"
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    sd_out = str(tmp_path / "sd")
+    main(["semantic-dedup", "--input", emb_src, "--output", sd_out,
+          "--threshold", "0.4"])
+    survivors = spark.read.parquet(sd_out)
+    n_in = spark.read.parquet(emb_src).count()
+    assert 0 < survivors.count() <= n_in
+    assert "vec_id" in survivors.columns
+
+    wn_out = str(tmp_path / "wn")
+    main(["winnow", "--input", docs_src, "--output", wn_out,
+          "--min-shared", "2"])
+    pairs = spark.read.parquet(wn_out)
+    assert set(pairs.columns) == {"left_id", "right_id", "shared"}
+
+    ds_out = str(tmp_path / "ds")
+    main(["dsir", "--input", docs_src, "--target", docs_src,
+          "--output", ds_out])
+    w = spark.read.parquet(ds_out)
+    # target == corpus -> every weight exactly 0 (p-hat == q-hat)
+    assert w.where("weight != 0.0").count() == 0
