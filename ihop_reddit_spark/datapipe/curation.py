@@ -355,6 +355,43 @@ def pack_sequences(
     ).drop("__cum")
 
 
+def materialize_packed_sequences(
+    df: DataFrame,
+    source_col: str,
+    order_col: str,
+    token_count_col: Column,
+    budget: int,
+    text_col: str,
+    shard_width: int | None = 1_000_000,
+) -> DataFrame:
+    """The packing MATERIALIZER: turn :func:`pack_sequences` bin labels into
+    the actual training rows — per (source, bin) the order-concatenated
+    text, doc count, and token total.
+
+    One aggregate past the packing plan, keyed on (source, bin): the
+    in-group total order comes from ``array_sort`` over (order, text)
+    structs (the A8 thread-assembly device — sort-free shuffle, order
+    restored per group), so the output is deterministic under any
+    partitioning. Bin sizes are budget-bounded by construction, which is
+    what bounds the concat buffer per group at scale.
+    """
+    packed = pack_sequences(
+        df, source_col, order_col, token_count_col, budget, shard_width
+    )
+    order_struct = F.struct(F.col(order_col), F.col(text_col).alias("__txt"))
+    return packed.groupBy(source_col, "bin").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(order_struct)),
+                lambda s: s["__txt"],
+            ),
+            " ",
+        ).alias("seq_text"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document chunking
 # ---------------------------------------------------------------------------

@@ -3027,6 +3027,40 @@ def packed_sequence_bins(spark, sf_dir):
     )
 
 
+@query(
+    "packed_sequence_texts",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, text, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d)
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def packed_sequence_texts(spark, sf_dir):
+    """The packing MATERIALIZER (curation.materialize_packed_sequences):
+    bins become actual training rows — order-concatenated text per
+    (source, bin) via the A8 array_sort total-order device, doc counts and
+    token totals riding the same aggregate."""
+    from ..datapipe.curation import materialize_packed_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_packed_sequences(
+        docs, "source", "doc_id", TX.token_count(F.col("text")), 512,
+        "text", shard_width=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout (sources/layout.py): Morton interleave of two key columns —
 # the multi-dimensional clustering key behind write_zordered's file layout
@@ -4495,6 +4529,7 @@ _SCORING_PRIORITY = [
     "dsir_resampled_documents",
     "quality_classifier_gate",
     "pq_ann_recall",
+    "packed_sequence_texts",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -298,3 +298,39 @@ def test_dsir_resample_deterministic_and_weight_biased(spark):
     # target-like docs (even ids) dominate a weight-proportional draw
     evens = sum(1 for r in a if r["doc_id"] % 2 == 0)
     assert evens >= 8
+
+
+def test_materialize_packed_sequences_order_and_budget(spark):
+    from ihop_reddit_spark.datapipe.curation import (
+        materialize_packed_sequences,
+    )
+
+    rows = [
+        (1, "a b c d", "s"),
+        (2, "e f g h", "s"),
+        (3, "i j k l", "s"),
+        (4, "m n o p", "s"),
+        (5, "q r", "t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source"], r["bin"]): r
+        for r in materialize_packed_sequences(
+            df, "source", "doc_id",
+            F.size(F.split(F.col("text"), " ")), 10, "text",
+        ).collect()
+    }
+    # budget 10: docs 1-3 fill bin 0 (offsets 0,4,8), doc 4 starts bin 1
+    assert out[("s", 0)]["seq_text"] == "a b c d e f g h i j k l"
+    assert out[("s", 0)]["n_docs"] == 3 and out[("s", 0)]["sum_tokens"] == 12
+    assert out[("s", 1)]["seq_text"] == "m n o p"
+    assert out[("t", 0)]["seq_text"] == "q r"
+    # concat order is doc order regardless of input partitioning
+    re = {
+        (r["source"], r["bin"]): r["seq_text"]
+        for r in materialize_packed_sequences(
+            df.repartition(7), "source", "doc_id",
+            F.size(F.split(F.col("text"), " ")), 10, "text",
+        ).collect()
+    }
+    assert re[("s", 0)] == "a b c d e f g h i j k l"
