@@ -316,3 +316,214 @@ def resample_audio(
         (F.col("kind") == "audio") & (F.col("meta.sample_rate") > 0)
     )
     return audio.mapInPandas(batches, ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for dependency-free formats. PIL/libav formats stay behind
+# the marked stub above, but RIFF/WAVE PCM16 and 24-bit uncompressed BMP
+# are pure struct/numpy — so the engine ships an ACTUAL decode tier for
+# them: real byte parsing inside Arrow-batched mapInPandas, closed-form
+# verifiable (planted sine RMS, planted solid colors).
+# ---------------------------------------------------------------------------
+def wav_bytes(samples, sample_rate: int) -> bytes:
+    """PCM16 mono RIFF/WAVE encoder (float samples in [-1, 1])."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).round().astype("<i2").tobytes()
+    n = len(pcm16)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = b"data" + struct.pack("<I", n)
+    return hdr + fmt + data + pcm16
+
+
+def decode_wav(payload: bytes):
+    """Parse RIFF/WAVE PCM16 mono → (sample_rate, float64 samples in
+    [-1, 1]). Walks the chunk list properly (fmt/data may have siblings)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+
+
+def synthesize_wav_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    n_samples: int = 800,
+    amplitude: float = 0.5,
+) -> DataFrame:
+    """Real WAV payloads, deterministically per id: a sine of
+    ``5 + id % 20`` WHOLE cycles over the buffer (integer cycle counts make
+    the sampled RMS exactly A/√2 up to PCM16 rounding — the closed-form
+    gate)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        t = np.arange(n_samples, dtype=np.float64) / n_samples
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            payloads = [
+                wav_bytes(
+                    amplitude * np.sin(2 * np.pi * (5 + int(i) % 20) * t),
+                    sample_rate,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def wav_feature_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, sample_rate, n_samples, duration_s, rms) via the REAL
+    WAV parser — Arrow-batched, numpy vector math per payload."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                rate, samples = decode_wav(bytes(row["payload"]))
+                rows.append(
+                    (
+                        row["asset_id"],
+                        rate,
+                        len(samples),
+                        len(samples) / rate,
+                        float(np.sqrt((samples**2).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples", "duration_s", "rms"
+                ],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, sample_rate long, n_samples long,"
+        " duration_s double, rms double",
+    )
+
+
+def bmp_bytes(pixels) -> bytes:
+    """24-bit uncompressed BMP encoder (H×W×3 uint8, RGB)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows
+        row = px[y, :, ::-1].tobytes()  # BGR order
+        body += row + b"\x00" * (row_size - len(row))
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes):
+    """Parse 24-bit uncompressed BMP → H×W×3 uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    bits, comp = struct.unpack("<HI", payload[28:34])
+    if bits != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        start = offset + (h - 1 - y) * row_size
+        row = np.frombuffer(payload[start : start + w * 3], dtype=np.uint8)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def synthesize_bmp_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Real BMP payloads per id: a solid color ((37i)%256, (59i)%256,
+    (83i)%256) at height ``8 + id % 4`` rows — the planted closed form the
+    decode gate checks exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                h = 8 + i % 4
+                color = np.array(
+                    [(37 * i) % 256, (59 * i) % 256, (83 * i) % 256],
+                    dtype=np.uint8,
+                )
+                px = np.broadcast_to(color, (h, width, 3))
+                rows.append((i, bmp_bytes(px)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def bmp_feature_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, width, height, mean_r, mean_g, mean_b) via the REAL BMP
+    parser."""
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = decode_bmp(bytes(row["payload"]))
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (row["asset_id"], w, h, float(m[0]), float(m[1]), float(m[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
+    )

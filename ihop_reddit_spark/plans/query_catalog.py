@@ -2764,6 +2764,54 @@ def ivf_ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Real-codec media decode gate (datapipe/multimodal.py WAV/BMP tier): the
+# dependency-free formats get an ACTUAL decoder (RIFF/WAVE PCM16 and 24-bit
+# BMP are pure struct/numpy), so this gate synthesizes real media bytes per
+# doc id, decodes them distributively, and checks the planted closed forms:
+# BMP solid-color means are EXACT; whole-cycle sine RMS == A/√2 within
+# PCM16 quantization. PIL/libav formats remain the marked stub.
+# ---------------------------------------------------------------------------
+@query(
+    "media_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS bmp_exact, TRUE AS wav_rms_ok, TRUE AS wav_duration_ok
+    FROM documents
+    """,
+)
+def media_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        bmp_feature_stats,
+        synthesize_bmp_assets,
+        synthesize_wav_assets,
+        wav_feature_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    bmp = bmp_feature_stats(synthesize_bmp_assets(docs))
+    i = F.col("asset_id")
+    bmp_ok = bmp.select(
+        (
+            (F.col("mean_r") == ((i * 37) % 256).cast("double"))
+            & (F.col("mean_g") == ((i * 59) % 256).cast("double"))
+            & (F.col("mean_b") == ((i * 83) % 256).cast("double"))
+            & (F.col("height") == 8 + i % 4)
+        ).alias("ok")
+    ).agg(F.min("ok").alias("bmp_exact"))
+    wav = wav_feature_stats(synthesize_wav_assets(docs))
+    wav_ok = wav.agg(
+        F.min(
+            F.abs(F.col("rms") - F.lit(0.5 / 2**0.5)) < 1e-3
+        ).alias("wav_rms_ok"),
+        F.min(F.abs(F.col("duration_s") - 0.1) < 1e-12).alias(
+            "wav_duration_ok"
+        ),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(bmp_ok).crossJoin(wav_ok)
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ recall gate (similarity.train_pq_codebooks/pq_encode/ivf_pq_knn —
 # Jégou et al. TPAMI 2011, the FAISS IVFADC+refine memory tier): probe
 # cells, score candidates against CODES via per-query lookup tables, exact-
@@ -4530,6 +4578,7 @@ _SCORING_PRIORITY = [
     "quality_classifier_gate",
     "pq_ann_recall",
     "packed_sequence_texts",
+    "media_decode_gate",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

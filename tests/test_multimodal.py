@@ -136,3 +136,57 @@ def test_resample_audio_real_codec_is_stub(assets):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL dependency-free codecs (WAV PCM16 / BMP24)
+# ---------------------------------------------------------------------------
+def test_wav_round_trip_and_planted_rms(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_wav,
+        synthesize_wav_assets,
+        wav_bytes,
+        wav_feature_stats,
+    )
+
+    # pure codec round-trip
+    t = np.arange(800) / 800.0
+    sig = 0.5 * np.sin(2 * np.pi * 7 * t)
+    rate, back = decode_wav(wav_bytes(sig, 8000))
+    assert rate == 8000 and len(back) == 800
+    assert np.abs(back - sig).max() < 1e-3  # PCM16 quantization only
+
+    # distributed decode: whole cycles → rms == A/√2 up to quantization
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    stats = wav_feature_stats(synthesize_wav_assets(ids)).collect()
+    assert len(stats) == 20
+    for r in stats:
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 800
+        assert abs(r["duration_s"] - 0.1) < 1e-12
+        assert abs(r["rms"] - 0.5 / 2**0.5) < 1e-3
+
+
+def test_bmp_round_trip_and_planted_colors(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        bmp_bytes,
+        bmp_feature_stats,
+        decode_bmp,
+        synthesize_bmp_assets,
+    )
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_bmp(bmp_bytes(px)), px)  # exact, any W%4
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    stats = {r["asset_id"]: r for r in
+             bmp_feature_stats(synthesize_bmp_assets(ids)).collect()}
+    for i in range(12):
+        r = stats[i]
+        assert (r["width"], r["height"]) == (16, 8 + i % 4)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            float((37 * i) % 256), float((59 * i) % 256), float((83 * i) % 256)
+        )
