@@ -264,6 +264,83 @@ def mixture_sample(
     )
 
 
+def mixture_upsample_rates(
+    df: DataFrame, source_col: str, alpha_sqrt: bool = True
+) -> DataFrame:
+    """Budget-preserving temperature mixture rates that can EXCEED 1.0
+    (fractional epochs — the multilingual-pretraining convention where
+    small sources repeat): target share of source s ∝ √n_s, scaled so the
+    sampled total equals the corpus size. rate_s = target_s / n_s.
+
+    Cross-engine determinism: the share denominator Σ√n is an
+    order-dependent float sum → each √n is decimal-cast before summing
+    (exact, order-free); every remaining op is a scalar double identical
+    on both engines. Returns (source, n_docs, rate, n_full, threshold):
+    ``n_full`` whole copies per row plus one md5-gated fractional copy
+    under ``threshold``.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs")).cast("decimal(38,12)")).alias("__den"),
+        F.sum("n_docs").alias("__total"),
+    )
+    rate = (
+        F.sqrt(F.col("n_docs")) * F.col("__total").cast("double")
+        / (F.col("__den").cast("double") * F.col("n_docs"))
+    )
+    out = (
+        counts.join(F.broadcast(tot))
+        .withColumn("rate", rate)
+        .withColumn("n_full", F.floor(F.col("rate")).cast("long"))
+        .withColumn(
+            "threshold",
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(
+                            (F.col("rate") - F.col("n_full"))
+                            * F.lit(4294967296.0)
+                        )
+                    )
+                ),
+                8,
+                "0",
+            ),
+        )
+    )
+    return out.select(source_col, "n_docs", "rate", "n_full", "threshold")
+
+
+def mixture_upsample(
+    df: DataFrame, source_col: str, key_col: str, salt: str
+) -> DataFrame:
+    """Materialize the budget-preserving mixture WITH upsampling: each row
+    yields ``n_full`` whole copies (``epoch`` = 0..n_full−1) plus one
+    fractional copy (``epoch`` = n_full) iff its md5 draw falls under the
+    fractional threshold. E[output size] = corpus size; small sources
+    repeat across epochs, big sources thin — ∝ √n_s shares.
+
+    Plan: dimension-sized rates broadcast onto the corpus; the copy explode
+    is row-local (no shuffle anywhere); determinism is the md5 content
+    address, so the same rows repeat/survive on any engine or run.
+    """
+    rates = mixture_upsample_rates(df, source_col)
+    h = _md5_prefix(salt, F.col(key_col))
+    joined = df.join(F.broadcast(rates), source_col)
+    epochs = F.when(
+        h < F.col("threshold"),
+        F.sequence(F.lit(0).cast("long"), F.col("n_full")),
+    ).otherwise(
+        F.when(
+            F.col("n_full") >= 1,
+            F.sequence(F.lit(0).cast("long"), F.col("n_full") - 1),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    return joined.select(
+        *df.columns, F.explode(epochs).alias("epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

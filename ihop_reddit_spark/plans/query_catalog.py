@@ -2764,6 +2764,63 @@ def ivf_ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Budget-preserving temperature mixture WITH upsampling (curation.
+# mixture_upsample): shares ∝ √n_s scaled to the corpus size, so small
+# sources repeat across epochs (fractional-epoch convention of multilingual
+# pretraining mixtures) while big sources thin. Determinism: decimal-cast
+# Σ√n denominator, md5-gated fractional copies. Scored as per-source
+# (n_docs, n_sampled) counts.
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_upsampled_counts",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(38, 12))) AS DOUBLE)
+               AS den,
+             SUM(n_docs) AS total
+      FROM c),
+    r AS (
+      SELECT source, n_docs,
+             sqrt(n_docs) * CAST(total AS DOUBLE) / (den * n_docs) AS rate
+      FROM c CROSS JOIN tot),
+    rr AS (
+      SELECT source, n_docs,
+             CAST(floor(rate) AS BIGINT) AS n_full,
+             lpad(lower(hex(CAST(floor((rate - floor(rate))
+                                       * 4294967296.0) AS BIGINT))),
+                  8, '0') AS thr
+      FROM r),
+    s AS (
+      SELECT d.source, rr.n_full,
+             CASE WHEN substr(md5(concat_ws(chr(30), 'mixup',
+                                            CAST(d.doc_id AS VARCHAR))),
+                         1, 8) < rr.thr THEN 1 ELSE 0 END AS frac
+      FROM documents d JOIN rr USING (source))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_full + frac) AS BIGINT) AS n_sampled
+    FROM s GROUP BY 1
+    """,
+)
+def mixture_upsampled_counts(spark, sf_dir):
+    from ..datapipe.curation import mixture_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    up = mixture_upsample(docs, "source", "doc_id", "mixup")
+    return (
+        up.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .join(
+            docs.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            ),
+            "source",
+        )
+        .select("source", "n_docs", "n_sampled")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real-codec media decode gate (datapipe/multimodal.py WAV/BMP tier): the
 # dependency-free formats get an ACTUAL decoder (RIFF/WAVE PCM16 and 24-bit
 # BMP are pure struct/numpy), so this gate synthesizes real media bytes per
@@ -4579,6 +4636,7 @@ _SCORING_PRIORITY = [
     "pq_ann_recall",
     "packed_sequence_texts",
     "media_decode_gate",
+    "mixture_upsampled_counts",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -334,3 +334,37 @@ def test_materialize_packed_sequences_order_and_budget(spark):
         ).collect()
     }
     assert re[("s", 0)] == "a b c d e f g h i j k l"
+
+
+def test_mixture_upsample_epochs_and_budget(spark):
+    from ihop_reddit_spark.datapipe.curation import (
+        mixture_upsample,
+        mixture_upsample_rates,
+    )
+
+    rows = [(i, "big") for i in range(16)] + [(100 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {r["source"]: r for r in mixture_upsample_rates(df, "source").collect()}
+    # shares ∝ √n scaled to total 20: big 4/6·20/16 = 5/6, small 2/6·20/4 = 5/3
+    assert rates["big"]["rate"] == pytest.approx(5 / 6)
+    assert rates["big"]["n_full"] == 0
+    assert rates["small"]["rate"] == pytest.approx(5 / 3)
+    assert rates["small"]["n_full"] == 1
+
+    up = mixture_upsample(df, "source", "doc_id", "mix2").collect()
+    by_doc = {}
+    for r in up:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every small-source doc appears at least once (whole epoch 0); its
+    # fractional copy, when present, is epoch 1
+    for i in range(4):
+        epochs = sorted(by_doc[100 + i])
+        assert epochs[0] == 0 and epochs in ([0], [0, 1])
+    # big-source docs appear 0 or 1 times, epoch always 0
+    for i in range(16):
+        assert by_doc.get(i, [0]) in ([0], [0])
+    # deterministic
+    again = mixture_upsample(df, "source", "doc_id", "mix2").collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in up) == sorted(
+        (r["doc_id"], r["epoch"]) for r in again
+    )
