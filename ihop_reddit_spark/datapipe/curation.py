@@ -175,6 +175,36 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    sep: str = " ",
+) -> DataFrame:
+    """The AUDIT side of :func:`decontaminate`: which training docs leak
+    which benchmark docs, and how hard — (train_id, bench_id,
+    n_shared_ngrams). A curation pipeline ships this alongside the drop so
+    reviewers can check the gate (and tune ``n``) instead of trusting it.
+
+    Same plan skeleton as the drop path: O(tokens) shingles both sides,
+    benchmark side broadcast (benchmarks are eval-sized), counts keyed by
+    the (train, bench) pair — output is leak-sized, not corpus-sized.
+    """
+    from .dedup import exploded_word_shingles
+
+    bg = exploded_word_shingles(
+        benchmark, text_col, id_col, n=n, sep=sep
+    ).withColumnRenamed("__id", "bench_id")
+    tg = exploded_word_shingles(df, text_col, id_col, n=n, sep=sep)
+    return (
+        tg.join(F.broadcast(bg), "__g")
+        .groupBy(F.col("__id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic dataset split
 # ---------------------------------------------------------------------------

@@ -3001,6 +3001,40 @@ def decontaminated_documents(spark, sf_dir):
     )
 
 
+# The AUDIT side of decontamination: which training docs leak which
+# benchmark docs and how hard — reviewers check the gate (and tune n)
+# instead of trusting it. Output is leak-sized (shared distinct 5-grams
+# per (train, bench) pair), never corpus-sized.
+@query(
+    "contamination_report_pairs",
+    """
+    WITH bench AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id % 25 = 0),
+    bg AS (
+      SELECT DISTINCT doc_id AS bench_id, array_to_string(t[i : i+4], ' ') AS g
+      FROM bench, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    train AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id % 25 <> 0),
+    tg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i+4], ' ') AS g
+      FROM train, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i))
+    SELECT tg.doc_id AS train_id, bg.bench_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM tg JOIN bg USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def contamination_report_pairs(spark, sf_dir):
+    from ..datapipe.curation import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return contamination_report(train, bench, "text", "doc_id", n=5)
+
+
 @query(
     "dataset_split_sizes",
     """
@@ -4637,6 +4671,7 @@ _SCORING_PRIORITY = [
     "packed_sequence_texts",
     "media_decode_gate",
     "mixture_upsampled_counts",
+    "contamination_report_pairs",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

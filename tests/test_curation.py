@@ -368,3 +368,18 @@ def test_mixture_upsample_epochs_and_budget(spark):
     assert sorted((r["doc_id"], r["epoch"]) for r in up) == sorted(
         (r["doc_id"], r["epoch"]) for r in again
     )
+
+
+def test_contamination_report_counts_shared_ngrams(spark, docs):
+    from ihop_reddit_spark.datapipe.curation import contamination_report
+
+    bench = docs.where(F.col("doc_id") == 2)   # "p q r s t"
+    train = docs.where(F.col("doc_id") != 2)
+    rep = {
+        (r["train_id"], r["bench_id"]): r["n_shared_ngrams"]
+        for r in contamination_report(
+            train, bench, "text", "doc_id", n=5
+        ).collect()
+    }
+    # doc 3 ("p q r s t u") shares exactly the one 5-gram "p q r s t"
+    assert rep == {(3, 2): 1}
