@@ -4647,6 +4647,192 @@ def dsir_resampled_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The composed MODERN pipeline capstone — every round-4 tier in one plan:
+# winnowing passage-dedup → sign-LSH semantic dedup (embeddings joined by
+# id) → DSIR Gumbel-resampled selection (top 100 toward src0/src1) →
+# packed training sequences. One hash-matched oracle covers the whole
+# recipe end-to-end; each stage's determinism contract is the one its
+# standalone query already proved.
+# ---------------------------------------------------------------------------
+def _modern_corpus_sql() -> str:
+    from ..datapipe.semantic import hyperplane_code_values
+
+    return """
+    WITH w_t AS (
+      SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE strlen(text) = length(text) AND length(text) >= 15),
+    w_pos AS (
+      SELECT doc_id, txt, length(txt) - 11 AS n,
+             unnest(range(1, length(txt) - 10)) AS p
+      FROM w_t),
+    w_h AS (
+      SELECT doc_id, p, n,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(substr(txt, CAST(p AS INTEGER), 12)),
+                               CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM w_pos),
+    w_win AS (
+      SELECT doc_id, p, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM w_h),
+    w_sel AS (SELECT DISTINCT doc_id, fp FROM w_win WHERE p <= n - 3),
+    w_capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM w_sel)
+      WHERE df <= 20),
+    w_pairs AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id
+      FROM w_capped a JOIN w_capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+    w_dropped AS (SELECT DISTINCT right_id AS doc_id FROM w_pairs),
+    hp(t, j, code) AS (VALUES {hp}),
+    s_q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    s_e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+            FROM s_q),
+    s_proj AS (
+      SELECT s_e.vec_id, hp.t, hp.j,
+             SUM(s_e.v * CASE WHEN substr(hp.code, CAST(s_e.pos AS INTEGER), 1)
+                              = '+' THEN 1 ELSE -1 END) AS dot
+      FROM s_e CROSS JOIN hp GROUP BY 1, 2, 3),
+    s_buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN dot >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM s_proj GROUP BY 1, 2),
+    s_cand AS (
+      SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
+      FROM s_buckets a JOIN s_buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    s_norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM s_e GROUP BY 1),
+    s_dots AS (
+      SELECT c.l, c.r, CAST(SUM(ea.v * eb.v) AS DOUBLE) AS d
+      FROM s_cand c
+      JOIN s_e ea ON ea.vec_id = c.l
+      JOIN s_e eb ON eb.vec_id = c.r AND ea.pos = eb.pos
+      GROUP BY 1, 2),
+    s_dropped AS (
+      SELECT DISTINCT d.r AS vec_id FROM s_dots d
+      JOIN s_norms na ON na.vec_id = d.l
+      JOIN s_norms nb ON nb.vec_id = d.r
+      WHERE d.d / (na.nrm * nb.nrm) >= 0.4),
+    surv AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM w_dropped)
+        AND doc_id NOT IN (SELECT vec_id FROM s_dropped)),
+    d_tarr AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM surv),
+    d_tok AS (SELECT doc_id, source, unnest(t) AS g FROM d_tarr),
+    d_bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM d_tarr),
+    d_feats AS (
+      SELECT doc_id, source,
+             CAST(list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(g), CAST(i AS INTEGER), 1)) - 1
+                           AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1024 AS BIGINT) AS b
+      FROM (SELECT * FROM d_tok UNION ALL SELECT * FROM d_bg)),
+    d_qc AS (SELECT b, COUNT(*) AS cq FROM d_feats GROUP BY 1),
+    d_pc AS (SELECT b, COUNT(*) AS cp
+             FROM d_feats WHERE source IN ('src0', 'src1') GROUP BY 1),
+    d_tot AS (SELECT (SELECT SUM(cq) FROM d_qc) AS tq,
+                     (SELECT SUM(cp) FROM d_pc) AS tp),
+    d_ratio AS (
+      SELECT d_qc.b,
+             log2(CAST(COALESCE(d_pc.cp, 0) + 1 AS DOUBLE) / (d_tot.tp + 1024))
+           - log2(CAST(d_qc.cq + 1 AS DOUBLE) / (d_tot.tq + 1024)) AS lr
+      FROM d_qc LEFT JOIN d_pc ON d_qc.b = d_pc.b CROSS JOIN d_tot),
+    d_weights AS (
+      SELECT f.doc_id,
+             round(CAST(SUM(CAST(r.lr AS DECIMAL(38, 12))) AS DOUBLE), 4)
+               AS weight
+      FROM d_feats f JOIN d_ratio r ON f.b = r.b
+      GROUP BY 1),
+    d_keyed AS (
+      SELECT doc_id, weight,
+             round(weight + (-ln(-ln(
+               (CAST(list_reduce(
+                  list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef',
+                           substr(md5(concat_ws(chr(30), 'dsir',
+                                                CAST(doc_id AS VARCHAR))),
+                                  CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4294967296.0
+             ))) / ln(2), 4) AS gkey
+      FROM d_weights),
+    d_sel AS (SELECT doc_id FROM d_keyed ORDER BY gkey DESC, doc_id LIMIT 100),
+    p_d AS (
+      SELECT s.doc_id, s.source, s.text,
+             CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens
+      FROM surv s JOIN d_sel USING (doc_id)),
+    p_c AS (
+      SELECT source, doc_id, text, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM p_d)
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM p_c GROUP BY 1, 2
+""".replace("{hp}", hyperplane_code_values())
+
+
+@query("modern_training_corpus", _modern_corpus_sql())
+def modern_training_corpus(spark, sf_dir):
+    from ..datapipe.curation import (
+        dsir_resample,
+        materialize_packed_sequences,
+    )
+    from ..datapipe.dedup import winnow_candidate_pairs
+    from ..datapipe.semantic import sign_lsh_semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w_dropped = (
+        winnow_candidate_pairs(docs, "text", "doc_id")
+        .select(F.col("right_id").alias("doc_id"))
+        .distinct()
+    )
+    s_survivors = sign_lsh_semantic_dedup(emb, cosine_threshold=0.4).select(
+        "vec_id"
+    )
+    s_dropped = (
+        emb.select("vec_id")
+        .join(s_survivors, "vec_id", "left_anti")
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    surv = docs.join(F.broadcast(w_dropped), "doc_id", "left_anti").join(
+        F.broadcast(s_dropped), "doc_id", "left_anti"
+    )
+    target = surv.where(F.col("source").isin("src0", "src1"))
+    sel = dsir_resample(surv, target, k=100).select("doc_id")
+    picked = surv.join(F.broadcast(sel), "doc_id")
+    return materialize_packed_sequences(
+        picked, "source", "doc_id", TX.token_count(F.col("text")), 512,
+        "text", shard_width=100,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -4672,6 +4858,7 @@ _SCORING_PRIORITY = [
     "media_decode_gate",
     "mixture_upsampled_counts",
     "contamination_report_pairs",
+    "modern_training_corpus",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",

@@ -72,6 +72,11 @@ DOC_PROBES = [
     # n_bits=4, and honest LSH scaling grows cells ∝ corpus to hold bucket
     # size constant — measured separately in tools/semantic_scale_probe.py.)
     "winnow_fingerprint_pairs",
+    # DSIR (round 4): feature stream ×N, model aggregates bucket-bounded
+    # (≤1024 rows regardless of corpus), one doc-grain sum — linear shape.
+    # The target slice (src0/src1) replicates with the corpus, so the
+    # model contrast is preserved per replica.
+    "dsir_importance_weights",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
