@@ -390,3 +390,20 @@ def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
     # the last parquet scan and the anti-join)
     tail = plan.split("LeftAnti")[0].splitlines()[-8:]
     assert not any("Exchange hashpartitioning" in ln for ln in tail), plan
+
+
+def test_dsir_models_broadcast_one_doc_shuffle(spark, sf_dir):
+    """DSIR promises: model tables collapse to ≤n_buckets rows and reach
+    the feature stream via BROADCAST; the only corpus-grain exchanges are
+    the bucket-count aggregates and the final doc-grain sum — nothing
+    corpus-sized is ever joined sort-merge."""
+    import pyspark.sql.functions as F
+
+    from ihop_reddit_spark.datapipe.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    plan = plan_of(dsir_weights(docs, target))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
