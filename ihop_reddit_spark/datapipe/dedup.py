@@ -951,3 +951,86 @@ def winnow_candidate_pairs(
         .where(F.col("shared") >= min_shared)
     )
     return register_scoped_persists(out, capped)
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    max_df: int = 20,
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans across document pairs (the
+    substring-level dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — which removes repeated
+    spans, not whole documents): (left_id, right_id, left_start,
+    right_start, span_len) for every maximal shared substring of length
+    ≥ ``min_len`` ≥ ``k``.
+
+    The distributed shape (no suffix array needed): hash every char
+    k-gram WITH its position, cap grams by document frequency (boilerplate
+    guard — bounds the join like every inverted-index tier), equi-join
+    positions on the hash, then merge runs of consecutive matches on the
+    same DIAGONAL (p_left − p_right) via gaps-and-islands windows — a run
+    of L consecutive k-gram matches is exactly a shared substring of
+    length L + k − 1. Shuffles: one on the hash (df cap + pair join), one
+    on (pair, diagonal) for the island windows — match-volume-sized, never
+    corpus². ASCII contract as in :func:`winnow_fingerprints`.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.where(F.octet_length(F.col(text_col)) == F.length(F.col(text_col)))
+        .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
+        .where(F.length("__t") >= k)
+    )
+    grams = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("p"),
+        F.col("__t"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("__t").substr(F.col("p"), F.lit(k))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = grams.select("__id", "p", h.alias("h"))
+    dfreq = hashed.groupBy("h").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    capped = (
+        hashed.join(dfreq, "h").where(F.col("__df") <= max_df).drop("__df")
+    ).persist()
+    m = (
+        capped.select("h", F.col("__id").alias("left_id"), F.col("p").alias("pa"))
+        .join(
+            capped.select(
+                "h", F.col("__id").alias("right_id"), F.col("p").alias("pb")
+            ),
+            "h",
+        )
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("left_id", "right_id", "diag").orderBy("pa")
+    isl = m.withColumn(
+        "__brk",
+        F.when(F.col("pa") - F.lag("pa").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__g",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = (
+        isl.groupBy("left_id", "right_id", "diag", "__g")
+        .agg(
+            F.min("pa").cast("long").alias("left_start"),
+            F.min("pb").cast("long").alias("right_start"),
+            (F.max("pa") - F.min("pa") + k).cast("long").alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("left_id", "right_id", "left_start", "right_start", "span_len")
+    )
+    return register_scoped_persists(out, capped)

@@ -4367,6 +4367,76 @@ def winnow_fingerprint_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact duplicated-SUBSTRING spans (dedup.duplicate_substring_spans — the
+# substring-level dedup of Lee et al. ACL 2022, which removes repeated
+# SPANS, not whole documents). No suffix array: position-keyed k-gram
+# hashes, df-capped, equi-joined, then maximal runs merged on the match
+# diagonal via gaps-and-islands windows — a run of L consecutive k-gram
+# matches IS a shared substring of length L + k − 1.
+# ---------------------------------------------------------------------------
+_SPAN_K, _SPAN_MAXDF, _SPAN_MINLEN = 20, 20, 30
+
+
+@query(
+    "duplicate_substring_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE strlen(text) = length(text) AND length(txt) >= {_SPAN_K}),
+    pos AS (
+      SELECT doc_id, txt,
+             unnest(range(1, length(txt) - {_SPAN_K} + 2)) AS p
+      FROM t),
+    hh AS (
+      SELECT doc_id, p,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(substr(txt, CAST(p AS INTEGER),
+                                          {_SPAN_K})),
+                               CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM pos),
+    dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hh GROUP BY 1),
+    capped AS (
+      SELECT hh.doc_id, hh.p, hh.h FROM hh JOIN dfreq USING (h)
+      WHERE df <= {_SPAN_MAXDF}),
+    m AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM capped a JOIN capped b
+        ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT left_id, right_id, diag, pa, pb,
+             CASE WHEN pa - lag(pa) OVER w = 1 THEN 0 ELSE 1 END AS brk
+      FROM m WINDOW w AS (PARTITION BY left_id, right_id, diag ORDER BY pa)),
+    grp AS (
+      SELECT left_id, right_id, diag, pa, pb,
+             SUM(brk) OVER (PARTITION BY left_id, right_id, diag ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl)
+    SELECT left_id, right_id,
+           CAST(MIN(pa) AS BIGINT) AS left_start,
+           CAST(MIN(pb) AS BIGINT) AS right_start,
+           CAST(MAX(pa) - MIN(pa) + {_SPAN_K} AS BIGINT) AS span_len
+    FROM grp GROUP BY left_id, right_id, diag, g
+    HAVING MAX(pa) - MIN(pa) + {_SPAN_K} >= {_SPAN_MINLEN}
+    """,
+)
+def duplicate_substring_spans_q(spark, sf_dir):
+    from ..datapipe.dedup import duplicate_substring_spans
+
+    return duplicate_substring_spans(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=_SPAN_K,
+        max_df=_SPAN_MAXDF,
+        min_len=_SPAN_MINLEN,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540) with DERANDOMIZED sign-LSH
 # partitioning: hyperplanes are md5-derived ±1 vectors (datapipe/semantic.py
 # is the single source of truth for both engines — the oracle's VALUES list
@@ -4848,6 +4918,7 @@ _SCORING_PRIORITY = [
     # (a) round-4 retrieval + relational-coverage + semantic-dedup tier,
     # never scored
     "winnow_fingerprint_pairs",
+    "duplicate_substring_spans",
     "semantic_dedup_survivors",
     "incremental_semantic_dedup_survivors",
     "dsir_importance_weights",

@@ -265,3 +265,47 @@ def test_incremental_semantic_index_bucket_local_and_result_identical(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.sql("DROP TABLE IF EXISTS semantic_idx_test")
+
+
+def test_duplicate_substring_spans_closed_form(spark):
+    from ihop_reddit_spark.datapipe.dedup import duplicate_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "XXXX " + shared + " YYYY"),       # shared at pos 6
+            (2, shared + " trailing words here"),  # shared at pos 1
+            (3, "completely unrelated content with nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_substring_spans(
+        docs, "text", "doc_id", k=20, max_df=5, min_len=30
+    ).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["left_id"], s["right_id"]) == (1, 2)
+    # the maximal shared substring is `shared` PLUS the space both docs
+    # put after it (maximality includes every common char): doc 1 has it
+    # at char 6, doc 2 at char 1
+    assert s["left_start"] == 6 and s["right_start"] == 1
+    assert s["span_len"] == len(shared) + 1
+
+
+def test_duplicate_substring_spans_merges_runs_not_fragments(spark):
+    from ihop_reddit_spark.datapipe.dedup import duplicate_substring_spans
+
+    a = "abcdefghijklmnopqrstuvwxyz0123456789 the middle differs " \
+        "abcdefghijklmnopqrstuvwxyz9876543210"
+    b = "abcdefghijklmnopqrstuvwxyz0123456789 another middle text " \
+        "abcdefghijklmnopqrstuvwxyz9876543210"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    spans = duplicate_substring_spans(
+        docs, "text", "doc_id", k=20, max_df=5, min_len=30
+    ).collect()
+    # two SEPARATE maximal spans (prefix block and suffix block), each
+    # merged into one island — never one merged mega-span, never k-gram
+    # fragments
+    lens = sorted(r["span_len"] for r in spans)
+    assert len(spans) == 2
+    assert all(length >= 36 for length in lens)
