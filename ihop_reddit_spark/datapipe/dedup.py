@@ -1034,3 +1034,63 @@ def duplicate_substring_spans(
         .select("left_id", "right_id", "left_start", "right_start", "span_len")
     )
     return register_scoped_persists(out, capped)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (Lee et al. ACL 2022): cut
+    every duplicated span out of its RIGHT document — the lower-id (first)
+    occurrence is the one kept, mirroring every keep-smallest-id rule in
+    this module. Returns (id, clean_text, n_removed_chars).
+
+    Pure Catalyst surgery, overlap-safe by construction: explode the doc
+    into (pos, char) rows (span positions index the lowercased detection
+    text, but ASCII lowering is length-preserving, so they address the
+    original bytes 1:1), LEFT-ANTI range-join chars against the doc's
+    spans (a char survives iff NO span covers it — overlapping spans need
+    no interval merging under this formulation), and reassemble the
+    survivors in position order with the A8 array_sort device. O(chars)
+    rows, shuffles keyed by doc id.
+    """
+    s = spans.select(
+        F.col("right_id").alias("__id"), "right_start", "span_len"
+    )
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    chars = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("p"),
+        F.col("__t"),
+    ).select("__id", "p", F.col("__t").substr(F.col("p"), F.lit(1)).alias("ch"))
+    kept = chars.join(
+        s,
+        (chars["__id"] == s["__id"])
+        & (F.col("p") >= F.col("right_start"))
+        & (F.col("p") < F.col("right_start") + F.col("span_len")),
+        "left_anti",
+    )
+    clean = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("clean_text")
+    )
+    return (
+        base.join(clean, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.length("__t")
+                - F.length(F.coalesce(F.col("clean_text"), F.lit("")))
+            )
+            .cast("long")
+            .alias("n_removed_chars"),
+        )
+    )

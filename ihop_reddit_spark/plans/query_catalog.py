@@ -4377,10 +4377,8 @@ def winnow_fingerprint_pairs(spark, sf_dir):
 _SPAN_K, _SPAN_MAXDF, _SPAN_MINLEN = 20, 20, 30
 
 
-@query(
-    "duplicate_substring_spans",
-    f"""
-    WITH t AS (
+_SPAN_CTES = f"""
+    t AS (
       SELECT doc_id, lower(text) AS txt FROM documents
       WHERE strlen(text) = length(text) AND length(txt) >= {_SPAN_K}),
     pos AS (
@@ -4421,7 +4419,59 @@ _SPAN_K, _SPAN_MAXDF, _SPAN_MINLEN = 20, 20, 30
            CAST(MAX(pa) - MIN(pa) + {_SPAN_K} AS BIGINT) AS span_len
     FROM grp GROUP BY left_id, right_id, diag, g
     HAVING MAX(pa) - MIN(pa) + {_SPAN_K} >= {_SPAN_MINLEN}
+"""
+# the spans CTE chain ends at a bare SELECT — wrap it for reuse
+_SPAN_CTES = _SPAN_CTES.replace(
+    "      FROM isl)\n    SELECT left_id, right_id,",
+    "      FROM isl),\n    spans AS (SELECT left_id, right_id,",
+).rstrip() + ")"
+
+
+# The removal step: cut every detected span from its right doc (lowest-id
+# occurrence kept). The char-level anti-range-join formulation needs no
+# interval merging — a char survives iff NO span covers it — and the
+# oracle states exactly that with NOT EXISTS.
+@query(
+    "span_deduped_documents",
+    f"""
+    WITH {_SPAN_CTES},
+    chars AS (
+      SELECT d.doc_id, u.i AS p,
+             substr(d.text, CAST(u.i AS INTEGER), 1) AS ch
+      FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)),
+    kept AS (
+      SELECT c.doc_id, c.p, c.ch FROM chars c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.right_id = c.doc_id
+          AND c.p >= s.right_start
+          AND c.p < s.right_start + s.span_len)),
+    clean AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text
+      FROM kept GROUP BY 1)
+    SELECT d.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+           CAST(length(d.text) - length(COALESCE(cl.clean_text, ''))
+                AS BIGINT) AS n_removed_chars
+    FROM documents d LEFT JOIN clean cl USING (doc_id)
     """,
+)
+def span_deduped_documents(spark, sf_dir):
+    from ..datapipe.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(
+        docs, "text", "doc_id",
+        k=_SPAN_K, max_df=_SPAN_MAXDF, min_len=_SPAN_MINLEN,
+    )
+    return remove_duplicate_spans(docs, spans, "text", "doc_id")
+
+
+@query(
+    "duplicate_substring_spans",
+    f"WITH {_SPAN_CTES} SELECT * FROM spans",
 )
 def duplicate_substring_spans_q(spark, sf_dir):
     from ..datapipe.dedup import duplicate_substring_spans
@@ -4924,6 +4974,7 @@ _SCORING_PRIORITY = [
     # never scored
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
+    "span_deduped_documents",
     "semantic_dedup_survivors",
     "incremental_semantic_dedup_survivors",
     "dsir_importance_weights",

@@ -309,3 +309,34 @@ def test_duplicate_substring_spans_merges_runs_not_fragments(spark):
     lens = sorted(r["span_len"] for r in spans)
     assert len(spans) == 2
     assert all(length >= 36 for length in lens)
+
+
+def test_remove_duplicate_spans_surgery(spark):
+    from ihop_reddit_spark.datapipe.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "XXXX " + shared + " YYYY"),
+            (2, shared + " trailing words here"),
+            (3, "completely unrelated content with nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_substring_spans(
+        docs, "text", "doc_id", k=20, max_df=5, min_len=30
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, spans, "text", "doc_id").collect()
+    }
+    # the lower-id doc keeps the passage; the higher-id doc loses it
+    # (shared + its following space, the maximal span)
+    assert out[1]["clean_text"] == "XXXX " + shared + " YYYY"
+    assert out[1]["n_removed_chars"] == 0
+    assert out[2]["clean_text"] == "trailing words here"
+    assert out[2]["n_removed_chars"] == len(shared) + 1
+    assert out[3]["n_removed_chars"] == 0
