@@ -51,6 +51,7 @@ HEADLINE = [
     "winnow_fingerprint_pairs",   # MOSS winnowing shared-passage pairs
     "semantic_dedup_survivors",   # SemDeDup via derandomized sign-LSH
     "dsir_importance_weights",    # DSIR hashed-ngram importance weights
+    "duplicate_substring_spans",  # Lee+ ACL'22 substring-level dedup
 ]
 
 
