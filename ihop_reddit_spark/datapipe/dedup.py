@@ -996,11 +996,24 @@ def duplicate_substring_spans(
         10,
     ).cast("long")
     hashed = grams.select("__id", "p", h.alias("h"))
-    dfreq = hashed.groupBy("h").agg(
-        F.count_distinct("__id").alias("__df")
+    # distinct-doc frequency per hash WITHOUT a groupBy+join (which costs a
+    # second full-stream shuffle — measured ×10 probe ratio 13.6 vs the
+    # data ratio 10): one exchange on h, a lag flag marks each hash's
+    # first row per doc, a full-frame sum counts the flags. Exact same df
+    # semantics, one WindowExec sort instead of an aggregate + join.
+    w_ord = Window.partitionBy("h").orderBy("__id", "p")
+    w_all = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     capped = (
-        hashed.join(dfreq, "h").where(F.col("__df") <= max_df).drop("__df")
+        hashed.withColumn(
+            "__new_doc",
+            (F.lag("__id").over(w_ord).isNull()
+             | (F.lag("__id").over(w_ord) != F.col("__id"))).cast("long"),
+        )
+        .withColumn("__df", F.sum("__new_doc").over(w_all))
+        .where(F.col("__df") <= max_df)
+        .select("__id", "p", "h")
     ).persist()
     m = (
         capped.select("h", F.col("__id").alias("left_id"), F.col("p").alias("pa"))

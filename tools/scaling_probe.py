@@ -77,6 +77,10 @@ DOC_PROBES = [
     # The target slice (src0/src1) replicates with the corpus, so the
     # model contrast is preserved per replica.
     "dsir_importance_weights",
+    # substring spans (round 4): replica suffixes make k-grams disjoint
+    # across replicas — per-replica span structure preserved, match volume
+    # ×N, df cap sees identical frequencies.
+    "duplicate_substring_spans",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
