@@ -4958,6 +4958,194 @@ def modern_training_corpus(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# C4-style cleaning (datapipe/cleaning.py; Raffel et al. 2020 §2.2). The
+# synthetic documents are flat word streams, so both queries first PLANT
+# page structure deterministically (sentences of 6 tokens, lines of 2
+# sentences, junk lines keyed off doc_id residues) — the same planted-
+# fixture pattern as pii_scrubbed_documents — then run the real operator.
+# ---------------------------------------------------------------------------
+#: Shared DuckDB CTE: documents → sentence list (6 tokens + '.') → line
+#: list (2 sentences). Mirrored exactly by _structured_lines below.
+_C4_STRUCT_SQL = """
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(t) + 5) // 6),
+               i -> array_to_string(list_slice(t, i*6 + 1, i*6 + 6), ' ')
+                    || '.') AS sents
+      FROM d),
+    l AS (
+      SELECT doc_id, sents,
+             list_transform(range(0, (len(sents) + 1) // 2),
+               j -> array_to_string(list_slice(sents, j*2 + 1, j*2 + 2), ' '))
+               AS lines
+      FROM s)
+"""
+
+
+def _structured_lines(spark, sf_dir):
+    """documents → (doc_id, sents array, lines array): 6-token sentences,
+    2-sentence lines. Row-local; mirrors _C4_STRUCT_SQL."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    nsent = F.floor((F.size(t) + F.lit(5)) / F.lit(6)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nsent - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(t, i * 6 + 1, 6), " "), F.lit(".")
+        ),
+    )
+    base = d.select("doc_id", sents.alias("sents"))
+    nline = F.floor((F.size("sents") + F.lit(1)) / F.lit(2)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nline - 1),
+        lambda j: F.array_join(F.slice(F.col("sents"), j * 2 + 1, 2), " "),
+    )
+    return base.select("doc_id", "sents", lines.alias("lines"))
+
+
+@query(
+    "c4_cleaned_documents",
+    """
+    WITH """ + _C4_STRUCT_SQL + """,
+    p AS (
+      SELECT doc_id,
+             lines
+             || CASE WHEN doc_id % 7 = 0 THEN ['too short'] ELSE [] END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ['please enable javascript to continue.'] ELSE [] END
+             || CASE WHEN doc_id % 97 = 0
+                  THEN ['lorem ipsum dolor sit amet.'] ELSE [] END
+             || CASE WHEN doc_id % 89 = 0
+                  THEN ['function() { return 1; }'] ELSE [] END
+             || CASE WHEN doc_id % 83 = 0
+                  THEN ['this page has nsfwterm material.'] ELSE [] END
+               AS alllines
+      FROM l),
+    c AS (
+      SELECT doc_id,
+             array_to_string(alllines, chr(10)) AS raw,
+             list_filter(alllines,
+               x -> regexp_matches(x, '[.!?"]$')
+                    AND len(string_split(x, ' ')) >= 3
+                    AND NOT contains(lower(x), 'javascript')) AS kept,
+             alllines
+      FROM p)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS cleaned_text,
+           CAST(len(alllines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM c
+    WHERE len(kept) >= 3
+      AND NOT contains(lower(raw), 'lorem ipsum')
+      AND NOT contains(raw, '{')
+      AND NOT regexp_matches(lower(raw), '\\b(nsfwterm)\\b')
+    """,
+)
+def c4_cleaned_documents(spark, sf_dir):
+    from ..datapipe.cleaning import c4_clean
+
+    def extra(cond, line):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    did = F.col("doc_id")
+    planted = _structured_lines(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.col("lines"),
+                extra(did % 7 == 0, "too short"),
+                extra(did % 5 == 0, "please enable javascript to continue."),
+                extra(did % 97 == 0, "lorem ipsum dolor sit amet."),
+                extra(did % 89 == 0, "function() { return 1; }"),
+                extra(did % 83 == 0, "this page has nsfwterm material."),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_clean(planted, "text", "doc_id")
+
+
+@query(
+    "c4_sentence_span_dedup",
+    """
+    WITH """ + _C4_STRUCT_SQL + """,
+    f AS (
+      SELECT doc_id,
+             sents || ['alpha beta gamma.', 'delta epsilon zeta.',
+                       'eta theta iota.'] AS sents
+      FROM s),
+    st AS (
+      SELECT doc_id,
+             list_transform(sents, x -> regexp_replace(x, '\\.$', ''))
+               AS sents
+      FROM f),
+    sent AS (
+      SELECT doc_id, CAST(unnest(range(0, len(sents))) AS BIGINT) AS idx,
+             sents
+      FROM st),
+    sent2 AS (SELECT doc_id, idx, sents[CAST(idx AS INT) + 1] AS sent
+              FROM sent),
+    sp AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, greatest(len(sents) - 2, 0))) AS BIGINT)
+               AS start,
+             sents
+      FROM st),
+    spanh AS (
+      SELECT doc_id, start,
+             md5(sents[CAST(start AS INT) + 1] || chr(1)
+                 || sents[CAST(start AS INT) + 2] || chr(1)
+                 || sents[CAST(start AS INT) + 3]) AS h
+      FROM sp),
+    ranked AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+      FROM spanh),
+    cov AS (
+      SELECT DISTINCT doc_id, start + o AS idx
+      FROM (SELECT doc_id, start, unnest([0, 1, 2]) AS o
+            FROM ranked WHERE rn > 1)),
+    kept AS (
+      SELECT s.doc_id, s.idx, s.sent
+      FROM sent2 s LEFT JOIN cov c ON s.doc_id = c.doc_id AND s.idx = c.idx
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(sent, '. ' ORDER BY idx) AS j,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(sents) AS n FROM st)
+    SELECT t.doc_id,
+           CASE WHEN coalesce(n_kept, 0) > 0 THEN j || '.' ELSE '' END
+             AS deduped_text,
+           CAST(n AS BIGINT) AS n_sents,
+           CAST(n - coalesce(n_kept, 0) AS BIGINT) AS n_sents_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def c4_sentence_span_dedup(spark, sf_dir):
+    from ..datapipe.cleaning import sentence_span_dedup
+
+    planted = _structured_lines(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.col("sents"),
+                F.array(
+                    F.lit("alpha beta gamma."),
+                    F.lit("delta epsilon zeta."),
+                    F.lit("eta theta iota."),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return sentence_span_dedup(planted, "text", "doc_id", span_sents=3)
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -4970,8 +5158,10 @@ def modern_training_corpus(spark, sf_dir):
 # operators dead last. Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    # (a) round-4 retrieval + relational-coverage + semantic-dedup tier,
-    # never scored
+    # (a) round-4 retrieval + relational-coverage + semantic-dedup +
+    # C4-cleaning tier, never scored
+    "c4_cleaned_documents",
+    "c4_sentence_span_dedup",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
