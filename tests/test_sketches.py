@@ -1,0 +1,57 @@
+"""Mergeable-HLL sketch table tests (datapipe/sketches.py): persistence
+round-trip, merge-equals-direct, and idempotent re-union — the contracts
+that make a persisted sketch table valid as a reusable artifact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.datapipe.sketches import (
+    hll_partial_sketches,
+    hll_rollup,
+)
+
+
+def _events(spark):
+    rows = [
+        # (etype, day, user) — purchase spans 2 days with overlapping users
+        ("purchase", 1, 10), ("purchase", 1, 11), ("purchase", 2, 10),
+        ("purchase", 2, 12), ("click", 1, 10), ("click", 1, 10),
+        ("click", 2, 13), ("click", 2, 14), ("click", 2, 15),
+    ]
+    return spark.createDataFrame(rows, ["event_type", "day", "user_id"])
+
+
+def test_sketch_roundtrip_and_rollup(spark, tmp_path):
+    ev = _events(spark)
+    partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    path = str(tmp_path / "sketches")
+    partials.write.parquet(path)  # binary sketch column persists as-is
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_rollup(
+            spark.read.parquet(path), ["event_type"]
+        ).collect()
+    }
+    # small cardinalities stay in exact (list/set) mode
+    assert got == {"purchase": 3, "click": 4}
+
+
+def test_union_is_idempotent_and_matches_direct(spark):
+    ev = _events(spark)
+    partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    # re-unioning the same day twice (replayed batch) changes nothing
+    doubled = hll_rollup(
+        partials.unionAll(partials), ["event_type"]
+    ).withColumnRenamed("distinct_est", "est2")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("d")
+    )
+    j = (
+        hll_rollup(partials, ["event_type"])
+        .join(doubled, "event_type")
+        .join(direct, "event_type")
+        .collect()
+    )
+    for r in j:
+        assert r["distinct_est"] == r["est2"] == r["d"]
