@@ -153,3 +153,112 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+#: Open-ended validity sentinel for SCD2 rows (epoch seconds, year ~2286).
+#: A sentinel rather than NULL keeps range predicates sargable
+#: (``valid_from <= t AND t < valid_to``) and cross-engine hash-stable.
+SCD2_OPEN_END = 9_999_999_999
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    *,
+    valid_from: int = 0,
+) -> DataFrame:
+    """Seed a type-2 slowly-changing-dimension history from a snapshot:
+    every key gets one open row valid from ``valid_from``."""
+    return snapshot.select(
+        *keys,
+        *tracked,
+        F.lit(valid_from).cast("long").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    eff: int,
+    *,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Apply a change batch to an SCD2 history table (Kimball type-2):
+
+    * key exists and any tracked column differs (null-safe) → the open row
+      is CLOSED at ``eff`` and a new open row is inserted;
+    * key exists and all tracked columns match → no-op;
+    * brand-new key → inserted as an open row from ``eff``;
+    * closed (historical) rows pass through untouched.
+
+    Like :func:`merge_upsert`, this is a pure snapshot→snapshot
+    transformation. Plan: the delta is broadcast (dimension deltas are
+    small in steady state) into one inner probe + two anti probes against
+    the current slice — the 100 TB history never shuffles. Pass
+    ``broadcast_delta=False`` for backfill-sized deltas.
+
+    ``history`` must carry ``valid_from``/``valid_to``/``is_current``
+    (see :func:`scd2_init`); ``delta`` carries ``keys + tracked``.
+    """
+    d = delta.select(*keys, *tracked)
+    if broadcast_delta:
+        d = F.broadcast(d)
+    cur = history.where(F.col("is_current"))
+    closed_hist = history.where(~F.col("is_current"))
+
+    dd = d.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in tracked],
+    )
+    probe = cur.join(dd, keys, "inner")
+    differs = None
+    for c in tracked:
+        ne = ~F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+        differs = ne if differs is None else (differs | ne)
+    changed = probe.where(differs)
+
+    closed_now = changed.select(
+        *keys,
+        *tracked,
+        F.col("valid_from"),
+        F.lit(eff).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    replacements = changed.select(
+        *keys,
+        *[F.col(f"__d_{c}").alias(c) for c in tracked],
+        F.lit(eff).cast("long").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed_keys = changed.select(*keys)
+    if broadcast_delta:
+        changed_keys = F.broadcast(changed_keys)
+    untouched_cur = cur.join(changed_keys, keys, "left_anti")
+
+    # New-key detection stays delta-sized on BOTH sides: the delta keys
+    # that found a current row (probe output ≤ |delta|) are the existing
+    # set — never materialize/broadcast the history's own key set.
+    matched_keys = probe.select(*keys)
+    if broadcast_delta:
+        matched_keys = F.broadcast(matched_keys)
+    new_inserts = (
+        delta.join(matched_keys, keys, "left_anti")
+        .select(
+            *keys,
+            *tracked,
+            F.lit(eff).cast("long").alias("valid_from"),
+            F.lit(SCD2_OPEN_END).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    cols = [*keys, *tracked, "valid_from", "valid_to", "is_current"]
+    out = closed_hist.select(*cols)
+    for part in (untouched_cur, closed_now, replacements, new_inserts):
+        out = out.unionByName(part.select(*cols))
+    return out

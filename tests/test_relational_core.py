@@ -530,3 +530,51 @@ def test_interval_overlap_join_matches_theta_join(spark):
     assert (1, 11) in got   # touching endpoints (inclusive bounds)
     assert (3, 13) in got   # point interval inside a long interval
     assert (3, 14) not in got
+
+
+def test_scd2_apply_all_paths(spark):
+    from ihop_reddit_spark.operators.setops import (
+        SCD2_OPEN_END,
+        scd2_apply,
+        scd2_init,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        ["k", "seg", "bal"],
+    )
+    hist = scd2_init(snap, ["k"], ["seg", "bal"], valid_from=0)
+    delta = spark.createDataFrame(
+        [
+            (1, "A2", 10.0),   # changed → close + reopen
+            (2, "B", 20.0),    # identical → no-op
+            (9, "N", 0.0),     # new key → fresh open row
+        ],
+        ["k", "seg", "bal"],
+    )
+    out = scd2_apply(hist, delta, ["k"], ["seg", "bal"], eff=50)
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 5  # 3 current + 1 closed + 1 insert
+    closed = rows[(1, 0)]
+    assert not closed["is_current"] and closed["valid_to"] == 50
+    reopened = rows[(1, 50)]
+    assert reopened["is_current"] and reopened["seg"] == "A2"
+    assert reopened["valid_to"] == SCD2_OPEN_END
+    assert rows[(2, 0)]["is_current"]  # no-op left untouched
+    assert rows[(3, 0)]["is_current"]
+    assert rows[(9, 50)]["seg"] == "N" and rows[(9, 50)]["is_current"]
+
+    # second application: change key 1 again → two closed rows, as-of
+    # lookup at any time returns exactly one row per live key
+    delta2 = spark.createDataFrame([(1, "A3", 11.0)], ["k", "seg", "bal"])
+    out2 = scd2_apply(out, delta2, ["k"], ["seg", "bal"], eff=80)
+    k1 = sorted(
+        [r for r in out2.collect() if r["k"] == 1],
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [
+        (0, 50), (50, 80), (80, SCD2_OPEN_END),
+    ]
+    for t in (25, 60, 99):
+        live = [r for r in k1 if r["valid_from"] <= t < r["valid_to"]]
+        assert len(live) == 1
