@@ -5242,6 +5242,68 @@ def scd2_customer_history(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Fixed-iteration PageRank (operators/graph.pagerank) over the part
+# co-purchase graph (parts sharing an order in lineitem). Exact integer
+# units — the K-step ranking is bit-identical across engines, so the
+# full top-100 is hash-gated, not a rows-only check. The oracle unrolls
+# the K iterations as chained CTEs.
+# ---------------------------------------------------------------------------
+def _pagerank_sql(iters: int = 5, unit: int = 1_000_000_000_000) -> str:
+    base = (15 * unit) // 100
+    sql = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+    nd AS (SELECT n.node, deg.d FROM nodes n
+           LEFT JOIN deg ON n.node = deg.src),
+    r0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nd)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    m{i} AS (SELECT e.dst AS node, CAST(SUM(p.r // nd.d) AS BIGINT) AS m
+             FROM ed e JOIN r{i - 1} p ON e.src = p.node
+                       JOIN nd ON nd.node = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nd.node,
+                    CAST({base} + (85 * COALESCE(m{i}.m, 0)) // 100
+                         AS BIGINT) AS r
+             FROM nd LEFT JOIN m{i} ON nd.node = m{i}.node)"""
+    sql += f"""
+    SELECT node AS l_partkey, r AS rank_units FROM r{iters}
+    ORDER BY rank_units DESC, l_partkey LIMIT 100"""
+    return sql
+
+
+@query("pagerank_copurchase_parts", _pagerank_sql())
+def pagerank_copurchase_parts(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(b, "l_orderkey").where(
+        F.col("a.l_partkey") != F.col("b.l_partkey")
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=5)
+    return (
+        ranks.select(
+            F.col("node").alias("l_partkey"),
+            F.col("rank_units"),
+        )
+        .orderBy(F.desc("rank_units"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -5260,6 +5322,7 @@ _SCORING_PRIORITY = [
     "c4_sentence_span_dedup",
     "hll_sketch_rollup_users",
     "scd2_customer_history",
+    "pagerank_copurchase_parts",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

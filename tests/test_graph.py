@@ -1,0 +1,49 @@
+"""PageRank (operators/graph.py) vs a literal Python model of the same
+integer-unit recurrence — the Spark plan must be bit-identical, including
+truncation behavior and dangling nodes."""
+
+from __future__ import annotations
+
+from ihop_reddit_spark.caching import release_scoped_persists
+from ihop_reddit_spark.operators.graph import DEFAULT_UNIT, pagerank
+
+
+def _model(edges, iters, unit=DEFAULT_UNIT):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: unit for n in nodes}
+    base = (15 * unit) // 100
+    for _ in range(iters):
+        recv = {n: 0 for n in nodes}
+        for s, d in edges:
+            recv[d] += r[s] // deg[s]
+        r = {n: base + (85 * recv[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    # cycle + hub + dangling sink (7 has no out-edges) + truncating degrees
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (1, 4), (4, 1), (4, 5), (5, 4),
+        (2, 7), (5, 7),
+        (6, 1), (6, 2), (6, 3),
+    ]
+    for iters in (1, 3, 5):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        out = pagerank(df, iterations=iters)
+        got = {r["node"]: r["rank_units"] for r in out.collect()}
+        release_scoped_persists(out)
+        assert got == _model(edges, iters)
+
+
+def test_pagerank_symmetric_pair_is_stationary(spark):
+    # A<->B with unit divisible by 100: rank stays exactly at unit
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    out = pagerank(df, iterations=4)
+    got = {r["node"]: r["rank_units"] for r in out.collect()}
+    release_scoped_persists(out)
+    assert got == {1: DEFAULT_UNIT, 2: DEFAULT_UNIT}
