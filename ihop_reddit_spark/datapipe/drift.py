@@ -1,0 +1,149 @@
+"""Distribution-drift and robust-outlier QA operators: the statistical
+monitoring a production data pipeline runs between dataset versions
+(did yesterday's ingest shift the value distribution? which rows are
+gross outliers?).
+
+Both operators are EXACT and cross-engine hash-stable:
+
+* :func:`ks_two_sample` keeps the Kolmogorov–Smirnov statistic as an
+  integer NUMERATOR over the common denominator ``n_a · n_b`` — no
+  float division anywhere, so the sup-distance is exact and the drift
+  verdict is a pure integer comparison.
+* :func:`mad_outliers` uses type-1 (lower) medians — actual data values
+  selected by rank, not interpolations — so median, MAD, and the
+  ``|x − med| > k·MAD`` comparisons are identical IEEE operations in
+  any engine.
+
+Scale notes: the KS plan aggregates to the DISTINCT-QUANTIZED-value
+grain first (``groupBy(bucket)`` — one shuffle, map-side partial), then
+runs one cumulative window over that bucket-grain frame. The window is
+globally ordered; callers control the bucket width, which bounds the
+frame to the value domain (e.g. 1e-3 quantization ⇒ ≤ a few million
+rows regardless of corpus size — range-partitionable if ever needed).
+``mad_outliers`` uses per-group windows (partitioned by the group key,
+no global sort) and two rank-selection passes — the same plan family as
+quantiles_value_by_event_type.
+
+Reference parity: the reference has no statistical QA; this extends the
+engine's quality tier (datapipe/quality.py constraint/profile/skew
+reports) with distribution-level checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    *,
+    quantize: int = 1000,
+    threshold_permille: int = 50,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    ``value_col`` distributions of two populations.
+
+    Values are quantized to ``floor(value · quantize)`` (exact IEEE
+    multiply + floor — identical in any engine) to bound the support.
+    Returns ONE row::
+
+        n_a, n_b            sample sizes (LONG)
+        ks_numer            max |cumA·n_b − cumB·n_a|  (LONG — the KS
+                            statistic's numerator over n_a·n_b)
+        drift               ks_numer·1000 > threshold_permille·n_a·n_b
+                            (i.e. D > threshold_permille/1000, exact)
+    """
+    v = F.floor(F.col(value_col) * quantize).cast("long").alias("bucket")
+    sided = df.where(
+        F.col(side_col).isin([side_a, side_b])
+    ).select(v, F.col(side_col).alias("__side"))
+    counts = sided.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__side") == side_a, 1).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col("__side") == side_b, 1).otherwise(0))
+        .alias("cb"),
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    # sample sizes: 1-row frame, broadcast into the row-wise numerator
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    return joined.agg(
+        F.max(
+            F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a"))
+        ).alias("ks_numer"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("ks_numer").cast("long").alias("ks_numer"),
+        (
+            F.col("ks_numer") * 1000
+            > F.lit(threshold_permille) * F.col("n_a") * F.col("n_b")
+        ).alias("drift"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier counts via the median-absolute-deviation
+    rule: a row is an outlier when ``|x − median| > k · MAD``.
+
+    Type-1 (lower) medians throughout — rank-selected data values, no
+    interpolation — so every arithmetic step is engine-exact. Returns one
+    row per group: ``group, median_value, mad, n, n_outliers``.
+    """
+    w_grp = Window.partitionBy("grp")
+    ranked = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).withColumn(
+        "rn", F.row_number().over(w_grp.orderBy("v"))
+    ).withColumn("n", F.count(F.lit(1)).over(w_grp))
+    med = ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("grp"), F.col("v").alias("med"), "n")
+    devs = ranked.join(med.select("grp", "med"), "grp").select(
+        "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    w_dev = Window.partitionBy("grp").orderBy("dev")
+    dev_ranked = devs.withColumn(
+        "rn", F.row_number().over(w_dev)
+    ).withColumn("nn", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    mad = dev_ranked.where(
+        F.col("rn") == F.expr("(nn + 1) div 2")
+    ).select("grp", F.col("dev").alias("mad"))
+    flagged = devs.join(mad, "grp")
+    return flagged.groupBy("grp").agg(
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "median_value",
+        "mad",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )

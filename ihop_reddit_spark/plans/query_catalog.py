@@ -5386,6 +5386,78 @@ def bpe_roundtrip_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Statistical QA (datapipe/drift.py): exact integer-rational two-sample
+# KS distance (distribution drift between populations) and per-group
+# MAD-rule outlier counts — both hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_drift_click_vs_purchase",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value * 1000) AS BIGINT) AS bucket, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    c AS (
+      SELECT bucket,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY bucket),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cuma,
+             SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cumb
+      FROM c),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                 CAST(SUM(cb) AS BIGINT) AS n_b FROM c)
+    SELECT t.n_a, t.n_b,
+           CAST(MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS BIGINT)
+             AS ks_numer,
+           MAX(ABS(cuma * t.n_b - cumb * t.n_a)) * 1000
+             > 50 * t.n_a * t.n_b AS drift
+    FROM cum, t GROUP BY t.n_a, t.n_b
+    """,
+)
+def ks_drift_click_vs_purchase(spark, sf_dir):
+    from ..datapipe.drift import ks_two_sample
+
+    return ks_two_sample(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
+
+
+@query(
+    "mad_outliers_value_by_type",
+    """
+    WITH r AS (
+      SELECT event_type AS grp, value AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT grp, v AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (SELECT r.grp, r.v, med.med, ABS(r.v - med.med) AS dev
+          FROM r JOIN med ON r.grp = med.grp),
+    dr AS (SELECT grp, dev,
+             row_number() OVER (PARTITION BY grp ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS nn
+           FROM d),
+    mad AS (SELECT grp, dev AS mad FROM dr WHERE rn = (nn + 1) // 2)
+    SELECT d.grp AS event_type, MAX(d.med) AS median_value,
+           MAX(mad.mad) AS mad, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.grp = mad.grp
+    GROUP BY d.grp
+    """,
+)
+def mad_outliers_value_by_type(spark, sf_dir):
+    from ..datapipe.drift import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -5407,6 +5479,8 @@ _SCORING_PRIORITY = [
     "pagerank_copurchase_parts",
     "bpe_merge_invariants_gate",
     "bpe_roundtrip_gate",
+    "ks_drift_click_vs_purchase",
+    "mad_outliers_value_by_type",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

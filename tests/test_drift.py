@@ -1,0 +1,53 @@
+"""Closed-form tests for the statistical-QA tier (datapipe/drift.py):
+exact KS numerator on hand-computable samples, MAD rule vs numpy."""
+
+from __future__ import annotations
+
+from ihop_reddit_spark.datapipe.drift import ks_two_sample, mad_outliers
+
+
+def test_ks_identical_distributions_zero(spark):
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["side", "value"])
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    assert r["ks_numer"] == 0 and not r["drift"]
+    assert r["n_a"] == r["n_b"] == 10
+
+
+def test_ks_disjoint_supports_is_max(spark):
+    # a: 0..4, b: 10..14 → D = 1 exactly → numerator = n_a*n_b
+    rows = [("a", float(v)) for v in range(5)] + [
+        ("b", float(v + 10)) for v in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["side", "value"])
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    assert r["ks_numer"] == 25 and r["drift"]
+
+
+def test_ks_hand_computed_partial_overlap(spark):
+    # a = {0,1,2,3}, b = {2,3,4,5}: cum diffs (×16 denom):
+    # after 0: |1·4-0·4|=4; 1: 8; 2: |3·4-1·4|=8; 3: 0... max when
+    # cumA=2,cumB=0 → 8. D = 8/16 = 0.5
+    rows = [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["side", "value"])
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    assert r["ks_numer"] == 8 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["drift"]  # 0.5 > 0.05
+
+
+def test_mad_outliers_closed_form(spark):
+    # group g: values 1..7 plus outlier 100 → n=8, lower median = 4
+    # devs: |1-4|..|7-4|,|100-4| = [3,2,1,0,1,2,3,96] sorted
+    # [0,1,1,2,2,3,3,96], lower median (rank 4) = 2 → MAD=2
+    # outliers: dev > 6 → only 96 → 1
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], ["grp_col", "value"]
+    )
+    r = mad_outliers(df, "value", "grp_col").collect()[0]
+    assert r["median_value"] == 4.0
+    assert r["mad"] == 2.0
+    assert r["n"] == 8 and r["n_outliers"] == 1
