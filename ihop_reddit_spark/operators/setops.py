@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def union_dedup(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -262,3 +263,58 @@ def scd2_apply(
     for part in (untouched_cur, closed_now, replacements, new_inserts):
         out = out.unionByName(part.select(*cols))
     return out
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "wspg",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per group —
+    algorithm A-ES (Efraimidis & Spirakis): each row draws an
+    exponential key ``E/w`` (``E ~ Exp(1)``) and the ``k`` smallest keys
+    per group form a sample ∝ weight without replacement.
+
+    Derandomized exactly like dsir_resample: the uniform is the md5 of
+    ``(salt, id)`` — the sample is a pure function of (data, salt) and
+    reproducible on any engine. Keys are compared in the log domain
+    (``ln(−ln u) − ln w``, same ordering, relative resolution) rounded
+    to 4 decimals with an id tie-break, the engine's standard guard
+    against cross-libm ulp drift.
+
+    Plan: one row-local key projection + one per-group window (single
+    shuffle on the group key). No global sort.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1e", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    skey = F.round(
+        F.log(-F.log(u)) - F.log(F.col(weight_col).cast("double")), 4
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("skey").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("skey", skey)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -5458,6 +5458,46 @@ def mad_outliers_value_by_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Weighted per-group sampling (operators/setops.weighted_sample_per_group
+# — Efraimidis-Spirakis A-ES with md5-derandomized exponentials). k=20
+# docs per language ∝ n_chars, reproducible on any engine; the full
+# selection incl. keys is hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample_docs_by_lang",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(-ln(
+               (CAST(list_reduce(
+                  list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef',
+                           substr(md5(concat_ws(chr(30), 'wspg',
+                                                CAST(doc_id AS VARCHAR))),
+                                  CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4294967296.0
+             )) - ln(CAST(n_chars AS DOUBLE)), 4) AS skey
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_chars, skey,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey ASC, doc_id ASC) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, n_chars, skey FROM r WHERE rn <= 20
+    """,
+)
+def weighted_sample_docs_by_lang(spark, sf_dir):
+    from ..operators.setops import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_per_group(
+        docs, "lang", "n_chars", "doc_id", k=20
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -5481,6 +5521,7 @@ _SCORING_PRIORITY = [
     "bpe_roundtrip_gate",
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
+    "weighted_sample_docs_by_lang",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

@@ -578,3 +578,31 @@ def test_scd2_apply_all_paths(spark):
     for t in (25, 60, 99):
         live = [r for r in k1 if r["valid_from"] <= t < r["valid_to"]]
         assert len(live) == 1
+
+
+def test_weighted_sample_per_group_properties(spark):
+    from ihop_reddit_spark.operators.setops import weighted_sample_per_group
+
+    rows = [(g, i, 1000 if i == 0 else 1) for g in ("x", "y")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    # exact k per group, deterministic, partitioning-invariant
+    a = weighted_sample_per_group(df, "grp", "w", "id", k=3, salt="s1")
+    b = weighted_sample_per_group(
+        df.repartition(7), "grp", "w", "id", k=3, salt="s1"
+    )
+    sa = sorted((r["grp"], r["id"]) for r in a.collect())
+    sb = sorted((r["grp"], r["id"]) for r in b.collect())
+    assert sa == sb and len(sa) == 6
+
+    # weight-proportionality: the 1000-weight item (id 0) should win a
+    # k=1 draw in nearly every independent (salted) replication
+    wins = 0
+    trials = 12
+    for t in range(trials):
+        out = weighted_sample_per_group(
+            df.where(F.col("grp") == "x"), "grp", "w", "id",
+            k=1, salt=f"t{t}",
+        ).collect()
+        wins += out[0]["id"] == 0
+    assert wins >= trials - 2
