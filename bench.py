@@ -52,6 +52,11 @@ HEADLINE = [
     "semantic_dedup_survivors",   # SemDeDup via derandomized sign-LSH
     "dsir_importance_weights",    # DSIR hashed-ngram importance weights
     "duplicate_substring_spans",  # Lee+ ACL'22 substring-level dedup
+    # round-5 additions: C4 page-structure dedup, graph ranking, and the
+    # mergeable-sketch rollup
+    "c4_sentence_span_dedup",     # C4 three-sentence-span dedup
+    "pagerank_copurchase_parts",  # 5-iteration integer PageRank
+    "hll_sketch_rollup_users",    # DataSketches partial→rollup
 ]
 
 

@@ -34,8 +34,6 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..caching import register_scoped_persists
 
 #: Default "bad words" placeholder list. C4 uses the public "List of Dirty,
@@ -156,10 +154,24 @@ def sentence_span_dedup(
             )
         ).alias("__h"),
     )
-    w = Window.partitionBy("__h").orderBy("__id", "__start")
+    # Canonical occurrence per hash = min (id, start). A per-hash window
+    # sort would put a boilerplate span's entire occurrence list in one
+    # task; min(struct) instead partial-aggregates map-side (hot hashes
+    # combine before the shuffle), and the dup-hash join is AQE-skew-
+    # splittable. Non-duplicated hashes (the vast majority) exit at the
+    # count>1 filter before the join.
+    agg = spans.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__id", "__start")).alias("__c"),
+    ).where(F.col("__n") > 1)
     removed = (
-        spans.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        spans.join(agg, "__h")
+        .where(
+            ~(
+                (F.col("__id") == F.col("__c.__id"))
+                & (F.col("__start") == F.col("__c.__start"))
+            )
+        )
         .select(
             "__id",
             F.explode(

@@ -407,3 +407,60 @@ def test_dsir_models_broadcast_one_doc_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_scd2_apply_history_never_shuffles(spark, sf_dir):
+    from ihop_reddit_spark.operators.setops import scd2_apply, scd2_init
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hist = scd2_init(cust, ["c_custkey"], ["c_mktsegment"], valid_from=0)
+    delta = cust.limit(10).select(
+        "c_custkey", F.lit("VIP").alias("c_mktsegment")
+    )
+    plan = plan_of(
+        scd2_apply(hist, delta, ["c_custkey"], ["c_mktsegment"], eff=5)
+    )
+    # every probe against the history is a broadcast of delta-sized data
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hll_partials_combine_map_side(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.sketches import hll_partial_sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(
+        hll_partial_sketches(ev, ["event_type"], "user_id")
+    )
+    # declared aggregate → partial sketches combine before the exchange:
+    # the shuffle carries sketches, not raw user_ids
+    assert "partial_hll_sketch_agg" in plan
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_weighted_sample_is_one_group_exchange(spark, sf_dir):
+    from ihop_reddit_spark.operators.setops import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = plan_of(
+        weighted_sample_per_group(docs, "lang", "n_chars", "doc_id", 5)
+    )
+    # one hash exchange on the group key feeding one Window — no global
+    # sort — and Spark's rank-limit pushdown pre-reduces each partition
+    # to its per-group top-k BEFORE the shuffle (Partial WindowGroupLimit)
+    assert plan.count("hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_c4_span_dedup_has_no_per_hash_window_sort(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.cleaning import sentence_span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sentence_span_dedup(docs, "text", "doc_id")
+    plan = plan_of(out)
+    # canonical selection is an aggregate (map-side partial under hot
+    # boilerplate hashes), not a row_number window over each hash group
+    assert "HashAggregate" in plan
+    assert "row_number" not in plan

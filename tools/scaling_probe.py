@@ -81,6 +81,14 @@ DOC_PROBES = [
     # across replicas — per-replica span structure preserved, match volume
     # ×N, df cap sees identical frequencies.
     "duplicate_substring_spans",
+    # C4 cleaning (round 5): the line/page pass is a zero-shuffle scan
+    # projection — ratio should track the data ratio exactly. The span
+    # dedup's planted footer is IDENTICAL across replicas (deliberately:
+    # that is the boilerplate-hot-key case), so its hash group grows ×N —
+    # the probe measures the skew-robust agg+join path under a genuinely
+    # hot key, not just uniform load.
+    "c4_cleaned_documents",
+    "c4_sentence_span_dedup",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
