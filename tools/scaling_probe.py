@@ -50,6 +50,14 @@ EVENT_PROBES = [
     "hourly_event_counts_gapfilled",
     "interval_overlap_window_sessions",
     "user_sessions_batch",
+    # round-5 statistical/sketch tier — all events-only readers. The KS
+    # bucket domain is fixed (quantized value support), so its window
+    # input saturates while the bucket-count shuffle scales; MAD's
+    # per-group windows scale with rows; the HLL rollup's sketch table
+    # stays (type × day)-sized while the partial-sketch scan scales.
+    "hll_sketch_rollup_users",
+    "ks_drift_click_vs_purchase",
+    "mad_outliers_value_by_type",
 ]
 DOC_PROBES = [
     "doc_repetition_features",
