@@ -7,7 +7,7 @@ distributed DataFrame ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -317,4 +317,34 @@ def weighted_sample_per_group(
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_time: Column,
+    *,
+    time_alias: str = "__t",
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    version that was valid AT ITS OWN event time
+    (``valid_from <= t < valid_to``) — the leakage-free way to enrich
+    facts with dimension attributes (an as-of enrichment against history,
+    not today's snapshot).
+
+    Plan: one equi-join shuffle pair on the key; the temporal predicate
+    is a post-join filter. Validity intervals partition time per key, so
+    each fact matches at most one version — fan-in is versions-per-key
+    (small by construction), never a range explosion.
+    """
+    f = facts.withColumn(time_alias, fact_time)
+    j = f.join(history, keys, "inner")
+    return (
+        j.where(
+            (F.col("valid_from") <= F.col(time_alias))
+            & (F.col(time_alias) < F.col("valid_to"))
+        )
+        .drop(time_alias)
     )

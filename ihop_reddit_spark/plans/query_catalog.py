@@ -5498,6 +5498,61 @@ def weighted_sample_docs_by_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time SCD2 lookup (operators/setops.scd2_lookup): each order is
+# enriched with the customer-segment VERSION valid at its own order date
+# — the leakage-free temporal dimension join. The oracle derives the same
+# answer by an independent closed form (CASE on the change predicate)
+# rather than by building the history — a genuine cross-formulation
+# differential, hash-exact.
+# ---------------------------------------------------------------------------
+_PIT_EFF = 820_454_400  # 1996-01-01 UTC — mid-range of o_orderdate
+
+
+@query(
+    "pit_scd2_order_segments",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN c.c_custkey % 10 = 0
+                     AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                         >= {_PIT_EFF}
+                THEN 'VIP' ELSE c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN c.c_custkey % 10 = 0
+                     AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                         >= {_PIT_EFF}
+                THEN CAST({_PIT_EFF} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS valid_from
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def pit_scd2_order_segments(spark, sf_dir):
+    from ..operators.setops import scd2_apply, scd2_init, scd2_lookup
+
+    cust = _t(spark, sf_dir, "customer")
+    hist = scd2_init(cust, ["c_custkey"], ["c_mktsegment"], valid_from=0)
+    delta = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("VIP").alias("c_mktsegment")
+    )
+    hist = scd2_apply(
+        hist, delta, ["c_custkey"], ["c_mktsegment"], eff=_PIT_EFF
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias(
+            "__ot"
+        ),
+    )
+    return scd2_lookup(
+        orders, hist, ["c_custkey"], F.col("__ot")
+    ).select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_mktsegment",
+        "valid_from",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -5522,6 +5577,7 @@ _SCORING_PRIORITY = [
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
     "weighted_sample_docs_by_lang",
+    "pit_scd2_order_segments",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

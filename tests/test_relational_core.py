@@ -606,3 +606,36 @@ def test_weighted_sample_per_group_properties(spark):
         ).collect()
         wins += out[0]["id"] == 0
     assert wins >= trials - 2
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from ihop_reddit_spark.operators.setops import (
+        scd2_apply,
+        scd2_init,
+        scd2_lookup,
+    )
+
+    snap = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "seg"])
+    hist = scd2_init(snap, ["k"], ["seg"], valid_from=0)
+    hist = scd2_apply(
+        hist,
+        spark.createDataFrame([(1, "A2")], ["k", "seg"]),
+        ["k"], ["seg"], eff=100,
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 50), (11, 1, 100), (12, 1, 150), (13, 2, 70)],
+        ["fid", "k", "t"],
+    )
+    out = {
+        r["fid"]: (r["seg"], r["valid_from"])
+        for r in scd2_lookup(
+            facts, hist, ["k"], F.col("t")
+        ).collect()
+    }
+    # each fact matches exactly one version, at ITS OWN time
+    assert out == {
+        10: ("A", 0),       # before the change
+        11: ("A2", 100),    # boundary: eff is inclusive on the new row
+        12: ("A2", 100),
+        13: ("B", 0),
+    }
