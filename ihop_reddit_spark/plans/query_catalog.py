@@ -5553,6 +5553,44 @@ def pit_scd2_order_segments(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery surface: the ONE SQL text below runs verbatim on
+# BOTH engines — the Spark side enters through spark.sql() so Catalyst's
+# subquery decorrelation (rewrite to aggregated joins) is what executes,
+# not a hand-written join. TPC-H Q17-flavored: rows with quantity below
+# half their part's average, via two correlated scalar subqueries kept in
+# exact integer arithmetic (2·qty·cnt < sum ⟺ qty < 0.5·avg) plus a
+# correlated EXISTS. TPC-H quantities are integral-valued doubles, so the
+# BIGINT casts are exact.
+# ---------------------------------------------------------------------------
+_CORR_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM {T} l1
+    WHERE 2 * CAST(l_quantity AS BIGINT) *
+            (SELECT COUNT(*) FROM {T} l2
+             WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM {T} l3
+             WHERE l3.l_partkey = l1.l_partkey)
+      AND EXISTS (SELECT 1 FROM {T} l4
+                  WHERE l4.l_partkey = l1.l_partkey
+                    AND l4.l_orderkey <> l1.l_orderkey)
+    GROUP BY l_returnflag
+"""
+
+
+@query(
+    "correlated_subquery_small_quantities",
+    _CORR_SQL.format(T="lineitem"),
+)
+def correlated_subquery_small_quantities(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "corr_lineitem_v"
+    )
+    return spark.sql(_CORR_SQL.format(T="corr_lineitem_v"))
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
@@ -5578,6 +5616,7 @@ _SCORING_PRIORITY = [
     "mad_outliers_value_by_type",
     "weighted_sample_docs_by_lang",
     "pit_scd2_order_segments",
+    "correlated_subquery_small_quantities",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
