@@ -5593,25 +5593,22 @@ def correlated_subquery_small_quantities(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
-# policy, round 4 (EVIDENCE-FIRST, same rule as round 3): (a) this round's
-# new queries — never scored anywhere; (b) the round-3 priority block whose
-# only possible green rows are in CORRECTNESS_r03 (r1/r2 have them red or
-# absent — re-proving them is cheap insurance against that artifact being
-# incomplete); (c) queries whose newest green row is ROUND 1 (two rounds
-# stale); (d) queries whose newest green row is round 2, red-in-r2 first;
-# (e) everything else in registration order, pure variants of proven
-# operators dead last. Reordering only — the key sets are untouched.
+# policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
+# scored queries lead, but CHEAP ones first — a sub-second relational row
+# and a 15-second trainer row are worth the same to coverage, so the
+# expensive never-scored queries (BPE trainer gates, PageRank, streaming
+# availableNow runs) sit AFTER the cheap never-scored block rather than
+# crowding ~10 rows out of the window. Then: (b) the ts-regression block
+# whose only green rows can be this round's; (c) stalest-green; (d)
+# red-in-r2-first; (e) registration order, pure variants dead last.
+# Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    # (a) round-4 retrieval + relational-coverage + semantic-dedup +
-    # C4-cleaning tier, never scored
+    # (a1) never scored, CHEAP (sub-second to low-second engine time)
     "c4_cleaned_documents",
     "c4_sentence_span_dedup",
     "hll_sketch_rollup_users",
     "scd2_customer_history",
-    "pagerank_copurchase_parts",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
     "weighted_sample_docs_by_lang",
@@ -5624,13 +5621,10 @@ _SCORING_PRIORITY = [
     "incremental_semantic_dedup_survivors",
     "dsir_importance_weights",
     "dsir_resampled_documents",
-    "quality_classifier_gate",
-    "pq_ann_recall",
     "packed_sequence_texts",
     "media_decode_gate",
     "mixture_upsampled_counts",
     "contamination_report_pairs",
-    "modern_training_corpus",
     "inverted_index_terms",
     "tfidf_topk_docs",
     "bm25_topk_docs",
@@ -5656,6 +5650,15 @@ _SCORING_PRIORITY = [
     "merge_upsert_customers",
     "snapshot_diff_customers",
     "curated_training_corpus",
+    # (a2) never scored, EXPENSIVE (trainers / iterative / capstone) —
+    # after the cheap coverage rows so a 15s trainer can't displace ten
+    # sub-second proofs, before streaming (the costliest per row)
+    "quality_classifier_gate",
+    "pq_ann_recall",
+    "modern_training_corpus",
+    "pagerank_copurchase_parts",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
     "stream_quality_violations",     # never scored r1/r2 — streaming
     "stream_dedup_user_event_types",
     "stream_stream_click_purchase_pairs",
