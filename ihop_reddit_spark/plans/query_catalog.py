@@ -5591,6 +5591,131 @@ def correlated_subquery_small_quantities(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid search (RAG-style): BM25 lexical ranking fused with exact-cosine
+# vector ranking by reciprocal-rank fusion. RRF contributions are exact
+# integers (1e6 div (60 + rank)), so the fused ranking is hash-exact;
+# both component rankings already have hash-green oracles
+# (bm25_topk_docs, knn_bruteforce_cosine) — this composes their CTE
+# chains and adds the fusion.
+# ---------------------------------------------------------------------------
+@query(
+    "hybrid_search_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    m AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'fast', 'vector')
+      GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+               AS avgdl
+      FROM dl),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY term),
+    idf AS (
+      SELECT term,
+             ln(1.0e0 + (stats.n_docs - df + 0.5e0) / (df + 0.5e0)) AS idf,
+             stats.avgdl AS avgdl
+      FROM dfq CROSS JOIN stats),
+    contrib AS (
+      SELECT m.doc_id,
+             idf.idf * (m.tf * 2.2e0)
+               / (m.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / idf.avgdl))
+               AS part
+      FROM m JOIN idf USING (term) JOIN dl ON m.doc_id = dl.doc_id),
+    bm AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(part AS DECIMAL(38,12))) AS DOUBLE), 4)
+               AS score
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 50),
+    lexr AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lrank
+      FROM bm),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+                 generate_subscripts(qv, 1) AS pos
+          FROM q),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT b.vec_id AS neighbor_id,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS dotp
+      FROM e a JOIN e b ON a.pos = b.pos
+      WHERE a.vec_id = 0 AND b.vec_id <> 0
+      GROUP BY b.vec_id),
+    cosims AS (
+      SELECT neighbor_id, dotp / (na.nrm * nb.nrm) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = 0
+      JOIN norms nb ON nb.vec_id = neighbor_id),
+    vecr AS (
+      SELECT neighbor_id AS id,
+             row_number() OVER (ORDER BY cosine DESC, neighbor_id ASC)
+               AS vrank
+      FROM cosims ORDER BY vrank LIMIT 50),
+    fused AS (
+      SELECT COALESCE(l.id, v.id) AS id,
+             CAST(COALESCE(l.lrank, -1) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(v.vrank, -1) AS BIGINT) AS vec_rank,
+             CAST(COALESCE(1000000 // (60 + l.lrank), 0)
+                  + COALESCE(1000000 // (60 + v.vrank), 0) AS BIGINT)
+               AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+    SELECT id, lex_rank, vec_rank, rrf FROM fused
+    ORDER BY rrf DESC, id ASC LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from ..datapipe.retrieval import bm25_topk
+    from ..datapipe.similarity import brute_force_knn
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _PROBE_TERMS, 50)
+    lexr = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lrank"),
+    )
+    vec = brute_force_knn(emb, emb.where(F.col("vec_id") == 0), 50)
+    vecr = vec.select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("vrank")
+    )
+    fused = lexr.join(vecr, "id", "full_outer").select(
+        "id",
+        F.coalesce(F.col("lrank"), F.lit(-1)).cast("long")
+        .alias("lex_rank"),
+        F.coalesce(F.col("vrank"), F.lit(-1)).cast("long")
+        .alias("vec_rank"),
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + lrank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 div (60 + vrank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -5614,6 +5739,7 @@ _SCORING_PRIORITY = [
     "weighted_sample_docs_by_lang",
     "pit_scd2_order_segments",
     "correlated_subquery_small_quantities",
+    "hybrid_search_rrf",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
