@@ -1107,3 +1107,47 @@ def remove_duplicate_spans(
             .alias("n_removed_chars"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware duplicate-cluster canonicalization: resolve each
+    near-duplicate connected component to the member with the BEST
+    ``score`` (ties → lowest id) and drop the rest; rows in no cluster
+    survive untouched. "Keep the longest/cleanest copy" rather than the
+    arbitrary min-id canonical — what production corpus dedup actually
+    wants (boilerplate-stripped originals beat truncated mirrors).
+
+    ``score`` defaults to ``length(text)`` (keep-longest). The argmax is
+    a ``max(struct(score, -id))`` aggregate — map-side partial, so a
+    viral-boilerplate mega-cluster combines before the shuffle instead
+    of sorting in one task (same skew rule as the C4 span canonical).
+
+    Plan: components via :func:`duplicate_components_star` (O(log n)
+    rounds), then one component-keyed aggregate + one broadcast-sized
+    anti-join of the drop set against the corpus (drops ≤ cluster
+    members, which are pair-bounded — candidates come from banding, so
+    this is dimension-sized relative to the corpus).
+    """
+    if score is None:
+        score = F.length(F.col("text"))
+    comp = duplicate_components_star(pairs)
+    members = comp.join(
+        df.select(F.col(id_col), score.alias("__q")), id_col
+    )
+    best = members.groupBy("component_id").agg(
+        F.max(F.struct(F.col("__q"), (-F.col(id_col)).alias("__nid")))
+        .alias("__b")
+    ).select(
+        "component_id", (-F.col("__b.__nid")).alias("__best_id")
+    )
+    drops = (
+        members.join(best, "component_id")
+        .where(F.col(id_col) != F.col("__best_id"))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(drops), id_col, "left_anti")

@@ -5716,6 +5716,40 @@ def hybrid_search_rrf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware dedup canonicalization (datapipe/dedup.dedup_keep_best):
+# each near-dup component keeps its LONGEST member (ties → lowest id)
+# instead of the min-id canonical. Oracle reuses the recursive-CTE
+# closure ground truth + an independent window formulation of the argmax.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best_documents",
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)},
+    {_closure_ctes()},
+    comp AS (SELECT a AS doc_id, MIN(b) AS cid FROM reach GROUP BY a),
+    ranked AS (
+      SELECT c.cid, c.doc_id,
+             row_number() OVER (PARTITION BY c.cid
+                                ORDER BY d.n_chars DESC, c.doc_id ASC)
+               AS rn
+      FROM comp c JOIN documents d USING (doc_id)),
+    drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def dedup_keep_best_documents(spark, sf_dir):
+    from ..datapipe.dedup import dedup_keep_best, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    survivors = dedup_keep_best(
+        docs, pairs, "doc_id", score=F.col("n_chars")
+    )
+    return survivors.select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -5740,6 +5774,7 @@ _SCORING_PRIORITY = [
     "pit_scd2_order_segments",
     "correlated_subquery_small_quantities",
     "hybrid_search_rrf",
+    "dedup_keep_best_documents",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

@@ -542,3 +542,30 @@ def test_pq_index_round_trip(spark, tmp_path):
     cells = [0, 1]
     pruned, _ = read_pq_index(spark, path, cells=cells)
     assert {r["centroid_id"] for r in pruned.collect()} <= set(cells)
+
+
+def test_dedup_keep_best_keeps_best_scored_member(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the long version of it", 22),   # best in {1,2,3}
+            (3, "longish one", 11),
+            (4, "singleton untouched", 19),
+            (5, "tie a", 5), (6, "tie b", 5),    # tie → lowest id (5)
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["left_id", "right_id"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(
+            docs, pairs, "doc_id", score=F.col("n_chars")
+        ).collect()
+    )
+    assert got == [2, 4, 5]
