@@ -5750,6 +5750,95 @@ def dedup_keep_best_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention matrix: users grouped by first-seen week, tracked by
+# week offset — the standard product-analytics workload. Two aggregations
+# + one user-grain join, all exact integers. The per-user first-week
+# frame partial-aggregates map-side; the join is user-keyed (the same
+# shuffle the per-user agg already made — Catalyst reuses the hash
+# partitioning).
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+      FROM events),
+    firstw AS (SELECT user_id, MIN(w) AS cohort_w FROM wk GROUP BY user_id)
+    SELECT f.cohort_w AS cohort_week,
+           CAST(e.w - f.cohort_w AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM wk e JOIN firstw f ON e.user_id = f.user_id
+    GROUP BY f.cohort_w, e.w - f.cohort_w
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", (ts_epoch_seconds(ev) / 604800).cast("long").alias("w")
+    )
+    firstw = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        wk.join(firstw, "user_id")
+        .groupBy(
+            F.col("cohort_w").alias("cohort_week"),
+            (F.col("w") - F.col("cohort_w")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_week",
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("active_users").cast("long").alias("active_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymous release (privacy-preserving aggregate): publish per-group
+# stats ONLY for groups backed by ≥ k distinct users; smaller groups are
+# suppressed entirely. Exact decimal sums; one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymous_event_stats",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    HAVING COUNT(DISTINCT user_id) >= 5
+    """,
+)
+def k_anonymous_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (ts_epoch_seconds(ev) / 86400).cast("long").alias("day"),
+            "user_id",
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            decimal_sum(F.col("value"), 38, 6).cast("double")
+            .alias("sum_value"),
+        )
+        .where(F.col("n_users") >= 5)
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -5775,6 +5864,8 @@ _SCORING_PRIORITY = [
     "correlated_subquery_small_quantities",
     "hybrid_search_rrf",
     "dedup_keep_best_documents",
+    "cohort_retention_weekly",
+    "k_anonymous_event_stats",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
