@@ -5839,6 +5839,38 @@ def k_anonymous_event_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance (streaming/dimensions.py): the dimension
+# delta arrives as micro-batches; foreachBatch MERGEs each into the
+# history snapshot chain. The final history must equal the batch
+# scd2_apply on the same delta — same oracle paths minus the new-key
+# fixture (the stream replays the change delta only).
+# ---------------------------------------------------------------------------
+@query(
+    "stream_scd2_customer_history",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(100 AS BIGINT) AS valid_to, false AS is_current
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 'VIP' AS c_mktsegment, c_acctbal,
+           CAST(100 AS BIGINT), CAST(9999999999 AS BIGINT), true
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(0 AS BIGINT), CAST(9999999999 AS BIGINT), true
+    FROM base WHERE c_custkey % 10 <> 0
+    """,
+)
+def stream_scd2_customer_history(spark, sf_dir):
+    from ..streaming.dimensions import scd2_customer_stream
+
+    return scd2_customer_stream(spark, sf_dir, eff=100)
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -5917,6 +5949,7 @@ _SCORING_PRIORITY = [
     "stream_static_enriched_counts",
     "stream_windowed_approx_users",
     "stream_semantic_dedup_survivors",
+    "stream_scd2_customer_history",
     "c2v_planted_analogy_gate",      # round-3 thresholdable gates
     "ivf_ann_recall",
     "kmeans_quality_metrics",

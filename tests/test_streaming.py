@@ -241,3 +241,27 @@ def test_semantic_dedup_stream_matches_batch_incremental(spark):
         ).collect()
     }
     assert streamed == batch and batch
+
+
+def test_scd2_stream_matches_batch_apply(spark, tmp_path):
+    from ihop_reddit_spark.operators.setops import scd2_apply, scd2_init
+    from ihop_reddit_spark.streaming.dimensions import scd2_customer_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = scd2_customer_stream(
+        spark, sf_dir, eff=100, work_dir=str(tmp_path / "scd2")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hist = scd2_init(
+        cust, ["c_custkey"], ["c_mktsegment", "c_acctbal"], valid_from=0
+    )
+    delta = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("VIP").alias("c_mktsegment"), "c_acctbal"
+    )
+    want = scd2_apply(
+        hist, delta, ["c_custkey"], ["c_mktsegment", "c_acctbal"], eff=100
+    )
+    key = lambda r: (r["c_custkey"], r["valid_from"])
+    a = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b
