@@ -229,3 +229,34 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
         (r.id, r.part): r.v for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_zstjsonl_datasource_parallel_read(spark, tmp_path):
+    import pyarrow as pa
+
+    from ihop_reddit_spark.sources.zst_datasource import ZstJsonlDataSource
+
+    spark.dataSource.register(ZstJsonlDataSource)
+    rows1 = b'{"id": 1, "body": "hello"}\n{"id": 2, "body": "world"}\n'
+    rows2 = b'{"id": 3, "body": "third"}\nnot json at all\n'
+    d = tmp_path / "dumps"
+    d.mkdir()
+    for name, payload in (("a.zst", rows1), ("b.zst", rows2)):
+        with pa.output_stream(str(d / name), compression="zstd") as out:
+            out.write(payload)
+
+    df = (
+        spark.read.format("zstjsonl")
+        .schema("id long, body string, _corrupt_record string")
+        .option("path", str(d))
+        .load()
+    )
+    # one task per .zst file
+    assert df.rdd.getNumPartitions() == 2
+    got = sorted(
+        [(r["id"], r["body"], r["_corrupt_record"]) for r in df.collect()],
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got[:3] == [(1, "hello", None), (2, "world", None),
+                       (3, "third", None)]
+    assert got[3][0] is None and "not json" in got[3][2]
