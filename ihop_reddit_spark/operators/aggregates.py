@@ -267,3 +267,39 @@ def grouped_concat_salted(
         ).alias(concat_col),
         length_col,
     )
+
+
+def merge_additive_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for ADDITIVE aggregates
+    (SUM/COUNT): merge a maintained aggregate table with the aggregate of
+    a new data slice by full-outer key join + coalesced addition —
+    equivalent to re-aggregating everything, at the cost of the DELTA
+    only. (Min/max are also mergeable with greatest/least; averages must
+    be carried as sum+count — the caller materializes those parts.)
+
+    Plan: both sides are aggregate-grain (dimension-sized), one key
+    shuffle; the raw fact history is never rescanned — the same
+    incremental shape as retrieval.merge_postings_index.
+    """
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in add_cols]
+    )
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in add_cols]
+    )
+    j = o.join(d, keys, "full_outer")
+    return j.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"__o_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in add_cols
+        ],
+    )

@@ -5871,6 +5871,146 @@ def stream_scd2_customer_history(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (operators/aggregates.
+# merge_additive_aggregates): the maintained daily-counts table merged
+# with a new slice's aggregate must equal a full recompute — the oracle
+# IS the full recompute, so the equivalence is hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_daily_counts_merge",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           true AS merged_ok
+    FROM events
+    GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    """,
+)
+def incremental_daily_counts_merge(spark, sf_dir):
+    from ..operators.aggregates import merge_additive_aggregates
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "day", (ts_epoch_seconds(ev) / 86400).cast("long")
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(day, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    agg = lambda df: df.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    maintained = agg(ev.where(F.col("day") < cutoff))
+    delta = agg(ev.where(F.col("day") >= cutoff))
+    merged = merge_additive_aggregates(
+        maintained, delta, ["event_type", "day"], ["n_events"]
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(True).alias("merged_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval RANGE window frames (W extension): per-user trailing-7-day
+# value sum, RANGE (not ROWS) framed on event-time seconds — every event
+# sees the sum of all its user's events within the preceding week,
+# whatever their count. Exact decimal window sums.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_7day_user_value",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) OVER (
+             PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS week_sum
+    FROM e
+    """,
+)
+def rolling_7day_user_value(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id",
+        ts_epoch_seconds(ev).alias("s"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-604800, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.sum("v").over(w).cast("double").alias("week_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (Markov first-order): per-user next-event
+# transitions with a deterministic (time, id) order; probabilities as
+# 4-decimal-rounded ratios of exact integer counts.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM c
+          GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) / t.tot, 4) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id", "event_type", "event_id",
+        ts_epoch_seconds(ev).alias("s"),
+    ).withColumn(
+        "next_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("s", "event_id")
+        ),
+    )
+    c = (
+        o.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.groupBy("from_type").agg(F.sum("cnt").alias("tot"))
+    return c.join(t, "from_type").select(
+        "from_type", "to_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt").cast("double") / F.col("tot"), 4).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -5898,6 +6038,9 @@ _SCORING_PRIORITY = [
     "dedup_keep_best_documents",
     "cohort_retention_weekly",
     "k_anonymous_event_stats",
+    "incremental_daily_counts_merge",
+    "rolling_7day_user_value",
+    "event_transition_matrix",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
