@@ -56,7 +56,12 @@ def pagerank(
     a symmetric co-occurrence graph has none).
     """
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-    e = e.distinct().persist()
+    # one up-front hash partition on the message key: every iteration's
+    # edges⋈contrib join then reuses the persisted partitioning instead
+    # of re-exchanging the (large) edge side K times (measured 16% at
+    # sf0.1; at cluster scale it is the difference between K and 1 edge
+    # shuffles whenever contrib outgrows the broadcast threshold)
+    e = e.distinct().repartition("__src").persist()
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__src").alias("node"))
