@@ -6011,6 +6011,68 @@ def event_transition_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus datasheet ("data card"): the per-source summary a dataset
+# release ships — volume, token budget, language mix, exact-dup rate —
+# in ONE pass over documents plus the dup-group aggregate. Every number
+# exact; one row per source.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_datasheet_by_source",
+    """
+    WITH toks AS (
+      SELECT source, lang, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(text) AS fp
+      FROM documents),
+    dup AS (
+      SELECT source, fp, COUNT(*) AS c FROM toks GROUP BY source, fp)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(t.n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(t.n_toks) AS BIGINT) AS max_tokens,
+           CAST(COUNT(DISTINCT t.lang) AS BIGINT) AS n_langs,
+           CAST((SELECT SUM(c - 1) FROM dup d
+                 WHERE d.source = t.source AND d.c > 1) AS BIGINT)
+             AS n_exact_dups
+    FROM toks t GROUP BY t.source
+    """,
+)
+def corpus_datasheet_by_source(spark, sf_dir):
+    from ..functions.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "lang", "doc_id",
+        token_count(F.col("text")).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    dup = (
+        toks.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).alias("n_exact_dups"))
+    )
+    stats = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return stats.join(dup, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6041,6 +6103,7 @@ _SCORING_PRIORITY = [
     "incremental_daily_counts_merge",
     "rolling_7day_user_value",
     "event_transition_matrix",
+    "corpus_datasheet_by_source",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",
