@@ -214,6 +214,74 @@ def _cmd_dsir(args) -> None:
     write_parquet(out, args.output)
 
 
+
+def _cmd_c4_clean(args) -> None:
+    from .datapipe.cleaning import c4_clean, sentence_span_dedup
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    cleaned = c4_clean(
+        df, args.text_col, args.id_col,
+        min_words_per_line=args.min_words,
+        min_lines=args.min_lines,
+    )
+    if args.span_dedup:
+        cleaned = sentence_span_dedup(
+            cleaned.withColumnRenamed("cleaned_text", args.text_col),
+            args.text_col, args.id_col,
+        )
+    write_parquet(cleaned, args.output)
+
+
+def _cmd_train_bpe(args) -> None:
+    from .ml.bpe import bpe_encode, train_bpe
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    merges = train_bpe(df, args.text_col, num_merges=args.merges)
+    mdf = spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+    write_parquet(mdf, args.output)
+    if args.encode_output:
+        write_parquet(
+            bpe_encode(df, args.text_col, merges), args.encode_output
+        )
+
+
+def _cmd_pagerank(args) -> None:
+    from .operators.graph import pagerank
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    edges = spark.read.parquet(args.input)
+    write_parquet(
+        pagerank(edges, args.src_col, args.dst_col,
+                 iterations=args.iterations),
+        args.output,
+    )
+
+
+def _cmd_scd2_apply(args) -> None:
+    from .operators.setops import scd2_apply, scd2_init
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    keys = args.keys.split(",")
+    tracked = args.tracked.split(",")
+    delta = spark.read.parquet(args.delta)
+    if args.init:
+        hist = scd2_init(spark.read.parquet(args.history), keys, tracked)
+    else:
+        hist = spark.read.parquet(args.history)
+    write_parquet(
+        scd2_apply(hist, delta, keys, tracked, eff=args.eff), args.output
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ihop_reddit_spark")
     p.add_argument("--master", default=None, help="Spark master (default: local)")
@@ -320,6 +388,50 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--sample-k", type=int, default=None,
                     help="resample this many docs (default: write weights)")
     ds.set_defaults(func=_cmd_dsir)
+
+    c4 = sub.add_parser(
+        "c4-clean", help="C4 line/page cleaning (+ optional span dedup)"
+    )
+    c4.add_argument("--input", required=True)
+    c4.add_argument("--output", required=True)
+    c4.add_argument("--text-col", default="text")
+    c4.add_argument("--id-col", default="doc_id")
+    c4.add_argument("--min-words", type=int, default=3)
+    c4.add_argument("--min-lines", type=int, default=3)
+    c4.add_argument("--span-dedup", action="store_true",
+                    help="also run 3-sentence-span cross-corpus dedup")
+    c4.set_defaults(func=_cmd_c4_clean)
+
+    bp = sub.add_parser("train-bpe", help="train a BPE merge table")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--output", required=True, help="merge-table parquet")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--encode-output", default=None,
+                    help="also tokenize the corpus to this path")
+    bp.set_defaults(func=_cmd_train_bpe)
+
+    pr = sub.add_parser("pagerank", help="integer-unit PageRank over an edge table")
+    pr.add_argument("--input", required=True, help="edge parquet")
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--src-col", default="src")
+    pr.add_argument("--dst-col", default="dst")
+    pr.add_argument("--iterations", type=int, default=5)
+    pr.set_defaults(func=_cmd_pagerank)
+
+    s2 = sub.add_parser("scd2-apply", help="merge a delta into an SCD2 history")
+    s2.add_argument("--history", required=True,
+                    help="history parquet (or snapshot with --init)")
+    s2.add_argument("--delta", required=True)
+    s2.add_argument("--output", required=True)
+    s2.add_argument("--keys", required=True, help="comma-separated key cols")
+    s2.add_argument("--tracked", required=True,
+                    help="comma-separated tracked cols")
+    s2.add_argument("--eff", type=int, required=True,
+                    help="effective time (epoch seconds)")
+    s2.add_argument("--init", action="store_true",
+                    help="treat --history as a plain snapshot to seed")
+    s2.set_defaults(func=_cmd_scd2_apply)
     return p
 
 

@@ -147,3 +147,48 @@ def test_cli_semantic_dedup_winnow_dsir(spark, tmp_path):
     w = spark.read.parquet(ds_out)
     # target == corpus -> every weight exactly 0 (p-hat == q-hat)
     assert w.where("weight != 0.0").count() == 0
+
+
+def test_cli_round5_commands(spark, tmp_path):
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+
+    bpe_out = str(tmp_path / "bpe")
+    main(["train-bpe", "--input", docs_src, "--output", bpe_out,
+          "--merges", "5"])
+    merges = spark.read.parquet(bpe_out)
+    assert merges.count() == 5
+    assert set(merges.columns) == {"rank", "left", "right", "pair_count"}
+
+    # pagerank over a tiny hand-built edge table
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    pr_out = str(tmp_path / "pr")
+    main(["pagerank", "--input", epath, "--output", pr_out,
+          "--iterations", "2"])
+    ranks = spark.read.parquet(pr_out)
+    assert ranks.count() == 3 and "rank_units" in ranks.columns
+
+    # scd2-apply with --init from a snapshot
+    snap = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "seg"])
+    spath = str(tmp_path / "snap")
+    snap.write.parquet(spath)
+    delta = spark.createDataFrame([(1, "A2")], ["k", "seg"])
+    dpath = str(tmp_path / "delta")
+    delta.write.parquet(dpath)
+    h_out = str(tmp_path / "hist")
+    main(["scd2-apply", "--history", spath, "--delta", dpath,
+          "--output", h_out, "--keys", "k", "--tracked", "seg",
+          "--eff", "50", "--init"])
+    hist = spark.read.parquet(h_out)
+    assert hist.count() == 3  # closed + reopened + untouched
+
+    # c4-clean end-to-end (plain docs have no terminal punct -> the
+    # survivors set may be empty; the command must still write a frame)
+    c4_out = str(tmp_path / "c4")
+    main(["c4-clean", "--input", docs_src, "--output", c4_out,
+          "--min-lines", "0"])
+    cleaned = spark.read.parquet(c4_out)
+    assert "cleaned_text" in cleaned.columns
