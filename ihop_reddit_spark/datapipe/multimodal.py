@@ -527,3 +527,120 @@ def bmp_feature_stats(assets: DataFrame) -> DataFrame:
         "asset_id long, width long, height long,"
         " mean_r double, mean_g double, mean_b double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash) + near-duplicate pairs — image dedup
+# through the REAL codec path. The planted pattern is a closed form an
+# SQL oracle can derive WITHOUT decoding, while the engine must arrive at
+# the same bits through encode→parse→luma→block-threshold.
+# ---------------------------------------------------------------------------
+def _block_white(i: int, bx: int, by: int) -> bool:
+    """Planted 8×8 block pattern: deterministic, closed-form,
+    SQL-reproducible."""
+    return (i * 7 + bx * 3 + by * 5) % 11 < 5
+
+
+def synthesize_block_bmp_assets(
+    df: DataFrame, id_col: str = "doc_id", *, dup_offset: int = 100_000
+) -> DataFrame:
+    """Real 32×32 BMP per id (8×8 blocks of 4×4 px, each solid white or
+    black by :func:`_block_white`) PLUS a perturbed near-duplicate at
+    ``id + dup_offset`` whose (0,0) block is forced white — so the
+    planted aHash hamming between an image and its dup is exactly
+    ``0 if _block_white(i,0,0) else 1``."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                for offset, force00 in ((0, False), (dup_offset, True)):
+                    px = np.zeros((32, 32, 3), dtype=np.uint8)
+                    for by in range(8):
+                        for bx in range(8):
+                            white = _block_white(i, bx, by) or (
+                                force00 and bx == 0 and by == 0
+                            )
+                            if white:
+                                px[
+                                    by * 4 : by * 4 + 4,
+                                    bx * 4 : bx * 4 + 4,
+                                ] = 255
+                    rows.append((i + offset, bmp_bytes(px)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def image_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
+    """Average-hash over the real BMP parser: integer luma
+    ``(299r + 587g + 114b) // 1000`` per pixel, ``blocks×blocks`` block
+    sums, bit = (block mean >= global mean) compared in EXACT integers
+    (``bsum·npix >= total·bpix`` — no float mean). Returns
+    ``(asset_id, bits array<boolean>)`` in row-major block order.
+    Row-local mapInPandas; zero shuffle."""
+    import pandas as pd
+
+    def hash_batch(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = decode_bmp(bytes(row["payload"])).astype("int64")
+                luma = (
+                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                ) // 1000
+                h, w = luma.shape
+                bh, bw = h // blocks, w // blocks
+                total = int(luma.sum())
+                npix = h * w
+                bpix = bh * bw
+                bits = []
+                for by in range(blocks):
+                    for bx in range(blocks):
+                        bsum = int(
+                            luma[
+                                by * bh : (by + 1) * bh,
+                                bx * bw : (bx + 1) * bw,
+                            ].sum()
+                        )
+                        bits.append(bsum * npix >= total * bpix)
+                rows.append((row["asset_id"], bits))
+            yield pd.DataFrame(rows, columns=["asset_id", "bits"])
+
+    return assets.mapInPandas(
+        hash_batch, "asset_id long, bits array<boolean>"
+    )
+
+
+def ahash_hamming(pairs: DataFrame, hashes: DataFrame) -> DataFrame:
+    """Hamming distance for CANDIDATE pairs: ``pairs(left_id, right_id)``
+    joined twice against ``hashes(asset_id, bits)``; the distance is a
+    row-local ``zip_with``+``filter``. Candidates come from banding/LSH
+    (or planted structure in tests) — never all-pairs; the two keyed
+    joins are the only shuffles."""
+    a = hashes.select(
+        F.col("asset_id").alias("left_id"), F.col("bits").alias("__a")
+    )
+    b = hashes.select(
+        F.col("asset_id").alias("right_id"), F.col("bits").alias("__b")
+    )
+    return (
+        pairs.join(a, "left_id").join(b, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("__a"), F.col("__b"), lambda x, y: x != y
+                    ),
+                    lambda v: v,
+                )
+            ).cast("long").alias("hamming"),
+        )
+    )

@@ -6073,6 +6073,70 @@ def corpus_datasheet_by_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image dedup (datapipe/multimodal.image_ahash): aHash through
+# the REAL BMP codec — encode → parse → integer luma → block threshold —
+# while the oracle derives the expected bits straight from the planted
+# block pattern's closed form, never touching bytes. A genuine
+# cross-representation differential: any codec/luma/threshold slip
+# changes the hamming distances and fails the hash gate.
+# ---------------------------------------------------------------------------
+@query(
+    "image_ahash_pairs",
+    """
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+    g AS (SELECT i, unnest(range(0, 8)) AS bx FROM ids),
+    gb AS (SELECT i, bx, unnest(range(0, 8)) AS by FROM g),
+    pat AS (SELECT i, bx, by,
+                   ((i*7 + bx*3 + by*5) % 11) < 5 AS w
+            FROM gb),
+    dup_h AS (
+      SELECT i, CAST(SUM(CASE WHEN bx = 0 AND by = 0 AND NOT w
+                              THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM pat GROUP BY i),
+    next_h AS (
+      SELECT a.i,
+             CAST(SUM(CASE WHEN a.w <> b.w THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM pat a JOIN pat b
+        ON a.bx = b.bx AND a.by = b.by AND b.i = a.i + 1
+      WHERE a.i < 39 GROUP BY a.i)
+    SELECT i AS left_id, i + 100000 AS right_id,
+           'dup' AS pair_type, hamming FROM dup_h
+    UNION ALL
+    SELECT i, i + 1, 'next', hamming FROM next_h
+    """,
+)
+def image_ahash_pairs(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        ahash_hamming,
+        image_ahash,
+        synthesize_block_bmp_assets,
+    )
+
+    base = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+    hashes = image_ahash(synthesize_block_bmp_assets(base))
+    dup_pairs = base.select(
+        F.col("doc_id").alias("left_id"),
+        (F.col("doc_id") + 100000).alias("right_id"),
+    )
+    next_pairs = base.where(F.col("doc_id") < 39).select(
+        F.col("doc_id").alias("left_id"),
+        (F.col("doc_id") + 1).alias("right_id"),
+    )
+    out = ahash_hamming(dup_pairs.unionByName(next_pairs), hashes)
+    return out.select(
+        "left_id",
+        "right_id",
+        F.when(
+            F.col("right_id") - F.col("left_id") == 100000, "dup"
+        ).otherwise("next").alias("pair_type"),
+        "hamming",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6104,6 +6168,7 @@ _SCORING_PRIORITY = [
     "rolling_7day_user_value",
     "event_transition_matrix",
     "corpus_datasheet_by_source",
+    "image_ahash_pairs",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

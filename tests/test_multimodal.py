@@ -190,3 +190,33 @@ def test_bmp_round_trip_and_planted_colors(spark):
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
             float((37 * i) % 256), float((59 * i) % 256), float((83 * i) % 256)
         )
+
+
+def test_image_ahash_through_real_codec(spark):
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _block_white,
+        ahash_hamming,
+        image_ahash,
+        synthesize_block_bmp_assets,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    hashes = image_ahash(synthesize_block_bmp_assets(base))
+    got = {r["asset_id"]: r["bits"] for r in hashes.collect()}
+    # engine bits (via encode->decode->luma->threshold) == planted pattern
+    for i in range(6):
+        expected = [
+            _block_white(i, bx, by) for by in range(8) for bx in range(8)
+        ]
+        assert got[i] == expected
+        # the near-dup differs only in the forced-white (0,0) block
+        diff = [a != b for a, b in zip(got[i], got[i + 100_000])]
+        assert sum(diff) == (0 if _block_white(i, 0, 0) else 1)
+
+    # hamming operator: self-distance 0
+    pairs = base.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("doc_id").alias("right_id"),
+    )
+    out = ahash_hamming(pairs, hashes)
+    assert all(r["hamming"] == 0 for r in out.collect())
