@@ -644,3 +644,81 @@ def ahash_hamming(pairs: DataFrame, hashes: DataFrame) -> DataFrame:
             ).cast("long").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the WAV twin of the aHash tier: a loud/quiet
+# energy-envelope hash through the REAL PCM16 codec, with the planted
+# pattern derivable in closed form by an SQL oracle.
+# ---------------------------------------------------------------------------
+def _segment_loud(i: int, s: int) -> bool:
+    """Planted 64-segment envelope pattern (13 ⊥ 17 ⇒ every id gets a
+    non-degenerate mix of loud and quiet segments)."""
+    return (i * 7 + s * 13) % 17 < 8
+
+
+def synthesize_envelope_wav_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    segments: int = 64,
+    seg_samples: int = 125,
+    dup_offset: int = 100_000,
+) -> DataFrame:
+    """Real PCM16 WAV per id: a square wave whose amplitude per segment
+    is 16384 (loud) or 1024 (quiet) by :func:`_segment_loud`, PLUS a
+    near-duplicate at ``id + dup_offset`` with segment 0 forced loud.
+    Amplitudes are exact under the encode→decode round-trip (a/32767
+    encodes back to integer a), so segment energies are exact integers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        sign = np.where(np.arange(seg_samples) % 2 == 0, 1.0, -1.0)
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                for offset, force0 in ((0, False), (dup_offset, True)):
+                    segs = []
+                    for s in range(segments):
+                        loud = _segment_loud(i, s) or (force0 and s == 0)
+                        amp = (16384 if loud else 1024) / 32767.0
+                        segs.append(amp * sign)
+                    rows.append(
+                        (i + offset, wav_bytes(np.concatenate(segs), 8000))
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def audio_envelope_hash(assets: DataFrame, segments: int = 64) -> DataFrame:
+    """Energy-envelope hash via the real WAV parser: recover the integer
+    PCM samples, sum squared amplitudes per segment, bit = (segment
+    energy >= global mean energy) in EXACT integer arithmetic
+    (``e_s · nseg >= total``). Returns ``(asset_id, bits)`` — the same
+    shape :func:`ahash_hamming` consumes, so image and audio near-dup
+    share one distance operator. Row-local; zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def hash_batch(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                _rate, samples = decode_wav(bytes(row["payload"]))
+                ints = np.rint(samples * 32767.0).astype(np.int64)
+                n = len(ints) // segments * segments
+                e = (ints[:n] ** 2).reshape(segments, -1).sum(axis=1)
+                total = int(e.sum())
+                bits = [int(x) * segments >= total for x in e]
+                rows.append((row["asset_id"], bits))
+            yield pd.DataFrame(rows, columns=["asset_id", "bits"])
+
+    return assets.mapInPandas(
+        hash_batch, "asset_id long, bits array<boolean>"
+    )

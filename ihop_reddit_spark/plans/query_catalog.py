@@ -6137,6 +6137,64 @@ def image_ahash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Audio near-dup (datapipe/multimodal.audio_envelope_hash): the WAV twin
+# of image_ahash_pairs — loud/quiet energy envelope through the REAL
+# PCM16 codec vs the oracle's closed-form pattern derivation. The two
+# modalities share ahash_hamming for the distance.
+# ---------------------------------------------------------------------------
+@query(
+    "audio_envelope_pairs",
+    """
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+    g AS (SELECT i, unnest(range(0, 64)) AS s FROM ids),
+    pat AS (SELECT i, s, ((i*7 + s*13) % 17) < 8 AS loud FROM g),
+    dup_h AS (
+      SELECT i, CAST(SUM(CASE WHEN s = 0 AND NOT loud
+                              THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM pat GROUP BY i),
+    next_h AS (
+      SELECT a.i,
+             CAST(SUM(CASE WHEN a.loud <> b.loud THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hamming
+      FROM pat a JOIN pat b ON a.s = b.s AND b.i = a.i + 1
+      WHERE a.i < 39 GROUP BY a.i)
+    SELECT i AS left_id, i + 100000 AS right_id,
+           'dup' AS pair_type, hamming FROM dup_h
+    UNION ALL
+    SELECT i, i + 1, 'next', hamming FROM next_h
+    """,
+)
+def audio_envelope_pairs(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        ahash_hamming,
+        audio_envelope_hash,
+        synthesize_envelope_wav_assets,
+    )
+
+    base = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+    hashes = audio_envelope_hash(synthesize_envelope_wav_assets(base))
+    dup_pairs = base.select(
+        F.col("doc_id").alias("left_id"),
+        (F.col("doc_id") + 100000).alias("right_id"),
+    )
+    next_pairs = base.where(F.col("doc_id") < 39).select(
+        F.col("doc_id").alias("left_id"),
+        (F.col("doc_id") + 1).alias("right_id"),
+    )
+    out = ahash_hamming(dup_pairs.unionByName(next_pairs), hashes)
+    return out.select(
+        "left_id",
+        "right_id",
+        F.when(
+            F.col("right_id") - F.col("left_id") == 100000, "dup"
+        ).otherwise("next").alias("pair_type"),
+        "hamming",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6169,6 +6227,7 @@ _SCORING_PRIORITY = [
     "event_transition_matrix",
     "corpus_datasheet_by_source",
     "image_ahash_pairs",
+    "audio_envelope_pairs",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

@@ -220,3 +220,24 @@ def test_image_ahash_through_real_codec(spark):
     )
     out = ahash_hamming(pairs, hashes)
     assert all(r["hamming"] == 0 for r in out.collect())
+
+
+def test_audio_envelope_hash_through_real_codec(spark):
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _segment_loud,
+        audio_envelope_hash,
+        synthesize_envelope_wav_assets,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    hashes = audio_envelope_hash(
+        synthesize_envelope_wav_assets(base)
+    )
+    got = {r["asset_id"]: r["bits"] for r in hashes.collect()}
+    for i in range(4):
+        expected = [_segment_loud(i, s) for s in range(64)]
+        assert got[i] == expected
+        diff = sum(
+            a != b for a, b in zip(got[i], got[i + 100_000])
+        )
+        assert diff == (0 if _segment_loud(i, 0) else 1)
