@@ -722,3 +722,80 @@ def audio_envelope_hash(assets: DataFrame, segments: int = 64) -> DataFrame:
     return assets.mapInPandas(
         hash_batch, "asset_id long, bits array<boolean>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: fixed-size-frame container sliced JVM-side, per-frame
+# aHash through the real BMP codec. Completes the modality triple
+# (text winnowing / image aHash / audio envelope / video frame-hash).
+# ---------------------------------------------------------------------------
+#: bytes of one 32×32×24 BMP frame (54-byte header + 32 rows × 96 bytes)
+VIDEO_FRAME_BYTES = 3126
+
+
+def _video_block_white(i: int, f: int, bx: int, by: int) -> bool:
+    """Planted per-frame block pattern (closed-form, SQL-derivable)."""
+    return (i * 7 + f * 19 + bx * 3 + by * 5) % 11 < 5
+
+
+def synthesize_block_video_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    frames: int = 8,
+    dup_offset: int = 100_000,
+) -> DataFrame:
+    """Real "video" per id: ``frames`` concatenated 32×32 BMPs patterned
+    by :func:`_video_block_white`, plus a near-duplicate at
+    ``id + dup_offset`` whose FIRST frame is replaced with all-white
+    (a bumper/intro swap — the classic video near-dup case)."""
+    import numpy as np
+    import pandas as pd
+
+    def frame_px(i: int, f: int, all_white: bool):
+        px = np.zeros((32, 32, 3), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(8):
+                if all_white or _video_block_white(i, f, bx, by):
+                    px[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = 255
+        return px
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                for offset, swap0 in ((0, False), (dup_offset, True)):
+                    payload = b"".join(
+                        bmp_bytes(frame_px(i, f, swap0 and f == 0))
+                        for f in range(frames)
+                    )
+                    rows.append((i + offset, payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        gen, "asset_id long, payload binary"
+    )
+
+
+def video_frames(
+    assets: DataFrame, frame_bytes: int = VIDEO_FRAME_BYTES
+) -> DataFrame:
+    """Slice fixed-size-frame containers into (asset_id, frame_index,
+    payload) rows ENTIRELY JVM-side (`sequence` + `explode` +
+    `substring` on the binary column) — a long video becomes many rows
+    spread across tasks BEFORE any Python decode stage, the partitioning
+    rule the module docstring mandates."""
+    n = (F.length("payload") / frame_bytes).cast("int")
+    return assets.select(
+        "asset_id",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_index"),
+        "payload",
+    ).select(
+        "asset_id",
+        "frame_index",
+        F.expr(
+            f"substring(payload, frame_index * {frame_bytes} + 1,"
+            f" {frame_bytes})"
+        ).alias("payload"),
+    )

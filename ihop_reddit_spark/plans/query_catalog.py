@@ -6195,6 +6195,97 @@ def audio_envelope_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Video near-dup (datapipe/multimodal.video_frames + image_ahash): frame
+# slicing is JVM-side (sequence/explode/substring on the binary column),
+# per-frame hashes ride the real BMP codec, and the video distance is
+# the summed per-frame hamming. The planted dup swaps frame 0 for an
+# all-white bumper — its hamming is the black-block count of the
+# original first frame, which the oracle derives in closed form.
+# ---------------------------------------------------------------------------
+@query(
+    "video_framehash_pairs",
+    """
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 20),
+    g AS (SELECT i, unnest(range(0, 8)) AS f FROM ids),
+    gb AS (SELECT i, f, unnest(range(0, 8)) AS bx FROM g),
+    gbb AS (SELECT i, f, bx, unnest(range(0, 8)) AS by FROM gb),
+    pat AS (SELECT i, f, bx, by,
+                   ((i*7 + f*19 + bx*3 + by*5) % 11) < 5 AS w
+            FROM gbb),
+    dup_h AS (
+      SELECT i, CAST(SUM(CASE WHEN f = 0 AND NOT w THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hamming
+      FROM pat GROUP BY i),
+    next_h AS (
+      SELECT a.i,
+             CAST(SUM(CASE WHEN a.w <> b.w THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM pat a JOIN pat b
+        ON a.f = b.f AND a.bx = b.bx AND a.by = b.by AND b.i = a.i + 1
+      WHERE a.i < 19 GROUP BY a.i)
+    SELECT i AS left_id, i + 100000 AS right_id,
+           'dup' AS pair_type, hamming FROM dup_h
+    UNION ALL
+    SELECT i, i + 1, 'next', hamming FROM next_h
+    """,
+)
+def video_framehash_pairs(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        ahash_hamming,
+        image_ahash,
+        synthesize_block_video_assets,
+        video_frames,
+    )
+
+    base = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 20
+    ).select("doc_id")
+    frames = video_frames(synthesize_block_video_assets(base))
+    # composite key (asset, frame) so the image hasher applies unchanged
+    fh = image_ahash(
+        frames.select(
+            (F.col("asset_id") * 100 + F.col("frame_index"))
+            .alias("asset_id"),
+            "payload",
+        )
+    )
+    dup_pairs = base.select(
+        F.col("doc_id").alias("l"),
+        (F.col("doc_id") + 100000).alias("r"),
+    )
+    next_pairs = base.where(F.col("doc_id") < 19).select(
+        F.col("doc_id").alias("l"), (F.col("doc_id") + 1).alias("r")
+    )
+    frame_pairs = (
+        dup_pairs.unionByName(next_pairs)
+        .select(
+            "l", "r",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("f"),
+        )
+        .select(
+            (F.col("l") * 100 + F.col("f")).alias("left_id"),
+            (F.col("r") * 100 + F.col("f")).alias("right_id"),
+        )
+    )
+    per_frame = ahash_hamming(frame_pairs, fh)
+    return (
+        per_frame.groupBy(
+            F.expr("left_id div 100").alias("left_id"),
+            F.expr("right_id div 100").alias("right_id"),
+        )
+        .agg(F.sum("hamming").alias("hamming"))
+        .select(
+            "left_id",
+            "right_id",
+            F.when(
+                F.col("right_id") - F.col("left_id") == 100000, "dup"
+            ).otherwise("next").alias("pair_type"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6228,6 +6319,7 @@ _SCORING_PRIORITY = [
     "corpus_datasheet_by_source",
     "image_ahash_pairs",
     "audio_envelope_pairs",
+    "video_framehash_pairs",
     "winnow_fingerprint_pairs",
     "duplicate_substring_spans",
     "span_deduped_documents",

@@ -241,3 +241,43 @@ def test_audio_envelope_hash_through_real_codec(spark):
             a != b for a, b in zip(got[i], got[i + 100_000])
         )
         assert diff == (0 if _segment_loud(i, 0) else 1)
+
+
+def test_video_frames_slice_jvm_side_and_decode(spark):
+    from ihop_reddit_spark.datapipe.multimodal import (
+        VIDEO_FRAME_BYTES,
+        _video_block_white,
+        decode_bmp,
+        image_ahash,
+        synthesize_block_video_assets,
+        video_frames,
+    )
+
+    base = spark.createDataFrame([(0,), (3,)], ["doc_id"])
+    assets = synthesize_block_video_assets(base, frames=4)
+    fr = video_frames(assets)
+    rows = fr.collect()
+    # 2 ids × (base + dup) × 4 frames
+    assert len(rows) == 16
+    assert all(len(bytes(r["payload"])) == VIDEO_FRAME_BYTES for r in rows)
+    # every sliced frame is an independently decodable BMP
+    px = decode_bmp(bytes(rows[0]["payload"]))
+    assert px.shape == (32, 32, 3)
+    # per-frame hash equals the planted pattern; dup's frame 0 all-white
+    fh = image_ahash(
+        fr.select(
+            (F.col("asset_id") * 100 + F.col("frame_index"))
+            .alias("asset_id"),
+            "payload",
+        )
+    )
+    got = {r["asset_id"]: r["bits"] for r in fh.collect()}
+    for i in (0, 3):
+        for f in range(4):
+            expected = [
+                _video_block_white(i, f, bx, by)
+                for by in range(8) for bx in range(8)
+            ]
+            assert got[i * 100 + f] == expected
+        assert all(got[(i + 100_000) * 100 + 0])  # all-white bumper
+        assert got[(i + 100_000) * 100 + 1] == got[i * 100 + 1]
