@@ -569,3 +569,22 @@ def test_dedup_keep_best_keeps_best_scored_member(spark):
         ).collect()
     )
     assert got == [2, 4, 5]
+
+
+def test_simhash_arrow_path_matches_catalyst_bits(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.dedup import simhash_signatures_arrow
+    from ihop_reddit_spark.functions.text import simhash64
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("__id"),
+        simhash64(F.col("text")).alias("__cat"),
+    )
+    b = simhash_signatures_arrow(docs, "text", "doc_id")
+    j = a.join(b, "__id")
+    assert j.where(F.col("__cat") != F.col("__sig")).count() == 0
+    assert j.count() == docs.count()
