@@ -57,6 +57,7 @@ HEADLINE = [
     "c4_sentence_span_dedup",     # C4 three-sentence-span dedup
     "pagerank_copurchase_parts",  # 5-iteration integer PageRank
     "hll_sketch_rollup_users",    # DataSketches partial→rollup
+    "simhash_candidate_pairs",    # dedup tier 2 (Arrow signature path)
 ]
 
 

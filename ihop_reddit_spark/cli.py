@@ -19,6 +19,8 @@ small-table edges.
 
 from __future__ import annotations
 
+import os
+
 import argparse
 import json
 
@@ -282,6 +284,23 @@ def _cmd_scd2_apply(args) -> None:
     )
 
 
+
+def _cmd_sql(args) -> None:
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    for t in ("region nation customer supplier part orders lineitem"
+              " events documents embeddings").split():
+        path = f"{args.sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+    df = spark.sql(args.query)
+    if args.output:
+        write_parquet(df, args.output)
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ihop_reddit_spark")
     p.add_argument("--master", default=None, help="Spark master (default: local)")
@@ -432,6 +451,17 @@ def build_parser() -> argparse.ArgumentParser:
     s2.add_argument("--init", action="store_true",
                     help="treat --history as a plain snapshot to seed")
     s2.set_defaults(func=_cmd_scd2_apply)
+
+    sq = sub.add_parser(
+        "sql", help="ad-hoc SQL over the registered tables"
+    )
+    sq.add_argument("query", help="SQL text")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="directory of <table>.parquet files to register")
+    sq.add_argument("--output", default=None,
+                    help="write result parquet here instead of printing")
+    sq.add_argument("--limit", type=int, default=50)
+    sq.set_defaults(func=_cmd_sql)
     return p
 
 

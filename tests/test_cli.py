@@ -192,3 +192,13 @@ def test_cli_round5_commands(spark, tmp_path):
           "--min-lines", "0"])
     cleaned = spark.read.parquet(c4_out)
     assert "cleaned_text" in cleaned.columns
+
+
+def test_cli_sql_command(spark, tmp_path):
+    out = str(tmp_path / "sqlout")
+    main(["sql",
+          "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
+          "FROM customer GROUP BY c_mktsegment",
+          "--sf-dir", "/root/testdata/sf0.001", "--output", out])
+    df = spark.read.parquet(out)
+    assert df.count() == 5 and set(df.columns) == {"c_mktsegment", "n"}
