@@ -260,3 +260,23 @@ def test_zstjsonl_datasource_parallel_read(spark, tmp_path):
     assert got[:3] == [(1, "hello", None), (2, "world", None),
                        (3, "third", None)]
     assert got[3][0] is None and "not json" in got[3][2]
+
+
+def test_observed_write_reports_metrics_in_one_pass(spark, tmp_path):
+    from ihop_reddit_spark.sources.io import observed_write
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], ["k", "v"]
+    )
+    out = str(tmp_path / "obs")
+    m = observed_write(
+        df,
+        out,
+        {
+            "rows_written": F.count(F.lit(1)),
+            "v_nulls": F.sum(F.col("v").isNull().cast("long")),
+            "v_sum": F.sum("v"),
+        },
+    )
+    assert m == {"rows_written": 3, "v_nulls": 1, "v_sum": 30.0}
+    assert spark.read.parquet(out).count() == 3
