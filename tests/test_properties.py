@@ -455,3 +455,70 @@ def test_interval_overlap_join_equals_theta_join(spark, lefts, rights, width):
         if ls <= rs + rd and rs <= ls + ld
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    deltas=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),   # key
+                st.sampled_from(["A", "B", "C"]),        # tracked value
+            ),
+            min_size=0, max_size=4, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_scd2_apply_invariants_vs_python_model(spark, deltas):
+    from ihop_reddit_spark.operators.setops import (
+        SCD2_OPEN_END,
+        scd2_apply,
+        scd2_init,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B")], ["k", "seg"]
+    )
+    hist = scd2_init(snap, ["k"], ["seg"], valid_from=0)
+
+    # python model: dict key -> list of (seg, vf, vt)
+    model = {1: [("A", 0, SCD2_OPEN_END)], 2: [("B", 0, SCD2_OPEN_END)]}
+    eff = 0
+    for batch in deltas:
+        eff += 10
+        df = spark.createDataFrame(
+            [(k, v) for k, v in batch], "k long, seg string"
+        ) if batch else spark.createDataFrame([], "k long, seg string")
+        # truncate lineage per application — the property is about MERGE
+        # semantics, not about compounding plan depth
+        hist = scd2_apply(hist, df, ["k"], ["seg"], eff=eff).localCheckpoint(
+            eager=True
+        )
+        for k, v in batch:
+            if k not in model:
+                model[k] = [(v, eff, SCD2_OPEN_END)]
+            else:
+                seg, vf, vt = model[k][-1]
+                if seg != v:
+                    model[k][-1] = (seg, vf, eff)
+                    model[k].append((v, eff, SCD2_OPEN_END))
+
+    rows = hist.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["k"], []).append(
+            (r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    for k, versions in got.items():
+        versions.sort(key=lambda t: t[1])
+        # invariants: exactly one current row; intervals tile [0, open)
+        assert sum(1 for v in versions if v[3]) == 1
+        assert versions[-1][3] and versions[-1][2] == SCD2_OPEN_END
+        for (_, _, vt_prev, _), (_, vf_next, _, _) in zip(
+            versions, versions[1:]
+        ):
+            assert vt_prev == vf_next
+        # exact equality with the python model
+        assert [(s, vf, vt) for s, vf, vt, _ in versions] == model[k]
+    assert set(got) == set(model)
