@@ -19,6 +19,11 @@ Shape of the computation at 100 TB:
   lowest-rank-first greedy loop, again ``mapInPandas``; the merge table
   is a broadcast-sized side input.
 
+Reference parity: the reference tokenizes with a fixed regex
+(``ihop/text_processing.py:315``) and never trains a tokenizer; corpus-
+trained BPE is part of the engine's LLM-training-data extension tier
+(SURVEY §2.9 note), sharing the word-count stage with the text pipeline.
+
 Determinism: counts are integers, the tie-break is total, and the merge
 application is order-insensitive across rows — the merge table is a pure
 function of the corpus. Cross-engine hash parity is NOT claimed (the

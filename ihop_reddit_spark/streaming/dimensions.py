@@ -11,6 +11,11 @@ mechanism). Replayed deltas are no-ops by construction (a delta equal to
 the current version closes nothing), so at-least-once delivery from the
 stream is safe — the same idempotence contract as the exactly-once
 ranked parquet sink, achieved in the MERGE itself instead of the sink.
+
+Reference parity: the reference re-imports whole months when source data
+changes (``dvc.yaml`` one-dump-per-month stages) — it has no notion of
+incremental dimension history; this is engine extension surface beside
+operators/setops.py's batch SCD2.
 """
 
 from __future__ import annotations
