@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 CORRUPT_COL = "_corrupt_record"
@@ -111,3 +112,72 @@ class ZstJsonlDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> ZstJsonlReader:
         return ZstJsonlReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# `eventgen` — a Spark 4 Python STREAMING data source: a deterministic,
+# replayable synthetic event stream (the testing/demo twin of a Kafka
+# topic). Offsets are plain row counters, every field is a pure function
+# of the row index (md5-free integer mixing), so any (start, end) range
+# replays bit-identically — exactly-once semantics fall out of
+# determinism + offset tracking, and tests can assert exact batch
+# contents. Usage:
+#
+#     spark.dataSource.register(EventGenDataSource)
+#     (spark.readStream.format("eventgen")
+#           .option("rowsPerBatch", 100).load())
+#
+# Schema mirrors the events table: event_id, user_id, event_type, value.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("view", "click", "purchase", "refund", "error")
+
+
+def _gen_rows(start: int, end: int):
+    for i in range(start, end):
+        mixed = (i * 2654435761) % (1 << 32)  # Knuth multiplicative hash
+        yield (
+            i,
+            mixed % 1000,
+            _EVENT_TYPES[mixed % len(_EVENT_TYPES)],
+            round((mixed % 10_000) / 100.0, 2),
+        )
+
+
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 0))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        begin = start["offset"]
+        end = begin + self.rows_per_batch
+        if self.max_rows:
+            end = min(end, self.max_rows)
+        # a list-backed ITERATOR: the runtime drives it with next() AND
+        # pickles it into the prefetch cache (a plain generator fails the
+        # pickle, a bare list fails the next())
+        return iter(list(_gen_rows(begin, end))), {"offset": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay — the recovery path after a failure
+        return iter(list(_gen_rows(start["offset"], end["offset"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator has no retained state
+
+
+class EventGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self):
+        return (
+            "event_id long, user_id long, event_type string, value double"
+        )
+
+    def simpleStreamReader(self, schema) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
