@@ -82,7 +82,14 @@ def c4_clean(
     text = F.col(text_col)
     lines = F.split(text, "\n")
     kept = F.filter(lines, lambda x: _line_keep(x, min_words_per_line))
-    bad_re = "\\b(" + "|".join(bad_words) + ")\\b" if bad_words else None
+    # regex-escape each entry (real bad-word lists carry metacharacters);
+    # \b anchors assume word-character boundaries — entries that start or
+    # end with punctuation should be pre-normalized by the caller
+    bad_re = (
+        "\\b(" + "|".join(re.escape(w) for w in bad_words) + ")\\b"
+        if bad_words
+        else None
+    )
     out = df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("cleaned_text"),

@@ -140,6 +140,11 @@ def simhash_signatures_arrow(
             ids = pdf[id_col].to_numpy()
             sigs = np.empty(len(ids), dtype=np.int64)
             for k, text in enumerate(pdf[text_col]):
+                if text is None or (isinstance(text, float) and text != text):
+                    # Catalyst parity: null text -> null signature (never
+                    # equi-joins in the band stage)
+                    sigs[k] = -1
+                    continue
                 toks = str(text).lower().split(" ")
                 hs = np.fromiter(
                     (
@@ -152,7 +157,12 @@ def simhash_signatures_arrow(
                 ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
                 bits = (ones * 2 > len(toks)).astype(np.uint64)
                 sigs[k] = int((bits << shifts).sum())
-            yield pd.DataFrame({"__id": ids, "__sig": sigs})
+            out = pd.DataFrame({"__id": ids, "__sig": sigs})
+                # replace the sentinel with a true NULL
+            if (sigs == -1).any():
+                out["__sig"] = out["__sig"].astype("Int64")
+                out.loc[out["__sig"] == -1, "__sig"] = pd.NA
+            yield out
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         sign_batch, "__id long, __sig long"
@@ -1180,7 +1190,10 @@ def dedup_keep_best(
     """
     if score is None:
         score = F.length(F.col("text"))
-    comp = duplicate_components_star(pairs)
+    # components emit a literal doc_id column — align to the caller's id
+    comp = duplicate_components_star(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
     members = comp.join(
         df.select(F.col(id_col), score.alias("__q")), id_col
     )

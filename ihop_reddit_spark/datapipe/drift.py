@@ -123,12 +123,15 @@ def mad_outliers(
         F.col("rn") == F.expr("(n + 1) div 2")
     ).select(F.col("grp"), F.col("v").alias("med"), "n")
     devs = ranked.join(med.select("grp", "med"), "grp").select(
-        "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+        "grp", "v", "med", "n",
+        F.abs(F.col("v") - F.col("med")).alias("dev"),
     )
     w_dev = Window.partitionBy("grp").orderBy("dev")
+    # group sizes already computed in `ranked` — carry them instead of a
+    # second count window over the deviation frame
     dev_ranked = devs.withColumn(
         "rn", F.row_number().over(w_dev)
-    ).withColumn("nn", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    ).withColumnRenamed("n", "nn")
     mad = dev_ranked.where(
         F.col("rn") == F.expr("(nn + 1) div 2")
     ).select("grp", F.col("dev").alias("mad"))

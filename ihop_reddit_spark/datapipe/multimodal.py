@@ -787,7 +787,9 @@ def video_frames(
     spread across tasks BEFORE any Python decode stage, the partitioning
     rule the module docstring mandates."""
     n = (F.length("payload") / frame_bytes).cast("int")
-    return assets.select(
+    # sequence(0, -1) yields a DESCENDING [0, -1] — a truncated/empty
+    # payload must contribute zero frames, not garbage slices
+    return assets.where(n >= 1).select(
         "asset_id",
         F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_index"),
         "payload",

@@ -54,6 +54,13 @@ def pagerank(
     Nodes are sources ∪ destinations; a node with no out-edges (dangling)
     contributes nothing (its mass evaporates — the usual simplification;
     a symmetric co-occurrence graph has none).
+
+    Overflow contract: total mass is ``n_nodes · unit`` and a maximal hub
+    can receive nearly all of it, so pick ``unit`` such that
+    ``n_nodes · unit · 85 < 2^63`` (the default 10^12 is safe to ~10^5
+    nodes; drop to 10^9 for ~10^8-node graphs — 9 decimal digits of rank
+    resolution is far beyond ranking noise). Spark's non-ANSI arithmetic
+    would wrap silently past that.
     """
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     # one up-front hash partition on the message key: every iteration's

@@ -313,7 +313,11 @@ def weighted_sample_per_group(
         F.col("skey").asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("skey", skey)
+        # weight <= 0 (or NULL) means probability 0 — exclude BEFORE the
+        # window: ln(w) is NULL there and NULLs would sort FIRST under the
+        # ascending key, inverting the sampling semantics
+        df.where(F.col(weight_col) > 0)
+        .withColumn("skey", skey)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")

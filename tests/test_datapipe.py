@@ -588,3 +588,36 @@ def test_simhash_arrow_path_matches_catalyst_bits(spark):
     j = a.join(b, "__id")
     assert j.where(F.col("__cat") != F.col("__sig")).count() == 0
     assert j.count() == docs.count()
+
+
+def test_simhash_arrow_null_text_yields_null_signature(spark):
+    from ihop_reddit_spark.datapipe.dedup import simhash_signatures_arrow
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["__id"]: r["__sig"]
+           for r in simhash_signatures_arrow(df, "text", "doc_id").collect()}
+    assert got[1] is not None
+    # null text -> null signature (never equi-joins in the band stage) —
+    # two null-text docs must NOT look like near-duplicates
+    assert got[2] is None and got[3] is None
+
+
+def test_dedup_keep_best_custom_id_col(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(10, 5), (11, 9), (12, 3)], ["asset_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(10, 11)], ["left_id", "right_id"])
+    got = sorted(
+        r["asset_id"]
+        for r in dedup_keep_best(
+            df, pairs, "asset_id", score=F.col("quality")
+        ).collect()
+    )
+    assert got == [11, 12]

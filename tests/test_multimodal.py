@@ -281,3 +281,13 @@ def test_video_frames_slice_jvm_side_and_decode(spark):
             assert got[i * 100 + f] == expected
         assert all(got[(i + 100_000) * 100 + 0])  # all-white bumper
         assert got[(i + 100_000) * 100 + 1] == got[i * 100 + 1]
+
+
+def test_video_frames_short_payload_yields_no_frames(spark):
+    from ihop_reddit_spark.datapipe.multimodal import video_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"tiny")), (2, bytearray(b""))],
+        "asset_id long, payload binary",
+    )
+    assert video_frames(df).count() == 0

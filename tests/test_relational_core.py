@@ -639,3 +639,20 @@ def test_scd2_lookup_point_in_time(spark):
         12: ("A2", 100),
         13: ("B", 0),
     }
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from ihop_reddit_spark.operators.setops import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, -3), ("g", 3, 5), ("g", 4, 5)],
+        ["grp", "id", "w"],
+    )
+    got = sorted(
+        r["id"]
+        for r in weighted_sample_per_group(
+            df, "grp", "w", "id", k=3
+        ).collect()
+    )
+    # weight<=0 means probability 0 — never sampled, even with k slack
+    assert got == [3, 4]
