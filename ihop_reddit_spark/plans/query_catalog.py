@@ -6302,6 +6302,10 @@ def video_framehash_pairs(spark, sf_dir):
 # Reordering only — the key sets are untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    # (a0) the north-star capstone composes five curation stages and has
+    # never produced a driver row across r1/r2 — VERDICT item 6 says run
+    # it FIRST if the window might still cut it. 4s well spent.
+    "curated_training_corpus",
     # (a1) never scored, CHEAP (sub-second to low-second engine time)
     "c4_cleaned_documents",
     "c4_sentence_span_dedup",
@@ -6358,16 +6362,9 @@ _SCORING_PRIORITY = [
     "data_quality_report",
     "merge_upsert_customers",
     "snapshot_diff_customers",
-    "curated_training_corpus",
-    # (a2) never scored, EXPENSIVE (trainers / iterative / capstone) —
-    # after the cheap coverage rows so a 15s trainer can't displace ten
-    # sub-second proofs, before streaming (the costliest per row)
-    "quality_classifier_gate",
-    "pq_ann_recall",
-    "modern_training_corpus",
-    "pagerank_copurchase_parts",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
+    # never-scored streaming block — each availableNow run costs ~5s, but
+    # each is a distinct never-proven capability; they outrank the
+    # trainers below on evidence-per-second
     "stream_quality_violations",     # never scored r1/r2 — streaming
     "stream_dedup_user_event_types",
     "stream_stream_click_purchase_pairs",
@@ -6375,6 +6372,15 @@ _SCORING_PRIORITY = [
     "stream_windowed_approx_users",
     "stream_semantic_dedup_survivors",
     "stream_scd2_customer_history",
+    # (a2) never scored, EXPENSIVE (trainers / iterative / capstones) —
+    # last among the never-scored so a 15s trainer can't displace ten
+    # sub-second proofs
+    "quality_classifier_gate",
+    "pq_ann_recall",
+    "pagerank_copurchase_parts",
+    "modern_training_corpus",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
     "c2v_planted_analogy_gate",      # round-3 thresholdable gates
     "ivf_ann_recall",
     "kmeans_quality_metrics",
