@@ -150,3 +150,71 @@ def mad_outliers(
         F.col("n").cast("long").alias("n"),
         F.col("n_outliers").cast("long").alias("n_outliers"),
     )
+
+
+def two_proportion_significance(
+    df: DataFrame,
+    variant_col: str,
+    variant_a: str | int,
+    variant_b: str | int,
+    success: Column,
+    *,
+    z2_scaled: int = 38416,  # z² · 10⁴ for z = 1.96 (95% two-sided)
+) -> DataFrame:
+    """Exact A/B readout: pooled two-proportion z-test with the decision
+    taken in INTEGER arithmetic — no sqrt, no float division, so the
+    verdict is bit-identical on any engine.
+
+    The usual test ``|p̂₁−p̂₂| > z·√(p̂(1−p̂)(1/n₁+1/n₂))`` is squared and
+    cross-multiplied into::
+
+        (s₁n₂ − s₂n₁)² · N · 10⁴  >  z²10⁴ · S(N−S) · n₁n₂
+
+    with ``S = s₁+s₂``, ``N = n₁+n₂`` — every term an exact integer
+    (DECIMAL(38,0) products guard the int64 range). Returns one row:
+    ``n_a, s_a, n_b, s_b, significant``.
+
+    One aggregation pass over the filtered variants; conditional sums
+    partial-combine map-side.
+    """
+    agg = df.where(
+        F.col(variant_col).isin([variant_a, variant_b])
+    ).agg(
+        F.sum(
+            F.when(F.col(variant_col) == variant_a, 1).otherwise(0)
+        ).alias("n_a"),
+        F.sum(
+            F.when(
+                (F.col(variant_col) == variant_a) & success, 1
+            ).otherwise(0)
+        ).alias("s_a"),
+        F.sum(
+            F.when(F.col(variant_col) == variant_b, 1).otherwise(0)
+        ).alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col(variant_col) == variant_b) & success, 1
+            ).otherwise(0)
+        ).alias("s_b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    n = F.col("n_a") + F.col("n_b")
+    s = F.col("s_a") + F.col("s_b")
+    diff = dec(
+        F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    )
+    lhs = diff * diff * dec(n) * F.lit(10_000).cast("decimal(38,0)")
+    rhs = (
+        F.lit(z2_scaled).cast("decimal(38,0)")
+        * dec(s)
+        * dec(n - s)
+        * dec(F.col("n_a"))
+        * dec(F.col("n_b"))
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        (lhs > rhs).alias("significant"),
+    )

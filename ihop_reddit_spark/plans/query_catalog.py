@@ -6289,6 +6289,48 @@ def video_framehash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A/B experiment readout (datapipe/drift.two_proportion_significance):
+# purchase-rate comparison between the user-parity cohorts, decided in
+# exact integer arithmetic (squared, cross-multiplied z-test — no sqrt,
+# no float division). Counts AND verdict hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_purchase_rates",
+    """
+    WITH v AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events),
+    a AS (SELECT
+      CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN variant = 0 THEN succ ELSE 0 END) AS BIGINT)
+        AS s_a,
+      CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      CAST(SUM(CASE WHEN variant = 1 THEN succ ELSE 0 END) AS BIGINT)
+        AS s_b
+      FROM v)
+    SELECT n_a, s_a, n_b, s_b,
+           ((CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+            * (CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+            * (n_a + n_b) * 10000)
+           > (CAST(38416 AS HUGEINT) * (s_a + s_b)
+              * ((n_a + n_b) - (s_a + s_b)) * n_a * n_b)
+             AS significant
+    FROM a
+    """,
+)
+def ab_test_purchase_rates(spark, sf_dir):
+    from ..datapipe.drift import two_proportion_significance
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant", F.col("user_id") % 2
+    )
+    return two_proportion_significance(
+        ev, "variant", 0, 1, F.col("event_type") == "purchase"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6313,6 +6355,7 @@ _SCORING_PRIORITY = [
     "scd2_customer_history",
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
+    "ab_test_purchase_rates",
     "weighted_sample_docs_by_lang",
     "pit_scd2_order_segments",
     "correlated_subquery_small_quantities",

@@ -51,3 +51,27 @@ def test_mad_outliers_closed_form(spark):
     assert r["median_value"] == 4.0
     assert r["mad"] == 2.0
     assert r["n"] == 8 and r["n_outliers"] == 1
+
+
+def test_two_proportion_significance_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.drift import two_proportion_significance
+
+    def run(sa, na, sb, nb):
+        rows = [("a", i < sa) for i in range(na)] + [
+            ("b", i < sb) for i in range(nb)
+        ]
+        df = spark.createDataFrame(rows, ["variant", "succ"])
+        return two_proportion_significance(
+            df, "variant", "a", "b", F.col("succ")
+        ).collect()[0]
+
+    # identical rates → never significant
+    r = run(50, 100, 50, 100)
+    assert not r["significant"]
+    assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (100, 50, 100, 50)
+    # 50% vs 10% at n=100 → z ≈ 6.2, decisively significant
+    assert run(50, 100, 10, 100)["significant"]
+    # same gap at tiny n → not significant (5/10 vs 1/10, z ≈ 1.9 < 1.96)
+    assert not run(5, 10, 1, 10)["significant"]
