@@ -218,3 +218,53 @@ def two_proportion_significance(
         F.col("s_b").cast("long").alias("s_b"),
         (lhs > rhs).alias("significant"),
     )
+
+
+def categorical_tvd(
+    df: DataFrame,
+    cat_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    *,
+    threshold_permille: int = 50,
+) -> DataFrame:
+    """Exact total-variation distance between two populations' CATEGORY
+    distributions — the categorical sibling of :func:`ks_two_sample`
+    (which needs an ordered support). TVD = ½·Σ|p̂ₐ(c) − p̂ᵦ(c)| is kept
+    as the integer numerator ``Σ|cₐ·n_b − cᵦ·n_a|`` over ``2·n_a·n_b``;
+    the drift verdict is the pure integer comparison
+    ``numer·1000 > 2·threshold·n_a·n_b``.
+
+    One shuffle on the category key (map-side partial counts), then a
+    category-grain aggregate — the frame after the first aggregation is
+    support-sized regardless of row count.
+    """
+    sided = df.where(F.col(side_col).isin([side_a, side_b])).select(
+        F.col(cat_col).alias("cat"), F.col(side_col).alias("__side")
+    )
+    counts = sided.groupBy("cat").agg(
+        F.sum(F.when(F.col("__side") == side_a, 1).otherwise(0))
+        .alias("ca"),
+        F.sum(F.when(F.col("__side") == side_b, 1).otherwise(0))
+        .alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    return joined.agg(
+        F.sum(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        ).alias("tvd_numer"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("tvd_numer").cast("long").alias("tvd_numer"),
+        (
+            F.col("tvd_numer") * 1000
+            > 2 * F.lit(threshold_permille) * F.col("n_a") * F.col("n_b")
+        ).alias("drift"),
+    )

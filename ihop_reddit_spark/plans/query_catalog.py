@@ -6331,6 +6331,39 @@ def ab_test_purchase_rates(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Categorical drift (datapipe/drift.categorical_tvd): exact total-
+# variation distance between the event-type mixes of the two user-parity
+# cohorts; integer numerator, integer verdict.
+# ---------------------------------------------------------------------------
+@query(
+    "tvd_drift_event_mix",
+    """
+    WITH s AS (
+      SELECT event_type AS cat, user_id % 2 AS side FROM events),
+    c AS (
+      SELECT cat,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY cat),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                 CAST(SUM(cb) AS BIGINT) AS n_b FROM c)
+    SELECT t.n_a, t.n_b,
+           CAST(SUM(ABS(ca * t.n_b - cb * t.n_a)) AS BIGINT) AS tvd_numer,
+           SUM(ABS(ca * t.n_b - cb * t.n_a)) * 1000
+             > 2 * 50 * t.n_a * t.n_b AS drift
+    FROM c, t GROUP BY t.n_a, t.n_b
+    """,
+)
+def tvd_drift_event_mix(spark, sf_dir):
+    from ..datapipe.drift import categorical_tvd
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "side", F.col("user_id") % 2
+    )
+    return categorical_tvd(ev, "event_type", "side", 0, 1)
+
+
+# ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
 # TIME budget (~50 of 86 queries made the window in rounds 1-2). Rotation
 # policy (EVIDENCE-FIRST, refined this round with a COST tiebreak): never-
@@ -6356,6 +6389,7 @@ _SCORING_PRIORITY = [
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
     "ab_test_purchase_rates",
+    "tvd_drift_event_mix",
     "weighted_sample_docs_by_lang",
     "pit_scd2_order_segments",
     "correlated_subquery_small_quantities",

@@ -75,3 +75,23 @@ def test_two_proportion_significance_closed_form(spark):
     assert run(50, 100, 10, 100)["significant"]
     # same gap at tiny n → not significant (5/10 vs 1/10, z ≈ 1.9 < 1.96)
     assert not run(5, 10, 1, 10)["significant"]
+
+
+def test_categorical_tvd_closed_form(spark):
+    from ihop_reddit_spark.datapipe.drift import categorical_tvd
+
+    # a: 3×x + 1×y (n=4); b: 1×x + 3×y (n=4)
+    # TVD = ½(|3/4−1/4| + |1/4−3/4|) = ½ → numer = Σ|ca·nb−cb·na| = 16
+    rows = [("x", "a")] * 3 + [("y", "a")] + [("x", "b")] + [("y", "b")] * 3
+    df = spark.createDataFrame(rows, ["cat", "side"])
+    r = categorical_tvd(df, "cat", "side", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["tvd_numer"]) == (4, 4, 16)
+    assert r["drift"]  # 0.5 > 0.05
+
+    # identical mixes → zero distance, no drift
+    same = [("x", s) for s in ("a", "b")] + [("y", s) for s in ("a", "b")]
+    r2 = categorical_tvd(
+        spark.createDataFrame(same, ["cat", "side"]), "cat", "side",
+        "a", "b",
+    ).collect()[0]
+    assert r2["tvd_numer"] == 0 and not r2["drift"]
