@@ -291,11 +291,19 @@ def minhash_near_dup(
     jaccard_threshold: float = 0.5,
     num_features: int = 1 << 18,
 ):
-    """MinHash+LSH near-dup candidate pairs (MLlib tier).
+    """MinHash+LSH near-dup candidate pairs (MLlib BATCH tier).
 
     shingle → HashingTF (binary) → MinHashLSH → approxSimilarityJoin at
     Jaccard distance ≤ 1−threshold. Returns (left_id, right_id, jaccard_dist).
     Probabilistic; verify survivors with :func:`ngram_jaccard_pairs`.
+
+    SCALE ROUTING: this is the batch tier for ≲10⁸ documents.
+    ``approxSimilarityJoin(vectors, vectors, …)`` OR-amplifies a bucket
+    self-join across ``num_hash_tables`` tables, which can explode on
+    skewed shingle distributions at 100× scale. Above ~10⁸ docs (or for
+    any incremental/archive workload) use :func:`build_minhash_index` +
+    :func:`incremental_minhash_candidates` instead — banded signatures,
+    bucket-local joins, and an index side that never reshuffles.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -1169,6 +1177,9 @@ def dedup_keep_best(
     pairs: DataFrame,
     id_col: str = "doc_id",
     score: Column | None = None,
+    *,
+    text_col: str = "text",
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """Quality-aware duplicate-cluster canonicalization: resolve each
     near-duplicate connected component to the member with the BEST
@@ -1177,19 +1188,23 @@ def dedup_keep_best(
     arbitrary min-id canonical — what production corpus dedup actually
     wants (boilerplate-stripped originals beat truncated mirrors).
 
-    ``score`` defaults to ``length(text)`` (keep-longest). The argmax is
-    a ``max(struct(score, -id))`` aggregate — map-side partial, so a
+    ``score`` defaults to ``length(text_col)`` (keep-longest). The
+    argmax runs as two map-side-partial aggregates — ``max(score)`` per
+    component, then ``min(id)`` among the tied best — so a
     viral-boilerplate mega-cluster combines before the shuffle instead
-    of sorting in one task (same skew rule as the C4 span canonical).
+    of sorting in one task (same skew rule as the C4 span canonical),
+    and ids only need to be ORDERABLE, not numeric.
 
     Plan: components via :func:`duplicate_components_star` (O(log n)
-    rounds), then one component-keyed aggregate + one broadcast-sized
-    anti-join of the drop set against the corpus (drops ≤ cluster
-    members, which are pair-bounded — candidates come from banding, so
-    this is dimension-sized relative to the corpus).
+    rounds), then component-keyed aggregates + one anti-join of the
+    drop set against the corpus. The drop set is cluster-member-bounded,
+    usually dimension-sized — but on boilerplate-heavy corpora it can be
+    a large corpus fraction, so pass ``broadcast_drops=False`` there to
+    fall back to a shuffled anti-join instead of forcing a
+    corpus-scale broadcast.
     """
     if score is None:
-        score = F.length(F.col("text"))
+        score = F.length(F.col(text_col))
     # components emit a literal doc_id column — align to the caller's id
     comp = duplicate_components_star(pairs).withColumnRenamed(
         "doc_id", id_col
@@ -1197,15 +1212,20 @@ def dedup_keep_best(
     members = comp.join(
         df.select(F.col(id_col), score.alias("__q")), id_col
     )
-    best = members.groupBy("component_id").agg(
-        F.max(F.struct(F.col("__q"), (-F.col(id_col)).alias("__nid")))
-        .alias("__b")
-    ).select(
-        "component_id", (-F.col("__b.__nid")).alias("__best_id")
+    best_q = members.groupBy("component_id").agg(
+        F.max("__q").alias("__qmax")
+    )
+    best = (
+        members.join(best_q, "component_id")
+        .where(F.col("__q") == F.col("__qmax"))
+        .groupBy("component_id")
+        .agg(F.min(F.col(id_col)).alias("__best_id"))
     )
     drops = (
         members.join(best, "component_id")
         .where(F.col(id_col) != F.col("__best_id"))
         .select(id_col)
     )
-    return df.join(F.broadcast(drops), id_col, "left_anti")
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return df.join(drops, id_col, "left_anti")

@@ -60,8 +60,12 @@ def ks_two_sample(
                             (i.e. D > threshold_permille/1000, exact)
     """
     v = F.floor(F.col(value_col) * quantize).cast("long").alias("bucket")
+    # NULL values are excluded up front: a NULL bucket would sort
+    # NULLS FIRST in Spark's window but NULLS LAST in other engines,
+    # breaking cross-engine hash-exactness.
     sided = df.where(
         F.col(side_col).isin([side_a, side_b])
+        & F.col(value_col).isNotNull()
     ).select(v, F.col(side_col).alias("__side"))
     counts = sided.groupBy("bucket").agg(
         F.sum(F.when(F.col("__side") == side_a, 1).otherwise(0))
@@ -82,6 +86,9 @@ def ks_two_sample(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
     joined = cum.crossJoin(F.broadcast(totals))
+    # coalesce(·, 0) defines the empty-input case: the global agg over
+    # an empty frame yields one all-NULL row; zeros make the contract
+    # "no data ⇒ n_a=n_b=ks_numer=0, drift=false" instead of NULLs.
     return joined.agg(
         F.max(
             F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a"))
@@ -89,12 +96,15 @@ def ks_two_sample(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     ).select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("ks_numer").cast("long").alias("ks_numer"),
-        (
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.col("ks_numer"), F.lit(0))
+        .cast("long")
+        .alias("ks_numer"),
+        F.coalesce(
             F.col("ks_numer") * 1000
-            > F.lit(threshold_permille) * F.col("n_a") * F.col("n_b")
+            > F.lit(threshold_permille) * F.col("n_a") * F.col("n_b"),
+            F.lit(False),
         ).alias("drift"),
     )
 
@@ -170,12 +180,15 @@ def two_proportion_significance(
 
         (s₁n₂ − s₂n₁)² · N · 10⁴  >  z²10⁴ · S(N−S) · n₁n₂
 
-    with ``S = s₁+s₂``, ``N = n₁+n₂`` — every term an exact integer
-    (DECIMAL(38,0) products guard the int64 range). Returns one row:
+    with ``S = s₁+s₂``, ``N = n₁+n₂``. The distributed work is ONE
+    aggregation pass over the filtered variants (conditional sums
+    partial-combine map-side) producing four longs; the inequality is
+    then decided on the driver in Python arbitrary-precision integers —
+    ``diff²·N·10⁴`` exceeds DECIMAL(38,0) once cohorts reach ~10⁷ rows
+    per side, where Spark's non-ANSI decimal arithmetic would silently
+    NULL the verdict, so the 4-scalar collect (bounded, one row) is the
+    scale-correct altitude for the decision. Returns one row:
     ``n_a, s_a, n_b, s_b, significant``.
-
-    One aggregation pass over the filtered variants; conditional sums
-    partial-combine map-side.
     """
     agg = df.where(
         F.col(variant_col).isin([variant_a, variant_b])
@@ -197,26 +210,20 @@ def two_proportion_significance(
             ).otherwise(0)
         ).alias("s_b"),
     )
-    dec = lambda c: c.cast("decimal(38,0)")
-    n = F.col("n_a") + F.col("n_b")
-    s = F.col("s_a") + F.col("s_b")
-    diff = dec(
-        F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
-    )
-    lhs = diff * diff * dec(n) * F.lit(10_000).cast("decimal(38,0)")
-    rhs = (
-        F.lit(z2_scaled).cast("decimal(38,0)")
-        * dec(s)
-        * dec(n - s)
-        * dec(F.col("n_a"))
-        * dec(F.col("n_b"))
-    )
-    return agg.select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("s_a").cast("long").alias("s_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("s_b").cast("long").alias("s_b"),
-        (lhs > rhs).alias("significant"),
+    row = agg.collect()[0]
+    n_a = int(row["n_a"] or 0)
+    s_a = int(row["s_a"] or 0)
+    n_b = int(row["n_b"] or 0)
+    s_b = int(row["s_b"] or 0)
+    n = n_a + n_b
+    s = s_a + s_b
+    diff = s_a * n_b - s_b * n_a
+    lhs = diff * diff * n * 10_000
+    rhs = z2_scaled * s * (n - s) * n_a * n_b
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_a, s_a, n_b, s_b, lhs > rhs)],
+        schema="n_a long, s_a long, n_b long, s_b long, significant boolean",
     )
 
 
@@ -240,7 +247,11 @@ def categorical_tvd(
     category-grain aggregate — the frame after the first aggregation is
     support-sized regardless of row count.
     """
-    sided = df.where(F.col(side_col).isin([side_a, side_b])).select(
+    # NULL categories are excluded for the same cross-engine reason as
+    # ks_two_sample's NULL buckets (NULL grouping/ordering divergence).
+    sided = df.where(
+        F.col(side_col).isin([side_a, side_b]) & F.col(cat_col).isNotNull()
+    ).select(
         F.col(cat_col).alias("cat"), F.col(side_col).alias("__side")
     )
     counts = sided.groupBy("cat").agg(
@@ -253,6 +264,7 @@ def categorical_tvd(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
     joined = counts.crossJoin(F.broadcast(totals))
+    # empty-input contract matches ks_two_sample: zeros + drift=false.
     return joined.agg(
         F.sum(
             F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
@@ -260,11 +272,14 @@ def categorical_tvd(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     ).select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("tvd_numer").cast("long").alias("tvd_numer"),
-        (
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.col("tvd_numer"), F.lit(0))
+        .cast("long")
+        .alias("tvd_numer"),
+        F.coalesce(
             F.col("tvd_numer") * 1000
-            > 2 * F.lit(threshold_permille) * F.col("n_a") * F.col("n_b")
+            > 2 * F.lit(threshold_permille) * F.col("n_a") * F.col("n_b"),
+            F.lit(False),
         ).alias("drift"),
     )

@@ -205,8 +205,30 @@ def scd2_apply(
 
     ``history`` must carry ``valid_from``/``valid_to``/``is_current``
     (see :func:`scd2_init`); ``delta`` carries ``keys + tracked``.
+
+    Duplicate keys WITHIN one delta batch are resolved deterministically
+    to the per-key ``max(struct(tracked))`` row before the probe —
+    without this, each duplicate would join the open row and emit its
+    own replacement, silently corrupting the one-open-row-per-key
+    invariant. (Tracked columns must therefore be orderable types,
+    which SCD2 scalars are.)
     """
     d = delta.select(*keys, *tracked)
+    if tracked:
+        d = (
+            d.groupBy(*keys)
+            .agg(
+                F.max(
+                    F.struct(*[F.col(c) for c in tracked])
+                ).alias("__t")
+            )
+            .select(
+                *keys, *[F.col(f"__t.{c}").alias(c) for c in tracked]
+            )
+        )
+    else:
+        d = d.dropDuplicates(keys)
+    d_plain = d  # un-hinted frame for probes where d is the LEFT side
     if broadcast_delta:
         d = F.broadcast(d)
     cur = history.where(F.col("is_current"))
@@ -248,8 +270,10 @@ def scd2_apply(
     matched_keys = probe.select(*keys)
     if broadcast_delta:
         matched_keys = F.broadcast(matched_keys)
+    # insert from the DEDUPED delta — the raw frame could still carry
+    # duplicate new keys, which would each insert an open row
     new_inserts = (
-        delta.join(matched_keys, keys, "left_anti")
+        d_plain.join(matched_keys, keys, "left_anti")
         .select(
             *keys,
             *tracked,

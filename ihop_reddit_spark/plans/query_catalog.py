@@ -5398,7 +5398,8 @@ def bpe_roundtrip_gate(spark, sf_dir):
     """
     WITH s AS (
       SELECT CAST(floor(value * 1000) AS BIGINT) AS bucket, event_type
-      FROM events WHERE event_type IN ('click', 'purchase')),
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
     c AS (
       SELECT bucket,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
@@ -6339,7 +6340,8 @@ def ab_test_purchase_rates(spark, sf_dir):
     "tvd_drift_event_mix",
     """
     WITH s AS (
-      SELECT event_type AS cat, user_id % 2 AS side FROM events),
+      SELECT event_type AS cat, user_id % 2 AS side FROM events
+      WHERE event_type IS NOT NULL),
     c AS (
       SELECT cat,
              SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,

@@ -621,3 +621,64 @@ def test_dedup_keep_best_custom_id_col(spark):
         ).collect()
     )
     assert got == [11, 12]
+
+
+def test_dedup_keep_best_string_ids_and_text_col_param(spark):
+    """ADVICE r3: ids only need to be ORDERABLE (no negation), and the
+    default score's text column is parameterized."""
+    from ihop_reddit_spark.datapipe.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("a", "xx"),
+            ("b", "the much longer body wins"),
+            ("c", "solo"),
+            ("d", "tie"), ("e", "tie"),  # tie -> lexicographically lowest
+        ],
+        ["uid", "body"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("d", "e")], ["left_id", "right_id"]
+    )
+    got = sorted(
+        r["uid"]
+        for r in dedup_keep_best(
+            df, pairs, "uid", text_col="body"
+        ).collect()
+    )
+    assert got == ["b", "c", "d"]
+    # non-broadcast fallback gives identical results
+    got2 = sorted(
+        r["uid"]
+        for r in dedup_keep_best(
+            df, pairs, "uid", text_col="body", broadcast_drops=False
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_scd2_apply_duplicate_delta_keys_one_open_row(spark):
+    """ADVICE r3: duplicate keys within one delta batch must resolve to
+    ONE open row per key (deterministic max-struct pick), for both
+    existing and brand-new keys."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.operators.setops import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "seg"])
+    hist = scd2_init(snap, ["k"], ["seg"], valid_from=0)
+    delta = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (3, "N1"), (3, "N2")], ["k", "seg"]
+    )
+    for bcast in (True, False):
+        out = scd2_apply(
+            hist, delta, ["k"], ["seg"], eff=5, broadcast_delta=bcast
+        )
+        open_rows = out.where("is_current").orderBy("k").collect()
+        assert [(r["k"], r["seg"]) for r in open_rows] == [
+            (1, "Y"), (2, "B"), (3, "N2"),  # max(struct) pick: Y, N2
+        ]
+        closed = out.where("NOT is_current").collect()
+        assert [(r["k"], r["seg"], r["valid_to"]) for r in closed] == [
+            (1, "A", 5)
+        ]

@@ -95,3 +95,65 @@ def test_categorical_tvd_closed_form(spark):
         "a", "b",
     ).collect()[0]
     assert r2["tvd_numer"] == 0 and not r2["drift"]
+
+
+def test_ks_null_values_excluded_and_empty_defined(spark):
+    """ADVICE r3: NULL value rows must not create a NULL bucket (which
+    windows order differently across engines), and an empty side/input
+    must yield the defined all-zero row rather than NULLs."""
+    from ihop_reddit_spark.datapipe.drift import ks_two_sample
+
+    rows = [(0.5, "a"), (0.5, "b"), (None, "a"), (None, "b")]
+    df = spark.createDataFrame(rows, "value double, side string")
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_numer"]) == (1, 1, 0)
+    assert r["drift"] is False
+
+    empty = df.where("value > 999")
+    r0 = ks_two_sample(empty, "value", "side", "a", "b").collect()[0]
+    assert (r0["n_a"], r0["n_b"], r0["ks_numer"]) == (0, 0, 0)
+    assert r0["drift"] is False
+
+
+def test_tvd_null_categories_excluded_and_empty_defined(spark):
+    from ihop_reddit_spark.datapipe.drift import categorical_tvd
+
+    rows = [("x", "a"), ("x", "b"), (None, "a")]
+    df = spark.createDataFrame(rows, "cat string, side string")
+    r = categorical_tvd(df, "cat", "side", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["tvd_numer"]) == (1, 1, 0)
+    assert r["drift"] is False
+
+    r0 = categorical_tvd(
+        df.where("cat = 'never'"), "cat", "side", "a", "b"
+    ).collect()[0]
+    assert (r0["n_a"], r0["n_b"], r0["tvd_numer"], r0["drift"]) == (
+        0, 0, 0, False,
+    )
+
+
+def test_two_proportion_significance_exceeds_decimal38(spark):
+    """ADVICE r3 (medium): the decision must survive cohort sizes whose
+    diff²·N·10⁴ exceeds DECIMAL(38,0); the driver-side Python-int
+    decision is exact at any scale. Replicate the function's formula at
+    1e8-per-side scale (past the decimal38 ceiling) and check the
+    verdict, then exercise the end-to-end path on a small frame."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.drift import two_proportion_significance
+
+    n_a = n_b = 10**8
+    s_a, s_b = 51_000_000, 50_000_000
+    diff = s_a * n_b - s_b * n_a
+    lhs = diff * diff * (n_a + n_b) * 10_000
+    assert lhs > 10**38  # would overflow DECIMAL(38,0)
+    rhs = 38416 * (s_a + s_b) * ((n_a + n_b) - (s_a + s_b)) * n_a * n_b
+    assert lhs > rhs  # 51% vs 50% at n=1e8 is decisively significant
+
+    # and the end-to-end path still returns the right small-sample row
+    rows = [("a", True)] * 3 + [("a", False)] * 3 + [("b", False)] * 6
+    df = spark.createDataFrame(rows, "variant string, succ boolean")
+    r = two_proportion_significance(
+        df, "variant", "a", "b", F.col("succ")
+    ).collect()[0]
+    assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (6, 3, 6, 0)
