@@ -2664,6 +2664,70 @@ def c2v_reference_analogy_gate(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Collection-label enrichment (reference ihop/resources/collections/
+# __init__.py:1-32): the vendored subreddit-collection lookup joined onto a
+# deterministic cluster assignment (first md5 hex nibble → 4 buckets — the
+# engine-portable hash idiom used by deterministic_sample_documents), then
+# the A2 ordered group-concat per (cluster, collection). The oracle inlines
+# the vendored membership rows as VALUES, so data file + assignment + agg
+# are all hash-checked cross-engine.
+# ---------------------------------------------------------------------------
+def _collection_enrichment_oracle() -> str:
+    import csv as _csv
+
+    from ..resources.collections import MEMBERS_CSV
+
+    with open(MEMBERS_CSV, newline="") as f:
+        vals = ",\n      ".join(
+            f"('{r['collection']}', '{r['member']}')"
+            for r in _csv.DictReader(f)
+        )
+    return f"""
+    WITH lookup(collection, member) AS (VALUES
+      {vals}),
+    assigned AS (
+      SELECT collection, member,
+             CASE WHEN substr(md5(member), 1, 1) < '4' THEN 0
+                  WHEN substr(md5(member), 1, 1) < '8' THEN 1
+                  WHEN substr(md5(member), 1, 1) < 'c' THEN 2
+                  ELSE 3 END AS cluster_id
+      FROM lookup)
+    SELECT cluster_id, collection,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(member, ' ' ORDER BY member) AS members_concat
+    FROM assigned GROUP BY cluster_id, collection
+    """
+
+
+@query("cluster_label_enrichment", _collection_enrichment_oracle())
+def cluster_label_enrichment(spark, sf_dir):
+    """E-tier: label clusters with the vendored subreddit collections.
+    Deliberately data-independent (ignores sf_dir): it gates the
+    collections DATA surface + enrichment join + ordered concat; the
+    same ``enrich_with_collections`` composes onto any cluster table.
+    """
+    from ..resources.collections import collections_df
+
+    lookup = collections_df(spark)
+    nibble = F.substring(F.md5(F.col("member")), 1, 1)
+    assigned = lookup.select(
+        "collection",
+        "member",
+        F.when(nibble < "4", 0)
+        .when(nibble < "8", 1)
+        .when(nibble < "c", 2)
+        .otherwise(3)
+        .alias("cluster_id"),
+    )
+    return assigned.groupBy("cluster_id", "collection").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.array_join(
+            F.sort_array(F.collect_list("member")), " "
+        ).alias("members_concat"),
+    )
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark, sf_dir):
     from ..datapipe.similarity import build_ivf_index, ivf_knn
@@ -6459,6 +6523,7 @@ _SCORING_PRIORITY = [
     "heavy_hitters_event_types",
     "merge_upsert_customers",
     "snapshot_diff_customers",
+    "cluster_label_enrichment",   # new in r4 — collections data surface
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

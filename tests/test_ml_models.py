@@ -600,3 +600,37 @@ def test_reference_analogy_gate_sports_sections(spark):
     # franchises per city in one league). Floor 0.55 leaves seed
     # headroom; random baseline is ~1/110 per section.
     assert res["total_accuracy"] >= 0.55
+
+
+def test_collections_lookup_and_enrichment(spark):
+    """Reference collections surface (ihop/resources/collections):
+    member list parity, lookup frame, and the broadcast enrichment
+    join on a synthetic cluster-assignment table."""
+    from ihop_reddit_spark.resources.collections import (
+        SUBREDDIT_GROUPINGS,
+        collections_df,
+        enrich_with_collections,
+        get_collection_members,
+    )
+
+    name = "Denigrating toward immigrants"
+    members = get_collection_members(name)
+    assert len(members) == 39
+    assert members[0] == "AskReddit" and "Conservative" in members
+    assert name in SUBREDDIT_GROUPINGS
+
+    lk = collections_df(spark)
+    assert lk.count() == 39
+    assert lk.columns == ["collection", "member", "description"]
+
+    clusters = spark.createDataFrame(
+        [("AskReddit", 0), ("Conservative", 1), ("aww", 1)],
+        "subreddit string, cluster_id int",
+    )
+    out = {
+        r["subreddit"]: r["collection"]
+        for r in enrich_with_collections(clusters, "subreddit").collect()
+    }
+    assert out["AskReddit"] == name
+    assert out["Conservative"] == name
+    assert out["aww"] is None
