@@ -1,0 +1,329 @@
+"""Interactive cluster-exploration surface — the engine-side equivalent
+of the reference's Dash app (``app.py:362-637``): load a community
+embedding, retrain KMeans live with (k, seed), then drive linked
+scatter/table views from subreddit and cluster selections.
+
+This module deliberately ships NO web-framework dependency. It exposes
+
+* :class:`ClusterExplorer` — the session object every reference callback
+  maps onto (``train_clusters`` → :meth:`train`,
+  ``get_cluster_visualization`` → :meth:`scatter_data`,
+  ``get_display_table`` → :meth:`selection_table`, the E4 recategorize
+  → :meth:`recategorize`), and
+* :func:`make_server` — a stdlib ``http.server`` JSON API over one
+  explorer, for ``cli.py serve``.
+
+Every view is a DataFrame transformation over the cached assignment
+frame (vocab-sized: one row per word, persisted once per training run);
+selections are tiny literal lists, so the filters are broadcast-free
+``isin`` predicates plus one semi-join for cluster neighbors — the same
+plan family as the ``table_selection_with_neighbors`` catalog query.
+Only the HTTP layer collects, and it is row-capped.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Reference app's display-name conventions (app.py:479-512).
+UNSELECTED_CLUSTER_KEY = "other"
+CLUSTER_ASSIGNMENT_DISPLAY_NAME = "Cluster Assignment"
+
+#: Cap on rows any HTTP response will collect to the driver.
+MAX_HTTP_ROWS = 50_000
+
+
+class ClusterExplorer:
+    """One interactive session: an embedding table plus the latest
+    KMeans labeling and 2-D projection.
+
+    ``vectors`` must have ``(word_col, vec_col: array<double>)`` — e.g.
+    ``Community2Vec.fit(...).vectors()`` through
+    ``vector_to_array``, or any embedding table.
+    """
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        word_col: str = "word",
+        vec_col: str = "vector",
+    ) -> None:
+        self.vectors = vectors
+        self.word_col = word_col
+        self.vec_col = vec_col
+        self.model_name: str | None = None
+        self.assignments: DataFrame | None = None
+        self.metrics: dict[str, float] = {}
+        self._labels: dict[int, str] = {}
+
+    # -- reference train_clusters (app.py:396-445) ----------------------
+    def train(self, n_clusters: int, seed: int = 100) -> dict[str, Any]:
+        """(Re)train KMeans and the 2-D PCA projection; cache the
+        vocab-sized assignment frame. Returns metrics + model name,
+        mirroring the reference's metrics display."""
+        from .ml.clustering import (
+            ClusteringConfig,
+            calinski_harabasz,
+            davies_bouldin,
+            kmeans_assign,
+            silhouette,
+        )
+        from .ml.projection import pca_project
+
+        cfg = ClusteringConfig(n_clusters=n_clusters, seed=seed)
+        assigned, _model = kmeans_assign(self.vectors, self.vec_col, cfg)
+        coords = pca_project(
+            self.vectors, self.vec_col, self.word_col, dims=2
+        )
+        old = self.assignments
+        self.assignments = (
+            assigned.select(self.word_col, self.vec_col, "cluster_id")
+            .join(coords, self.word_col)
+            .persist()
+        )
+        self.assignments.count()  # materialize before dropping the old one
+        if old is not None:
+            old.unpersist()
+        self._labels = {}
+        self.model_name = (
+            f"Kmeans Cluster Assignment {n_clusters} clusters "
+            f"and random state {seed}"
+        )
+        self.metrics = {
+            "silhouette": silhouette(self.assignments, self.vec_col),
+            "calinski_harabasz": calinski_harabasz(
+                self.assignments, self.vec_col
+            ),
+            "davies_bouldin": davies_bouldin(
+                self.assignments, self.vec_col
+            ),
+        }
+        return {"name": self.model_name, "metrics": self.metrics}
+
+    def _require_trained(self) -> DataFrame:
+        if self.assignments is None:
+            raise RuntimeError("call train() first")
+        return self.assignments.drop(self.vec_col)
+
+    def _clusters_of(self, words: list[str]) -> DataFrame:
+        base = self._require_trained()
+        return (
+            base.where(F.col(self.word_col).isin(words))
+            .select("cluster_id")
+            .distinct()
+        )
+
+    # -- reference get_display_table (app.py:571-637) -------------------
+    def selection_table(
+        self,
+        words: list[str] | None = None,
+        clusters: list[int] | None = None,
+        show_neighbors: bool = False,
+    ) -> DataFrame:
+        """Rows for selected words ∪ members of selected clusters
+        (∪ the full clusters of selected words when ``show_neighbors``),
+        deduplicated, coordinates dropped — the reference table
+        semantics exactly."""
+        from .operators.joins import semi_join_filter
+        from .operators.setops import union_dedup
+
+        base = self._require_trained()
+        words = words or []
+        clusters = clusters or []
+        cols = [self.word_col, "cluster_id"]
+        picked = base.where(F.col(self.word_col).isin(words)).select(*cols)
+        by_cluster = base.where(
+            F.col("cluster_id").isin([int(c) for c in clusters])
+        ).select(*cols)
+        out = union_dedup(picked, by_cluster)
+        if show_neighbors and words:
+            neighbors = semi_join_filter(
+                base, self._clusters_of(words), "cluster_id"
+            ).select(*cols)
+            out = union_dedup(out, neighbors)
+        return self._with_labels(out).orderBy("cluster_id", self.word_col)
+
+    # -- reference get_cluster_visualization (app.py:446-561) -----------
+    def scatter_data(
+        self,
+        words: list[str] | None = None,
+        clusters: list[int] | None = None,
+        highlight: bool = False,
+    ) -> DataFrame:
+        """All points with (x, y, cluster_id, display_cluster): when
+        ``highlight``, clusters outside the selection (selected cluster
+        ids ∪ clusters of selected words) display as 'other' — the
+        grey-out semantics of the reference scatter."""
+        base = self._require_trained()
+        disp = F.col("cluster_id").cast("string")
+        if highlight:
+            keep = set(int(c) for c in clusters or [])
+            if words:
+                keep.update(
+                    r["cluster_id"]
+                    for r in self._clusters_of(words).collect()
+                )
+            disp = (
+                F.when(
+                    F.col("cluster_id").isin(sorted(keep)), disp
+                ).otherwise(F.lit(UNSELECTED_CLUSTER_KEY))
+                if keep
+                else F.lit(UNSELECTED_CLUSTER_KEY)
+            )
+        return self._with_labels(
+            base.select(
+                self.word_col,
+                "x",
+                "y",
+                "cluster_id",
+                disp.alias("display_cluster"),
+            )
+        )
+
+    # -- reference E4 recategorization ----------------------------------
+    def recategorize(self, labels: dict[int, str]) -> None:
+        """Attach human labels to cluster ids (the app's editable
+        cluster-name column); views emit them as ``cluster_label``."""
+        self._labels = {int(k): str(v) for k, v in labels.items()}
+
+    def _with_labels(self, df: DataFrame) -> DataFrame:
+        if not self._labels:
+            return df
+        expr = None
+        for cid, label in sorted(self._labels.items()):
+            cond = F.when(F.col("cluster_id") == cid, F.lit(label))
+            expr = cond if expr is None else expr.when(
+                F.col("cluster_id") == cid, F.lit(label)
+            )
+        return df.withColumn(
+            "cluster_label",
+            expr.otherwise(F.col("cluster_id").cast("string")),
+        )
+
+
+def explorer_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    vector_size: int = 16,
+    epochs: int = 3,
+    seed: int = 100,
+) -> ClusterExplorer:
+    """Build an explorer by training community2vec on the events table —
+    the sandbox stand-in for loading a saved Reddit-month model."""
+    from pyspark.ml.functions import vector_to_array
+
+    from .ml.community2vec import C2VParams, Community2Vec, split_contexts
+    from .plans.query_catalog import _C2V_CFG, _t, user_contexts
+
+    contexts = split_contexts(
+        user_contexts(_t(spark, sf_dir, "events"), _C2V_CFG)
+    )
+    model = Community2Vec(
+        C2VParams(vector_size=vector_size, epochs=epochs, seed=seed)
+    ).fit(contexts)
+    vectors = model.vectors().select(
+        "word", vector_to_array(F.col("vector")).alias("vector")
+    )
+    return ClusterExplorer(vectors)
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP JSON API (cli.py serve)
+# ---------------------------------------------------------------------------
+def _rows_json(df: DataFrame) -> list[dict]:
+    rows = df.limit(MAX_HTTP_ROWS + 1).collect()
+    if len(rows) > MAX_HTTP_ROWS:
+        raise ValueError(
+            f"response exceeds {MAX_HTTP_ROWS} rows; narrow the selection"
+        )
+    return [r.asDict() for r in rows]
+
+
+def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 0):
+    """HTTP server over one explorer session.
+
+    * ``POST /train``   body ``{"n_clusters": k, "seed": s}``
+    * ``POST /labels``  body ``{"<cluster_id>": "<label>", ...}``
+    * ``GET /table?words=a,b&clusters=0,1&neighbors=1``
+    * ``GET /scatter?words=a&clusters=2&highlight=1``
+    * ``GET /health``
+
+    Returns the (not yet started) ``http.server.ThreadingHTTPServer``;
+    callers run ``serve_forever()`` (cli) or drive it from a thread
+    (tests). Single-session by design — parity with the reference app's
+    one-model-at-a-time state.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    def _csv(qs: dict, key: str) -> list[str]:
+        raw = qs.get(key, [""])[0]
+        return [v for v in raw.split(",") if v]
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Any) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet test runs
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            try:
+                if url.path == "/health":
+                    self._send(
+                        200,
+                        {
+                            "trained": explorer.assignments is not None,
+                            "model": explorer.model_name,
+                        },
+                    )
+                elif url.path == "/table":
+                    df = explorer.selection_table(
+                        words=_csv(qs, "words"),
+                        clusters=[int(c) for c in _csv(qs, "clusters")],
+                        show_neighbors=qs.get("neighbors", ["0"])[0]
+                        == "1",
+                    )
+                    self._send(200, {"rows": _rows_json(df)})
+                elif url.path == "/scatter":
+                    df = explorer.scatter_data(
+                        words=_csv(qs, "words"),
+                        clusters=[int(c) for c in _csv(qs, "clusters")],
+                        highlight=qs.get("highlight", ["0"])[0] == "1",
+                    )
+                    self._send(200, {"rows": _rows_json(df)})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as exc:  # surface errors as JSON, keep serving
+                self._send(400, {"error": str(exc)})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/train":
+                    out = explorer.train(
+                        int(payload.get("n_clusters", 8)),
+                        int(payload.get("seed", 100)),
+                    )
+                    self._send(200, out)
+                elif self.path == "/labels":
+                    explorer.recategorize(payload)
+                    self._send(200, {"labels": explorer._labels})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as exc:
+                self._send(400, {"error": str(exc)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -301,6 +301,22 @@ def _cmd_sql(args) -> None:
         df.show(args.limit, truncate=False)
 
 
+def _cmd_serve(args) -> None:
+    from .app import explorer_from_events, make_server
+
+    spark = _session(args)
+    explorer = explorer_from_events(
+        spark, args.sf_dir, vector_size=args.vector_size,
+        epochs=args.epochs,
+    )
+    explorer.train(args.n_clusters, args.seed)
+    server = make_server(explorer, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"serving cluster explorer on http://{host}:{port} "
+          f"(/health /table /scatter, POST /train /labels)")
+    server.serve_forever()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ihop_reddit_spark")
     p.add_argument("--master", default=None, help="Spark master (default: local)")
@@ -462,6 +478,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write result parquet here instead of printing")
     sq.add_argument("--limit", type=int, default=50)
     sq.set_defaults(func=_cmd_sql)
+
+    sv = sub.add_parser(
+        "serve",
+        help="interactive cluster-explorer HTTP API (reference app.py "
+             "train/table/scatter semantics)",
+    )
+    sv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8050)
+    sv.add_argument("--n-clusters", type=int, default=8)
+    sv.add_argument("--seed", type=int, default=100)
+    sv.add_argument("--vector-size", type=int, default=16)
+    sv.add_argument("--epochs", type=int, default=3)
+    sv.set_defaults(func=_cmd_serve)
     return p
 
 

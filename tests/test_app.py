@@ -1,0 +1,159 @@
+"""Interactive surface tests: ClusterExplorer semantics vs the
+reference Dash callbacks (app.py:362-637) and one full HTTP
+select→filter→table round-trip through the stdlib server."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from ihop_reddit_spark.app import ClusterExplorer, make_server
+
+
+@pytest.fixture(scope="module")
+def explorer(spark):
+    # three well-separated blobs of "subreddits" → deterministic clusters
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for b, center in enumerate([(0.0, 0.0), (50.0, 0.0), (0.0, 50.0)]):
+        for i in range(8):
+            x = rng.normal(center, 0.3)
+            rows.append((f"sub{b}_{i}", [float(x[0]), float(x[1])]))
+    vectors = spark.createDataFrame(rows, "word string, vector array<double>")
+    ex = ClusterExplorer(vectors)
+    out = ex.train(n_clusters=3, seed=1)
+    assert out["name"].startswith("Kmeans")
+    assert out["metrics"]["silhouette"] > 0.8
+    return ex
+
+
+def test_untrained_explorer_raises(spark):
+    df = spark.createDataFrame([("w", [0.0])], "word string, vector array<double>")
+    with pytest.raises(RuntimeError):
+        ClusterExplorer(df).selection_table(words=["w"])
+
+
+def test_selection_table_semantics(explorer):
+    base = {
+        r["word"]: r["cluster_id"]
+        for r in explorer._require_trained().collect()
+    }
+    # same-blob words share a cluster; cross-blob words don't
+    assert base["sub0_0"] == base["sub0_5"]
+    assert base["sub0_0"] != base["sub1_0"]
+
+    # words only: exactly the picked rows
+    t = explorer.selection_table(words=["sub0_0", "sub1_0"])
+    assert sorted(r["word"] for r in t.collect()) == ["sub0_0", "sub1_0"]
+
+    # neighbors: the full clusters of the picked words (2 blobs × 8)
+    tn = explorer.selection_table(
+        words=["sub0_0", "sub1_0"], show_neighbors=True
+    )
+    got = sorted(r["word"] for r in tn.collect())
+    assert len(got) == 16
+    assert all(w.startswith(("sub0_", "sub1_")) for w in got)
+
+    # explicit cluster selection unions in its members, deduplicated
+    c2 = base["sub2_0"]
+    tc = explorer.selection_table(words=["sub2_3"], clusters=[c2])
+    assert sorted(r["word"] for r in tc.collect()) == sorted(
+        f"sub2_{i}" for i in range(8)
+    )
+
+
+def test_scatter_highlight_greys_out_unselected(explorer):
+    base = {
+        r["word"]: r["cluster_id"]
+        for r in explorer._require_trained().collect()
+    }
+    rows = explorer.scatter_data(
+        words=["sub0_0"], highlight=True
+    ).collect()
+    assert len(rows) == 24  # always every point
+    keep = base["sub0_0"]
+    for r in rows:
+        if r["cluster_id"] == keep:
+            assert r["display_cluster"] == str(keep)
+        else:
+            assert r["display_cluster"] == "other"
+    # no highlight: every cluster displays as itself
+    plain = explorer.scatter_data().collect()
+    assert all(
+        r["display_cluster"] == str(r["cluster_id"]) for r in plain
+    )
+
+
+def test_recategorize_labels_views(explorer):
+    base = {
+        r["word"]: r["cluster_id"]
+        for r in explorer._require_trained().collect()
+    }
+    cid = base["sub0_0"]
+    explorer.recategorize({cid: "sports"})
+    try:
+        t = explorer.selection_table(words=["sub0_0", "sub1_0"])
+        got = {r["word"]: r["cluster_label"] for r in t.collect()}
+        assert got["sub0_0"] == "sports"
+        assert got["sub1_0"] == str(base["sub1_0"])
+    finally:
+        explorer.recategorize({})
+
+
+def test_http_round_trip(explorer):
+    """The VERDICT item-4 contract: one select→filter→table round-trip
+    driven end-to-end through the HTTP surface."""
+    server = make_server(explorer, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return json.loads(r.read())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        health = get("/health")
+        assert health["trained"] is True
+
+        # retrain live (the reference clustering_button)
+        out = post("/train", {"n_clusters": 3, "seed": 1})
+        assert "silhouette" in out["metrics"]
+
+        # select a word, ask for its cluster neighbors
+        table = get("/table?words=sub1_2&neighbors=1")["rows"]
+        assert len(table) == 8
+        assert {r["word"] for r in table} == {
+            f"sub1_{i}" for i in range(8)
+        }
+
+        # scatter with highlight keeps all points, greys the rest
+        sc = get("/scatter?words=sub1_2&highlight=1")["rows"]
+        assert len(sc) == 24
+        others = [r for r in sc if r["display_cluster"] == "other"]
+        assert len(others) == 16
+
+        # label round-trip
+        cid = table[0]["cluster_id"]
+        post("/labels", {str(cid): "news"})
+        labeled = get("/table?words=sub1_2")["rows"]
+        assert labeled[0]["cluster_label"] == "news"
+        post("/labels", {})
+    finally:
+        server.shutdown()
+        server.server_close()
