@@ -60,6 +60,21 @@ HEADLINE = [
     "simhash_candidate_pairs",    # dedup tier 2 (Arrow signature path)
 ]
 
+#: The 18 queries benched since round 1 — their subtotal is emitted as
+#: ``shared_with_r01`` so the round-over-round signal stays comparable
+#: as the headline set grows (VERDICT r3 watch item).
+R01_SHARED = [
+    "c2v_prep_contexts", "topn_parts_by_lineitems",
+    "semi_join_topn_flag_counts", "order_lineitem_ship_delay",
+    "order_thread_documents", "user_event_contexts", "exclude_top_users",
+    "describe_value_by_event_type", "doc_quality_features",
+    "exact_duplicate_groups", "ngram_jaccard_pairs",
+    "knn_bruteforce_cosine", "asof_purchase_to_click",
+    "embedding_near_dup_pairs", "pmi_terms_by_lang",
+    "multimodal_frame_samples", "intruder_task_export",
+    "corpus_prep_survivors",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,6 +143,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "shared_with_r01": round(
+            sum(timings.get(q, 0.0) for q in R01_SHARED), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

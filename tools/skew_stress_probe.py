@@ -1,0 +1,154 @@
+"""Skew-stress probe for the dedup tier (VERDICT r3 item 8).
+
+Plants a single near-duplicate MEGA-CLUSTER holding 10% of the sf0.1
+documents table (one boilerplate template plus a short per-doc tail, so
+the cluster is a true near-dup family: banded candidates, high Jaccard,
+exact verification survives) and measures the operators whose
+skew-safety claims otherwise rest on sf0.01-shaped data:
+
+* ``ngram_jaccard_pairs``       — the exact similarity join; the planted
+  cluster makes its hot shingles ~10%-mass keys.
+* ``build_minhash_index`` + ``incremental_minhash_candidates`` — the
+  scale-tier banding path; the mega-cluster lands in one band bucket.
+* ``dedup_keep_best``           — the argmax-under-skew claim
+  (``datapipe/dedup.py``): one component holds 10% of the corpus.
+
+The planted pair count inside a C-member cluster is C·(C−1)/2, which is
+quadratic by PROBLEM DEFINITION (those pairs genuinely exist); the probe
+therefore caps the mega-cluster at ``--cluster-size`` members (default
+2,000 → ~2M true pairs at sf0.1's 20k docs ≈ 10%) and reports wall
+times plus the emitted pair/survivor counts so the numbers are
+interpretable. What the probe checks is that the plans COMPLETE at that
+density without driver/executor failure and in time proportional to the
+output size — not that quadratic output is free.
+
+Usage: python tools/skew_stress_probe.py [sf_dir] [--cluster-size N]
+Prints one JSON line: {"planted": N, "ops": {name: {"sec": s, ...}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    cluster_size = 2000
+    for a in sys.argv[1:]:
+        if a.startswith("--cluster-size"):
+            cluster_size = int(a.split("=", 1)[1])
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.session import get_spark_session
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark_session(
+        "skew-stress",
+        config={
+            "spark.ui.enabled": "false",
+            "spark.sql.shuffle.partitions": cpus,
+        },
+        master=f"local[{cpus}]",
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    planted = min(cluster_size, n_docs // 10)
+
+    # 10%-mass mega-cluster: the lowest `planted` doc_ids share one long
+    # boilerplate template; a short unique tail keeps them near- (not
+    # exact-) duplicates. Everything else keeps its original text.
+    boiler = " ".join(
+        f"boilerplate{w % 37} legal disclaimer shared footer text"
+        for w in range(40)
+    )
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < planted,
+            F.concat_ws(
+                " ",
+                F.lit(boiler),
+                F.concat(F.lit("tail"), F.col("doc_id").cast("string")),
+            ),
+        ).otherwise(F.col("text")),
+    ).persist()
+    skewed.count()
+
+    from ihop_reddit_spark.datapipe.dedup import (
+        build_minhash_index,
+        dedup_keep_best,
+        incremental_minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    ops: dict[str, dict] = {}
+
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(
+        skewed, "text", "doc_id", n=3, threshold=0.5
+    )
+    n_pairs = pairs.count()
+    ops["ngram_jaccard_pairs"] = {
+        "sec": round(time.time() - t0, 2), "pairs": n_pairs,
+    }
+    spark.catalog.clearCache()
+    skewed.persist().count()
+
+    t0 = time.time()
+    old = skewed.where(F.col("doc_id") % 2 == 0)
+    new = skewed.where(F.col("doc_id") % 2 == 1)
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="skew_probe_")
+    table = "skew_probe_minhash_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_minhash_index(
+        old, "text", "doc_id", table, os.path.join(workdir, "index")
+    )
+    cand = incremental_minhash_candidates(
+        spark, new, "text", "doc_id", table
+    )
+    n_cand = cand.count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    ops["incremental_minhash_candidates"] = {
+        "sec": round(time.time() - t0, 2), "candidates": n_cand,
+    }
+    spark.catalog.clearCache()
+    skewed.persist().count()
+
+    # keep_best over the planted component: pair list = mega-cluster
+    # spanning tree + a chain over the rest is enough to form the
+    # component without materializing the quadratic pair set again.
+    t0 = time.time()
+    span = spark.range(1, planted).select(
+        F.lit(0).alias("left_id"), F.col("id").alias("right_id")
+    )
+    survivors = dedup_keep_best(
+        skewed, span, "doc_id", broadcast_drops=False
+    )
+    n_surv = survivors.count()
+    ops["dedup_keep_best"] = {
+        "sec": round(time.time() - t0, 2),
+        "survivors": n_surv,
+        "dropped": n_docs - n_surv,
+    }
+
+    print(json.dumps({
+        "sf_dir": sf_dir, "n_docs": n_docs, "planted": planted,
+        "ops": ops,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
