@@ -124,7 +124,17 @@ class EmbeddingMatrix:
             )
         rows = vectors.collect()
         words = [r["word"] for r in rows]
-        mat = np.array([r["vector"].toArray() for r in rows], dtype=np.float32)
+        # accept VectorUDT (Spark ML trainer) or plain array<double>
+        # (the SGNS fallback / any embedding table)
+        mat = np.array(
+            [
+                r["vector"].toArray()
+                if hasattr(r["vector"], "toArray")
+                else r["vector"]
+                for r in rows
+            ],
+            dtype=np.float32,
+        )
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return cls(words, mat / norms)
