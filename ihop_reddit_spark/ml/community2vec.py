@@ -235,14 +235,22 @@ def grid_search(
     contexts: DataFrame,
     grid: dict[str, list],
     analogies: list,
-    base: C2VParams | None = None,
+    base=None,
     metrics_path: str | None = None,
     parallelism: int = 1,
-) -> tuple["Community2Vec", dict]:
-    """Cartesian-product grid over C2VParams fields, best-by-analogy-accuracy
+    trainer=None,
+):
+    """Cartesian-product grid over trainer params, best-by-analogy-accuracy
     retained (``ihop/community2vec.py:410-626``; the reference is strictly
     sequential). Each trial is itself a distributed Word2Vec fit; contexts
     are cached across trials.
+
+    ``trainer`` selects the trainer class (default
+    :class:`Community2Vec`; pass ``ihop_reddit_spark.ml.sgns.
+    SGNSCommunity2Vec`` to grid the SGNS fallback — the reference's own
+    grid runs over its Gensim SGNS models). ``base`` must be the
+    matching params dataclass (``C2VParams`` / ``SGNSParams``); grid
+    keys override its fields.
 
     ``parallelism > 1`` runs that many trials concurrently from driver
     threads — one SparkSession schedules all of them, so narrow stages of one
@@ -252,14 +260,17 @@ def grid_search(
     grid order and ties on accuracy keep the EARLIEST combo, exactly like the
     sequential path.
     """
-    base = base or C2VParams()
+    trainer = trainer or Community2Vec
+    base = base or (
+        C2VParams() if trainer is Community2Vec else trainer().params
+    )
     contexts = contexts.cache()
     keys = sorted(grid)
     combos = list(itertools.product(*(grid[k] for k in keys)))
 
-    def run_trial(combo) -> tuple[dict, "Community2Vec"]:
-        params = C2VParams(**{**base.__dict__, **dict(zip(keys, combo))})
-        model = Community2Vec(params).fit(contexts)
+    def run_trial(combo):
+        params = type(base)(**{**base.__dict__, **dict(zip(keys, combo))})
+        model = trainer(params).fit(contexts)
         emb = EmbeddingMatrix.from_vectors_df(model.vectors())
         metrics = evaluate_analogies(emb, analogies)
         return {"params": dict(zip(keys, combo)), **metrics}, model
@@ -273,7 +284,7 @@ def grid_search(
         trials = [run_trial(c) for c in combos]
 
     results = [t[0] for t in trials]
-    best: tuple[float, Community2Vec | None] = (-1.0, None)
+    best = (-1.0, None)
     for metrics, model in trials:
         if metrics["total_accuracy"] > best[0]:
             best = (metrics["total_accuracy"], model)

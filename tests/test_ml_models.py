@@ -707,3 +707,31 @@ def test_sgns_driver_guard(spark):
         SGNSCommunity2Vec(
             SGNSParams(epochs=5, max_driver_pairs=10)
         ).fit(df)
+
+
+def test_grid_search_with_sgns_trainer(spark):
+    """M2 accepts the SGNS fallback behind the same interface — the
+    reference's grid runs over its Gensim SGNS models."""
+    from ihop_reddit_spark.ml.community2vec import grid_search
+    from ihop_reddit_spark.ml.sgns import SGNSCommunity2Vec, SGNSParams
+
+    df = _planted_contexts(spark, n_sections=3, reps=15)
+    ana = generate_analogies(
+        {"ct": [(f"city{i}", f"team{i}") for i in range(3)]}
+    )
+    best, summary = grid_search(
+        df,
+        {"epochs": [5, 40]},
+        ana,
+        base=SGNSParams(
+            vector_size=16, negative=5, alpha=0.1, min_alpha=0.01,
+            batch_pairs=128, seed=1,
+        ),
+        trainer=SGNSCommunity2Vec,
+    )
+    assert isinstance(best, SGNSCommunity2Vec)
+    assert len(summary["trials"]) == 2
+    # more epochs should win (or tie) on the planted fixture
+    assert summary["best_accuracy"] >= max(
+        t["total_accuracy"] for t in summary["trials"]
+    )
