@@ -146,6 +146,9 @@ def main() -> None:
         "shared_with_r01": round(
             sum(timings.get(q, 0.0) for q in R01_SHARED), 3
         ),
+        # coverage count: if < len(R01_SHARED), a shared query errored or
+        # was dropped and the subtotal is NOT comparable to prior rounds
+        "shared_with_r01_n": sum(1 for q in R01_SHARED if q in timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

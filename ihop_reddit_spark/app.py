@@ -79,13 +79,28 @@ class ClusterExplorer:
         coords = pca_project(
             self.vectors, self.vec_col, self.word_col, dims=2
         )
-        old = self.assignments
-        self.assignments = (
+        fresh = (
             assigned.select(self.word_col, self.vec_col, "cluster_id")
             .join(coords, self.word_col)
             .persist()
         )
-        self.assignments.count()  # materialize before dropping the old one
+        # compute EVERYTHING that can fail before touching session
+        # state, so a failed retrain leaves the previous model fully
+        # consistent (assignments + name + metrics all from one run)
+        try:
+            fresh.count()
+            metrics = {
+                "silhouette": silhouette(fresh, self.vec_col),
+                "calinski_harabasz": calinski_harabasz(
+                    fresh, self.vec_col
+                ),
+                "davies_bouldin": davies_bouldin(fresh, self.vec_col),
+            }
+        except Exception:
+            fresh.unpersist()
+            raise
+        old = self.assignments
+        self.assignments = fresh
         if old is not None:
             old.unpersist()
         self._labels = {}
@@ -93,15 +108,7 @@ class ClusterExplorer:
             f"Kmeans Cluster Assignment {n_clusters} clusters "
             f"and random state {seed}"
         )
-        self.metrics = {
-            "silhouette": silhouette(self.assignments, self.vec_col),
-            "calinski_harabasz": calinski_harabasz(
-                self.assignments, self.vec_col
-            ),
-            "davies_bouldin": davies_bouldin(
-                self.assignments, self.vec_col
-            ),
-        }
+        self.metrics = metrics
         return {"name": self.model_name, "metrics": self.metrics}
 
     def _require_trained(self) -> DataFrame:
@@ -217,11 +224,10 @@ def explorer_from_events(
     from pyspark.ml.functions import vector_to_array
 
     from .ml.community2vec import C2VParams, Community2Vec, split_contexts
-    from .plans.query_catalog import _C2V_CFG, _t, user_contexts
+    from .plans.c2v_prep import EVENTS_C2V_CFG, user_contexts
 
-    contexts = split_contexts(
-        user_contexts(_t(spark, sf_dir, "events"), _C2V_CFG)
-    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    contexts = split_contexts(user_contexts(events, EVENTS_C2V_CFG))
     model = Community2Vec(
         C2VParams(vector_size=vector_size, epochs=epochs, seed=seed)
     ).fit(contexts)

@@ -1217,7 +1217,11 @@ def dedup_keep_best(
     )
     best = (
         members.join(best_q, "component_id")
-        .where(F.col("__q") == F.col("__qmax"))
+        # eqNullSafe: a component whose members ALL have NULL scores has
+        # __qmax NULL — a plain == would select nobody and silently skip
+        # canonicalizing that cluster; null-safe equality makes every
+        # member tie and the id tie-break decide
+        .where(F.col("__q").eqNullSafe(F.col("__qmax")))
         .groupBy("component_id")
         .agg(F.min(F.col(id_col)).alias("__best_id"))
     )

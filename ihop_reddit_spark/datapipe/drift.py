@@ -183,7 +183,10 @@ def two_proportion_significance(
     with ``S = s₁+s₂``, ``N = n₁+n₂``. The distributed work is ONE
     aggregation pass over the filtered variants (conditional sums
     partial-combine map-side) producing four longs; the inequality is
-    then decided on the driver in Python arbitrary-precision integers —
+    then decided on the driver in Python arbitrary-precision integers
+    (NOTE: this makes the function EAGER — it runs the aggregation at
+    call time and returns a literal 1-row frame, so it does not compose
+    onto streaming frames; use it as a batch readout) —
     ``diff²·N·10⁴`` exceeds DECIMAL(38,0) once cohorts reach ~10⁷ rows
     per side, where Spark's non-ANSI decimal arithmetic would silently
     NULL the verdict, so the 4-scalar collect (bounded, one row) is the

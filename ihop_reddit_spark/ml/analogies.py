@@ -55,6 +55,52 @@ def load_reference_pairs(
     return out
 
 
+#: The four sports sections — the fast gate subset (1,741 tuples).
+SPORTS_SECTIONS = (
+    "city_to_mlb_team",
+    "city_to_nba_team",
+    "city_to_nfl_team",
+    "city_to_nhl_team",
+)
+
+
+def build_reference_corpus(
+    spark,
+    sections: tuple[str, ...] = SPORTS_SECTIONS,
+    reps: int = 15,
+    seed: int = 11,
+    path: str | None = None,
+):
+    """Synthetic training corpus over the REAL benchmark vocabulary:
+    each seed pair (a, b) gets a private anchor token plus a city-side
+    marker and a per-section team-side marker, so every a→b offset is
+    consistent within a section and the trained embedding can be
+    evaluated on the actual reference tuples. Scaffold tokens are
+    ``__``-prefixed — exclude them from the prediction vocabulary
+    (``vectors().where(~col("word").startswith("__"))``).
+
+    Shared by the c2v/sgns reference-analogy gates and their pytest
+    twins — one builder, one corpus shape.
+    """
+    import random
+
+    pairs = load_reference_pairs(path)
+    rng = random.Random(seed)
+    rows = []
+    for si, section in enumerate(sections):
+        for pi, (a, b) in enumerate(pairs[section]):
+            anchor = f"__pair_{si}_{pi}"
+            for _ in range(reps):
+                s1 = [a, anchor, "__cityness"]
+                s2 = [b, anchor, f"__{section}"]
+                rng.shuffle(s1)
+                rng.shuffle(s2)
+                rows.append((s1,))
+                rows.append((s2,))
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "context array<string>")
+
+
 def reference_analogies(
     path: str | None = None,
     sections: tuple[str, ...] | None = None,

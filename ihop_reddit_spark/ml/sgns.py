@@ -79,6 +79,21 @@ class SGNSCommunity2Vec:
     def fit(self, contexts: DataFrame) -> "SGNSCommunity2Vec":
         p = self.params
         self._spark = contexts.sparkSession
+        # guard BEFORE collecting: count the skip-gram pairs with a
+        # distributed aggregate so an oversized corpus raises without
+        # first materializing gigabytes on the driver
+        from pyspark.sql import functions as F
+
+        sz = F.size(F.col(self.tokens_col)).cast("long")
+        est = contexts.agg(
+            F.coalesce(F.sum(sz * (sz - 1)), F.lit(0)).alias("n")
+        ).collect()[0]["n"]
+        if est * max(p.epochs, 1) > p.max_driver_pairs:
+            raise ValueError(
+                f"{est} pairs x {p.epochs} epochs exceeds the "
+                f"driver guard ({p.max_driver_pairs}); use the "
+                "distributed Community2Vec trainer"
+            )
         rows = [r[0] for r in contexts.select(self.tokens_col).collect()]
 
         # vocabulary: frequency-desc, lexicographic tie-break — a total
@@ -108,12 +123,6 @@ class SGNSCommunity2Vec:
         n_pairs = len(centers)
         if n_pairs == 0:
             raise ValueError("no co-occurrence pairs (1-word contexts)")
-        if n_pairs * max(p.epochs, 1) > p.max_driver_pairs:
-            raise ValueError(
-                f"{n_pairs} pairs x {p.epochs} epochs exceeds the "
-                f"driver guard ({p.max_driver_pairs}); use the "
-                "distributed Community2Vec trainer"
-            )
         ctr = np.asarray(centers, dtype=np.int64)
         pos = np.asarray(positives, dtype=np.int64)
 

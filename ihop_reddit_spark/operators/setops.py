@@ -213,21 +213,18 @@ def scd2_apply(
     invariant. (Tracked columns must therefore be orderable types,
     which SCD2 scalars are.)
     """
-    d = delta.select(*keys, *tracked)
-    if tracked:
-        d = (
-            d.groupBy(*keys)
-            .agg(
-                F.max(
-                    F.struct(*[F.col(c) for c in tracked])
-                ).alias("__t")
-            )
-            .select(
-                *keys, *[F.col(f"__t.{c}").alias(c) for c in tracked]
-            )
+    if not tracked:
+        # an SCD2 with no tracked columns has nothing to version; the
+        # change predicate below would be vacuous (differs stays None)
+        raise ValueError("scd2_apply requires at least one tracked column")
+    d = (
+        delta.select(*keys, *tracked)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.struct(*[F.col(c) for c in tracked])).alias("__t")
         )
-    else:
-        d = d.dropDuplicates(keys)
+        .select(*keys, *[F.col(f"__t.{c}").alias(c) for c in tracked])
+    )
     d_plain = d  # un-hinted frame for probes where d is the LEFT side
     if broadcast_delta:
         d = F.broadcast(d)

@@ -53,6 +53,21 @@ class C2VPrepConfig:
     prefilter_heavy_users: bool = False
 
 
+#: The synthetic events-table tuning of the prep pipeline (user sessions
+#: over event types) — shared by the catalog flagship queries and the
+#: interactive explorer so both build the same vocabulary.
+EVENTS_C2V_CFG = C2VPrepConfig(
+    user_col="user_id",
+    item_col="event_type",
+    order_cols=("ts", "event_id"),
+    top_n=4,
+    exclude_user_fraction=0.05,
+    min_sentence_length=2,
+    exclude_item_regex="^err.*",
+    deleted_user_sentinel=None,
+)
+
+
 def top_n_items(df: DataFrame, cfg: C2VPrepConfig) -> DataFrame:
     """Vocabulary query (A1): top-N items by row count, ties broken by name."""
     filtered = df

@@ -1150,16 +1150,7 @@ def event_scalar_functions(spark, sf_dir):
 # Flagship — the full community2vec prep pipeline (SURVEY §7 minimum slice)
 # run against the events table: S1→P2→A1→J1→W1→A2 + length filter.
 # ---------------------------------------------------------------------------
-_C2V_CFG = C2VPrepConfig(
-    user_col="user_id",
-    item_col="event_type",
-    order_cols=("ts", "event_id"),
-    top_n=4,
-    exclude_user_fraction=0.05,
-    min_sentence_length=2,
-    exclude_item_regex="^err.*",
-    deleted_user_sentinel=None,
-)
+from .c2v_prep import EVENTS_C2V_CFG as _C2V_CFG  # noqa: E402
 
 
 @query(
@@ -2619,9 +2610,11 @@ def c2v_reference_analogy_gate(spark, sf_dir):
     sf_dir): it gates trainer + benchmark data + evaluator; see
     c2v_planted_analogy_gate for the synthetic-geometry twin.
     """
-    import random
-
-    from ..ml.analogies import load_reference_pairs, reference_analogies
+    from ..ml.analogies import (
+        SPORTS_SECTIONS,
+        build_reference_corpus,
+        reference_analogies,
+    )
     from ..ml.community2vec import (
         C2VParams,
         Community2Vec,
@@ -2629,34 +2622,16 @@ def c2v_reference_analogy_gate(spark, sf_dir):
         evaluate_analogies,
     )
 
-    sports = (
-        "city_to_mlb_team",
-        "city_to_nba_team",
-        "city_to_nfl_team",
-        "city_to_nhl_team",
-    )
-    pairs = load_reference_pairs()
-    rng = random.Random(11)
-    rows = []
-    for si, section in enumerate(sports):
-        for pi, (a, b) in enumerate(pairs[section]):
-            anchor = f"__pair_{si}_{pi}"
-            for _ in range(15):
-                s1 = [a, anchor, "__cityness"]
-                s2 = [b, anchor, f"__{section}"]
-                rng.shuffle(s1)
-                rng.shuffle(s2)
-                rows.append((s1,))
-                rows.append((s2,))
-    rng.shuffle(rows)
-    df = spark.createDataFrame(rows, "context array<string>")
+    df = build_reference_corpus(spark, SPORTS_SECTIONS, reps=15, seed=11)
     model = Community2Vec(
         C2VParams(vector_size=64, epochs=15, seed=100)
     ).fit(df)
     emb = EmbeddingMatrix.from_vectors_df(
         model.vectors().where(~F.col("word").startswith("__"))
     )
-    res = evaluate_analogies(emb, reference_analogies(sections=sports))
+    res = evaluate_analogies(
+        emb, reference_analogies(sections=SPORTS_SECTIONS)
+    )
     return spark.range(1).select(
         F.lit(int(res["total_evaluated"])).cast("long").alias("n_analogies"),
         F.lit(len(res["sections"])).cast("long").alias("n_sections"),
@@ -2700,7 +2675,16 @@ def _collection_enrichment_oracle() -> str:
     """
 
 
-@query("cluster_label_enrichment", _collection_enrichment_oracle())
+# the oracle inlines the vendored CSV's rows; guard the file read so a
+# packaging mistake (missing package_data) degrades this ONE query to
+# rows-only instead of failing every catalog import
+try:
+    _COLLECTION_ORACLE: str | None = _collection_enrichment_oracle()
+except OSError:
+    _COLLECTION_ORACLE = None
+
+
+@query("cluster_label_enrichment", _COLLECTION_ORACLE)
 def cluster_label_enrichment(spark, sf_dir):
     """E-tier: label clusters with the vendored subreddit collections.
     Deliberately data-independent (ignores sf_dir): it gates the
@@ -2745,33 +2729,15 @@ def sgns_reference_analogy_gate(spark, sf_dir):
     on the same corpus, reproducing the reference's reason for choosing
     SGNS. ``beats_reference_band`` asserts P@1 ≥ 0.66.
     """
-    import random
-
-    from ..ml.analogies import load_reference_pairs, reference_analogies
+    from ..ml.analogies import (
+        SPORTS_SECTIONS,
+        build_reference_corpus,
+        reference_analogies,
+    )
     from ..ml.community2vec import EmbeddingMatrix, evaluate_analogies
     from ..ml.sgns import SGNSCommunity2Vec, SGNSParams
 
-    sports = (
-        "city_to_mlb_team",
-        "city_to_nba_team",
-        "city_to_nfl_team",
-        "city_to_nhl_team",
-    )
-    pairs = load_reference_pairs()
-    rng = random.Random(11)
-    rows = []
-    for si, section in enumerate(sports):
-        for pi, (a, b) in enumerate(pairs[section]):
-            anchor = f"__pair_{si}_{pi}"
-            for _ in range(10):
-                s1 = [a, anchor, "__cityness"]
-                s2 = [b, anchor, f"__{section}"]
-                rng.shuffle(s1)
-                rng.shuffle(s2)
-                rows.append((s1,))
-                rows.append((s2,))
-    rng.shuffle(rows)
-    df = spark.createDataFrame(rows, "context array<string>")
+    df = build_reference_corpus(spark, SPORTS_SECTIONS, reps=10, seed=11)
     model = SGNSCommunity2Vec(
         SGNSParams(
             vector_size=64, epochs=40, negative=5, alpha=0.1,
@@ -2781,7 +2747,9 @@ def sgns_reference_analogy_gate(spark, sf_dir):
     emb = EmbeddingMatrix.from_vectors_df(
         model.vectors().where(~F.col("word").startswith("__"))
     )
-    res = evaluate_analogies(emb, reference_analogies(sections=sports))
+    res = evaluate_analogies(
+        emb, reference_analogies(sections=SPORTS_SECTIONS)
+    )
     return spark.range(1).select(
         F.lit(int(res["total_evaluated"])).cast("long").alias("n_analogies"),
         F.lit(bool(res["total_accuracy"] >= 0.55)).alias("p_at_1_ok"),

@@ -682,3 +682,35 @@ def test_scd2_apply_duplicate_delta_keys_one_open_row(spark):
         assert [(r["k"], r["seg"], r["valid_to"]) for r in closed] == [
             (1, "A", 5)
         ]
+
+
+def test_dedup_keep_best_all_null_scores_still_canonicalizes(spark):
+    """Review r4: a component whose members ALL have NULL scores must
+    still collapse to one survivor (id tie-break), not silently skip."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "ok")],
+        "doc_id long, q string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["left_id", "right_id"])
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(
+            df, pairs, "doc_id", score=F.length("q")
+        ).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_scd2_apply_rejects_empty_tracked(spark):
+    import pytest as _pytest
+
+    from ihop_reddit_spark.operators.setops import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame([(1, "A")], ["k", "seg"])
+    hist = scd2_init(snap, ["k"], ["seg"])
+    with _pytest.raises(ValueError, match="tracked"):
+        scd2_apply(hist, snap, ["k"], [], eff=1)

@@ -555,34 +555,13 @@ def test_reference_analogy_gate_sports_sections(spark):
     against reference-derived analogies (VERDICT r3 item 2a) — the
     0.62–0.66 real-Reddit band itself needs Reddit months that don't
     exist in the sandbox."""
-    import random
-
     from ihop_reddit_spark.ml.analogies import (
-        load_reference_pairs,
+        SPORTS_SECTIONS as sports,
+        build_reference_corpus,
         reference_analogies,
     )
 
-    sports = (
-        "city_to_mlb_team",
-        "city_to_nba_team",
-        "city_to_nfl_team",
-        "city_to_nhl_team",
-    )
-    pairs = load_reference_pairs()
-    rng = random.Random(11)
-    rows = []
-    for si, section in enumerate(sports):
-        for pi, (a, b) in enumerate(pairs[section]):
-            anchor = f"__pair_{si}_{pi}"
-            for _ in range(15):
-                s1 = [a, anchor, "__cityness"]
-                s2 = [b, anchor, f"__{section}"]
-                rng.shuffle(s1)
-                rng.shuffle(s2)
-                rows.append((s1,))
-                rows.append((s2,))
-    rng.shuffle(rows)
-    df = spark.createDataFrame(rows, "context array<string>")
+    df = build_reference_corpus(spark, sports, reps=15, seed=11)
     model = Community2Vec(
         C2VParams(vector_size=64, epochs=15, seed=100)
     ).fit(df)

@@ -38,12 +38,14 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    cluster_size = 2000
-    for a in sys.argv[1:]:
-        if a.startswith("--cluster-size"):
-            cluster_size = int(a.split("=", 1)[1])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--cluster-size", type=int, default=2000)
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    cluster_size = ns.cluster_size
 
     from pyspark.sql import functions as F
 
