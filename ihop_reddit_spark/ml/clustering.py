@@ -113,6 +113,55 @@ def bisecting_kmeans_assign(
     return model.transform(feat).drop("__features"), model
 
 
+def kmeans_elbow(
+    df: DataFrame,
+    vec_col: str,
+    ks: list[int],
+    seed: int = 100,
+    max_iter: int = 100,
+) -> list[dict]:
+    """K-selection elbow sweep — the engine-side version of the
+    reference's ``notebooks/elbow_heuristics.ipynb``: fit KMeans for
+    each candidate ``k``, record the training cost (within-cluster SSE,
+    Spark's ``summary.trainingCost``), and mark the elbow as the k with
+    the maximum discrete curvature ``cost[i−1] − 2·cost[i] +
+    cost[i+1]`` (endpoints excluded; the kneedle-style second
+    difference on the cost curve).
+
+    The feature frame is cached across fits — each fit is itself
+    distributed; the sweep is a driver loop over |ks| model trainings,
+    which is the correct altitude (one scalar per k). Returns
+    ``[{"k": k, "cost": float, "is_elbow": bool}, ...]`` in ``ks``
+    order.
+    """
+    if sorted(ks) != list(ks) or len(set(ks)) != len(ks):
+        raise ValueError("ks must be strictly increasing")
+    from pyspark.ml.clustering import KMeans
+
+    feat = _with_features(df, vec_col).persist()
+    try:
+        costs = []
+        for k in ks:
+            model = KMeans(
+                k=k, seed=seed, maxIter=max_iter,
+                featuresCol="__features",
+            ).fit(feat)
+            costs.append(float(model.summary.trainingCost))
+    finally:
+        feat.unpersist()
+    elbow_idx = None
+    if len(ks) >= 3:
+        curv = [
+            costs[i - 1] - 2 * costs[i] + costs[i + 1]
+            for i in range(1, len(ks) - 1)
+        ]
+        elbow_idx = 1 + max(range(len(curv)), key=curv.__getitem__)
+    return [
+        {"k": k, "cost": c, "is_elbow": i == elbow_idx}
+        for i, (k, c) in enumerate(zip(ks, costs))
+    ]
+
+
 def sklearn_cluster_assign(
     df: DataFrame,
     vec_col: str,

@@ -2759,6 +2759,159 @@ def sgns_reference_analogy_gate(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (reference notebooks/inter_rater_agreements.ipynb —
+# the QA step between the E1/E2 annotation exports and using the labels).
+# Raters are derived deterministically from the events table: rater A is the
+# event type, rater B is the same label with a planted ~10% disagreement
+# (user-parity), so κ is a fixed exact rational both engines reproduce.
+# ---------------------------------------------------------------------------
+@query(
+    "cohens_kappa_event_raters",
+    """
+    WITH r AS (
+      SELECT event_type AS a,
+             CASE WHEN user_id % 10 = 0 THEN 'click'
+                  ELSE event_type END AS b
+      FROM events),
+    cells AS (
+      SELECT a, b, COUNT(*) AS n FROM r GROUP BY a, b),
+    rows_m AS (SELECT a, SUM(n) AS rn FROM cells GROUP BY a),
+    cols_m AS (SELECT b, SUM(n) AS cn FROM cells GROUP BY b),
+    pe AS (
+      SELECT SUM(rn * cn) AS pe_numer
+      FROM rows_m JOIN cols_m ON rows_m.a = cols_m.b),
+    t AS (
+      SELECT SUM(n) AS n_total,
+             SUM(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+      FROM cells)
+    SELECT CAST(t.n_total AS BIGINT) AS n,
+           CAST(t.n_agree AS BIGINT) AS n_agree,
+           CAST(t.n_total * t.n_agree - pe.pe_numer AS BIGINT)
+             AS kappa_numer,
+           CAST(t.n_total * t.n_total - pe.pe_numer AS BIGINT)
+             AS kappa_denom,
+           CAST(t.n_total * t.n_agree - pe.pe_numer AS DOUBLE)
+             / CAST(t.n_total * t.n_total - pe.pe_numer AS DOUBLE)
+             AS kappa
+    FROM t, pe
+    """,
+)
+def cohens_kappa_event_raters(spark, sf_dir):
+    from ..ml.agreement import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("rater_a"),
+        F.when(F.col("user_id") % 10 == 0, F.lit("click"))
+        .otherwise(F.col("event_type"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(ev, "rater_a", "rater_b")
+
+
+@query(
+    "fleiss_kappa_doc_raters",
+    """
+    WITH ratings AS (
+      SELECT doc_id AS i, lang AS c FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN n_chars % 7 = 0 THEN 'xx' ELSE lang END
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'yy' ELSE lang END
+      FROM documents),
+    per_cell AS (
+      SELECT i, c, COUNT(*) AS nic FROM ratings GROUP BY i, c),
+    per_item AS (
+      SELECT i, SUM(nic) AS m, SUM(nic * nic) AS sq
+      FROM per_cell GROUP BY i),
+    cat AS (
+      SELECT SUM(tc * tc) AS sum_tc2 FROM (
+        SELECT c, SUM(nic) AS tc FROM per_cell GROUP BY c)),
+    agg AS (
+      SELECT COUNT(*) AS n, MIN(m) AS m_min, MAX(m) AS m_max,
+             SUM(sq) AS sum_sq
+      FROM per_item)
+    SELECT CAST(agg.n AS BIGINT) AS n_items,
+           CAST(CASE WHEN agg.m_min = agg.m_max THEN agg.m_min
+                     ELSE -1 END AS BIGINT) AS m_raters,
+           CAST((CAST(agg.sum_sq AS HUGEINT) - agg.n * agg.m_min)
+                  * (agg.n * agg.m_min) * (agg.n * agg.m_min)
+                - CAST(cat.sum_tc2 AS HUGEINT)
+                  * (agg.n * agg.m_min) * (agg.m_min - 1) AS DOUBLE)
+             / CAST(CAST(agg.n AS HUGEINT) * agg.m_min
+                    * (agg.m_min - 1)
+                    * ((CAST(agg.n AS HUGEINT) * agg.m_min)
+                       * (agg.n * agg.m_min)
+                       - cat.sum_tc2) AS DOUBLE) AS kappa
+    FROM agg, cat
+    """,
+)
+def fleiss_kappa_doc_raters(spark, sf_dir):
+    """Three deterministic rater-anonymous labelings per document
+    (base lang + two planted-disagreement variants) → Fleiss' κ."""
+    from ..ml.agreement import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    r1 = d.select(F.col("doc_id").alias("item"), F.col("lang").alias("label"))
+    r2 = d.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("n_chars") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("label"),
+    )
+    r3 = d.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("yy"))
+        .otherwise(F.col("lang"))
+        .alias("label"),
+    )
+    return fleiss_kappa(r1.unionByName(r2).unionByName(r3), "item", "label")
+
+
+@query(
+    "kmeans_elbow_gate",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_ks, TRUE AS costs_decreasing_ok,
+           CAST(3 AS BIGINT) AS elbow_k
+    """,
+)
+def kmeans_elbow_gate(spark, sf_dir):
+    """k-selection elbow (reference notebooks/elbow_heuristics.ipynb)
+    as a driver-thresholdable gate: three well-separated deterministic
+    blobs (md5-derived pseudo-noise — engine-independent), sweep
+    k ∈ {2,3,4,6}, assert costs strictly decrease and the maximum-
+    curvature elbow lands at the true k=3. Data-independent by design
+    (gates the sweep, not the tables)."""
+    from ..ml.clustering import kmeans_elbow
+
+    base = spark.range(180).select(
+        (F.col("id") % 3).alias("blob"),
+        # deterministic noise in [0, 1): md5-derived nibbles
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4),
+                16, 10).cast("double") / 65536.0).alias("n1"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 5, 4),
+                16, 10).cast("double") / 65536.0).alias("n2"),
+    )
+    pts = base.select(
+        F.array(
+            F.col("blob") * 30.0 + F.col("n1"),
+            F.when(F.col("blob") == 2, 30.0).otherwise(0.0) + F.col("n2"),
+        ).alias("vec")
+    )
+    sweep = kmeans_elbow(pts, "vec", ks=[2, 3, 4, 6], seed=7)
+    costs = [s["cost"] for s in sweep]
+    decreasing = all(a > b for a, b in zip(costs, costs[1:]))
+    elbow_k = next(s["k"] for s in sweep if s["is_elbow"])
+    return spark.range(1).select(
+        F.lit(len(sweep)).cast("long").alias("n_ks"),
+        F.lit(bool(decreasing)).alias("costs_decreasing_ok"),
+        F.lit(int(elbow_k)).cast("long").alias("elbow_k"),
+    )
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark, sf_dir):
     from ..datapipe.similarity import build_ivf_index, ivf_knn
@@ -6555,6 +6708,9 @@ _SCORING_PRIORITY = [
     "merge_upsert_customers",
     "snapshot_diff_customers",
     "cluster_label_enrichment",   # new in r4 — collections data surface
+    "cohens_kappa_event_raters",  # new in r4 — agreement tier
+    "fleiss_kappa_doc_raters",
+    "kmeans_elbow_gate",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

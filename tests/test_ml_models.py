@@ -714,3 +714,77 @@ def test_grid_search_with_sgns_trainer(spark):
     assert summary["best_accuracy"] >= max(
         t["total_accuracy"] for t in summary["trials"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement + elbow heuristic (reference notebook workflows)
+# ---------------------------------------------------------------------------
+def test_cohens_kappa_closed_form(spark):
+    from ihop_reddit_spark.ml.agreement import cohens_kappa
+
+    # classic textbook table: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    # p_o = 35/50; p_e = (25*30 + 25*20)/2500 = 1250/2500
+    # kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_agree"]) == (50, 35)
+    assert (r["kappa_numer"], r["kappa_denom"]) == (500, 1250)
+    assert r["kappa"] == 0.4
+
+    # perfect agreement → kappa 1; NULL labels excluded
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), (None, "x"), ("x", None)],
+        "a string, b string",
+    )
+    rp = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert rp["n"] == 2 and rp["kappa"] == 1.0
+
+    # single category → kappa undefined (NULL), not a crash
+    degen = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    rd = cohens_kappa(degen, "a", "b").collect()[0]
+    assert rd["kappa"] is None and rd["kappa_denom"] == 0
+
+
+def test_fleiss_kappa_closed_form(spark):
+    from ihop_reddit_spark.ml.agreement import fleiss_kappa
+
+    # 4 items, 3 raters each. Items 1-3 unanimous 'a'; item 4 split
+    # 2 'a' / 1 'b'. n=4, m=3:
+    #   sum_sq = 9+9+9+(4+1) = 32;  T_a=11, T_b=1 → sum_tc2 = 122
+    #   P_o = (32-12)/(4*3*2) = 20/24;  P_e = 122/144
+    #   kappa = (P_o-P_e)/(1-P_e) = (120-122)/(144-122)·(1/ ... )
+    rows = (
+        [(1, "a")] * 3 + [(2, "a")] * 3 + [(3, "a")] * 3
+        + [(4, "a"), (4, "a"), (4, "b")]
+    )
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = fleiss_kappa(df, "item", "label").collect()[0]
+    assert (r["n_items"], r["m_raters"]) == (4, 3)
+    n, m, sum_sq, sum_tc2 = 4, 3, 32, 122
+    nm = n * m
+    numer = (sum_sq - nm) * nm * nm - sum_tc2 * nm * (m - 1)
+    denom = nm * (m - 1) * (nm * nm - sum_tc2)
+    assert r["kappa"] == float(numer) / float(denom)
+
+    # unequal rating counts → m_raters poisoned to -1
+    bad = df.union(
+        spark.createDataFrame([(4, "b")], "item long, label string")
+    )
+    rb = fleiss_kappa(bad, "item", "label").collect()[0]
+    assert rb["m_raters"] == -1
+
+
+def test_kmeans_elbow_finds_true_k(spark, blobs):
+    from ihop_reddit_spark.ml.clustering import kmeans_elbow
+
+    sweep = kmeans_elbow(blobs, "vec", ks=[2, 3, 4, 5], seed=1)
+    costs = [s["cost"] for s in sweep]
+    assert all(a >= b for a, b in zip(costs, costs[1:]))
+    assert next(s["k"] for s in sweep if s["is_elbow"]) == 3
+
+    with pytest.raises(ValueError, match="increasing"):
+        kmeans_elbow(blobs, "vec", ks=[3, 2], seed=1)
