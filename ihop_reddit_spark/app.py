@@ -61,10 +61,19 @@ class ClusterExplorer:
         self._labels: dict[int, str] = {}
 
     # -- reference train_clusters (app.py:396-445) ----------------------
-    def train(self, n_clusters: int, seed: int = 100) -> dict[str, Any]:
-        """(Re)train KMeans and the 2-D PCA projection; cache the
+    def train(
+        self,
+        n_clusters: int,
+        seed: int = 100,
+        projection: str = "pca",
+    ) -> dict[str, Any]:
+        """(Re)train KMeans and the 2-D projection; cache the
         vocab-sized assignment frame. Returns metrics + model name,
-        mirroring the reference's metrics display."""
+        mirroring the reference's metrics display.
+
+        ``projection``: ``"pca"`` (distributed, default) or ``"tsne"``
+        (the reference's literal choice — driver-side, size-guarded;
+        right for vocab-sized frames only)."""
         from .ml.clustering import (
             ClusteringConfig,
             calinski_harabasz,
@@ -72,13 +81,19 @@ class ClusterExplorer:
             kmeans_assign,
             silhouette,
         )
-        from .ml.projection import pca_project
+        from .ml.projection import pca_project, tsne_project
 
         cfg = ClusteringConfig(n_clusters=n_clusters, seed=seed)
         assigned, _model = kmeans_assign(self.vectors, self.vec_col, cfg)
-        coords = pca_project(
-            self.vectors, self.vec_col, self.word_col, dims=2
-        )
+        if projection == "tsne":
+            pdf = tsne_project(self.vectors, self.vec_col, self.word_col)
+            coords = self.vectors.sparkSession.createDataFrame(
+                pdf.rename(columns={"tsne_x": "x", "tsne_y": "y"})
+            )
+        else:
+            coords = pca_project(
+                self.vectors, self.vec_col, self.word_col, dims=2
+            )
         fresh = (
             assigned.select(self.word_col, self.vec_col, "cluster_id")
             .join(coords, self.word_col)
@@ -252,10 +267,13 @@ def _rows_json(df: DataFrame) -> list[dict]:
 def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 0):
     """HTTP server over one explorer session.
 
-    * ``POST /train``   body ``{"n_clusters": k, "seed": s}``
+    * ``POST /train``   body ``{"n_clusters": k, "seed": s,
+      "projection": "pca"|"tsne"}``
     * ``POST /labels``  body ``{"<cluster_id>": "<label>", ...}``
     * ``GET /table?words=a,b&clusters=0,1&neighbors=1``
     * ``GET /scatter?words=a&clusters=2&highlight=1``
+    * ``GET /export.csv`` — full assignment table as CSV (the
+      reference's download_cluster_csv button, app.py:639-656)
     * ``GET /health``
 
     Returns the (not yet started) ``http.server.ThreadingHTTPServer``;
@@ -309,6 +327,32 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                         highlight=qs.get("highlight", ["0"])[0] == "1",
                     )
                     self._send(200, {"rows": _rows_json(df)})
+                elif url.path == "/export.csv":
+                    import csv as _csvmod
+                    import io
+
+                    rows = _rows_json(
+                        explorer._with_labels(
+                            explorer._require_trained()
+                        ).orderBy("cluster_id", explorer.word_col)
+                    )
+                    buf = io.StringIO()
+                    cols = list(rows[0]) if rows else [
+                        explorer.word_col, "cluster_id"
+                    ]
+                    w = _csvmod.DictWriter(buf, fieldnames=cols)
+                    w.writeheader()
+                    w.writerows(rows)
+                    body = buf.getvalue().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/csv")
+                    self.send_header(
+                        "Content-Disposition",
+                        f'attachment; filename="{explorer.model_name}.csv"',
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # surface errors as JSON, keep serving
@@ -322,6 +366,7 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                     out = explorer.train(
                         int(payload.get("n_clusters", 8)),
                         int(payload.get("seed", 100)),
+                        projection=str(payload.get("projection", "pca")),
                     )
                     self._send(200, out)
                 elif self.path == "/labels":

@@ -157,3 +157,37 @@ def test_http_round_trip(explorer):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_tsne_projection_option(spark, explorer):
+    """The reference app plots t-SNE coordinates; train(projection=
+    'tsne') must produce the same assignment frame shape."""
+    out = explorer.train(n_clusters=3, seed=1, projection="tsne")
+    assert "silhouette" in out["metrics"]
+    rows = explorer.scatter_data().collect()
+    assert len(rows) == 24
+    assert all(r["x"] is not None and r["y"] is not None for r in rows)
+    # restore the module-fixture state for any later test
+    explorer.train(n_clusters=3, seed=1)
+
+
+def test_http_csv_export(explorer):
+    import threading
+    import urllib.request
+
+    from ihop_reddit_spark.app import make_server
+
+    server = make_server(explorer, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/export.csv"
+        ) as r:
+            assert r.headers["Content-Type"] == "text/csv"
+            lines = r.read().decode().strip().splitlines()
+        assert lines[0].startswith("word,")
+        assert len(lines) == 25  # header + 24 points
+    finally:
+        server.shutdown()
+        server.server_close()
