@@ -54,6 +54,8 @@ DEFAULT_QUERIES = [
     "knn_bruteforce_cosine",
     "pagerank_copurchase_parts",
     "correlated_subquery_small_quantities",
+    "cohens_kappa_event_raters",
+    "fleiss_kappa_doc_raters",
 ]
 
 
