@@ -66,3 +66,102 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col))
         .alias(estimate_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (fixed-grid histogram form)
+# ---------------------------------------------------------------------------
+def histogram_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Per-key value HISTOGRAM partials — the quantile sibling of
+    :func:`hll_partial_sketches`, and the same 100 TB pattern: build one
+    support-bounded table per batch/day ONCE (``keys + (bucket, n)``
+    rows, bucket = ``floor(value·quantize)``), persist it, and answer
+    any later quantile/CDF question by MERGING histograms — a sum-merge
+    (associative + commutative), never a second scan of the fact table.
+
+    Unlike GK/KLL sketches, the fixed grid is deterministic and
+    engine-portable: floor of an exact IEEE multiply, so the sketch —
+    and every quantile read from it — is cross-engine hash-exact, and
+    quantile error is bounded by the grid step (1/quantize), not by a
+    rank-error guarantee. Callers pick ``quantize`` to bound the support
+    (the module docstring's KS plan makes the same trade).
+
+    NULL values are excluded (no NULL bucket; cross-engine NULL
+    ordering).
+    """
+    v = F.floor(F.col(value_col) * quantize).cast("long").alias("bucket")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, v)
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_merge(
+    partials: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Union-merge histogram partials (e.g. daily tables) into one
+    histogram per key grain: sum counts per (keys, bucket). Idempotent
+    re-merge requires the usual care (don't merge the same partial
+    twice) — counts are additive, not register-max."""
+    return partials.groupBy(*keys, "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    quantiles_permille: list[int],
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Exact type-1 (lower) quantiles of the QUANTIZED distribution per
+    key: for each q‰, the smallest bucket whose cumulative count reaches
+    ``ceil(q·total/1000)``. Output ``keys + (q_permille, bucket,
+    value)`` with ``value = bucket/quantize`` (exact IEEE divide).
+
+    Plan: one cumulative window per key over the bucket-grain frame
+    (support-sized, not fact-sized) crossed with the requested ranks —
+    the window is partitioned by key, so no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *keys,
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("__cum"),
+        F.sum("n").over(Window.partitionBy(*keys)).alias("__total"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in quantiles_permille])
+    ).alias("q_permille")
+    crossed = cum.select(*keys, "bucket", "__cum", "__total", qs)
+    # rank threshold: ceil(q·total/1000) in pure non-negative integers
+    # ((x + 999) div 1000 — Spark's div truncates toward zero, so the
+    # usual -((-x) div d) negation trick would give floor here)
+    thresh = F.expr("(q_permille * __total + 999) div 1000")
+    hit = crossed.where(F.col("__cum") >= thresh)
+    per_q = hit.groupBy(*keys, "q_permille").agg(
+        F.min("bucket").alias("bucket")
+    )
+    return per_q.select(
+        *keys,
+        F.col("q_permille").cast("long").alias("q_permille"),
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") / F.lit(float(quantize))).alias("value"),
+    )

@@ -5468,6 +5468,58 @@ def c4_sentence_span_dedup(spark, sf_dir):
 # IDENTICAL to a single-pass sketch (mergeability — the property that
 # makes persisted sketch tables valid at 100 TB).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Mergeable quantile (histogram) sketch tables — the quantile sibling of the
+# HLL tier: per-(event_type, day) bucket partials sum-merged to the
+# event_type grain, quantiles read from the merged table. The oracle derives
+# the same quantiles DIRECTLY from the raw events, so the hash equality also
+# proves merge(partials) ≡ direct.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_sketch_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(floor(value * 1000) AS BIGINT)),
+    cum AS (
+      SELECT event_type, bucket,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+    q(q_permille) AS (VALUES (500), (900), (990)),
+    hit AS (
+      SELECT event_type, q_permille, MIN(bucket) AS bucket
+      FROM cum, q
+      WHERE c >= (q_permille * total + 999) // 1000
+      GROUP BY event_type, q_permille)
+    SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket AS DOUBLE) / 1000.0 AS value
+    FROM hit
+    """,
+)
+def histogram_sketch_quantiles(spark, sf_dir):
+    from ..datapipe.sketches import (
+        histogram_merge,
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "day", F.floor(ts_epoch_seconds(ev) / F.lit(86400))
+    )
+    partials = histogram_partials(ev, ["event_type", "day"], "value")
+    merged = histogram_merge(partials, ["event_type"])
+    return histogram_quantiles(
+        merged, ["event_type"], [500, 900, 990]
+    )
+
+
 @query(
     "hll_sketch_rollup_users",
     """
@@ -6711,6 +6763,7 @@ _SCORING_PRIORITY = [
     "cohens_kappa_event_raters",  # new in r4 — agreement tier
     "fleiss_kappa_doc_raters",
     "kmeans_elbow_gate",
+    "histogram_sketch_quantiles",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

@@ -55,3 +55,38 @@ def test_union_is_idempotent_and_matches_direct(spark):
     )
     for r in j:
         assert r["distinct_est"] == r["est2"] == r["d"]
+
+
+def test_histogram_sketch_merge_equals_direct_and_quantiles(spark):
+    """The mergeable-quantile contract: daily partials sum-merged must
+    equal the direct histogram, and quantile reads are exact type-1
+    over the quantized grid."""
+    from ihop_reddit_spark.datapipe.sketches import (
+        histogram_merge,
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    rows = [("g", d, v / 10.0) for d in (1, 2) for v in range(10)]
+    rows += [("g", 1, None)]  # NULLs excluded
+    df = spark.createDataFrame(rows, "grp string, day int, value double")
+
+    partials = histogram_partials(df, ["grp", "day"], "value", quantize=10)
+    merged = histogram_merge(partials, ["grp"])
+    direct = histogram_partials(df, ["grp"], "value", quantize=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # 20 values = two copies of {0.0 … 0.9} → buckets 0..9, 2 each.
+    # q=500: ceil(0.5*20)=10th value → bucket 4; q=900: 18th → bucket 8;
+    # q=1000: 20th → bucket 9.
+    qs = {
+        r["q_permille"]: (r["bucket"], r["value"])
+        for r in histogram_quantiles(
+            merged, ["grp"], [500, 900, 1000], quantize=10
+        ).collect()
+    }
+    assert qs[500] == (4, 0.4)
+    assert qs[900] == (8, 0.8)
+    assert qs[1000] == (9, 0.9)
