@@ -1992,6 +1992,49 @@ def user_sessions_batch(spark, sf_dir):
 
 
 @query(
+    "stream_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(floor(value * 1000) AS BIGINT)),
+    cum AS (
+      SELECT event_type, bucket,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+    q(q_permille) AS (VALUES (500), (900), (990)),
+    hit AS (
+      SELECT event_type, q_permille, MIN(bucket) AS bucket
+      FROM cum, q
+      WHERE c >= (q_permille * total + 999) // 1000
+      GROUP BY event_type, q_permille)
+    SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket AS DOUBLE) / 1000.0 AS value
+    FROM hit
+    """,
+)
+def stream_histogram_quantiles(spark, sf_dir):
+    """Streaming twin of histogram_sketch_quantiles: micro-batch
+    partials appended by foreachBatch, merged + quantile-read after the
+    bounded run. Oracle derives the quantiles directly from the full
+    raw table, so the hash gate proves batch-partials merge == direct
+    across the streaming path too."""
+    import tempfile
+
+    from ..streaming.events import histogram_partials_stream
+
+    work = tempfile.mkdtemp(prefix="hist_stream_")
+    return histogram_partials_stream(
+        spark, sf_dir, f"{work}/partials", f"{work}/ckpt"
+    )
+
+
+@query(
     "stream_windowed_approx_users",
     """
     SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
@@ -6764,6 +6807,7 @@ _SCORING_PRIORITY = [
     "fleiss_kappa_doc_raters",
     "kmeans_elbow_gate",
     "histogram_sketch_quantiles",
+    "stream_histogram_quantiles",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

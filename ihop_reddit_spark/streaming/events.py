@@ -559,3 +559,62 @@ def quality_violations_stream(
         )
     )
     return _run_to_memory(windowed, spark)
+
+
+def histogram_partials_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    partials_path: str,
+    checkpoint_dir: str,
+    *,
+    quantize: int = 1000,
+    quantiles_permille: list[int] | None = None,
+) -> DataFrame:
+    """Streaming build of the MERGEABLE histogram sketch table
+    (``datapipe/sketches.py``): each micro-batch appends its own
+    support-bounded partial (``event_type, bucket, n, __batch_id``) via
+    ``foreachBatch``; the read side merges all partials and answers
+    quantiles — never a second scan of the raw stream.
+
+    Replay safety for an ADDITIVE sketch (unlike HLL's idempotent
+    register-max, summing a replayed batch would double-count): rows
+    carry ``__batch_id``, and the merge first collapses exact duplicate
+    ``(batch, keys, bucket)`` rows, so an at-least-once re-emission of a
+    committed batch merges to the same totals. Returns the merged
+    per-event-type quantile frame (q ∈ ``quantiles_permille``).
+    """
+    import os
+
+    from ..datapipe.sketches import (
+        histogram_merge,
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    qs = quantiles_permille or [500, 900, 990]
+    ev = _event_stream(spark, sf_dir, stream_dir=f"{checkpoint_dir}_src")
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        part = histogram_partials(
+            batch_df, ["event_type"], "value", quantize=quantize
+        ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        part.write.mode("append").parquet(partials_path)
+
+    q = (
+        ev.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(partials_path):
+        raise RuntimeError("stream produced no partials")
+    partials = (
+        spark.read.parquet(partials_path)
+        .dropDuplicates(["event_type", "bucket", "__batch_id"])
+        .drop("__batch_id")
+    )
+    merged = histogram_merge(partials, ["event_type"])
+    return histogram_quantiles(
+        merged, ["event_type"], qs, quantize=quantize
+    )

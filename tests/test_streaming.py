@@ -314,3 +314,68 @@ def test_eventgen_streaming_datasource(spark, tmp_path):
     assert all(r["event_type"] in
                ("view", "click", "purchase", "refund", "error")
                for r in rows)
+
+
+def test_histogram_partials_stream_replay_safe(spark, tmp_path):
+    """Additive-sketch streaming: batch partials merge to the direct
+    histogram, and re-appending a committed batch's rows (at-least-once
+    replay) does NOT double-count thanks to the __batch_id dedup."""
+    import pyspark.sql.functions as F
+
+    from ihop_reddit_spark.datapipe.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+    )
+    from ihop_reddit_spark.streaming.events import (
+        histogram_partials_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = histogram_partials_stream(
+        spark, sf_dir, str(tmp_path / "partials"), str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["event_type"], r["q_permille"]): r["bucket"]
+        for r in out.collect()
+    }
+    # direct derivation from the raw table
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct_hist = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    want = {
+        (r["event_type"], r["q_permille"]): r["bucket"]
+        for r in histogram_quantiles(
+            direct_hist, ["event_type"], [500, 900, 990]
+        ).collect()
+    }
+    assert got == want
+
+    # replay simulation: append a duplicate copy of one committed batch
+    partials_path = str(tmp_path / "partials")
+    existing = spark.read.parquet(partials_path)
+    one_batch = existing.where(
+        F.col("__batch_id") == existing.agg(
+            F.min("__batch_id")
+        ).collect()[0][0]
+    )
+    one_batch.write.mode("append").parquet(partials_path)
+    replayed = (
+        spark.read.parquet(partials_path)
+        .dropDuplicates(["event_type", "bucket", "__batch_id"])
+        .drop("__batch_id")
+    )
+    merged = histogram_merge(replayed, ["event_type"])
+    again = {
+        (r["event_type"], r["q_permille"]): r["bucket"]
+        for r in histogram_quantiles(
+            merged, ["event_type"], [500, 900, 990]
+        ).collect()
+    }
+    assert again == want
