@@ -165,3 +165,116 @@ def histogram_quantiles(
         F.col("bucket").cast("long").alias("bucket"),
         (F.col("bucket") / F.lit(float(quantize))).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequency sketches (count-min)
+# ---------------------------------------------------------------------------
+def cm_partials(
+    df: DataFrame,
+    item_col: str,
+    *,
+    keys: list[str] | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch partials — the FREQUENCY pillar beside the HLL
+    (distinct) and histogram (quantile) sketch tables, same 100 TB
+    pattern: one ``keys + (d, w, n)`` table per batch, ``depth·width``
+    rows per key grain regardless of item cardinality, sum-mergeable.
+
+    Hash family is derandomized md5 (the engine's standard idiom):
+    ``w_d(item) = int(md5('cm:' || d || ':' || item)[0:8hex]) mod
+    width`` — deterministic and engine-portable, so the sketch AND every
+    estimate read from it are cross-engine hash-exact (estimates are
+    deterministic upper bounds: est ≥ true count, overcount ≤
+    collisions per row; standard CM guarantees with ε ≈ e/width at
+    confidence 1 − e^(−depth)).
+
+    NULL items are excluded.
+    """
+    keys = keys or []
+    item = F.col(item_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit("cm"), F.lit(str(d)), item)),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(*keys, F.explode(rows).alias("__dw"))
+        .select(*keys, F.col("__dw.d").alias("d"), F.col("__dw.w").alias("w"))
+        .groupBy(*keys, "d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cm_merge(partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Sum-merge count-min partials (same additive contract as
+    :func:`histogram_merge` — don't merge one partial twice)."""
+    keys = keys or []
+    return partials.groupBy(*keys, "d", "w").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def cm_estimate(
+    cm: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for a probe item set: min over depths
+    of the item's bucket counts (absent bucket ⇒ 0). Probes are
+    typically a small frame; the sketch side is depth·width rows per
+    grain — both sides stay tiny regardless of the original corpus, so
+    the join is broadcast-able by AQE. Returns ``(item_col, est)``."""
+    item = F.col(item_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit("cm"), F.lit(str(d)), item)),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probe_buckets = probes.select(
+        F.col(item_col), F.explode(rows).alias("__dw")
+    ).select(
+        item_col, F.col("__dw.d").alias("d"), F.col("__dw.w").alias("w")
+    )
+    joined = probe_buckets.join(cm, ["d", "w"], "left").select(
+        item_col, F.coalesce(F.col("n"), F.lit(0)).alias("__n")
+    )
+    return joined.groupBy(item_col).agg(
+        F.min("__n").cast("long").alias("est")
+    )

@@ -5519,6 +5519,72 @@ def c4_sentence_span_dedup(spark, sf_dir):
 # proves merge(partials) ≡ direct.
 # ---------------------------------------------------------------------------
 @query(
+    "cm_sketch_user_counts",
+    """
+    WITH items AS (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+      WHERE user_id IS NOT NULL),
+    buckets AS (
+      SELECT d, ('0x' || substr(md5('cm:' || d || ':' || item), 1, 8))
+                   ::BIGINT % 1024 AS w,
+             COUNT(*) AS n
+      FROM items, (SELECT unnest([0, 1, 2, 3]) AS d)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    probe_buckets AS (
+      SELECT p.user_id, d.d,
+             ('0x' || substr(md5('cm:' || d.d || ':'
+                                 || CAST(p.user_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 1024 AS w
+      FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS d) d),
+    est AS (
+      SELECT pb.user_id, MIN(COALESCE(b.n, 0)) AS est
+      FROM probe_buckets pb LEFT JOIN buckets b
+        ON pb.d = b.d AND pb.w = b.w
+      GROUP BY pb.user_id),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events
+      WHERE user_id % 97 = 0 GROUP BY user_id)
+    SELECT e.user_id, CAST(est.est AS BIGINT) AS est,
+           CAST(e.exact_n AS BIGINT) AS exact_n,
+           est.est >= e.exact_n AS overcount_ok
+    FROM exact e JOIN est USING (user_id)
+    """,
+)
+def cm_sketch_user_counts(spark, sf_dir):
+    """Count-min frequency sketch (third sketch pillar beside HLL and
+    the histogram): build a 4x1024 derandomized-md5 CM table over
+    event user_ids, probe every user_id % 97 == 0, and emit estimate vs
+    exact with the CM upper-bound invariant. Every number — including
+    the estimates — is deterministic, so the oracle reproduces the
+    whole sketch read path, not just the exact side."""
+    from ..datapipe.sketches import cm_estimate, cm_merge, cm_partials
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "day", F.floor(ts_epoch_seconds(ev) / F.lit(86400))
+    )
+    partials = cm_partials(ev, "user_id", keys=["day"])
+    cm = cm_merge(partials.drop("day"))
+    probes = ev.where(F.col("user_id") % 97 == 0).select(
+        "user_id"
+    ).distinct()
+    est = cm_estimate(cm, probes, "user_id")
+    exact = (
+        ev.where(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        F.col("est").cast("long").alias("est"),
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("overcount_ok"),
+    )
+
+
+@query(
     "histogram_sketch_quantiles",
     """
     WITH h AS (
@@ -6808,6 +6874,7 @@ _SCORING_PRIORITY = [
     "kmeans_elbow_gate",
     "histogram_sketch_quantiles",
     "stream_histogram_quantiles",
+    "cm_sketch_user_counts",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

@@ -90,3 +90,46 @@ def test_histogram_sketch_merge_equals_direct_and_quantiles(spark):
     assert qs[500] == (4, 0.4)
     assert qs[900] == (8, 0.8)
     assert qs[1000] == (9, 0.9)
+
+
+def test_cm_sketch_merge_estimate_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.sketches import (
+        cm_estimate,
+        cm_merge,
+        cm_partials,
+    )
+
+    rows = [(d, f"item{i % 5}") for d in (1, 2) for i in range(20)]
+    rows += [(1, None)]  # NULLs excluded
+    df = spark.createDataFrame(rows, "day int, item string")
+
+    partials = cm_partials(df, "item", keys=["day"], width=64, depth=3)
+    merged = cm_merge(partials.drop("day"))
+    direct = cm_partials(df, "item", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    probes = spark.createDataFrame(
+        [("item0",), ("item3",), ("missing",)], ["item"]
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in cm_estimate(
+            merged, probes, "item", width=64, depth=3
+        ).collect()
+    }
+    # every item0..4 occurs 8 times; CM never undercounts, and with 5
+    # items in a 64-wide sketch, depth-3 min recovers exactly here
+    assert est["item0"] >= 8 and est["item3"] >= 8
+    assert est["missing"] >= 0
+    # deterministic: same call → identical estimates
+    est2 = {
+        r["item"]: r["est"]
+        for r in cm_estimate(
+            merged, probes, "item", width=64, depth=3
+        ).collect()
+    }
+    assert est == est2
