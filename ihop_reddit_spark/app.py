@@ -83,6 +83,10 @@ class ClusterExplorer:
         )
         from .ml.projection import pca_project, tsne_project
 
+        if projection not in ("pca", "tsne"):
+            raise ValueError(
+                f"unknown projection {projection!r}; use 'pca' or 'tsne'"
+            )
         cfg = ClusteringConfig(n_clusters=n_clusters, seed=seed)
         assigned, _model = kmeans_assign(self.vectors, self.vec_col, cfg)
         if projection == "tsne":
@@ -289,6 +293,10 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
         return [v for v in raw.split(",") if v]
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the streamed CSV export) needs HTTP/1.1;
+        # JSON responses all carry Content-Length, so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: Any) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -331,28 +339,40 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                     import csv as _csvmod
                     import io
 
-                    rows = _rows_json(
-                        explorer._with_labels(
-                            explorer._require_trained()
-                        ).orderBy("cluster_id", explorer.word_col)
-                    )
-                    buf = io.StringIO()
-                    cols = list(rows[0]) if rows else [
-                        explorer.word_col, "cluster_id"
-                    ]
-                    w = _csvmod.DictWriter(buf, fieldnames=cols)
-                    w.writeheader()
-                    w.writerows(rows)
-                    body = buf.getvalue().encode()
+                    df = explorer._with_labels(
+                        explorer._require_trained()
+                    ).orderBy("cluster_id", explorer.word_col)
+                    cols = df.columns
                     self.send_response(200)
                     self.send_header("Content-Type", "text/csv")
                     self.send_header(
                         "Content-Disposition",
                         f'attachment; filename="{explorer.model_name}.csv"',
                     )
-                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    self.wfile.write(body)
+
+                    def emit(chunk: bytes) -> None:
+                        self.wfile.write(
+                            f"{len(chunk):x}\r\n".encode()
+                            + chunk + b"\r\n"
+                        )
+
+                    # stream via toLocalIterator — the FULL table at any
+                    # vocab size, one partition in driver memory at a
+                    # time, no MAX_HTTP_ROWS cap
+                    buf = io.StringIO()
+                    w = _csvmod.DictWriter(buf, fieldnames=cols)
+                    w.writeheader()
+                    for r in df.toLocalIterator():
+                        w.writerow(r.asDict())
+                        if buf.tell() > 65536:
+                            emit(buf.getvalue().encode())
+                            buf.seek(0)
+                            buf.truncate(0)
+                    if buf.tell():
+                        emit(buf.getvalue().encode())
+                    self.wfile.write(b"0\r\n\r\n")
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # surface errors as JSON, keep serving

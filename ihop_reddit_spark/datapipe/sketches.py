@@ -22,7 +22,7 @@ a reusable, mergeable artifact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: lgConfigK = 12 → 4096 registers, relative standard error ≈ 1.04/64 ≈
@@ -170,6 +170,38 @@ def histogram_quantiles(
 # ---------------------------------------------------------------------------
 # Mergeable frequency sketches (count-min)
 # ---------------------------------------------------------------------------
+def _cm_bucket_rows(item: Column, width: int, depth: int) -> Column:
+    """The CM hash family as an array of (d, w) structs — the ONE
+    definition both the build side and the probe side must share:
+    ``w_d(item) = int(md5('cm:' || d || ':' || item)[0:8hex]) mod
+    width``. A divergence between the two sides would silently break
+    the est ≥ true upper bound, so there is exactly one copy."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit("cm"), F.lit(str(d)), item
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cm_partials(
     df: DataFrame,
     item_col: str,
@@ -194,27 +226,7 @@ def cm_partials(
     NULL items are excluded.
     """
     keys = keys or []
-    item = F.col(item_col).cast("string")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("long").alias("d"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(":", F.lit("cm"), F.lit(str(d)), item)),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).alias("w"),
-            )
-            for d in range(depth)
-        ]
-    )
+    rows = _cm_bucket_rows(F.col(item_col).cast("string"), width, depth)
     return (
         df.where(F.col(item_col).isNotNull())
         .select(*keys, F.explode(rows).alias("__dw"))
@@ -246,27 +258,7 @@ def cm_estimate(
     typically a small frame; the sketch side is depth·width rows per
     grain — both sides stay tiny regardless of the original corpus, so
     the join is broadcast-able by AQE. Returns ``(item_col, est)``."""
-    item = F.col(item_col).cast("string")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("long").alias("d"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(":", F.lit("cm"), F.lit(str(d)), item)),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).alias("w"),
-            )
-            for d in range(depth)
-        ]
-    )
+    rows = _cm_bucket_rows(F.col(item_col).cast("string"), width, depth)
     probe_buckets = probes.select(
         F.col(item_col), F.explode(rows).alias("__dw")
     ).select(

@@ -149,9 +149,14 @@ def fleiss_kappa(
     nm = n * m
     numer = (sum_sq - nm) * nm * nm - sum_tc2 * nm * (m - 1)
     denom = nm * (m - 1) * (nm * nm - sum_tc2)
-    kappa = (float(numer) / float(denom)) if denom != 0 else None
+    equal_m = m_min == m_max
+    # poison means POISON: unequal rating counts make the mixed-m
+    # formula meaningless, so kappa is NULL, not a plausible number
+    kappa = (
+        float(numer) / float(denom) if denom != 0 and equal_m else None
+    )
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(n, m if m_min == m_max else -1, kappa)],
+        [(n, m if equal_m else -1, kappa)],
         schema="n_items long, m_raters long, kappa double",
     )

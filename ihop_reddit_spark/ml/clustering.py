@@ -124,9 +124,9 @@ def kmeans_elbow(
     reference's ``notebooks/elbow_heuristics.ipynb``: fit KMeans for
     each candidate ``k``, record the training cost (within-cluster SSE,
     Spark's ``summary.trainingCost``), and mark the elbow as the k with
-    the maximum discrete curvature ``cost[i−1] − 2·cost[i] +
-    cost[i+1]`` (endpoints excluded; the kneedle-style second
-    difference on the cost curve).
+    the maximum SECOND DIVIDED DIFFERENCE of the cost curve (endpoints
+    excluded) — spacing-aware, so non-uniform sweeps like
+    ``[2, 4, 8, 16]`` score curvature per unit k, not per index.
 
     The feature frame is cached across fits — each fit is itself
     distributed; the sweep is a driver loop over |ks| model trainings,
@@ -151,8 +151,16 @@ def kmeans_elbow(
         feat.unpersist()
     elbow_idx = None
     if len(ks) >= 3:
+        # SECOND DIVIDED DIFFERENCE, not the index-based second
+        # difference: ks need not be uniformly spaced (doubling sweeps
+        # are common), and an unnormalized cost[i-1]-2c[i]+c[i+1] would
+        # inflate curvature at wide gaps
         curv = [
-            costs[i - 1] - 2 * costs[i] + costs[i + 1]
+            (
+                (costs[i + 1] - costs[i]) / (ks[i + 1] - ks[i])
+                - (costs[i] - costs[i - 1]) / (ks[i] - ks[i - 1])
+            )
+            / (ks[i + 1] - ks[i - 1])
             for i in range(1, len(ks) - 1)
         ]
         elbow_idx = 1 + max(range(len(curv)), key=curv.__getitem__)

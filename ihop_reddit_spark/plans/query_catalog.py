@@ -1991,9 +1991,10 @@ def user_sessions_batch(spark, sf_dir):
     )
 
 
-@query(
-    "stream_histogram_quantiles",
-    """
+#: Direct-derivation oracle for the histogram sketch tier — shared by the
+#: batch query and its streaming twin so the two gates can never assert
+#: different semantics.
+_HISTOGRAM_QUANTILES_SQL = """
     WITH h AS (
       SELECT event_type,
              CAST(floor(value * 1000) AS BIGINT) AS bucket,
@@ -2016,7 +2017,12 @@ def user_sessions_batch(spark, sf_dir):
            CAST(bucket AS BIGINT) AS bucket,
            CAST(bucket AS DOUBLE) / 1000.0 AS value
     FROM hit
-    """,
+"""
+
+
+@query(
+    "stream_histogram_quantiles",
+    _HISTOGRAM_QUANTILES_SQL,
 )
 def stream_histogram_quantiles(spark, sf_dir):
     """Streaming twin of histogram_sketch_quantiles: micro-batch
@@ -2024,14 +2030,24 @@ def stream_histogram_quantiles(spark, sf_dir):
     bounded run. Oracle derives the quantiles directly from the full
     raw table, so the hash gate proves batch-partials merge == direct
     across the streaming path too."""
+    import shutil
     import tempfile
 
     from ..streaming.events import histogram_partials_stream
 
     work = tempfile.mkdtemp(prefix="hist_stream_")
-    return histogram_partials_stream(
-        spark, sf_dir, f"{work}/partials", f"{work}/ckpt"
-    )
+    try:
+        out = histogram_partials_stream(
+            spark, sf_dir, f"{work}/partials", f"{work}/ckpt"
+        )
+        # materialize the (support-sized) quantile frame so the work dir
+        # — partials parquet + checkpoint — can be deleted instead of
+        # accumulating across harness runs
+        rows = [tuple(r) for r in out.collect()]
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
@@ -2816,7 +2832,8 @@ def sgns_reference_analogy_gate(spark, sf_dir):
       SELECT event_type AS a,
              CASE WHEN user_id % 10 = 0 THEN 'click'
                   ELSE event_type END AS b
-      FROM events),
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
     cells AS (
       SELECT a, b, COUNT(*) AS n FROM r GROUP BY a, b),
     rows_m AS (SELECT a, SUM(n) AS rn FROM cells GROUP BY a),
@@ -2843,7 +2860,9 @@ def sgns_reference_analogy_gate(spark, sf_dir):
 def cohens_kappa_event_raters(spark, sf_dir):
     from ..ml.agreement import cohens_kappa
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         F.col("event_type").alias("rater_a"),
         F.when(F.col("user_id") % 10 == 0, F.lit("click"))
         .otherwise(F.col("event_type"))
@@ -2855,7 +2874,7 @@ def cohens_kappa_event_raters(spark, sf_dir):
 @query(
     "fleiss_kappa_doc_raters",
     """
-    WITH ratings AS (
+    WITH ratings0 AS (
       SELECT doc_id AS i, lang AS c FROM documents
       UNION ALL
       SELECT doc_id,
@@ -2865,6 +2884,7 @@ def cohens_kappa_event_raters(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN doc_id % 11 = 0 THEN 'yy' ELSE lang END
       FROM documents),
+    ratings AS (SELECT i, c FROM ratings0 WHERE c IS NOT NULL),
     per_cell AS (
       SELECT i, c, COUNT(*) AS nic FROM ratings GROUP BY i, c),
     per_item AS (
@@ -5503,20 +5523,10 @@ def c4_sentence_span_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Mergeable HLL sketch tables (datapipe/sketches.py — Apache DataSketches
-# via Spark 4 native hll_* functions). Builds per-(event_type, day)
-# partial sketches, rolls them up to event_type WITHOUT rescanning the
-# fact table, and gates two contracts: the estimate is within ±5% of
-# exact (lgK=12 ⇒ RSE ≈1.6%), and the daily-partial union is REGISTER-
-# IDENTICAL to a single-pass sketch (mergeability — the property that
-# makes persisted sketch tables valid at 100 TB).
-# ---------------------------------------------------------------------------
-# ---------------------------------------------------------------------------
-# Mergeable quantile (histogram) sketch tables — the quantile sibling of the
-# HLL tier: per-(event_type, day) bucket partials sum-merged to the
-# event_type grain, quantiles read from the merged table. The oracle derives
-# the same quantiles DIRECTLY from the raw events, so the hash equality also
-# proves merge(partials) ≡ direct.
+# Count-min frequency sketch tables — the frequency pillar of the sketch
+# tier (HLL = distinct, histogram = quantiles): derandomized-md5 hash
+# family, depth x width rows per grain, sum-mergeable; the oracle
+# reproduces the FULL sketch read path including the estimates.
 # ---------------------------------------------------------------------------
 @query(
     "cm_sketch_user_counts",
@@ -5584,32 +5594,16 @@ def cm_sketch_user_counts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile (histogram) sketch tables — the quantile sibling of the
+# HLL tier: per-(event_type, day) bucket partials sum-merged to the
+# event_type grain, quantiles read from the merged table. The oracle derives
+# the same quantiles DIRECTLY from the raw events, so the hash equality also
+# proves merge(partials) ≡ direct.
+# ---------------------------------------------------------------------------
 @query(
     "histogram_sketch_quantiles",
-    """
-    WITH h AS (
-      SELECT event_type,
-             CAST(floor(value * 1000) AS BIGINT) AS bucket,
-             COUNT(*) AS n
-      FROM events WHERE value IS NOT NULL
-      GROUP BY event_type, CAST(floor(value * 1000) AS BIGINT)),
-    cum AS (
-      SELECT event_type, bucket,
-             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
-                          ROWS UNBOUNDED PRECEDING) AS c,
-             SUM(n) OVER (PARTITION BY event_type) AS total
-      FROM h),
-    q(q_permille) AS (VALUES (500), (900), (990)),
-    hit AS (
-      SELECT event_type, q_permille, MIN(bucket) AS bucket
-      FROM cum, q
-      WHERE c >= (q_permille * total + 999) // 1000
-      GROUP BY event_type, q_permille)
-    SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
-           CAST(bucket AS BIGINT) AS bucket,
-           CAST(bucket AS DOUBLE) / 1000.0 AS value
-    FROM hit
-    """,
+    _HISTOGRAM_QUANTILES_SQL,
 )
 def histogram_sketch_quantiles(spark, sf_dir):
     from ..datapipe.sketches import (
@@ -5629,6 +5623,15 @@ def histogram_sketch_quantiles(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch tables (datapipe/sketches.py — Apache DataSketches
+# via Spark 4 native hll_* functions). Builds per-(event_type, day)
+# partial sketches, rolls them up to event_type WITHOUT rescanning the
+# fact table, and gates two contracts: the estimate is within ±5% of
+# exact (lgK=12 ⇒ RSE ≈1.6%), and the daily-partial union is REGISTER-
+# IDENTICAL to a single-pass sketch (mergeability — the property that
+# makes persisted sketch tables valid at 100 TB).
+# ---------------------------------------------------------------------------
 @query(
     "hll_sketch_rollup_users",
     """

@@ -755,8 +755,8 @@ def test_fleiss_kappa_closed_form(spark):
     # 4 items, 3 raters each. Items 1-3 unanimous 'a'; item 4 split
     # 2 'a' / 1 'b'. n=4, m=3:
     #   sum_sq = 9+9+9+(4+1) = 32;  T_a=11, T_b=1 → sum_tc2 = 122
-    #   P_o = (32-12)/(4*3*2) = 20/24;  P_e = 122/144
-    #   kappa = (P_o-P_e)/(1-P_e) = (120-122)/(144-122)·(1/ ... )
+    #   P_o = 20/24 = 5/6;  P_e = 122/144 = 61/72
+    #   kappa = (5/6 − 61/72)/(1 − 61/72) = (−1/72)/(11/72) = −1/11
     rows = (
         [(1, "a")] * 3 + [(2, "a")] * 3 + [(3, "a")] * 3
         + [(4, "a"), (4, "a"), (4, "b")]
@@ -764,18 +764,18 @@ def test_fleiss_kappa_closed_form(spark):
     df = spark.createDataFrame(rows, "item long, label string")
     r = fleiss_kappa(df, "item", "label").collect()[0]
     assert (r["n_items"], r["m_raters"]) == (4, 3)
-    n, m, sum_sq, sum_tc2 = 4, 3, 32, 122
-    nm = n * m
-    numer = (sum_sq - nm) * nm * nm - sum_tc2 * nm * (m - 1)
-    denom = nm * (m - 1) * (nm * nm - sum_tc2)
-    assert r["kappa"] == float(numer) / float(denom)
+    # INDEPENDENT hand-derived value (−1/11), not a mirror of the
+    # implementation's own formula — a sign/term bug cannot cancel out
+    assert r["kappa"] == -1 / 11
 
-    # unequal rating counts → m_raters poisoned to -1
+    # unequal rating counts → m_raters poisoned to -1 AND kappa NULL
+    # (a plausible-looking number from mixed m would be meaningless)
     bad = df.union(
         spark.createDataFrame([(4, "b")], "item long, label string")
     )
     rb = fleiss_kappa(bad, "item", "label").collect()[0]
     assert rb["m_raters"] == -1
+    assert rb["kappa"] is None
 
 
 def test_kmeans_elbow_finds_true_k(spark, blobs):
