@@ -294,3 +294,61 @@ def grid_search(
         with open(metrics_path, "w") as f:
             json.dump(summary, f, indent=2)
     return best[1], summary
+
+
+# ---------------------------------------------------------------------------
+# Gensim/word2vec interchange
+# ---------------------------------------------------------------------------
+def save_word2vec_text(
+    vectors: DataFrame, path: str, max_driver_vocab: int = 200_000
+) -> None:
+    """Export a (word, vector) frame in the standard word2vec TEXT
+    format — ``"<vocab> <dim>"`` header then one ``word v1 v2 …`` line
+    per word — readable by Gensim's ``KeyedVectors.
+    load_word2vec_format(binary=False)``. The interop bridge for
+    reference users: the reference's whole model surface is Gensim
+    KeyedVectors (``ihop/community2vec.py``), so embeddings trained
+    here drop straight into their existing notebooks/tools.
+
+    Driver-side by design (one text file is the format), size-guarded
+    like ``EmbeddingMatrix.from_vectors_df``. Accepts VectorUDT or
+    array<double> vector columns.
+    """
+    n = vectors.count()
+    if n > max_driver_vocab:
+        raise ValueError(
+            f"vocab {n} exceeds driver guard {max_driver_vocab}"
+        )
+    rows = vectors.select("word", "vector").collect()
+    if not rows:
+        raise ValueError("empty vectors frame")
+    first = rows[0]["vector"]
+    dim = len(first.toArray() if hasattr(first, "toArray") else first)
+    with open(path, "w") as f:
+        f.write(f"{n} {dim}\n")
+        for r in rows:
+            v = r["vector"]
+            vals = v.toArray() if hasattr(v, "toArray") else v
+            f.write(
+                r["word"] + " "
+                + " ".join(repr(float(x)) for x in vals) + "\n"
+            )
+
+
+def load_word2vec_text(spark, path: str) -> DataFrame:
+    """Read a word2vec text-format file back into a (word,
+    vector array<double>) frame (the inverse of
+    :func:`save_word2vec_text`; also loads files Gensim wrote)."""
+    rows = []
+    with open(path) as f:
+        header = f.readline().split()
+        n, dim = int(header[0]), int(header[1])
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            word, vals = parts[0], parts[1:]
+            if len(vals) != dim:
+                raise ValueError(f"bad line for word {word!r}")
+            rows.append((word, [float(x) for x in vals]))
+    if len(rows) != n:
+        raise ValueError(f"header declared {n} words, file has {len(rows)}")
+    return spark.createDataFrame(rows, "word string, vector array<double>")

@@ -788,3 +788,43 @@ def test_kmeans_elbow_finds_true_k(spark, blobs):
 
     with pytest.raises(ValueError, match="increasing"):
         kmeans_elbow(blobs, "vec", ks=[3, 2], seed=1)
+
+
+def test_word2vec_text_format_roundtrip(spark, tmp_path):
+    """Gensim-interchange: text-format export/import is lossless for
+    array vectors and accepts VectorUDT frames (the Spark trainer's
+    native output)."""
+    from ihop_reddit_spark.ml.community2vec import (
+        load_word2vec_text,
+        save_word2vec_text,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha", [0.25, -1.5, 3.0]), ("beta", [1e-9, 2.0, -0.125])],
+        "word string, vector array<double>",
+    )
+    p = str(tmp_path / "vecs.txt")
+    save_word2vec_text(df, p)
+    with open(p) as f:
+        assert f.readline() == "2 3\n"
+    back = {
+        r["word"]: r["vector"]
+        for r in load_word2vec_text(spark, p).collect()
+    }
+    assert back["alpha"] == [0.25, -1.5, 3.0]
+    assert back["beta"] == [1e-9, 2.0, -0.125]
+
+    # VectorUDT input (the ml trainer's vectors()) works too
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("vector", array_to_vector("vector"))
+    p2 = str(tmp_path / "vecs2.txt")
+    save_word2vec_text(vec, p2)
+    back2 = {
+        r["word"]: r["vector"]
+        for r in load_word2vec_text(spark, p2).collect()
+    }
+    assert back2 == back
+
+    with pytest.raises(ValueError, match="driver guard"):
+        save_word2vec_text(df, p, max_driver_vocab=1)
