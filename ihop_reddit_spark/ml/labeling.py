@@ -68,3 +68,107 @@ def pmi_term_labels(
         scored, class_col, [F.col("lift").desc(), F.col("term").asc()], top_k
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def umass_pair_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    topics: DataFrame,
+    *,
+    topic_col: str = "topic_id",
+    term_col: str = "term",
+    rank_col: str = "rank",
+    sep: str = " ",
+) -> DataFrame:
+    """Integer co-document statistics behind UMass topic coherence
+    (Mimno et al. 2011 — the automated metric of the reference's
+    ``intrinsic_scores_of_annotated_clusters`` notebook): for every
+    ordered in-topic term pair (l < m by ``rank_col``), the number of
+    documents containing BOTH terms (``d_ml``) and containing the
+    earlier term alone (``d_l``).
+
+    Everything here is exact integers (the PMI-tier rule: gate on
+    rationals, take the log at the edge — see module docstring).
+
+    Plan: doc-term incidence is restricted to the TOPIC vocabulary
+    before anything quadratic — the distinct (doc, term) frame is
+    |docs|·|topic vocab ∩ doc| rows, and the per-doc self-join is over
+    that restricted frame only, so the pair stage is bounded by topic
+    size (k·M terms), never corpus vocabulary.
+    """
+    vocab = topics.select(F.col(term_col).alias("__t")).distinct()
+    dt = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), sep)).alias("__t"),
+        )
+        .join(F.broadcast(vocab), "__t", "left_semi")
+        .distinct()
+    )
+    d_w = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__d"))
+    a = topics.select(
+        F.col(topic_col).alias("__topic"),
+        F.col(term_col).alias("term_l"),
+        F.col(rank_col).alias("__rl"),
+    )
+    b = topics.select(
+        F.col(topic_col).alias("__topic"),
+        F.col(term_col).alias("term_m"),
+        F.col(rank_col).alias("__rm"),
+    )
+    pairs = a.join(b, "__topic").where(F.col("__rl") < F.col("__rm"))
+    co = (
+        dt.alias("x")
+        .join(dt.alias("y"), "__doc")
+        .where(F.col("x.__t") != F.col("y.__t"))
+        .groupBy(
+            F.col("x.__t").alias("term_l"), F.col("y.__t").alias("term_m")
+        )
+        .agg(F.count(F.lit(1)).alias("d_ml"))
+    )
+    return (
+        pairs.join(co, ["term_l", "term_m"], "left")
+        .join(
+            F.broadcast(d_w.select(F.col("__t").alias("term_l"),
+                                   F.col("__d").alias("d_l"))),
+            "term_l",
+            "left",
+        )
+        .select(
+            F.col("__topic").alias(topic_col),
+            "term_l",
+            "term_m",
+            F.coalesce(F.col("d_ml"), F.lit(0)).cast("long").alias("d_ml"),
+            F.coalesce(F.col("d_l"), F.lit(0)).cast("long").alias("d_l"),
+        )
+    )
+
+
+def umass_coherence(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    topics: DataFrame,
+    *,
+    topic_col: str = "topic_id",
+    term_col: str = "term",
+    rank_col: str = "rank",
+    sep: str = " ",
+) -> DataFrame:
+    """Per-topic UMass coherence ``Σ_{l<m} ln((d_ml + 1) / d_l)``
+    (higher = more coherent), rounded to 4 decimals — the BM25-tier rule
+    for the one step (ln) that can differ by an ulp across libms. Pairs
+    with ``d_l = 0`` (earlier term in no document) are skipped, mirroring
+    Gensim's handling. Returns ``(topic_col, n_pairs, coherence)``."""
+    stats = umass_pair_stats(
+        docs, id_col, text_col, topics,
+        topic_col=topic_col, term_col=term_col, rank_col=rank_col, sep=sep,
+    )
+    scored = stats.where(F.col("d_l") > 0)
+    return scored.groupBy(topic_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.log((F.col("d_ml") + 1) / F.col("d_l"))), 4
+        ).alias("coherence"),
+    )

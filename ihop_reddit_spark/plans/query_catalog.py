@@ -5523,6 +5523,99 @@ def c4_sentence_span_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# UMass topic coherence (reference notebooks/
+# intrinsic_scores_of_annotated_clusters — the automated intrinsic metric
+# over labeled clusters). Pseudo-topics are deterministic: the top-5 terms
+# per language by (count DESC, term ASC) over documents. Two gates: the
+# pair-grain co-document INTEGERS (bulletproof hash) and the per-topic ln
+# sum rounded to 4 decimals (the BM25-tier ln-parity rule).
+# ---------------------------------------------------------------------------
+_UMASS_TOPIC_CTES = """
+    toks AS (
+      SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term),
+    topics AS (
+      SELECT lang AS topic_id, term, rank FROM (
+        SELECT lang, term,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, term ASC) AS rank
+        FROM tf) WHERE rank <= 5),
+    vocab AS (SELECT DISTINCT term FROM topics),
+    dt AS (
+      SELECT DISTINCT t.doc_id, t.term
+      FROM toks t JOIN vocab v ON t.term = v.term),
+    dw AS (SELECT term, COUNT(*) AS d FROM dt GROUP BY term),
+    prs AS (
+      SELECT a.topic_id, a.term AS term_l, b.term AS term_m
+      FROM topics a JOIN topics b ON a.topic_id = b.topic_id
+      WHERE a.rank < b.rank),
+    co AS (
+      SELECT x.term AS term_l, y.term AS term_m, COUNT(*) AS d_ml
+      FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term <> y.term
+      GROUP BY x.term, y.term),
+    stats AS (
+      SELECT prs.topic_id, prs.term_l, prs.term_m,
+             CAST(COALESCE(co.d_ml, 0) AS BIGINT) AS d_ml,
+             CAST(COALESCE(dw.d, 0) AS BIGINT) AS d_l
+      FROM prs
+      LEFT JOIN co ON prs.term_l = co.term_l AND prs.term_m = co.term_m
+      LEFT JOIN dw ON prs.term_l = dw.term)
+"""
+
+
+def _umass_topics(spark, sf_dir):
+    from ..operators.windows import top_k_per_group
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    return top_k_per_group(
+        tf, "lang", [F.col("n").desc(), F.col("term").asc()], 5
+    ).select(
+        F.col("lang").alias("topic_id"), "term",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "umass_pair_stats_by_lang",
+    f"""
+    WITH {_UMASS_TOPIC_CTES.strip()}
+    SELECT topic_id, term_l, term_m, d_ml, d_l FROM stats
+    """,
+)
+def umass_pair_stats_by_lang(spark, sf_dir):
+    from ..ml.labeling import umass_pair_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return umass_pair_stats(
+        docs, "doc_id", "text", _umass_topics(spark, sf_dir)
+    )
+
+
+@query(
+    "umass_topic_coherence",
+    f"""
+    WITH {_UMASS_TOPIC_CTES.strip()}
+    SELECT topic_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(ln(CAST(d_ml + 1 AS DOUBLE) / d_l)), 4) AS coherence
+    FROM stats WHERE d_l > 0 GROUP BY topic_id
+    """,
+)
+def umass_topic_coherence(spark, sf_dir):
+    from ..ml.labeling import umass_coherence
+
+    docs = _t(spark, sf_dir, "documents")
+    return umass_coherence(
+        docs, "doc_id", "text", _umass_topics(spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min frequency sketch tables — the frequency pillar of the sketch
 # tier (HLL = distinct, histogram = quantiles): derandomized-md5 hash
 # family, depth x width rows per grain, sum-mergeable; the oracle
@@ -6878,6 +6971,8 @@ _SCORING_PRIORITY = [
     "histogram_sketch_quantiles",
     "stream_histogram_quantiles",
     "cm_sketch_user_counts",
+    "umass_pair_stats_by_lang",
+    "umass_topic_coherence",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

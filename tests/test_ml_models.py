@@ -828,3 +828,37 @@ def test_word2vec_text_format_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="driver guard"):
         save_word2vec_text(df, p, max_driver_vocab=1)
+
+
+def test_umass_coherence_closed_form(spark):
+    """Hand-derived UMass: docs {a b}, {b c}, {a} with topic order
+    a<b<c → D(a)=2, D(b)=2, D(c)=1, D(a,b)=1, D(a,c)=0, D(b,c)=1;
+    pairs: ln(2/2) + ln(1/2) + ln(2/2) = ln(0.5)."""
+    import math
+
+    from ihop_reddit_spark.ml.labeling import (
+        umass_coherence,
+        umass_pair_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    topics = spark.createDataFrame(
+        [("t", "a", 1), ("t", "b", 2), ("t", "c", 3)],
+        "topic_id string, term string, rank long",
+    )
+    stats = {
+        (r["term_l"], r["term_m"]): (r["d_ml"], r["d_l"])
+        for r in umass_pair_stats(
+            docs, "doc_id", "text", topics
+        ).collect()
+    }
+    assert stats == {
+        ("a", "b"): (1, 2),
+        ("a", "c"): (0, 2),
+        ("b", "c"): (1, 2),
+    }
+    r = umass_coherence(docs, "doc_id", "text", topics).collect()[0]
+    assert r["n_pairs"] == 3
+    assert r["coherence"] == round(math.log(0.5), 4)
