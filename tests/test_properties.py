@@ -522,3 +522,59 @@ def test_scd2_apply_invariants_vs_python_model(spark, deltas):
         # exact equality with the python model
         assert [(s, vf, vt) for s, vf, vt, _ in versions] == model[k]
     assert set(got) == set(model)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # partition tag
+            st.floats(
+                min_value=-5, max_value=5,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_histogram_partials_merge_partition_invariant(spark, rows):
+    """Mergeable-sketch law: however the input is split into partials,
+    the merged histogram equals the direct single-pass histogram, and
+    quantile reads agree with a python model of type-1 selection over
+    the quantized values."""
+    import math
+
+    from ihop_reddit_spark.datapipe.sketches import (
+        histogram_merge,
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", tag, v) for tag, v in rows],
+        "grp string, tag int, value double",
+    )
+    merged = histogram_merge(
+        histogram_partials(df, ["grp", "tag"], "value"), ["grp"]
+    )
+    direct = histogram_partials(df, ["grp"], "value")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    buckets = sorted(math.floor(v * 1000) for _, v in rows)
+    got = {
+        r["q_permille"]: r["bucket"]
+        for r in histogram_quantiles(
+            merged, ["grp"], [250, 500, 750, 1000]
+        ).collect()
+    }
+    n = len(buckets)
+    for q in (250, 500, 750, 1000):
+        want = buckets[max(0, -(-q * n // 1000) - 1)]
+        assert got[q] == want, (q, buckets)
