@@ -216,11 +216,19 @@ def ivf_knn(
 ) -> DataFrame:
     """Approximate top-k: score queries only against the ``nprobe`` nearest
     centroid cells. Centroid table is driver-built (tiny) and broadcast.
+
+    ``model`` is either a fitted KMeansModel or a plain (k, dim)
+    centroid array (e.g. :func:`read_ivf_centroids` — probing a
+    persisted index in a session that never trained it).
     """
     import numpy as np
 
     _guard_query_side(queries, max_driver_queries)
-    centers = model.clusterCenters()
+    centers = (
+        model.clusterCenters()
+        if hasattr(model, "clusterCenters")
+        else np.asarray(model)
+    )
     norms = [c / (np.linalg.norm(c) or 1.0) for c in centers]
 
     def nearest_cells(vec):
@@ -690,3 +698,88 @@ def read_pq_index(spark, path: str, cells: list[int] | None = None):
     if cells is not None:
         df = df.where(F.col("centroid_id").isin(cells))
     return df, books
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: append new batches to a persisted index
+# without touching the archive.
+# ---------------------------------------------------------------------------
+def write_ivf_centroids(spark, model, path: str, mode: str = "overwrite") -> None:
+    """Persist the trained centroid table beside an IVF index
+    (``(centroid_id, centroid array<double>)`` — engine-portable, no
+    pickled model), making the index self-contained for incremental
+    appends and probes in later sessions."""
+    rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def read_ivf_centroids(spark, path: str):
+    """Centroids ndarray (k, dim), row i = centroid_id i."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    return np.asarray([r["centroid"] for r in rows])
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment for a NEW batch against FIXED
+    centroids: one Arrow-batched numpy GEMM argmin per block (the PQ
+    encoder's pattern) — no KMeans model object needed, so an index
+    written by a previous session can keep growing. Ties break to the
+    lowest centroid_id (numpy argmin), deterministically."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    fields = vectors.schema.fields
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", centroid_id int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            d2 = c_sq - 2.0 * (x @ cents.T)  # + |x|² is rank-constant
+            pdf = pdf.copy()
+            pdf["centroid_id"] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return vectors.mapInPandas(assign, out_schema)
+
+
+def ivf_append(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    centroids_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted IVF index: assign ONLY the new
+    batch to the existing centroids and append its rows into the
+    centroid-partitioned layout. The archive is never re-read,
+    re-clustered, or reshuffled — per-day cost is proportional to the
+    day's data, which is what makes a 100 TB embedding index
+    maintainable. (Centroid drift is the standard IVF trade: monitor
+    per-cell counts — e.g. ``key_skew_report`` — and re-train when the
+    appended fraction grows large.)"""
+    cents = read_ivf_centroids(spark, centroids_path)
+    assigned = assign_to_centroids(
+        new_vectors, cents, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        index_path
+    )

@@ -3096,6 +3096,82 @@ def incremental_minhash_verified_pairs(spark, sf_dir):
 # measures 0.92 at sf0.01. Deterministic given the fixed KMeans seed.
 # ---------------------------------------------------------------------------
 @query(
+    "incremental_ivf_recall",
+    """
+    WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT CAST(nq AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+           CAST(nq * 5 AS BIGINT) AS n_exact, TRUE AS recall_ok,
+           TRUE AS appended_rows_ok
+    FROM q
+    """,
+)
+def incremental_ivf_recall(spark, sf_dir):
+    """Incremental-IVF gate (the 100 TB maintenance path): train the
+    index on the EVEN half of the embeddings, persist corpus+centroids,
+    ivf_append the ODD half (archive untouched — only the new batch is
+    assigned, via the Arrow GEMM-argmin path, no model object), then
+    probe the persisted merged index through read_ivf_centroids and
+    assert recall@5 vs brute force over the FULL corpus stays >= 0.7
+    (same floor as ivf_ann_recall) and that the appended index holds
+    exactly all rows."""
+    import shutil
+    import tempfile
+
+    from ..datapipe.similarity import (
+        assign_to_centroids,
+        brute_force_knn,
+        build_ivf_index,
+        ivf_knn,
+        read_ivf_centroids,
+        read_ivf_index,
+        ivf_append,
+        write_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ivf_incr_")
+    try:
+        old = emb.where(F.col("vec_id") % 2 == 0)
+        new = emb.where(F.col("vec_id") % 2 == 1)
+        assigned, model = build_ivf_index(old, n_centroids=16, seed=100)
+        write_ivf_index(assigned, f"{work}/corpus")
+        write_ivf_centroids(spark, model, f"{work}/centroids")
+        ivf_append(spark, new, f"{work}/corpus", f"{work}/centroids")
+
+        merged = read_ivf_index(spark, f"{work}/corpus")
+        cents = read_ivf_centroids(spark, f"{work}/centroids")
+        queries = emb.where(F.col("vec_id") % 100 == 0)
+        k = 5
+        bf = brute_force_knn(emb, queries, k).select(
+            "query_id", "neighbor_id"
+        )
+        iv = ivf_knn(merged, cents, queries, k, nprobe=8).select(
+            "query_id", "neighbor_id"
+        )
+        n_total = emb.count()
+        n_index = merged.count()
+        hits_n = iv.join(
+            bf, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        stats = bf.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.countDistinct("query_id").alias("n_queries"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(int(stats["n_queries"])).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(int(stats["n_exact"])).cast("long").alias("n_exact"),
+        F.lit(bool(hits_n / max(stats["n_exact"], 1) >= 0.7)).alias(
+            "recall_ok"
+        ),
+        F.lit(bool(n_index == n_total)).alias("appended_rows_ok"),
+    )
+
+
+@query(
     "ivf_ann_recall",
     """
     WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id % 100 = 0)
@@ -6988,6 +7064,7 @@ _SCORING_PRIORITY = [
     "c2v_reference_analogy_gate",
     "sgns_reference_analogy_gate",
     "pq_ann_recall",
+    "incremental_ivf_recall",   # 15s trainer-tier gate
     "quality_classifier_gate",
     "modern_training_corpus",
     "pagerank_copurchase_parts",

@@ -714,3 +714,57 @@ def test_scd2_apply_rejects_empty_tracked(spark):
     hist = scd2_init(snap, ["k"], ["seg"])
     with _pytest.raises(ValueError, match="tracked"):
         scd2_apply(hist, snap, ["k"], [], eff=1)
+
+
+def test_ivf_append_and_crosssession_probe(spark, tmp_path):
+    """Incremental IVF: append a new batch to a persisted index via the
+    model-free centroid assignment, then probe with centroids read back
+    from parquet — the 'index keeps growing across sessions' contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.similarity import (
+        assign_to_centroids,
+        build_ivf_index,
+        ivf_append,
+        ivf_knn,
+        read_ivf_centroids,
+        read_ivf_index,
+        write_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    assigned, model = build_ivf_index(old, n_centroids=8, seed=100)
+    corpus_path = str(tmp_path / "corpus")
+    cent_path = str(tmp_path / "centroids")
+    write_ivf_index(assigned, corpus_path)
+    write_ivf_centroids(spark, model, cent_path)
+
+    # model-free assignment matches the model's own transform exactly
+    cents = read_ivf_centroids(spark, cent_path)
+    np.testing.assert_allclose(
+        cents, np.asarray(model.clusterCenters())
+    )
+    via_arrow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(old, cents).collect()
+    }
+    via_model = {
+        r["vec_id"]: r["centroid_id"] for r in assigned.collect()
+    }
+    assert via_arrow == via_model
+
+    ivf_append(spark, new, corpus_path, cent_path)
+    merged = read_ivf_index(spark, corpus_path)
+    assert merged.count() == emb.count()
+
+    # probing the persisted index with the parquet centroids works
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = ivf_knn(merged, cents, queries, k=3, nprobe=4)
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
