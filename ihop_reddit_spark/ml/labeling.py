@@ -127,6 +127,7 @@ def umass_pair_stats(
         )
         .agg(F.count(F.lit(1)).alias("d_ml"))
     )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
     return (
         pairs.join(co, ["term_l", "term_m"], "left")
         .join(
@@ -135,12 +136,20 @@ def umass_pair_stats(
             "term_l",
             "left",
         )
+        .join(
+            F.broadcast(d_w.select(F.col("__t").alias("term_m"),
+                                   F.col("__d").alias("d_m"))),
+            "term_m",
+            "left",
+        )
         .select(
             F.col("__topic").alias(topic_col),
             "term_l",
             "term_m",
             F.coalesce(F.col("d_ml"), F.lit(0)).cast("long").alias("d_ml"),
             F.coalesce(F.col("d_l"), F.lit(0)).cast("long").alias("d_l"),
+            F.coalesce(F.col("d_m"), F.lit(0)).cast("long").alias("d_m"),
+            F.lit(n_docs).cast("long").alias("n_docs"),
         )
     )
 
@@ -171,4 +180,45 @@ def umass_coherence(
         F.round(
             F.sum(F.log((F.col("d_ml") + 1) / F.col("d_l"))), 4
         ).alias("coherence"),
+    )
+
+
+def npmi_coherence(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    topics: DataFrame,
+    *,
+    topic_col: str = "topic_id",
+    term_col: str = "term",
+    rank_col: str = "rank",
+    sep: str = " ",
+) -> DataFrame:
+    """Per-topic mean NPMI coherence — the modern standard beside UMass
+    (Bouma 2009 normalization; the c_npmi family): per in-topic pair,
+    ``npmi = ln(d_ml·N / (d_l·d_m)) / (−ln(d_ml/N))`` ∈ [−1, 1];
+    co-occurrence-free pairs take the limit value −1; pairs whose
+    either term is document-absent are skipped. Mean per topic, rounded
+    to 4 decimals (ln-at-the-edge rule). Returns
+    ``(topic_col, n_pairs, npmi)``."""
+    stats = umass_pair_stats(
+        docs, id_col, text_col, topics,
+        topic_col=topic_col, term_col=term_col, rank_col=rank_col, sep=sep,
+    )
+    usable = stats.where((F.col("d_l") > 0) & (F.col("d_m") > 0))
+    per_pair = usable.select(
+        topic_col,
+        F.when(F.col("d_ml") == 0, F.lit(-1.0))
+        .when(F.col("d_ml") == F.col("n_docs"), F.lit(1.0))  # −ln(1)=0
+        .otherwise(
+            F.log(
+                (F.col("d_ml") * F.col("n_docs"))
+                / (F.col("d_l") * F.col("d_m"))
+            )
+            / -F.log(F.col("d_ml") / F.col("n_docs"))
+        ).alias("__npmi"),
+    )
+    return per_pair.groupBy(topic_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("__npmi"), 4).alias("npmi"),
     )

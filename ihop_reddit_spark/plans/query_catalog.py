@@ -5631,13 +5631,18 @@ _UMASS_TOPIC_CTES = """
       SELECT x.term AS term_l, y.term AS term_m, COUNT(*) AS d_ml
       FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term <> y.term
       GROUP BY x.term, y.term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     stats AS (
       SELECT prs.topic_id, prs.term_l, prs.term_m,
              CAST(COALESCE(co.d_ml, 0) AS BIGINT) AS d_ml,
-             CAST(COALESCE(dw.d, 0) AS BIGINT) AS d_l
+             CAST(COALESCE(dwl.d, 0) AS BIGINT) AS d_l,
+             CAST(COALESCE(dwm.d, 0) AS BIGINT) AS d_m,
+             CAST(nd.n_docs AS BIGINT) AS n_docs
       FROM prs
       LEFT JOIN co ON prs.term_l = co.term_l AND prs.term_m = co.term_m
-      LEFT JOIN dw ON prs.term_l = dw.term)
+      LEFT JOIN dw dwl ON prs.term_l = dwl.term
+      LEFT JOIN dw dwm ON prs.term_m = dwm.term
+      CROSS JOIN nd)
 """
 
 
@@ -5661,7 +5666,7 @@ def _umass_topics(spark, sf_dir):
     "umass_pair_stats_by_lang",
     f"""
     WITH {_UMASS_TOPIC_CTES.strip()}
-    SELECT topic_id, term_l, term_m, d_ml, d_l FROM stats
+    SELECT topic_id, term_l, term_m, d_ml, d_l, d_m, n_docs FROM stats
     """,
 )
 def umass_pair_stats_by_lang(spark, sf_dir):
@@ -5687,6 +5692,28 @@ def umass_topic_coherence(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return umass_coherence(
+        docs, "doc_id", "text", _umass_topics(spark, sf_dir)
+    )
+
+
+@query(
+    "npmi_topic_coherence",
+    f"""
+    WITH {_UMASS_TOPIC_CTES.strip()}
+    SELECT topic_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(CASE
+             WHEN d_ml = 0 THEN -1.0
+             WHEN d_ml = n_docs THEN 1.0
+             ELSE ln(CAST(d_ml AS DOUBLE) * n_docs / (d_l * d_m))
+                  / -ln(CAST(d_ml AS DOUBLE) / n_docs) END), 4) AS npmi
+    FROM stats WHERE d_l > 0 AND d_m > 0 GROUP BY topic_id
+    """,
+)
+def npmi_topic_coherence(spark, sf_dir):
+    from ..ml.labeling import npmi_coherence
+
+    docs = _t(spark, sf_dir, "documents")
+    return npmi_coherence(
         docs, "doc_id", "text", _umass_topics(spark, sf_dir)
     )
 
@@ -7049,6 +7076,7 @@ _SCORING_PRIORITY = [
     "cm_sketch_user_counts",
     "umass_pair_stats_by_lang",
     "umass_topic_coherence",
+    "npmi_topic_coherence",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

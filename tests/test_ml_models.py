@@ -862,3 +862,29 @@ def test_umass_coherence_closed_form(spark):
     r = umass_coherence(docs, "doc_id", "text", topics).collect()[0]
     assert r["n_pairs"] == 3
     assert r["coherence"] == round(math.log(0.5), 4)
+
+
+def test_npmi_coherence_closed_form(spark):
+    """Same corpus as the UMass test: docs {a b}, {b c}, {a}; N=3,
+    D(a)=2, D(b)=2, D(c)=1.
+    npmi(a,b) = ln(1·3/(2·2)) / −ln(1/3);
+    npmi(b,c) = ln(1·3/(2·1)) / −ln(1/3);
+    npmi(a,c): d_ml=0 → −1."""
+    import math
+
+    from ihop_reddit_spark.ml.labeling import npmi_coherence
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    topics = spark.createDataFrame(
+        [("t", "a", 1), ("t", "b", 2), ("t", "c", 3)],
+        "topic_id string, term string, rank long",
+    )
+    r = npmi_coherence(docs, "doc_id", "text", topics).collect()[0]
+    assert r["n_pairs"] == 3
+    denom = -math.log(1 / 3)
+    ab = math.log(3 / 4) / denom
+    bc = math.log(3 / 2) / denom
+    want = round((ab + bc - 1.0) / 3, 4)
+    assert r["npmi"] == want
