@@ -149,16 +149,27 @@ class ClusterExplorer:
         words: list[str] | None = None,
         clusters: list[int] | None = None,
         show_neighbors: bool = False,
+        collection: str | None = None,
     ) -> DataFrame:
         """Rows for selected words ∪ members of selected clusters
         (∪ the full clusters of selected words when ``show_neighbors``),
         deduplicated, coordinates dropped — the reference table
-        semantics exactly."""
+        semantics exactly.
+
+        ``collection`` selects every member of a named subreddit
+        collection as if typed into the words box — shipping the
+        reference app's own TODO ("list of subreddits can be chosen
+        from a collection", app.py:15) over the vendored
+        ``resources/collections`` data."""
         from .operators.joins import semi_join_filter
         from .operators.setops import union_dedup
 
         base = self._require_trained()
-        words = words or []
+        words = list(words or [])
+        if collection:
+            from .resources.collections import get_collection_members
+
+            words += get_collection_members(collection)
         clusters = clusters or []
         cols = [self.word_col, "cluster_id"]
         picked = base.where(F.col(self.word_col).isin(words)).select(*cols)
@@ -326,6 +337,7 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                         clusters=[int(c) for c in _csv(qs, "clusters")],
                         show_neighbors=qs.get("neighbors", ["0"])[0]
                         == "1",
+                        collection=qs.get("collection", [None])[0],
                     )
                     self._send(200, {"rows": _rows_json(df)})
                 elif url.path == "/scatter":

@@ -301,6 +301,33 @@ def _cmd_sql(args) -> None:
         df.show(args.limit, truncate=False)
 
 
+def _cmd_coherence(args) -> None:
+    from .ml.labeling import npmi_coherence, umass_coherence
+    from .sources.io import write_parquet
+
+    spark = _session(args)
+    docs = spark.read.parquet(args.docs)
+    topics = spark.read.parquet(args.topics)
+    fn = npmi_coherence if args.metric == "npmi" else umass_coherence
+    out = fn(docs, args.id_col, args.text_col, topics)
+    if args.output:
+        write_parquet(out, args.output)
+    else:
+        out.orderBy("topic_id").show(100, truncate=False)
+
+
+def _cmd_ivf_append(args) -> None:
+    from .datapipe.similarity import ivf_append
+
+    spark = _session(args)
+    new = spark.read.parquet(args.input)
+    ivf_append(
+        spark, new, args.index, args.centroids,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    print(f"appended {new.count()} vectors into {args.index}")
+
+
 def _cmd_serve(args) -> None:
     from .app import explorer_from_events, make_server
 
@@ -478,6 +505,30 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write result parquet here instead of printing")
     sq.add_argument("--limit", type=int, default=50)
     sq.set_defaults(func=_cmd_sql)
+
+    ch = sub.add_parser(
+        "coherence",
+        help="UMass/NPMI topic coherence over a docs table + topics table",
+    )
+    ch.add_argument("--docs", required=True, help="parquet with id+text")
+    ch.add_argument("--topics", required=True,
+                    help="parquet (topic_id, term, rank)")
+    ch.add_argument("--metric", choices=["umass", "npmi"], default="umass")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--output", default=None)
+    ch.set_defaults(func=_cmd_coherence)
+
+    ia = sub.add_parser(
+        "ivf-append",
+        help="append a new vector batch to a persisted IVF index",
+    )
+    ia.add_argument("--input", required=True, help="parquet of new vectors")
+    ia.add_argument("--index", required=True, help="index corpus path")
+    ia.add_argument("--centroids", required=True, help="centroid table path")
+    ia.add_argument("--id-col", default="vec_id")
+    ia.add_argument("--vec-col", default="embedding")
+    ia.set_defaults(func=_cmd_ivf_append)
 
     sv = sub.add_parser(
         "serve",

@@ -191,3 +191,28 @@ def test_http_csv_export(explorer):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_collection_selection(spark):
+    """The reference app's TODO shipped: selecting a named collection
+    pulls every member present in the vocabulary into the table."""
+    from ihop_reddit_spark.resources.collections import (
+        get_collection_members,
+    )
+
+    name = "Denigrating toward immigrants"
+    members = get_collection_members(name)
+    rows = [(m, [float(i), 0.0]) for i, m in enumerate(members[:6])]
+    rows += [("unrelated", [99.0, 99.0])]
+    vectors = spark.createDataFrame(
+        rows, "word string, vector array<double>"
+    )
+    ex = ClusterExplorer(vectors)
+    ex.train(n_clusters=2, seed=1)
+    got = sorted(
+        r["word"] for r in ex.selection_table(collection=name).collect()
+    )
+    assert got == sorted(m for m, _ in rows[:6])
+    # unknown collection name raises (KeyError via the loader)
+    with pytest.raises(KeyError):
+        ex.selection_table(collection="nope")

@@ -202,3 +202,46 @@ def test_cli_sql_command(spark, tmp_path):
           "--sf-dir", "/root/testdata/sf0.001", "--output", out])
     df = spark.read.parquet(out)
     assert df.count() == 5 and set(df.columns) == {"c_mktsegment", "n"}
+
+
+def test_cli_coherence_and_ivf_append(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.cli import main
+    from ihop_reddit_spark.datapipe.similarity import (
+        build_ivf_index,
+        read_ivf_index,
+        write_ivf_centroids,
+        write_ivf_index,
+    )
+
+    # coherence: tiny corpus + one topic, umass then npmi
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    topics = spark.createDataFrame(
+        [("t", "a", 1), ("t", "b", 2), ("t", "c", 3)],
+        "topic_id string, term string, rank long",
+    )
+    dpath, tpath = str(tmp_path / "docs"), str(tmp_path / "topics")
+    docs.write.parquet(dpath)
+    topics.write.parquet(tpath)
+    out = str(tmp_path / "coh")
+    main(["coherence", "--docs", dpath, "--topics", tpath,
+          "--metric", "umass", "--output", out])
+    r = spark.read.parquet(out).collect()[0]
+    assert r["n_pairs"] == 3
+
+    # ivf-append: build on evens, append odds via the CLI
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    assigned, model = build_ivf_index(old, n_centroids=4, seed=100)
+    corpus, cents = str(tmp_path / "corpus"), str(tmp_path / "cents")
+    write_ivf_index(assigned, corpus)
+    write_ivf_centroids(spark, model, cents)
+    npath = str(tmp_path / "new")
+    new.write.parquet(npath)
+    main(["ivf-append", "--input", npath, "--index", corpus,
+          "--centroids", cents])
+    assert read_ivf_index(spark, corpus).count() == emb.count()
