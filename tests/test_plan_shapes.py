@@ -464,3 +464,33 @@ def test_c4_span_dedup_has_no_per_hash_window_sort(spark, sf_dir):
     # boilerplate hashes), not a row_number window over each hash group
     assert "HashAggregate" in plan
     assert "row_number" not in plan
+
+
+def test_histogram_partials_one_shuffle_partial_agg(spark, sf_dir):
+    from ihop_reddit_spark.datapipe.sketches import histogram_partials
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = plan_of(histogram_partials(ev, ["event_type"], "value"))
+    # one key shuffle, counts partial-agg'd map-side (the shuffle
+    # carries (key, bucket, partial_n), never raw values)
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_cm_estimate_probe_join_broadcasts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.sketches import (
+        cm_estimate,
+        cm_partials,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cm = cm_partials(ev, "user_id")
+    probes = ev.select("user_id").where(
+        F.col("user_id") % 97 == 0
+    ).distinct()
+    plan = plan_of(cm_estimate(cm, probes, "user_id"))
+    # both sides are depth*width / probe-sized — the (d, w) join must
+    # not sort-merge a corpus-scale frame
+    assert "SortMergeJoin" not in plan
