@@ -693,3 +693,57 @@ def dsir_resample(
         .orderBy(F.col("gkey").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate eval-set decontamination — the fuzzy sibling of
+    :func:`decontaminate` (which drops on ANY shared n-gram): drop
+    training documents whose n-gram JACCARD similarity to any benchmark
+    document reaches ``jaccard_threshold``. This is the Llama-style
+    "remove near-duplicates of eval data" contract: paraphrased or
+    lightly-edited benchmark leaks that the exact n-gram gate (at large
+    n) misses, without the exact gate's false-positive blowup at small n.
+
+    Composition, not new machinery: benchmark shingles band through the
+    incremental-MinHash candidate path shape — here both sides are
+    bounded (benchmark is eval-sized), so the exact
+    :func:`~ihop_reddit_spark.datapipe.dedup.ngram_jaccard_pairs` join
+    over the UNION corpus is used directly and candidates are exact by
+    construction (no recall loss in the gate itself). Returns the
+    surviving training rows, all columns.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    # disambiguate id spaces: training ids even, benchmark ids odd
+    train = df.select(
+        (F.col(id_col).cast("long") * 2).alias("__uid"),
+        F.col(text_col).alias("__text"),
+    )
+    bench = benchmark.select(
+        (F.col(id_col).cast("long") * 2 + 1).alias("__uid"),
+        F.col(text_col).alias("__text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        train.unionByName(bench), "__text", "__uid",
+        n=n, threshold=jaccard_threshold,
+    )
+    # keep only cross pairs (one even, one odd id); recover train ids
+    cross = pairs.where(
+        (F.col("left_id") % 2) != (F.col("right_id") % 2)
+    ).select(
+        F.when(F.col("left_id") % 2 == 0, F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("__uid")
+    )
+    drops = cross.select(
+        (F.col("__uid") / 2).cast("long").alias(id_col)
+    ).distinct()
+    return df.join(drops, id_col, "left_anti")

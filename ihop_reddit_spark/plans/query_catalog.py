@@ -5662,6 +5662,43 @@ def _umass_topics(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy (near-duplicate) eval-set decontamination: the Llama-style
+# "remove near-duplicates of eval data" step — documents whose 3-gram
+# Jaccard to any benchmark doc (doc_id % 37 == 0) reaches 0.4 are dropped.
+# Oracle: the same id-disambiguated union (train ids even, bench odd) run
+# through the shared jaccard CTE chain.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_decontaminated_documents",
+    f"""
+    WITH u AS (
+      SELECT doc_id * 2 AS doc_id, text FROM documents
+      WHERE doc_id % 37 <> 0
+      UNION ALL
+      SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % 37 = 0),
+    {_jaccard_ctes("u", 0.4)},
+    cross_pairs AS (
+      SELECT CASE WHEN left_id % 2 = 0 THEN left_id ELSE right_id END
+               AS uid
+      FROM jpairs WHERE (left_id % 2) <> (right_id % 2)),
+    drops AS (SELECT DISTINCT uid // 2 AS doc_id FROM cross_pairs)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id % 37 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def fuzzy_decontaminated_documents(spark, sf_dir):
+    from ..datapipe.curation import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return fuzzy_decontaminate(
+        train, bench, "text", "doc_id", n=3, jaccard_threshold=0.4
+    ).select("doc_id", "lang", "n_chars")
+
+
 @query(
     "umass_pair_stats_by_lang",
     f"""
@@ -7077,6 +7114,7 @@ _SCORING_PRIORITY = [
     "umass_pair_stats_by_lang",
     "umass_topic_coherence",
     "npmi_topic_coherence",
+    "fuzzy_decontaminated_documents",
     "pca_invariants_gate",
     "greedy_match_invariants_gate",
     "lda_invariants_gate",

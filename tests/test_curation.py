@@ -383,3 +383,29 @@ def test_contamination_report_counts_shared_ngrams(spark, docs):
     }
     # doc 3 ("p q r s t u") shares exactly the one 5-gram "p q r s t"
     assert rep == {(3, 2): 1}
+
+
+def test_fuzzy_decontaminate_drops_near_dups_only(spark):
+    from ihop_reddit_spark.datapipe.curation import fuzzy_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # near-identical to the benchmark (one word changed) → drop
+            (1, "the quick brown fox jumps over the sleepy dog"),
+            # shares one 3-gram only — below 0.5 jaccard → keep
+            (2, "notes on the quick brown squirrel and other tales"),
+            (3, "completely unrelated text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in fuzzy_decontaminate(
+            train, bench, "text", "doc_id", n=3, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert got == [2, 3]
