@@ -58,6 +58,12 @@ HEADLINE = [
     "pagerank_copurchase_parts",  # 5-iteration integer PageRank
     "hll_sketch_rollup_users",    # DataSketches partial→rollup
     "simhash_candidate_pairs",    # dedup tier 2 (Arrow signature path)
+    # round-6 (session 4) additions: coherence pair stats (the heaviest
+    # new aggregate), fuzzy eval-set decontamination, and the
+    # frequency-sketch read path
+    "umass_pair_stats_by_lang",
+    "fuzzy_decontaminated_documents",
+    "cm_sketch_user_counts",
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as
