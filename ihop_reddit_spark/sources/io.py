@@ -223,3 +223,76 @@ def observed_write(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return dict(obs.get)
+
+
+def targeted_delete(
+    spark,
+    path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+    *,
+    compression: str = "zstd",
+) -> dict:
+    """Row-level deletion from a partitioned parquet table with
+    partition-pruned rewrites — the GDPR/right-to-be-forgotten
+    maintenance op at 100 TB altitude: only partitions that actually
+    CONTAIN a deleted key are read and rewritten; the rest of the table
+    is untouched bytes.
+
+    Requires the table to be directory-partitioned on ``partition_col``
+    and ``delete_keys`` to carry BOTH columns (key + its partition value
+    — the deletion request knows where its rows live; if it doesn't,
+    derive the partition with one broadcast semi-join against the key
+    column first). Plan: (1) the affected-partition set is
+    ``delete_keys``-sized; (2) the read of those partitions prunes at
+    the directory level (``PartitionFilters``); (3) the anti-join's
+    delete side is broadcast; (4) dynamic partition overwrite rewrites
+    only the affected directories, idempotently (re-running the same
+    delete converges).
+
+    Returns ``{"partitions_rewritten": n, "rows_deleted": n}`` — the
+    audit record a deletion pipeline logs.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [
+        r[0]
+        for r in delete_keys.select(partition_col).distinct().collect()
+    ]
+    if not parts:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+    affected = spark.read.parquet(path).where(
+        F.col(partition_col).isin(parts)
+    )
+    keys = delete_keys.select(key_col).distinct()
+    kept = affected.join(F.broadcast(keys), key_col, "left_anti")
+    before = affected.count()
+    after = kept.count()
+    kept_parts = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    if kept_parts:
+        overwrite_partitions(
+            kept.where(F.col(partition_col).isin(sorted(kept_parts))),
+            path,
+            [partition_col],
+            compression=compression,
+        )
+    # dynamic overwrite only touches partitions PRESENT in the written
+    # frame — a partition whose every row was deleted must be removed
+    # explicitly or its old files would survive the delete
+    emptied = set(parts) - kept_parts
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in sorted(emptied):
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={p}"
+            )
+            fs = hpath.getFileSystem(conf)
+            fs.delete(hpath, True)
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_deleted": before - after,
+    }

@@ -280,3 +280,49 @@ def test_observed_write_reports_metrics_in_one_pass(spark, tmp_path):
     )
     assert m == {"rows_written": 3, "v_nulls": 1, "v_sum": 30.0}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_targeted_delete_prunes_and_scrubs(spark, tmp_path):
+    """GDPR-style deletion: only partitions containing deleted keys are
+    rewritten; untouched partition FILES stay byte-identical; a fully
+    emptied partition's directory is removed."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources.io import targeted_delete
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(uid, uid % 4, f"row{uid}") for uid in range(40)]
+        + [(100, 9, "solo")],  # partition 9 holds exactly one key
+        "user_id long, shard int, payload string",
+    )
+    df.write.partitionBy("shard").parquet(path)
+    untouched = sorted(glob.glob(f"{path}/shard=1/*.parquet"))
+    stamps = [(f, os.path.getmtime(f)) for f in untouched]
+
+    deletes = spark.createDataFrame(
+        [(0, 0), (8, 0), (2, 2), (100, 9)], "user_id long, shard int"
+    )
+    out = targeted_delete(spark, path, deletes, "user_id", "shard")
+    assert out == {"partitions_rewritten": 3, "rows_deleted": 4}
+
+    back = spark.read.parquet(path)
+    assert back.where(
+        F.col("user_id").isin(0, 8, 2, 100)
+    ).count() == 0
+    assert back.count() == 41 - 4
+    # untouched partition: same files, same mtimes
+    assert [
+        (f, os.path.getmtime(f)) for f in sorted(
+            glob.glob(f"{path}/shard=1/*.parquet")
+        )
+    ] == stamps
+    # emptied partition directory is gone
+    assert not os.path.exists(f"{path}/shard=9")
+
+    # idempotent re-run: nothing more to delete
+    again = targeted_delete(spark, path, deletes, "user_id", "shard")
+    assert again["rows_deleted"] == 0
