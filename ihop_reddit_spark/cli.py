@@ -328,6 +328,19 @@ def _cmd_ivf_append(args) -> None:
     print(f"appended {new.count()} vectors into {args.index}")
 
 
+def _cmd_delete_rows(args) -> None:
+    import json as _json
+
+    from .sources.io import targeted_delete
+
+    spark = _session(args)
+    deletes = spark.read.parquet(args.keys)
+    out = targeted_delete(
+        spark, args.table, deletes, args.key_col, args.partition_col
+    )
+    print(_json.dumps(out))
+
+
 def _cmd_serve(args) -> None:
     from .app import explorer_from_events, make_server
 
@@ -529,6 +542,19 @@ def build_parser() -> argparse.ArgumentParser:
     ia.add_argument("--id-col", default="vec_id")
     ia.add_argument("--vec-col", default="embedding")
     ia.set_defaults(func=_cmd_ivf_append)
+
+    dr = sub.add_parser(
+        "delete-rows",
+        help="targeted (GDPR-style) row deletion with partition-pruned "
+             "rewrites",
+    )
+    dr.add_argument("--table", required=True,
+                    help="partitioned parquet table path")
+    dr.add_argument("--keys", required=True,
+                    help="parquet of (key, partition) delete requests")
+    dr.add_argument("--key-col", required=True)
+    dr.add_argument("--partition-col", required=True)
+    dr.set_defaults(func=_cmd_delete_rows)
 
     sv = sub.add_parser(
         "serve",

@@ -245,3 +245,24 @@ def test_cli_coherence_and_ivf_append(spark, tmp_path):
     main(["ivf-append", "--input", npath, "--index", corpus,
           "--centroids", cents])
     assert read_ivf_index(spark, corpus).count() == emb.count()
+
+
+def test_cli_delete_rows(spark, tmp_path, capsys):
+    import json
+
+    from ihop_reddit_spark.cli import main
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(u, u % 3, "x") for u in range(12)],
+        "user_id long, shard int, payload string",
+    ).write.partitionBy("shard").parquet(path)
+    kpath = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [(3, 0), (4, 1)], "user_id long, shard int"
+    ).write.parquet(kpath)
+    main(["delete-rows", "--table", path, "--keys", kpath,
+          "--key-col", "user_id", "--partition-col", "shard"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"partitions_rewritten": 2, "rows_deleted": 2}
+    assert spark.read.parquet(path).count() == 10
