@@ -321,10 +321,8 @@ def _cmd_ivf_append(args) -> None:
 
     spark = _session(args)
     new = spark.read.parquet(args.input)
-    ivf_append(
-        spark, new, args.index, args.centroids,
-        id_col=args.id_col, vec_col=args.vec_col,
-    )
+    ivf_append(spark, new, args.index, args.centroids,
+               vec_col=args.vec_col)
     print(f"appended {new.count()} vectors into {args.index}")
 
 
@@ -539,7 +537,6 @@ def build_parser() -> argparse.ArgumentParser:
     ia.add_argument("--input", required=True, help="parquet of new vectors")
     ia.add_argument("--index", required=True, help="index corpus path")
     ia.add_argument("--centroids", required=True, help="centroid table path")
-    ia.add_argument("--id-col", default="vec_id")
     ia.add_argument("--vec-col", default="embedding")
     ia.set_defaults(func=_cmd_ivf_append)
 

@@ -712,38 +712,46 @@ def fuzzy_decontaminate(
     lightly-edited benchmark leaks that the exact n-gram gate (at large
     n) misses, without the exact gate's false-positive blowup at small n.
 
-    Composition, not new machinery: benchmark shingles band through the
-    incremental-MinHash candidate path shape — here both sides are
-    bounded (benchmark is eval-sized), so the exact
-    :func:`~ihop_reddit_spark.datapipe.dedup.ngram_jaccard_pairs` join
-    over the UNION corpus is used directly and candidates are exact by
-    construction (no recall loss in the gate itself). Returns the
-    surviving training rows, all columns.
+    Plan is CROSS-corpus by construction: the training shingle stream
+    joins the benchmark shingle stream only (cost ∝ train×bench shared
+    shingles — never the train×train quadratic a union self-join would
+    compute and discard), sizes attach post-aggregation, and the drop
+    set anti-joins back. Ids pass through untouched (any orderable
+    type). Returns the surviving training rows, all columns.
     """
-    from .dedup import ngram_jaccard_pairs
+    from ..caching import register_scoped_persists
+    from .dedup import exploded_word_shingles
 
-    # disambiguate id spaces: training ids even, benchmark ids odd
-    train = df.select(
-        (F.col(id_col).cast("long") * 2).alias("__uid"),
-        F.col(text_col).alias("__text"),
+    t_sh = exploded_word_shingles(df, text_col, id_col, n).persist()
+    b_sh = exploded_word_shingles(benchmark, text_col, id_col, n).persist()
+    t_sizes = t_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__nt"))
+    b_sizes = b_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        t_sh.alias("t")
+        .join(b_sh.alias("b"), "__g")
+        .groupBy(
+            F.col("t.__id").alias("__tid"), F.col("b.__id").alias("__bid")
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    bench = benchmark.select(
-        (F.col(id_col).cast("long") * 2 + 1).alias("__uid"),
-        F.col(text_col).alias("__text"),
+    scored = (
+        inter.join(
+            F.broadcast(t_sizes.select(F.col("__id").alias("__tid"),
+                                       "__nt")),
+            "__tid",
+        )
+        .join(
+            F.broadcast(b_sizes.select(F.col("__id").alias("__bid"),
+                                       "__nb")),
+            "__bid",
+        )
+        .where(
+            F.col("__inter")
+            / (F.col("__nt") + F.col("__nb") - F.col("__inter"))
+            >= jaccard_threshold
+        )
     )
-    pairs = ngram_jaccard_pairs(
-        train.unionByName(bench), "__text", "__uid",
-        n=n, threshold=jaccard_threshold,
+    drops = scored.select(F.col("__tid").alias(id_col)).distinct()
+    return register_scoped_persists(
+        df.join(drops, id_col, "left_anti"), t_sh, b_sh
     )
-    # keep only cross pairs (one even, one odd id); recover train ids
-    cross = pairs.where(
-        (F.col("left_id") % 2) != (F.col("right_id") % 2)
-    ).select(
-        F.when(F.col("left_id") % 2 == 0, F.col("left_id"))
-        .otherwise(F.col("right_id"))
-        .alias("__uid")
-    )
-    drops = cross.select(
-        (F.col("__uid") / 2).cast("long").alias(id_col)
-    ).distinct()
-    return df.join(drops, id_col, "left_anti")

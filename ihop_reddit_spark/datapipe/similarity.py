@@ -729,7 +729,6 @@ def read_ivf_centroids(spark, path: str):
 def assign_to_centroids(
     vectors: DataFrame,
     centroids,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment for a NEW batch against FIXED
@@ -765,7 +764,6 @@ def ivf_append(
     new_vectors: DataFrame,
     index_path: str,
     centroids_path: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Incrementally grow a persisted IVF index: assign ONLY the new
@@ -777,9 +775,7 @@ def ivf_append(
     per-cell counts — e.g. ``key_skew_report`` — and re-train when the
     appended fraction grows large.)"""
     cents = read_ivf_centroids(spark, centroids_path)
-    assigned = assign_to_centroids(
-        new_vectors, cents, id_col=id_col, vec_col=vec_col
-    )
+    assigned = assign_to_centroids(new_vectors, cents, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         index_path
     )

@@ -127,7 +127,12 @@ def umass_pair_stats(
         )
         .agg(F.count(F.lit(1)).alias("d_ml"))
     )
-    n_docs = docs.select(F.col(id_col)).distinct().count()
+    # n_docs rides the plan as a 1-row broadcast cross-join — keeping
+    # the builder LAZY (no hidden pre-job at construction, no stale
+    # literal frozen into the plan)
+    n_docs_df = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
     return (
         pairs.join(co, ["term_l", "term_m"], "left")
         .join(
@@ -142,6 +147,7 @@ def umass_pair_stats(
             "term_m",
             "left",
         )
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             F.col("__topic").alias(topic_col),
             "term_l",
@@ -149,7 +155,7 @@ def umass_pair_stats(
             F.coalesce(F.col("d_ml"), F.lit(0)).cast("long").alias("d_ml"),
             F.coalesce(F.col("d_l"), F.lit(0)).cast("long").alias("d_l"),
             F.coalesce(F.col("d_m"), F.lit(0)).cast("long").alias("d_m"),
-            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.col("__n_docs").cast("long").alias("n_docs"),
         )
     )
 

@@ -3118,7 +3118,6 @@ def incremental_ivf_recall(spark, sf_dir):
     import tempfile
 
     from ..datapipe.similarity import (
-        assign_to_centroids,
         brute_force_knn,
         build_ivf_index,
         ivf_knn,

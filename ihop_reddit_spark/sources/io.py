@@ -251,8 +251,10 @@ def targeted_delete(
     only the affected directories, idempotently (re-running the same
     delete converges).
 
-    Returns ``{"partitions_rewritten": n, "rows_deleted": n}`` — the
-    audit record a deletion pipeline logs.
+    Returns ``{"partitions_rewritten": n, "partitions_removed": n,
+    "rows_deleted": n}`` — the audit record a deletion pipeline logs.
+    Partitions whose listed keys matched no rows are neither rewritten
+    nor counted (file mtimes stay untouched on retries).
     """
     from pyspark.sql import functions as F
 
@@ -261,28 +263,49 @@ def targeted_delete(
         for r in delete_keys.select(partition_col).distinct().collect()
     ]
     if not parts:
-        return {"partitions_rewritten": 0, "rows_deleted": 0}
+        return {
+            "partitions_rewritten": 0,
+            "partitions_removed": 0,
+            "rows_deleted": 0,
+        }
     affected = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts)
     )
-    keys = delete_keys.select(key_col).distinct()
-    kept = affected.join(F.broadcast(keys), key_col, "left_anti")
-    before = affected.count()
-    after = kept.count()
-    kept_parts = {
-        r[0] for r in kept.select(partition_col).distinct().collect()
-    }
-    if kept_parts:
-        overwrite_partitions(
-            kept.where(F.col(partition_col).isin(sorted(kept_parts))),
-            path,
-            [partition_col],
-            compression=compression,
+    # join on the (key, partition) PAIR — the declared deletion scope.
+    # A key-only join would let unrelated keys in the batch widen each
+    # other's deletion to partitions never requested.
+    pairs = delete_keys.select(key_col, partition_col).distinct()
+    kept = affected.join(
+        F.broadcast(pairs), [key_col, partition_col], "left_anti"
+    ).persist()
+    try:
+        per_part_before = {
+            r[0]: r[1]
+            for r in affected.groupBy(partition_col).count().collect()
+        }
+        per_part_after = {
+            r[0]: r[1]
+            for r in kept.groupBy(partition_col).count().collect()
+        }
+        changed = sorted(
+            p
+            for p, n in per_part_before.items()
+            if per_part_after.get(p, 0) != n
         )
+        rewritten = [p for p in changed if per_part_after.get(p, 0) > 0]
+        emptied = [p for p in changed if per_part_after.get(p, 0) == 0]
+        if rewritten:
+            overwrite_partitions(
+                kept.where(F.col(partition_col).isin(rewritten)),
+                path,
+                [partition_col],
+                compression=compression,
+            )
+    finally:
+        kept.unpersist()
     # dynamic overwrite only touches partitions PRESENT in the written
     # frame — a partition whose every row was deleted must be removed
     # explicitly or its old files would survive the delete
-    emptied = set(parts) - kept_parts
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -293,6 +316,8 @@ def targeted_delete(
             fs = hpath.getFileSystem(conf)
             fs.delete(hpath, True)
     return {
-        "partitions_rewritten": len(parts),
-        "rows_deleted": before - after,
+        "partitions_rewritten": len(rewritten),
+        "partitions_removed": len(emptied),
+        "rows_deleted": sum(per_part_before.values())
+        - sum(per_part_after.values()),
     }

@@ -264,5 +264,9 @@ def test_cli_delete_rows(spark, tmp_path, capsys):
     main(["delete-rows", "--table", path, "--keys", kpath,
           "--key-col", "user_id", "--partition-col", "shard"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out == {"partitions_rewritten": 2, "rows_deleted": 2}
+    assert out == {
+        "partitions_rewritten": 2,
+        "partitions_removed": 0,
+        "rows_deleted": 2,
+    }
     assert spark.read.parquet(path).count() == 10

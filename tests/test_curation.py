@@ -409,3 +409,28 @@ def test_fuzzy_decontaminate_drops_near_dups_only(spark):
         ).collect()
     )
     assert got == [2, 3]
+
+
+def test_fuzzy_decontaminate_string_ids(spark):
+    """Review r4: ids of any type must work — a silent cast-to-null
+    would keep contaminated docs with no error."""
+    from ihop_reddit_spark.datapipe.curation import fuzzy_decontaminate
+
+    bench = spark.createDataFrame(
+        [("b-1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            ("t-1", "the quick brown fox jumps over the sleepy dog"),
+            ("t-2", "completely unrelated text about spark plans"),
+        ],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in fuzzy_decontaminate(
+            train, bench, "text", "doc_id", n=3, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert got == ["t-2"]

@@ -307,7 +307,11 @@ def test_targeted_delete_prunes_and_scrubs(spark, tmp_path):
         [(0, 0), (8, 0), (2, 2), (100, 9)], "user_id long, shard int"
     )
     out = targeted_delete(spark, path, deletes, "user_id", "shard")
-    assert out == {"partitions_rewritten": 3, "rows_deleted": 4}
+    assert out == {
+        "partitions_rewritten": 2,   # shards 0 and 2
+        "partitions_removed": 1,     # shard 9, fully emptied
+        "rows_deleted": 4,
+    }
 
     back = spark.read.parquet(path)
     assert back.where(
@@ -323,6 +327,22 @@ def test_targeted_delete_prunes_and_scrubs(spark, tmp_path):
     # emptied partition directory is gone
     assert not os.path.exists(f"{path}/shard=9")
 
-    # idempotent re-run: nothing more to delete
+    # idempotent re-run: nothing more to delete, and NO file churn —
+    # unchanged partitions are not rewritten on retries
     again = targeted_delete(spark, path, deletes, "user_id", "shard")
-    assert again["rows_deleted"] == 0
+    assert again == {
+        "partitions_rewritten": 0,
+        "partitions_removed": 0,
+        "rows_deleted": 0,
+    }
+
+    # pair scope: deleting (user 5, shard 0) must NOT touch user 5's
+    # row in its actual shard (5 % 4 == 1) — the request names a
+    # (key, partition) pair, not a key
+    noop = targeted_delete(
+        spark, path,
+        spark.createDataFrame([(5, 0)], "user_id long, shard int"),
+        "user_id", "shard",
+    )
+    assert noop["rows_deleted"] == 0
+    assert spark.read.parquet(path).where("user_id = 5").count() == 1

@@ -58,9 +58,18 @@ def main() -> None:
     bad = 0
     for name in GATES:
         try:
-            r = q[name](spark, sf_dir).collect()[0].asDict()
-            flags = {k: v for k, v in r.items() if isinstance(v, bool)}
-            ok = all(flags.values())
+            rows = [r.asDict() for r in q[name](spark, sf_dir).collect()]
+            # aggregate EVERY row's boolean columns — a multi-row gate
+            # can fail on any row, and a gate exposing no booleans must
+            # not pass vacuously
+            flags: dict[str, bool] = {}
+            for r in rows:
+                for k, v in r.items():
+                    if isinstance(v, bool):
+                        flags[k] = flags.get(k, True) and v
+            ok = bool(flags) and all(flags.values())
+            if not flags:
+                flags = {"no_boolean_columns": False}
         except Exception as exc:  # noqa: BLE001 — report, keep probing
             flags, ok = {"error": str(exc)[:200]}, False
         bad += not ok
