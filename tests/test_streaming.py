@@ -275,10 +275,13 @@ def test_eventgen_streaming_datasource(spark, tmp_path):
     batches = []
 
     def sink(df, bid):
-        batches.append(
-            sorted(tuple(r) for r in df.collect())
-        )
+        rows = sorted(tuple(r) for r in df.collect())
         df.write.mode("append").parquet(out)
+        # append ONLY after the parquet commit: the monitor loop stops
+        # the query once it sees 150 rows here, and appending before
+        # the write let q.stop() race the final batch's commit (flaked
+        # under full-suite load: 100 of 150 rows landed)
+        batches.append(rows)
 
     import time as _time
 
