@@ -718,6 +718,14 @@ def fuzzy_decontaminate(
     compute and discard), sizes attach post-aggregation, and the drop
     set anti-joins back. Ids pass through untouched (any orderable
     type). Returns the surviving training rows, all columns.
+
+    Scale note: ``t_sizes`` is one row per TRAINING document — the big
+    side of the whole operation — so it must NOT carry a broadcast
+    hint (a forced broadcast aborts at the 8 GiB BroadcastExchange
+    limit long before 100 TB); ``inter`` is already hashed by
+    ``__tid``, so the size attach is a plain co-partitioned shuffle
+    join that AQE may still demote to broadcast when genuinely small.
+    ``b_sizes`` IS eval-sized and keeps the hint.
     """
     from ..caching import register_scoped_persists
     from .dedup import exploded_word_shingles
@@ -736,8 +744,7 @@ def fuzzy_decontaminate(
     )
     scored = (
         inter.join(
-            F.broadcast(t_sizes.select(F.col("__id").alias("__tid"),
-                                       "__nt")),
+            t_sizes.select(F.col("__id").alias("__tid"), "__nt"),
             "__tid",
         )
         .join(

@@ -238,6 +238,12 @@ def ngram_jaccard_pairs(
     Jaccard = inter / (|A| + |B| − inter). All counts are ints; the final
     division is deterministic, so this op is duckdb-oracle comparable.
     Quadratic in the worst case — run on candidates / bounded corpora only.
+
+    Scale note: ``sizes`` is one row per INPUT document; callers like
+    ``corpus_prep`` feed this op the whole exact-dedup survivor set, so
+    the size attach carries NO broadcast hint — the pair table is already
+    hashed by id, the join shuffles co-partitioned, and AQE demotes to
+    broadcast on its own when the input really is candidate-sized.
     """
     # the shingle stream feeds BOTH self-join sides and the size table, and
     # Catalyst does not reuse the exchange across the aliased self-join
@@ -262,11 +268,11 @@ def ngram_jaccard_pairs(
     )
     out = (
         pairs.join(
-            F.broadcast(sizes.select(F.col("__id").alias("left_id"), F.col("__n").alias("n_left"))),
+            sizes.select(F.col("__id").alias("left_id"), F.col("__n").alias("n_left")),
             "left_id",
         )
         .join(
-            F.broadcast(sizes.select(F.col("__id").alias("right_id"), F.col("__n").alias("n_right"))),
+            sizes.select(F.col("__id").alias("right_id"), F.col("__n").alias("n_right")),
             "right_id",
         )
         .withColumn(
@@ -468,10 +474,13 @@ def ngram_jaccard_pairs_prefix(
     gfreq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy("__id").orderBy("__df", "__g")
+    # sizes is per-document (corpus-proportional) — no broadcast hint; the
+    # ranked stream is already partitioned by __id for the window, so the
+    # size attach is co-partitioned and AQE picks the strategy.
     ranked = (
         ex.join(gfreq, "__g")
         .withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(sizes), "__id")
+        .join(sizes, "__id")
     )
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = ranked.where(F.col("__rn") <= prefix_len).select("__id", "__g")

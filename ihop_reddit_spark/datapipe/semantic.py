@@ -157,8 +157,11 @@ def sign_lsh_semantic_dedup(
     3. exact verify: join the quantized vectors onto the candidate pairs
        (two id-keyed joins sized by candidate volume, not corpus²) and
        keep pairs with integer-exact cosine ≥ threshold;
-    4. drop set = distinct right ids — broadcast anti-join back onto the
-       corpus (the corpus itself never shuffles).
+    4. drop set = distinct right ids — anti-join back onto the corpus.
+       Semantic dedup routinely drops 30–50%+ of a web corpus, so the
+       drop set is corpus-proportional BY DESIGN and carries no
+       broadcast hint: the anti-join shuffles on id and AQE demotes to
+       broadcast only when the set really is small.
     """
     buckets = sign_lsh_buckets(
         df, vec_col, id_col, n_tables, n_bits, dim
@@ -200,7 +203,7 @@ def sign_lsh_semantic_dedup(
         .select(F.col("right_id").alias(id_col))
         .distinct()
     )
-    out = df.join(F.broadcast(dropped), id_col, "left_anti")
+    out = df.join(dropped, id_col, "left_anti")
     return register_scoped_persists(out, buckets)
 
 
@@ -240,8 +243,9 @@ def kmeans_semantic_dedup(
         block_size=block_size,
         group_col="cluster_id",
     )
+    # drop set is corpus-proportional (see pairwise tier) — no hint.
     dropped = pairs.select(F.col("right_id").alias(id_col)).distinct()
-    out = df.join(F.broadcast(dropped), id_col, "left_anti")
+    out = df.join(dropped, id_col, "left_anti")
     return register_scoped_persists(out, assigned)
 
 
@@ -317,7 +321,9 @@ def incremental_semantic_dedup(
     new vector lands in exactly the buckets its archived near-dups
     occupy; the join is bucket-local (only today's batch shuffles), the
     exact quantized-cosine verify runs on candidate rows only, and the
-    drop set broadcasts back onto the batch. The archive is consulted,
+    drop set anti-joins back onto the batch (batch-proportional — a
+    day's crawl can be TBs, so no forced broadcast; AQE decides). The
+    archive is consulted,
     never rewritten — append today's survivors to the index table to roll
     the window forward.
 
@@ -349,4 +355,4 @@ def incremental_semantic_dedup(
         .select(F.col("__id").alias(id_col))
         .distinct()
     )
-    return new_df.join(F.broadcast(dropped), id_col, "left_anti")
+    return new_df.join(dropped, id_col, "left_anti")

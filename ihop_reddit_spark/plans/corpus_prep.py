@@ -58,8 +58,11 @@ def prepare_corpus(
         & (feats["n_tokens"] >= cfg.min_tokens)
         & TX.predict_lang(text).isin(*cfg.keep_langs)
     )
-    # exact dedup: keep the smallest id per fingerprint (broadcast the tiny
-    # keeper table back — survivors ≈ distinct texts)
+    # exact dedup: keep the smallest id per fingerprint. `keepers` is one
+    # row per DISTINCT TEXT — corpus-proportional, so no broadcast hint:
+    # the semi-join shuffles on id (AQE may still pick broadcast when the
+    # dedup ratio makes it genuinely small, but forcing it would abort at
+    # the 8 GiB BroadcastExchange limit at 100 TB).
     keepers = gated.groupBy(TX.fingerprint(text).alias("__fp")).agg(
         F.min(id_col).alias(id_col)
     )
@@ -67,9 +70,7 @@ def prepare_corpus(
     # duplicate_components) and the final survivor scan — persist it so the
     # scan + gates run once. MEMORY_AND_DISK: survivors of the gates are a
     # fraction of the corpus, and disk spill beats recompute here.
-    exact = gated.join(
-        F.broadcast(keepers.select(id_col)), id_col, "left_semi"
-    ).persist()
+    exact = gated.join(keepers.select(id_col), id_col, "left_semi").persist()
     # near-dup collapse: pairs → components → drop every non-representative
     pairs = ngram_jaccard_pairs(
         exact, text_col, id_col, n=cfg.shingle_n, threshold=cfg.jaccard_threshold
@@ -78,7 +79,9 @@ def prepare_corpus(
     losers = components.where(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    survivors = anti_join_filter(exact, losers, id_col)
+    # losers ∝ duplicate mass — corpus-proportional on boilerplate-heavy
+    # corpora, so no forced broadcast (AQE decides)
+    survivors = anti_join_filter(exact, losers, id_col, broadcast_remove=False)
     from ..caching import register_scoped_persists
 
     return register_scoped_persists(

@@ -5394,10 +5394,12 @@ def modern_training_corpus(spark, sf_dir):
     )
     # surv feeds the DSIR corpus model, the target model, and the final
     # pick — persist the boundary or the winnow+semantic upstream reruns
-    # once per consumer (measured: 34s → ~14s at sf0.1)
+    # once per consumer (measured: 34s → ~14s at sf0.1). The drop sets
+    # are corpus-proportional (dedup drops 30-50%+ of a web corpus) —
+    # no broadcast hints; AQE decides. `sel` below IS k-sized → hinted.
     surv = (
-        docs.join(F.broadcast(w_dropped), "doc_id", "left_anti")
-        .join(F.broadcast(s_dropped), "doc_id", "left_anti")
+        docs.join(w_dropped, "doc_id", "left_anti")
+        .join(s_dropped, "doc_id", "left_anti")
         .persist()
     )
     target = surv.where(F.col("source").isin("src0", "src1"))

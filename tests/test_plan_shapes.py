@@ -376,20 +376,55 @@ def test_winnow_pairs_two_corpus_exchanges_before_pair_agg(spark, sf_dir):
 
 def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
     """Sign-LSH semantic dedup promises: the candidate self-join carries
-    ids + bucket keys only (vectors never ride that shuffle), and the final
-    drop is a BROADCAST anti-join — the corpus scan feeds the anti-join
-    with zero Exchange on the corpus side."""
+    ids + bucket keys only (vectors never ride that shuffle), no Python
+    crossing anywhere, and — since semantic dedup drops a corpus-scale
+    fraction — NO forced broadcast on the drop set: with auto-broadcast
+    disabled, the plan must contain zero BroadcastExchange (the anti-join
+    shuffles on id, which survives 100 TB; a forced broadcast would not)."""
     from ihop_reddit_spark.datapipe.semantic import sign_lsh_semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    plan = plan_of(sign_lsh_semantic_dedup(emb))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(sign_lsh_semantic_dedup(emb))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Python" not in plan  # no UDF anywhere
-    # the dropped-set side reaches the anti-join via BroadcastExchange
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    # the corpus side of the anti-join is a bare scan (no Exchange between
-    # the last parquet scan and the anti-join)
-    tail = plan.split("LeftAnti")[0].splitlines()[-8:]
-    assert not any("Exchange hashpartitioning" in ln for ln in tail), plan
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_no_forced_broadcast_on_corpus_proportional_frames(spark, sf_dir):
+    """The round-4 verdict's lead defect: forced ``F.broadcast`` hints on
+    frames that grow with the corpus (exact-dedup keepers, near-dup drop
+    sets, per-training-doc size tables) abort at the 8 GiB
+    BroadcastExchange limit at scale. With auto-broadcast disabled, any
+    BroadcastExchange left in these plans is a forced hint — assert the
+    only survivors are genuinely bounded frames (the benchmark-side size
+    table in fuzzy decontamination)."""
+    from ihop_reddit_spark.datapipe.curation import fuzzy_decontaminate
+    from ihop_reddit_spark.plans.corpus_prep import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # corpus prep: keepers / sizes / losers are all corpus-derived —
+        # zero forced broadcasts anywhere in the composition
+        plan = plan_of(prepare_corpus(docs))
+        assert "BroadcastExchange" not in plan, plan
+        # fuzzy decontamination: t_sizes (per-TRAINING-doc) must not be
+        # forced; b_sizes (per-benchmark-doc, eval-sized) keeps its hint —
+        # exactly one BroadcastExchange node in the initial plan
+        plan2 = plan_of(fuzzy_decontaminate(docs, bench, "text", "doc_id"))
+        import re
+
+        n_bx = len(set(re.findall(r"BroadcastExchange \(\d+\)", plan2)))
+        assert n_bx == 1, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_dsir_models_broadcast_one_doc_shuffle(spark, sf_dir):
