@@ -322,6 +322,7 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
         def do_GET(self):
             url = urlparse(self.path)
             qs = parse_qs(url.query)
+            headers_sent = False  # set by the streaming CSV branch
             try:
                 if url.path == "/health":
                     self._send(
@@ -355,6 +356,7 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                         explorer._require_trained()
                     ).orderBy("cluster_id", explorer.word_col)
                     cols = df.columns
+                    headers_sent = True
                     self.send_response(200)
                     self.send_header("Content-Type", "text/csv")
                     self.send_header(
@@ -388,7 +390,16 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # surface errors as JSON, keep serving
-                self._send(400, {"error": str(exc)})
+                if headers_sent:
+                    # a 200 + chunked body is already on the wire (e.g. a
+                    # Spark error mid toLocalIterator) — emitting a second
+                    # status line would corrupt the response AND poison
+                    # the keep-alive connection. Abort: drop the terminal
+                    # 0-chunk so the client sees a truncated transfer,
+                    # and close the connection instead of reusing it.
+                    self.close_connection = True
+                else:
+                    self._send(400, {"error": str(exc)})
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))

@@ -67,19 +67,18 @@ def cohens_kappa(
         F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
               .otherwise(0)).alias("__n_agree"),
     )
+    # coalesce the totals ONCE and reuse — an empty/all-NULL input makes
+    # sum() NULL, and multiplying the un-coalesced columns would leak
+    # NULL into numer/denom while n/n_agree read 0 (zero-on-empty is the
+    # contract shared with ks_two_sample / categorical_tvd)
+    n_total = F.coalesce(F.col("__n_total"), F.lit(0))
+    n_agree = F.coalesce(F.col("__n_agree"), F.lit(0))
+    pe_numer = F.coalesce(F.col("__pe_numer"), F.lit(0))
     out = totals.crossJoin(F.broadcast(chance)).select(
-        F.coalesce(F.col("__n_total"), F.lit(0))
-        .cast("long").alias("n"),
-        F.coalesce(F.col("__n_agree"), F.lit(0))
-        .cast("long").alias("n_agree"),
-        (
-            F.col("__n_total") * F.col("__n_agree")
-            - F.coalesce(F.col("__pe_numer"), F.lit(0))
-        ).cast("long").alias("kappa_numer"),
-        (
-            F.col("__n_total") * F.col("__n_total")
-            - F.coalesce(F.col("__pe_numer"), F.lit(0))
-        ).cast("long").alias("kappa_denom"),
+        n_total.cast("long").alias("n"),
+        n_agree.cast("long").alias("n_agree"),
+        (n_total * n_agree - pe_numer).cast("long").alias("kappa_numer"),
+        (n_total * n_total - pe_numer).cast("long").alias("kappa_denom"),
     )
     return out.withColumn(
         "kappa",

@@ -261,9 +261,20 @@ def grid_search(
     sequential path.
     """
     trainer = trainer or Community2Vec
-    base = base or (
-        C2VParams() if trainer is Community2Vec else trainer().params
+    expected = (
+        C2VParams if trainer is Community2Vec else type(trainer().params)
     )
+    if base is None:
+        base = expected()
+    elif type(base) is not expected:
+        # an explicit positional base from the pre-trainer call shape
+        # would otherwise build the WRONG params dataclass via
+        # type(base)(...) and fail deep inside fit with an opaque
+        # AttributeError (or run with wrong semantics on field overlap)
+        raise ValueError(
+            f"grid_search: base is {type(base).__name__} but trainer "
+            f"{trainer.__name__} expects {expected.__name__}"
+        )
     contexts = contexts.cache()
     keys = sorted(grid)
     combos = list(itertools.product(*(grid[k] for k in keys)))

@@ -255,7 +255,19 @@ def targeted_delete(
     "rows_deleted": n}`` — the audit record a deletion pipeline logs.
     Partitions whose listed keys matched no rows are neither rewritten
     nor counted (file mtimes stay untouched on retries).
+
+    Durability: survivors are MATERIALIZED to a hidden temp dir under
+    the table root before any overwrite begins, and the overwrite reads
+    from the temp files — never from the partitions being replaced. A
+    mere ``persist()`` is best-effort: lose a cached block mid-overwrite
+    (executor failure, memory pressure) and Spark would recompute the
+    survivors from half-deleted source files, silently losing rows that
+    were never targeted. Dot-prefixed dirs are invisible to parquet
+    readers, so a crash between write and cleanup leaves the table
+    readable and the retry idempotent.
     """
+    import uuid
+
     from pyspark.sql import functions as F
 
     parts = [
@@ -277,15 +289,27 @@ def targeted_delete(
     pairs = delete_keys.select(key_col, partition_col).distinct()
     kept = affected.join(
         F.broadcast(pairs), [key_col, partition_col], "left_anti"
-    ).persist()
+    )
+    per_part_before = {
+        r[0]: r[1]
+        for r in affected.groupBy(partition_col).count().collect()
+    }
+    # lineage break: write ALL surviving rows of the affected partitions
+    # to the temp dir in one pass, then count + overwrite from the temp
+    # READ — the source partitions are only ever read before this point
+    tmp = f"{path}/.__delete_tmp_{uuid.uuid4().hex}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tmp_hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_hpath.getFileSystem(hconf)
     try:
-        per_part_before = {
-            r[0]: r[1]
-            for r in affected.groupBy(partition_col).count().collect()
-        }
+        kept.write.mode("overwrite").option(
+            "compression", compression
+        ).parquet(tmp)
+        kept_t = spark.read.parquet(tmp)
         per_part_after = {
             r[0]: r[1]
-            for r in kept.groupBy(partition_col).count().collect()
+            for r in kept_t.groupBy(partition_col).count().collect()
         }
         changed = sorted(
             p
@@ -296,25 +320,39 @@ def targeted_delete(
         emptied = [p for p in changed if per_part_after.get(p, 0) == 0]
         if rewritten:
             overwrite_partitions(
-                kept.where(F.col(partition_col).isin(rewritten)),
+                kept_t.where(F.col(partition_col).isin(rewritten)),
                 path,
                 [partition_col],
                 compression=compression,
             )
     finally:
-        kept.unpersist()
+        fs.delete(tmp_hpath, True)
     # dynamic overwrite only touches partitions PRESENT in the written
     # frame — a partition whose every row was deleted must be removed
-    # explicitly or its old files would survive the delete
+    # explicitly or its old files would survive the delete. Directory
+    # names use Spark's OWN partition-path encoding (escapePathName +
+    # __HIVE_DEFAULT_PARTITION__ for null, 'true'/'false' for bools) —
+    # a python str() path would silently miss URL-escaped values, and a
+    # silent miss here means "deleted" rows survive on disk.
     if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for p in sorted(emptied):
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        for p in sorted(emptied, key=str):
+            if p is None:
+                sval = "__HIVE_DEFAULT_PARTITION__"
+            elif p is True or p is False:
+                sval = "true" if p else "false"
+            else:
+                sval = esc.escapePathName(str(p))
             hpath = jvm.org.apache.hadoop.fs.Path(
-                f"{path}/{partition_col}={p}"
+                f"{path}/{esc.escapePathName(partition_col)}={sval}"
             )
-            fs = hpath.getFileSystem(conf)
-            fs.delete(hpath, True)
+            pfs = hpath.getFileSystem(hconf)
+            if not pfs.exists(hpath) or not pfs.delete(hpath, True):
+                raise RuntimeError(
+                    f"targeted_delete: failed to remove emptied "
+                    f"partition directory {hpath} — rows reported "
+                    f"deleted would survive on disk"
+                )
     return {
         "partitions_rewritten": len(rewritten),
         "partitions_removed": len(emptied),

@@ -748,6 +748,32 @@ def test_cohens_kappa_closed_form(spark):
     rd = cohens_kappa(degen, "a", "b").collect()[0]
     assert rd["kappa"] is None and rd["kappa_denom"] == 0
 
+    # empty / all-NULL input → the zero-on-empty contract shared with
+    # ks_two_sample/categorical_tvd: (0, 0, 0, 0, NULL), never NULL
+    # numer/denom (ADVICE r4)
+    empty = spark.createDataFrame(
+        [(None, "x"), ("x", None)], "a string, b string"
+    )
+    re_ = cohens_kappa(empty, "a", "b").collect()[0]
+    assert tuple(re_) == (0, 0, 0, 0, None)
+
+
+def test_grid_search_rejects_mismatched_base_and_trainer(spark):
+    """An explicit C2VParams base with the SGNS trainer must raise a
+    clear ValueError up front, not an opaque AttributeError deep inside
+    fit (ADVICE r4)."""
+    import pytest
+
+    from ihop_reddit_spark.ml.community2vec import C2VParams, grid_search
+    from ihop_reddit_spark.ml.sgns import SGNSCommunity2Vec
+
+    df = _planted_contexts(spark, n_sections=2, reps=2)
+    with pytest.raises(ValueError, match="C2VParams.*SGNS"):
+        grid_search(
+            df, {"epochs": [1]}, [], base=C2VParams(),
+            trainer=SGNSCommunity2Vec,
+        )
+
 
 def test_fleiss_kappa_closed_form(spark):
     from ihop_reddit_spark.ml.agreement import fleiss_kappa

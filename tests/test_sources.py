@@ -346,3 +346,44 @@ def test_targeted_delete_prunes_and_scrubs(spark, tmp_path):
     )
     assert noop["rows_deleted"] == 0
     assert spark.read.parquet(path).where("user_id = 5").count() == 1
+    # the durable-lineage temp dir is cleaned up after every call
+    assert not glob.glob(f"{path}/.__delete_tmp_*")
+
+
+def test_targeted_delete_escaped_partition_values(spark, tmp_path):
+    """Emptied-partition removal must use Spark's partition-path
+    encoding: a string partition value with characters Spark
+    URL-escapes in directory names (space, colon, percent) would be
+    silently MISSED by a str(p) path — rows reported deleted would
+    survive on disk (ADVICE r4)."""
+    import os
+
+    from ihop_reddit_spark.sources.io import targeted_delete
+
+    path = str(tmp_path / "tbl")
+    tricky = "a b:c%d"  # space, colon, percent — all escaped by Spark
+    df = spark.createDataFrame(
+        [(1, tricky, "x"), (2, "plain", "y"), (3, "plain", "z")],
+        "user_id long, region string, payload string",
+    )
+    df.write.partitionBy("region").parquet(path)
+    # Spark wrote an escaped directory name, not the literal value
+    dirs = [d for d in os.listdir(path) if d.startswith("region=")]
+    assert f"region={tricky}" not in dirs and len(dirs) == 2
+
+    out = targeted_delete(
+        spark, path,
+        spark.createDataFrame([(1, tricky)], "user_id long, region string"),
+        "user_id", "region",
+    )
+    assert out == {
+        "partitions_rewritten": 0,
+        "partitions_removed": 1,
+        "rows_deleted": 1,
+    }
+    assert [
+        d for d in os.listdir(path)
+        if d.startswith("region=") and "plain" not in d
+    ] == []
+    back = spark.read.parquet(path)
+    assert back.count() == 2 and back.where("user_id = 1").count() == 0
