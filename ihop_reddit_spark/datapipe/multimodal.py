@@ -18,7 +18,11 @@ stubbed):
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB size it so a
   batch of payloads fits executor memory (payloads are MBs, not KBs; 64-256
   rows/batch is typical for images).
-* **The real codecs (PIL / libav / torchaudio) are NOT in this container** —
+* **Three formats decode for REAL, dependency-free**: PNG (stdlib zlib
+  inflate + CRC + full five-filter unfiltering, :func:`decode_png`), 24-bit
+  BMP (:func:`decode_bmp`), and RIFF/WAVE PCM16 (:func:`decode_wav`) —
+  oracle-gated on planted closed-form pixels/samples. The generic codecs
+  (PIL / libav / torchaudio: JPEG, MP4, …) are NOT in this container —
   ``decode_fn="real"`` raises ``NotImplementedError`` at the first batch. The
   default ``decode_fn="fake"`` derives every "decoded" statistic
   deterministically from the payload's md5 digest, so tests assert exact
@@ -126,11 +130,13 @@ def _fake_decode_stats(payload: bytes) -> tuple[float, float]:
 
 
 def _real_decode_stats(payload: bytes) -> tuple[float, float]:
-    # STUB — real image/audio decoding needs PIL/libav, not present in this
-    # container. The mapInPandas plumbing around it is real; swap this
+    # STUB — generic media decoding (JPEG/MP4/…) needs PIL/libav, not
+    # present in this container. PNG, 24-bit BMP, and WAV-PCM16 have REAL
+    # stdlib decoders below (decode_png/decode_bmp/decode_wav); swap this
     # function for the actual codec in deployment.
     raise NotImplementedError(
-        "real media decoding requires PIL/libav; use decode_fn='fake' here"
+        "generic media decoding requires PIL/libav; PNG/BMP/WAV decode for "
+        "real via decode_image/decode_wav, use decode_fn='fake' otherwise"
     )
 
 
@@ -476,6 +482,238 @@ def decode_bmp(payload: bytes):
     return out
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    ``a + b − c``, ties broken left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_bytes(pixels, *, cycle_filters: bool = True) -> bytes:
+    """Dependency-free PNG encoder: 8-bit truecolor (type 2),
+    non-interlaced, stdlib ``zlib`` deflate + CRC32. With
+    ``cycle_filters`` each scanline uses filter ``y % 5``, so a
+    round-trip exercises ALL five unfilter paths (None/Sub/Up/Average/
+    Paeth) — the realistic shape, since real encoders mix filters
+    per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("png_bytes encodes H×W×3 RGB")
+    bpp = ch
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        ft = (y % 5) if cycle_filters else 0
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            filt = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                filt[x] = (
+                    row[x] - _paeth(int(left[x]), int(prev[x]), int(upleft[x]))
+                ) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Real PNG decoder, stdlib-only: chunk walk with CRC verification,
+    ``zlib`` inflate, and full scanline unfiltering (all five filter
+    types). Supports 8-bit non-interlaced grayscale / gray+alpha /
+    truecolor / truecolor+alpha; returns H×W×3 uint8 RGB (gray
+    replicated, alpha stripped). Palette/16-bit/interlaced raise the
+    marked ``NotImplementedError`` — they need PIL in deployment."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    ihdr = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        # STUB boundary — 16-bit / interlaced PNG needs PIL in deployment
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG supported without PIL"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise NotImplementedError("palette PNG requires PIL")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    bpp = ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw[pos : pos + stride], dtype=np.uint8
+        ).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — vectorizes (no intra-row dependency)
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth scan left-to-right
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 2:  # gray + alpha → replicate gray, strip alpha
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def decode_image(payload: bytes):
+    """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG and 24-bit BMP
+    decode for REAL (stdlib codecs above); JPEG/GIF/WebP remain the
+    marked PIL stub. Every image consumer (aHash, feature stats) goes
+    through this, so PNG assets flow the same dedup path as BMP."""
+    payload = bytes(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    # STUB boundary — JPEG/GIF/WebP decode requires PIL in deployment
+    raise NotImplementedError(
+        "only PNG and 24-bit BMP decode without PIL; got unknown magic "
+        f"{payload[:4]!r}"
+    )
+
+
+def synthesize_png_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Real PNG payloads per id: the SAME planted closed form as
+    :func:`synthesize_bmp_assets` (solid ((37i)%256, (59i)%256,
+    (83i)%256), height ``8 + id % 4``) but encoded through deflate with
+    per-row filter cycling — so the ``png_decode_gate`` oracle proves
+    inflate + CRC + unfilter arrive at exactly the planted pixels."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                h = 8 + i % 4
+                color = np.array(
+                    [(37 * i) % 256, (59 * i) % 256, (83 * i) % 256],
+                    dtype=np.uint8,
+                )
+                px = np.broadcast_to(color, (h, width, 3))
+                rows.append((i, png_bytes(px)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def image_feature_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, width, height, mean_r, mean_g, mean_b) through
+    :func:`decode_image` — one code path for PNG and BMP payloads."""
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = decode_image(row["payload"])
+                h, w, _ = px.shape
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (row["asset_id"], w, h, float(m[0]), float(m[1]), float(m[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
+    )
+
+
 def synthesize_bmp_assets(
     df: DataFrame, id_col: str = "doc_id", width: int = 16
 ) -> DataFrame:
@@ -578,7 +816,8 @@ def synthesize_block_bmp_assets(
 
 
 def image_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
-    """Average-hash over the real BMP parser: integer luma
+    """Average-hash through the real codecs (:func:`decode_image` — PNG
+    or 24-bit BMP payloads, magic-dispatched): integer luma
     ``(299r + 587g + 114b) // 1000`` per pixel, ``blocks×blocks`` block
     sums, bit = (block mean >= global mean) compared in EXACT integers
     (``bsum·npix >= total·bpix`` — no float mean). Returns
@@ -590,7 +829,7 @@ def image_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                px = decode_bmp(bytes(row["payload"])).astype("int64")
+                px = decode_image(row["payload"]).astype("int64")
                 luma = (
                     px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
                 ) // 1000

@@ -3321,6 +3321,117 @@ def media_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PNG real-codec gate (datapipe/multimodal.decode_png): the same planted
+# closed form as the BMP side of media_decode_gate, but the payload goes
+# through DEFLATE with per-scanline filter cycling (None/Sub/Up/Average/
+# Paeth) — so exact means here prove the stdlib inflate + CRC check + all
+# five unfilter paths reconstruct the planted pixels bit-exactly. This was
+# the round-4 "widest brief-vs-tree gap" item: real multimodal decode
+# beyond BMP/WAV, dependency-free.
+# ---------------------------------------------------------------------------
+@query(
+    "png_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets, TRUE AS png_exact
+    FROM documents
+    """,
+)
+def png_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_png_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    png = image_feature_stats(synthesize_png_assets(docs))
+    i = F.col("asset_id")
+    ok = png.select(
+        (
+            (F.col("mean_r") == ((i * 37) % 256).cast("double"))
+            & (F.col("mean_g") == ((i * 59) % 256).cast("double"))
+            & (F.col("mean_b") == ((i * 83) % 256).cast("double"))
+            & (F.col("height") == 8 + i % 4)
+            & (F.col("width") == 16)
+        ).alias("ok")
+    ).agg(F.min("ok").alias("png_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok)
+
+
+# ---------------------------------------------------------------------------
+# Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
+# sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
+# bzip2 CSV in a temp dir, read both back through the schema-on-read scan
+# paths, and emit identical integer aggregates per format. Closes the
+# round-4 "13 pytest-only operators" gap: the sink/source tier now has a
+# CORRECTNESS-visible oracle row (the oracle derives the same aggregates
+# straight from the parquet view — a lossy round-trip breaks the hash).
+# Aggregates are integer-exact (sum of ids; value in exact cents) so the
+# comparison is float-order-free.
+# ---------------------------------------------------------------------------
+@query(
+    "sink_roundtrip_counts",
+    """
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events CROSS JOIN (VALUES ('jsonl'), ('csv_bz2')) AS f(fmt)
+    GROUP BY fmt
+    """,
+)
+def sink_roundtrip_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import write_compressed_csv, write_jsonl
+    from ..sources.reddit import read_jsonl
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def aggs(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+
+    work = tempfile.mkdtemp(prefix="sink_rt_")
+    try:
+        write_jsonl(ev, f"{work}/ev_jsonl")
+        write_compressed_csv(ev, f"{work}/ev_csv", compression="bzip2")
+        back_j = read_jsonl(
+            spark, [f"{work}/ev_jsonl"], schema, keep_corrupt=False
+        ).select(*schema.fieldNames())
+        back_c = spark.read.csv(f"{work}/ev_csv", schema=schema)
+        out = aggs(back_j, "jsonl").unionByName(aggs(back_c, "csv_bz2"))
+        # materialize the 2-row result so the temp dir can be deleted
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ recall gate (similarity.train_pq_codebooks/pq_encode/ivf_pq_knn —
 # Jégou et al. TPAMI 2011, the FAISS IVFADC+refine memory tier): probe
 # cells, score candidates against CODES via per-query lookup tables, exact-
@@ -7091,6 +7202,8 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "png_decode_gate",            # new in r5 — real PNG codec tier
+    "sink_roundtrip_counts",      # new in r5 — S1/S5/S6 oracle round-trip
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",

@@ -192,6 +192,123 @@ def test_bmp_round_trip_and_planted_colors(spark):
         )
 
 
+def test_png_round_trip_all_filters_and_planted_colors(spark):
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_image,
+        decode_png,
+        image_feature_stats,
+        png_bytes,
+        synthesize_png_assets,
+    )
+
+    # pseudorandom pixels, height ≥ 5 so filter cycling hits ALL five
+    # types (None/Sub/Up/Average/Paeth) — round-trip must be bit-exact
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(png_bytes(px)), px)
+    # filter-0-only payload decodes identically too
+    assert np.array_equal(
+        decode_png(png_bytes(px, cycle_filters=False)), px
+    )
+
+    # corrupted chunk body → CRC failure, not silent garbage pixels
+    good = bytearray(png_bytes(px))
+    good[40] ^= 0xFF  # inside IHDR/IDAT region
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+
+    # magic dispatch: unknown container stays the marked PIL stub
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF....")
+
+    # planted closed form through deflate + unfilter, distributed
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    stats = {r["asset_id"]: r for r in
+             image_feature_stats(synthesize_png_assets(ids)).collect()}
+    for i in range(12):
+        r = stats[i]
+        assert (r["width"], r["height"]) == (16, 8 + i % 4)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            float((37 * i) % 256), float((59 * i) % 256), float((83 * i) % 256)
+        )
+
+
+def test_png_grayscale_and_alpha_channels():
+    """decode_png normalizes gray / gray+alpha / RGBA to H×W×3 RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import decode_png
+
+    def make_png(w, h, ctype, ch, raw_rows):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        body = b"".join(b"\x00" + r for r in raw_rows)  # filter 0 rows
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+
+    # grayscale (type 0): value replicated across RGB
+    g = make_png(3, 2, 0, 1, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    px = decode_png(g)
+    assert px.shape == (2, 3, 3) and (px[0, 1] == [20, 20, 20]).all()
+    # RGBA (type 6): alpha stripped
+    rows = [bytes([1, 2, 3, 255, 4, 5, 6, 0])]
+    px = decode_png(make_png(2, 1, 6, 4, rows))
+    assert px.shape == (1, 2, 3)
+    assert (px[0, 0] == [1, 2, 3]).all() and (px[0, 1] == [4, 5, 6]).all()
+    # gray+alpha (type 4)
+    px = decode_png(make_png(2, 1, 4, 2, [bytes([9, 255, 7, 128])]))
+    assert (px[0, 0] == [9, 9, 9]).all() and (px[0, 1] == [7, 7, 7]).all()
+
+
+def test_image_ahash_accepts_png_payloads(spark):
+    """The dedup path is codec-agnostic: the same planted block pattern
+    encoded as PNG hashes to the same bits as its BMP twin."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _block_white,
+        image_ahash,
+        png_bytes,
+    )
+
+    def png_assets(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].to_numpy():
+                i = int(i)
+                px = np.zeros((32, 32, 3), dtype=np.uint8)
+                for by in range(8):
+                    for bx in range(8):
+                        if _block_white(i, bx, by):
+                            px[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = 255
+                rows.append((i, png_bytes(px)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    base = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    assets = base.mapInPandas(png_assets, "asset_id long, payload binary")
+    got = {r["asset_id"]: r["bits"] for r in image_ahash(assets).collect()}
+    for i in range(4):
+        assert got[i] == [
+            _block_white(i, bx, by) for by in range(8) for bx in range(8)
+        ]
+
+
 def test_image_ahash_through_real_codec(spark):
     from ihop_reddit_spark.datapipe.multimodal import (
         _block_white,
