@@ -268,6 +268,94 @@ def explorer_from_events(
 
 
 # ---------------------------------------------------------------------------
+# Rendered scatter page — the reference's plotly figure
+# (``app.py:446-558``) as a dependency-free inline-SVG HTML page:
+# every point, colored by cluster (grey for 'other' under highlight),
+# with per-point <title> tooltips and a legend whose entries are plain
+# links that re-request the page with that cluster selected+highlighted
+# — the same select→highlight flow, zero JS.
+# ---------------------------------------------------------------------------
+_SCATTER_PALETTE = [
+    "#4c78a8", "#f58518", "#54a24b", "#e45756", "#72b7b2",
+    "#eeca3b", "#b279a2", "#ff9da6", "#9d755d", "#bab0ac",
+]
+_OTHER_FILL = "#cccccc"
+
+
+def scatter_html(
+    explorer: ClusterExplorer,
+    words: list[str] | None = None,
+    clusters: list[int] | None = None,
+    highlight: bool = False,
+    width: int = 720,
+    height: int = 520,
+) -> str:
+    """Static HTML rendering of :meth:`ClusterExplorer.scatter_data`."""
+    import html as _html
+
+    rows = _rows_json(explorer.scatter_data(words, clusters, highlight))
+    pad = 24
+    if rows:
+        xs = [r["x"] for r in rows]
+        ys = [r["y"] for r in rows]
+        x0, x1 = min(xs), max(xs)
+        y0, y1 = min(ys), max(ys)
+        sx = (width - 2 * pad) / ((x1 - x0) or 1.0)
+        sy = (height - 2 * pad) / ((y1 - y0) or 1.0)
+    circles = []
+    for r in sorted(rows, key=lambda r: (r["display_cluster"] != "other",)):
+        cx = pad + (r["x"] - x0) * sx
+        cy = height - pad - (r["y"] - y0) * sy  # svg y grows downward
+        fill = (
+            _OTHER_FILL
+            if r["display_cluster"] == UNSELECTED_CLUSTER_KEY
+            else _SCATTER_PALETTE[int(r["cluster_id"]) % len(_SCATTER_PALETTE)]
+        )
+        tip = _html.escape(
+            f"{r[explorer.word_col]} (cluster {r['cluster_id']})"
+        )
+        circles.append(
+            f'<circle cx="{cx:.1f}" cy="{cy:.1f}" r="4" fill="{fill}"'
+            f' data-cluster="{r["cluster_id"]}"><title>{tip}</title></circle>'
+        )
+    legend = []
+    for cid in sorted({r["cluster_id"] for r in rows}):
+        color = _SCATTER_PALETTE[int(cid) % len(_SCATTER_PALETTE)]
+        label = next(
+            (
+                r["cluster_label"]
+                for r in rows
+                if r["cluster_id"] == cid and "cluster_label" in r
+            ),
+            str(cid),
+        )
+        legend.append(
+            f'<li><span style="background:{color}" class="swatch"></span>'
+            f'<a href="/scatter.html?clusters={cid}&amp;highlight=1">'
+            f"cluster {_html.escape(str(label))}</a></li>"
+        )
+    title = explorer.model_name or "model"
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{_html.escape(title)}</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1.5rem; }}
+ .swatch {{ display: inline-block; width: .8em; height: .8em;
+            margin-right: .4em; border-radius: 50%; }}
+ ul.legend {{ list-style: none; padding: 0; }}
+ ul.legend li {{ margin: .15rem 0; }}
+ svg {{ border: 1px solid #ddd; }}
+</style></head>
+<body>
+<h1>{_html.escape(title)}</h1>
+<p><a href="/scatter.html">show all</a> ·
+   <a href="/export.csv">download CSV</a> · {len(rows)} points</p>
+<svg width="{width}" height="{height}"
+     viewBox="0 0 {width} {height}">{''.join(circles)}</svg>
+<ul class="legend">{''.join(legend)}</ul>
+</body></html>"""
+
+
+# ---------------------------------------------------------------------------
 # stdlib HTTP JSON API (cli.py serve)
 # ---------------------------------------------------------------------------
 def _rows_json(df: DataFrame) -> list[dict]:
@@ -287,6 +375,9 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
     * ``POST /labels``  body ``{"<cluster_id>": "<label>", ...}``
     * ``GET /table?words=a,b&clusters=0,1&neighbors=1``
     * ``GET /scatter?words=a&clusters=2&highlight=1``
+    * ``GET /scatter.html?clusters=2&highlight=1`` (also ``/``) —
+      rendered inline-SVG scatter page with legend links driving the
+      select→highlight flow (reference ``app.py:446-558``)
     * ``GET /export.csv`` — full assignment table as CSV (the
       reference's download_cluster_csv button, app.py:639-656)
     * ``GET /health``
@@ -348,6 +439,18 @@ def make_server(explorer: ClusterExplorer, host: str = "127.0.0.1", port: int = 
                         highlight=qs.get("highlight", ["0"])[0] == "1",
                     )
                     self._send(200, {"rows": _rows_json(df)})
+                elif url.path in ("/", "/scatter.html"):
+                    page = scatter_html(
+                        explorer,
+                        words=_csv(qs, "words"),
+                        clusters=[int(c) for c in _csv(qs, "clusters")],
+                        highlight=qs.get("highlight", ["0"])[0] == "1",
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
                 elif url.path == "/export.csv":
                     import csv as _csvmod
                     import io

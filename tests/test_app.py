@@ -159,6 +159,54 @@ def test_http_round_trip(explorer):
         server.server_close()
 
 
+def test_scatter_html_page_highlight_flow(explorer):
+    """VERDICT r4 item 4: the rendered scatter page. Selecting a
+    cluster via the legend-link URL greys every other point; the plain
+    page shows no grey — the reference app's select→highlight flow."""
+    server = make_server(explorer, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return r.headers["Content-Type"], r.read().decode()
+
+        ctype, page = get("/scatter.html")
+        assert ctype == "text/html"
+        assert page.count("<circle") == 24
+        assert 'fill="#cccccc"' not in page  # no highlight → no grey
+        # legend links drive the select→highlight flow
+        assert 'href="/scatter.html?clusters=' in page
+        # per-point tooltips carry the word names
+        assert "<title>sub0_0 (cluster" in page
+
+        base = {
+            r["word"]: r["cluster_id"]
+            for r in explorer._require_trained().collect()
+        }
+        cid = base["sub1_0"]
+        _, hl = get(f"/scatter.html?clusters={cid}&highlight=1")
+        assert hl.count("<circle") == 24  # every point still drawn
+        assert hl.count('fill="#cccccc"') == 16  # two blobs greyed
+        # the selected cluster keeps its palette color on 8 points
+        colored = [
+            ln for ln in hl.split("<circle")[1:]
+            if f'data-cluster="{cid}"' in ln and "#cccccc" not in ln
+        ]
+        assert len(colored) == 8
+        # toggling highlight off restores full color
+        _, off = get(f"/scatter.html?clusters={cid}")
+        assert 'fill="#cccccc"' not in off
+        # "/" serves the same page
+        _, root = get("/")
+        assert root.count("<circle") == 24
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_tsne_projection_option(spark, explorer):
     """The reference app plots t-SNE coordinates; train(projection=
     'tsne') must produce the same assignment frame shape."""
