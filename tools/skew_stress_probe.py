@@ -12,6 +12,11 @@ skew-safety claims otherwise rest on sf0.01-shaped data:
   scale-tier banding path; the mega-cluster lands in one band bucket.
 * ``dedup_keep_best``           — the argmax-under-skew claim
   (``datapipe/dedup.py``): one component holds 10% of the corpus.
+* ``fuzzy_decontaminate``       — (r4 tier) the benchmark doc IS the
+  boilerplate, so every benchmark shingle is a ~10%-mass hot key and
+  the drop set is corpus-proportional.
+* ``histogram_partials/quantiles`` — (r4 tier) 90% of events collapse
+  onto one (key, bucket) cell; partials must stay support-bounded.
 
 The planted pair count inside a C-member cluster is C·(C−1)/2, which is
 quadratic by PROBLEM DEFINITION (those pairs genuinely exist); the probe
@@ -143,6 +148,65 @@ def main() -> None:
         "sec": round(time.time() - t0, 2),
         "survivors": n_surv,
         "dropped": n_docs - n_surv,
+    }
+
+    # --- round-4 tier (VERDICT r4 item 8) --------------------------------
+    # Hot-shingle fuzzy decontamination: one benchmark doc IS the
+    # boilerplate template, so every one of its shingles is a ~10%-mass
+    # hot key in the train×bench shingle join; the drop set is the whole
+    # mega-cluster (corpus-proportional — exercising the un-hinted
+    # t_sizes/anti-join path from the r4 verdict fix).
+    from ihop_reddit_spark.datapipe.curation import fuzzy_decontaminate
+
+    t0 = time.time()
+    bench = spark.createDataFrame(
+        [(0, boiler)], "doc_id long, text string"
+    )
+    clean = fuzzy_decontaminate(
+        skewed, bench, "text", "doc_id", n=3, jaccard_threshold=0.5
+    )
+    n_clean = clean.count()
+    ops["fuzzy_decontaminate_hot_shingles"] = {
+        "sec": round(time.time() - t0, 2),
+        "survivors": n_clean,
+        "dropped": n_docs - n_clean,
+    }
+    spark.catalog.clearCache()
+
+    # Hot-key histogram sketch: 90% of events collapse onto one
+    # (event_type, bucket) cell — the partial agg must absorb the hot
+    # cell map-side (partials stay support-bounded), and the quantile
+    # window stays per-key over the support, never the fact rows.
+    from ihop_reddit_spark.datapipe.sketches import (
+        histogram_merge,
+        histogram_partials,
+        histogram_quantiles,
+    )
+
+    t0 = time.time()
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_ev = ev.count()
+    hot = ev.select(
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 10 < 9, F.lit(1.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    hist = histogram_merge(
+        histogram_partials(hot, ["event_type"], "value"), ["event_type"]
+    )
+    q = histogram_quantiles(
+        hist, ["event_type"], [500, 900, 990]
+    )
+    n_q = q.count()
+    n_support = hist.count()
+    ops["histogram_sketch_hot_key"] = {
+        "sec": round(time.time() - t0, 2),
+        "events": n_ev,
+        "support_rows": n_support,
+        "quantile_rows": n_q,
     }
 
     print(json.dumps({
