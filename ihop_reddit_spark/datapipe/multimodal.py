@@ -643,19 +643,22 @@ def decode_png(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG and 24-bit BMP
-    decode for REAL (stdlib codecs above); JPEG/GIF/WebP remain the
-    marked PIL stub. Every image consumer (aHash, feature stats) goes
-    through this, so PNG assets flow the same dedup path as BMP."""
+    """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG, 24-bit BMP,
+    and GIF (first rendered frame) decode for REAL (stdlib codecs in
+    this module); JPEG/WebP remain the marked PIL stub. Every image
+    consumer (aHash, feature stats) goes through this, so every real
+    format flows the same dedup path."""
     payload = bytes(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    # STUB boundary — JPEG/GIF/WebP decode requires PIL in deployment
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)[0]  # still image = first frame
+    # STUB boundary — JPEG/WebP decode requires PIL in deployment
     raise NotImplementedError(
-        "only PNG and 24-bit BMP decode without PIL; got unknown magic "
-        f"{payload[:4]!r}"
+        "only PNG, 24-bit BMP, and GIF decode without PIL; got unknown "
+        f"magic {payload[:4]!r}"
     )
 
 
@@ -815,12 +818,37 @@ def synthesize_block_bmp_assets(
     )
 
 
+def _ahash_bits(px, blocks: int) -> list[bool]:
+    """aHash bits of one H×W×3 uint8 frame: integer luma
+    ``(299r + 587g + 114b) // 1000``, ``blocks×blocks`` block sums,
+    bit = block mean >= global mean in EXACT integers
+    (``bsum·npix >= total·bpix`` — no float mean)."""
+    px = px.astype("int64")
+    luma = (
+        px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    ) // 1000
+    h, w = luma.shape
+    bh, bw = h // blocks, w // blocks
+    total = int(luma.sum())
+    npix = h * w
+    bpix = bh * bw
+    bits = []
+    for by in range(blocks):
+        for bx in range(blocks):
+            bsum = int(
+                luma[
+                    by * bh : (by + 1) * bh,
+                    bx * bw : (bx + 1) * bw,
+                ].sum()
+            )
+            bits.append(bsum * npix >= total * bpix)
+    return bits
+
+
 def image_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
-    """Average-hash through the real codecs (:func:`decode_image` — PNG
-    or 24-bit BMP payloads, magic-dispatched): integer luma
-    ``(299r + 587g + 114b) // 1000`` per pixel, ``blocks×blocks`` block
-    sums, bit = (block mean >= global mean) compared in EXACT integers
-    (``bsum·npix >= total·bpix`` — no float mean). Returns
+    """Average-hash through the real codecs (:func:`decode_image` — PNG,
+    24-bit BMP, or GIF-first-frame payloads, magic-dispatched): see
+    :func:`_ahash_bits` for the exact-integer bit rule. Returns
     ``(asset_id, bits array<boolean>)`` in row-major block order.
     Row-local mapInPandas; zero shuffle."""
     import pandas as pd
@@ -829,25 +857,7 @@ def image_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                px = decode_image(row["payload"]).astype("int64")
-                luma = (
-                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
-                ) // 1000
-                h, w = luma.shape
-                bh, bw = h // blocks, w // blocks
-                total = int(luma.sum())
-                npix = h * w
-                bpix = bh * bw
-                bits = []
-                for by in range(blocks):
-                    for bx in range(blocks):
-                        bsum = int(
-                            luma[
-                                by * bh : (by + 1) * bh,
-                                bx * bw : (bx + 1) * bw,
-                            ].sum()
-                        )
-                        bits.append(bsum * npix >= total * bpix)
+                bits = _ahash_bits(decode_image(row["payload"]), blocks)
                 rows.append((row["asset_id"], bits))
             yield pd.DataFrame(rows, columns=["asset_id", "bits"])
 
@@ -1039,4 +1049,361 @@ def video_frames(
             f"substring(payload, frame_index * {frame_bytes} + 1,"
             f" {frame_bytes})"
         ).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a) — a REAL animated-image container, dependency-free:
+# variable-width LSB-first LZW, global/local color tables, interlace,
+# Graphic Control transparency and disposal (none/keep/background/
+# previous), full canvas composition per frame. GIF is the one ANIMATED
+# format decodable without PIL/libav, so it upgrades the video tier from
+# fixed-size fake containers to a genuine codec: decode → rendered
+# frames → per-frame aHash → the same candidate-pair hamming join as
+# every other modality.
+# ---------------------------------------------------------------------------
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size + 1`` LSB-first, CLEAR on dictionary overflow at 12
+    bits. Real compression (prefix dictionary), not the
+    uncompressed-GIF trick — round-trip fuzz-tested against
+    :func:`_lzw_decode`."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code >= 4096:
+            emit(clear, code_size)
+            code_size = min_code_size + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+            # width grows when the NEXT code to assign no longer fits —
+            # the decoder applies the same rule, keeping both in step
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of :func:`_lzw_encode` (also decodes any spec-compliant
+    GIF stream)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            return eoi  # truncated stream → treat as end
+        byte0 = pos // 8
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + (pos % 8 + width + 7) // 8 + 1], "little"
+        )
+        val = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return val
+
+    out: list[int] = []
+    code_size = min_code_size + 1
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    prev: tuple | None = None
+    while True:
+        c = read(code_size)
+        if c == eoi:
+            break
+        if c == clear:
+            code_size = min_code_size + 1
+            table = [(i,) for i in range(clear)] + [(), ()]
+            prev = None
+            continue
+        if prev is None:
+            entry = table[c]
+        elif c < len(table):
+            entry = table[c]
+        elif c == len(table):
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt LZW stream: code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+        # the decoder's table lags the encoder by ONE entry (the entry
+        # built from code k needs code k+1's first symbol), so it must
+        # widen one entry early: when the encoder's count — len(table)+1
+        # — hits the width boundary
+        if len(table) + 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return out
+
+
+def gif_bytes(frames, *, delay_cs: int = 4) -> bytes:
+    """Dependency-free animated-GIF encoder: one GLOBAL color table built
+    from the union of frame colors (≤ 256 distinct RGB values — the GIF
+    format's own limit), disposal=1 (keep), real LZW data. Frames are
+    H×W×3 uint8 arrays of identical shape."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    colors: dict[tuple, int] = {}
+    index_frames = []
+    for f in frames:
+        flat = f.reshape(-1, 3)
+        idx = np.empty(len(flat), dtype=np.int32)
+        for j, px in enumerate(map(tuple, flat)):
+            if px not in colors:
+                colors[px] = len(colors)
+            idx[j] = colors[px]
+        index_frames.append(idx)
+    if len(colors) > 256:
+        raise ValueError("gif_bytes: more than 256 distinct colors")
+    # color table size must be a power of two ≥ 2
+    bits = max(1, (len(colors) - 1).bit_length())
+    table = bytearray()
+    for rgb in colors:  # dicts preserve insertion order
+        table += bytes(rgb)
+    table += b"\x00" * ((1 << bits) * 3 - len(table))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += table
+    min_code = max(2, bits)
+    for idx in index_frames:
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        data = _lzw_encode(idx, min_code)
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Real GIF decoder → list of RENDERED H×W×3 uint8 RGB frames
+    (canvas composition: disposal none/keep/background/previous,
+    transparency skip, interlace supported, local color tables
+    supported). Stdlib-only."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + n * 3], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames: list = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                flags = payload[pos + 1]
+                transparent = (
+                    payload[pos + 4] if flags & 0x01 else None
+                )
+                disposal = (flags >> 2) & 0x07
+                pos += size + 1
+            # skip remaining sub-blocks (any extension type)
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            x0, y0, fw, fh, fl = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if fl & 0x80:
+                n = 2 << (fl & 0x07)
+                ct = np.frombuffer(
+                    payload[pos : pos + n * 3], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += n * 3
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code), dtype=np.int64
+            )[: fw * fh].reshape(fh, fw)
+            if fl & 0x40:  # interlaced: rows arrive in 4 passes
+                de = np.empty_like(idx)
+                order = (
+                    list(range(0, fh, 8))
+                    + list(range(4, fh, 8))
+                    + list(range(2, fh, 4))
+                    + list(range(1, fh, 2))
+                )
+                de[order] = idx
+                idx = de
+            prev_canvas = canvas.copy()
+            region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+            rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore region to background
+                canvas[y0 : y0 + fh, x0 : x0 + fw] = bg_rgb
+            elif disposal == 3:  # restore previous canvas
+                canvas = prev_canvas
+            transparent = None
+            disposal = 0
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    return frames
+
+
+def synthesize_gif_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real animated GIF per id: ``2 + id % 3`` solid-color frames with
+    the planted closed form ``frame f of asset i = ((37i + 11f) % 256,
+    (59i + 13f) % 256, (83i + 17f) % 256)`` — per-frame means are exact
+    through palette + LZW + composition, so the gate is SQL-derivable."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                frames = [
+                    np.broadcast_to(
+                        np.array(
+                            [
+                                (37 * i + 11 * f) % 256,
+                                (59 * i + 13 * f) % 256,
+                                (83 * i + 17 * f) % 256,
+                            ],
+                            dtype=np.uint8,
+                        ),
+                        (size, size, 3),
+                    )
+                    for f in range(2 + i % 3)
+                ]
+                rows.append((i, gif_bytes(frames)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def gif_frame_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, frame_index, width, height, mean_r, mean_g, mean_b)
+    through the REAL GIF decoder — the decode gate surface."""
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                for f, px in enumerate(decode_gif(bytes(row["payload"]))):
+                    h, w, _ = px.shape
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            row["asset_id"], f, w, h,
+                            float(m[0]), float(m[1]), float(m[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_index", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, frame_index long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
+    )
+
+
+def gif_frame_ahash(assets: DataFrame, blocks: int = 8) -> DataFrame:
+    """Per-frame aHash of animated GIFs: (asset_id, frame_index, bits)
+    through decode→compose→:func:`_ahash_bits` — feeds the same
+    :func:`ahash_hamming` candidate-pair join as the image/video tiers
+    (join key ``(asset_id, frame_index)`` rolled up by the caller)."""
+    import pandas as pd
+
+    def hash_batch(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                for f, px in enumerate(decode_gif(bytes(row["payload"]))):
+                    rows.append((row["asset_id"], f, _ahash_bits(px, blocks)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "bits"]
+            )
+
+    return assets.mapInPandas(
+        hash_batch,
+        "asset_id long, frame_index long, bits array<boolean>",
     )

@@ -3359,6 +3359,45 @@ def png_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# GIF real-codec gate (datapipe/multimodal.decode_gif): animated GIFs with
+# planted per-frame solid colors — the payload goes through palette
+# indexing, variable-width LSB-first LZW, sub-block framing, and canvas
+# composition, so exact per-frame means + frame counts prove the whole
+# container decode. GIF is the one ANIMATED format decodable without
+# PIL/libav — the real-codec upgrade of the video tier.
+# ---------------------------------------------------------------------------
+@query(
+    "gif_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames,
+           TRUE AS gif_exact
+    FROM documents
+    """,
+)
+def gif_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import gif_frame_stats, synthesize_gif_assets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stats = gif_frame_stats(synthesize_gif_assets(docs))
+    i, f = F.col("asset_id"), F.col("frame_index")
+    ok = stats.select(
+        (
+            (F.col("mean_r") == ((i * 37 + f * 11) % 256).cast("double"))
+            & (F.col("mean_g") == ((i * 59 + f * 13) % 256).cast("double"))
+            & (F.col("mean_b") == ((i * 83 + f * 17) % 256).cast("double"))
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok")
+    ).agg(
+        F.min("ok").alias("gif_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "n_frames", "gif_exact")
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -7203,6 +7242,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
     "png_decode_gate",            # new in r5 — real PNG codec tier
+    "gif_decode_gate",            # new in r5 — real animated-GIF codec
     "sink_roundtrip_counts",      # new in r5 — S1/S5/S6 oracle round-trip
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",

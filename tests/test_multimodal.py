@@ -309,6 +309,208 @@ def test_image_ahash_accepts_png_payloads(spark):
         ]
 
 
+def test_gif_lzw_fuzz_round_trip():
+    """GIF-variant LZW: variable width, LSB-first, clear-on-overflow —
+    fuzzed round-trips incl. single-symbol runs that drive the KwKwK
+    special case and 12-bit dictionary overflow resets."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.RandomState(0)
+    for trial in range(25):
+        mcs = int(rng.randint(2, 9))
+        n = int(rng.randint(1, 20000))
+        idx = rng.randint(0, 1 << mcs, size=n)
+        if trial % 3 == 0:
+            idx = np.repeat(idx[: max(1, n // 50)], 50)[:n]
+        if trial % 5 == 0:
+            idx = np.zeros(n, dtype=np.int64)
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == list(idx)
+
+
+def test_gif_round_trip_and_planted_frames(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_gif,
+        gif_bytes,
+        gif_frame_stats,
+        synthesize_gif_assets,
+    )
+
+    # random-palette animated round-trip
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, 4, size=(13, 17))] for _ in range(3)]
+    out = decode_gif(gif_bytes(frames))
+    assert len(out) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    # distributed planted closed form: per-frame means exact
+    ids = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    stats = gif_frame_stats(synthesize_gif_assets(ids)).collect()
+    by_asset: dict = {}
+    for r in stats:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for i in range(9):
+        rows = sorted(by_asset[i], key=lambda r: r["frame_index"])
+        assert len(rows) == 2 + i % 3
+        for f, r in enumerate(rows):
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+                float((37 * i + 11 * f) % 256),
+                float((59 * i + 13 * f) % 256),
+                float((83 * i + 17 * f) % 256),
+            )
+
+
+def test_gif_interlace_transparency_disposal():
+    """Hand-crafted containers (independent of our encoder's choices)
+    exercise the decoder paths the encoder never emits: interlaced row
+    order, transparent-index skip, and disposal modes 2 (background) and
+    3 (previous)."""
+    import struct
+
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def container(w, h, frames_spec, bg=0):
+        # palette: 0=black, 1=white, 2=red, 3=green
+        pal = b"\x00\x00\x00\xff\xff\xff\xff\x00\x00\x00\xff\x00"
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, bg, 0)
+        out += pal
+        for idx, interlace, transparent, disposal in frames_spec:
+            flags = (0x01 if transparent is not None else 0) | (disposal << 2)
+            out += b"\x21\xf9\x04" + bytes([flags, 0, 0,
+                                            transparent or 0]) + b"\x00"
+            out += b"\x2c" + struct.pack(
+                "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+            )
+            out.append(2)  # min code size
+            data = _lzw_encode(np.asarray(idx).reshape(-1), 2)
+            for i in range(0, len(data), 255):
+                out.append(len(data[i : i + 255]))
+                out += data[i : i + 255]
+            out.append(0)
+        out.append(0x3B)
+        return bytes(out)
+
+    # interlace: 5 rows painted with their ROW index value in
+    # sequential order must come back deinterlaced (passes 0,8/4/2/1 →
+    # storage order rows 0,4,2,1,3)
+    rows = np.array(
+        [[r] * 3 for r in (0, 1, 2, 3, 1)], dtype=np.int64
+    )  # values ≤ 3 (palette size)
+    stored = rows[[0, 4, 2, 1, 3]]  # what an interlacing encoder writes
+    f = decode_gif(container(3, 5, [(stored, True, None, 0)]))[0]
+    pal = np.array(
+        [[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]], np.uint8
+    )
+    assert np.array_equal(f, pal[rows])
+
+    # transparency: frame1 all red (disposal 0 = keep); frame2
+    # all-transparent → rendered frame2 still shows red
+    red = np.full((2, 2), 2, np.int64)
+    trans = np.full((2, 2), 1, np.int64)  # index 1, marked transparent
+    frames = decode_gif(
+        container(
+            2, 2,
+            [(red, False, None, 0), (trans, False, 1, 0)],
+            bg=1,
+        )
+    )
+    assert np.array_equal(frames[0], np.full((2, 2, 3), [255, 0, 0]))
+    assert np.array_equal(frames[1], frames[0])  # transparent keeps red
+
+    # disposal 3 (restore previous): after showing red frame1, the
+    # canvas reverts to the pre-frame1 state (white background), so a
+    # transparent frame2 renders white
+    frames = decode_gif(
+        container(
+            2, 2,
+            [(red, False, None, 3), (trans, False, 1, 0)],
+            bg=1,
+        )
+    )
+    assert np.array_equal(frames[0], np.full((2, 2, 3), [255, 0, 0]))
+    assert np.array_equal(frames[1], np.full((2, 2, 3), 255))
+
+    # disposal 2: restore to background color after the frame
+    frames = decode_gif(
+        container(
+            2, 2,
+            [(red, False, None, 2), (trans, False, 1, 0)],
+            bg=1,
+        )
+    )
+    assert np.array_equal(frames[0], np.full((2, 2, 3), [255, 0, 0]))
+    assert np.array_equal(frames[1], np.full((2, 2, 3), 255))
+
+
+def test_gif_frame_ahash_and_image_dispatch(spark):
+    """Per-frame aHash through the real GIF codec matches the planted
+    block pattern, and decode_image() serves GIF first frames into the
+    shared image path."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _block_white,
+        decode_image,
+        gif_bytes,
+        gif_frame_ahash,
+    )
+
+    def block_frame(i, f):
+        px = np.zeros((32, 32, 3), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(8):
+                if (i * 7 + f * 19 + bx * 3 + by * 5) % 11 < 5:
+                    px[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = 255
+        return px
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = [
+                (
+                    int(i),
+                    gif_bytes([block_frame(int(i), f) for f in range(3)]),
+                )
+                for i in pdf["doc_id"].to_numpy()
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    base = spark.createDataFrame([(i,) for i in range(3)], ["doc_id"])
+    assets = base.mapInPandas(gen, "asset_id long, payload binary")
+    got = {
+        (r["asset_id"], r["frame_index"]): r["bits"]
+        for r in gif_frame_ahash(assets).collect()
+    }
+    for i in range(3):
+        for f in range(3):
+            expected = [
+                (i * 7 + f * 19 + bx * 3 + by * 5) % 11 < 5
+                for by in range(8)
+                for bx in range(8)
+            ]
+            assert got[(i, f)] == expected
+
+    # magic dispatch → first frame
+    px0 = block_frame(1, 0)
+    assert np.array_equal(
+        decode_image(gif_bytes([px0, block_frame(1, 1)])), px0
+    )
+
+
 def test_image_ahash_through_real_codec(spark):
     from ihop_reddit_spark.datapipe.multimodal import (
         _block_white,
