@@ -6251,6 +6251,89 @@ def bpe_roundtrip_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training (ml/unigram_lm.py —
+# Kudo 2018, Viterbi-EM variant). Like BPE, the lattice DP is not
+# ANSI-SQL-expressible, so the gates follow the invariants + full-vocab
+# round-trip pattern with exact cross-engine word counts.
+# ---------------------------------------------------------------------------
+_UNIGRAM_KW = dict(vocab_size=256, seed_size=2048, max_piece_len=5,
+                   em_rounds=2)
+
+
+@query(
+    "unigram_invariants_gate",
+    """
+    SELECT TRUE AS chars_closed, TRUE AS counts_positive,
+           TRUE AS vocab_bounded, TRUE AS pruned_from_seed,
+           TRUE AS pieces_are_substrings
+    """,
+)
+def unigram_invariants_gate(spark, sf_dir):
+    from ..ml.bpe import word_frequencies
+    from ..ml.unigram_lm import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_unigram(docs, "text", **_UNIGRAM_KW)
+    corpus_words = [
+        r["word"] for r in word_frequencies(docs, "text").collect()
+    ]
+    corpus_chars = {c for w in corpus_words for c in w}
+    vocab = set(m.counts)
+    chars_closed = corpus_chars <= vocab
+    counts_positive = all(c > 0 for c in m.counts.values())
+    vocab_bounded = len(vocab) <= max(
+        _UNIGRAM_KW["vocab_size"], len(corpus_chars) + 1
+    )
+    pruned = m.n_seed >= len(vocab)
+    substr = all(
+        any(p in w for w in corpus_words) for p in vocab
+    )
+    return spark.createDataFrame(
+        [(chars_closed, counts_positive, vocab_bounded, pruned, substr)],
+        "chars_closed boolean, counts_positive boolean, "
+        "vocab_bounded boolean, pruned_from_seed boolean, "
+        "pieces_are_substrings boolean",
+    )
+
+
+@query(
+    "unigram_roundtrip_gate",
+    """
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+           true AS all_roundtrip,
+           true AS tokens_within_bounds,
+           true AS compresses
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0
+    """,
+)
+def unigram_roundtrip_gate(spark, sf_dir):
+    from ..ml.bpe import word_frequencies
+    from ..ml.unigram_lm import train_unigram, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_unigram(docs, "text", **_UNIGRAM_KW)
+    words = word_frequencies(docs, "text").select(
+        F.col("word").alias("text")
+    )
+    enc = unigram_encode(words, "text", m)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.every(F.concat_ws("", F.col("tokens")) == F.col("text")).alias(
+            "all_roundtrip"
+        ),
+        F.every(
+            (F.size("tokens") >= 1)
+            & (F.size("tokens") <= F.length("text"))
+        ).alias("tokens_within_bounds"),
+        # a trained subword model must beat character splitting overall
+        (F.sum(F.size("tokens")) < F.sum(F.length("text"))).alias(
+            "compresses"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical QA (datapipe/drift.py): exact integer-rational two-sample
 # KS distance (distribution drift between populations) and per-group
 # MAD-rule outlier counts — both hash-exact cross-engine.
@@ -7244,6 +7327,8 @@ _SCORING_PRIORITY = [
     "png_decode_gate",            # new in r5 — real PNG codec tier
     "gif_decode_gate",            # new in r5 — real animated-GIF codec
     "sink_roundtrip_counts",      # new in r5 — S1/S5/S6 oracle round-trip
+    "unigram_invariants_gate",    # new in r5 — unigram-LM tokenizer
+    "unigram_roundtrip_gate",
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",
