@@ -68,20 +68,24 @@ def referential_violations(
     fk: list[str],
     pk: list[str] | None = None,
     rule: str = "fk_orphans",
+    broadcast_parent: bool = True,
 ) -> DataFrame:
     """FK orphan check: child rows whose key has no parent — one row
     (rule, violations, n_rows, violation_rate).
 
     Plan: broadcast left-anti join against the **distinct parent key set**
-    (dimension-sized) — the child fact table never shuffles. For fact-fact
-    integrity pass a pre-aggregated parent key frame and let AQE pick the
-    join.
+    (dimension-sized) — the child fact table never shuffles. For
+    fact-fact integrity pass ``broadcast_parent=False`` so the parent
+    key set shuffles and AQE picks the join (a fact-sized forced
+    broadcast aborts at the 8 GiB exchange limit).
     """
     pk = pk or fk
     keys = parent.select(
         *[F.col(p).alias(f) for p, f in zip(pk, fk)]
     ).distinct()
-    orphans = child.join(F.broadcast(keys), fk, "left_anti")
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = child.join(keys, fk, "left_anti")
     n = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     v = orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
     return (
