@@ -240,6 +240,72 @@ def assign_split(
     return df.withColumn(out_col, expr.otherwise(otherwise))
 
 
+def component_split_assign(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    salt: str,
+    bounds: list[tuple[str, str]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Dedup-AWARE content-addressed splitting: near-duplicate documents
+    must land in the SAME split, or near-copies of training documents
+    leak into eval (the dedup-leakage failure Lee et al. 2022 §6.2
+    measure in LM1B/C4 — per-document assignment puts ~13% of
+    near-dup-cluster mass across the train/valid boundary). The split
+    key of a document is its duplicate-component REPRESENTATIVE (min id
+    in the component; the document's own id when it has no near-dup),
+    fed through the same md5 draw as :func:`assign_split` — so splits
+    stay stable across runs AND across re-deduplication (a new copy of
+    an old document inherits the old component's split).
+
+    Plan: connected components over the (candidate-verified) pair graph
+    (O(log n) large-star/small-star rounds), one id-keyed LEFT join onto
+    the corpus, then the zero-shuffle md5 projection.
+    """
+    from .dedup import duplicate_components_star
+
+    comp = duplicate_components_star(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
+    keyed = df.join(comp, id_col, "left").withColumn(
+        "__skey", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    return assign_split(keyed, "__skey", salt, bounds, out_col).drop(
+        "component_id", "__skey"
+    )
+
+
+def split_leakage_report(
+    splits: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate audit: per (split, split) counts of
+    duplicate pairs, endpoints normalized so ``left_split <=
+    right_split`` — any off-diagonal row is train/eval leakage. The
+    audit a pipeline runs BEFORE publishing a split (and after, on
+    :func:`component_split_assign` output, it must be diagonal-only).
+    Two id-keyed joins sized by the pair table; no corpus shuffle.
+    """
+    a = splits.select(
+        F.col(id_col).alias("left_id"), F.col(split_col).alias("__sa")
+    )
+    b = splits.select(
+        F.col(id_col).alias("right_id"), F.col(split_col).alias("__sb")
+    )
+    return (
+        pairs.join(a, "left_id")
+        .join(b, "right_id")
+        .groupBy(
+            F.least("__sa", "__sb").alias("left_split"),
+            F.greatest("__sa", "__sb").alias("right_split"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temperature-weighted source mixing
 # ---------------------------------------------------------------------------

@@ -3674,6 +3674,149 @@ def dataset_split_sizes(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup-aware splitting (curation.component_split_assign /
+# split_leakage_report — Lee et al. 2022 §6.2's dedup-leakage failure).
+# Planted pair graph: (i, i+1) for i % 10 < 3 → each decade's first four
+# ids form one component with representative i − i%10 — a closed form
+# DuckDB derives WITHOUT recursive CTEs, so per-doc split assignment is
+# hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_aware_splits",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 <= 3 THEN doc_id - doc_id % 10
+                  ELSE doc_id END AS skey
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             substr(md5(concat_ws(chr(30), 'dsplit1',
+                                  CAST(skey AS VARCHAR))), 1, 8) AS hx
+      FROM k)
+    SELECT doc_id,
+           CASE WHEN hx < 'e6666666' THEN 'train'
+                WHEN hx < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def dedup_aware_splits(spark, sf_dir):
+    from ..datapipe.curation import component_split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.where(F.col("doc_id") % 10 < 3)
+        .select(
+            F.col("doc_id").alias("left_id"),
+            (F.col("doc_id") + 1).alias("right_id"),
+        )
+        .join(
+            ids.select(F.col("doc_id").alias("right_id")), "right_id",
+            "left_semi",
+        )
+    )
+    out = component_split_assign(
+        docs, pairs, "doc_id", "dsplit1",
+        [("train", "e6666666"), ("val", "f3333333"), ("test", None)],
+    )
+    return out.select("doc_id", "split")
+
+
+@query(
+    "split_leakage_audit",
+    """
+    WITH p AS (
+      SELECT doc_id AS left_id, doc_id + 1 AS right_id
+      FROM documents WHERE doc_id % 10 < 3
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+    naive AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(concat_ws(chr(30), 'dsplit1',
+                    CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666'
+                    THEN 'train'
+                  WHEN substr(md5(concat_ws(chr(30), 'dsplit1',
+                    CAST(doc_id AS VARCHAR))), 1, 8) < 'f3333333'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    aware AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(concat_ws(chr(30), 'dsplit1',
+                    CAST(CASE WHEN doc_id % 10 <= 3
+                              THEN doc_id - doc_id % 10
+                              ELSE doc_id END AS VARCHAR))), 1, 8)
+                    < 'e6666666' THEN 'train'
+                  WHEN substr(md5(concat_ws(chr(30), 'dsplit1',
+                    CAST(CASE WHEN doc_id % 10 <= 3
+                              THEN doc_id - doc_id % 10
+                              ELSE doc_id END AS VARCHAR))), 1, 8)
+                    < 'f3333333' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT
+      CAST((SELECT COUNT(*) FROM p
+            JOIN naive a ON a.doc_id = p.left_id
+            JOIN naive b ON b.doc_id = p.right_id
+            WHERE a.split <> b.split) AS BIGINT) AS naive_leaked_pairs,
+      CAST((SELECT COUNT(*) FROM p
+            JOIN aware a ON a.doc_id = p.left_id
+            JOIN aware b ON b.doc_id = p.right_id
+            WHERE a.split <> b.split) AS BIGINT) AS aware_leaked_pairs,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """The leakage A/B the operator pair exists for: naive per-doc
+    assignment splits planted near-dup pairs across splits (> 0
+    leaked); component-keyed assignment leaks exactly zero."""
+    from ..datapipe.curation import (
+        assign_split,
+        component_split_assign,
+        split_leakage_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    bounds = [("train", "e6666666"), ("val", "f3333333"), ("test", None)]
+    pairs = (
+        ids.where(F.col("doc_id") % 10 < 3)
+        .select(
+            F.col("doc_id").alias("left_id"),
+            (F.col("doc_id") + 1).alias("right_id"),
+        )
+        .join(
+            ids.select(F.col("doc_id").alias("right_id")), "right_id",
+            "left_semi",
+        )
+    )
+    naive = assign_split(docs, "doc_id", "dsplit1", bounds)
+    aware = component_split_assign(docs, pairs, "doc_id", "dsplit1", bounds)
+
+    def leaked(splits):
+        rep = split_leakage_report(splits, pairs, "doc_id")
+        return rep.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("left_split") != F.col("right_split"),
+                        F.col("n_pairs"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long")
+        )
+
+    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        leaked(naive).toDF("naive_leaked_pairs")
+        .crossJoin(leaked(aware).toDF("aware_leaked_pairs"))
+        .crossJoin(n)
+    )
+
+
 @query(
     "mixture_sample_by_source",
     """
@@ -7329,6 +7472,8 @@ _SCORING_PRIORITY = [
     "sink_roundtrip_counts",      # new in r5 — S1/S5/S6 oracle round-trip
     "unigram_invariants_gate",    # new in r5 — unigram-LM tokenizer
     "unigram_roundtrip_gate",
+    "dedup_aware_splits",         # new in r5 — leakage-safe splitting
+    "split_leakage_audit",
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",

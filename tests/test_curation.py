@@ -77,6 +77,47 @@ def test_assign_split_is_content_addressed(spark, docs):
     assert {r["doc_id"]: r["split"] for r in re.collect()} == rows
 
 
+def test_component_split_assign_keeps_duplicates_together(spark):
+    from ihop_reddit_spark.datapipe.curation import (
+        component_split_assign,
+        split_leakage_report,
+    )
+
+    bounds = [("train", "e6666666"), ("val", "f3333333"), ("test", None)]
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    )
+    # multi-hop component {0,1,2,3} via a chain, plus {10,11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)],
+        "left_id long, right_id long",
+    )
+    out = component_split_assign(docs, pairs, "doc_id", "s1", bounds)
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(by_id) == 40  # corpus preserved, one row per doc
+    assert len({by_id[i] for i in (0, 1, 2, 3)}) == 1  # whole chain
+    assert by_id[10] == by_id[11]
+    # representative = component min id → component split equals the
+    # plain content-addressed split of that id
+    expect = hashlib.md5(b"s1\x1e0").hexdigest()[:8]
+    want = (
+        "train" if expect < "e6666666"
+        else ("val" if expect < "f3333333" else "test")
+    )
+    assert by_id[0] == want
+    # singletons keep their own-id assignment (stable vs assign_split)
+    solo = assign_split(docs, "doc_id", "s1", bounds)
+    solo_map = {r["doc_id"]: r["split"] for r in solo.collect()}
+    for i in range(40):
+        if i not in (0, 1, 2, 3, 10, 11):
+            assert by_id[i] == solo_map[i]
+
+    # audit: dedup-aware assignment has zero cross-split pairs
+    rep = split_leakage_report(out, pairs, "doc_id").collect()
+    assert all(r["left_split"] == r["right_split"] for r in rep)
+    assert sum(r["n_pairs"] for r in rep) == 4
+
+
 def test_mixture_rates_sqrt_temperature(spark):
     rows = [(i, "big") for i in range(16)] + [(100 + i, "small") for i in range(4)]
     df = spark.createDataFrame(rows, ["doc_id", "source"])
