@@ -202,3 +202,87 @@ def pii_counts(text: Column) -> dict[str, Column]:
         kind: F.regexp_count(text, F.lit(pat)).cast("long")
         for kind, pat in PII_PATTERNS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the WET step of a web-crawl pipeline: raw HTML in,
+# visible text out — upstream of C4 cleaning / language ID / dedup).
+# Entirely chained regexp_replace/trim: pure Catalyst, codegen-fused into
+# the scan, no Python, no shuffle. Patterns restrict to the Java-regex ∩
+# RE2 subset (no backrefs/lookaround) so the SAME expressions run in the
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+#: Fixed entity set decoded JVM-side. Numeric character references and the
+#: long tail of named entities need a real parser (lxml/html5lib) — a
+#: deployment swaps this for a Pandas-UDF `html.unescape` pass; the fixed
+#: set covers the entities that dominate crawl text. &amp; is decoded LAST
+#: so "&amp;lt;" yields the literal "&lt;" (double-escape correctness).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML document:
+
+    1. drop ``<script>``/``<style>``/``<noscript>`` elements wholesale
+       (their content is never visible text) and HTML comments;
+    2. turn block-closing/breaking tags into newlines so paragraph
+       structure survives for the downstream line-level C4 rules;
+    3. strip every remaining tag;
+    4. decode the fixed entity set (``&amp;`` last — double-escapes
+       resolve one level, matching a real parser);
+    5. collapse horizontal whitespace, trim each line, drop blank runs.
+
+    Composes with :func:`ihop_reddit_spark.datapipe.cleaning.c4_clean`
+    (HTML → text → line rules) into the standard crawl-extraction
+    pipeline.
+    """
+    out = html
+    for el in ("script", "style", "noscript"):
+        out = F.regexp_replace(
+            out, f"(?is)<{el}[^>]*>.*?</{el}>", " "
+        )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(
+        out,
+        r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|section"
+        r"|article|header|footer)[^>]*>",
+        "\n",
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        # literal replace (not regex) — entity strings contain '&' only
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    out = F.regexp_replace(out, r"[ \t\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # trim() strips spaces only — newlines at the page edges (from the
+    # outermost block tags) need the explicit char set
+    return F.btrim(out, F.lit(" \n"))
+
+
+def link_density(html: Column) -> Column:
+    """Fraction of visible characters inside ``<a>`` elements — the
+    classic boilerplate signal (nav bars and footers are link-dense;
+    body prose is not; jusText/boilerpipe both threshold on it). Exact
+    rational as DOUBLE; 0.0 for pages with no visible text. Same
+    JVM-only shape as :func:`html_to_text`."""
+    anchors = F.regexp_replace(
+        # visible text inside anchor elements, tags stripped
+        F.concat_ws(
+            " ",
+            F.regexp_extract_all(html, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1),
+        ),
+        r"(?s)<[^>]*>",
+        " ",
+    )
+    a_len = F.length(F.regexp_replace(anchors, r"\s+", ""))
+    t_len = F.length(F.regexp_replace(html_to_text(html), r"\s+", ""))
+    return F.when(t_len > 0, a_len / t_len).otherwise(F.lit(0.0))

@@ -3675,6 +3675,90 @@ def dataset_split_sizes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HTML → text extraction (functions/text.html_to_text + link_density — the
+# WET step of a crawl pipeline). HTML is PLANTED deterministically from the
+# documents table (script/style/comment blocks, block tags, entities incl.
+# a double-escape, a nav anchor) so the oracle builds the identical page
+# and replays the identical Java∩RE2 regex chain — clean text and link
+# density are hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+_HTML_ORACLE_SQL = """
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><style>p { color: red }</style>'
+        || '<script type="text/javascript">var x = 1 && 2;</script></head>'
+        || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        || '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->'
+        || '<p>' || substr(text, 1, 60) || ' &amp; more &amp;lt;tags&amp;gt;</p>'
+        || '<div><a href="/nav">nav item ' || CAST(doc_id % 7 AS VARCHAR)
+        || '</a></div>'
+        || '<p>' || substr(text, 61, 60) || '&nbsp;&quot;end&quot;</p>'
+        || '</body></html>' AS html
+      FROM documents),
+    anchors AS (
+      SELECT doc_id, html,
+        regexp_replace(array_to_string(
+          regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1), ' '),
+          '(?s)<[^>]*>', ' ', 'g') AS atext
+      FROM page),
+    ext AS (
+      SELECT doc_id, html, atext,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|section|article|header|footer)[^>]*>',
+              chr(10), 'g'),
+            '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+          '&apos;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          '[ \t\r]+', ' ', 'g'),
+          ' ?' || chr(10) || ' ?', chr(10), 'g'),
+          chr(10) || '{2,}', chr(10), 'g'), ' ' || chr(10)) AS clean_text
+      FROM anchors)
+    SELECT doc_id, clean_text,
+      CASE WHEN length(regexp_replace(clean_text, '\\s+', '', 'g')) > 0
+           THEN CAST(length(regexp_replace(atext, '\\s+', '', 'g')) AS DOUBLE)
+                / length(regexp_replace(clean_text, '\\s+', '', 'g'))
+           ELSE 0.0 END AS link_density
+    FROM ext
+"""
+
+
+@query("html_extracted_text", _HTML_ORACLE_SQL)
+def html_extracted_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p { color: red }</style>'
+            '<script type="text/javascript">var x = 1 && 2;</script>'
+            "</head><body><h1>Doc "
+        ),
+        i,
+        F.lit("</h1><!-- hidden "),
+        i,
+        F.lit(" --><p>"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit(' &amp; more &amp;lt;tags&amp;gt;</p><div><a href="/nav">'
+              "nav item "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a></div><p>"),
+        F.substring(F.col("text"), 61, 60),
+        F.lit("&nbsp;&quot;end&quot;</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        TX.html_to_text(html).alias("clean_text"),
+        TX.link_density(html).alias("link_density"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-aware splitting (curation.component_split_assign /
 # split_leakage_report — Lee et al. 2022 §6.2's dedup-leakage failure).
 # Planted pair graph: (i, i+1) for i % 10 < 3 → each decade's first four
@@ -7474,6 +7558,7 @@ _SCORING_PRIORITY = [
     "unigram_roundtrip_gate",
     "dedup_aware_splits",         # new in r5 — leakage-safe splitting
     "split_leakage_audit",
+    "html_extracted_text",        # new in r5 — WET extraction stage
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",

@@ -216,6 +216,51 @@ def test_chunk_documents_windows_and_counts(spark):
     assert set(covered) == {f"w{i}" for i in range(10)}
 
 
+def test_html_to_text_extraction(spark):
+    from ihop_reddit_spark.functions.text import html_to_text, link_density
+
+    cases = [
+        # script/style/comment content never leaks into text
+        ("<p>a</p><script>var hidden=1;</script><style>b{}</style>"
+         "<!-- secret --><p>c</p>", "a\nc"),
+        # block tags become newlines, inline tags become spaces
+        ("<h1>Title</h1><p>one <b>two</b> three</p>", "Title\none two three"),
+        # entity decoding incl. the double-escape resolving ONE level
+        ("<p>x &amp; y &amp;lt;z&amp;gt; &quot;q&quot;&nbsp;!</p>",
+         'x & y &lt;z&gt; "q" !'),
+        # whitespace collapse + blank-line squeeze
+        ("<div>  a  </div>\n\n<div>\t b\r\n</div>", "a\nb"),
+        # tags spanning lines; attributes with '>i n' quotes are not
+        # handled (documented regex-extractor limit shared by the oracle)
+        ("<p\nclass='x'>multi</p>", "multi"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+    # link density: anchors' visible chars / all visible chars
+    ld = spark.createDataFrame(
+        [
+            ("<p>abcd</p><a href='/'>wxyz</a>", 0.5),
+            ("<a>every thing</a>", 1.0),
+            ("<p>no links</p>", 0.0),
+            ("<script>x</script>", 0.0),  # no visible text at all
+        ],
+        "h string, want double",
+    )
+    for r in ld.select(
+        link_density(F.col("h")).alias("got"), "want"
+    ).collect():
+        assert r["got"] == r["want"]
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from pyspark.sql import functions as F
 
