@@ -64,6 +64,11 @@ HEADLINE = [
     "umass_pair_stats_by_lang",
     "fuzzy_decontaminated_documents",
     "cm_sketch_user_counts",
+    # round-5 (session 5) additions: the crawl-extraction stage, the
+    # leakage-safe splitting path, and the real animated-GIF codec
+    "html_extracted_text",        # WET extraction (pure-JVM projection)
+    "dedup_aware_splits",         # component-keyed split assignment
+    "gif_decode_gate",            # LZW decode + canvas composition
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

@@ -395,6 +395,19 @@ def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_html_extraction_is_shuffle_free_jvm_projection(spark, sf_dir):
+    """html_to_text + link_density promise: a pure Catalyst projection —
+    no Python crossing, no Exchange, and the parquet scan prunes to the
+    two referenced columns."""
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    plan = plan_of(QUERIES["html_extracted_text"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "Exchange" not in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
 def test_no_forced_broadcast_on_corpus_proportional_frames(spark, sf_dir):
     """The round-4 verdict's lead defect: forced ``F.broadcast`` hints on
     frames that grow with the corpus (exact-dedup keepers, near-dup drop
