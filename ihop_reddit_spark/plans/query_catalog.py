@@ -3759,6 +3759,66 @@ def html_extracted_text(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization (functions/urls.normalize_url — crawl-frontier
+# dedup). Planted messy variants per doc (case, default port, fragment,
+# trailing slash, tracking params, shuffled query order) must collapse to
+# a CLOSED-FORM canonical the oracle writes down directly — the gate pins
+# the semantics, not a parallel implementation.
+# ---------------------------------------------------------------------------
+@query(
+    "normalized_url_groups",
+    """
+    WITH k AS (
+      SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS g,
+             doc_id % 4 AS v
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN v = 3
+                THEN 'https://www.example' || g || '.com/path' || g
+                     || '?a=1&b=2'
+                ELSE 'http://www.example' || g || '.com/path' || g
+                     || '?a=1&b=2' END AS canonical_url,
+           'www.example' || g || '.com' AS host,
+           'example' || g || '.com' AS domain_key
+    FROM k
+    """,
+)
+def normalized_url_groups(spark, sf_dir):
+    from ..functions.urls import normalize_url, url_domain_key, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("http://www.example"), g, F.lit(".com/path"),
+                     g, F.lit("?b=2&a=1")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://WWW.EXAMPLE"), g, F.lit(".COM:80/path"),
+                     g, F.lit("/?a=1&b=2#frag")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://www.example"), g, F.lit(".com/path"),
+                     g, F.lit("?utm_source=x&a=1&fbclid=y&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.example"), g, F.lit(".com:443/path"),
+                     g, F.lit("?a=1&b=2")),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(raw).alias("canonical_url"),
+        url_host(raw).alias("host"),
+        url_domain_key(raw).alias("domain_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-aware splitting (curation.component_split_assign /
 # split_leakage_report — Lee et al. 2022 §6.2's dedup-leakage failure).
 # Planted pair graph: (i, i+1) for i % 10 < 3 → each decade's first four
@@ -7559,6 +7619,7 @@ _SCORING_PRIORITY = [
     "dedup_aware_splits",         # new in r5 — leakage-safe splitting
     "split_leakage_audit",
     "html_extracted_text",        # new in r5 — WET extraction stage
+    "normalized_url_groups",      # new in r5 — crawl URL canonicalization
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",

@@ -261,6 +261,49 @@ def test_html_to_text_extraction(spark):
         assert r["got"] == r["want"]
 
 
+def test_normalize_url_edge_cases(spark):
+    from ihop_reddit_spark.functions.urls import (
+        normalize_url,
+        url_domain_key,
+        url_host,
+    )
+
+    cases = [
+        # case + default port + fragment + trailing slash + param sort
+        ("HTTP://Example.COM:80/A/b/?z=1&a=2#x",
+         "http://example.com/A/b?a=2&z=1"),
+        # https default port; path case preserved, host lowered
+        ("https://WWW.Site.org:443/Path", "https://www.site.org/Path"),
+        # non-default port kept
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # empty path → /; tracking params dropped; empty query dropped
+        ("http://example.com?utm_source=a&fbclid=b", "http://example.com/"),
+        # root slash preserved (only non-root trailing slash drops)
+        ("http://example.com/", "http://example.com/"),
+        # mixed params: tracking removed, rest sorted bytewise
+        ("http://e.com/p?b=2&utm_campaign=x&a=10&A=1",
+         "http://e.com/p?A=1&a=10&b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_url(F.col("u")).alias("n")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    hosts = df.select(
+        url_host(F.col("u")).alias("h"),
+        url_domain_key(F.col("u")).alias("d"),
+    ).collect()
+    assert hosts[1]["h"] == "www.site.org"
+    assert hosts[1]["d"] == "site.org"
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from pyspark.sql import functions as F
 
