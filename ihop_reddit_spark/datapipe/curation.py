@@ -613,6 +613,71 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    nibbles: int = 1,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rolling-hash family of LBFS/FastCDC,
+    at word granularity): a chunk boundary falls after token ``i``
+    whenever the hash of the k-gram ending at ``i`` opens with
+    ``nibbles`` zero hex digits — so boundaries are a pure function of
+    LOCAL content. Insert or delete a token and only the chunks touching
+    that edit change; everything after the next surviving boundary is
+    byte-identical — which is exactly what makes chunk-level dedup
+    robust to small edits, where :func:`chunk_documents`' fixed windows
+    shift globally.
+
+    Expected chunk length is ``16^nibbles`` tokens. No min/max clamps —
+    FastCDC's refinements need a sequential scan (each accepted boundary
+    depends on the previous), which would force the row into Python;
+    the unclamped geometric distribution keeps the whole operator a
+    row-local Catalyst expression (zero shuffle, zero Python) and the
+    boundary-locality property is what dedup actually relies on.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens). The boundary
+    hash is the engine-portable md5 (cross-engine hash-exact).
+    """
+    zeros = "0" * nibbles
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(k), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bpos = F.filter(
+        idx,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i - (k - 1), F.lit(k)))),
+            1,
+            nibbles,
+        )
+        == zeros,
+    )
+    # ascending by construction; array_distinct keeps first occurrence,
+    # so a boundary AT the last token doesn't duplicate the final cut
+    cuts = F.array_distinct(
+        F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda j: F.slice(
+            toks,
+            F.element_at(cuts, j) + 1,
+            F.element_at(cuts, j + 1) - F.element_at(cuts, j),
+        ),
+    )
+    out = df.select(F.col(id_col), F.posexplode(pieces).alias("chunk_id", "__c"))
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.array_join("__c", " ").alias("chunk_text"),
+        F.size("__c").cast("long").alias("n_chunk_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection with Importance Resampling (Xie et al., NeurIPS
 # 2023, arXiv:2302.03169): select raw-corpus documents whose hashed n-gram

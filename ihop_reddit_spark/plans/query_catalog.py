@@ -3759,6 +3759,45 @@ def html_extracted_text(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (curation.cdc_chunks — LBFS/FastCDC family at
+# word granularity): boundary after token i iff md5 of the 3-gram ending
+# at i starts with a zero nibble. The oracle replays the identical md5
+# boundary rule with DuckDB list comprehensions — chunks are hash-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_chunked_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, t, n,
+             [i FOR i IN range(3, n + 1)
+              IF substr(md5(array_to_string(t[i-2:i], ' ')), 1, 1) = '0']
+               AS bpos
+      FROM d),
+    c AS (
+      SELECT doc_id, t,
+             list_concat(list_concat([0], bpos),
+               CASE WHEN len(bpos) > 0 AND bpos[-1] = n
+                    THEN [] ELSE [n] END) AS cuts
+      FROM b)
+    SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+           array_to_string(t[cuts[j]+1 : cuts[j+1]], ' ') AS chunk_text,
+           CAST(cuts[j+1] - cuts[j] AS BIGINT) AS n_chunk_tokens
+    FROM c, unnest(range(1, len(cuts))) AS u(j)
+    """,
+)
+def cdc_chunked_documents(spark, sf_dir):
+    from ..datapipe.curation import cdc_chunks
+
+    return cdc_chunks(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, nibbles=1
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (functions/urls.normalize_url — crawl-frontier
 # dedup). Planted messy variants per doc (case, default port, fragment,
 # trailing slash, tracking params, shuffled query order) must collapse to
@@ -7620,6 +7659,7 @@ _SCORING_PRIORITY = [
     "split_leakage_audit",
     "html_extracted_text",        # new in r5 — WET extraction stage
     "normalized_url_groups",      # new in r5 — crawl URL canonicalization
+    "cdc_chunked_documents",      # new in r5 — content-defined chunking
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",

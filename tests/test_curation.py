@@ -261,6 +261,44 @@ def test_html_to_text_extraction(spark):
         assert r["got"] == r["want"]
 
 
+def test_cdc_chunks_boundary_locality(spark):
+    """The property fixed-window chunking lacks: editing ONE token only
+    changes the chunks that touch the edit — every chunk after the next
+    surviving boundary is byte-identical, so chunk-level dedup still
+    matches the untouched tail."""
+    import random
+
+    from ihop_reddit_spark.datapipe.curation import cdc_chunks
+
+    rng = random.Random(11)
+    words = [f"w{rng.randint(0, 400)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = " ".join(["EDIT"] + words[1:])  # change token 0 only
+    df = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+    chunks = {0: {}, 1: {}}
+    for r in rows:
+        chunks[r["doc_id"]][r["chunk_id"]] = r["chunk_text"]
+    a = [chunks[0][i] for i in sorted(chunks[0])]
+    b = [chunks[1][i] for i in sorted(chunks[1])]
+    # round-trip: concatenation reconstructs each doc exactly
+    assert " ".join(a) == original and " ".join(b) == edited
+    # multiple chunks actually formed (expected length 16 tokens)
+    assert len(a) > 10
+    # locality: identical chunk tails after the edit region
+    tail = 0
+    while tail < min(len(a), len(b)) and a[-1 - tail] == b[-1 - tail]:
+        tail += 1
+    assert tail >= len(a) - 3, (len(a), len(b), tail)
+    # determinism across partitionings
+    re = cdc_chunks(
+        df.repartition(5), "text", "doc_id"
+    ).collect()
+    assert sorted(map(tuple, re)) == sorted(map(tuple, rows))
+
+
 def test_normalize_url_edge_cases(spark):
     from ihop_reddit_spark.functions.urls import (
         normalize_url,
