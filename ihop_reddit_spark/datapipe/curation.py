@@ -240,6 +240,37 @@ def assign_split(
     return df.withColumn(out_col, expr.otherwise(otherwise))
 
 
+def domain_quota_sample(
+    df: DataFrame,
+    url_col: str,
+    quota: int,
+    salt: str = "dq1",
+) -> DataFrame:
+    """Per-registrable-domain document quota — the crawl-policy cap that
+    stops a single boilerplate-heavy site from dominating a web corpus
+    (every production crawl mix applies one). Keeps at most ``quota``
+    documents per domain, chosen by the content-addressed md5 draw over
+    (salt, url) — so the kept set is a pure function of the corpus
+    (stable across runs/partitionings, and a re-crawled page neither
+    enters nor evicts others nondeterministically).
+
+    Plan: ONE shuffle on the domain key for the row_number window —
+    domain grain, the same skew class as any per-key top-k (a mega
+    domain sorts only its own rows). Returns the surviving rows.
+    """
+    from ..functions.urls import url_domain_key
+
+    w = Window.partitionBy(F.col("__dom")).orderBy(
+        _md5_prefix(salt, F.col(url_col)), F.col(url_col)
+    )
+    return (
+        df.withColumn("__dom", url_domain_key(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__dom", "__rn")
+    )
+
+
 def component_split_assign(
     df: DataFrame,
     pairs: DataFrame,

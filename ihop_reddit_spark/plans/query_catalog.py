@@ -3805,6 +3805,44 @@ def cdc_chunked_documents(spark, sf_dir):
 # the semantics, not a parallel implementation.
 # ---------------------------------------------------------------------------
 @query(
+    "domain_quota_survivors",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.example' || CAST(doc_id % 50 AS VARCHAR)
+               || '.com/page' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    r AS (
+      SELECT doc_id, url,
+             row_number() OVER (
+               PARTITION BY 'example' || CAST(doc_id % 50 AS VARCHAR)
+                            || '.com'
+               ORDER BY substr(md5(concat_ws(chr(30), 'dq1', url)), 1, 8),
+                        url) AS rn
+      FROM u)
+    SELECT doc_id, url FROM r WHERE rn <= 5
+    """,
+)
+def domain_quota_survivors(spark, sf_dir):
+    """Planted 50 domains × ~10 pages at sf0.01 → the quota keeps the
+    content-addressed first 5 per domain, hash-exact vs the oracle's
+    identical window."""
+    from ..datapipe.curation import domain_quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.example"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return domain_quota_sample(urls, "url", quota=5, salt="dq1")
+
+
+@query(
     "normalized_url_groups",
     """
     WITH k AS (
@@ -7660,6 +7698,7 @@ _SCORING_PRIORITY = [
     "html_extracted_text",        # new in r5 — WET extraction stage
     "normalized_url_groups",      # new in r5 — crawl URL canonicalization
     "cdc_chunked_documents",      # new in r5 — content-defined chunking
+    "domain_quota_survivors",     # new in r5 — crawl-policy domain caps
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",
