@@ -7688,67 +7688,20 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    "png_decode_gate",            # new in r5 — real PNG codec tier
-    "gif_decode_gate",            # new in r5 — real animated-GIF codec
-    "sink_roundtrip_counts",      # new in r5 — S1/S5/S6 oracle round-trip
-    "unigram_invariants_gate",    # new in r5 — unigram-LM tokenizer
-    "unigram_roundtrip_gate",
-    "dedup_aware_splits",         # new in r5 — leakage-safe splitting
+    # --- never driver-sampled (new in r5): cheap rows first,
+    # trainer-tier gates last ---
+    "sink_roundtrip_counts",
+    "html_extracted_text",
+    "normalized_url_groups",
+    "cdc_chunked_documents",
+    "domain_quota_survivors",
     "split_leakage_audit",
-    "html_extracted_text",        # new in r5 — WET extraction stage
-    "normalized_url_groups",      # new in r5 — crawl URL canonicalization
-    "cdc_chunked_documents",      # new in r5 — content-defined chunking
-    "domain_quota_survivors",     # new in r5 — crawl-policy domain caps
-    "asof_forward_purchase_to_click",
-    "duplicate_components_star_ngram",
-    "levenshtein_verified_pairs",
-    "zorder_values_events",
-    "data_quality_report",
-    "interval_overlap_window_sessions",
-    "pii_scrubbed_documents",
-    "chunked_documents",
-    "profile_customer_columns",
-    "table_fingerprint_customer",
-    "key_skew_report_events",
-    "heavy_hitters_event_types",
-    "merge_upsert_customers",
-    "snapshot_diff_customers",
-    "cluster_label_enrichment",   # new in r4 — collections data surface
-    "cohens_kappa_event_raters",  # new in r4 — agreement tier
-    "fleiss_kappa_doc_raters",
-    "kmeans_elbow_gate",
-    "histogram_sketch_quantiles",
-    "stream_histogram_quantiles",
-    "cm_sketch_user_counts",
-    "umass_pair_stats_by_lang",
-    "umass_topic_coherence",
-    "npmi_topic_coherence",
-    "fuzzy_decontaminated_documents",
-    "pca_invariants_gate",
-    "greedy_match_invariants_gate",
-    "lda_invariants_gate",
-    "incremental_minhash_verified_pairs",
-    "stream_quality_violations",
-    "stream_windowed_approx_users",
-    "stream_static_enriched_counts",
-    "stream_dedup_user_event_types",
-    "stream_stream_click_purchase_pairs",
-    "stream_semantic_dedup_survivors",
-    "stream_scd2_customer_history",
-    "c2v_planted_analogy_gate",
-    "c2v_reference_analogy_gate",
-    "sgns_reference_analogy_gate",
-    "pq_ann_recall",
-    "incremental_ivf_recall",   # 15s trainer-tier gate
-    "quality_classifier_gate",
-    "modern_training_corpus",
-    "pagerank_copurchase_parts",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
-    "c2v_prep_contexts",
-    "pmi_terms_by_lang",
-    "doc_lang_id",
-    "doc_token_budgets",
+    "png_decode_gate",
+    "gif_decode_gate",
+    "dedup_aware_splits",
+    "unigram_roundtrip_gate",
+    "unigram_invariants_gate",
+    # --- stalest evidence: last driver-sampled in round 1 ---
     "ngram_jaccard_pairs",
     "duplicate_components_ngram",
     "embedding_near_dup_pairs",
@@ -7770,6 +7723,26 @@ _SCORING_PRIORITY = [
     "stream_windowed_event_counts",
     "user_sessions_batch",
     "corpus_prep_survivors",
+    # --- stalest evidence: last driver-sampled in round 2 ---
+    "range_join_clicks_before_purchase",
+    "ivf_ann_recall",
+    "kmeans_quality_metrics",
+    "cluster_compare_kmeans_vs_labels",
+    "pca_projection_2d",
+    "minhash_near_dup_pairs",
+    "kmeans_cluster_sizes",
+    "cluster_greedy_max_match",
+    "lda_topic_terms",
+    "c2v_event_embeddings",
+    "ivf_ann_topk",
+    "topn_parts_by_lineitems",
+    "order_lineitem_ship_delay",
+    "user_event_contexts",
+    "simhash_candidate_pairs",
+    "minhash_verified_pairs",
+    "doc_repetition_features",
+    "dataset_split_sizes",
+    # --- stalest evidence: last driver-sampled in round 3 ---
     "curated_training_corpus",
     "c4_cleaned_documents",
     "c4_sentence_span_dedup",
@@ -7820,24 +7793,57 @@ _SCORING_PRIORITY = [
     "hourly_event_counts_gapfilled",
     "event_neighbor_lags",
     "asof_purchase_to_click",
-    "range_join_clicks_before_purchase",
-    "ivf_ann_recall",
-    "kmeans_quality_metrics",
-    "cluster_compare_kmeans_vs_labels",
-    "pca_projection_2d",
-    "minhash_near_dup_pairs",
-    "kmeans_cluster_sizes",
-    "cluster_greedy_max_match",
-    "lda_topic_terms",
-    "c2v_event_embeddings",
-    "ivf_ann_topk",
-    "topn_parts_by_lineitems",
-    "order_lineitem_ship_delay",
-    "user_event_contexts",
-    "simhash_candidate_pairs",
-    "minhash_verified_pairs",
-    "doc_repetition_features",
-    "dataset_split_sizes",
+    # --- stalest evidence: last driver-sampled in round 4 ---
+    "asof_forward_purchase_to_click",
+    "duplicate_components_star_ngram",
+    "levenshtein_verified_pairs",
+    "zorder_values_events",
+    "data_quality_report",
+    "interval_overlap_window_sessions",
+    "pii_scrubbed_documents",
+    "chunked_documents",
+    "profile_customer_columns",
+    "table_fingerprint_customer",
+    "key_skew_report_events",
+    "heavy_hitters_event_types",
+    "merge_upsert_customers",
+    "snapshot_diff_customers",
+    "cluster_label_enrichment",
+    "cohens_kappa_event_raters",
+    "fleiss_kappa_doc_raters",
+    "kmeans_elbow_gate",
+    "histogram_sketch_quantiles",
+    "stream_histogram_quantiles",
+    "cm_sketch_user_counts",
+    "umass_pair_stats_by_lang",
+    "umass_topic_coherence",
+    "npmi_topic_coherence",
+    "fuzzy_decontaminated_documents",
+    "pca_invariants_gate",
+    "greedy_match_invariants_gate",
+    "lda_invariants_gate",
+    "incremental_minhash_verified_pairs",
+    "stream_quality_violations",
+    "stream_windowed_approx_users",
+    "stream_static_enriched_counts",
+    "stream_dedup_user_event_types",
+    "stream_stream_click_purchase_pairs",
+    "stream_semantic_dedup_survivors",
+    "stream_scd2_customer_history",
+    "c2v_planted_analogy_gate",
+    "c2v_reference_analogy_gate",
+    "sgns_reference_analogy_gate",
+    "pq_ann_recall",
+    "incremental_ivf_recall",
+    "quality_classifier_gate",
+    "modern_training_corpus",
+    "pagerank_copurchase_parts",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
+    "c2v_prep_contexts",
+    "pmi_terms_by_lang",
+    "doc_lang_id",
+    "doc_token_budgets",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.

@@ -36,6 +36,13 @@ GATES = [
     "greedy_match_invariants_gate",
     "bpe_merge_invariants_gate",
     "bpe_roundtrip_gate",
+    # round-5 additions: tokenizer + real-codec + quality gates
+    "unigram_invariants_gate",
+    "unigram_roundtrip_gate",
+    "png_decode_gate",
+    "gif_decode_gate",
+    "media_decode_gate",
+    "split_leakage_audit",
 ]
 
 
