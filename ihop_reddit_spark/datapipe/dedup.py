@@ -1025,6 +1025,107 @@ def winnow_candidate_pairs(
     return register_scoped_persists(out, capped)
 
 
+def winnow_index_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    w: int = 4,
+    max_df: int = 20,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """The archive's index rows: (indexed_id, fp), df-capped WITHIN the
+    archive so boilerplate fingerprints never enter the index at all."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, portable_hash)
+    return (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= max_df)
+        .select(F.col("__id").alias("indexed_id"), "fp")
+    )
+
+
+def build_winnow_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    path: str,
+    k: int = 12,
+    w: int = 4,
+    max_df: int = 20,
+    num_buckets: int = 32,
+    portable_hash: bool = True,
+) -> None:
+    """Persist the archive's winnowed fingerprints as a BUCKETED parquet
+    table (bucketed by ``fp``) — the shared-passage sibling of
+    :func:`build_minhash_index`, and the same 100 TB contract: the
+    archive is fingerprinted ONCE, incremental lookups join
+    bucket-locally, and the history side is never reshuffled no matter
+    how large it grows. Index size ≤ 2/(w+1) of archive chars, minus
+    the df-capped head."""
+    from ..sources.io import write_bucketed
+
+    write_bucketed(
+        winnow_index_rows(df, text_col, id_col, k, w, max_df,
+                          portable_hash),
+        table_name, path,
+        bucket_cols=["fp"], num_buckets=num_buckets, sort_cols=["fp"],
+    )
+
+
+def incremental_winnow_candidates(
+    spark,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    k: int = 12,
+    w: int = 4,
+    min_shared: int = 10,
+    max_df: int = 20,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Shared-passage candidates of a NEW batch against the persisted
+    winnow index: fingerprint today's batch with the same deterministic
+    scheme, cap batch-side fingerprint frequency (the archive side was
+    capped at build), join on ``fp`` bucket-locally — only the batch
+    shuffles, sized by today's data — and keep (new_id, indexed_id)
+    pairs sharing ≥ ``min_shared`` fingerprints. Winnowing's guarantee
+    carries over: any shared substring of length ≥ w+k−1 chars between
+    a new doc and an archived doc yields a shared fingerprint, so true
+    shared-passage pairs are never missed by the index hop (modulo the
+    df cap, identical to the batch operator's contract)."""
+    from pyspark.sql import Window
+
+    new_fps = winnow_fingerprints(new_df, text_col, id_col, k, w,
+                                  portable_hash)
+    new_capped = (
+        new_fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= max_df)
+        .select(F.col("__id").alias("new_id"), "fp")
+    )
+    # a table name = the bucketed-archive path (bucket-local join); a
+    # DataFrame = the oracle/testing path, same contract as
+    # incremental_semantic_dedup's `index`
+    idx = (
+        spark.table(index_table)
+        if isinstance(index_table, str)
+        else index_table
+    )
+    return (
+        new_capped.join(idx, "fp")
+        .groupBy("new_id", "indexed_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def duplicate_substring_spans(
     df: DataFrame,
     text_col: str,

@@ -5332,6 +5332,83 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     )
 
 
+#: Shared CTE: winnowed (doc_id, fp) of the docs matching {pred},
+#: df-capped WITHIN that side — the incremental-index cap semantics
+#: (archive capped at build, batch capped per batch).
+def _winnow_side_sql(pred: str) -> str:
+    return f"""(
+    WITH t AS (
+      SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE strlen(text) = length(text)
+        AND length(text) >= {_WINNOW_K + _WINNOW_W - 1} AND ({pred})),
+    pos AS (
+      SELECT doc_id, txt, length(txt) - {_WINNOW_K} + 1 AS n,
+             unnest(range(1, length(txt) - {_WINNOW_K} + 2)) AS p
+      FROM t),
+    h AS (
+      SELECT doc_id, p, n,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(substr(txt, CAST(p AS INTEGER),
+                                          {_WINNOW_K})),
+                               CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM pos),
+    win AS (
+      SELECT doc_id, p, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM h),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM win
+      WHERE p <= n - {_WINNOW_W - 1})
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM sel)
+    WHERE df <= {_WINNOW_MAXDF})"""
+
+
+@query(
+    "incremental_winnow_shared_pairs",
+    f"""
+    WITH hist AS (SELECT * FROM {_winnow_side_sql("doc_id % 2 = 0")}),
+    batch AS (SELECT * FROM {_winnow_side_sql("doc_id % 2 = 1")})
+    SELECT b.doc_id AS new_id, a.doc_id AS indexed_id,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM batch b JOIN hist a USING (fp)
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MINSHARED}
+    """,
+)
+def incremental_winnow_shared_pairs(spark, sf_dir):
+    """The winnow index consulted incrementally: archive = even ids
+    (fingerprinted once, df-capped at build), batch = odd ids. The
+    bucketed-table round-trip of the same index is pinned in pytest;
+    the oracle path passes the index rows as a frame (same contract as
+    incremental_semantic_dedup)."""
+    from ..datapipe.dedup import (
+        incremental_winnow_candidates,
+        winnow_index_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = winnow_index_rows(
+        docs.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, max_df=_WINNOW_MAXDF,
+    )
+    return incremental_winnow_candidates(
+        spark,
+        docs.where(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        idx,
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MINSHARED,
+        max_df=_WINNOW_MAXDF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-SUBSTRING spans (dedup.duplicate_substring_spans — the
 # substring-level dedup of Lee et al. ACL 2022, which removes repeated
@@ -7695,6 +7772,7 @@ _SCORING_PRIORITY = [
     "normalized_url_groups",
     "cdc_chunked_documents",
     "domain_quota_survivors",
+    "incremental_winnow_shared_pairs",
     "split_leakage_audit",
     "png_decode_gate",
     "gif_decode_gate",

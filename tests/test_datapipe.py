@@ -529,6 +529,51 @@ def test_incremental_minhash_join_is_bucket_local(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_incremental_winnow_index_roundtrip_and_bucket_local(
+    spark, sf_dir, tmp_path
+):
+    """Winnow index: the bucketed-table path returns the same pairs as
+    the in-frame path (the oracle contract), and the index side streams
+    out of its buckets with no Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.datapipe.dedup import (
+        build_winnow_index,
+        incremental_winnow_candidates,
+        winnow_index_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    table = "winnow_index_test"
+    build_winnow_index(
+        hist, "text", "doc_id", table, str(tmp_path / "wn_index")
+    )
+    try:
+        from_table = incremental_winnow_candidates(
+            spark, new, "text", "doc_id", table, min_shared=5
+        )
+        in_frame = incremental_winnow_candidates(
+            spark, new, "text", "doc_id",
+            winnow_index_rows(hist, "text", "doc_id"), min_shared=5,
+        )
+        assert sorted(map(tuple, from_table.collect())) == sorted(
+            map(tuple, in_frame.collect())
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            from_table.explain("formatted")
+        plan = buf.getvalue()
+        scan = plan.split("Scan parquet")[-1]
+        assert "Bucketed: true" in scan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVFADC + refine)
 # ---------------------------------------------------------------------------

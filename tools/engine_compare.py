@@ -56,6 +56,12 @@ DEFAULT_QUERIES = [
     "correlated_subquery_small_quantities",
     "cohens_kappa_event_raters",
     "fleiss_kappa_doc_raters",
+    # round-5 tier: crawl extraction / canonicalization / CDC — all
+    # pure-expression pipelines both engines run identically
+    "html_extracted_text",
+    "normalized_url_groups",
+    "cdc_chunked_documents",
+    "domain_quota_survivors",
 ]
 
 

@@ -42,7 +42,8 @@ GATES = [
     "png_decode_gate",
     "gif_decode_gate",
     "media_decode_gate",
-    "split_leakage_audit",
+    # split_leakage_audit deliberately absent: it emits exact COUNTS
+    # (hash-gated by the oracle), not gate booleans
 ]
 
 
