@@ -160,6 +160,23 @@ def train_bpe(
     return merges
 
 
+def save_bpe_merges(
+    merges: list[tuple[str, str, int]], path: str
+) -> None:
+    """Persist the merge list (THE model — rank = position) as JSON."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[l, r, c] for l, r, c in merges], f)
+
+
+def load_bpe_merges(path: str) -> list[tuple[str, str, int]]:
+    import json
+
+    with open(path) as f:
+        return [(str(l), str(r), int(c)) for l, r, c in json.load(f)]
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,

@@ -217,6 +217,33 @@ def train_unigram(
         wf.unpersist()
 
 
+def save_unigram(model: UnigramTokenizer, path: str) -> None:
+    """Persist the model (piece → count + max_piece_len) as JSON — the
+    model is vocab-sized (the sufficient statistic), exactly like BPE's
+    merge list; scores re-derive on load."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "max_piece_len": model.max_piece_len,
+                "counts": model.counts,
+            },
+            f,
+        )
+
+
+def load_unigram(path: str) -> UnigramTokenizer:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return UnigramTokenizer(
+        {str(p): int(c) for p, c in d["counts"].items()},
+        int(d["max_piece_len"]),
+    )
+
+
 def unigram_encode(
     df: DataFrame,
     text_col: str,

@@ -135,6 +135,40 @@ def test_encode_roundtrips_corpus(spark):
     assert total_tokens < total_chars  # subword model compresses
 
 
+def test_tokenizer_model_save_load_roundtrip(spark, tmp_path):
+    """S8 parity for the tokenizer tier: a reloaded model encodes
+    identically (unigram and BPE)."""
+    from ihop_reddit_spark.ml.bpe import (
+        bpe_encode,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe,
+    )
+    from ihop_reddit_spark.ml.unigram_lm import load_unigram, save_unigram
+
+    rows = [("abab abab ababab xyz",)] * 10 + [("qrs xyz qrs",)] * 5
+    df = spark.createDataFrame(rows, "text string")
+
+    m = train_unigram(
+        df, vocab_size=20, seed_size=100, max_piece_len=4, em_rounds=2
+    )
+    save_unigram(m, str(tmp_path / "uni.json"))
+    m2 = load_unigram(str(tmp_path / "uni.json"))
+    assert m2.counts == m.counts and m2.max_piece_len == m.max_piece_len
+    a = unigram_encode(df, "text", m).collect()
+    b = unigram_encode(df, "text", m2).collect()
+    assert [r["tokens"] for r in a] == [r["tokens"] for r in b]
+
+    merges = train_bpe(df, "text", num_merges=6)
+    save_bpe_merges(merges, str(tmp_path / "bpe.json"))
+    assert load_bpe_merges(str(tmp_path / "bpe.json")) == merges
+    e1 = bpe_encode(df, "text", merges).collect()
+    e2 = bpe_encode(
+        df, "text", load_bpe_merges(str(tmp_path / "bpe.json"))
+    ).collect()
+    assert [r["tokens"] for r in e1] == [r["tokens"] for r in e2]
+
+
 def test_unseen_characters_encode_via_unk_singles(spark):
     m = UnigramTokenizer({"ab": 10, "a": 1, "b": 1}, max_piece_len=3)
     df = spark.createDataFrame([("ab ØØab",)], "text string")
