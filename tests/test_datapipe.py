@@ -143,6 +143,7 @@ def test_ivf_knn_distributed_matches_driver_path(embeddings):
     # auto-broadcast disabled no BroadcastExchange remains (nothing is
     # forced — AQE alone decides)
     spark = embeddings.sparkSession
+    spark.catalog.clearCache()  # cached IMRs embed old broadcast plans
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

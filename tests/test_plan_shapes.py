@@ -384,6 +384,7 @@ def test_semantic_dedup_corpus_never_shuffles(spark, sf_dir):
     from ihop_reddit_spark.datapipe.semantic import sign_lsh_semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.catalog.clearCache()  # see no-forced-broadcast test
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -421,6 +422,11 @@ def test_no_forced_broadcast_on_corpus_proportional_frames(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.where(F.col("doc_id") % 97 == 0)
+    # cached frames from earlier tests would substitute InMemoryRelations
+    # whose STORED physical plans may contain AQE-chosen BroadcastExchange
+    # text from their original (default-threshold) execution — clear so
+    # the assertion sees this test's own planning only
+    spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
