@@ -665,28 +665,51 @@ def cdc_chunks(
     Expected chunk length is ``16^nibbles`` tokens. No min/max clamps —
     FastCDC's refinements need a sequential scan (each accepted boundary
     depends on the previous), which would force the row into Python;
-    the unclamped geometric distribution keeps the whole operator a
-    row-local Catalyst expression (zero shuffle, zero Python) and the
-    boundary-locality property is what dedup actually relies on.
+    the unclamped geometric distribution keeps the operator declarative
+    and the boundary-locality property is what dedup actually relies on.
 
-    Returns (id, chunk_id, chunk_text, n_chunk_tokens). The boundary
-    hash is the engine-portable md5 (cross-engine hash-exact).
+    Plan: boundary hashes run on the POSEXPLODED token stream (lag-built
+    grams over a per-doc window — codegen-fused string/hash exprs, the
+    same O(tokens) shape as ``exploded_word_shingles``), boundary
+    positions fold back per doc, and chunk assembly is a row-local
+    array expression. One token shuffle on the doc id (window + the
+    same-keyed fold reuse one partitioning) + the id-keyed join back.
+    MEASURED: a pure higher-order-function formulation (filter over
+    sequence with per-position md5 + slice) was 49× slower than DuckDB
+    at sf0.1 (28.1s vs 0.57s) — lambda eval is interpreted, never
+    codegen — and this explode+window shape brings it back to the
+    winnowing tier's throughput. Returns (id, chunk_id, chunk_text,
+    n_chunk_tokens). The boundary hash is the engine-portable md5
+    (cross-engine hash-exact).
     """
     zeros = "0" * nibbles
+    tok_rows = df.select(
+        F.col(id_col).alias("__cid"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__p", "__tok"),
+    )
+    w = Window.partitionBy("__cid").orderBy("__p")
+    lags = [F.lag("__tok", k - 1 - j).over(w) for j in range(k - 1)]
+    gram = F.concat_ws(" ", *lags, F.col("__tok"))
+    bounds = (
+        tok_rows.select(
+            "__cid",
+            (F.col("__p") + 1).cast("int").alias("__i"),
+            gram.alias("__g"),
+            lags[0].alias("__full"),
+        )
+        .where(
+            F.col("__full").isNotNull()
+            & (F.substring(F.md5(F.col("__g")), 1, nibbles) == zeros)
+        )
+        .groupBy("__cid")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__bpos"))
+    )
+    base = df.join(
+        bounds, F.col(id_col) == F.col("__cid"), "left"
+    ).drop("__cid")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(k), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bpos = F.filter(
-        idx,
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", F.slice(toks, i - (k - 1), F.lit(k)))),
-            1,
-            nibbles,
-        )
-        == zeros,
-    )
+    bpos = F.coalesce(F.col("__bpos"), F.array().cast("array<int>"))
     # ascending by construction; array_distinct keeps first occurrence,
     # so a boundary AT the last token doesn't duplicate the final cut
     cuts = F.array_distinct(
@@ -700,7 +723,9 @@ def cdc_chunks(
             F.element_at(cuts, j + 1) - F.element_at(cuts, j),
         ),
     )
-    out = df.select(F.col(id_col), F.posexplode(pieces).alias("chunk_id", "__c"))
+    out = base.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_id", "__c")
+    )
     return out.select(
         id_col,
         F.col("chunk_id").cast("long"),
