@@ -97,6 +97,16 @@ DOC_PROBES = [
     # hot key, not just uniform load.
     "c4_cleaned_documents",
     "c4_sentence_span_dedup",
+    # round-5 crawl-extraction tier: html/url are zero-shuffle scan
+    # projections (ratio ≈ data ratio exactly); CDC's boundary grams are
+    # replica-token-perturbed, so boundary DENSITY is preserved per
+    # replica and the token shuffle + per-doc fold face ×N work; the
+    # domain-quota window sees ×N rows over the same 50 planted domains
+    # (per-key top-k under ×N-deeper keys — the skew-growth case).
+    "html_extracted_text",
+    "normalized_url_groups",
+    "cdc_chunked_documents",
+    "domain_quota_survivors",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
