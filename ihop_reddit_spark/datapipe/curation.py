@@ -245,6 +245,9 @@ def domain_quota_sample(
     url_col: str,
     quota: int,
     salt: str = "dq1",
+    *,
+    salted: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-registrable-domain document quota — the crawl-policy cap that
     stops a single boilerplate-heavy site from dominating a web corpus
@@ -256,10 +259,30 @@ def domain_quota_sample(
 
     Plan: ONE shuffle on the domain key for the row_number window —
     domain grain, the same skew class as any per-key top-k (a mega
-    domain sorts only its own rows). Returns the surviving rows.
+    domain sorts only its own rows). For crawls where one domain holds
+    a corpus-scale fraction, pass ``salted=True``: the selection runs
+    through :func:`operators.windows.top_k_per_group_salted` (two-phase
+    bounded partials — no single task ever sorts a whole domain;
+    requires ``url_col`` unique per row, the crawl-frontier shape) and
+    the kept set semi-joins back. Same survivors either way
+    (equivalence property-tested). Returns the surviving rows.
     """
     from ..functions.urls import url_domain_key
 
+    if salted:
+        from ..operators.windows import top_k_per_group_salted
+
+        keyed = df.select(
+            url_domain_key(F.col(url_col)).alias("__dom"),
+            _md5_prefix(salt, F.col(url_col)).alias("__h"),
+            F.col(url_col).alias("__u"),
+        )
+        top = top_k_per_group_salted(
+            keyed, "__dom", [F.col("__h"), F.col("__u")], quota,
+            n_salts=n_salts,
+        )
+        keep = top.select(F.col("__u").alias(url_col))
+        return df.join(keep, url_col, "left_semi")
     w = Window.partitionBy(F.col("__dom")).orderBy(
         _md5_prefix(salt, F.col(url_col)), F.col(url_col)
     )

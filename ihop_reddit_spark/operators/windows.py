@@ -103,6 +103,59 @@ def top_k_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_col: str,
+    order_struct: list,
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-hardened :func:`top_k_per_group` — the same two-phase salted
+    shape as ``aggregates.grouped_concat_salted``, for the case where one
+    MEGA-GROUP (a domain holding 10% of a crawl, a bot user) would make
+    the plain window sort billions of rows in one task.
+
+    1. ``groupBy(key, salt)`` with salt = hash(order keys) mod n: each
+       partial keeps only its own top-k via
+       ``slice(sort_array(collect_list(struct(order...))), 1, k)`` —
+       partial state is bounded at k rows per (key, salt), and map-side
+       combine applies;
+    2. ``groupBy(key)`` merges the ≤ n·k surviving rows and re-ranks.
+
+    ``order_struct`` must be the ASCENDING sort key columns (include a
+    unique tie-break last); rows outside the struct are not carried —
+    callers project what they need into it. Returns one row per
+    surviving (group, rank) with the struct fields unpacked, exactly
+    the columns ``top_k_per_group`` would keep. Equivalence against the
+    window path is property-tested.
+    """
+    skey = F.struct(*order_struct)
+    salt = F.pmod(F.xxhash64(*order_struct), F.lit(n_salts))
+    partial = (
+        df.select(F.col(group_col), salt.alias("__salt"), skey.alias("__s"))
+        .groupBy(group_col, "__salt")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("__s")), 1, k).alias("__top")
+        )
+    )
+    merged = (
+        partial.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
+            ).alias("__top")
+        )
+        .select(group_col, F.posexplode("__top").alias("__r", "__s"))
+    )
+    out = merged.select(
+        group_col,
+        (F.col("__r") + 1).alias(rank_col),
+        F.col("__s.*"),
+    )
+    return out
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -299,6 +299,41 @@ def test_cdc_chunks_boundary_locality(spark):
     assert sorted(map(tuple, re)) == sorted(map(tuple, rows))
 
 
+def test_domain_quota_salted_matches_window_path(spark):
+    """The skew-safe two-phase top-k must keep EXACTLY the same urls as
+    the window path, including under a planted mega-domain."""
+    from ihop_reddit_spark.datapipe.curation import domain_quota_sample
+
+    rows = []
+    for i in range(300):  # hot domain: 300 pages
+        rows.append((f"http://hot.example.com/p{i:04d}",))
+    for d in range(10):
+        for i in range(7):
+            rows.append((f"http://site{d}.org/p{i}",))
+    df = spark.createDataFrame(rows, "url string")
+    plain = sorted(
+        r["url"] for r in domain_quota_sample(df, "url", 5).collect()
+    )
+    salted = sorted(
+        r["url"]
+        for r in domain_quota_sample(
+            df, "url", 5, salted=True, n_salts=4
+        ).collect()
+    )
+    assert salted == plain
+    assert len(plain) == 5 + 10 * 5  # hot capped at 5, small kept ≤ 5
+
+    # plan shape: no per-key window sort in the salted path
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        domain_quota_sample(df, "url", 5, salted=True).explain("formatted")
+    assert "RunningWindowFunction" not in buf.getvalue()
+    assert "row_number" not in buf.getvalue()
+
+
 def test_normalize_url_edge_cases(spark):
     from ihop_reddit_spark.functions.urls import (
         normalize_url,

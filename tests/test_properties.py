@@ -215,6 +215,42 @@ def test_salted_grouped_concat_equals_plain(spark, rows, n_salts):
 
 @SETTINGS
 @given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.sampled_from([1, 3, 7]),
+    n_salts=st.sampled_from([1, 4, 16]),
+)
+def test_salted_top_k_equals_window_path(spark, rows, k, n_salts):
+    """top_k_per_group_salted keeps exactly the window path's rows for
+    any group shapes, k, and salt counts (unique order keys — the
+    operator's documented contract)."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.operators.windows import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    df = spark.createDataFrame(rows, "g long, v long")
+    plain = {
+        (r["g"], r["rank"], r["v"])
+        for r in top_k_per_group(df, "g", [F.col("v").asc()], k).collect()
+    }
+    salted = {
+        (r["g"], r["rank"], r["v"])
+        for r in top_k_per_group_salted(
+            df, "g", [F.col("v")], k, n_salts=n_salts
+        ).collect()
+    }
+    assert plain == salted
+
+
+@SETTINGS
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
             lambda e: e[0] != e[1]
