@@ -240,6 +240,57 @@ def assign_split(
     return df.withColumn(out_col, expr.otherwise(otherwise))
 
 
+def curriculum_stages(
+    df: DataFrame,
+    score: Column,
+    id_col: str,
+    n_stages: int = 4,
+    *,
+    quantize: int = 1000,
+    out_col: str = "stage",
+) -> DataFrame:
+    """Quality-curriculum staging: bucket documents into ``n_stages``
+    equal-mass tiers of ``score`` (stage 0 = lowest quartile … the
+    curriculum-learning schedule that feeds cleaner data later in
+    training, and the stratification key for stage-wise mixing/eval).
+
+    Stage boundaries are EXACT type-1 quantiles of the quantized score
+    (the :mod:`sketches` histogram machinery — deterministic and
+    engine-portable, no approx-percentile rank error), computed from a
+    support-bounded histogram, broadcast back onto the corpus, and
+    compared in integers. A document's stage is the number of interior
+    boundaries strictly below its bucket... precisely: stage k covers
+    scores in (q_k, q_{k+1}] with q_0 = −∞ — ties at a boundary fall in
+    the LOWER stage, matching the type-1 quantile definition both
+    engines share. Shuffles: the histogram partial agg + the one-row
+    quantile window; the corpus itself only takes a broadcast join.
+
+    Returns all input columns + ``out_col`` (int: 0 … n_stages−1).
+    """
+    from .sketches import histogram_partials, histogram_quantiles
+
+    scored = df.withColumn("__q_score", score)
+    hist = histogram_partials(
+        scored.select(F.lit(1).alias("__one"), "__q_score"),
+        ["__one"],
+        "__q_score",
+        quantize=quantize,
+    )
+    qs = [i * 1000 // n_stages for i in range(1, n_stages)]
+    bounds = (
+        histogram_quantiles(hist, ["__one"], qs, quantize=quantize)
+        .groupBy("__one")
+        .agg(F.sort_array(F.collect_list("bucket")).alias("__cuts"))
+        .select("__cuts")
+    )
+    bucket = F.floor(F.col("__q_score") * quantize).cast("long")
+    out = scored.crossJoin(F.broadcast(bounds)).withColumn(
+        out_col,
+        F.size(F.filter(F.col("__cuts"), lambda c: c < bucket)).cast("int"),
+    )
+    return out.drop("__q_score", "__cuts")
+
+
 def domain_quota_sample(
     df: DataFrame,
     url_col: str,

@@ -3798,6 +3798,49 @@ def cdc_chunked_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Curriculum staging (curation.curriculum_stages): equal-mass quality
+# tiers via EXACT type-1 quantiles of the quantized score (the histogram
+# sketch machinery — no approx-percentile rank error), boundaries
+# broadcast back, ties falling to the lower stage. Score here = n_chars
+# (already integral at quantize=1000) so the oracle is pure integer SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_stage_assignments",
+    """
+    WITH h AS (
+      SELECT n_chars AS bucket, COUNT(*) AS n
+      FROM documents GROUP BY n_chars),
+    cum AS (
+      SELECT bucket,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER () AS total
+      FROM h),
+    q(q_permille) AS (VALUES (250), (500), (750)),
+    cuts AS (
+      SELECT q_permille, MIN(bucket) AS cut
+      FROM cum, q
+      WHERE c >= (q_permille * total + 999) // 1000
+      GROUP BY q_permille)
+    SELECT d.doc_id,
+           CAST((SELECT COUNT(*) FROM cuts WHERE cut < d.n_chars)
+                AS INTEGER) AS stage
+    FROM documents d
+    """,
+)
+def curriculum_stage_assignments(spark, sf_dir):
+    from ..datapipe.curation import curriculum_stages
+
+    docs = _t(spark, sf_dir, "documents")
+    # quantize=1 with an integer score keeps bucket == n_chars exactly
+    # (a /1000 then *1000 round-trip would be IEEE-inexact for some ints)
+    out = curriculum_stages(
+        docs, F.col("n_chars").cast("double"), "doc_id", n_stages=4,
+        quantize=1,
+    )
+    return out.select("doc_id", "stage")
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (functions/urls.normalize_url — crawl-frontier
 # dedup). Planted messy variants per doc (case, default port, fragment,
 # trailing slash, tracking params, shuffled query order) must collapse to
@@ -7773,6 +7816,7 @@ _SCORING_PRIORITY = [
     "cdc_chunked_documents",
     "domain_quota_survivors",
     "incremental_winnow_shared_pairs",
+    "curriculum_stage_assignments",
     "split_leakage_audit",
     "png_decode_gate",
     "gif_decode_gate",

@@ -299,6 +299,38 @@ def test_cdc_chunks_boundary_locality(spark):
     assert sorted(map(tuple, re)) == sorted(map(tuple, rows))
 
 
+def test_curriculum_stages_equal_mass_and_tie_rule(spark):
+    from ihop_reddit_spark.datapipe.curation import curriculum_stages
+
+    # 40 docs, scores 0..39 → exact quartiles at buckets 9/19/29
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "doc_id long, s double"
+    )
+    out = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_stages(
+            df, F.col("s"), "doc_id", n_stages=4, quantize=1
+        ).collect()
+    }
+    for i in range(40):
+        assert out[i] == min(i // 10, 3), (i, out[i])
+    # tie rule: a score AT a boundary falls in the LOWER stage
+    assert out[9] == 0 and out[10] == 1
+
+    # degenerate mass: everyone identical → all stage 0 (all cuts equal,
+    # nothing strictly below)
+    same = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "doc_id long, s double"
+    )
+    stages = {
+        r["stage"]
+        for r in curriculum_stages(
+            same, F.col("s"), "doc_id", n_stages=4, quantize=1
+        ).collect()
+    }
+    assert stages == {0}
+
+
 def test_domain_quota_salted_matches_window_path(spark):
     """The skew-safe two-phase top-k must keep EXACTLY the same urls as
     the window path, including under a planted mega-domain."""
