@@ -644,10 +644,11 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG, 24-bit BMP,
-    and GIF (first rendered frame) decode for REAL (stdlib codecs in
-    this module); JPEG/WebP remain the marked PIL stub. Every image
-    consumer (aHash, feature stats) goes through this, so every real
-    format flows the same dedup path."""
+    GIF (first rendered frame), and baseline JPEG decode for REAL
+    (stdlib/numpy codecs — see :mod:`.jpeg_codec` for JPEG); WebP/TIFF
+    remain the marked PIL stub. Every image consumer (aHash, feature
+    stats) goes through this, so every real format flows the same dedup
+    path."""
     payload = bytes(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -655,10 +656,14 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)[0]  # still image = first frame
-    # STUB boundary — JPEG/WebP decode requires PIL in deployment
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
+    # STUB boundary — WebP/TIFF decode requires PIL in deployment
     raise NotImplementedError(
-        "only PNG, 24-bit BMP, and GIF decode without PIL; got unknown "
-        f"magic {payload[:4]!r}"
+        "only PNG, 24-bit BMP, GIF, and baseline JPEG decode without PIL;"
+        f" got unknown magic {payload[:4]!r}"
     )
 
 
@@ -715,6 +720,95 @@ def image_feature_stats(assets: DataFrame) -> DataFrame:
         "asset_id long, width long, height long,"
         " mean_r double, mean_g double, mean_b double",
     )
+
+
+def synthesize_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Real baseline-JPEG payloads per id: 16×16 GRAYSCALE images of four
+    8×8 solid blocks with planted values ``(37·id + 80·k) % 256`` for
+    block ``k`` in raster order — encoded with the DC-step-8 table
+    (:data:`~.jpeg_codec.QUANT_DC8`), under which a constant block's DC
+    coefficient ``8·(v−128)`` quantizes LOSSLESSLY, so the decode gate
+    proves marker parse + Huffman (nonzero DC diffs across blocks, of
+    varying magnitude categories incl. negative) + dequant + IDCT arrive
+    at exactly the planted pixels. Mean over the image =
+    ``(v0+v1+v2+v3)/4`` per channel — integer-exact SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg_codec import QUANT_DC8, jpeg_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(37 * i) % 256, (37 * i + 80) % 256],
+                     [(37 * i + 160) % 256, (37 * i + 240) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append((i, jpeg_bytes(px, quant_luma=QUANT_DC8)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_real_image_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Mixed REAL-format image assets: format cycles by ``id % 4``
+    (png, bmp, gif, jpeg), every payload a genuine encoded file with the
+    SAME planted solid color ``((37i)%256, (59i)%256, (83i)%256)``
+    (grayscale ``(37i)%256`` for JPEG — no color transform, so the
+    DC-step-8 round trip is bit-exact). One table, four container
+    formats, one :func:`decode_image` dispatch — the per-row hash oracle
+    for the feature-extraction tier."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg_codec import QUANT_DC8, jpeg_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                h = 8 + i % 4
+                color = np.array(
+                    [(37 * i) % 256, (59 * i) % 256, (83 * i) % 256],
+                    dtype=np.uint8,
+                )
+                fmt = i % 4
+                if fmt == 0:
+                    payload = png_bytes(np.broadcast_to(color, (h, width, 3)))
+                elif fmt == 1:
+                    payload = bmp_bytes(np.broadcast_to(color, (h, width, 3)))
+                elif fmt == 2:
+                    frames = [
+                        np.broadcast_to(
+                            np.array(
+                                [
+                                    (37 * i + 11 * f) % 256,
+                                    (59 * i + 13 * f) % 256,
+                                    (83 * i + 17 * f) % 256,
+                                ],
+                                dtype=np.uint8,
+                            ),
+                            (16, 16, 3),
+                        )
+                        for f in range(2)
+                    ]
+                    payload = gif_bytes(frames)
+                else:
+                    gray = np.full((h, width), (37 * i) % 256, dtype=np.uint8)
+                    payload = jpeg_bytes(gray, quant_luma=QUANT_DC8)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
 
 
 def synthesize_bmp_assets(

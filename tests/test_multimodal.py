@@ -220,9 +220,10 @@ def test_png_round_trip_all_filters_and_planted_colors(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(good))
 
-    # magic dispatch: unknown container stays the marked PIL stub
+    # magic dispatch: unknown container (WebP) stays the marked PIL stub
+    # (JPEG left this list in round 6 — it decodes for real now)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF....")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     # planted closed form through deflate + unfilter, distributed
     ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
@@ -610,3 +611,126 @@ def test_video_frames_short_payload_yields_no_frames(spark):
         "asset_id long, payload binary",
     )
     assert video_frames(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (datapipe/jpeg_codec — round 6)
+# ---------------------------------------------------------------------------
+def test_jpeg_solid_blocks_exact_with_dc8_table():
+    """Constant 8×8 blocks round-trip BIT-EXACTLY under the DC-step-8
+    table: DC of a constant block is 8·(v−128), an exact multiple of 8,
+    so quantization is lossless and IDCT reconstructs the plane."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import (
+        QUANT_DC8,
+        decode_jpeg,
+        jpeg_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(4):
+        vals = rng.randint(0, 256, size=(3, 2))
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        out = decode_jpeg(jpeg_bytes(px, quant_luma=QUANT_DC8))
+        assert np.array_equal(out, np.repeat(px[:, :, None], 3, axis=2))
+
+
+def test_jpeg_rgb_444_near_lossless_with_unit_quant():
+    """All-ones quantization leaves only DCT-coefficient rounding: random
+    RGB content (full AC Huffman path — runs, ZRL, every magnitude
+    category) survives within a few counts per channel."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import decode_jpeg, jpeg_bytes
+
+    rng = np.random.RandomState(23)
+    ones = np.ones((8, 8), dtype=np.int64)
+    px = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    out = decode_jpeg(jpeg_bytes(px, quant_luma=ones, quant_chroma=ones))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+
+
+def test_jpeg_420_subsampling_and_odd_sizes():
+    """4:2:0 chroma: smooth gradients survive subsample+upsample; odd
+    (non-multiple-of-8/16) dimensions crop back exactly."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import decode_jpeg, jpeg_bytes
+
+    y, x = np.mgrid[0:21, 0:35]
+    px = np.stack(
+        [(y * 3) % 256, (x * 2) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(jpeg_bytes(px, subsampling="420"))
+    assert out.shape == (21, 35, 3)
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 20
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn markers: predictors reset per segment, decode matches
+    the no-restart stream's pixels exactly (same coefficients)."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import decode_jpeg, jpeg_bytes
+
+    rng = np.random.RandomState(5)
+    ones = np.ones((8, 8), dtype=np.int64)
+    px = rng.randint(0, 256, size=(32, 24)).astype(np.uint8)
+    plain = decode_jpeg(jpeg_bytes(px, quant_luma=ones))
+    restarted = jpeg_bytes(px, quant_luma=ones, restart_interval=3)
+    assert b"\xff\xdd" in restarted and b"\xff\xd0" in restarted
+    assert np.array_equal(decode_jpeg(restarted), plain)
+
+
+def test_jpeg_progressive_is_marked_stub():
+    import numpy as np
+    import pytest as _pytest
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import decode_jpeg, jpeg_bytes
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(jpeg_bytes(px))
+    # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive is a stub boundary
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatches_jpeg_and_real_asset_features(spark):
+    """decode_image routes FFD8 payloads through the real JPEG decoder;
+    synthesize_real_image_assets' four formats all yield the planted
+    per-channel means through ONE image_feature_stats pass."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import QUANT_DC8, jpeg_bytes
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_image,
+        image_feature_stats,
+        synthesize_real_image_assets,
+    )
+
+    gray = np.full((16, 16), 200, dtype=np.uint8)
+    px = decode_image(jpeg_bytes(gray, quant_luma=QUANT_DC8))
+    assert px.shape == (16, 16, 3) and np.all(px == 200)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    rows = image_feature_stats(
+        synthesize_real_image_assets(docs)
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        i = r["asset_id"]
+        if i % 4 == 3:  # grayscale JPEG
+            exp = ((37 * i) % 256,) * 3
+        else:
+            exp = ((37 * i) % 256, (59 * i) % 256, (83 * i) % 256)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == exp
+        assert r["width"] == 16
+        assert r["height"] == (16 if i % 4 == 2 else 8 + i % 4)
