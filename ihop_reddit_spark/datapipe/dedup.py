@@ -1133,6 +1133,7 @@ def duplicate_substring_spans(
     k: int = 20,
     max_df: int = 20,
     min_len: int = 30,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Exact duplicated-SUBSTRING spans across document pairs (the
     substring-level dedup of Lee et al., "Deduplicating Training Data
@@ -1150,6 +1151,14 @@ def duplicate_substring_spans(
     length L + k − 1. Shuffles: one on the hash (df cap + pair join), one
     on (pair, diagonal) for the island windows — match-volume-sized, never
     corpus². ASCII contract as in :func:`winnow_fingerprints`.
+
+    ``portable_hash`` (r6, same knob as :func:`winnow_fingerprints`):
+    the k-gram hash is ONLY an equi-join key here — any hash with
+    negligible collision mass yields the identical span set — but the
+    cross-engine oracle must replay the exact hash, and DuckDB has no
+    xxhash64. Default True = md5-derived (the oracle contract); False =
+    ``xxhash64`` (JVM intrinsic, no hex round-trip) for production runs
+    — pytest pins both paths span-identical.
     """
     from pyspark.sql import Window
 
@@ -1163,11 +1172,11 @@ def duplicate_substring_spans(
         F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("p"),
         F.col("__t"),
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("__t").substr(F.col("p"), F.lit(k))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    gram = F.col("__t").substr(F.col("p"), F.lit(k))
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram)
     hashed = grams.select("__id", "p", h.alias("h"))
     # distinct-doc frequency per hash WITHOUT a groupBy+join (which costs a
     # second full-stream shuffle — measured ×10 probe ratio 13.6 vs the
@@ -1289,7 +1298,7 @@ def dedup_keep_best(
     score: Column | None = None,
     *,
     text_col: str = "text",
-    broadcast_drops: bool = True,
+    broadcast_drops: bool = False,
 ) -> DataFrame:
     """Quality-aware duplicate-cluster canonicalization: resolve each
     near-duplicate connected component to the member with the BEST
@@ -1307,11 +1316,13 @@ def dedup_keep_best(
 
     Plan: components via :func:`duplicate_components_star` (O(log n)
     rounds), then component-keyed aggregates + one anti-join of the
-    drop set against the corpus. The drop set is cluster-member-bounded,
-    usually dimension-sized — but on boilerplate-heavy corpora it can be
-    a large corpus fraction, so pass ``broadcast_drops=False`` there to
-    fall back to a shuffled anti-join instead of forcing a
-    corpus-scale broadcast.
+    drop set against the corpus. The drop set is cluster-member-bounded
+    and often dimension-sized, but on boilerplate-heavy corpora it is a
+    large corpus fraction — so the default is ``broadcast_drops=False``
+    (r6, the post-r4 convention: AQE decides the anti-join strategy at
+    runtime and still broadcasts genuinely small drop sets). Pass
+    ``True`` only when the caller KNOWS the drop set is tiny and wants
+    the exchange pinned.
     """
     if score is None:
         score = F.length(F.col(text_col))

@@ -442,6 +442,16 @@ def test_no_forced_broadcast_on_corpus_proportional_frames(spark, sf_dir):
 
         n_bx = len(set(re.findall(r"BroadcastExchange \(\d+\)", plan2)))
         assert n_bx == 1, plan2
+        # dedup_keep_best (r6): the drop set is corpus-proportional on
+        # boilerplate-heavy corpora — the default must leave the anti-join
+        # strategy to AQE, zero forced broadcasts in the whole plan
+        from ihop_reddit_spark.datapipe.dedup import dedup_keep_best
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2)], "left_id long, right_id long"
+        )
+        plan3 = plan_of(dedup_keep_best(docs, pairs, "doc_id"))
+        assert "BroadcastExchange" not in plan3, plan3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

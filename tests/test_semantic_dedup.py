@@ -292,6 +292,44 @@ def test_duplicate_substring_spans_closed_form(spark):
     assert s["span_len"] == len(shared) + 1
 
 
+def test_duplicate_substring_spans_hash_paths_equivalent(spark):
+    """portable_hash=False (xxhash64 production knob, r6) must produce
+    the IDENTICAL span set as the md5 oracle path: the hash is only an
+    equi-join key, so any collision-negligible hash yields the same
+    maximal spans — richer corpus than the closed-form tests (repeated
+    boilerplate, overlapping shared passages, df-capped hot grams)."""
+    import random
+
+    from ihop_reddit_spark.datapipe.dedup import duplicate_substring_spans
+
+    rng = random.Random(42)
+    words = [f"tok{i:02d}" for i in range(40)]
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    passage = " ".join(rng.choice(words) for _ in range(12))
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(words) for _ in range(20))
+        if i % 3 == 0:
+            body = passage + " " + body
+        if i % 4 == 0:
+            body = body + " " + boiler
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def span_set(portable):
+        return {
+            tuple(r)
+            for r in duplicate_substring_spans(
+                docs, "text", "doc_id", k=20, max_df=10, min_len=30,
+                portable_hash=portable,
+            ).collect()
+        }
+
+    md5_spans = span_set(True)
+    xx_spans = span_set(False)
+    assert md5_spans and md5_spans == xx_spans
+
+
 def test_duplicate_substring_spans_merges_runs_not_fragments(spark):
     from ihop_reddit_spark.datapipe.dedup import duplicate_substring_spans
 

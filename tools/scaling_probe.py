@@ -23,6 +23,15 @@ structure is preserved exactly, cross-replica similarity is zero, and
 the dedup tiers therefore face ×N work — a scaling measurement — rather
 than ×N² pair density (which a trailing-token perturbation would cause,
 measuring a harder PROBLEM instead of a bigger one).
+
+Denominator honesty (r6): the per-token suffix adds 2 chars/token, so
+CHAR volume grows ~×1.36·N while doc/token volume grows ×N. Operators
+whose work is per-char-k-gram (winnow_fingerprint_pairs,
+duplicate_substring_spans) must be judged against the char ratio, not
+the doc factor — the r5 verdict's "12.2 > 10" watch item on
+duplicate_substring_spans was this denominator mismatch (measured
+gram-volume ratio at ×10: 13.9; time ratios 12.7–14.9 ≈ linear). The
+JSON output now carries ``char_ratio`` next to ``factor``.
 """
 
 from __future__ import annotations
@@ -201,6 +210,21 @@ def main() -> None:
         spark.catalog.clearCache()
         return round(time.time() - t0, 2)
 
+    from pyspark.sql import functions as F
+
+    def char_volume(sf_dir: str) -> int:
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .agg(F.sum(F.length("text")))
+            .collect()[0][0]
+        )
+
+    char_ratio = (
+        None
+        if events_only
+        else round(char_volume(workdir) / char_volume(BASE_SF), 2)
+    )
+
     out = {}
     for name in (EVENT_PROBES if events_only else PROBES):
         base = run(name, BASE_SF)
@@ -210,7 +234,11 @@ def main() -> None:
             "scaled": scaled,
             "ratio": round(scaled / base, 2) if base > 0 else None,
         }
-    print(json.dumps({"factor": factor, "queries": out}))
+    print(
+        json.dumps(
+            {"factor": factor, "char_ratio": char_ratio, "queries": out}
+        )
+    )
     spark.stop()
 
 
