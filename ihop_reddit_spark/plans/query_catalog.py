@@ -3765,19 +3765,12 @@ def dataset_split_sizes(spark, sf_dir):
 # and replays the identical Java∩RE2 regex chain — clean text and link
 # density are hash-exact cross-engine.
 # ---------------------------------------------------------------------------
-_HTML_ORACLE_SQL = """
-    WITH page AS (
-      SELECT doc_id,
-        '<html><head><style>p { color: red }</style>'
-        || '<script type="text/javascript">var x = 1 && 2;</script></head>'
-        || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
-        || '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->'
-        || '<p>' || substr(text, 1, 60) || ' &amp; more &amp;lt;tags&amp;gt;</p>'
-        || '<div><a href="/nav">nav item ' || CAST(doc_id % 7 AS VARCHAR)
-        || '</a></div>'
-        || '<p>' || substr(text, 61, 60) || '&nbsp;&quot;end&quot;</p>'
-        || '</body></html>' AS html
-      FROM documents),
+#: DuckDB replay of the html_to_text + link-density regex chain. Expects a
+#: preceding ``page(doc_id, html)`` CTE; yields ``ext(doc_id, html, atext,
+#: clean_text)``. Shared by ``html_extracted_text``, the composed
+#: ``crawl_corpus`` flagship, and the streaming twin — one copy of the
+#: Java∩RE2 chain, three consumers.
+_HTML_EXTRACT_CTES = """
     anchors AS (
       SELECT doc_id, html,
         regexp_replace(array_to_string(
@@ -3803,13 +3796,42 @@ _HTML_ORACLE_SQL = """
           ' ?' || chr(10) || ' ?', chr(10), 'g'),
           chr(10) || '{2,}', chr(10), 'g'), ' ' || chr(10)) AS clean_text
       FROM anchors)
-    SELECT doc_id, clean_text,
+"""
+
+#: link-density scalar over the ``ext`` CTE's columns — factored so the
+#: gate in ``crawl_corpus`` compares the IDENTICAL double the projection
+#: query emits.
+_LINK_DENSITY_SQL = """
       CASE WHEN length(regexp_replace(clean_text, '\\s+', '', 'g')) > 0
            THEN CAST(length(regexp_replace(atext, '\\s+', '', 'g')) AS DOUBLE)
                 / length(regexp_replace(clean_text, '\\s+', '', 'g'))
-           ELSE 0.0 END AS link_density
+           ELSE 0.0 END
+"""
+
+_HTML_ORACLE_SQL = (
+    """
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><style>p { color: red }</style>'
+        || '<script type="text/javascript">var x = 1 && 2;</script></head>'
+        || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        || '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->'
+        || '<p>' || substr(text, 1, 60) || ' &amp; more &amp;lt;tags&amp;gt;</p>'
+        || '<div><a href="/nav">nav item ' || CAST(doc_id % 7 AS VARCHAR)
+        || '</a></div>'
+        || '<p>' || substr(text, 61, 60) || '&nbsp;&quot;end&quot;</p>'
+        || '</body></html>' AS html
+      FROM documents),
+"""
+    + _HTML_EXTRACT_CTES
+    + """
+    SELECT doc_id, clean_text,
+"""
+    + _LINK_DENSITY_SQL
+    + """ AS link_density
     FROM ext
 """
+)
 
 
 @query("html_extracted_text", _HTML_ORACLE_SQL)
@@ -4019,6 +4041,263 @@ def normalized_url_groups(spark, sf_dir):
         url_host(raw).alias("host"),
         url_domain_key(raw).alias("domain_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed crawl-extraction FLAGSHIP (plans/crawl_corpus.py — VERDICT r5
+# item 4): raw planted HTML pages + messy URL variants → extracted text →
+# link-density gate → URL canonicalization + frontier dedup → per-domain
+# quota → C4 line/page cleaning → content-defined chunks → curriculum
+# stages — every round-5 crawl-tier operator composing in ONE plan with
+# the chunk-table persist boundary (the modern_training_corpus rule).
+# Plants: each doc becomes a page of 3 sentence-terminated paragraphs
+# (+ header/nav/script junk the extractor must strip; docs ≡0 mod 31
+# carry a visible "lorem ipsum" paragraph for the C4 page rule) and one
+# of 4 messy URL variants per group g = doc_id//4 over 40 domains — so
+# the gate, the canonical collapse, the quota, and the C4 drops all bind
+# on real fractions of the corpus. The oracle replays every stage: the
+# shared _HTML_EXTRACT_CTES chain, the closed-form canonical, the same
+# md5 quota draw, the C4 list rules, the CDC boundary comprehension, and
+# the type-1 quantile staging — chunk rows hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+_CRAWL_PAGE_SQL = """
+    page AS (
+      SELECT doc_id,
+        '<html><head><style>p { color: red }</style>'
+        || '<script type="text/javascript">var x = 1 && 2;</script></head>'
+        || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        || '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->'
+        || '<p>' || substr(text, 1, 60) || '.</p>'
+        || '<div><a href="/nav">nav item ' || CAST(doc_id % 7 AS VARCHAR)
+        || '</a></div>'
+        || '<p>' || substr(text, 61, 60) || '.</p>'
+        || '<p>' || substr(text, 121, 60) || '.</p>'
+        || CASE WHEN doc_id % 31 = 0
+                THEN '<p>filler lorem ipsum boilerplate text.</p>'
+                ELSE '' END
+        || '</body></html>' AS html
+      FROM documents)
+"""
+
+_CRAWL_CORPUS_SQL = (
+    "WITH "
+    + _CRAWL_PAGE_SQL
+    + ",\n"
+    + _HTML_EXTRACT_CTES
+    + """,
+    ld AS (
+      SELECT doc_id, clean_text,
+"""
+    + _LINK_DENSITY_SQL
+    + """ AS link_density
+      FROM ext),
+    urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3 THEN 'https' ELSE 'http' END
+             || '://www.example' || CAST((doc_id // 4) % 40 AS VARCHAR)
+             || '.com/s' || CAST(doc_id // 4 AS VARCHAR)
+             || '/page?a=1&b=2' AS canonical_url,
+             'example' || CAST((doc_id // 4) % 40 AS VARCHAR) || '.com'
+               AS dom
+      FROM documents),
+    gated AS (
+      SELECT l.doc_id, l.clean_text, u.canonical_url, u.dom
+      FROM ld l JOIN urls u USING (doc_id)
+      WHERE l.link_density <= 0.055),
+    firsts AS (
+      SELECT canonical_url, MIN(doc_id) AS doc_id FROM gated GROUP BY 1),
+    surv AS (
+      SELECT g.* FROM gated g JOIN firsts USING (canonical_url, doc_id)),
+    quota AS (
+      SELECT doc_id, clean_text FROM (
+        SELECT doc_id, clean_text,
+               row_number() OVER (
+                 PARTITION BY dom
+                 ORDER BY substr(md5(concat_ws(chr(30), 'cc1',
+                                               canonical_url)), 1, 8),
+                          canonical_url) AS rn
+        FROM surv) WHERE rn <= 3),
+    c4l AS (
+      SELECT doc_id, clean_text,
+             list_filter(string_split(clean_text, chr(10)),
+               x -> regexp_matches(x, '[.!?"]$')
+                    AND len(string_split(x, ' ')) >= 3
+                    AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM quota),
+    c4 AS (
+      SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned_text
+      FROM c4l
+      WHERE len(kept) >= 3
+        AND NOT contains(lower(clean_text), 'lorem ipsum')
+        AND NOT contains(clean_text, '{')
+        AND NOT regexp_matches(lower(clean_text), '\\b(nsfwterm)\\b')),
+    d AS (SELECT doc_id, string_split(cleaned_text, ' ') AS t,
+                 len(string_split(cleaned_text, ' ')) AS n
+          FROM c4),
+    b AS (
+      SELECT doc_id, t, n,
+             [i FOR i IN range(3, n + 1)
+              IF substr(md5(array_to_string(t[i-2:i], ' ')), 1, 1) = '0']
+               AS bpos
+      FROM d),
+    c AS (
+      SELECT doc_id, t,
+             list_concat(list_concat([0], bpos),
+               CASE WHEN len(bpos) > 0 AND bpos[-1] = n
+                    THEN [] ELSE [n] END) AS cuts
+      FROM b),
+    chunks AS (
+      SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+             array_to_string(t[cuts[j]+1 : cuts[j+1]], ' ') AS chunk_text,
+             CAST(cuts[j+1] - cuts[j] AS BIGINT) AS n_chunk_tokens
+      FROM c, unnest(range(1, len(cuts))) AS u(j)),
+    h AS (SELECT n_chunk_tokens AS bucket, COUNT(*) AS cnt
+          FROM chunks GROUP BY 1),
+    cum AS (
+      SELECT bucket,
+             SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER () AS total
+      FROM h),
+    q(q_permille) AS (VALUES (250), (500), (750)),
+    stage_cuts AS (
+      SELECT q_permille, MIN(bucket) AS cut
+      FROM cum, q
+      WHERE c >= (q_permille * total + 999) // 1000
+      GROUP BY q_permille)
+    SELECT ch.doc_id, ch.chunk_id,
+           CAST((SELECT COUNT(*) FROM stage_cuts WHERE cut < ch.n_chunk_tokens)
+                AS INTEGER) AS stage,
+           ch.chunk_text, ch.n_chunk_tokens
+    FROM chunks ch
+"""
+)
+
+
+def _crawl_page_cols(docs):
+    """(doc_id, html, url) from any (doc_id, text) frame — batch OR
+    streaming (pure projection): the planted crawl fixture — 3 sentence-
+    terminated paragraphs + junk per page (mirrors _CRAWL_PAGE_SQL), one
+    of 4 messy URL variants per group g = doc_id//4 over 40 domains
+    (mirrors the closed-form canonical in _CRAWL_CORPUS_SQL)."""
+    i = F.col("doc_id").cast("string")
+    lorem = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.lit("<p>filler lorem ipsum boilerplate text.</p>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p { color: red }</style>'
+            '<script type="text/javascript">var x = 1 && 2;</script>'
+            "</head><body><h1>Doc "
+        ),
+        i,
+        F.lit("</h1><!-- hidden "),
+        i,
+        F.lit(" --><p>"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit('.</p><div><a href="/nav">nav item '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a></div><p>"),
+        F.substring(F.col("text"), 61, 60),
+        F.lit(".</p><p>"),
+        F.substring(F.col("text"), 121, 60),
+        F.lit(".</p>"),
+        lorem,
+        F.lit("</body></html>"),
+    )
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    d = (g % 40).cast("string")
+    gs = g.cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("http://www.example"), d, F.lit(".com/s"), gs,
+                     F.lit("/page?b=2&a=1")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://WWW.EXAMPLE"), d, F.lit(".COM:80/s"), gs,
+                     F.lit("/page/?a=1&b=2#frag")),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://www.example"), d, F.lit(".com/s"), gs,
+                     F.lit("/page?utm_source=x&a=1&fbclid=y&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.example"), d, F.lit(".com:443/s"),
+                     gs, F.lit("/page?a=1&b=2")),
+        )
+    )
+    return docs.select("doc_id", html.alias("html"), url.alias("url"))
+
+
+def _crawl_pages(spark, sf_dir):
+    return _crawl_page_cols(_t(spark, sf_dir, "documents"))
+
+
+@query("crawl_corpus", _CRAWL_CORPUS_SQL)
+def crawl_corpus(spark, sf_dir):
+    from .crawl_corpus import crawl_corpus as crawl_plan
+
+    return crawl_plan(
+        _crawl_pages(spark, sf_dir),
+        max_link_density=0.055,
+        domain_quota=3,
+        quota_salt="cc1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the crawl extraction stages (streaming/crawl.py —
+# VERDICT r5 item 7): the SAME planted pages through the SAME
+# html_to_text/link_density/normalize_url projection + gate, computed by
+# a Structured Streaming plan (file source → append mode → memory sink,
+# availableNow). Zero state, zero shuffle — the plan is the batch plan;
+# the oracle is the batch SQL, so the streaming operators pass the t2
+# gate like every other stream_* query.
+# ---------------------------------------------------------------------------
+_STREAM_CRAWL_SQL = (
+    "WITH "
+    + _CRAWL_PAGE_SQL
+    + ",\n"
+    + _HTML_EXTRACT_CTES
+    + """,
+    ld AS (
+      SELECT doc_id, clean_text,
+"""
+    + _LINK_DENSITY_SQL
+    + """ AS link_density
+      FROM ext),
+    urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3 THEN 'https' ELSE 'http' END
+             || '://www.example' || CAST((doc_id // 4) % 40 AS VARCHAR)
+             || '.com/s' || CAST(doc_id // 4 AS VARCHAR)
+             || '/page?a=1&b=2' AS canonical_url
+      FROM documents)
+    SELECT l.doc_id, l.clean_text, l.link_density, u.canonical_url
+    FROM ld l JOIN urls u USING (doc_id)
+    WHERE l.link_density <= 0.055
+"""
+)
+
+
+@query("stream_crawl_extraction", _STREAM_CRAWL_SQL)
+def stream_crawl_extraction(spark, sf_dir):
+    from ..functions.urls import normalize_url
+    from ..streaming.crawl import documents_stream
+    from ..streaming.events import _run_to_memory
+
+    pages = _crawl_page_cols(documents_stream(spark, sf_dir))
+    ext = pages.select(
+        "doc_id",
+        TX.html_to_text(F.col("html")).alias("clean_text"),
+        TX.link_density(F.col("html")).alias("link_density"),
+        normalize_url(F.col("url")).alias("canonical_url"),
+    ).where(F.col("link_density") <= 0.055)
+    return _run_to_memory(ext, spark, output_mode="append")
 
 
 # ---------------------------------------------------------------------------

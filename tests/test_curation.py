@@ -668,3 +668,84 @@ def test_fuzzy_decontaminate_string_ids(spark):
         ).collect()
     )
     assert got == ["t-2"]
+
+
+# ---------------------------------------------------------------------------
+# Composed crawl-extraction flagship (plans/crawl_corpus.py — round 6)
+# ---------------------------------------------------------------------------
+def test_crawl_corpus_composition_end_to_end(spark):
+    """Pages with planted junk/variants flow the whole pipeline: the
+    link-farm page is gated, URL variants collapse to the min-id row,
+    the domain quota caps per-domain pages, lorem-ipsum pages die at the
+    C4 page rule, and chunks reassemble to the cleaned text with stages
+    in range."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.caching import release_scoped_persists
+    from ihop_reddit_spark.plans.crawl_corpus import crawl_corpus
+
+    body = "<p>alpha beta gamma delta.</p><p>epsilon zeta eta theta.</p>" \
+           "<p>iota kappa lambda mu.</p>"
+    nav = '<div><a href="/n">x</a></div>'
+    linkfarm = "".join(
+        f'<a href="/l{j}">link text number {j} here</a>' for j in range(30)
+    )
+    rows = [
+        # docs 0,1: same canonical URL (tracking params / case+port) —
+        # min-id row 0 survives the frontier dedup
+        (0, f"<html><body>{body}{nav}</body></html>",
+         "http://www.siteA.com/p?b=2&a=1"),
+        (1, f"<html><body>{body}{nav}</body></html>",
+         "HTTP://WWW.SITEA.COM:80/p/?a=1&b=2#f"),
+        # doc 2: link farm — gated by link density
+        (2, f"<html><body>{linkfarm}<p>tiny real text here.</p></body></html>",
+         "http://www.siteB.com/q"),
+        # doc 3: lorem ipsum — dies at the C4 page rule
+        (3, f"<html><body>{body}<p>filler lorem ipsum junk.</p></body></html>",
+         "http://www.siteC.com/r"),
+        # docs 4..9: six distinct pages on ONE domain — quota 3 binds
+        *[
+            (4 + j,
+             f"<html><body><p>unique page {j} words one two.</p>"
+             f"<p>second line {j} four five six.</p>"
+             f"<p>third line {j} seven eight nine.</p></body></html>",
+             f"http://www.siteD.com/page{j}")
+            for j in range(6)
+        ],
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    out = crawl_corpus(pages, max_link_density=0.3, domain_quota=3)
+    got = out.collect()
+    release_scoped_persists(out)
+    ids = {r["doc_id"] for r in got}
+    assert 0 in ids and 1 not in ids          # URL dedup keeps min id
+    assert 2 not in ids                        # link-density gate
+    assert 3 not in ids                        # C4 lorem-ipsum page rule
+    assert len(ids & set(range(4, 10))) == 3   # domain quota binds
+    assert all(0 <= r["stage"] <= 3 for r in got)
+    # chunks reassemble per doc to the C4-cleaned text
+    doc0 = [r for r in got if r["doc_id"] == 0]
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(doc0, key=lambda r: r["chunk_id"])
+    )
+    assert joined == ("alpha beta gamma delta.\nepsilon zeta eta theta.\n"
+                      "iota kappa lambda mu.")
+    assert all(r["n_chunk_tokens"] == len(r["chunk_text"].split(" "))
+               for r in got)
+
+
+def test_crawl_corpus_plan_is_jvm_only(spark, sf_dir):
+    """The flagship plan crosses into Python nowhere — every stage is
+    Catalyst expressions + windows + aggregates."""
+    from ihop_reddit_spark.caching import release_scoped_persists
+    from ihop_reddit_spark.plans.query_catalog import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["crawl_corpus"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    release_scoped_persists(df)
+    assert "Python" not in plan

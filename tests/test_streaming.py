@@ -382,3 +382,37 @@ def test_histogram_partials_stream_replay_safe(spark, tmp_path):
         ).collect()
     }
     assert again == want
+
+
+def test_stream_crawl_extraction_matches_batch_projection(spark, sf_dir):
+    """The crawl-extraction stream (round 6) is the batch projection run
+    per micro-batch — identical rows, because the plan has no state and
+    no shuffle (append mode, no watermark)."""
+    from ihop_reddit_spark.functions.text import html_to_text, link_density
+    from ihop_reddit_spark.functions.urls import normalize_url
+    from ihop_reddit_spark.plans.query_catalog import (
+        QUERIES,
+        _crawl_pages,
+    )
+
+    streamed = {
+        r["doc_id"]: r
+        for r in QUERIES["stream_crawl_extraction"](spark, sf_dir).collect()
+    }
+    batch = (
+        _crawl_pages(spark, sf_dir)
+        .select(
+            "doc_id",
+            html_to_text(F.col("html")).alias("clean_text"),
+            link_density(F.col("html")).alias("link_density"),
+            normalize_url(F.col("url")).alias("canonical_url"),
+        )
+        .where(F.col("link_density") <= 0.055)
+        .collect()
+    )
+    assert len(batch) == len(streamed) > 0
+    for r in batch:
+        s = streamed[r["doc_id"]]
+        assert (s["clean_text"], s["link_density"], s["canonical_url"]) == (
+            r["clean_text"], r["link_density"], r["canonical_url"]
+        )
