@@ -68,7 +68,11 @@ HEADLINE = [
     # leakage-safe splitting path, and the real animated-GIF codec
     "html_extracted_text",        # WET extraction (pure-JVM projection)
     "dedup_aware_splits",         # component-keyed split assignment
-    "gif_decode_gate",            # LZW decode + canvas composition
+    "gif_decode_gate",            # LZW decode + composition (1-in-41 sample since r6)
+    # round-6 additions: the composed crawl flagship and the baseline
+    # JPEG codec gate (1-in-7 sample)
+    "crawl_corpus",               # extract→gate→dedup→quota→C4→CDC→stages
+    "jpeg_decode_gate",           # Huffman + dequant + IDCT decode gate
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

@@ -542,6 +542,41 @@ def test_image_ahash_through_real_codec(spark):
     assert all(r["hamming"] == 0 for r in out.collect())
 
 
+def test_image_ahash_accepts_jpeg_payloads(spark):
+    """JPEG payloads flow the same decode_image → aHash near-dup path as
+    PNG/BMP/GIF (r6): a black/white block pattern survives the DC-step-8
+    round trip, so the planted aHash bits come out exactly."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import QUANT_DC8, jpeg_bytes
+    from ihop_reddit_spark.datapipe.multimodal import image_ahash
+
+    def pattern_px(i):
+        # 8×8 blocks of 0/255 keyed off (i, bx, by) — DC-only, exact
+        blocks = np.array(
+            [[255 if (i + bx + by) % 2 == 0 else 0 for bx in range(8)]
+             for by in range(8)],
+            dtype=np.uint8,
+        )
+        return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+    import pandas as pd
+
+    rows = [
+        (i, bytearray(jpeg_bytes(pattern_px(i), quant_luma=QUANT_DC8)))
+        for i in range(4)
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["asset_id", "payload"])
+    )
+    got = {r["asset_id"]: r["bits"] for r in image_ahash(assets).collect()}
+    for i in range(4):
+        expected = [
+            (i + bx + by) % 2 == 0 for by in range(8) for bx in range(8)
+        ]
+        assert got[i] == expected
+
+
 def test_audio_envelope_hash_through_real_codec(spark):
     from ihop_reddit_spark.datapipe.multimodal import (
         _segment_loud,

@@ -62,6 +62,9 @@ DEFAULT_QUERIES = [
     "normalized_url_groups",
     "cdc_chunked_documents",
     "domain_quota_survivors",
+    # round-6: the composed crawl flagship (extract→gate→frontier dedup→
+    # quota→C4→CDC→curriculum) — the heaviest pure-expression pipeline
+    "crawl_corpus",
 ]
 
 
