@@ -8158,75 +8158,47 @@ def tvd_drift_event_mix(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
-# TIME budget (~50 of ~150 queries per round). ROUND-4 rotation
-# (EVIDENCE-FIRST): VERDICT r3's one audit gap is the 33 queries never
-# sampled in any driver round — they lead, cheap relational/ops rows first,
-# then the invariant gates, then the never-scored streaming block (one
-# availableNow run each), then the never-scored trainers/capstones, so ten
-# sub-second proofs are never displaced by one 15-second trainer. After
-# the never-sampled block: queries whose only green row is round 1
-# (stalest evidence), then the remainder in the prior rotation's order,
-# pure execution-knob variants dead last. Reordering only — key sets and
-# query bodies untouched.
+# TIME budget (~50 of ~180 queries per round). ROUND-6 rotation
+# (EVIDENCE-FIRST, same policy as r4/r5): the 3 never-driver-sampled r6
+# queries lead (cheap gate -> streaming twin -> the composed flagship),
+# then every remaining query ordered by the round of its MOST RECENT
+# driver sample ascending (r2-stale block next -- 27 queries whose last
+# green row is round 2 -- then r3, r4, r5), ties keeping the prior
+# rotation's cost ordering. Generated from the union of CORRECTNESS_r0*.json
+# keys; pure execution-knob variants stay demoted. Reordering only -- key
+# sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    # --- never driver-sampled (new in r5): cheap rows first,
-    # trainer-tier gates last ---
-    "sink_roundtrip_counts",
-    "html_extracted_text",
-    "normalized_url_groups",
-    "cdc_chunked_documents",
-    "domain_quota_survivors",
-    "incremental_winnow_shared_pairs",
-    "curriculum_stage_assignments",
-    "split_leakage_audit",
-    "png_decode_gate",
-    "gif_decode_gate",
-    "dedup_aware_splits",
-    "unigram_roundtrip_gate",
-    "unigram_invariants_gate",
-    # --- stalest evidence: last driver-sampled in round 1 ---
-    "ngram_jaccard_pairs",
-    "duplicate_components_ngram",
-    "embedding_near_dup_pairs",
-    "coherence_task_export",
-    "multimodal_frame_samples",
-    "multimodal_image_features",
-    "multimodal_audio_resample",
-    "stream_user_sessions",
-    "stream_sliding_event_counts",
-    "stream_windowed_top_event_types",
-    "stream_user_running_totals",
-    "text_pipeline_term_counts",
-    "embedding_sum_by_label",
-    "intruder_task_export",
-    "doc_quality_features",
-    "exact_duplicate_groups",
-    "knn_bruteforce_cosine",
-    "multimodal_asset_byte_stats",
-    "stream_windowed_event_counts",
-    "user_sessions_batch",
-    "corpus_prep_survivors",
-    # --- stalest evidence: last driver-sampled in round 2 ---
-    "range_join_clicks_before_purchase",
-    "ivf_ann_recall",
-    "kmeans_quality_metrics",
-    "cluster_compare_kmeans_vs_labels",
-    "pca_projection_2d",
-    "minhash_near_dup_pairs",
-    "kmeans_cluster_sizes",
-    "cluster_greedy_max_match",
-    "lda_topic_terms",
-    "c2v_event_embeddings",
-    "ivf_ann_topk",
-    "topn_parts_by_lineitems",
-    "order_lineitem_ship_delay",
-    "user_event_contexts",
-    "simhash_candidate_pairs",
-    "minhash_verified_pairs",
+    "jpeg_decode_gate",
+    "stream_crawl_extraction",
+    "crawl_corpus",
     "doc_repetition_features",
     "dataset_split_sizes",
-    # --- stalest evidence: last driver-sampled in round 3 ---
+    "semi_join_topn_flag_counts",
+    "anti_join_customers_without_f_orders",
+    "regex_filter_parts",
+    "filtered_event_counts",
+    "derived_and_recategorized_customers",
+    "rollup_order_status_totals",
+    "cube_order_status_totals",
+    "pivot_nation_segment_counts",
+    "quantiles_value_by_event_type",
+    "salted_join_event_type_weights",
+    "exclude_top_users",
+    "order_thread_documents",
+    "describe_value_by_event_type",
+    "top3_customers_per_segment",
+    "union_dedup_customers",
+    "table_selection_with_neighbors",
+    "nation_customer_supplier_alignment",
+    "segment_nation_contingency",
+    "json_props_stats_by_type",
+    "deterministic_sample_documents",
+    "approx_distinct_users_by_type",
+    "approx_quantiles_value_tolerance",
+    "decontaminated_documents",
+    "mixture_sample_by_source",
+    "packed_sequence_bins",
     "curated_training_corpus",
     "c4_cleaned_documents",
     "c4_sentence_span_dedup",
@@ -8277,7 +8249,6 @@ _SCORING_PRIORITY = [
     "hourly_event_counts_gapfilled",
     "event_neighbor_lags",
     "asof_purchase_to_click",
-    # --- stalest evidence: last driver-sampled in round 4 ---
     "asof_forward_purchase_to_click",
     "duplicate_components_star_ngram",
     "levenshtein_verified_pairs",
@@ -8328,6 +8299,56 @@ _SCORING_PRIORITY = [
     "pmi_terms_by_lang",
     "doc_lang_id",
     "doc_token_budgets",
+    "sink_roundtrip_counts",
+    "html_extracted_text",
+    "normalized_url_groups",
+    "cdc_chunked_documents",
+    "domain_quota_survivors",
+    "incremental_winnow_shared_pairs",
+    "curriculum_stage_assignments",
+    "split_leakage_audit",
+    "png_decode_gate",
+    "gif_decode_gate",
+    "dedup_aware_splits",
+    "unigram_roundtrip_gate",
+    "unigram_invariants_gate",
+    "ngram_jaccard_pairs",
+    "duplicate_components_ngram",
+    "embedding_near_dup_pairs",
+    "coherence_task_export",
+    "multimodal_frame_samples",
+    "multimodal_image_features",
+    "multimodal_audio_resample",
+    "stream_user_sessions",
+    "stream_sliding_event_counts",
+    "stream_windowed_top_event_types",
+    "stream_user_running_totals",
+    "text_pipeline_term_counts",
+    "embedding_sum_by_label",
+    "intruder_task_export",
+    "doc_quality_features",
+    "exact_duplicate_groups",
+    "knn_bruteforce_cosine",
+    "multimodal_asset_byte_stats",
+    "stream_windowed_event_counts",
+    "user_sessions_batch",
+    "corpus_prep_survivors",
+    "range_join_clicks_before_purchase",
+    "ivf_ann_recall",
+    "kmeans_quality_metrics",
+    "cluster_compare_kmeans_vs_labels",
+    "pca_projection_2d",
+    "minhash_near_dup_pairs",
+    "kmeans_cluster_sizes",
+    "cluster_greedy_max_match",
+    "lda_topic_terms",
+    "c2v_event_embeddings",
+    "ivf_ann_topk",
+    "topn_parts_by_lineitems",
+    "order_lineitem_ship_delay",
+    "user_event_contexts",
+    "simhash_candidate_pairs",
+    "minhash_verified_pairs",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.
