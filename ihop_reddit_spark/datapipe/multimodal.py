@@ -18,11 +18,12 @@ stubbed):
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB size it so a
   batch of payloads fits executor memory (payloads are MBs, not KBs; 64-256
   rows/batch is typical for images).
-* **Three formats decode for REAL, dependency-free**: PNG (stdlib zlib
+* **Five formats decode for REAL, dependency-free**: PNG (stdlib zlib
   inflate + CRC + full five-filter unfiltering, :func:`decode_png`), 24-bit
-  BMP (:func:`decode_bmp`), and RIFF/WAVE PCM16 (:func:`decode_wav`) —
-  oracle-gated on planted closed-form pixels/samples. The generic codecs
-  (PIL / libav / torchaudio: JPEG, MP4, …) are NOT in this container —
+  BMP (:func:`decode_bmp`), animated GIF (:func:`decode_gif`), baseline
+  JPEG (:mod:`.jpeg_codec`, r6), and RIFF/WAVE PCM16 (:func:`decode_wav`)
+  — oracle-gated on planted closed-form pixels/samples. The generic codecs
+  (PIL / libav / torchaudio: WebP, MP4, …) are NOT in this container —
   ``decode_fn="real"`` raises ``NotImplementedError`` at the first batch. The
   default ``decode_fn="fake"`` derives every "decoded" statistic
   deterministically from the payload's md5 digest, so tests assert exact
@@ -130,13 +131,14 @@ def _fake_decode_stats(payload: bytes) -> tuple[float, float]:
 
 
 def _real_decode_stats(payload: bytes) -> tuple[float, float]:
-    # STUB — generic media decoding (JPEG/MP4/…) needs PIL/libav, not
-    # present in this container. PNG, 24-bit BMP, and WAV-PCM16 have REAL
-    # stdlib decoders below (decode_png/decode_bmp/decode_wav); swap this
-    # function for the actual codec in deployment.
+    # STUB — generic media decoding (WebP/MP4/…) needs PIL/libav, not
+    # present in this container. PNG, 24-bit BMP, GIF, baseline JPEG, and
+    # WAV-PCM16 have REAL decoders (decode_image dispatch / decode_wav);
+    # swap this function for the actual codec in deployment.
     raise NotImplementedError(
-        "generic media decoding requires PIL/libav; PNG/BMP/WAV decode for "
-        "real via decode_image/decode_wav, use decode_fn='fake' otherwise"
+        "generic media decoding requires PIL/libav; PNG/BMP/GIF/JPEG/WAV "
+        "decode for real via decode_image/decode_wav, use decode_fn='fake' "
+        "otherwise"
     )
 
 
