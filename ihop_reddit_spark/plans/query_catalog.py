@@ -3551,8 +3551,6 @@ def sink_roundtrip_counts(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
-
-
 # ---------------------------------------------------------------------------
 # IVF-PQ recall gate (similarity.train_pq_codebooks/pq_encode/ivf_pq_knn —
 # Jégou et al. TPAMI 2011, the FAISS IVFADC+refine memory tier): probe
@@ -4298,6 +4296,95 @@ def stream_crawl_extraction(spark, sf_dir):
         normalize_url(F.col("url")).alias("canonical_url"),
     ).where(F.col("link_density") <= 0.055)
     return _run_to_memory(ext, spark, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip gate (sources/warc.py — r6): the crawl tier's REAL
+# container format. The planted crawl pages are written as per-record-gzip
+# ``.warc.gz`` files DISTRIBUTED (one file per partition, the Common-Crawl
+# layout), read back through the ``warc`` Python Data Source (one planner
+# task per file), and the embedded HTTP bodies flow the same
+# html_to_text chain as the flagship — so the oracle never sees WARC at
+# all: it derives clean text straight from the documents table, and a
+# lossy writer/parser/source anywhere in the loop breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "warc_roundtrip_pages",
+    (
+        "WITH "
+        + _CRAWL_PAGE_SQL
+        + ",\n"
+        + _HTML_EXTRACT_CTES
+        + """
+    SELECT doc_id, CAST(200 AS INTEGER) AS http_status,
+           'text/html' AS content_type, clean_text
+    FROM ext
+    """
+    ),
+)
+def warc_roundtrip_pages(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources.warc import WarcDataSource, warc_record_bytes, write_warc
+
+    spark.dataSource.register(WarcDataSource)
+    pages = _crawl_pages(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "html",
+    )
+
+    def write_part(it):
+        import os
+
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            recs = [
+                warc_record_bytes(u, h.encode("utf-8"))
+                for u, h in zip(pdf["url"], pdf["html"])
+            ]
+            path = os.path.join(
+                write_part.work, f"part-{int(pdf['doc_id'].min()):08d}.warc.gz"
+            )
+            write_warc(path, recs)
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+    work = tempfile.mkdtemp(prefix="warc_rt_")
+    write_part.work = work
+    try:
+        n_files = (
+            pages.repartition(8, "doc_id")
+            .mapInPandas(write_part, "path string, n long")
+            .count()
+        )
+        assert n_files >= 1
+        back = (
+            spark.read.format("warc").option("path", work).load()
+            .where(F.col("record_type") == "response")
+        )
+        out = back.select(
+            F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_status"),
+            F.col("content_type"),
+            TX.html_to_text(F.decode(F.col("payload"), "UTF-8")).alias(
+                "clean_text"
+            ),
+        )
+        # materialize so the temp dir can be deleted (doc-count-bounded)
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -8171,6 +8258,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "jpeg_decode_gate",
     "stream_crawl_extraction",
+    "warc_roundtrip_pages",
     "crawl_corpus",
     "doc_repetition_features",
     "dataset_split_sizes",

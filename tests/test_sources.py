@@ -387,3 +387,87 @@ def test_targeted_delete_escaped_partition_values(spark, tmp_path):
     ] == []
     back = spark.read.parquet(path)
     assert back.count() == 2 and back.where("user_id = 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# WARC source (sources/warc.py — round 6)
+# ---------------------------------------------------------------------------
+def test_warc_writer_parser_round_trip():
+    """Plain and per-record-gzip WARC round-trip bit-exactly: warcinfo
+    head record, HTTP status/content-type/body split, deterministic
+    record ids (md5, no uuid/clock)."""
+    import gzip
+    import io
+
+    from ihop_reddit_spark.sources.warc import (
+        iter_warc_records,
+        warc_record_bytes,
+        write_warc,
+    )
+
+    recs = [
+        warc_record_bytes(
+            f"http://ex.com/{i}", f"<html>doc {i}</html>".encode()
+        )
+        for i in range(3)
+    ]
+    for gz in (False, True):
+        path = f"/tmp/warc_rt_test.warc{'.gz' if gz else ''}"
+        write_warc(path, recs, gzip_members=gz)
+        raw = open(path, "rb")
+        stream = gzip.GzipFile(fileobj=raw) if gz else raw
+        got = list(iter_warc_records(stream))
+        raw.close()
+        assert [r["record_type"] for r in got] == [
+            "warcinfo", "response", "response", "response"
+        ]
+        for i, r in enumerate(got[1:]):
+            assert r["url"] == f"http://ex.com/{i}"
+            assert r["http_status"] == 200
+            assert r["content_type"] == "text/html"
+            assert r["payload"] == f"<html>doc {i}</html>".encode()
+    # same-path rewrite is byte-identical (mtime=0, md5 record ids)
+    a = open("/tmp/warc_rt_test.warc.gz", "rb").read()
+    write_warc("/tmp/warc_rt_test.warc.gz", recs, gzip_members=True)
+    assert a == open("/tmp/warc_rt_test.warc.gz", "rb").read()
+    # truncated payload fails loudly, never silently drops the tail
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(iter_warc_records(io.BytesIO(recs[0][: len(recs[0]) // 2])))
+
+
+def test_warc_datasource_parallel_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources.warc import (
+        WarcDataSource,
+        warc_record_bytes,
+        write_warc,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(
+        str(d / "a.warc.gz"),
+        [warc_record_bytes("http://ex.com/1", b"<p>one</p>"),
+         warc_record_bytes("http://ex.com/2", b"<p>two</p>", status=404)],
+    )
+    write_warc(
+        str(d / "b.warc"),
+        [warc_record_bytes("http://ex.com/3", b"<p>three</p>")],
+        gzip_members=False,
+    )
+    df = spark.read.format("warc").option("path", str(d)).load()
+    # one planner task per file (gzip members stream but don't split)
+    assert df.rdd.getNumPartitions() == 2
+    got = df.where(F.col("record_type") == "response").collect()
+    by_url = {r["url"]: r for r in got}
+    assert set(by_url) == {f"http://ex.com/{i}" for i in (1, 2, 3)}
+    assert by_url["http://ex.com/2"]["http_status"] == 404
+    assert bytes(by_url["http://ex.com/3"]["payload"]) == b"<p>three</p>"
+    # warcinfo head records ride along with NULL url/status
+    infos = df.where(F.col("record_type") == "warcinfo").collect()
+    assert len(infos) == 2
+    assert all(r["url"] is None and r["http_status"] is None for r in infos)
