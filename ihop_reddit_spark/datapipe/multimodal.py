@@ -560,9 +560,10 @@ def decode_png(payload: bytes):
     """Real PNG decoder, stdlib-only: chunk walk with CRC verification,
     ``zlib`` inflate, and full scanline unfiltering (all five filter
     types). Supports 8-bit non-interlaced grayscale / gray+alpha /
-    truecolor / truecolor+alpha; returns H×W×3 uint8 RGB (gray
-    replicated, alpha stripped). Palette/16-bit/interlaced raise the
-    marked ``NotImplementedError`` — they need PIL in deployment."""
+    truecolor / truecolor+alpha / palette (PLTE lookup, r6); returns
+    H×W×3 uint8 RGB (gray replicated, alpha stripped). 16-bit/interlaced
+    raise the marked ``NotImplementedError`` — they need PIL in
+    deployment."""
     import struct
     import zlib
 
@@ -573,6 +574,7 @@ def decode_png(payload: bytes):
     pos = 8
     idat = bytearray()
     ihdr = None
+    plte = None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -582,6 +584,10 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -591,13 +597,16 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
     if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
-        # STUB boundary — 16-bit / interlaced PNG needs PIL in deployment
+        # STUB boundary — 16-bit / sub-byte-depth / Adam7-interlaced PNG
+        # needs PIL in deployment
         raise NotImplementedError(
             "only 8-bit non-interlaced PNG supported without PIL"
         )
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
-        raise NotImplementedError("palette PNG requires PIL")
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     bpp = ch
@@ -635,7 +644,12 @@ def decode_png(payload: bytes):
         out[y] = rec.astype(np.uint8)
         prev = rec
     px = out.reshape(h, w, ch)
-    if ch == 1:
+    if ctype == 3:  # palette indices → PLTE RGB lookup
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[idx]
+    elif ch == 1:
         px = np.repeat(px, 3, axis=2)
     elif ch == 2:  # gray + alpha → replicate gray, strip alpha
         px = np.repeat(px[:, :, :1], 3, axis=2)

@@ -274,6 +274,40 @@ def test_png_grayscale_and_alpha_channels():
     px = decode_png(make_png(2, 1, 4, 2, [bytes([9, 255, 7, 128])]))
     assert (px[0, 0] == [9, 9, 9]).all() and (px[0, 1] == [7, 7, 7]).all()
 
+    # palette (type 3, r6): indices map through PLTE
+    import pytest
+
+    def make_palette_png(w, h, rows, palette, *, drop_plte=False):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        body = b"".join(b"\x00" + r for r in rows)
+        plte = chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+            + (b"" if drop_plte else plte)
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+
+    pal = [(255, 0, 0), (0, 128, 0), (0, 0, 64)]
+    px = decode_png(
+        make_palette_png(3, 2, [bytes([0, 1, 2]), bytes([2, 2, 0])], pal)
+    )
+    assert px.shape == (2, 3, 3)
+    assert (px[0, 1] == [0, 128, 0]).all() and (px[1, 0] == [0, 0, 64]).all()
+    # missing PLTE and out-of-range indices fail loudly
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(
+            make_palette_png(1, 1, [bytes([0])], pal, drop_plte=True)
+        )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(make_palette_png(1, 1, [bytes([9])], pal))
+
 
 def test_image_ahash_accepts_png_payloads(spark):
     """The dedup path is codec-agnostic: the same planted block pattern
