@@ -41,6 +41,7 @@ GATES = [
     "unigram_roundtrip_gate",
     "png_decode_gate",
     "gif_decode_gate",
+    "jpeg_decode_gate",
     "media_decode_gate",
     # split_leakage_audit deliberately absent: it emits exact COUNTS
     # (hash-gated by the oracle), not gate booleans
