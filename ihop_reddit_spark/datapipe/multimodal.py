@@ -559,11 +559,13 @@ def png_bytes(pixels, *, cycle_filters: bool = True) -> bytes:
 def decode_png(payload: bytes):
     """Real PNG decoder, stdlib-only: chunk walk with CRC verification,
     ``zlib`` inflate, and full scanline unfiltering (all five filter
-    types). Supports 8-bit non-interlaced grayscale / gray+alpha /
-    truecolor / truecolor+alpha / palette (PLTE lookup, r6); returns
-    H×W×3 uint8 RGB (gray replicated, alpha stripped). 16-bit/interlaced
-    raise the marked ``NotImplementedError`` — they need PIL in
-    deployment."""
+    types). Supports grayscale / gray+alpha / truecolor /
+    truecolor+alpha / palette (PLTE lookup), 8- and 16-bit depths
+    (16-bit scaled to 8 via the high byte), and Adam7 interlacing
+    (seven independently-filtered sub-images scattered back — the GIF
+    decoder's interlace sibling); returns H×W×3 uint8 RGB (gray
+    replicated, alpha stripped). Sub-byte depths (1/2/4-bit) raise the
+    marked ``NotImplementedError`` — they need PIL in deployment."""
     import struct
     import zlib
 
@@ -596,54 +598,84 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
-        # STUB boundary — 16-bit / sub-byte-depth / Adam7-interlaced PNG
-        # needs PIL in deployment
+    if depth not in (8, 16) or comp != 0 or filt_method != 0 \
+            or interlace not in (0, 1):
+        # STUB boundary — sub-byte depths (1/2/4-bit) need PIL in deployment
         raise NotImplementedError(
-            "only 8-bit non-interlaced PNG supported without PIL"
+            "only 8/16-bit depth-byte-aligned PNG supported without PIL"
         )
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
         raise NotImplementedError(f"unsupported PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if ctype == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    bpp = ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        pos += 1
-        line = np.frombuffer(
-            raw[pos : pos + stride], dtype=np.uint8
-        ).astype(np.int64)
-        pos += stride
-        if ft == 0:
-            rec = line
-        elif ft == 2:  # Up — vectorizes (no intra-row dependency)
-            rec = (line + prev) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth scan left-to-right
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
-                rec[x] = (int(line[x]) + pred) % 256
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    px = out.reshape(h, w, ch)
+    nbytes = depth // 8
+    bpp = ch * nbytes
+
+    def unfilter(pos: int, pw: int, ph: int):
+        """Unfilter one (sub-)image of ph scanlines × pw pixels starting
+        at byte ``pos``; returns (ph, pw, ch) uint8 samples (16-bit
+        scaled to 8 via the high byte) and the next position."""
+        stride = pw * bpp
+        rows = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(ph):
+            if pos >= len(raw):
+                raise ValueError("PNG scanline data length mismatch")
+            ft = raw[pos]
+            pos += 1
+            line = np.frombuffer(
+                raw[pos : pos + stride], dtype=np.uint8
+            ).astype(np.int64)
+            if len(line) != stride:
+                raise ValueError("PNG scanline data length mismatch")
+            pos += stride
+            if ft == 0:
+                rec = line
+            elif ft == 2:  # Up — vectorizes (no intra-row dependency)
+                rec = (line + prev) % 256
+            elif ft in (1, 3, 4):  # Sub/Average/Paeth scan left-to-right
+                rec = np.empty(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pred = _paeth(a, b, c)
+                    rec[x] = (int(line[x]) + pred) % 256
+            else:
+                raise ValueError(f"invalid PNG filter type {ft}")
+            rows[y] = rec.astype(np.uint8)
+            prev = rec
+        samples = rows.reshape(ph, pw, ch, nbytes)[..., 0]  # high byte
+        return samples, pos
+
+    if interlace == 0:
+        px, pos = unfilter(0, w, h)
+        if pos != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+    else:  # Adam7: seven independently-filtered sub-images (r6)
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, xs, y0, ys in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no scanlines
+            sub, pos = unfilter(pos, pw, ph)
+            px[y0::ys, x0::xs] = sub
+        if pos != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
     if ctype == 3:  # palette indices → PLTE RGB lookup
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):

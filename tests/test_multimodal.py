@@ -803,3 +803,53 @@ def test_decode_image_dispatches_jpeg_and_real_asset_features(spark):
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == exp
         assert r["width"] == 16
         assert r["height"] == (16 if i % 4 == 2 else 8 + i % 4)
+
+
+def test_png_adam7_interlace_and_16bit_depth():
+    """Adam7 (r6): seven independently-filtered sub-images scatter back
+    bit-exactly; 16-bit samples scale to 8 via the high byte; sub-byte
+    depths remain the marked stub."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, ctype, interlace, body):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                interlace))
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    w, h = 9, 10
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    body = bytearray()
+    for x0, xs, y0, ys in ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8),
+                           (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2),
+                           (0, 1, 1, 2)):
+        sub = px[y0::ys, x0::xs]
+        for row in sub:
+            body += b"\x00" + row.tobytes()
+    assert np.array_equal(decode_png(png(w, h, 8, 2, 1, body)), px)
+
+    g16 = rng.randint(0, 65536, size=(3, 4)).astype(">u2")
+    body = b"".join(b"\x00" + row.tobytes() for row in g16)
+    out = decode_png(png(4, 3, 16, 0, 0, body))
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_png(png(8, 1, 4, 0, 0, b"\x00\x00\x00\x00\x00"))
