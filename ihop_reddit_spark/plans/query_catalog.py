@@ -3481,6 +3481,59 @@ def jpeg_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# AVI/MJPEG container gate (datapipe/avi — r6, completes the r5 residual
+# "JPEG AND container-format video decode"). Each asset is a genuine
+# RIFF/AVI file: hdrl headers, word-aligned 00dc chunks (frame sizes
+# include odd lengths → the alignment path runs on every asset), and a
+# cross-checked idx1 index; frame f of asset i is a baseline JPEG of four
+# solid 8×8 blocks planted at (37·i + 80·k + 71·f) % 256 — the per-frame
+# variation proves frame ORDER through the container, not just payload
+# recovery. Exact means therefore prove chunk walk + index verification +
+# per-frame Huffman/dequant/IDCT end-to-end. 1-in-13 id sample: format-
+# path coverage, not corpus volume (every frame count 2/3/4 still hit).
+# ---------------------------------------------------------------------------
+@query(
+    "avi_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames,
+           TRUE AS avi_exact
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def avi_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import avi_frame_stats, synthesize_avi_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    stats = avi_frame_stats(synthesize_avi_assets(docs))
+    i, f = F.col("asset_id"), F.col("frame_index")
+    mean = (
+        ((i * 37 + f * 71) % 256)
+        + ((i * 37 + 80 + f * 71) % 256)
+        + ((i * 37 + 160 + f * 71) % 256)
+        + ((i * 37 + 240 + f * 71) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok")
+    ).agg(
+        F.min("ok").alias("avi_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "n_frames", "avi_exact")
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -8256,6 +8309,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "avi_decode_gate",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",

@@ -853,3 +853,138 @@ def test_png_adam7_interlace_and_16bit_depth():
 
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_png(png(8, 1, 4, 0, 0, b"\x00\x00\x00\x00\x00"))
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container (datapipe/avi)
+# ---------------------------------------------------------------------------
+def _planted_jpeg_frames(i: int, n: int, size: int = 16):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import QUANT_DC8, jpeg_bytes
+
+    frames = []
+    for f in range(n):
+        vals = np.array(
+            [[(37 * i + 80 * k + 71 * f) % 256 for k in (0, 1)],
+             [(37 * i + 80 * k + 71 * f) % 256 for k in (2, 3)]],
+            dtype=np.uint8,
+        )
+        px = np.repeat(np.repeat(vals, size // 2, axis=0), size // 2, axis=1)
+        frames.append(jpeg_bytes(px, quant_luma=QUANT_DC8))
+    return frames
+
+
+def test_avi_round_trip_and_strict_validation():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.avi import (
+        avi_bytes,
+        decode_avi,
+        parse_avi,
+    )
+
+    frames = _planted_jpeg_frames(5, 3)
+    payload = avi_bytes(frames, width=16, height=16, fps=10)
+
+    # deterministic writer + lossless frame recovery through the walk
+    assert avi_bytes(frames, width=16, height=16, fps=10) == payload
+    avi = parse_avi(payload)
+    assert (avi.width, avi.height, avi.fps, avi.n_frames) == (16, 16, 10.0, 3)
+    assert avi.frames == frames
+
+    # planted pixels decode exactly through per-frame baseline JPEG
+    _avi, pxs = decode_avi(payload)
+    for f, px in enumerate(pxs):
+        vals = np.array(
+            [[(37 * 5 + 80 * k + 71 * f) % 256 for k in (0, 1)],
+             [(37 * 5 + 80 * k + 71 * f) % 256 for k in (2, 3)]],
+            dtype=np.uint8,
+        )
+        want = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        assert px.shape == (16, 16, 3)
+        assert all(np.array_equal(px[:, :, c], want) for c in range(3))
+
+    # truncation fails loudly
+    with pytest.raises(ValueError, match="RIFF declares"):
+        parse_avi(payload[: len(payload) // 2])
+    # not an AVI form (e.g. a WAV RIFF)
+    with pytest.raises(ValueError, match="not 'AVI '"):
+        parse_avi(payload[:8] + b"WAVE" + payload[12:])
+
+    # idx1 size corruption is caught
+    bad = bytearray(payload)
+    i = payload.rindex(b"idx1")
+    bad[i + 16 : i + 20] = struct.pack("<I", 999)
+    with pytest.raises(ValueError, match="idx1 offset 999"):
+        parse_avi(bytes(bad))
+
+    # frame-count disagreement (patched avih.dwTotalFrames) is caught
+    bad = bytearray(payload)
+    i = payload.index(b"avih") + 8 + 16
+    bad[i : i + 4] = struct.pack("<I", 7)
+    with pytest.raises(ValueError, match="frame-count disagreement"):
+        parse_avi(bytes(bad))
+
+    # non-MJPG handler is the marked libav stub boundary
+    bad = bytearray(payload)
+    i = payload.index(b"strh") + 8 + 4
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        parse_avi(bytes(bad))
+
+    # legacy absolute-offset idx1 convention is accepted
+    movi_pos = payload.index(b"movi")
+    alt = bytearray(payload)
+    i = payload.rindex(b"idx1") + 8
+    n_entries = struct.unpack_from("<I", payload, payload.rindex(b"idx1") + 4)[0] // 16
+    for e in range(n_entries):
+        off = struct.unpack_from("<I", alt, i + e * 16 + 8)[0]
+        struct.pack_into("<I", alt, i + e * 16 + 8, off + movi_pos)
+    assert parse_avi(bytes(alt)).frames == frames
+
+
+def test_avi_planted_frames_distributed(spark):
+    from ihop_reddit_spark.datapipe.multimodal import (
+        avi_frame_stats,
+        synthesize_avi_assets,
+    )
+
+    ids = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    stats = avi_frame_stats(synthesize_avi_assets(ids)).collect()
+    by_asset: dict = {}
+    for r in stats:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for i in range(9):
+        rows = sorted(by_asset[i], key=lambda r: r["frame_index"])
+        assert len(rows) == 2 + i % 3
+        for f, r in enumerate(rows):
+            want = sum((37 * i + 80 * k + 71 * f) % 256 for k in range(4)) / 4
+            assert (r["width"], r["height"]) == (16, 16)
+            assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
+
+
+def test_avi_frame_ahash(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.avi import decode_avi
+    from ihop_reddit_spark.datapipe.multimodal import (
+        _ahash_bits,
+        avi_frame_ahash,
+        synthesize_avi_assets,
+    )
+
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    assets = synthesize_avi_assets(ids)
+    hashed = {
+        (r["asset_id"], r["frame_index"]): r["bits"]
+        for r in avi_frame_ahash(assets).collect()
+    }
+    for r in assets.collect():
+        _avi, pxs = decode_avi(bytes(r["payload"]))
+        for f, px in enumerate(pxs):
+            assert hashed[(r["asset_id"], f)] == _ahash_bits(px, 8)
+            assert len(hashed[(r["asset_id"], f)]) == 64
