@@ -350,16 +350,15 @@ def wav_bytes(samples, sample_rate: int) -> bytes:
     return hdr + fmt + data + pcm16
 
 
-def decode_wav(payload: bytes):
-    """Parse RIFF/WAVE PCM16 mono → (sample_rate, float64 samples in
-    [-1, 1]). Walks the chunk list properly (fmt/data may have siblings)."""
+def _parse_wav_chunks(payload: bytes):
+    """RIFF/WAVE chunk walk → (fmt_tag, channels, rate, bits, data).
+    fmt/data may have siblings (LIST, fact, cue) — all skipped with
+    word-aligned stepping."""
     import struct
-
-    import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, data = 12, None, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -367,14 +366,126 @@ def decode_wav(payload: bytes):
         if cid == b"fmt ":
             fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if (fmt_tag, channels, bits) != (1, 1, 16):
-                raise ValueError("only PCM16 mono supported")
+            fmt = (fmt_tag, channels, rate, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if rate is None or data is None:
+    if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return rate, np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    return (*fmt, data)
+
+
+# G.711 expansion tables (ITU-T G.711 / the public-domain Sun g711.c
+# formulas): 256-entry code→linear LUTs built once at import. μ-law:
+# complement, then ((2·mantissa + 33) << exponent) − 33 scaled by 8
+# (bias 0x84 form); A-law: XOR 0x55, segmented. Both are integer
+# BIJECTIONS on their magnitude range, so planted codes make decode
+# gates hash-exact — and the same formulas are SQL-expressible for the
+# DuckDB oracle.
+def _build_g711_tables():
+    import numpy as np
+
+    mu = np.empty(256, dtype=np.int64)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        mu[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, dtype=np.int64)
+    for code in range(256):
+        a = code ^ 0x55
+        seg = (a >> 4) & 0x07
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[code] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_MULAW_LUT, _ALAW_LUT = _build_g711_tables()
+_G711_TAGS = {6: "alaw", 7: "mulaw"}
+
+
+def g711_expand(codes, law: str):
+    """8-bit G.711 codes → int64 linear samples (exact table lookup)."""
+    import numpy as np
+
+    lut = {"mulaw": _MULAW_LUT, "alaw": _ALAW_LUT}[law]
+    return lut[np.asarray(codes, dtype=np.uint8)]
+
+
+def g711_compress(linear, law: str):
+    """int linear samples → 8-bit G.711 codes (nearest-code quantizer
+    via searchsorted on the sorted decode table — exact inverse of
+    :func:`g711_expand` on its own output, pytest-pinned)."""
+    import numpy as np
+
+    lut = {"mulaw": _MULAW_LUT, "alaw": _ALAW_LUT}[law]
+    order = np.argsort(lut, kind="stable")
+    sorted_vals = lut[order]
+    x = np.asarray(linear, dtype=np.int64)
+    idx = np.clip(np.searchsorted(sorted_vals, x), 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    pick_lo = np.abs(sorted_vals[lo] - x) <= np.abs(sorted_vals[idx] - x)
+    return order[np.where(pick_lo, lo, idx)].astype(np.uint8)
+
+
+def g711_wav_bytes(codes, sample_rate: int, law: str = "mulaw") -> bytes:
+    """G.711 mono RIFF/WAVE encoder: raw 8-bit codes, fmt tag 7 (μ-law)
+    or 6 (A-law), plus the `fact` chunk non-PCM formats require."""
+    import struct
+
+    import numpy as np
+
+    tag = {"mulaw": 7, "alaw": 6}[law]
+    raw = np.asarray(codes, dtype=np.uint8).tobytes()
+    n = len(raw)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, tag, 1, sample_rate, sample_rate, 1, 8
+    )
+    fact = b"fact" + struct.pack("<II", 4, n)
+    data = b"data" + struct.pack("<I", n) + raw + (b"\x00" if n % 2 else b"")
+    payload = b"WAVE" + fmt + fact + data
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_wav(payload: bytes):
+    """Parse RIFF/WAVE mono → (sample_rate, float64 samples in [-1, 1]):
+    PCM16 (tag 1), μ-law (7) and A-law (6) — G.711 expands through the
+    exact integer LUTs then normalizes by the 13/14-bit full scale."""
+    import numpy as np
+
+    fmt_tag, channels, rate, bits, data = _parse_wav_chunks(payload)
+    if fmt_tag == 1 and channels == 1 and bits == 16:
+        return rate, np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    if fmt_tag in _G711_TAGS and channels == 1 and bits == 8:
+        law = _G711_TAGS[fmt_tag]
+        lin = g711_expand(np.frombuffer(data, dtype=np.uint8), law)
+        # the g711.c formulas yield 16-bit-scaled linear values:
+        # ±32124 (μ-law), ±32256 (A-law)
+        scale = 32124.0 if law == "mulaw" else 32256.0
+        return rate, lin.astype(np.float64) / scale
+    raise ValueError(
+        f"only PCM16/μ-law/A-law mono supported, got fmt_tag={fmt_tag}"
+        f" channels={channels} bits={bits}"
+    )
+
+
+def decode_wav_g711(payload: bytes):
+    """Parse a G.711 RIFF/WAVE → (sample_rate, law, int64 linear
+    samples) with NO float normalization — the hash-exact gate surface."""
+    import numpy as np
+
+    fmt_tag, channels, rate, bits, data = _parse_wav_chunks(payload)
+    if fmt_tag not in _G711_TAGS or channels != 1 or bits != 8:
+        raise ValueError(
+            f"not a mono G.711 WAV (fmt_tag={fmt_tag}, bits={bits})"
+        )
+    law = _G711_TAGS[fmt_tag]
+    return rate, law, g711_expand(np.frombuffer(data, dtype=np.uint8), law)
 
 
 def synthesize_wav_assets(
@@ -440,6 +551,64 @@ def wav_feature_stats(assets: DataFrame) -> DataFrame:
         stats,
         "asset_id long, sample_rate long, n_samples long,"
         " duration_s double, rms double",
+    )
+
+
+def synthesize_g711_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    sample_rate: int = 8000,
+    n_samples: int = 240,
+) -> DataFrame:
+    """Real G.711 WAV per id: law alternates by parity (even=μ-law,
+    odd=A-law) and sample ``n`` carries the planted code
+    ``(31·id + 7·n) % 256`` — every code value is hit across ids, so the
+    decode gate covers the full 256-entry expansion table of BOTH laws
+    with an integer closed form the SQL oracle replays bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        n = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                codes = ((31 * i + 7 * n) % 256).astype(np.uint8)
+                law = "mulaw" if i % 2 == 0 else "alaw"
+                rows.append((i, g711_wav_bytes(codes, sample_rate, law)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def g711_feature_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, law, sample_rate, n_samples, sum_linear) through the
+    REAL G.711 WAV parse + integer expansion — no float normalization,
+    so every column is hash-exact against the SQL replay of the G.711
+    formulas."""
+    import pandas as pd
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                rate, law, lin = decode_wav_g711(bytes(row["payload"]))
+                rows.append(
+                    (row["asset_id"], law, rate, len(lin), int(lin.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "law", "sample_rate", "n_samples", "sum_linear"
+                ],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, law string, sample_rate long, n_samples long,"
+        " sum_linear long",
     )
 
 

@@ -3534,6 +3534,64 @@ def avi_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G.711 telephony-audio gate (r6): each asset is a genuine μ-law (even
+# ids, fmt tag 7) or A-law (odd ids, tag 6) RIFF/WAVE whose sample n
+# carries the planted code (31·id + 7·n) % 256 — across the sampled ids
+# every code value of BOTH 256-entry expansion tables is exercised. The
+# engine parses the container and expands codes through the integer
+# G.711 LUTs; the oracle replays the ITU formulas (complement/XOR-0x55,
+# segmented shift) directly in SQL — per-row hash-exact integer sums, no
+# float normalization anywhere. 1-in-11 id sample (format-path coverage,
+# not corpus volume — parity keeps both laws in every sample).
+# ---------------------------------------------------------------------------
+@query(
+    "g711_decode_gate",
+    """
+    WITH s AS (
+      SELECT d.doc_id, (31 * d.doc_id + 7 * t.n) % 256 AS code
+      FROM documents d, (SELECT range AS n FROM range(240)) t
+      WHERE d.doc_id % 11 = 0
+    ), m AS (
+      SELECT doc_id, 255 - code AS u, xor(code, 85) AS a FROM s
+    ), x AS (
+      SELECT doc_id,
+        (((u & 15) << 3) + 132) << ((u >> 4) & 7) AS tu,
+        u & 128 AS su,
+        CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
+             WHEN ((a >> 4) & 7) = 1 THEN ((a & 15) << 4) + 264
+             ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1) END AS ta,
+        a & 128 AS sa
+      FROM m
+    )
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(240 AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0
+                         THEN CASE WHEN su != 0 THEN 132 - tu
+                                   ELSE tu - 132 END
+                         ELSE CASE WHEN sa != 0 THEN ta ELSE -ta END
+                    END) AS BIGINT) AS sum_linear
+    FROM x GROUP BY doc_id
+    """,
+)
+def g711_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        g711_feature_stats,
+        synthesize_g711_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    return g711_feature_stats(synthesize_g711_assets(docs)).select(
+        "asset_id", "law", "sample_rate", "n_samples", "sum_linear"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -8310,6 +8368,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
     "avi_decode_gate",
+    "g711_decode_gate",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",

@@ -988,3 +988,71 @@ def test_avi_frame_ahash(spark):
         for f, px in enumerate(pxs):
             assert hashed[(r["asset_id"], f)] == _ahash_bits(px, 8)
             assert len(hashed[(r["asset_id"], f)]) == 64
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (telephony WAV)
+# ---------------------------------------------------------------------------
+def test_g711_tables_round_trip_and_container():
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_wav,
+        decode_wav_g711,
+        g711_compress,
+        g711_expand,
+        g711_wav_bytes,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, full_scale in (("mulaw", 32124), ("alaw", 32256)):
+        lin = g711_expand(codes, law)
+        # 16-bit-scale range and zero representation exist
+        assert lin.min() == -full_scale and lin.max() == full_scale
+        # compress is the exact inverse on the decode table's values
+        assert (g711_expand(g711_compress(lin, law), law) == lin).all()
+        # nearest-code quantization for arbitrary linears
+        x = np.array([-30000, -1, 0, 1, 7, 100, 30000])
+        q = g711_expand(g711_compress(x, law), law)
+        assert (np.abs(q - x) <= np.abs(lin[:, None] - x).min(axis=0)).all()
+
+        # container round-trip: fact chunk skipped, odd data length padded
+        for n in (240, 241):
+            wav = g711_wav_bytes(codes[:n], 8000, law)
+            assert len(wav) % 2 == 0
+            rate, law2, lin2 = decode_wav_g711(wav)
+            assert (rate, law2) == (8000, law)
+            assert (lin2 == lin[:n]).all()
+            # generic float path normalizes into [-1, 1]
+            _, f = decode_wav(wav)
+            assert np.abs(f).max() <= 1.0
+
+    # G.711 payloads are rejected by the exact-int surface if PCM
+    from ihop_reddit_spark.datapipe.multimodal import wav_bytes
+
+    with pytest.raises(ValueError, match="not a mono G.711"):
+        decode_wav_g711(wav_bytes(np.zeros(8), 8000))
+
+
+def test_g711_planted_assets_distributed(spark):
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        g711_expand,
+        g711_feature_stats,
+        synthesize_g711_assets,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["asset_id"]: r
+        for r in g711_feature_stats(synthesize_g711_assets(ids)).collect()
+    }
+    n = np.arange(240, dtype=np.int64)
+    for i in range(8):
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        want = int(g711_expand(((31 * i + 7 * n) % 256), law).sum())
+        r = rows[i]
+        assert (r["law"], r["sample_rate"], r["n_samples"]) == (law, 8000, 240)
+        assert r["sum_linear"] == want
