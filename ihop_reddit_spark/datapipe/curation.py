@@ -175,6 +175,101 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    sep: str = " ",
+    *,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    max_positions: int = 50_000_000,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the IDENTICAL answer to
+    :func:`decontaminate` (oracle-pinned), on a plan that survives
+    benchmark sets too large to broadcast as an exact hash relation.
+
+    Why: :func:`decontaminate` broadcasts the distinct benchmark shingle
+    SET — right for one eval suite, but a many-suite union at lab scale
+    can reach 10^8 shingles × ~40 bytes ≳ the 8 GiB broadcast ceiling. A
+    Bloom filter of the same set costs ``n_bits`` TOTAL (1 MiB at the
+    2^23 default) regardless of shingle width — broadcastable long after
+    the exact set is not — and Bloom membership has NO false negatives,
+    so prefilter + exact verify gives exactly the same drops:
+
+    1. Benchmark side: ``n_hashes`` bit positions per distinct shingle
+       via JVM ``xxhash64(g, seed) pmod n_bits``; the DISTINCT positions
+       (≤ ``n_bits``, guarded by ``max_positions``) come to the driver
+       once and pack into a numpy bitmap, broadcast to executors — the
+       only driver hop, bitmap-sized, not benchmark-sized.
+    2. Corpus side: positions are computed JVM-side next to the shingle;
+       the ONLY Python step is the vectorized numpy bit-test in an Arrow
+       batch (an allowed crossing: broadcast-bitmap membership is not
+       expressible with builtins short of re-joining the exact set).
+       ~(1 − fpp) of corpus shingles die here without shuffling.
+    3. The surviving shingles (true hits + ~fpp noise) exact-join the
+       benchmark shingle set — AQE-decided, both sides now small — then
+       distinct ids anti-join the corpus. Schema unchanged.
+
+    Sizing: fpp ≈ (1 − e^(−k·s/m))^k for s benchmark shingles, m =
+    ``n_bits``, k = ``n_hashes``; the 2^23/5 default holds fpp < 1% out
+    to ~600k shingles. Raise ``n_bits`` with the benchmark, not the
+    corpus — corpus size never enters the memory budget.
+    """
+    import numpy as np
+
+    from .dedup import exploded_word_shingles
+
+    pos = [
+        F.pmod(F.xxhash64("__g", F.lit(j)), F.lit(n_bits)).alias(f"__p{j}")
+        for j in range(n_hashes)
+    ]
+    bg = (
+        exploded_word_shingles(benchmark, text_col, id_col, n=n, sep=sep)
+        .select("__g")
+        .distinct()
+    )
+    positions = (
+        bg.select(F.explode(F.array(*pos)).alias("p")).distinct().toPandas()
+    )
+    if len(positions) > max_positions:
+        raise ValueError(
+            f"benchmark sets {len(positions)} bloom bits > max_positions="
+            f"{max_positions}; raise n_bits/max_positions or use"
+            " decontaminate()"
+        )
+    bitmap = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    p = positions["p"].to_numpy(dtype=np.int64)
+    np.bitwise_or.at(bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8))
+    bc = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    id_type = dict(
+        zip(df.schema.fieldNames(), [f.dataType for f in df.schema.fields])
+    )[id_col].simpleString()
+    tg = exploded_word_shingles(df, text_col, id_col, n=n, sep=sep).select(
+        "__id", "__g", *pos
+    )
+
+    def bloom_test(it):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in it:
+            mask = np.ones(len(pdf), dtype=bool)
+            for j in range(n_hashes):
+                q = pdf[f"__p{j}"].to_numpy(dtype=np.int64)
+                mask &= (
+                    bits[q >> 3] & (1 << (q & 7)).astype(np.uint8)
+                ) != 0
+            yield pdf.loc[mask, ["__id", "__g"]]
+
+    candidates = tg.mapInPandas(bloom_test, f"__id {id_type}, __g string")
+    contaminated = candidates.join(bg, "__g").select("__id").distinct()
+    return df.join(
+        contaminated.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

@@ -3795,6 +3795,47 @@ def decontaminated_documents(spark, sf_dir):
     )
 
 
+# Bloom-prefiltered decontamination (r6): the IDENTICAL oracle SQL as
+# decontaminated_documents — Bloom membership has no false negatives and
+# the survivors are exact-verified, so the hash must match bit-for-bit.
+# What changes is the 100 TB plan: the benchmark shingle set broadcasts
+# as a fixed-size bitmap (1 MiB at the 2^23 default) instead of an exact
+# hash relation, so the gate survives benchmark unions past the 8 GiB
+# broadcast ceiling; ~99% of corpus shingles die in a vectorized Arrow
+# bit-test before any join.
+@query(
+    "bloom_decontaminated_documents",
+    """
+    WITH bench AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id % 25 = 0),
+    bg AS (
+      SELECT DISTINCT array_to_string(t[i : i+4], ' ') AS g
+      FROM bench, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    train AS (
+      SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id % 25 <> 0),
+    tg AS (
+      SELECT doc_id, array_to_string(t[i : i+4], ' ') AS g
+      FROM train, unnest(generate_series(1, greatest(len(t)-4, 1))) AS u(i)),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+    SELECT doc_id, source, n_chars FROM train
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def bloom_decontaminated_documents(spark, sf_dir):
+    """Same benchmark slice and answer as `decontaminated_documents`,
+    through the Bloom-prefilter plan (`curation.decontaminate_bloom`)."""
+    from ..datapipe.curation import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return decontaminate_bloom(train, bench, "text", "doc_id", n=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 # The AUDIT side of decontamination: which training docs leak which
 # benchmark docs and how hard — reviewers check the gate (and tune n)
 # instead of trusting it. Output is leak-sized (shared distinct 5-grams
@@ -8369,6 +8410,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "avi_decode_gate",
     "g711_decode_gate",
+    "bloom_decontaminated_documents",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",

@@ -749,3 +749,38 @@ def test_crawl_corpus_plan_is_jvm_only(spark, sf_dir):
     )
     release_scoped_persists(df)
     assert "Python" not in plan
+
+
+def test_decontaminate_bloom_equals_exact(spark, docs):
+    """The Bloom prefilter must give IDENTICAL drops to the exact path —
+    including under a deliberately tiny bitmap (high false-positive
+    rate), where the exact-verify join has real work to undo."""
+    from ihop_reddit_spark.datapipe.curation import decontaminate_bloom
+
+    bench = docs.where(F.col("doc_id") == 2)
+    train = docs.where(F.col("doc_id") != 2)
+    exact = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, "text", "doc_id", n=5).collect()
+    )
+    assert exact == [1, 4]
+    for n_bits in (1 << 23, 64):  # 64 bits → nearly-saturated bitmap
+        kept = decontaminate_bloom(
+            train, bench, "text", "doc_id", n=5, n_bits=n_bits
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == exact
+        assert kept.columns == train.columns
+
+    # empty benchmark → nothing dropped
+    kept = decontaminate_bloom(
+        train, bench.where(F.lit(False)), "text", "doc_id", n=5
+    )
+    assert kept.count() == train.count()
+
+    # the driver-side position guard trips loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_positions"):
+        decontaminate_bloom(
+            train, bench, "text", "doc_id", n=5, max_positions=1
+        )
