@@ -73,6 +73,12 @@ HEADLINE = [
     # JPEG codec gate (1-in-7 sample)
     "crawl_corpus",               # extract→gate→dedup→quota→C4→CDC→stages
     "jpeg_decode_gate",           # Huffman + dequant + IDCT decode gate
+    # round-6 (session 2) additions: the AVI/MJPEG container gate
+    # (1-in-13 sample), the G.711 telephony-audio gate (1-in-11), and
+    # the Bloom-prefilter decontamination plan
+    "avi_decode_gate",
+    "g711_decode_gate",
+    "bloom_decontaminated_documents",
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

@@ -65,6 +65,11 @@ DEFAULT_QUERIES = [
     # round-6: the composed crawl flagship (extract→gate→frontier dedup→
     # quota→C4→CDC→curriculum) — the heaviest pure-expression pipeline
     "crawl_corpus",
+    # round-6 (session 2): the Bloom-prefilter decontamination plan (the
+    # DuckDB side runs the exact-join formulation — same answer) and the
+    # G.711 gate (DuckDB replays the ITU expansion formulas in SQL)
+    "bloom_decontaminated_documents",
+    "g711_decode_gate",
 ]
 
 

@@ -43,8 +43,9 @@ GATES = [
     "gif_decode_gate",
     "jpeg_decode_gate",
     "media_decode_gate",
-    # split_leakage_audit deliberately absent: it emits exact COUNTS
-    # (hash-gated by the oracle), not gate booleans
+    "avi_decode_gate",
+    # split_leakage_audit and g711_decode_gate deliberately absent: they
+    # emit exact COUNTS/SUMS (hash-gated by the oracle), not gate booleans
 ]
 
 
