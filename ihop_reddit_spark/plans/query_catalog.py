@@ -3592,6 +3592,85 @@ def g711_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Versioned-manifest table gate (sources/manifest — r6): the storage
+# contract behind every incremental tier. In a temp table: append the
+# event slices as v1/v2, file-targeted delete (v3), compact (v4) — then
+# emit integer aggregates for the v1 TIME-TRAVEL read, the (1,2]
+# CHANGES-SINCE read, and the post-delete HEAD. The oracle derives all
+# three straight from the events view, so any commit-log replay error,
+# over-deleted file, or compaction data change breaks the hash — and the
+# head row doubles as proof that compaction is a data no-op.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_timetravel_counts",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+    tagged AS (
+      SELECT 'v1_snapshot' AS tag, * FROM ev WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT 'changes_v1_v2' AS tag, * FROM ev WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT 'head_after_delete_compact' AS tag, * FROM ev
+      WHERE event_id % 3 IN (0, 1) AND user_id % 7 <> 0
+    )
+    SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM tagged GROUP BY tag
+    """,
+)
+def manifest_timetravel_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def aggs(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        ).select(F.lit(tag).alias("tag"), "*")
+
+    work = tempfile.mkdtemp(prefix="mani_rt_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(ev.where(F.col("event_id") % 3 == 0), root)
+        M.manifest_append(ev.where(F.col("event_id") % 3 == 1), root)
+        M.manifest_delete_where(spark, root, F.col("user_id") % 7 == 0)
+        M.manifest_compact(spark, root, target_files=2)
+        out = (
+            aggs(M.read_snapshot(spark, root, 1), "v1_snapshot")
+            .unionByName(
+                aggs(M.read_changes(spark, root, 1, 2), "changes_v1_v2")
+            )
+            .unionByName(
+                aggs(
+                    M.read_snapshot(spark, root),
+                    "head_after_delete_compact",
+                )
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -8411,6 +8490,7 @@ _SCORING_PRIORITY = [
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",
+    "manifest_timetravel_counts",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",

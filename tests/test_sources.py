@@ -10,6 +10,8 @@ from __future__ import annotations
 import bz2
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ihop_reddit_spark.sources.io import (
@@ -471,3 +473,106 @@ def test_warc_datasource_parallel_read(spark, tmp_path):
     infos = df.where(F.col("record_type") == "warcinfo").collect()
     assert len(infos) == 2
     assert all(r["url"] is None and r["http_status"] is None for r in infos)
+
+
+# ---------------------------------------------------------------------------
+# Versioned manifest tables (sources/manifest)
+# ---------------------------------------------------------------------------
+def test_manifest_snapshot_changes_and_time_travel(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    assert M.manifest_init(root) == 0
+    df1 = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(10, 25).withColumn("v", F.col("id") * 2)
+    assert M.manifest_append(df1.repartition(3), root) == 1
+    assert M.manifest_append(df2.repartition(2), root) == 2
+
+    assert M.read_snapshot(spark, root, 1).count() == 10
+    assert M.read_snapshot(spark, root).count() == 25
+    # incremental grain: exactly the rows that became live in (1, 2]
+    assert sorted(
+        r["id"] for r in M.read_changes(spark, root, 1).collect()
+    ) == list(range(10, 25))
+    assert M.read_changes(spark, root, 2).count() == 0
+    # double-init and schema drift fail loudly
+    with pytest.raises(FileExistsError):
+        M.manifest_init(root)
+    with pytest.raises(ValueError, match="does not match table schema"):
+        M.manifest_append(spark.range(3), root)
+
+
+def test_manifest_delete_rewrites_only_hit_files(spark, tmp_path):
+    import hashlib
+    import os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    # batch 1: ids 0..9 (contains multiples of 5); batch 2: 11..19 skipping
+    # multiples of 5 — batch 2's files must survive BYTE-identical
+    M.manifest_append(spark.range(0, 10).repartition(2), root)
+    clean = spark.range(11, 20).where(F.col("id") % 5 != 0)
+    M.manifest_append(clean.repartition(2), root)
+
+    before = {
+        f: hashlib.md5(open(os.path.join(root, f), "rb").read()).hexdigest()
+        for f in M.live_files(root)
+    }
+    v3, n_rw = M.manifest_delete_where(spark, root, F.col("id") % 5 == 0)
+    doc = M.read_version_doc(root, v3)
+    assert n_rw == len(doc["removed"]) > 0
+    # only batch-1 files were touched
+    assert all(f.startswith("data/b00000001/") for f in doc["removed"])
+    untouched = [f for f in before if f not in set(doc["removed"])]
+    assert untouched
+    for f in untouched:
+        assert (
+            hashlib.md5(open(os.path.join(root, f), "rb").read()).hexdigest()
+            == before[f]
+        )
+    got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(20) if i % 5 != 0 and i != 10]
+    # deleting nothing is a no-op version-wise
+    v_same, n0 = M.manifest_delete_where(spark, root, F.col("id") < 0)
+    assert (v_same, n0) == (v3, 0)
+    # a NULL-evaluating predicate keeps rows (never silently drops)
+    v4, _ = M.manifest_delete_where(
+        spark, root, F.when(F.col("id") == 1, True)
+    )
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) == [
+        i for i in range(20) if i % 5 != 0 and i not in (1, 10)
+    ]
+
+
+def test_manifest_compact_vacuum_and_commit_race(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).repartition(4), root)
+    M.manifest_append(spark.range(10, 20).repartition(4), root)
+    before = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+
+    v3 = M.manifest_compact(spark, root, target_files=1)
+    assert len(M.live_files(root)) == 1
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) == before
+    # pre-compaction layout still time-travels
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root, 2).collect()) == before
+
+    # losing a version race raises ConcurrentCommitError
+    doc = M.read_version_doc(root, v3)
+    with pytest.raises(M.ConcurrentCommitError):
+        M._commit_version(root, doc)
+
+    # vacuum drops pre-horizon versions + their unreferenced files, but
+    # the checkpointed base still reads the SAME data
+    n_del = M.manifest_vacuum(root, keep_from_version=v3)
+    assert n_del == 8  # the two 4-file batches
+    assert M.list_versions(root) == [v3]
+    assert M.read_version_doc(root, v3)["operation"] == "checkpoint"
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) == before
+    # appends continue on top of the checkpoint
+    M.manifest_append(spark.range(20, 23), root)
+    assert M.read_snapshot(spark, root).count() == 23
