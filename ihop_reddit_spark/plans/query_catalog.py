@@ -3111,6 +3111,96 @@ def incremental_minhash_verified_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Manifest × incremental-dedup composition gate (r6): the SAME answer as
+# incremental_minhash_verified_pairs, but the corpus flows through the
+# versioned-manifest storage layer — history committed as v1, the new
+# batch as v2, the pipeline reading history via read_snapshot(v1) and
+# the new batch via read_changes(since=1) (the incremental-processing
+# grain). Any snapshot-isolation or changes-since replay defect changes
+# which docs each side sees and breaks the hash against the direct-path
+# oracle. This is the end-to-end story the incremental tiers assume:
+# "process only what arrived since the last run" backed by a real
+# storage contract, not a directory listing.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_incremental_dedup_pairs",
+    f"""
+    WITH {_jaccard_ctes("documents", 0.2)}
+    SELECT CASE WHEN left_id % 2 = 1 THEN left_id ELSE right_id END AS new_id,
+           CASE WHEN left_id % 2 = 0 THEN left_id ELSE right_id END
+             AS indexed_id,
+           jaccard
+    FROM jpairs
+    WHERE (left_id % 2) <> (right_id % 2)
+    """,
+)
+def manifest_incremental_dedup_pairs(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..datapipe.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from ..sources import manifest as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="mani_dedup_")
+    try:
+        root = f"{work}/docs"
+        M.manifest_init(root)
+        M.manifest_append(docs.where(F.col("doc_id") % 2 == 0), root)
+        M.manifest_append(docs.where(F.col("doc_id") % 2 == 1), root)
+        hist = M.read_snapshot(spark, root, 1)
+        new = M.read_changes(spark, root, 1)
+
+        idx = minhash_band_keys(
+            minhash_signatures(hist, "text", "doc_id"), num_bands=8
+        ).withColumnRenamed("__id", "indexed_id")
+        batch = minhash_band_keys(
+            minhash_signatures(new, "text", "doc_id"), num_bands=8
+        ).withColumnRenamed("__id", "new_id")
+        cand = (
+            batch.join(idx, ["band_id", "band_key"])
+            .select("new_id", "indexed_id")
+            .distinct()
+            .persist()
+        )
+        # exact-verify over the candidate-doc subset only (result-
+        # identical; see incremental_minhash_verified_pairs for the
+        # measured rationale) — the union read here spans BOTH manifest
+        # versions, exercising the multi-version live-file replay
+        cand_docs = cand.select(
+            F.explode(F.array("new_id", "indexed_id")).alias("doc_id")
+        ).distinct()
+        docs_sub = M.read_snapshot(spark, root).join(
+            cand_docs, "doc_id", "left_semi"
+        )
+        exact = ngram_jaccard_pairs(
+            docs_sub, "text", "doc_id", n=3, threshold=0.2
+        )
+        cross = exact.select(
+            F.when(F.col("left_id") % 2 == 1, F.col("left_id"))
+            .otherwise(F.col("right_id"))
+            .alias("new_id"),
+            F.when(F.col("left_id") % 2 == 0, F.col("left_id"))
+            .otherwise(F.col("right_id"))
+            .alias("indexed_id"),
+            "jaccard",
+        ).where(F.col("new_id") % 2 != F.col("indexed_id") % 2)
+        out = cand.join(cross, ["new_id", "indexed_id"])
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+        cand.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN recall gate (rows-only by nature — KMeans centroids have no SQL
 # form): recall@k of the nprobe-probed IVF search against the exact
 # brute-force top-k on the same seeded index. The synthetic embeddings are
@@ -8491,6 +8581,7 @@ _SCORING_PRIORITY = [
     "g711_decode_gate",
     "bloom_decontaminated_documents",
     "manifest_timetravel_counts",
+    "manifest_incremental_dedup_pairs",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",
