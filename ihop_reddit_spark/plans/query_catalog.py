@@ -3702,6 +3702,10 @@ def g711_decode_gate(spark, sf_dir):
       UNION ALL
       SELECT 'head_after_delete_compact' AS tag, * FROM ev
       WHERE event_id % 3 IN (0, 1) AND user_id % 7 <> 0
+      UNION ALL
+      SELECT 'pruned_user_range' AS tag, * FROM ev
+      WHERE event_id % 3 IN (0, 1) AND user_id % 7 <> 0
+        AND user_id BETWEEN 100 AND 200
     )
     SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
@@ -3737,8 +3741,20 @@ def manifest_timetravel_counts(spark, sf_dir):
     try:
         root = f"{work}/tbl"
         M.manifest_init(root)
-        M.manifest_append(ev.where(F.col("event_id") % 3 == 0), root)
-        M.manifest_append(ev.where(F.col("event_id") % 3 == 1), root)
+        # range-partition by user_id so the manifest's footer min/max
+        # stats give each file a tight range — the pruned-read tag then
+        # actually skips files (conservatively: pruning is I/O-only, the
+        # real predicate still applies, so the hash can't depend on it)
+        M.manifest_append(
+            ev.where(F.col("event_id") % 3 == 0)
+            .repartitionByRange(4, "user_id"),
+            root,
+        )
+        M.manifest_append(
+            ev.where(F.col("event_id") % 3 == 1)
+            .repartitionByRange(4, "user_id"),
+            root,
+        )
         M.manifest_delete_where(spark, root, F.col("user_id") % 7 == 0)
         M.manifest_compact(spark, root, target_files=2)
         out = (
@@ -3750,6 +3766,14 @@ def manifest_timetravel_counts(spark, sf_dir):
                 aggs(
                     M.read_snapshot(spark, root),
                     "head_after_delete_compact",
+                )
+            )
+            .unionByName(
+                aggs(
+                    M.read_snapshot(
+                        spark, root, prune={"user_id": (100, 200)}
+                    ).where(F.col("user_id").between(100, 200)),
+                    "pruned_user_range",
                 )
             )
         )

@@ -165,6 +165,86 @@ def _stage_batch(df: DataFrame, path: str, version: int) -> list[str]:
     )
 
 
+def _file_column_stats(fp: str) -> dict:
+    """Per-column [min, max] for one parquet file, read from the FOOTER
+    metadata only (pyarrow — no data scan): the per-file pendant to
+    parquet's row-group stats, lifted into the manifest so snapshot
+    readers can skip whole files. Only JSON-safe comparable primitives
+    (ints, floats, strings) are recorded; columns with missing or
+    non-comparable stats are simply absent — readers treat absence as
+    "cannot prune", never as "empty"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo, hi = s.min, s.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if not isinstance(lo, (int, float, str)):
+                continue
+            name = col.path_in_schema
+            if name in stats:
+                stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+            else:
+                stats[name] = [lo, hi]
+    return stats
+
+
+def live_file_stats(path: str, version: int | None = None) -> dict:
+    """rel-path → {col: [min, max]} for the live files at ``version``,
+    replayed from the version docs (older docs may predate stats — those
+    files map to {} and are never pruned)."""
+    if version is None:
+        version = latest_version(path)
+    out: dict[str, dict] = {}
+    for v in list_versions(path):
+        if v > version:
+            break
+        doc = read_version_doc(path, v)
+        for f in doc["removed"]:
+            out.pop(f, None)
+        file_stats = doc.get("stats", {})
+        for f in doc["added"]:
+            out[f] = file_stats.get(f, {})
+    return out
+
+
+def _prune_files(
+    files: list[str], stats: dict, prune: dict | None
+) -> list[str]:
+    """Keep each file whose recorded [min, max] intersects every bound in
+    ``prune`` ({col: (lo, hi)}, either end None). Missing stats keep the
+    file — pruning is an I/O optimization, NEVER a filter: callers still
+    apply the real predicate, so a conservative keep costs a scan, while
+    an aggressive drop would cost correctness."""
+    if not prune:
+        return files
+    kept = []
+    for f in files:
+        s = stats.get(f, {})
+        keep = True
+        for col, (lo, hi) in prune.items():
+            if col not in s:
+                continue
+            fmin, fmax = s[col]
+            if lo is not None and fmax < lo:
+                keep = False
+                break
+            if hi is not None and fmin > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
 def _check_schema(df: DataFrame, path: str) -> None:
     stored = _schema_of(path)
     if stored is None:
@@ -202,16 +282,31 @@ def manifest_append(
             "schema": df.schema.jsonValue(),
             "added": added,
             "removed": [],
+            "stats": {
+                f: _file_column_stats(os.path.join(path, f)) for f in added
+            },
         },
     )
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    prune: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: head) — time travel. An
-    empty table yields an empty frame with the recorded schema."""
+    empty table yields an empty frame with the recorded schema.
+
+    ``prune`` ({col: (lo, hi)}) skips files whose manifest-recorded
+    [min, max] cannot intersect the bounds — footer-stat file skipping,
+    the manifest-level pendant to parquet row-group pruning. It is an
+    I/O optimization only: the caller still applies the real predicate,
+    and files without stats are always scanned."""
     files = live_files(path, version)
+    if prune:
+        files = _prune_files(files, live_file_stats(path, version), prune)
     if not files:
         schema = _schema_of(path, version)
         if schema is None:
@@ -299,6 +394,9 @@ def manifest_delete_where(
             "schema": snap.schema.jsonValue(),
             "added": added,
             "removed": hit_rel,
+            "stats": {
+                f: _file_column_stats(os.path.join(path, f)) for f in added
+            },
         },
     )
     return version, len(hit_rel)
@@ -327,6 +425,9 @@ def manifest_compact(
             "schema": snap.schema.jsonValue(),
             "added": added,
             "removed": files,
+            "stats": {
+                f: _file_column_stats(os.path.join(path, f)) for f in added
+            },
         },
     )
 
@@ -364,6 +465,7 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         "schema": None if base_schema is None else base_schema.jsonValue(),
         "added": live_files(path, base),
         "removed": [],
+        "stats": live_file_stats(path, base),
     }
     tmp = os.path.join(_manifest_dir(path), f".ckpt-{os.getpid()}.json")
     with open(tmp, "w") as fh:

@@ -576,3 +576,54 @@ def test_manifest_compact_vacuum_and_commit_race(spark, tmp_path):
     # appends continue on top of the checkpoint
     M.manifest_append(spark.range(20, 23), root)
     assert M.read_snapshot(spark, root).count() == 23
+
+
+def test_manifest_stats_pruning_skips_files_conservatively(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    # range-partitioned batches → tight per-file id ranges
+    M.manifest_append(
+        spark.range(0, 100).repartitionByRange(4, "id"), root
+    )
+    M.manifest_append(
+        spark.range(100, 200).repartitionByRange(4, "id"), root
+    )
+    files = M.live_files(root)
+    stats = M.live_file_stats(root)
+    assert len(files) == 8 and all(stats[f].get("id") for f in files)
+
+    pruned = M._prune_files(files, stats, {"id": (150, 160)})
+    assert 0 < len(pruned) < len(files)
+    # pruning is an I/O optimization only: pruned read + real filter ==
+    # full read + real filter
+    full = sorted(
+        r["id"]
+        for r in M.read_snapshot(spark, root)
+        .where(F.col("id").between(150, 160))
+        .collect()
+    )
+    fast = sorted(
+        r["id"]
+        for r in M.read_snapshot(spark, root, prune={"id": (150, 160)})
+        .where(F.col("id").between(150, 160))
+        .collect()
+    )
+    assert full == fast == list(range(150, 161))
+    # files without stats are always kept
+    assert M._prune_files(["x"], {"x": {}}, {"id": (0, 1)}) == ["x"]
+    # open-ended bounds
+    assert M._prune_files(files, stats, {"id": (None, -1)}) == []
+    assert len(M._prune_files(files, stats, {"id": (190, None)})) == 1
+    # stats survive compaction and the vacuum checkpoint
+    v = M.manifest_compact(spark, root, target_files=2)
+    M.manifest_vacuum(root, keep_from_version=v)
+    stats2 = M.live_file_stats(root)
+    assert all(s.get("id") for s in stats2.values())
+    assert sorted(
+        r["id"]
+        for r in M.read_snapshot(spark, root, prune={"id": (5, 7)})
+        .where(F.col("id").between(5, 7))
+        .collect()
+    ) == [5, 6, 7]
