@@ -3785,6 +3785,53 @@ def manifest_timetravel_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin of the manifest tier (r6): the events STREAM lands in a
+# versioned manifest table — one commit per micro-batch, batch ids
+# recorded in the docs so replays skip (exactly-once; replay pytest in
+# test_streaming.py) — then the final snapshot must aggregate identically
+# to the batch events view. Completes the batch+stream twin pattern for
+# the storage layer: downstream incremental consumers read_changes()
+# between runs instead of re-listing a landing directory.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_manifest_appends",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    """,
+)
+def stream_manifest_appends(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..streaming.events import manifest_sink_stream
+
+    work = tempfile.mkdtemp(prefix="mani_stream_")
+    try:
+        root = manifest_sink_stream(spark, sf_dir, f"{work}/tbl")
+        out = M.read_snapshot(spark, root).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -8606,6 +8653,7 @@ _SCORING_PRIORITY = [
     "bloom_decontaminated_documents",
     "manifest_timetravel_counts",
     "manifest_incremental_dedup_pairs",
+    "stream_manifest_appends",
     "jpeg_decode_gate",
     "stream_crawl_extraction",
     "warc_roundtrip_pages",

@@ -258,11 +258,29 @@ def _check_schema(df: DataFrame, path: str) -> None:
         )
 
 
+def committed_stream_batches(path: str) -> set[int]:
+    """Stream batch ids already committed to this table — the replay
+    guard for the foreachBatch sink (a retried micro-batch finds its id
+    here and skips; see ``streaming.events.manifest_sink_stream``)."""
+    out = set()
+    for v in list_versions(path):
+        doc = read_version_doc(path, v)
+        if "stream_batch_id" in doc:
+            out.add(doc["stream_batch_id"])
+    return out
+
+
 def manifest_append(
-    df: DataFrame, path: str, *, max_manifest_files: int = 1_000_000
+    df: DataFrame,
+    path: str,
+    *,
+    max_manifest_files: int = 1_000_000,
+    extra: dict | None = None,
 ) -> int:
     """Append ``df`` as a new version. Old files are never touched;
-    concurrent appenders race on the version doc, never on data."""
+    concurrent appenders race on the version doc, never on data.
+    ``extra`` merges additional JSON-safe fields into the commit doc
+    (e.g. ``stream_batch_id`` for exactly-once streaming appends)."""
     head = latest_version(path)
     _check_schema(df, path)
     version = head + 1
@@ -285,6 +303,7 @@ def manifest_append(
             "stats": {
                 f: _file_column_stats(os.path.join(path, f)) for f in added
             },
+            **(extra or {}),
         },
     )
 

@@ -618,3 +618,52 @@ def histogram_partials_stream(
     return histogram_quantiles(
         merged, ["event_type"], qs, quantize=quantize
     )
+
+
+def manifest_sink_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Stream the events source into a VERSIONED MANIFEST TABLE: each
+    micro-batch commits one manifest version via foreachBatch, with the
+    stream batch id recorded in the commit doc — a replayed batch (the
+    foreachBatch at-least-once contract) finds its id in
+    :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`
+    and skips, making the sink effectively exactly-once (the same
+    transactional pattern as the ranked parquet sink, now with snapshot
+    isolation and time travel on the landing table for free: downstream
+    incremental consumers read ``read_changes`` between their own runs).
+
+    Returns ``table_path`` (the table is initialized here if absent).
+    """
+    import os
+
+    from ..sources import manifest as M
+
+    if not os.path.isdir(os.path.join(table_path, "_manifest")):
+        M.manifest_init(table_path)
+
+    ev = _event_stream(
+        spark,
+        sf_dir,
+        stream_dir=None if checkpoint_dir is None else f"{checkpoint_dir}_src",
+    ).drop("event_time")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in M.committed_stream_batches(table_path):
+            return  # replayed batch — already committed, exactly-once
+        M.manifest_append(
+            batch_df, table_path, extra={"stream_batch_id": int(batch_id)}
+        )
+
+    writer = ev.writeStream.foreachBatch(append_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return table_path

