@@ -67,6 +67,13 @@ EVENT_PROBES = [
     "hll_sketch_rollup_users",
     "ks_drift_click_vs_purchase",
     "mad_outliers_value_by_type",
+    # round-6 (session 2): the versioned-manifest lifecycle over the
+    # events table — append ×2 (with footer-stat extraction), targeted
+    # delete, compact, then snapshot + changes + pruned reads. Work is
+    # write-dominated (two full event passes) → ratio tracks the data
+    # ratio; the manifest/commit path itself is file-count-sized, not
+    # row-sized.
+    "manifest_timetravel_counts",
 ]
 DOC_PROBES = [
     "doc_repetition_features",
@@ -116,6 +123,14 @@ DOC_PROBES = [
     "normalized_url_groups",
     "cdc_chunked_documents",
     "domain_quota_survivors",
+    # round-6 (session 2): the Bloom-prefilter decontamination — the
+    # benchmark slice (and so its shingle set) replicates ×N while the
+    # bitmap stays fixed-size, so the probe measures the gate under a
+    # GROWING benchmark: fpp rises, the exact-verify join absorbs it,
+    # and the answer stays exact. avi_decode_gate is the per-asset
+    # Arrow decode shape (1-in-13 id sample → ×N sampled assets).
+    "bloom_decontaminated_documents",
+    "avi_decode_gate",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
@@ -188,7 +203,15 @@ def _replicate_events(spark, reps, factor: int, workdir: str) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--events-only"]
+    only = None
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--events-only":
+            continue
+        if a.startswith("--only="):
+            only = a[len("--only="):].split(",")
+        else:
+            args.append(a)
     events_only = "--events-only" in sys.argv[1:]
     factor = int(args[0]) if args else 10
     workdir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
@@ -226,7 +249,7 @@ def main() -> None:
     )
 
     out = {}
-    for name in (EVENT_PROBES if events_only else PROBES):
+    for name in only or (EVENT_PROBES if events_only else PROBES):
         base = run(name, BASE_SF)
         scaled = run(name, workdir)
         out[name] = {
