@@ -245,17 +245,25 @@ def _prune_files(
     return kept
 
 
-def _check_schema(df: DataFrame, path: str) -> None:
+def _check_schema(
+    df: DataFrame, path: str, *, allow_additive: bool = False
+) -> None:
     stored = _schema_of(path)
     if stored is None:
         return
     got = [(f.name, f.dataType) for f in df.schema.fields]
     want = [(f.name, f.dataType) for f in stored.fields]
-    if got != want:
-        raise ValueError(
-            f"append schema {got} does not match table schema {want};"
-            " migrate explicitly rather than silently evolving"
-        )
+    if got == want:
+        return
+    if allow_additive and set(want).issubset(got):
+        # additive evolution: every existing column present with its
+        # exact type; new columns join the table schema, and older files
+        # read them as NULL (read_snapshot pins the version's schema)
+        return
+    raise ValueError(
+        f"append schema {got} does not match table schema {want};"
+        " pass allow_additive=True to add columns, or migrate explicitly"
+    )
 
 
 def committed_stream_batches(path: str) -> set[int]:
@@ -276,13 +284,17 @@ def manifest_append(
     *,
     max_manifest_files: int = 1_000_000,
     extra: dict | None = None,
+    allow_additive: bool = False,
 ) -> int:
     """Append ``df`` as a new version. Old files are never touched;
     concurrent appenders race on the version doc, never on data.
     ``extra`` merges additional JSON-safe fields into the commit doc
-    (e.g. ``stream_batch_id`` for exactly-once streaming appends)."""
+    (e.g. ``stream_batch_id`` for exactly-once streaming appends).
+    ``allow_additive`` permits NEW columns (existing ones must keep
+    their exact name+type); older files read the new columns as NULL
+    and time travel surfaces each version's own schema."""
     head = latest_version(path)
-    _check_schema(df, path)
+    _check_schema(df, path, allow_additive=allow_additive)
     version = head + 1
     added = _stage_batch(df, path, version)
     n_live = len(live_files(path, head)) + len(added)
@@ -324,16 +336,22 @@ def read_snapshot(
     I/O optimization only: the caller still applies the real predicate,
     and files without stats are always scanned."""
     files = live_files(path, version)
-    if prune:
-        files = _prune_files(files, live_file_stats(path, version), prune)
+    schema = _schema_of(path, version)
     if not files:
-        schema = _schema_of(path, version)
         if schema is None:
             raise ValueError(
                 f"table at {path} is empty and has no recorded schema"
             )
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*(os.path.join(path, f) for f in files))
+    if prune:
+        files = _prune_files(files, live_file_stats(path, version), prune)
+        if not files:
+            return spark.createDataFrame([], schema)
+    # pin the VERSION's schema on the scan: after additive evolution,
+    # files written before a column existed read it as NULL, and time
+    # travel to an old version surfaces that version's (narrower) schema
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*(os.path.join(path, f) for f in files))
 
 
 def read_changes(
@@ -422,19 +440,53 @@ def manifest_delete_where(
 
 
 def manifest_compact(
-    spark: SparkSession, path: str, *, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 10,
 ) -> int:
     """Rewrite the live file set into ``target_files`` files — data
     identical (snapshot reads hash the same before and after,
     oracle-pinned), file count bounded. Old versions still time-travel
-    to the pre-compaction layout until vacuumed."""
+    to the pre-compaction layout until vacuumed.
+
+    ``cluster_by`` additionally CLUSTERS the rewrite so the manifest's
+    footer min/max stats get tight per-file ranges (file skipping bites
+    after compaction, not just on range-partitioned appends): one column
+    → range-partition + sort; two columns → Morton/z-order interleave
+    (``sources.layout.zvalue`` — bounded rectangles in both dims), the
+    classic layout for two-column prune workloads. Still a data no-op.
+    """
     head = latest_version(path)
     files = live_files(path, head)
-    if len(files) <= target_files:
+    if len(files) <= target_files and not cluster_by:
         return head
-    snap = spark.read.parquet(*(os.path.join(path, f) for f in files))
+    snap = read_snapshot(spark, path, head)
+    if cluster_by:
+        if len(cluster_by) == 1:
+            clustered = snap.repartitionByRange(
+                target_files, cluster_by[0]
+            ).sortWithinPartitions(cluster_by[0])
+        elif len(cluster_by) == 2:
+            from .layout import zvalue
+
+            z = zvalue(
+                F.col(cluster_by[0]), F.col(cluster_by[1]), zorder_bits
+            )
+            clustered = (
+                snap.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            raise ValueError("cluster_by supports 1 or 2 columns")
+    else:
+        clustered = snap.coalesce(target_files)
     version = head + 1
-    added = _stage_batch(snap.coalesce(target_files), path, version)
+    added = _stage_batch(clustered, path, version)
     return _commit_version(
         path,
         {

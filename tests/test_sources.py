@@ -627,3 +627,55 @@ def test_manifest_stats_pruning_skips_files_conservatively(spark, tmp_path):
         .where(F.col("id").between(5, 7))
         .collect()
     ) == [5, 6, 7]
+
+
+def test_manifest_additive_schema_and_clustered_compaction(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).withColumn("v", F.col("id") * 2), root)
+    widened = (
+        spark.range(50, 100)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("extra", F.col("id") + 1)
+    )
+    # strict append refuses; additive accepts
+    with pytest.raises(ValueError, match="allow_additive"):
+        M.manifest_append(widened, root)
+    M.manifest_append(widened, root, allow_additive=True)
+
+    head = M.read_snapshot(spark, root)
+    assert set(head.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r["extra"] for r in head.collect()}
+    assert rows[10] is None and rows[60] == 61  # old files read NULL
+    # time travel surfaces the narrower v1 schema
+    assert set(M.read_snapshot(spark, root, 1).columns) == {"id", "v"}
+    # dropping an existing column is NOT additive
+    with pytest.raises(ValueError, match="allow_additive"):
+        M.manifest_append(
+            spark.range(3).withColumn("extra", F.lit(1)),
+            root,
+            allow_additive=True,
+        )
+
+    # clustered compaction: data no-op, and file skipping now bites
+    before = sorted((r["id"], r["v"], r["extra"]) for r in head.collect())
+    M.manifest_compact(spark, root, target_files=4, cluster_by=["id"])
+    after_snap = M.read_snapshot(spark, root)
+    after = sorted((r["id"], r["v"], r["extra"]) for r in after_snap.collect())
+    assert before == after
+    files = M.live_files(root)
+    stats = M.live_file_stats(root)
+    assert len(files) == 4
+    pruned = M._prune_files(files, stats, {"id": (10, 12)})
+    assert len(pruned) == 1  # tight disjoint ranges after clustering
+
+    # 2-column Morton clustering is also a data no-op
+    M.manifest_compact(
+        spark, root, target_files=4, cluster_by=["id", "v"], zorder_bits=7
+    )
+    assert sorted(
+        (r["id"], r["v"], r["extra"])
+        for r in M.read_snapshot(spark, root).collect()
+    ) == before
