@@ -270,6 +270,52 @@ def decontaminate_bloom(
     )
 
 
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every training row whose
+    embedding is cosine-≥ t close to ANY benchmark embedding — the
+    semantic complement of n-gram :func:`decontaminate` (paraphrased or
+    re-worded eval leakage that shares no 5-gram still lands near the
+    benchmark in embedding space).
+
+    Plan: both sides quantized with the integer kernel
+    (``functions/vectors`` — bit-stable, oracle-comparable); the
+    BENCHMARK side broadcasts (eval-sized by nature — the legitimate
+    broadcast, same reasoning as :func:`decontaminate`); the corpus
+    scores against it in one pure-JVM pass (raw_dot fold — no shuffle of
+    the corpus beyond the final anti-join on contaminated ids). When the
+    benchmark union outgrows broadcast, generate candidates with
+    ``dedup.embedding_near_dup_lsh`` over the union and keep only
+    cross-membership pairs — the same tier laddering as the dedup path.
+    """
+    from ..functions.vectors import quantize, raw_dot, raw_norm
+
+    bench = (
+        benchmark.select(quantize(F.col(vec_col)).alias("__bv"))
+        .withColumn("__bn", raw_norm(F.col("__bv")))
+    )
+    train = df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__tv")
+    ).withColumn("__tn", raw_norm(F.col("__tv")))
+    sim = raw_dot(F.col("__tv"), F.col("__bv")).cast("double") / (
+        F.col("__tn") * F.col("__bn")
+    )
+    contaminated = (
+        train.join(F.broadcast(bench))
+        .where(sim >= cosine_threshold)
+        .select("__id")
+        .distinct()
+    )
+    return df.join(
+        contaminated.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

@@ -4076,6 +4076,56 @@ def bloom_decontaminated_documents(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic decontamination (r6): the embedding-space complement of the
+# n-gram gate — paraphrased eval leakage shares no 5-gram but still
+# lands cosine-close to the benchmark. Benchmark = the vec_id % 50 slice
+# (eval-sized → the legitimate broadcast); every train vector scoring
+# ≥ 0.4 against ANY benchmark vector is dropped. Both engines run the
+# identical integer-quantized kernel (floor(v·2^24) int64 dot / norms),
+# so the survivor set is hash-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_decontaminated_vectors",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+                 generate_subscripts(qv, 1) AS pos
+          FROM q),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS dotp
+      FROM e a JOIN e b ON a.pos = b.pos
+      WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+      GROUP BY 1, 2),
+    bad AS (
+      SELECT DISTINCT train_id FROM dots
+      JOIN norms na ON na.vec_id = train_id
+      JOIN norms nb ON nb.vec_id = bench_id
+      WHERE dotp / (na.nrm * nb.nrm) >= 0.4)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id % 50 <> 0
+      AND vec_id NOT IN (SELECT train_id FROM bad)
+    """,
+)
+def semantic_decontaminated_vectors(spark, sf_dir):
+    from ..datapipe.curation import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    train = emb.where(F.col("vec_id") % 50 != 0)
+    return semantic_decontaminate(
+        train, bench, "embedding", "vec_id", cosine_threshold=0.4
+    ).select("vec_id", "label")
+
+
 # The AUDIT side of decontamination: which training docs leak which
 # benchmark docs and how hard — reviewers check the gate (and tune n)
 # instead of trusting it. Output is leak-sized (shared distinct 5-grams
@@ -8651,6 +8701,7 @@ _SCORING_PRIORITY = [
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",
+    "semantic_decontaminated_vectors",
     "manifest_timetravel_counts",
     "manifest_incremental_dedup_pairs",
     "stream_manifest_appends",

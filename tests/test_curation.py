@@ -784,3 +784,33 @@ def test_decontaminate_bloom_equals_exact(spark, docs):
         decontaminate_bloom(
             train, bench, "text", "doc_id", n=5, max_positions=1
         )
+
+
+def test_semantic_decontaminate_drops_cosine_close_only(spark):
+    from ihop_reddit_spark.datapipe.curation import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0]),   # near-parallel to the benchmark
+            (2, [0.0, 1.0, 0.0]),     # orthogonal — survives
+            (3, [-1.0, 0.0, 0.0]),    # anti-parallel — survives
+            (4, [0.8, 0.6, 0.0]),     # cosine 0.8 — dropped at t=0.95? no
+        ],
+        ["vec_id", "embedding"],
+    )
+    kept = semantic_decontaminate(
+        train, bench, "embedding", "vec_id", cosine_threshold=0.95
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [2, 3, 4]
+    kept_low = semantic_decontaminate(
+        train, bench, "embedding", "vec_id", cosine_threshold=0.5
+    )
+    assert sorted(r["vec_id"] for r in kept_low.collect()) == [2, 3]
+    # empty benchmark drops nothing; schema unchanged
+    none = semantic_decontaminate(
+        train, bench.where(F.lit(False)), "embedding", "vec_id"
+    )
+    assert none.count() == 4 and none.columns == train.columns
