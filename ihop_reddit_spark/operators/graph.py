@@ -109,3 +109,82 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return register_scoped_persists(ranks, e, nodes)
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    per_node: bool = True,
+) -> DataFrame:
+    """Exact triangle counting via the degree-ordered wedge join (the
+    classic MapReduce formulation — Suri & Vassilvitskii's "last
+    reducer" fix, public algorithm).
+
+    Input edges may be directed/duplicated either way; they are first
+    symmetrized to the canonical undirected set. Each edge is then
+    ORIENTED from its lower-(degree, id) endpoint to the higher, so:
+
+    * every triangle is enumerated exactly once (by its lowest-ordered
+      vertex), and
+    * the wedge join's fan-out per vertex is its OUT-degree under the
+      orientation, which is O(√m) on any graph — a power-law hub with
+      raw degree d no longer produces d² wedge candidates. That bound,
+      not the raw-degree one, is what survives a 100 TB co-occurrence
+      graph (per-order part cliques make raw degrees quadratic-prone
+      here exactly as in the real web/social cases).
+
+    Plan: two shuffles to build degrees + orientation, one self-join on
+    the wedge pivot, one semi-join back to edges to close the wedge —
+    all AQE-decided equi-joins, no driver participation.
+
+    Returns per-node triangle counts (``node``, ``triangles``) by
+    default, or the single global count with ``per_node=False``.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.hi") == F.col("e2.lo")).select(
+        F.col("e1.lo").alias("a"),
+        F.col("e1.hi").alias("b"),
+        F.col("e2.hi").alias("c"),
+    )
+    # a wedge a→b→c implies a precedes c in the (degree, id) total
+    # order, so the closing edge — if present — is oriented a→c: one
+    # directed probe suffices, no symmetric union needed
+    closing = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    if not per_node:
+        return tris.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )

@@ -7541,6 +7541,60 @@ def pagerank_copurchase_parts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact triangle counting (operators/graph.triangle_count) over the same
+# part co-purchase graph as PageRank — degree-ordered wedge join (the
+# "last reducer" fix): per-vertex wedge fan-out is the ORIENTED
+# out-degree, O(√m) on any graph, so per-order part cliques (raw-degree
+# hubs) cannot quadratic-blow the join. Integer counts → full hash gate;
+# the oracle enumerates triangles by id-canonical three-way join.
+# ---------------------------------------------------------------------------
+@query(
+    "triangle_counts_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM ed e1
+            JOIN ed e2 ON e1.v = e2.u
+            JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pern AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node)
+    SELECT node AS l_partkey, CAST(triangles AS BIGINT) AS triangles
+    FROM pern ORDER BY triangles DESC, node LIMIT 100
+    """,
+)
+def triangle_counts_copurchase(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_count(edges)
+        .select(F.col("node").alias("l_partkey"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (ml/bpe.py — Sennrich et al. 2016).
 # The within-word merge is not ANSI-SQL-expressible (needs lookaround
 # regex or a loop), so the gates follow the engine's invariants-gate
@@ -8702,6 +8756,7 @@ _SCORING_PRIORITY = [
     "g711_decode_gate",
     "bloom_decontaminated_documents",
     "semantic_decontaminated_vectors",
+    "triangle_counts_copurchase",
     "manifest_timetravel_counts",
     "manifest_incremental_dedup_pairs",
     "stream_manifest_appends",

@@ -47,3 +47,44 @@ def test_pagerank_symmetric_pair_is_stationary(spark):
     got = {r["node"]: r["rank_units"] for r in out.collect()}
     release_scoped_persists(out)
     assert got == {1: DEFAULT_UNIT, 2: DEFAULT_UNIT}
+
+
+def test_triangle_count_exact_vs_bruteforce(spark):
+    """Random graph vs itertools enumeration — global and per-node, plus
+    the degenerate shapes (no triangles, directed-duplicate input)."""
+    import random
+    from itertools import combinations
+
+    from ihop_reddit_spark.operators.graph import triangle_count
+
+    random.seed(11)
+    edges = set()
+    while len(edges) < 90:
+        u, v = random.sample(range(25), 2)
+        edges.add((u, v))
+    adj = {(min(u, v), max(u, v)) for u, v in edges}
+    nodes = sorted({n for e in adj for n in e})
+    tris = [
+        t
+        for t in combinations(nodes, 3)
+        if (t[0], t[1]) in adj and (t[1], t[2]) in adj and (t[0], t[2]) in adj
+    ]
+    per: dict[int, int] = {}
+    for t in tris:
+        for n in t:
+            per[n] = per.get(n, 0) + 1
+
+    # directed + duplicated input must not change counts (symmetrize)
+    rows = list(edges) + [(v, u) for u, v in list(edges)[:30]]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    assert (
+        triangle_count(df, per_node=False).collect()[0]["triangles"]
+        == len(tris)
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == per
+
+    # a path graph has zero triangles → empty per-node frame
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    assert triangle_count(path, per_node=False).collect()[0]["triangles"] == 0
+    assert triangle_count(path).count() == 0
