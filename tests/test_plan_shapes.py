@@ -558,3 +558,65 @@ def test_cm_estimate_probe_join_broadcasts(spark, sf_dir):
     # both sides are depth*width / probe-sized — the (d, w) join must
     # not sort-merge a corpus-scale frame
     assert "SortMergeJoin" not in plan
+
+
+def test_r6_session2_tier_plan_contracts(spark, sf_dir):
+    """Plan contracts for the round-6 session-2 operators:
+
+    * semantic_decontaminate — exactly ONE BroadcastExchange (the
+      eval-sized benchmark side); the corpus side must never be forced.
+    * decontaminate_bloom — the corpus path crosses to Python exactly
+      once (the vectorized bitmap test), and with auto-broadcast off no
+      forced BroadcastExchange appears anywhere (the exact-verify join
+      is AQE-decided).
+    * triangle_count — equi-joins only: no CartesianProduct, no
+      BroadcastNestedLoopJoin (the wedge join must stay keyed).
+    """
+    from ihop_reddit_spark.datapipe.curation import (
+        decontaminate_bloom,
+        semantic_decontaminate,
+    )
+    from ihop_reddit_spark.operators.graph import triangle_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    spark.catalog.clearCache()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bench_e = emb.where(F.col("vec_id") % 50 == 0)
+        plan = plan_of(
+            semantic_decontaminate(
+                emb.where(F.col("vec_id") % 50 != 0),
+                bench_e,
+                "embedding",
+                "vec_id",
+                cosine_threshold=0.4,
+            )
+        )
+        assert n_nodes(plan, "BroadcastExchange") == 1, plan
+
+        bench_d = docs.where(F.col("doc_id") % 25 == 0)
+        plan2 = plan_of(
+            decontaminate_bloom(
+                docs.where(F.col("doc_id") % 25 != 0),
+                bench_d,
+                "text",
+                "doc_id",
+                n=5,
+            )
+        )
+        assert "BroadcastExchange" not in plan2, plan2
+        # one Arrow crossing on the corpus path: the bloom bit-test
+        assert n_nodes(plan2, "MapInPandas") == 1, plan2
+
+        edges = li.select(
+            F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        plan3 = plan_of(triangle_count(edges))
+        assert "CartesianProduct" not in plan3, plan3
+        assert "BroadcastNestedLoopJoin" not in plan3, plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
