@@ -19,6 +19,18 @@ Layout (all paths relative to the table root):
   order IS lexical filename order.
 * ``data/b{N:08d}/part-*.parquet`` — immutable data files, one batch
   directory per committing version; no file is ever rewritten in place.
+* ``data/dv{N:08d}/part-*.parquet`` — deletion-vector files (columns
+  ``file`` string, ``pos`` long): row positions deleted from otherwise
+  untouched data files (merge-on-read). A snapshot read anti-joins the
+  scan against the live deletion vectors on (file, row position) —
+  the position comes from the parquet reader's ``_metadata.row_index``,
+  which is stable because data files are immutable. This is the
+  row-level GDPR grain at 100 TB: a delete writes positions, not a
+  rewritten partition; ``manifest_materialize_deletes`` (or any
+  compaction) later rewrites ONLY the affected files and retires the
+  vectors. Deletion-vector removal is all-or-nothing by construction:
+  the only operations that retire vectors (materialize, compact)
+  retire every live vector in one commit, which keeps replay exact.
 
 Commit protocol: the doc is staged as a hidden temp file then published
 with ``os.link`` (atomic create-if-absent on POSIX) — two racing
@@ -150,10 +162,13 @@ def _schema_of(path: str, version: int | None = None) -> T.StructType | None:
     return None
 
 
-def _stage_batch(df: DataFrame, path: str, version: int) -> list[str]:
+def _stage_batch(
+    df: DataFrame, path: str, version: int, *, prefix: str = "b"
+) -> list[str]:
     """Write ``df`` as the (immutable) batch directory for ``version``;
-    return the written part files as root-relative paths."""
-    rel = f"data/b{version:08d}"
+    return the written part files as root-relative paths. ``prefix``
+    "b" stages data batches, "dv" stages deletion-vector batches."""
+    rel = f"data/{prefix}{version:08d}"
     out = os.path.join(path, rel)
     if os.path.exists(out):
         # a crashed writer left a stage for a version that never
@@ -195,6 +210,22 @@ def _file_column_stats(fp: str) -> dict:
             else:
                 stats[name] = [lo, hi]
     return stats
+
+
+def _file_row_count(fp: str) -> int:
+    """Exact row count for one parquet file from the FOOTER only."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(fp).metadata.num_rows
+
+
+def _stage_stats(path: str, added: list[str]) -> tuple[dict, dict]:
+    """(per-file column stats, per-file row counts) for freshly staged
+    files — both footer-only reads, recorded in the commit doc so
+    metadata-only readers never touch data."""
+    stats = {f: _file_column_stats(os.path.join(path, f)) for f in added}
+    rows = {f: _file_row_count(os.path.join(path, f)) for f in added}
+    return stats, rows
 
 
 def live_file_stats(path: str, version: int | None = None) -> dict:
@@ -243,6 +274,109 @@ def _prune_files(
         if keep:
             kept.append(f)
     return kept
+
+
+def live_row_counts(path: str, version: int | None = None) -> dict:
+    """rel-path → exact footer row count for the live files at
+    ``version``. Files committed before row counts were recorded are
+    absent — metadata-only readers treat absence as "must scan"."""
+    if version is None:
+        version = latest_version(path)
+    out: dict[str, int] = {}
+    for v in list_versions(path):
+        if v > version:
+            break
+        doc = read_version_doc(path, v)
+        for f in doc["removed"]:
+            out.pop(f, None)
+        counts = doc.get("row_counts", {})
+        for f in doc["added"]:
+            if f in counts:
+                out[f] = counts[f]
+    return out
+
+
+def live_dv_state(
+    path: str, version: int | None = None
+) -> tuple[list[str], dict[str, int]]:
+    """(live deletion-vector files, live deleted-row counts per data
+    file) at ``version``, replayed from the version docs.
+
+    Replay leans on two structural invariants: (a) vector retirement is
+    all-or-nothing (materialize/compact retire EVERY live vector in one
+    commit), and (b) removing a data file retires its deleted-row count
+    (the positions pointed into a file that no longer exists)."""
+    if version is None:
+        version = latest_version(path)
+    dv_files: list[str] = []
+    targets: dict[str, int] = {}
+    for v in list_versions(path):
+        if v > version:
+            break
+        doc = read_version_doc(path, v)
+        for f in doc["removed"]:
+            targets.pop(f, None)
+        dv_removed = set(doc.get("dv_removed", []))
+        if dv_removed:
+            dv_files = [f for f in dv_files if f not in dv_removed]
+            if not dv_files:
+                targets = {}
+        dv_files = dv_files + doc.get("dv_added", [])
+        for f, n in doc.get("dv_targets", {}).items():
+            targets[f] = targets.get(f, 0) + n
+    return dv_files, targets
+
+
+_DATA_REL_PATTERN = r"(data/b\d{8}/[^/]+)$"
+
+
+def _scan_with_pos(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: T.StructType | None,
+) -> DataFrame:
+    """Scan ``files`` with two extra columns: ``__dv_file`` (the
+    root-relative data-file path, recovered from the reader's
+    ``_metadata.file_path`` by matching the layout's own
+    ``data/bNNNNNNNN/part-*`` shape — scheme- and root-independent) and
+    ``__dv_pos`` (``_metadata.row_index``, the row's position in its
+    immutable file). (file, pos) is the deletion-vector key."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    scan = reader.parquet(*(os.path.join(path, f) for f in files))
+    return scan.withColumns(
+        {
+            "__dv_file": F.regexp_extract(
+                F.col("_metadata.file_path"), _DATA_REL_PATTERN, 1
+            ),
+            "__dv_pos": F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _dv_frame(spark: SparkSession, path: str, dv_files: list[str]) -> DataFrame:
+    return spark.read.parquet(*(os.path.join(path, f) for f in dv_files))
+
+
+def _apply_dvs(
+    scanned: DataFrame, dvs: DataFrame, *, keep_pos: bool = False
+) -> DataFrame:
+    """Drop the deleted (file, pos) rows — an equi anti-join the
+    optimizer is free to broadcast when the vectors are small (the
+    common case: deletes are a sliver of a 100 TB table), with AQE
+    falling back to a shuffle join when they are not. The vector
+    columns are renamed before joining so a table whose own schema
+    contains ``file``/``pos`` columns cannot make the condition
+    ambiguous. ``keep_pos`` retains the ``__dv_file``/``__dv_pos``
+    helper columns for callers that go on to write new vectors."""
+    d = dvs.select(
+        F.col("file").alias("__dvv_file"), F.col("pos").alias("__dvv_pos")
+    )
+    cond = (F.col("__dv_file") == F.col("__dvv_file")) & (
+        F.col("__dv_pos") == F.col("__dvv_pos")
+    )
+    out = scanned.join(d, cond, "left_anti")
+    return out if keep_pos else out.drop("__dv_file", "__dv_pos")
 
 
 def _check_schema(
@@ -303,6 +437,7 @@ def manifest_append(
             f"table would reach {n_live} files > max_manifest_files="
             f"{max_manifest_files}; compact before appending"
         )
+    stats, row_counts = _stage_stats(path, added)
     return _commit_version(
         path,
         {
@@ -312,9 +447,8 @@ def manifest_append(
             "schema": df.schema.jsonValue(),
             "added": added,
             "removed": [],
-            "stats": {
-                f: _file_column_stats(os.path.join(path, f)) for f in added
-            },
+            "stats": stats,
+            "row_counts": row_counts,
             **(extra or {}),
         },
     )
@@ -334,7 +468,12 @@ def read_snapshot(
     [min, max] cannot intersect the bounds — footer-stat file skipping,
     the manifest-level pendant to parquet row-group pruning. It is an
     I/O optimization only: the caller still applies the real predicate,
-    and files without stats are always scanned."""
+    and files without stats are always scanned.
+
+    Live deletion vectors (``manifest_delete_rows``) are applied as an
+    equi anti-join on (file, row position); a table with no live
+    vectors reads with zero overhead (plain parquet scan, no metadata
+    columns, no join)."""
     files = live_files(path, version)
     schema = _schema_of(path, version)
     if not files:
@@ -347,6 +486,10 @@ def read_snapshot(
         files = _prune_files(files, live_file_stats(path, version), prune)
         if not files:
             return spark.createDataFrame([], schema)
+    dv_files, dv_targets = live_dv_state(path, version)
+    if dv_files and dv_targets:
+        scanned = _scan_with_pos(spark, path, files, schema)
+        return _apply_dvs(scanned, _dv_frame(spark, path, dv_files))
     # pin the VERSION's schema on the scan: after additive evolution,
     # files written before a column existed read it as NULL, and time
     # travel to an old version surfaces that version's (narrower) schema
@@ -379,6 +522,12 @@ def read_changes(
         if schema is None:
             raise ValueError(f"no schema recorded at {path} yet")
         return spark.createDataFrame([], schema)
+    dv_files, dv_targets = live_dv_state(path, version)
+    if dv_files and any(f in dv_targets for f in added):
+        # rows row-deleted by ``version`` are not live at the range end;
+        # the anti-join self-restricts to the files actually scanned
+        scanned = _scan_with_pos(spark, path, added, None)
+        return _apply_dvs(scanned, _dv_frame(spark, path, dv_files))
     return spark.read.parquet(*(os.path.join(path, f) for f in added))
 
 
@@ -397,46 +546,233 @@ def manifest_delete_where(
     files = live_files(path, head)
     if not files:
         return head, 0
-    snap = spark.read.parquet(*(os.path.join(path, f) for f in files))
-    hit_files = [
-        r["f"]
-        for r in snap.where(condition)
-        .select(F.input_file_name().alias("f"))
+    schema = _schema_of(path, head)
+    dv_files, dv_targets = live_dv_state(path, head)
+    live = _scan_with_pos(spark, path, files, schema)
+    if dv_files and dv_targets:
+        # a row already row-deleted must neither trigger a rewrite nor
+        # survive into one
+        live = _apply_dvs(
+            live, _dv_frame(spark, path, dv_files), keep_pos=True
+        )
+    hit_rel = sorted(
+        r["__dv_file"]
+        for r in live.where(condition)
+        .select("__dv_file")
         .distinct()
         .collect()
-    ]
-    if not hit_files:
-        return head, 0
-    # normalize the scheme-qualified input_file_name back to rel paths
-    hit_rel = sorted(
-        f for f in files if any(h.endswith("/" + f) for h in hit_files)
     )
+    if not hit_rel:
+        return head, 0
     # keep every row where the condition is not TRUE — a NULL-evaluating
     # predicate must keep the row, not silently drop it
-    survivors = spark.read.parquet(
-        *(os.path.join(path, f) for f in hit_rel)
-    ).where(~F.coalesce(condition, F.lit(False)))
+    survivors = (
+        live.where(F.col("__dv_file").isin(hit_rel))
+        .where(~F.coalesce(condition, F.lit(False)))
+        .drop("__dv_file", "__dv_pos")
+    )
     version = head + 1
     added = (
         _stage_batch(survivors, path, version)
         if survivors.limit(1).count()
         else []
     )
+    stats, row_counts = _stage_stats(path, added)
     _commit_version(
         path,
         {
             "version": version,
             "parent": head,
             "operation": "delete",
-            "schema": snap.schema.jsonValue(),
+            "schema": (schema or survivors.schema).jsonValue(),
             "added": added,
             "removed": hit_rel,
-            "stats": {
-                f: _file_column_stats(os.path.join(path, f)) for f in added
-            },
+            "stats": stats,
+            "row_counts": row_counts,
         },
     )
     return version, len(hit_rel)
+
+
+def manifest_delete_rows(
+    spark: SparkSession, path: str, condition, *, dv_target_files: int = 1
+) -> tuple[int, int]:
+    """Row-level delete as a DELETION VECTOR (merge-on-read): ONE scan
+    finds the matching (file, row position) pairs; they are committed as
+    a vector file and NO data file is rewritten. Readers anti-join the
+    vectors; ``manifest_materialize_deletes`` (or compaction) later
+    rewrites only the affected files and retires the vectors.
+
+    This is the cheap row-level GDPR grain at 100 TB — a delete costs
+    one scan plus a vector write proportional to the DELETED rows, where
+    ``manifest_delete_where`` costs a rewrite of every file that
+    contains a match. Rows whose predicate evaluates NULL are kept, and
+    rows already deleted by a live vector are not re-counted.
+
+    ``dv_target_files`` bounds the vector file count per commit
+    (vectors are usually tiny; 1 keeps the manifest lean — raise it if
+    a single delete ever removes a corpus-scale row set).
+
+    Returns (new_version, n_rows_deleted); no commit if nothing matched.
+    """
+    head = latest_version(path)
+    files = live_files(path, head)
+    if not files:
+        return head, 0
+    schema = _schema_of(path, head)
+    dv_files, dv_targets = live_dv_state(path, head)
+    live = _scan_with_pos(spark, path, files, schema)
+    if dv_files and dv_targets:
+        live = _apply_dvs(
+            live, _dv_frame(spark, path, dv_files), keep_pos=True
+        )
+    hits = (
+        live.where(F.coalesce(condition, F.lit(False)))
+        .select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+        )
+        .coalesce(max(1, dv_target_files))
+    )
+    version = head + 1
+    added_dv = _stage_batch(hits, path, version, prefix="dv")
+    per_file = {
+        r["file"]: r["n"]
+        for r in _dv_frame(spark, path, added_dv)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_file:
+        shutil.rmtree(
+            os.path.join(path, f"data/dv{version:08d}"), ignore_errors=True
+        )
+        return head, 0
+    _commit_version(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "rowdelete",
+            "schema": None if schema is None else schema.jsonValue(),
+            "added": [],
+            "removed": [],
+            "dv_added": added_dv,
+            "dv_removed": [],
+            "dv_targets": per_file,
+        },
+    )
+    return version, sum(per_file.values())
+
+
+def manifest_materialize_deletes(
+    spark: SparkSession, path: str
+) -> tuple[int, int]:
+    """Fold the live deletion vectors into the data: rewrite ONLY the
+    files that have deleted rows (survivors re-staged, stats refreshed)
+    and retire every live vector in one commit — untouched files stay
+    byte-identical, and the all-or-nothing retirement keeps the replay
+    invariant that ``live_dv_state`` leans on. Old versions still
+    time-travel to the vectored layout until vacuumed.
+
+    Returns (new_version, n_files_rewritten)."""
+    head = latest_version(path)
+    dv_files, dv_targets = live_dv_state(path, head)
+    if not dv_files or not dv_targets:
+        return head, 0
+    affected = sorted(dv_targets)
+    schema = _schema_of(path, head)
+    survivors = _apply_dvs(
+        _scan_with_pos(spark, path, affected, schema),
+        _dv_frame(spark, path, dv_files),
+    )
+    version = head + 1
+    added = (
+        _stage_batch(survivors, path, version)
+        if survivors.limit(1).count()
+        else []
+    )
+    stats, row_counts = _stage_stats(path, added)
+    _commit_version(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "materialize",
+            "schema": None if schema is None else schema.jsonValue(),
+            "added": added,
+            "removed": affected,
+            "stats": stats,
+            "row_counts": row_counts,
+            "dv_added": [],
+            "dv_removed": dv_files,
+            "dv_targets": {},
+        },
+    )
+    return version, len(affected)
+
+
+def metadata_only_stats(
+    path: str,
+    version: int | None = None,
+    columns: tuple[str, ...] | list[str] = (),
+) -> dict:
+    """Answer ``count(*)`` (and numeric per-column min/max) from the
+    MANIFEST ALONE — no data file is opened, no Spark job runs. At
+    100 TB this is the difference between a millisecond driver read and
+    a full-table scan for the queries a catalog asks constantly
+    (row counts, column ranges for planning).
+
+    Exactness contract, enforced loudly rather than silently degraded:
+
+    * the count is exact: footer row counts per live file minus live
+      deletion-vector rows (vector positions are distinct per file by
+      construction);
+    * min/max are only served when NO deletion vectors are live (a
+      vector may have deleted the extreme row) and the column has
+      recorded stats on EVERY live file;
+    * string stats are refused — parquet writers may truncate string
+      min/max in the footer, so only numerically-typed stats are exact.
+    """
+    if version is None:
+        version = latest_version(path)
+    files = live_files(path, version)
+    rc = live_row_counts(path, version)
+    missing = [f for f in files if f not in rc]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} live file(s) predate recorded row counts"
+            f" (e.g. {missing[0]}); compact or re-append to record them"
+        )
+    dv_files, dv_targets = live_dv_state(path, version)
+    n = sum(rc[f] for f in files) - sum(
+        dv_targets.get(f, 0) for f in files
+    )
+    out: dict = {"n_rows": n, "min": {}, "max": {}}
+    if not columns:
+        return out
+    if dv_targets:
+        raise ValueError(
+            "metadata min/max is not exact while deletion vectors are"
+            " live (a vector may delete the extreme row);"
+            " materialize_deletes first"
+        )
+    stats = live_file_stats(path, version)
+    for col in columns:
+        per = [stats[f][col] for f in files if col in stats.get(f, {})]
+        if len(per) != len(files):
+            raise ValueError(
+                f"column {col!r} lacks footer stats on some live files;"
+                " scan instead"
+            )
+        if any(isinstance(v, str) for p in per for v in p):
+            raise ValueError(
+                f"column {col!r} has string footer stats, which parquet"
+                " writers may truncate; scan instead"
+            )
+        out["min"][col] = min(p[0] for p in per)
+        out["max"][col] = max(p[1] for p in per)
+    return out
 
 
 def manifest_compact(
@@ -461,8 +797,11 @@ def manifest_compact(
     """
     head = latest_version(path)
     files = live_files(path, head)
-    if len(files) <= target_files and not cluster_by:
+    dv_files, _dv_targets = live_dv_state(path, head)
+    if len(files) <= target_files and not cluster_by and not dv_files:
         return head
+    # read_snapshot applies any live deletion vectors, so compaction
+    # doubles as materialization — every vector is retired below
     snap = read_snapshot(spark, path, head)
     if cluster_by:
         if len(cluster_by) == 1:
@@ -487,6 +826,7 @@ def manifest_compact(
         clustered = snap.coalesce(target_files)
     version = head + 1
     added = _stage_batch(clustered, path, version)
+    stats, row_counts = _stage_stats(path, added)
     return _commit_version(
         path,
         {
@@ -496,9 +836,11 @@ def manifest_compact(
             "schema": snap.schema.jsonValue(),
             "added": added,
             "removed": files,
-            "stats": {
-                f: _file_column_stats(os.path.join(path, f)) for f in added
-            },
+            "stats": stats,
+            "row_counts": row_counts,
+            "dv_added": [],
+            "dv_removed": dv_files,
+            "dv_targets": {},
         },
     )
 
@@ -520,15 +862,19 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     retained: set[str] = set()
     for v in keep_versions:
         retained.update(live_files(path, v))
+        retained.update(live_dv_state(path, v)[0])
     ever: set[str] = set()
     for v in versions:
-        ever.update(read_version_doc(path, v)["added"])
+        doc = read_version_doc(path, v)
+        ever.update(doc["added"])
+        ever.update(doc.get("dv_added", []))
 
     # checkpoint the base BEFORE dropping its ancestors: its doc becomes
     # self-contained (full live set, no parent), so later docs still
     # apply incrementally on top. Maintenance op → os.replace, not the
     # create-if-absent commit path.
     base_schema = _schema_of(path, base)
+    base_dv_files, base_dv_targets = live_dv_state(path, base)
     base_doc = {
         "version": base,
         "parent": None,
@@ -537,6 +883,10 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         "added": live_files(path, base),
         "removed": [],
         "stats": live_file_stats(path, base),
+        "row_counts": live_row_counts(path, base),
+        "dv_added": base_dv_files,
+        "dv_removed": [],
+        "dv_targets": base_dv_targets,
     }
     tmp = os.path.join(_manifest_dir(path), f".ckpt-{os.getpid()}.json")
     with open(tmp, "w") as fh:

@@ -679,3 +679,153 @@ def test_manifest_additive_schema_and_clustered_compaction(spark, tmp_path):
         (r["id"], r["v"], r["extra"])
         for r in M.read_snapshot(spark, root).collect()
     ) == before
+
+
+def test_manifest_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Row-level deletes write POSITIONS, not rewritten files: data
+    files stay byte-identical after manifest_delete_rows; reads,
+    time travel, changes-since, and re-deletes all honor the vectors;
+    materialization rewrites ONLY the affected files."""
+    import os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    # range-partitioned so file → id range is known: one file will have
+    # no deleted rows and must survive materialization untouched
+    M.manifest_append(
+        spark.range(0, 90)
+        .withColumn("v", F.col("id") * 3)
+        .repartitionByRange(3, "id"),
+        root,
+    )
+    data_files_before = M.live_files(root)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(root, f)) for f in data_files_before
+    }
+
+    v, n = M.manifest_delete_rows(spark, root, F.col("id") < 30)
+    assert (v, n) == (2, 30)
+    # merge-on-read: same live data files, byte-untouched
+    assert M.live_files(root) == data_files_before
+    assert all(
+        os.path.getmtime(os.path.join(root, f)) == mtimes[f]
+        for f in data_files_before
+    )
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) \
+        == list(range(30, 90))
+    assert M.read_snapshot(spark, root, 1).count() == 90  # time travel
+    # NULL-evaluating predicates keep rows; overlap is not re-counted
+    v2, n2 = M.manifest_delete_rows(
+        spark, root, F.when(F.col("id") < 40, True)
+    )
+    assert n2 == 10 and v2 == 3
+    same_v, zero = M.manifest_delete_rows(spark, root, F.col("id") < 35)
+    assert (same_v, zero) == (3, 0)  # all already deleted → no commit
+    # changes-since applies vectors live at the range end
+    assert M.read_changes(spark, root, 0, 3).count() == 50
+
+    # metadata-only count is exact under live vectors; min/max refuses
+    assert M.metadata_only_stats(root)["n_rows"] == 50
+    with pytest.raises(ValueError, match="materialize"):
+        M.metadata_only_stats(root, columns=["id"])
+
+    mv, rewritten = M.manifest_materialize_deletes(spark, root)
+    assert rewritten == 2  # the id>=60 file had no deletions
+    untouched = [f for f in data_files_before if f in M.live_files(root)]
+    assert len(untouched) == 1
+    assert os.path.getmtime(os.path.join(root, untouched[0])) \
+        == mtimes[untouched[0]]
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) \
+        == list(range(40, 90))
+    # vectors retired: second materialize is a no-op, min/max serves
+    assert M.manifest_materialize_deletes(spark, root) == (mv, 0)
+    stats = M.metadata_only_stats(root, columns=["id", "v"])
+    assert stats == {
+        "n_rows": 50,
+        "min": {"id": 40, "v": 120},
+        "max": {"id": 89, "v": 267},
+    }
+    # time travel to the vectored layout still works pre-vacuum
+    assert M.read_snapshot(spark, root, v2).count() == 50
+
+
+def test_manifest_dv_interplay_with_other_operations(spark, tmp_path):
+    """Vectors compose with file-targeted delete, compaction (which
+    doubles as materialization), vacuum checkpointing, and tables whose
+    own schema has file/pos columns."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    # adversarial schema: the table's own columns are named file/pos
+    df = (
+        spark.range(0, 60)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("f"), (F.col("id") % 5).cast("string")).alias(
+                "file"
+            ),
+            (F.col("id") % 7).alias("pos"),
+        )
+        .repartitionByRange(3, "id")
+    )
+    M.manifest_append(df, root)
+    M.manifest_delete_rows(spark, root, F.col("id") % 2 == 0)
+    assert M.read_snapshot(spark, root).count() == 30
+    # file-targeted delete on top of live vectors: survivors must
+    # exclude vectored rows, and already-deleted rows don't trigger it
+    v, n_rw = M.manifest_delete_where(spark, root, F.col("id") >= 40)
+    # range boundaries come from sampling, so 1 or (rarely) 2 of the 3
+    # files contain an id>=40 hit — never all three
+    assert 1 <= n_rw <= 2
+    got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(40) if i % 2 == 1]
+    # vacuum with vectors still live at the base checkpoint
+    M.manifest_delete_rows(spark, root, F.col("id") == 5)
+    base = M.latest_version(root)
+    M.manifest_append(spark.range(100, 103).select(
+        F.col("id"),
+        F.lit("fx").alias("file"),
+        F.lit(0).cast("long").alias("pos"),
+    ), root)
+    M.manifest_vacuum(root, keep_from_version=base)
+    got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(40) if i % 2 == 1 and i != 5] + [
+        100,
+        101,
+        102,
+    ]
+    assert M.metadata_only_stats(root)["n_rows"] == len(got)
+    # compaction retires the surviving vectors and is a data no-op
+    M.manifest_compact(spark, root, target_files=1)
+    assert M.live_dv_state(root) == ([], {})
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) \
+        == got
+
+
+def test_manifest_dv_free_read_has_no_join(spark, tmp_path):
+    """The zero-overhead claim: a snapshot read of a table with no live
+    vectors plans as a plain parquet scan — no join, no metadata
+    columns."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10), root)
+    plan = plan_of(M.read_snapshot(spark, root))
+    assert "Join" not in plan and "row_index" not in plan
+    # and with vectors live, the anti-join appears
+    M.manifest_delete_rows(spark, root, F.col("id") == 0)
+    plan2 = plan_of(M.read_snapshot(spark, root))
+    assert "LeftAnti" in plan2
