@@ -79,6 +79,9 @@ HEADLINE = [
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",
+    # round-6 (session 3) addition: the merge-on-read deletion-vector
+    # lifecycle (row delete → vectored reads → materialize)
+    "manifest_dv_lifecycle_counts",
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

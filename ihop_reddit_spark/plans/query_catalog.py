@@ -3785,6 +3785,129 @@ def manifest_timetravel_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deletion-vector lifecycle gate (sources/manifest — r6 session 3): the
+# merge-on-read row-delete grain. In a temp table: append the event
+# slices as v1/v2, ROW-delete user_id%5==0 as a deletion vector (v3 — no
+# data file rewritten), then materialize (v4 — only affected files
+# rewritten). Six tagged aggregate rows pin, against the direct events
+# oracle: the vectored HEAD read, pre-delete TIME TRAVEL, the
+# CHANGES-SINCE read with vectors applied, the METADATA-ONLY count under
+# live vectors (answered from the manifest alone — no scan), the
+# post-materialize head (materialization must be a visible-data no-op),
+# and the post-materialize metadata-only count+min/max (footer-stat
+# replay must be exact). Sentinel -1 marks aggregates the metadata path
+# deliberately refuses (sums always; min/max while vectors are live).
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_dv_lifecycle_counts",
+    """
+    WITH ev AS (SELECT event_id, user_id FROM events),
+    live AS (
+      SELECT * FROM ev WHERE event_id % 3 IN (0, 1) AND user_id % 5 <> 0
+    ),
+    pre AS (SELECT * FROM ev WHERE event_id % 3 IN (0, 1)),
+    chg AS (SELECT * FROM ev WHERE event_id % 3 = 1 AND user_id % 5 <> 0)
+    SELECT 'head_after_rowdelete' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(MIN(user_id) AS BIGINT) AS min_user_id,
+           CAST(MAX(user_id) AS BIGINT) AS max_user_id
+    FROM live
+    UNION ALL
+    SELECT 'timetravel_pre_delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT), CAST(MIN(user_id) AS BIGINT),
+           CAST(MAX(user_id) AS BIGINT)
+    FROM pre
+    UNION ALL
+    SELECT 'changes_with_dv', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT), CAST(MIN(user_id) AS BIGINT),
+           CAST(MAX(user_id) AS BIGINT)
+    FROM chg
+    UNION ALL
+    SELECT 'metadata_count_live_dv', CAST(COUNT(*) AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM live
+    UNION ALL
+    SELECT 'head_after_materialize', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT), CAST(MIN(user_id) AS BIGINT),
+           CAST(MAX(user_id) AS BIGINT)
+    FROM live
+    UNION ALL
+    SELECT 'metadata_after_materialize', CAST(COUNT(*) AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(MIN(user_id) AS BIGINT),
+           CAST(MAX(user_id) AS BIGINT)
+    FROM live
+    """,
+)
+def manifest_dv_lifecycle_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def aggs(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.min("user_id").cast("long").alias("min_user_id"),
+            F.max("user_id").cast("long").alias("max_user_id"),
+        ).select(F.lit(tag).alias("tag"), "*")
+
+    def meta_row(tag: str, n: int, lo: int, hi: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(tag, n, -1, lo, hi)],
+            "tag string, n_rows long, sum_event_id long,"
+            " min_user_id long, max_user_id long",
+        )
+
+    work = tempfile.mkdtemp(prefix="mani_dv_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(
+            ev.where(F.col("event_id") % 3 == 0)
+            .repartitionByRange(4, "user_id"),
+            root,
+        )
+        M.manifest_append(
+            ev.where(F.col("event_id") % 3 == 1)
+            .repartitionByRange(4, "user_id"),
+            root,
+        )
+        M.manifest_delete_rows(spark, root, F.col("user_id") % 5 == 0)
+        meta_live = M.metadata_only_stats(root)
+        parts = [
+            aggs(M.read_snapshot(spark, root), "head_after_rowdelete"),
+            aggs(M.read_snapshot(spark, root, 2), "timetravel_pre_delete"),
+            aggs(M.read_changes(spark, root, 1), "changes_with_dv"),
+            meta_row("metadata_count_live_dv", meta_live["n_rows"], -1, -1),
+        ]
+        M.manifest_materialize_deletes(spark, root)
+        parts.append(
+            aggs(M.read_snapshot(spark, root), "head_after_materialize")
+        )
+        meta_final = M.metadata_only_stats(root, columns=["user_id"])
+        parts.append(
+            meta_row(
+                "metadata_after_materialize",
+                meta_final["n_rows"],
+                meta_final["min"]["user_id"],
+                meta_final["max"]["user_id"],
+            )
+        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the manifest tier (r6): the events STREAM lands in a
 # versioned manifest table — one commit per micro-batch, batch ids
 # recorded in the docs so replays skip (exactly-once; replay pytest in
@@ -8752,6 +8875,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "manifest_dv_lifecycle_counts",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",
