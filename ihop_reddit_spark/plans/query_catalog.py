@@ -3908,6 +3908,82 @@ def manifest_dv_lifecycle_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bloom file-skipping gate (sources/manifest — r6 session 3): per-file
+# bloom filters recorded in the commit doc make EQUALITY point lookups
+# skip files min/max ranges can't separate (ids, hashes, urls) — at
+# 100 TB a "fetch document N" probe opens 1-2 files instead of listing
+# the corpus. In a temp table: two range-partitioned appends of the
+# documents table with blooms on doc_id (the second append inherits the
+# config), a deletion-vector delete of one probed id (vectors only ADD
+# bloom false positives — correctness must not depend on skipping), then
+# eight point lookups through prune_eq, including one absent id. The
+# oracle is a direct probe-list LEFT JOIN against documents, so a bloom
+# that wrongly DROPS a file (the only unsafe direction) breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_bloom_point_lookups",
+    """
+    WITH probes(probe_id) AS (
+      VALUES (0), (83), (166), (249), (332), (415), (498), (-7)
+    )
+    SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS sum_n_chars
+    FROM probes p
+    LEFT JOIN documents d
+      ON d.doc_id = p.probe_id AND d.doc_id <> 166
+    GROUP BY p.probe_id
+    """,
+)
+def manifest_bloom_point_lookups(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    probes = [0, 83, 166, 249, 332, 415, 498, -7]
+
+    work = tempfile.mkdtemp(prefix="mani_bloom_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(
+            docs.where(F.col("doc_id") % 2 == 0)
+            .repartitionByRange(3, "doc_id"),
+            root,
+            bloom_columns=["doc_id"],
+            bloom_bits=1 << 14,
+            bloom_hashes=5,
+        )
+        M.manifest_append(
+            docs.where(F.col("doc_id") % 2 == 1)
+            .repartitionByRange(3, "doc_id"),
+            root,
+        )
+        M.manifest_delete_rows(spark, root, F.col("doc_id") == 166)
+        rows = []
+        for p in probes:
+            r = (
+                M.read_snapshot(spark, root, prune_eq={"doc_id": p})
+                .where(F.col("doc_id") == p)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0))
+                    .cast("long")
+                    .alias("sum_n_chars"),
+                )
+                .first()
+            )
+            rows.append((p, r["n_rows"], r["sum_n_chars"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe_id long, n_rows long, sum_n_chars long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the manifest tier (r6): the events STREAM lands in a
 # versioned manifest table — one commit per micro-batch, batch ids
 # recorded in the docs so replays skip (exactly-once; replay pytest in
@@ -8876,6 +8952,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
     "manifest_dv_lifecycle_counts",
+    "manifest_bloom_point_lookups",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

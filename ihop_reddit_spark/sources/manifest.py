@@ -379,6 +379,188 @@ def _apply_dvs(
     return out if keep_pos else out.drop("__dv_file", "__dv_pos")
 
 
+def _bloom_position_cols(col: str, m: int, k: int) -> list:
+    """The k bloom bit positions of a column value, as JVM expressions:
+    ``pmod(xxhash64(cast(col as string), seed), m)``. Values are cast to
+    string BEFORE hashing so build and probe agree for every column type
+    (xxhash64 hashes ints and strings differently; a string round-trip
+    through Spark's own cast is bit-identical on both sides)."""
+    c = F.col(col).cast("string")
+    return [
+        F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(m)).cast("int")
+        for seed in range(1, k + 1)
+    ]
+
+
+def _build_blooms(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    columns: list[str],
+    m: int,
+    k: int,
+) -> dict:
+    """{rel-file: {col: bloom entry}} for ``files`` — one distributed
+    pass: project only the bloom columns (plus the reader's file path),
+    hash JVM-side, dedupe (file, bit) pairs (map-side combine caps the
+    shuffle at ``m`` bits per file per column), then OR the bits into a
+    bitmap per file with an Arrow-batched group map. The driver collects
+    file-count × m/8 bytes — KBs, never rows. Bitmaps are zlib+base64 in
+    the commit doc (sparse bitmaps compress well)."""
+    import base64
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    scan = spark.read.parquet(*(os.path.join(path, f) for f in files))
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"), _DATA_REL_PATTERN, 1
+    ).alias("f")
+    out: dict[str, dict] = {f: {} for f in files}
+
+    def or_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+        bmp = np.zeros(m // 8 + 1, dtype=np.uint8)
+        bits = pdf["bit"].to_numpy()
+        np.bitwise_or.at(bmp, bits // 8, (1 << (bits % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {"f": [pdf["f"].iloc[0]], "bmp": [bmp.tobytes()]}
+        )
+
+    for col in columns:
+        pairs = (
+            scan.select(
+                rel,
+                F.explode(F.array(*_bloom_position_cols(col, m, k))).alias(
+                    "bit"
+                ),
+            )
+            # NULL values hash to the seed itself (xxhash64(null, s) = s),
+            # adding at most k spurious bits per file — false-positive
+            # direction only, and equality probes are non-null by contract
+            .distinct()
+        )
+        rows = (
+            pairs.groupBy("f")
+            .applyInPandas(or_bits, "f string, bmp binary")
+            .collect()
+        )
+        for r in rows:
+            out[r["f"]][col] = {
+                "m": m,
+                "k": k,
+                "z64": base64.b64encode(zlib.compress(r["bmp"])).decode(),
+            }
+        # files with only NULLs (or no rows) get an all-zero bloom:
+        # every probe misses, which is exact — no non-null value exists
+        empty = base64.b64encode(
+            zlib.compress(bytes(m // 8 + 1))
+        ).decode()
+        for f in files:
+            out[f].setdefault(col, {"m": m, "k": k, "z64": empty})
+    return out
+
+
+def live_file_blooms(path: str, version: int | None = None) -> dict:
+    """rel-path → {col: bloom entry} for the live files at ``version``.
+    Files without blooms map to {} — readers treat absence as "cannot
+    prune", never as "no match"."""
+    if version is None:
+        version = latest_version(path)
+    out: dict[str, dict] = {}
+    for v in list_versions(path):
+        if v > version:
+            break
+        doc = read_version_doc(path, v)
+        for f in doc["removed"]:
+            out.pop(f, None)
+        blooms = doc.get("blooms", {})
+        for f in doc["added"]:
+            out[f] = blooms.get(f, {})
+    return out
+
+
+def _bloom_config(path: str, version: int | None = None) -> dict:
+    """{col: (m, k)} union over the live files' blooms — how rewrite
+    operations (compact/materialize/delete) know which blooms to rebuild
+    so file skipping survives a rewrite."""
+    cfg: dict[str, tuple[int, int]] = {}
+    for per_file in live_file_blooms(path, version).values():
+        for col, e in per_file.items():
+            cfg[col] = (e["m"], e["k"])
+    return cfg
+
+
+def _rebuild_blooms(
+    spark: SparkSession, path: str, added: list[str], head: int
+) -> dict:
+    """Blooms for freshly rewritten files, preserving the live config;
+    {} when the table never had blooms (zero cost on the common path)."""
+    cfg = _bloom_config(path, head)
+    if not cfg or not added:
+        return {}
+    by_mk: dict[tuple[int, int], list[str]] = {}
+    for col, mk in cfg.items():
+        by_mk.setdefault(mk, []).append(col)
+    out: dict[str, dict] = {f: {} for f in added}
+    for (m, k), cols in by_mk.items():
+        built = _build_blooms(spark, path, added, cols, m, k)
+        for f, entry in built.items():
+            out[f].update(entry)
+    return out
+
+
+def _probe_bloom_bits(spark: SparkSession, value, m: int, k: int) -> list[int]:
+    """The k bit positions a non-null ``value`` would set — computed by
+    the SAME Spark expressions used at build time (a one-row job, so the
+    cast/hash semantics cannot drift from the build side)."""
+    row = (
+        spark.range(1)
+        .select(F.lit(value).alias("v"))
+        .select(*_bloom_position_cols("v", m, k))
+        .first()
+    )
+    return [int(b) for b in row]
+
+
+def _prune_files_eq(
+    spark: SparkSession, files: list[str], blooms: dict, prune_eq: dict | None
+) -> list[str]:
+    """Keep each file whose bloom admits EVERY (col == value) predicate
+    in ``prune_eq``. Missing blooms keep the file — like ``_prune_files``
+    this is an I/O optimization, never a filter: callers still apply the
+    real predicate, so a false positive costs a scan, and a true
+    negative (all k bits can't be set) safely skips the file."""
+    import base64
+    import zlib
+
+    if not prune_eq:
+        return files
+    probe_cache: dict[tuple, list[int]] = {}
+    kept = []
+    for f in files:
+        per_file = blooms.get(f, {})
+        keep = True
+        for col, value in prune_eq.items():
+            e = per_file.get(col)
+            if e is None or value is None:
+                continue
+            key = (col, e["m"], e["k"])
+            if key not in probe_cache:
+                probe_cache[key] = _probe_bloom_bits(
+                    spark, value, e["m"], e["k"]
+                )
+            bmp = zlib.decompress(base64.b64decode(e["z64"]))
+            if not all(
+                bmp[b // 8] & (1 << (b % 8)) for b in probe_cache[key]
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
 def _check_schema(
     df: DataFrame, path: str, *, allow_additive: bool = False
 ) -> None:
@@ -419,6 +601,9 @@ def manifest_append(
     max_manifest_files: int = 1_000_000,
     extra: dict | None = None,
     allow_additive: bool = False,
+    bloom_columns: tuple[str, ...] | list[str] = (),
+    bloom_bits: int = 1 << 17,
+    bloom_hashes: int = 7,
 ) -> int:
     """Append ``df`` as a new version. Old files are never touched;
     concurrent appenders race on the version doc, never on data.
@@ -426,7 +611,16 @@ def manifest_append(
     (e.g. ``stream_batch_id`` for exactly-once streaming appends).
     ``allow_additive`` permits NEW columns (existing ones must keep
     their exact name+type); older files read the new columns as NULL
-    and time travel surfaces each version's own schema."""
+    and time travel surfaces each version's own schema.
+
+    ``bloom_columns`` additionally records a per-file BLOOM FILTER for
+    each named column (``bloom_bits`` bits, ``bloom_hashes`` hashes —
+    the default 128 Kbit/16 KiB holds ~10-20k distinct values per file
+    at ~1% false-positive rate): equality-predicate file skipping for
+    columns min/max ranges can't prune (ids, hashes, urls). Built in
+    one distributed pass over the freshly staged files; rewrites
+    (compact/materialize/delete) rebuild them automatically, so a
+    table keeps skipping after maintenance."""
     head = latest_version(path)
     _check_schema(df, path, allow_additive=allow_additive)
     version = head + 1
@@ -438,6 +632,14 @@ def manifest_append(
             f"{max_manifest_files}; compact before appending"
         )
     stats, row_counts = _stage_stats(path, added)
+    spark = df.sparkSession
+    blooms = (
+        _build_blooms(
+            spark, path, added, list(bloom_columns), bloom_bits, bloom_hashes
+        )
+        if bloom_columns
+        else _rebuild_blooms(spark, path, added, head)
+    )
     return _commit_version(
         path,
         {
@@ -449,6 +651,7 @@ def manifest_append(
             "removed": [],
             "stats": stats,
             "row_counts": row_counts,
+            "blooms": blooms,
             **(extra or {}),
         },
     )
@@ -460,6 +663,7 @@ def read_snapshot(
     version: int | None = None,
     *,
     prune: dict | None = None,
+    prune_eq: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: head) — time travel. An
     empty table yields an empty frame with the recorded schema.
@@ -469,6 +673,12 @@ def read_snapshot(
     the manifest-level pendant to parquet row-group pruning. It is an
     I/O optimization only: the caller still applies the real predicate,
     and files without stats are always scanned.
+
+    ``prune_eq`` ({col: value}) skips files whose recorded BLOOM filter
+    proves the value absent — the equality pendant to ``prune`` for
+    columns ranges can't separate (ids, hashes, urls). Same contract:
+    I/O optimization only, the caller still applies the real predicate,
+    files without blooms are always scanned.
 
     Live deletion vectors (``manifest_delete_rows``) are applied as an
     equi anti-join on (file, row position); a table with no live
@@ -484,8 +694,12 @@ def read_snapshot(
         return spark.createDataFrame([], schema)
     if prune:
         files = _prune_files(files, live_file_stats(path, version), prune)
-        if not files:
-            return spark.createDataFrame([], schema)
+    if prune_eq:
+        files = _prune_files_eq(
+            spark, files, live_file_blooms(path, version), prune_eq
+        )
+    if not files:
+        return spark.createDataFrame([], schema)
     dv_files, dv_targets = live_dv_state(path, version)
     if dv_files and dv_targets:
         scanned = _scan_with_pos(spark, path, files, schema)
@@ -589,6 +803,7 @@ def manifest_delete_where(
             "removed": hit_rel,
             "stats": stats,
             "row_counts": row_counts,
+            "blooms": _rebuild_blooms(spark, path, added, head),
         },
     )
     return version, len(hit_rel)
@@ -704,6 +919,7 @@ def manifest_materialize_deletes(
             "removed": affected,
             "stats": stats,
             "row_counts": row_counts,
+            "blooms": _rebuild_blooms(spark, path, added, head),
             "dv_added": [],
             "dv_removed": dv_files,
             "dv_targets": {},
@@ -838,6 +1054,7 @@ def manifest_compact(
             "removed": files,
             "stats": stats,
             "row_counts": row_counts,
+            "blooms": _rebuild_blooms(spark, path, added, head),
             "dv_added": [],
             "dv_removed": dv_files,
             "dv_targets": {},
@@ -884,6 +1101,7 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         "removed": [],
         "stats": live_file_stats(path, base),
         "row_counts": live_row_counts(path, base),
+        "blooms": live_file_blooms(path, base),
         "dv_added": base_dv_files,
         "dv_removed": [],
         "dv_targets": base_dv_targets,

@@ -805,6 +805,76 @@ def test_manifest_dv_interplay_with_other_operations(spark, tmp_path):
         == got
 
 
+def test_manifest_bloom_equality_file_skipping(spark, tmp_path):
+    """Per-file bloom filters prune equality probes: a present key scans
+    a strict subset of files (still returning exactly its rows), an
+    absent key scans zero files, plain appends inherit the table's bloom
+    config, and rewrites + the vacuum checkpoint preserve skipping."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    keyed = lambda lo, hi: (  # noqa: E731
+        spark.range(lo, hi)
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            F.col("id").alias("n"),
+        )
+        .repartition(3)
+    )
+    M.manifest_append(
+        keyed(0, 3000), root, bloom_columns=["k"], bloom_bits=1 << 14,
+        bloom_hashes=5,
+    )
+    # no bloom_columns: inherits the live config
+    M.manifest_append(keyed(3000, 6000), root)
+    files = M.live_files(root)
+    blooms = M.live_file_blooms(root)
+    assert len(files) == 6 and all(blooms[f].get("k") for f in files)
+
+    kept = M._prune_files_eq(spark, files, blooms, {"k": "k1234"})
+    assert 0 < len(kept) < len(files)
+    got = (
+        M.read_snapshot(spark, root, prune_eq={"k": "k1234"})
+        .where(F.col("k") == "k1234")
+        .collect()
+    )
+    assert [(r["k"], r["n"]) for r in got] == [("k1234", 1234)]
+    # an absent key prunes every file (true negative — m sized for ~1k
+    # distinct per file, so a stray false positive is the rare exception,
+    # and correctness never depends on it)
+    assert (
+        M.read_snapshot(spark, root, prune_eq={"k": "nope"})
+        .where(F.col("k") == "nope")
+        .count()
+        == 0
+    )
+    # missing blooms / None probe values keep the file
+    assert M._prune_files_eq(spark, ["x"], {"x": {}}, {"k": "v"}) == ["x"]
+    assert M._prune_files_eq(spark, files, blooms, {"k": None}) == files
+
+    # deletion vectors only ADD false positives — reads stay correct
+    M.manifest_delete_rows(spark, root, F.col("n") == 1234)
+    assert (
+        M.read_snapshot(spark, root, prune_eq={"k": "k1234"})
+        .where(F.col("k") == "k1234")
+        .count()
+        == 0
+    )
+    # compaction rebuilds blooms for the rewritten files
+    v = M.manifest_compact(spark, root, target_files=2)
+    assert all(b.get("k") for b in M.live_file_blooms(root).values())
+    # vacuum checkpoint carries them
+    M.manifest_vacuum(root, keep_from_version=v)
+    assert all(b.get("k") for b in M.live_file_blooms(root).values())
+    assert (
+        M.read_snapshot(spark, root, prune_eq={"k": "k5555"})
+        .where(F.col("k") == "k5555")
+        .count()
+        == 1
+    )
+
+
 def test_manifest_dv_free_read_has_no_join(spark, tmp_path):
     """The zero-overhead claim: a snapshot read of a table with no live
     vectors plans as a plain parquet scan — no join, no metadata
