@@ -7962,6 +7962,99 @@ def unigram_roundtrip_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WordPiece trainer (ml/wordpiece.py — Schuster & Nakajima 2012, the
+# BERT tokenizer), completing the trainer family next to BPE and
+# unigram-LM. Same vocab-sized loop as BPE with the likelihood-gain
+# merge objective; like the other trainers the in-word fuse loop is not
+# ANSI-SQL-expressible, so the gates follow the invariants + full-vocab
+# round-trip pattern with exact cross-engine word counts.
+# ---------------------------------------------------------------------------
+_WORDPIECE_MERGES = 10
+
+
+@query(
+    "wordpiece_invariants_gate",
+    f"""
+    SELECT CAST(unnest(range(1, {_WORDPIECE_MERGES + 1})) AS BIGINT)
+             AS step,
+           true AS score_positive,
+           true AS count_positive,
+           true AS parts_in_vocab,
+           true AS fused_in_vocab,
+           true AS continuation_shape
+    """,
+)
+def wordpiece_invariants_gate(spark, sf_dir):
+    from ..ml.wordpiece import fuse_pair, train_wordpiece
+
+    m = train_wordpiece(
+        _t(spark, sf_dir, "documents"), "text", num_merges=_WORDPIECE_MERGES
+    )
+    vocab = set(m.vocab)
+    seen: set[str] = {v for v in m.vocab if len(v.removeprefix("##")) == 1}
+    rows = []
+    for i, (left, right, c, score) in enumerate(m.merges, start=1):
+        fused = fuse_pair(left, right)
+        rows.append(
+            (
+                i,
+                score > 0.0,
+                c > 0,
+                (left in seen) and (right in seen),
+                fused in vocab,
+                # the right side of an in-word pair is ALWAYS a
+                # continuation, and the fusion keeps the left's shape
+                right.startswith("##")
+                and fused.startswith("##") == left.startswith("##"),
+            )
+        )
+        seen.add(fused)
+    return spark.createDataFrame(
+        rows,
+        "step long, score_positive boolean, count_positive boolean, "
+        "parts_in_vocab boolean, fused_in_vocab boolean, "
+        "continuation_shape boolean",
+    )
+
+
+@query(
+    "wordpiece_roundtrip_gate",
+    """
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+           true AS all_roundtrip,
+           true AS no_unk,
+           true AS tokens_within_bounds
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0
+    """,
+)
+def wordpiece_roundtrip_gate(spark, sf_dir):
+    from ..ml.bpe import word_frequencies
+    from ..ml.wordpiece import train_wordpiece, wordpiece_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_wordpiece(docs, "text", num_merges=_WORDPIECE_MERGES)
+    words = word_frequencies(docs, "text").select(
+        F.col("word").alias("text")
+    )
+    enc = wordpiece_encode(words, "text", m)
+    joined = F.concat_ws(
+        "", F.transform("tokens", lambda t: F.regexp_replace(t, "^##", ""))
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        # the alphabet comes from this corpus, so every word matches and
+        # stripping the continuation prefix must reconstruct it exactly
+        F.every(joined == F.col("text")).alias("all_roundtrip"),
+        F.every(~F.array_contains("tokens", m.unk)).alias("no_unk"),
+        F.every(
+            (F.size("tokens") >= 1)
+            & (F.size("tokens") <= F.length("text"))
+        ).alias("tokens_within_bounds"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical QA (datapipe/drift.py): exact integer-rational two-sample
 # KS distance (distribution drift between populations) and per-group
 # MAD-rule outlier counts — both hash-exact cross-engine.
@@ -8953,6 +9046,8 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "manifest_dv_lifecycle_counts",
     "manifest_bloom_point_lookups",
+    "wordpiece_invariants_gate",
+    "wordpiece_roundtrip_gate",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

@@ -44,6 +44,9 @@ GATES = [
     "jpeg_decode_gate",
     "media_decode_gate",
     "avi_decode_gate",
+    # round-6 (session 3): the WordPiece trainer gates
+    "wordpiece_invariants_gate",
+    "wordpiece_roundtrip_gate",
     # split_leakage_audit and g711_decode_gate deliberately absent: they
     # emit exact COUNTS/SUMS (hash-gated by the oracle), not gate booleans
 ]
