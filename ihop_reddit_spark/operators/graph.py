@@ -188,3 +188,67 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) with a total deterministic tie-break — ``rounds`` fixed
+    sweeps where every node simultaneously adopts the label most
+    frequent among its neighbors, ties to the SMALLEST label.
+
+    Determinism is the design choice: the classic asynchronous LPA is
+    visit-order-dependent (different runs, different communities); the
+    synchronous variant with a total tie-break is a pure function of the
+    edge set, so results are bit-identical across engines, partitionings
+    and reruns — same engine rule as integer PageRank above. The known
+    cost is two-coloring oscillation on bipartite-ish regions, bounded
+    here by the fixed round count callers control (communities are a
+    curation signal, not a fixpoint contract).
+
+    Scale shape per round: one join of the symmetrized edge set against
+    the label frame on the neighbor key, one (node, label) count
+    aggregation, one ``max_by`` argmax per node — all AQE-decided
+    equi-joins keyed like PageRank's message pass, with the edge side
+    hash-partitioned once up front and reused every round.
+    ``localCheckpoint(eager=False)`` bounds lineage per round.
+
+    Nodes are edge endpoints (an isolated node has no edges to vote
+    with); labels start as the node id. Returns ``(node, label)``.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("v")  # the per-round join key (neighbor side)
+        .persist()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("u").alias("node"))
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return register_scoped_persists(labels, und)

@@ -7794,6 +7794,79 @@ def triangle_counts_copurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Community detection (operators/graph.label_propagation — r6 session 3)
+# over the same part co-purchase graph: SYNCHRONOUS label propagation
+# with a total tie-break (most frequent neighbor label, ties to the
+# smallest), 3 fixed sweeps. The synchronous+total-tie-break design
+# makes the result a pure function of the edge set — so the oracle
+# replays the exact same sweeps as three chained window-argmax CTEs and
+# the per-node labels hash-match bit-for-bit (the asynchronous classic
+# could never be cross-engine-gated like this). Community sizes then
+# aggregate per label — both grains gated.
+# ---------------------------------------------------------------------------
+@query(
+    "lpa_communities_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+    ed AS (SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+    l1 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l0 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1),
+    l2 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l1 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1),
+    l3 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l2 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1)
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label,
+           CAST(csize AS BIGINT) AS community_size
+    FROM (SELECT node, label,
+                 COUNT(*) OVER (PARTITION BY label) AS csize
+          FROM l3)
+    """,
+)
+def lpa_communities_copurchase(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    labels = label_propagation(edges, rounds=3)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long"),
+        F.col("label").cast("long"),
+        "community_size",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (ml/bpe.py — Sennrich et al. 2016).
 # The within-word merge is not ANSI-SQL-expressible (needs lookaround
 # regex or a loop), so the gates follow the engine's invariants-gate
@@ -9048,6 +9121,7 @@ _SCORING_PRIORITY = [
     "manifest_bloom_point_lookups",
     "wordpiece_invariants_gate",
     "wordpiece_roundtrip_gate",
+    "lpa_communities_copurchase",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

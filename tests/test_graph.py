@@ -88,3 +88,75 @@ def test_triangle_count_exact_vs_bruteforce(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
     assert triangle_count(path, per_node=False).collect()[0]["triangles"] == 0
     assert triangle_count(path).count() == 0
+
+
+def test_label_propagation_matches_python_model(spark):
+    from collections import Counter, defaultdict
+
+    from ihop_reddit_spark.operators.graph import label_propagation
+
+    def ref_lpa(edge_list, rounds):
+        adj = defaultdict(set)
+        for u, v in edge_list:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                votes = Counter(labels[m] for m in nbrs)
+                # most frequent, ties to the smallest label
+                nxt[n] = sorted(
+                    votes.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0][0]
+            labels = nxt
+        return labels
+
+    # two 4-cliques joined by one bridge edge — communities must
+    # converge inside each clique and not leak across the bridge
+    clique = lambda base: [  # noqa: E731
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    edges = clique(0) + clique(10) + [(3, 10)]
+    for rounds in (1, 2, 4):
+        want = ref_lpa(edges, rounds)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == want, f"rounds={rounds}"
+    # after convergence both cliques share one in-clique label each
+    final = ref_lpa(edges, 4)
+    assert len({final[n] for n in range(4)}) == 1
+    assert len({final[n] for n in range(10, 14)}) == 1
+    assert final[0] != final[10]
+
+    # real graph slice: co-purchase pairs at sf0.001, directed +
+    # duplicated input must not change the result
+    import itertools
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pairs = {
+        (a, b)
+        for _, grp in itertools.groupby(
+            sorted(
+                (r["l_orderkey"], r["l_partkey"])
+                for r in li.select("l_orderkey", "l_partkey")
+                .distinct()
+                .collect()
+            ),
+            key=lambda t: t[0],
+        )
+        for a, b in itertools.combinations(
+            sorted({p for _, p in grp}), 2
+        )
+    }
+    want = ref_lpa(sorted(pairs), 3)
+    df = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+    assert got == want
