@@ -7867,6 +7867,85 @@ def lpa_communities_copurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Partition quality (operators/graph.modularity — r6 session 3): EXACT
+# Newman modularity of the LPA communities above. Q's numerator over the
+# common denominator 4m² is a pure integer — Σ_c (4·m·e_c − d_c²) in
+# DECIMAL(38,0) — so the score hash-gates bit-for-bit cross-engine (the
+# float Q rides along, computed by the identical double expression on
+# both sides). One row: the strongest kind of ML-adjacent gate, no
+# tolerance band needed.
+# ---------------------------------------------------------------------------
+@query(
+    "lpa_modularity_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+    ed AS (SELECT u, v FROM ed0 UNION SELECT v AS u, u AS v FROM ed0),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed),
+    l1 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l0 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1),
+    l2 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l1 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1),
+    l3 AS (SELECT node, label FROM (
+      SELECT e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l2 p ON p.node = e.v GROUP BY e.u, p.label
+    ) WHERE rn = 1),
+    mm AS (SELECT COUNT(*) AS m FROM ed0),
+    ec AS (SELECT p.label, COUNT(*) AS ec
+           FROM ed0 e
+           JOIN l3 p ON p.node = e.u
+           JOIN l3 q ON q.node = e.v AND q.label = p.label
+           GROUP BY p.label),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM ed GROUP BY u),
+    dc AS (SELECT l.label, SUM(g.d) AS dc
+           FROM deg g JOIN l3 l ON l.node = g.node GROUP BY l.label),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             SUM(4 * mm.m * COALESCE(e.ec, 0) - d.dc * d.dc) AS qn
+      FROM dc d LEFT JOIN ec e ON e.label = d.label CROSS JOIN mm
+    )
+    SELECT CAST(mm.m AS BIGINT) AS m_edges,
+           agg.n_communities,
+           CAST(agg.qn AS DECIMAL(38, 0)) AS q_num,
+           CAST(agg.qn AS DOUBLE)
+             / (4.0 * mm.m * mm.m) AS q
+    FROM agg CROSS JOIN mm
+    """,
+)
+def lpa_modularity_copurchase(spark, sf_dir):
+    from ..operators.graph import label_propagation, modularity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (ml/bpe.py — Sennrich et al. 2016).
 # The within-word merge is not ANSI-SQL-expressible (needs lookaround
 # regex or a loop), so the gates follow the engine's invariants-gate
@@ -9122,6 +9201,7 @@ _SCORING_PRIORITY = [
     "wordpiece_invariants_gate",
     "wordpiece_roundtrip_gate",
     "lpa_communities_copurchase",
+    "lpa_modularity_copurchase",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

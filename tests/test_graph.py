@@ -160,3 +160,25 @@ def test_label_propagation_matches_python_model(spark):
         for r in label_propagation(df, rounds=3).collect()
     }
     assert got == want
+
+
+def test_modularity_closed_form(spark):
+    from ihop_reddit_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    # two disjoint triangles: m=6, each community e_c=3, d_c=6 →
+    # q_num = 2·(4·6·3 − 36) = 72, Q = 72 / (4·36) = 0.5
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = label_propagation(df, rounds=3)
+    r = modularity(df, labels).collect()[0]
+    assert r["m_edges"] == 6 and r["n_communities"] == 2
+    assert int(r["q_num"]) == 72 and r["q"] == 0.5
+
+    # the all-one-community partition has Q = 0 exactly:
+    # e_c = m, d_c = 2m → 4m·m − 4m² = 0
+    one = labels.selectExpr("node", "0L as label")
+    r1 = modularity(df, one).collect()[0]
+    assert int(r1["q_num"]) == 0 and r1["q"] == 0.0
