@@ -4031,6 +4031,83 @@ def stream_manifest_appends(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
+# forget-me stream. The manifest table is seeded with the events slice;
+# delete REQUESTS (user ids of purchase events with user_id%7==0) then
+# arrive as a stream and land per micro-batch as deletion vectors —
+# keys semi-joined (distributed end to end, no driver IN-list), batch
+# ids recorded for replay skip, no data file rewritten. The oracle
+# derives the surviving aggregates straight from the events view, and a
+# second metadata-only row pins the manifest count with NO scan. The
+# pre-delete seed version must still time-travel to the full slice.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dv_deletes",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type FROM events),
+    del AS (SELECT DISTINCT user_id FROM ev
+            WHERE event_type = 'purchase' AND user_id % 7 = 0),
+    live AS (SELECT * FROM ev
+             WHERE user_id NOT IN (SELECT user_id FROM del))
+    SELECT 'head_after_stream' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM live
+    UNION ALL
+    SELECT 'metadata_count', CAST(COUNT(*) AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM live
+    UNION ALL
+    SELECT 'timetravel_seed', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT), CAST(SUM(user_id) AS BIGINT)
+    FROM ev
+    """,
+)
+def stream_dv_deletes(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..streaming.events import dv_delete_stream
+
+    work = tempfile.mkdtemp(prefix="mani_dv_stream_")
+    try:
+        root = dv_delete_stream(spark, sf_dir, f"{work}/tbl")
+
+        def aggs(df: DataFrame, tag: str) -> DataFrame:
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.sum("user_id").cast("long").alias("sum_user_id"),
+            ).select(F.lit(tag).alias("tag"), "*")
+
+        meta = spark.createDataFrame(
+            [
+                (
+                    "metadata_count",
+                    M.metadata_only_stats(root)["n_rows"],
+                    -1,
+                    -1,
+                )
+            ],
+            "tag string, n_rows long, sum_event_id long, sum_user_id long",
+        )
+        out = (
+            aggs(M.read_snapshot(spark, root), "head_after_stream")
+            .unionByName(meta)
+            .unionByName(
+                aggs(M.read_snapshot(spark, root, 1), "timetravel_seed")
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -9202,6 +9279,7 @@ _SCORING_PRIORITY = [
     "wordpiece_roundtrip_gate",
     "lpa_communities_copurchase",
     "lpa_modularity_copurchase",
+    "stream_dv_deletes",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

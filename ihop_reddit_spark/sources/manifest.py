@@ -810,7 +810,14 @@ def manifest_delete_where(
 
 
 def manifest_delete_rows(
-    spark: SparkSession, path: str, condition, *, dv_target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    condition=None,
+    *,
+    keys: DataFrame | None = None,
+    on: str | list[str] | None = None,
+    dv_target_files: int = 1,
+    extra: dict | None = None,
 ) -> tuple[int, int]:
     """Row-level delete as a DELETION VECTOR (merge-on-read): ONE scan
     finds the matching (file, row position) pairs; they are committed as
@@ -824,12 +831,24 @@ def manifest_delete_rows(
     contains a match. Rows whose predicate evaluates NULL are kept, and
     rows already deleted by a live vector are not re-counted.
 
+    Matching is either a ``condition`` expression, or — for delete
+    REQUESTS that arrive as data (a forget-me key table, a CDC delete
+    stream) — a ``keys`` frame semi-joined on ``on``: the key set stays
+    distributed end to end, never an IN-list on the driver.
+
     ``dv_target_files`` bounds the vector file count per commit
     (vectors are usually tiny; 1 keeps the manifest lean — raise it if
-    a single delete ever removes a corpus-scale row set).
+    a single delete ever removes a corpus-scale row set). ``extra``
+    merges into the commit doc (e.g. ``stream_batch_id`` — note a
+    replayed delete is ALSO naturally idempotent: its rows are already
+    vectored, so it matches nothing and commits nothing).
 
     Returns (new_version, n_rows_deleted); no commit if nothing matched.
     """
+    if (condition is None) == (keys is None):
+        raise ValueError("pass exactly one of condition= or keys=/on=")
+    if keys is not None and on is None:
+        raise ValueError("keys= requires on=")
     head = latest_version(path)
     files = live_files(path, head)
     if not files:
@@ -841,9 +860,12 @@ def manifest_delete_rows(
         live = _apply_dvs(
             live, _dv_frame(spark, path, dv_files), keep_pos=True
         )
+    if keys is not None:
+        matched = live.join(keys, on, "left_semi")
+    else:
+        matched = live.where(F.coalesce(condition, F.lit(False)))
     hits = (
-        live.where(F.coalesce(condition, F.lit(False)))
-        .select(
+        matched.select(
             F.col("__dv_file").alias("file"),
             F.col("__dv_pos").alias("pos"),
         )
@@ -875,6 +897,7 @@ def manifest_delete_rows(
             "dv_added": added_dv,
             "dv_removed": [],
             "dv_targets": per_file,
+            **(extra or {}),
         },
     )
     return version, sum(per_file.values())

@@ -667,3 +667,72 @@ def manifest_sink_stream(
     q = writer.start()
     q.awaitTermination()
     return table_path
+
+
+def dv_delete_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """The GDPR forget-me STREAM: delete requests arrive as data (here:
+    the user ids of 'purchase' events with ``user_id % 7 == 0``) and
+    each micro-batch lands as a DELETION VECTOR on the manifest table —
+    no data file rewritten, the key set distributed end to end
+    (``manifest_delete_rows(keys=...)`` semi-join, never a driver
+    IN-list), the stream batch id recorded in the vector commit.
+
+    Exactly-once twice over: a replayed batch id is skipped via
+    :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`,
+    and a replayed delete is ALSO naturally idempotent — its rows are
+    already vectored, so it matches nothing and commits nothing.
+
+    The table is seeded with the full events slice (batch append) if
+    absent. Returns ``table_path``."""
+    import os
+
+    from ..sources import manifest as M
+    from ..sources.reddit import read_parquet_tables
+
+    if not os.path.isdir(os.path.join(table_path, "_manifest")):
+        M.manifest_init(table_path)
+        seed = read_parquet_tables(spark, sf_dir, ["events"])[
+            "events"
+        ].select("event_id", "user_id", "event_type")
+        M.manifest_append(seed.repartition(4), table_path)
+
+    requests = (
+        _event_stream(
+            spark,
+            sf_dir,
+            stream_dir=(
+                None if checkpoint_dir is None else f"{checkpoint_dir}_src"
+            ),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 7 == 0)
+        )
+        .select("user_id")
+    )
+
+    def delete_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in M.committed_stream_batches(table_path):
+            return  # replayed batch — already committed
+        M.manifest_delete_rows(
+            batch_df.sparkSession,
+            table_path,
+            keys=batch_df.distinct(),
+            on="user_id",
+            extra={"stream_batch_id": int(batch_id)},
+        )
+
+    writer = requests.writeStream.foreachBatch(delete_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return table_path

@@ -451,3 +451,41 @@ def test_manifest_sink_stream_exactly_once(spark, sf_dir, tmp_path):
     )
     assert M.latest_version(root) == head + 1
     assert max(committed) + 1 in M.committed_stream_batches(root)
+
+
+def test_dv_delete_stream_exactly_once_and_idempotent(spark, sf_dir, tmp_path):
+    """The forget-me stream: delete requests land as deletion vectors
+    per micro-batch (no data file rewritten), a replayed batch id skips,
+    and a replayed delete is ALSO naturally idempotent — its rows are
+    already vectored, so it commits nothing."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import dv_delete_stream
+
+    root = dv_delete_stream(
+        spark, sf_dir, str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = _events_batch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    forget = batch.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+    ).select("user_id").distinct()
+    want_live = batch.join(forget, "user_id", "left_anti").count()
+    assert M.read_snapshot(spark, root).count() == want_live
+    # merge-on-read: the seed data files were never rewritten
+    assert M.live_files(root) == M.live_files(root, 1)
+    assert M.read_snapshot(spark, root, 1).count() == batch.count()
+    assert M.committed_stream_batches(root)  # delete batch(es) recorded
+    head = M.latest_version(root)
+
+    # replay the SAME delete (fresh batch id, same keys): naturally
+    # idempotent — nothing matches, no commit
+    v, n = M.manifest_delete_rows(
+        spark, root, keys=forget, on="user_id",
+        extra={"stream_batch_id": 999},
+    )
+    assert (v, n) == (head, 0)
+    assert M.read_snapshot(spark, root).count() == want_live
