@@ -1085,6 +1085,51 @@ def manifest_compact(
     )
 
 
+def manifest_auto_optimize(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 64,
+    max_deleted_fraction: float = 0.2,
+    target_files: int = 8,
+    cluster_by: list[str] | None = None,
+) -> dict:
+    """The maintenance policy a 100 TB table needs on a schedule, as one
+    idempotent call: MATERIALIZE deletion vectors when the deleted-row
+    fraction of the affected files crosses ``max_deleted_fraction``
+    (vectored reads pay an anti-join per scan — a bounded read tax worth
+    paying only while deletes are a sliver), then COMPACT to
+    ``target_files`` when the live file count exceeds ``max_files``
+    (small-file pressure is the other read tax; compaction also retires
+    any remaining vectors and re-tightens footer stats / blooms via
+    ``cluster_by``). Data-visible content is a no-op throughout — the
+    same snapshot-hash contract the compaction oracle pins.
+
+    Returns {"materialized": n_files_rewritten, "compacted": bool,
+    "version": head_after} — all zeros/False when no threshold trips, in
+    which case NO version is committed (idempotent under cron)."""
+    head = latest_version(path)
+    out = {"materialized": 0, "compacted": False, "version": head}
+    _dv_files, dv_targets = live_dv_state(path, head)
+    if dv_targets:
+        rc = live_row_counts(path, head)
+        affected_rows = sum(
+            rc.get(f, 0) for f in dv_targets if f in rc
+        )
+        deleted = sum(dv_targets.values())
+        if affected_rows and deleted / affected_rows > max_deleted_fraction:
+            _v, n = manifest_materialize_deletes(spark, path)
+            out["materialized"] = n
+    head = latest_version(path)
+    if len(live_files(path, head)) > max_files:
+        manifest_compact(
+            spark, path, target_files=target_files, cluster_by=cluster_by
+        )
+        out["compacted"] = True
+    out["version"] = latest_version(path)
+    return out
+
+
 def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     """Physically delete data files referenced ONLY by versions older
     than ``keep_from_version`` (after this, time travel below the

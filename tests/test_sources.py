@@ -899,3 +899,48 @@ def test_manifest_dv_free_read_has_no_join(spark, tmp_path):
     M.manifest_delete_rows(spark, root, F.col("id") == 0)
     plan2 = plan_of(M.read_snapshot(spark, root))
     assert "LeftAnti" in plan2
+
+
+def test_manifest_auto_optimize_policy(spark, tmp_path):
+    """Thresholded maintenance: below thresholds → no commit (idempotent
+    under cron); a heavy delete trips materialization; small-file
+    pressure trips compaction; data-visible content is a no-op."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 100).repartition(4), root)
+    head = M.latest_version(root)
+
+    # nothing trips → no new version
+    r = M.manifest_auto_optimize(spark, root, max_files=64)
+    assert r == {"materialized": 0, "compacted": False, "version": head}
+
+    # a small vectored delete (5%) stays merge-on-read...
+    M.manifest_delete_rows(spark, root, F.col("id") < 5)
+    r = M.manifest_auto_optimize(
+        spark, root, max_files=64, max_deleted_fraction=0.2
+    )
+    assert r["materialized"] == 0 and M.live_dv_state(root)[1]
+    # ...a heavy one (now 30%) trips materialization
+    M.manifest_delete_rows(spark, root, F.col("id") < 30)
+    r = M.manifest_auto_optimize(
+        spark, root, max_files=64, max_deleted_fraction=0.2
+    )
+    assert r["materialized"] > 0 and M.live_dv_state(root) == ([], {})
+    assert sorted(x["id"] for x in M.read_snapshot(spark, root).collect()) \
+        == list(range(30, 100))
+
+    # small-file pressure trips compaction
+    for lo in range(100, 140, 10):
+        M.manifest_append(spark.range(lo, lo + 10).repartition(3), root)
+    before = sorted(
+        x["id"] for x in M.read_snapshot(spark, root).collect()
+    )
+    r = M.manifest_auto_optimize(
+        spark, root, max_files=6, target_files=2
+    )
+    assert r["compacted"] and len(M.live_files(root)) == 2
+    assert sorted(
+        x["id"] for x in M.read_snapshot(spark, root).collect()
+    ) == before

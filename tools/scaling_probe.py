@@ -74,6 +74,12 @@ EVENT_PROBES = [
     # ratio; the manifest/commit path itself is file-count-sized, not
     # row-sized.
     "manifest_timetravel_counts",
+    # round-6 (session 3): the deletion-vector lifecycle — seed appends
+    # scale with rows; the delete scan is one pass; the vector WRITE is
+    # proportional to deleted rows (×N) and the vectored read's
+    # anti-join carries ×N vector rows against ×N scan rows — linear
+    # both sides, with AQE free to broadcast the (small) vector side.
+    "manifest_dv_lifecycle_counts",
 ]
 DOC_PROBES = [
     "doc_repetition_features",
@@ -131,6 +137,15 @@ DOC_PROBES = [
     # Arrow decode shape (1-in-13 id sample → ×N sampled assets).
     "bloom_decontaminated_documents",
     "avi_decode_gate",
+    # round-6 (session 3): bloom build = one pass over the appended
+    # files (hash JVM-side, (file,bit) dedup caps the shuffle at m bits
+    # per file), probes are file-count-sized driver work + 1-2 file
+    # scans — so the build scales ×N while each point lookup should NOT
+    # (that asymmetry is the feature); wordpiece encodes every distinct
+    # word (×N distinct under replica suffixing) against a vocab-sized
+    # model — linear stream, constant model.
+    "manifest_bloom_point_lookups",
+    "wordpiece_roundtrip_gate",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES
 
