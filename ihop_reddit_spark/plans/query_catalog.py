@@ -4031,6 +4031,117 @@ def stream_manifest_appends(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Atomic MERGE at the storage layer (r6 session 3): one commit vectors
+# out every row whose key appears in the update batch and appends the
+# batch — the CDC-apply grain (cost ∝ matched + update rows, untouched
+# files byte-identical, readers never see a half-applied state). The
+# update batch modifies every 10th customer and inserts a shifted-key
+# slice; the oracle rebuilds the post-merge table as
+# (customers ∖ updated-keys) ∪ updates straight from the view — any
+# half-application, double-append, or vector miss breaks the hash. The
+# seed version must still time-travel intact and the metadata-only
+# count must stay exact under the merge's live vectors.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_merge_upsert_counts",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_nationkey, bal_cents + 7 AS bal_cents
+      FROM cust WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(99 AS BIGINT), c_custkey
+      FROM cust WHERE c_custkey % 25 = 0
+    ),
+    merged AS (
+      SELECT * FROM cust
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT 'head_after_merge' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+    FROM merged
+    UNION ALL
+    SELECT 'metadata_count', CAST(COUNT(*) AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM merged
+    UNION ALL
+    SELECT 'timetravel_seed', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT), CAST(SUM(bal_cents) AS BIGINT)
+    FROM cust
+    """,
+)
+def manifest_merge_upsert_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("bal_cents") + 7).alias("bal_cents"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 25 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.lit(99).cast("long").alias("c_nationkey"),
+            F.col("c_custkey").alias("bal_cents"),
+        )
+    )
+
+    def aggs(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        ).select(F.lit(tag).alias("tag"), "*")
+
+    work = tempfile.mkdtemp(prefix="mani_merge_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(cust.repartitionByRange(4, "c_custkey"), root)
+        M.manifest_merge_upsert(spark, root, updates, "c_custkey")
+        meta = spark.createDataFrame(
+            [
+                (
+                    "metadata_count",
+                    M.metadata_only_stats(root)["n_rows"],
+                    -1,
+                    -1,
+                )
+            ],
+            "tag string, n_rows long, sum_key long, sum_bal_cents long",
+        )
+        out = (
+            aggs(M.read_snapshot(spark, root), "head_after_merge")
+            .unionByName(meta)
+            .unionByName(
+                aggs(M.read_snapshot(spark, root, 1), "timetravel_seed")
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -9280,6 +9391,7 @@ _SCORING_PRIORITY = [
     "lpa_communities_copurchase",
     "lpa_modularity_copurchase",
     "stream_dv_deletes",
+    "manifest_merge_upsert_counts",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

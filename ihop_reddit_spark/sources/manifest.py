@@ -903,6 +903,95 @@ def manifest_delete_rows(
     return version, sum(per_file.values())
 
 
+def manifest_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    on: str | list[str],
+    *,
+    dv_target_files: int = 1,
+    extra: dict | None = None,
+) -> tuple[int, int, int]:
+    """ATOMIC upsert: rows of ``df`` REPLACE the table rows sharing
+    their ``on`` key(s), and new-key rows append — one commit, so a
+    reader sees either the pre-merge or the post-merge table, never a
+    half-applied state. The replace side is a deletion vector (the
+    matched old rows' positions; no data file rewritten) and the insert
+    side is a staged batch — both land in the SAME version doc, which
+    the commit-log design supports precisely because ``dv_added`` and
+    ``added`` are independent fields replayed together.
+
+    At 100 TB this is the CDC-apply grain: cost = one scan to position
+    the matches + a vector write ∝ matched rows + a data write ∝ the
+    update batch. Untouched files stay byte-identical; vectors retire
+    at the next materialize/compact like any other delete.
+
+    Returns (new_version, n_rows_replaced, n_rows_appended) —
+    replaced counts the OLD rows vectored out (a key duplicated in the
+    table replaces every copy), appended counts all of ``df``."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    head = latest_version(path)
+    _check_schema(df, path)
+    files = live_files(path, head)
+    schema = _schema_of(path, head)
+    version = head + 1
+    n_replaced = 0
+    added_dv: list[str] = []
+    per_file: dict[str, int] = {}
+    if files:
+        dv_files, dv_targets = live_dv_state(path, head)
+        live = _scan_with_pos(spark, path, files, schema)
+        if dv_files and dv_targets:
+            live = _apply_dvs(
+                live, _dv_frame(spark, path, dv_files), keep_pos=True
+            )
+        hits = (
+            live.join(df.select(*on_cols).distinct(), on_cols, "left_semi")
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            .coalesce(max(1, dv_target_files))
+        )
+        added_dv = _stage_batch(hits, path, version, prefix="dv")
+        per_file = {
+            r["file"]: r["n"]
+            for r in _dv_frame(spark, path, added_dv)
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            shutil.rmtree(
+                os.path.join(path, f"data/dv{version:08d}"),
+                ignore_errors=True,
+            )
+            added_dv = []
+        n_replaced = sum(per_file.values())
+    added = _stage_batch(df, path, version)
+    stats, row_counts = _stage_stats(path, added)
+    n_appended = sum(row_counts.values())
+    _commit_version(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "merge",
+            "schema": df.schema.jsonValue(),
+            "added": added,
+            "removed": [],
+            "stats": stats,
+            "row_counts": row_counts,
+            "blooms": _rebuild_blooms(spark, path, added, head),
+            "dv_added": added_dv,
+            "dv_removed": [],
+            "dv_targets": per_file,
+            **(extra or {}),
+        },
+    )
+    return version, n_replaced, n_appended
+
+
 def manifest_materialize_deletes(
     spark: SparkSession, path: str
 ) -> tuple[int, int]:

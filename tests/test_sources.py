@@ -944,3 +944,65 @@ def test_manifest_auto_optimize_policy(spark, tmp_path):
     assert sorted(
         x["id"] for x in M.read_snapshot(spark, root).collect()
     ) == before
+
+
+def test_manifest_merge_upsert_atomic(spark, tmp_path):
+    """One commit replaces matched keys (as a deletion vector) and
+    appends the update batch — readers see pre- or post-merge, never a
+    half-applied state; untouched files stay byte-identical."""
+    import os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    base = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    M.manifest_append(base.repartitionByRange(2, "id"), root)
+    files_before = M.live_files(root)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(root, f)) for f in files_before
+    }
+
+    updates = spark.range(40, 60).select(
+        F.col("id"), (F.col("id") * 1000).alias("v")
+    )
+    v, n_rep, n_app = M.manifest_merge_upsert(spark, root, updates, "id")
+    assert (v, n_rep, n_app) == (2, 10, 20)
+    # merge is ONE version; old data files untouched
+    assert M.latest_version(root) == 2
+    assert all(
+        os.path.getmtime(os.path.join(root, f)) == mtimes[f]
+        for f in files_before
+    )
+    got = {r["id"]: r["v"] for r in M.read_snapshot(spark, root).collect()}
+    assert len(got) == 60
+    assert got[10] == 100 and got[45] == 45000 and got[55] == 55000
+    # time travel to pre-merge
+    pre = {r["id"]: r["v"] for r in M.read_snapshot(spark, root, 1).collect()}
+    assert pre[45] == 450 and 55 not in pre
+    # metadata count stays exact under the merge's vectors
+    assert M.metadata_only_stats(root)["n_rows"] == 60
+    # a second merge on already-updated keys replaces the NEW copies
+    v2, n_rep2, n_app2 = M.manifest_merge_upsert(
+        spark, root, spark.range(55, 62).select(
+            F.col("id"), F.lit(7).cast("long").alias("v")
+        ), "id",
+    )
+    assert n_rep2 == 5 and n_app2 == 7
+    got2 = {r["id"]: r["v"] for r in M.read_snapshot(spark, root).collect()}
+    assert len(got2) == 62 and got2[55] == 7 and got2[61] == 7
+    # an insert-only merge writes no vector commit fields
+    v3, n_rep3, _ = M.manifest_merge_upsert(
+        spark, root, spark.range(100, 103).select(
+            F.col("id"), F.lit(0).cast("long").alias("v")
+        ), "id",
+    )
+    assert n_rep3 == 0
+    assert M.read_version_doc(root, v3)["dv_added"] == []
+    # schema drift is refused like any append
+    with pytest.raises(ValueError, match="schema"):
+        M.manifest_merge_upsert(
+            spark, root, spark.range(3).select(F.col("id")), "id"
+        )
