@@ -4142,6 +4142,89 @@ def manifest_merge_upsert_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Row-level CHANGE FEED gate (r6 session 3): after a merge (replaces
+# every 10th customer, inserts a shifted-key slice) and a vector delete
+# (every 4th key), the feed over (seed, head] must emit exactly the
+# net row changes — inserts = the update batch minus rows vectored
+# within the range (inserted+deleted nets out), deletes = seed rows
+# replaced by the merge plus surviving seed rows hit by the %4 delete,
+# each with its ORIGINAL content. The oracle derives both sets straight
+# from the customer view; aggregates per _change_type hash-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_change_feed_counts",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_nationkey, bal_cents + 7 AS bal_cents
+      FROM cust WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, CAST(99 AS BIGINT), c_custkey
+      FROM cust WHERE c_custkey % 25 = 0
+    )
+    SELECT 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+    FROM upd WHERE c_custkey % 4 <> 0
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c_custkey) AS BIGINT), CAST(SUM(bal_cents) AS BIGINT)
+    FROM cust WHERE c_custkey % 10 = 0 OR c_custkey % 4 = 0
+    """,
+)
+def manifest_change_feed_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("bal_cents") + 7).alias("bal_cents"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 25 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            F.lit(99).cast("long").alias("c_nationkey"),
+            F.col("c_custkey").alias("bal_cents"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mani_cdf_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(cust.repartitionByRange(4, "c_custkey"), root)
+        M.manifest_merge_upsert(spark, root, updates, "c_custkey")
+        M.manifest_delete_rows(spark, root, F.col("c_custkey") % 4 == 0)
+        out = (
+            M.read_change_feed(spark, root, 1)
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+                F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -9392,6 +9475,7 @@ _SCORING_PRIORITY = [
     "lpa_modularity_copurchase",
     "stream_dv_deletes",
     "manifest_merge_upsert_counts",
+    "manifest_change_feed_counts",
     "avi_decode_gate",
     "g711_decode_gate",
     "bloom_decontaminated_documents",

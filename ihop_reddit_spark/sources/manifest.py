@@ -745,6 +745,76 @@ def read_changes(
     return spark.read.parquet(*(os.path.join(path, f) for f in added))
 
 
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED for ``(since_version, version]`` — the
+    table's schema plus a ``_change_type`` column:
+
+    * ``insert`` — rows that became live via files appended in the
+      range and are still live at its end (exactly ``read_changes``);
+    * ``delete`` — rows visible at ``since_version`` that were removed
+      by DELETION VECTORS committed in the range (their content read
+      back from the still-present data files the vectors point into).
+
+    Net semantics: a row inserted AND vector-deleted within the range
+    appears as neither (it was never visible at either endpoint) — the
+    grain downstream incremental consumers actually apply. Scope
+    contract, enforced by the engine's own write paths: row-level
+    removal flows through vectors (``manifest_delete_rows`` /
+    ``manifest_merge_upsert`` / the delete stream), so vector commits
+    ARE the row-delete log; ``manifest_delete_where`` is the
+    file-targeted GDPR-batch grain and is deliberately NOT replayed as
+    row deletes (materialize/compact rewrites are data no-ops and emit
+    nothing). Cost: the insert side scans only range-added files; the
+    delete side scans only files the range's vectors point into."""
+    if version is None:
+        version = latest_version(path)
+    inserts = read_changes(spark, path, since_version, version)
+    # deletion vectors committed in the range
+    range_dvs: list[str] = []
+    for v in list_versions(path):
+        if since_version < v <= version:
+            range_dvs += read_version_doc(path, v).get("dv_added", [])
+    schema = _schema_of(path, version)
+    inserts = inserts.withColumn("_change_type", F.lit("insert"))
+    if not range_dvs:
+        return inserts
+    dvs = _dv_frame(spark, path, range_dvs)
+    # rows were VISIBLE at since_version only if their file was live
+    # then — vectors into range-added files net out against inserts
+    live_at_since = set(live_files(path, since_version))
+    targets = sorted(
+        {
+            r["file"]
+            for r in dvs.select("file").distinct().collect()
+            if r["file"] in live_at_since
+        }
+    )
+    if not targets:
+        return inserts
+    # the feed wants exactly the vectors' matches — a semi-join on the
+    # same renamed keys _apply_dvs anti-joins on
+    d = dvs.select(
+        F.col("file").alias("__dvv_file"), F.col("pos").alias("__dvv_pos")
+    )
+    deleted = (
+        _scan_with_pos(spark, path, targets, schema)
+        .join(
+            d,
+            (F.col("__dv_file") == F.col("__dvv_file"))
+            & (F.col("__dv_pos") == F.col("__dvv_pos")),
+            "left_semi",
+        )
+        .drop("__dv_file", "__dv_pos")
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    return inserts.unionByName(deleted)
+
+
 def manifest_delete_where(
     spark: SparkSession, path: str, condition
 ) -> tuple[int, int]:

@@ -1006,3 +1006,49 @@ def test_manifest_merge_upsert_atomic(spark, tmp_path):
         M.manifest_merge_upsert(
             spark, root, spark.range(3).select(F.col("id")), "id"
         )
+
+
+def test_manifest_change_feed_inserts_and_deletes(spark, tmp_path):
+    """Row-level change feed: range-appended rows as inserts (end-state
+    vectors applied), vector-deleted rows as deletes with their full
+    content; a row inserted AND deleted within the range nets out."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    base = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    M.manifest_append(base.repartitionByRange(2, "id"), root)  # v1
+    # v2: merge — replaces ids 30..39, inserts 100..109
+    updates = spark.range(30, 40).select(
+        F.col("id"), F.lit(-1).cast("long").alias("v")
+    ).unionByName(
+        spark.range(100, 110).select(
+            F.col("id"), (F.col("id") * 10).alias("v")
+        )
+    )
+    M.manifest_merge_upsert(spark, root, updates, "id")
+    # v3: vector-delete ids % 7 == 0 (hits seed rows AND range-added)
+    M.manifest_delete_rows(spark, root, F.col("id") % 7 == 0)
+
+    feed = M.read_change_feed(spark, root, 1).collect()
+    ins = {(r["id"], r["v"]) for r in feed if r["_change_type"] == "insert"}
+    del_ = {(r["id"], r["v"]) for r in feed if r["_change_type"] == "delete"}
+    # inserts: the update batch minus rows vector-deleted within range
+    want_ins = {(i, -1) for i in range(30, 40) if i % 7 != 0} | {
+        (i, i * 10) for i in range(100, 110) if i % 7 != 0
+    }
+    # deletes: seed rows replaced by the merge (with ORIGINAL content)
+    # plus surviving seed rows hit by the %7 delete
+    want_del = {(i, i * 10) for i in range(30, 40)} | {
+        (i, i * 10) for i in range(0, 30) if i % 7 == 0
+    }
+    assert ins == want_ins
+    assert del_ == want_del
+    # a consumer applying the feed to the v1 snapshot lands on the head
+    v1 = {(r["id"], r["v"]) for r in M.read_snapshot(spark, root, 1).collect()}
+    head = {(r["id"], r["v"]) for r in M.read_snapshot(spark, root).collect()}
+    assert (v1 - want_del) | want_ins == head
+    # empty range → inserts only, none
+    assert M.read_change_feed(spark, root, M.latest_version(root)).count() == 0
