@@ -620,3 +620,40 @@ def test_r6_session2_tier_plan_contracts(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan3, plan3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lpa_round_plans_as_aggregate_not_window(spark, sf_dir):
+    """LPA's per-node argmax is a max_by AGGREGATE (map-side partials,
+    fan-in bounded by degree), never a per-node WindowExec; and the
+    vote join must stay an equi-join — no cartesian fallback."""
+    from ihop_reddit_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    plan = plan_of(label_propagation(edges, rounds=2))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_manifest_merge_and_cdf_plans(spark, tmp_path):
+    """The merge's match side is an equi semi-join on the key (AQE free
+    to broadcast the distinct-key side); the change feed's delete side
+    is an equi semi-join on (file, pos) — neither degenerates to a
+    nested-loop join."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 1000).repartition(2), root)
+    M.manifest_merge_upsert(
+        spark, root, spark.range(500, 1500).repartition(2), "id"
+    )
+    plan = plan_of(M.read_snapshot(spark, root))
+    assert "LeftAnti" in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    plan2 = plan_of(M.read_change_feed(spark, root, 1))
+    assert "LeftSemi" in plan2, plan2
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    assert "CartesianProduct" not in plan2, plan2
