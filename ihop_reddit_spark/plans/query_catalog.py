@@ -8384,6 +8384,9 @@ def unigram_roundtrip_gate(spark, sf_dir):
     )
 
 
+_WORDPIECE_MERGES = 10
+
+
 # ---------------------------------------------------------------------------
 # WordPiece trainer (ml/wordpiece.py — Schuster & Nakajima 2012, the
 # BERT tokenizer), completing the trainer family next to BPE and
@@ -8392,9 +8395,6 @@ def unigram_roundtrip_gate(spark, sf_dir):
 # ANSI-SQL-expressible, so the gates follow the invariants + full-vocab
 # round-trip pattern with exact cross-engine word counts.
 # ---------------------------------------------------------------------------
-_WORDPIECE_MERGES = 10
-
-
 @query(
     "wordpiece_invariants_gate",
     f"""
@@ -8408,6 +8408,9 @@ _WORDPIECE_MERGES = 10
     """,
 )
 def wordpiece_invariants_gate(spark, sf_dir):
+    """WordPiece trainer invariants (ml/wordpiece.py): per-merge-step
+    structural booleans — positive likelihood score/count, parts and
+    fusion in vocab, continuation shape preserved."""
     from ..ml.wordpiece import fuse_pair, train_wordpiece
 
     m = train_wordpiece(
@@ -8440,6 +8443,8 @@ def wordpiece_invariants_gate(spark, sf_dir):
     )
 
 
+# WordPiece full-vocab round-trip: every distinct corpus word re-encodes
+# with no [UNK] and reconstructs exactly after stripping ## prefixes.
 @query(
     "wordpiece_roundtrip_gate",
     """
@@ -8452,6 +8457,10 @@ def wordpiece_invariants_gate(spark, sf_dir):
     """,
 )
 def wordpiece_roundtrip_gate(spark, sf_dir):
+    """WordPiece full-vocabulary round-trip (ml/wordpiece.py): every
+    distinct corpus word must re-encode with no [UNK] and reconstruct
+    exactly after stripping the ## continuation prefix; exact
+    cross-engine word count."""
     from ..ml.bpe import word_frequencies
     from ..ml.wordpiece import train_wordpiece, wordpiece_encode
 
