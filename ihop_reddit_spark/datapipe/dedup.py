@@ -231,6 +231,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (verification tier).
 
@@ -238,6 +239,18 @@ def ngram_jaccard_pairs(
     Jaccard = inter / (|A| + |B| − inter). All counts are ints; the final
     division is deterministic, so this op is duckdb-oracle comparable.
     Quadratic in the worst case — run on candidates / bounded corpora only.
+
+    ``max_shingle_df`` (the honest default for anything bigger than a
+    candidate set — same control as the winnowing index's ``max_df``):
+    shingles appearing in more than this many documents are dropped from
+    the JOIN stream before the self-join, capping any single key's
+    fan-out at ``max_shingle_df²`` pairs. A boilerplate shingle shared by
+    10⁸ documents is a 10¹⁶-row join key uncapped. The cap is one-sided:
+    ``n_left``/``n_right`` keep the uncapped sizes, so a dropped common
+    shingle only LOWERS a pair's computed Jaccard — pairs can be missed
+    (recall, bounded because a shingle that common carries ~no signal at
+    sane caps), never falsely emitted (precision exact). ``None`` keeps
+    the op exact end to end (the oracle-spec twin).
 
     Scale note: ``sizes`` is one row per INPUT document; callers like
     ``corpus_prep`` feed this op the whole exact-dedup survivor set, so
@@ -249,8 +262,18 @@ def ngram_jaccard_pairs(
     # Catalyst does not reuse the exchange across the aliased self-join
     # (measured: 16 scans, 0 ReusedExchange without persist) — persist the
     # ~|tokens| row stream once, in memory with disk spill
-    exploded = exploded_word_shingles(df, text_col, id_col, n).persist()
+    persisted = exploded_word_shingles(df, text_col, id_col, n).persist()
+    exploded = persisted
     sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("__g")
+        )
+        # corpus-proportional frame — no broadcast hint, AQE decides
+        exploded = exploded.join(rare, "__g", "left_semi")
     # NOTE (measured): pre-filtering the join on the exact length band
     # (t·|B| ≤ |A| ≤ |B|/t) was tried and REJECTED — attaching sizes to the
     # shingle stream costs an extra broadcast join and wider shuffle rows,
@@ -284,7 +307,7 @@ def ngram_jaccard_pairs(
         out.where(F.col("jaccard") >= threshold).select(
             "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
         ),
-        exploded,
+        persisted,
     )
 
 
@@ -527,6 +550,7 @@ def ngram_jaccard_pairs_prefix(
 def duplicate_components(
     pairs: DataFrame,
     max_driver_pairs: int = 5_000_000,
+    on_overflow: str = "distribute",
 ) -> DataFrame:
     """Group near-duplicate PAIRS into duplicate CLUSTERS (connected
     components): (doc_id, component_id = smallest id in the component).
@@ -536,15 +560,28 @@ def duplicate_components(
     Components of a thresholded similarity graph are tiny and the pair list
     is already threshold-pruned, so this runs union-find on the driver with
     an explicit size guard — the same driver-drop discipline as the
-    reference's ≤10k-point sklearn stages. For billion-edge graphs swap in
-    iterative large-star/small-star (GraphFrames' algorithm) behind the
-    same output contract.
+    reference's ≤10k-point sklearn stages.
+
+    Past the guard the call AUTO-ROUTES to the distributed star-contraction
+    implementation (:func:`duplicate_components_star` — O(log n) rounds,
+    property-tested equal to the union-find) instead of failing: at 100 TB
+    a boilerplate-heavy shard can exceed any driver budget and the right
+    response is a plan change, not an abort mid-pipeline. Pass
+    ``on_overflow="raise"`` to restore the hard guard (e.g. in contexts
+    where an unexpectedly huge pair list signals an upstream bug).
     """
+    if on_overflow not in ("distribute", "raise"):
+        raise ValueError(f"on_overflow must be distribute|raise, got {on_overflow!r}")
     # the pair lineage (usually a similarity join) is consumed by TWO actions
     # (guard count + edge iteration) — persist across them, drop after
     pairs = pairs.persist()
     cnt = pairs.count()
     if cnt > max_driver_pairs:
+        if on_overflow == "distribute":
+            try:
+                return duplicate_components_star(pairs)
+            finally:
+                pairs.unpersist()
         pairs.unpersist()
         raise ValueError(
             f"duplicate_components: {cnt} pairs exceed the driver guard "

@@ -196,6 +196,7 @@ def label_propagation(
     dst_col: str = "dst",
     *,
     rounds: int = 3,
+    with_stability: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007) with a total deterministic tie-break — ``rounds`` fixed
@@ -219,7 +220,14 @@ def label_propagation(
     ``localCheckpoint(eager=False)`` bounds lineage per round.
 
     Nodes are edge endpoints (an isolated node has no edges to vote
-    with); labels start as the node id. Returns ``(node, label)``.
+    with); labels start as the node id. Returns ``(node, label)``; with
+    ``with_stability=True`` a boolean ``changed`` column is added —
+    whether the node's label moved in the FINAL round. ``changed`` is
+    the caller's oscillation instrument: on a converged graph it is all
+    false, while on the documented two-coloring pathology (bipartite
+    regions under synchronous sweeps) it stays true forever — exposing
+    it lets pipelines gate on "fraction still moving" instead of
+    trusting a fixed round count blindly.
     """
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -236,7 +244,9 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    prev = labels
     for _ in range(rounds):
+        prev = labels
         votes = (
             und.join(labels, und["v"] == labels["node"])
             .groupBy(F.col("u"), F.col("label"))
@@ -245,11 +255,27 @@ def label_propagation(
         labels = (
             votes.groupBy(F.col("u").alias("node"))
             .agg(
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")))
+                # min_by over (−count, label): highest count first, ties
+                # to the SMALLEST label. Only the count is negated (it is
+                # always numeric), so the tie-break works for ANY
+                # orderable label type — string node ids included, where
+                # a −label negation would fail to resolve.
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
                 ).alias("label")
             )
             .localCheckpoint(eager=False)
+        )
+    if with_stability:
+        labels = labels.join(
+            prev.select(
+                F.col("node"), F.col("label").alias("__prev_label")
+            ),
+            "node",
+        ).select(
+            "node",
+            "label",
+            (F.col("label") != F.col("__prev_label")).alias("changed"),
         )
     return register_scoped_persists(labels, und)
 

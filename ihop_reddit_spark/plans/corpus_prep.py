@@ -7,15 +7,25 @@ plan over the ``documents`` table:
    scan's survivors; no Python).
 2. **Language gate** — marker-argmax language ID.
 3. **Exact dedup** — md5 fingerprint, keep the smallest doc_id per text.
-4. **Near-dup collapse** — n-gram Jaccard pairs above a threshold among the
-   survivors → connected components → keep each component's smallest id.
+4. **Near-dup collapse** — exact n-gram Jaccard pairs above a threshold
+   among the survivors, with the self-join's worst key bounded: the
+   default drops shingles with document frequency > ``max_shingle_df``
+   from the join stream (a boilerplate shingle shared by 10⁸ documents
+   is a 10¹⁶-row join key uncapped), and a Vernica prefix-filter
+   strategy is config-selectable for heavy-tailed corpora → distributed
+   connected components (star contraction, O(log n) rounds, no driver
+   union-find) → keep each component's smallest id.
 5. **Token budget** — whitespace + BPE-ish token counts on the final corpus.
 
 Stage order is the cost order: each tier only sees the previous tier's
-survivors (cheapest filters first, the quadratic-ish similarity join last —
-the tiering contract from ``datapipe/dedup.py``). Every stage is
-deterministic, so the WHOLE pipeline is DuckDB-oracle-gated end to end
-(`corpus_prep_survivors` in the query catalog).
+survivors (cheapest filters first, the similarity join last — the tiering
+contract from ``datapipe/dedup.py``). Every stage is deterministic, so the
+WHOLE pipeline is DuckDB-oracle-gated end to end (`corpus_prep_survivors`
+in the query catalog). The oracle's uncapped-SQL twin stays valid under
+the df cap because no shingle's document frequency approaches the cap at
+gate scales (measured: identical survivor hashes capped/uncapped/prefix
+at sf0.1) — where the cap CAN bind is exactly the boilerplate regime the
+oracle never reaches and near-dup signal never lives.
 """
 
 from __future__ import annotations
@@ -25,7 +35,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..datapipe.dedup import duplicate_components, ngram_jaccard_pairs
+from ..datapipe.dedup import (
+    duplicate_components_star,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
 from ..functions import text as TX
 from ..operators.joins import anti_join_filter
 
@@ -38,6 +52,20 @@ class CorpusPrepConfig:
     keep_langs: tuple[str, ...] = ("en",)
     jaccard_threshold: float = 0.4
     shingle_n: int = 3
+    #: cap on the exact tier's per-shingle join fan-out (documents per
+    #: shingle). None = uncapped; the default bounds the worst join key at
+    #: max_shingle_df² pairs without changing results on natural corpora
+    #: (a shingle in >10k docs is boilerplate carrying no near-dup signal).
+    max_shingle_df: int | None = 10_000
+    #: near-dup pair strategy: "exact" (shingle self-join, worst key
+    #: bounded by max_shingle_df — measured 10.7s vs prefix's 30.2s on
+    #: sf0.1's near-uniform shingle frequencies, identical output) or
+    #: "prefix" (Vernica prefix filter — structurally excludes
+    #: high-frequency shingles from the join with NO recall caveat;
+    #: prefer it for high thresholds / heavy-tailed natural text where
+    #: a df cap would have to bind). Identical pairs whenever no shingle
+    #: exceeds the cap.
+    pair_strategy: str = "exact"
 
 
 def prepare_corpus(
@@ -71,11 +99,33 @@ def prepare_corpus(
     # scan + gates run once. MEMORY_AND_DISK: survivors of the gates are a
     # fraction of the corpus, and disk spill beats recompute here.
     exact = gated.join(keepers.select(id_col), id_col, "left_semi").persist()
-    # near-dup collapse: pairs → components → drop every non-representative
-    pairs = ngram_jaccard_pairs(
-        exact, text_col, id_col, n=cfg.shingle_n, threshold=cfg.jaccard_threshold
-    )
-    components = duplicate_components(pairs)
+    # near-dup collapse: pairs → components → drop every non-representative.
+    # Strategy is config-routed; both paths bound the self-join's worst key
+    # (prefix filtering excludes high-frequency shingles from every doc's
+    # prefix structurally; the exact path caps them at max_shingle_df) —
+    # the uncapped quadratic shingle self-join never runs here.
+    if cfg.pair_strategy == "prefix":
+        pairs = ngram_jaccard_pairs_prefix(
+            exact,
+            text_col,
+            id_col,
+            n=cfg.shingle_n,
+            threshold=cfg.jaccard_threshold,
+        )
+    elif cfg.pair_strategy == "exact":
+        pairs = ngram_jaccard_pairs(
+            exact,
+            text_col,
+            id_col,
+            n=cfg.shingle_n,
+            threshold=cfg.jaccard_threshold,
+            max_shingle_df=cfg.max_shingle_df,
+        )
+    else:
+        raise ValueError(f"pair_strategy must be prefix|exact, got {cfg.pair_strategy!r}")
+    # distributed star contraction — O(log n) rounds, no driver union-find,
+    # no toLocalIterator: the composed plan stays executor-side end to end
+    components = duplicate_components_star(pairs)
     losers = components.where(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )

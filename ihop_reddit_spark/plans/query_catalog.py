@@ -8189,9 +8189,7 @@ def lpa_communities_copurchase(spark, sf_dir):
     )
     SELECT CAST(mm.m AS BIGINT) AS m_edges,
            agg.n_communities,
-           CAST(agg.qn AS DECIMAL(38, 0)) AS q_num,
-           CAST(agg.qn AS DOUBLE)
-             / (4.0 * mm.m * mm.m) AS q
+           CAST(agg.qn AS DECIMAL(38, 0)) AS q_num
     FROM agg CROSS JOIN mm
     """,
 )
@@ -8213,7 +8211,102 @@ def lpa_modularity_copurchase(spark, sf_dir):
         )
     )
     labels = label_propagation(edges, rounds=3)
-    return modularity(edges, labels)
+    # Hash-gate only the exact-integer triple. ``q`` itself is
+    # q_num / (4 m²) — a raw IEEE division whose 1-ulp placement differs
+    # between Spark's double multiply and DuckDB's DECIMAL-converted
+    # denominator, so it stays an API-only column (operators/graph.py
+    # still emits it for users), never a gated one. Same rule as
+    # bm25_topk / integer PageRank: no transcendental/IEEE in the hash
+    # path.
+    return modularity(edges, labels).select("m_edges", "n_communities", "q_num")
+
+
+# ---------------------------------------------------------------------------
+# LPA oscillation gate (operators/graph.label_propagation — r7): the
+# documented two-coloring pathology, instrumented. Synchronous LPA on a
+# complete bipartite graph NEVER converges — labels swap sides every
+# round — while a clique converges and stays put. ``with_stability``
+# exposes "did the label move in the final round" per node; this gate
+# pins BOTH behaviors on planted fixtures (K_{25,25} from nation keys,
+# K_5 from region keys) so the oscillation bound is a hash-gated
+# contract, not a docstring claim. 3 rounds, same CTE chain as the LPA
+# gates above on the DuckDB side.
+# ---------------------------------------------------------------------------
+@query(
+    "lpa_oscillation_gate",
+    """
+    WITH nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+    rk AS (SELECT CAST(r_regionkey AS BIGINT) AS k FROM region),
+    e0 AS (
+      SELECT 'bipartite' AS g, a.k AS u, b.k + 100 AS v
+      FROM nk a CROSS JOIN nk b
+      UNION ALL
+      SELECT 'clique' AS g, a.k AS u, b.k AS v
+      FROM rk a JOIN rk b ON a.k < b.k
+    ),
+    ed AS (SELECT DISTINCT g, u, v FROM (
+      SELECT g, u, v FROM e0 UNION ALL SELECT g, v AS u, u AS v FROM e0)
+      WHERE u <> v),
+    l0 AS (SELECT DISTINCT g, u AS node, u AS label FROM ed),
+    l1 AS (SELECT g, node, label FROM (
+      SELECT e.g, e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.g, e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l0 p ON p.g = e.g AND p.node = e.v
+      GROUP BY e.g, e.u, p.label
+    ) WHERE rn = 1),
+    l2 AS (SELECT g, node, label FROM (
+      SELECT e.g, e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.g, e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l1 p ON p.g = e.g AND p.node = e.v
+      GROUP BY e.g, e.u, p.label
+    ) WHERE rn = 1),
+    l3 AS (SELECT g, node, label FROM (
+      SELECT e.g, e.u AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.g, e.u
+               ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ed e JOIN l2 p ON p.g = e.g AND p.node = e.v
+      GROUP BY e.g, e.u, p.label
+    ) WHERE rn = 1)
+    SELECT l3.g AS graph_tag,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN l3.label <> l2.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(COUNT(DISTINCT l3.label) AS BIGINT) AS n_labels
+    FROM l3 JOIN l2 ON l2.g = l3.g AND l2.node = l3.node
+    GROUP BY l3.g
+    """,
+)
+def lpa_oscillation_gate(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    rk = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("k")
+    )
+    bipartite = nk.alias("a").crossJoin(nk.alias("b")).select(
+        F.col("a.k").alias("src"), (F.col("b.k") + 100).alias("dst")
+    )
+    clique = (
+        rk.alias("a")
+        .join(rk.alias("b"), F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    )
+
+    def stats(tag: str, edges):
+        lab = label_propagation(edges, rounds=3, with_stability=True)
+        return lab.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("changed").cast("long")).alias("n_changed"),
+            F.countDistinct("label").alias("n_labels"),
+        ).select(
+            F.lit(tag).alias("graph_tag"), "n_nodes", "n_changed", "n_labels"
+        )
+
+    return stats("bipartite", bipartite).unionByName(stats("clique", clique))
 
 
 # ---------------------------------------------------------------------------

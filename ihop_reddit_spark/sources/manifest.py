@@ -164,20 +164,38 @@ def _schema_of(path: str, version: int | None = None) -> T.StructType | None:
 
 def _stage_batch(
     df: DataFrame, path: str, version: int, *, prefix: str = "b"
-) -> list[str]:
-    """Write ``df`` as the (immutable) batch directory for ``version``;
-    return the written part files as root-relative paths. ``prefix``
-    "b" stages data batches, "dv" stages deletion-vector batches."""
-    rel = f"data/{prefix}{version:08d}"
+) -> tuple[str, list[str]]:
+    """Write ``df`` as an (immutable) batch directory for ``version``;
+    return ``(rel_dir, part files)`` as root-relative paths. ``prefix``
+    "b" stages data batches, "dv" stages deletion-vector batches.
+
+    The directory carries a per-writer random suffix so two writers
+    racing on the same head+1 NEVER touch each other's staged files —
+    the race is decided solely by ``_commit_version``'s create-if-absent
+    on the version doc, and the loser deletes its own stage (see
+    ``_commit_or_cleanup``). This is the Delta/Iceberg discipline:
+    data file names are unique per writer; only the log is contended."""
+    import uuid
+
+    rel = f"data/{prefix}{version:08d}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, rel)
-    if os.path.exists(out):
-        # a crashed writer left a stage for a version that never
-        # committed — safe to clear, nothing references it
-        shutil.rmtree(out)
     df.write.parquet(out)
-    return sorted(
+    return rel, sorted(
         f"{rel}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
     )
+
+
+def _commit_or_cleanup(path: str, doc: dict, stage_dirs: list[str]) -> int:
+    """Commit ``doc``; on losing the version race, remove this writer's
+    own staged directories (nothing references them — the winner's doc
+    points at its uniquely-named files) and re-raise so the caller can
+    retry on the new head with a fresh stage."""
+    try:
+        return _commit_version(path, doc)
+    except ConcurrentCommitError:
+        for rel in stage_dirs:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        raise
 
 
 def _file_column_stats(fp: str) -> dict:
@@ -327,7 +345,9 @@ def live_dv_state(
     return dv_files, targets
 
 
-_DATA_REL_PATTERN = r"(data/b\d{8}/[^/]+)$"
+#: Matches both the legacy version-keyed batch dirs (``data/bNNNNNNNN``)
+#: and the race-safe per-writer suffixed ones (``data/bNNNNNNNN-abcdef01``).
+_DATA_REL_PATTERN = r"(data/b\d{8}(?:-[0-9a-f]+)?/[^/]+)$"
 
 
 def _scan_with_pos(
@@ -591,6 +611,9 @@ def committed_stream_batches(path: str) -> set[int]:
         doc = read_version_doc(path, v)
         if "stream_batch_id" in doc:
             out.add(doc["stream_batch_id"])
+        # vacuum folds the batch ids of dropped ancestor commits into the
+        # checkpoint doc as a list — replay protection survives retention
+        out.update(doc.get("stream_batch_ids", []))
     return out
 
 
@@ -624,9 +647,10 @@ def manifest_append(
     head = latest_version(path)
     _check_schema(df, path, allow_additive=allow_additive)
     version = head + 1
-    added = _stage_batch(df, path, version)
+    stage_dir, added = _stage_batch(df, path, version)
     n_live = len(live_files(path, head)) + len(added)
     if n_live > max_manifest_files:
+        shutil.rmtree(os.path.join(path, stage_dir), ignore_errors=True)
         raise ValueError(
             f"table would reach {n_live} files > max_manifest_files="
             f"{max_manifest_files}; compact before appending"
@@ -640,7 +664,7 @@ def manifest_append(
         if bloom_columns
         else _rebuild_blooms(spark, path, added, head)
     )
-    return _commit_version(
+    return _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -654,6 +678,7 @@ def manifest_append(
             "blooms": blooms,
             **(extra or {}),
         },
+        [stage_dir],
     )
 
 
@@ -718,31 +743,68 @@ def read_changes(
     version: int | None = None,
 ) -> DataFrame:
     """Rows that became live in ``(since_version, version]`` — the
-    incremental-processing grain: exactly the files appended in the
-    range and still live at its end, no archive rescan ever."""
+    incremental-processing grain: exactly the files appended by
+    DATA-CHANGING commits in the range and still row-live at its end,
+    no archive rescan ever.
+
+    Operation semantics (the Delta ``dataChange=false`` discipline):
+
+    * ``append``/``merge`` commits ADD rows — their files feed the
+      range.
+    * ``compact``/``materialize``/``checkpoint`` are data no-ops — a
+      rewrite inside the range neither re-emits the table as inserts
+      nor evicts range-appended files from the feed (the original
+      files are immutable and stay on disk until vacuum, so they are
+      scanned directly even after a rewrite retired them from the
+      live set).
+    * ``rowdelete``/``merge`` DELETION VECTORS committed in the range
+      are applied to the range's files regardless of whether a later
+      in-range rewrite retired them — retirement folds deletes into
+      data, it never resurrects rows.
+    * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
+      batch grain) removes its hit files from the feed; its survivor
+      rewrites are NOT re-emitted. A range-appended file hit by an
+      in-range ``delete`` therefore exits the feed at file grain —
+      row-exact delete tracking is the deletion-vector path.
+    """
     if version is None:
         version = latest_version(path)
     if since_version > version:
         raise ValueError(f"since_version {since_version} > version {version}")
+    oldest = list_versions(path)[0]
+    if since_version < oldest:
+        # vacuum dropped the commits below the horizon — the range can no
+        # longer be reconstructed; fail loudly rather than under-emit
+        raise ValueError(
+            f"since_version {since_version} predates the oldest retained"
+            f" version {oldest} (vacuumed); read a full snapshot instead"
+        )
+    _REWRITE_OPS = {"compact", "materialize", "checkpoint"}
     added: list[str] = []
+    range_dvs: list[str] = []
     for v in list_versions(path):
         if v <= since_version or v > version:
             continue
         doc = read_version_doc(path, v)
+        op = doc.get("operation", "append")
+        range_dvs += doc.get("dv_added", [])
+        if op in _REWRITE_OPS:
+            continue
         removed = set(doc["removed"])
         added = [f for f in added if f not in removed] + doc["added"]
+    schema = _schema_of(path, version)
     if not added:
-        schema = _schema_of(path, version)
         if schema is None:
             raise ValueError(f"no schema recorded at {path} yet")
         return spark.createDataFrame([], schema)
-    dv_files, dv_targets = live_dv_state(path, version)
-    if dv_files and any(f in dv_targets for f in added):
-        # rows row-deleted by ``version`` are not live at the range end;
-        # the anti-join self-restricts to the files actually scanned
-        scanned = _scan_with_pos(spark, path, added, None)
-        return _apply_dvs(scanned, _dv_frame(spark, path, dv_files))
-    return spark.read.parquet(*(os.path.join(path, f) for f in added))
+    if range_dvs:
+        # rows row-deleted within the range are not live at its end; the
+        # anti-join self-restricts to the files actually scanned (vectors
+        # aimed at archive files match nothing here)
+        scanned = _scan_with_pos(spark, path, added, schema)
+        return _apply_dvs(scanned, _dv_frame(spark, path, range_dvs))
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*(os.path.join(path, f) for f in added))
 
 
 def read_change_feed(
@@ -856,13 +918,13 @@ def manifest_delete_where(
         .drop("__dv_file", "__dv_pos")
     )
     version = head + 1
-    added = (
+    stage_dir, added = (
         _stage_batch(survivors, path, version)
         if survivors.limit(1).count()
-        else []
+        else (None, [])
     )
     stats, row_counts = _stage_stats(path, added)
-    _commit_version(
+    _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -875,6 +937,7 @@ def manifest_delete_where(
             "row_counts": row_counts,
             "blooms": _rebuild_blooms(spark, path, added, head),
         },
+        [stage_dir] if stage_dir else [],
     )
     return version, len(hit_rel)
 
@@ -942,7 +1005,7 @@ def manifest_delete_rows(
         .coalesce(max(1, dv_target_files))
     )
     version = head + 1
-    added_dv = _stage_batch(hits, path, version, prefix="dv")
+    dv_dir, added_dv = _stage_batch(hits, path, version, prefix="dv")
     per_file = {
         r["file"]: r["n"]
         for r in _dv_frame(spark, path, added_dv)
@@ -951,11 +1014,9 @@ def manifest_delete_rows(
         .collect()
     }
     if not per_file:
-        shutil.rmtree(
-            os.path.join(path, f"data/dv{version:08d}"), ignore_errors=True
-        )
+        shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
         return head, 0
-    _commit_version(
+    _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -969,6 +1030,7 @@ def manifest_delete_rows(
             "dv_targets": per_file,
             **(extra or {}),
         },
+        [dv_dir],
     )
     return version, sum(per_file.values())
 
@@ -1008,6 +1070,7 @@ def manifest_merge_upsert(
     n_replaced = 0
     added_dv: list[str] = []
     per_file: dict[str, int] = {}
+    dv_dir: str | None = None
     if files:
         dv_files, dv_targets = live_dv_state(path, head)
         live = _scan_with_pos(spark, path, files, schema)
@@ -1023,7 +1086,7 @@ def manifest_merge_upsert(
             )
             .coalesce(max(1, dv_target_files))
         )
-        added_dv = _stage_batch(hits, path, version, prefix="dv")
+        dv_dir, added_dv = _stage_batch(hits, path, version, prefix="dv")
         per_file = {
             r["file"]: r["n"]
             for r in _dv_frame(spark, path, added_dv)
@@ -1032,16 +1095,14 @@ def manifest_merge_upsert(
             .collect()
         }
         if not per_file:
-            shutil.rmtree(
-                os.path.join(path, f"data/dv{version:08d}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
             added_dv = []
+            dv_dir = None
         n_replaced = sum(per_file.values())
-    added = _stage_batch(df, path, version)
+    stage_dir, added = _stage_batch(df, path, version)
     stats, row_counts = _stage_stats(path, added)
     n_appended = sum(row_counts.values())
-    _commit_version(
+    _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -1058,6 +1119,7 @@ def manifest_merge_upsert(
             "dv_targets": per_file,
             **(extra or {}),
         },
+        [stage_dir] + ([dv_dir] if added_dv else []),
     )
     return version, n_replaced, n_appended
 
@@ -1084,13 +1146,13 @@ def manifest_materialize_deletes(
         _dv_frame(spark, path, dv_files),
     )
     version = head + 1
-    added = (
+    stage_dir, added = (
         _stage_batch(survivors, path, version)
         if survivors.limit(1).count()
-        else []
+        else (None, [])
     )
     stats, row_counts = _stage_stats(path, added)
-    _commit_version(
+    _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -1106,6 +1168,7 @@ def manifest_materialize_deletes(
             "dv_removed": dv_files,
             "dv_targets": {},
         },
+        [stage_dir] if stage_dir else [],
     )
     return version, len(affected)
 
@@ -1223,9 +1286,9 @@ def manifest_compact(
     else:
         clustered = snap.coalesce(target_files)
     version = head + 1
-    added = _stage_batch(clustered, path, version)
+    stage_dir, added = _stage_batch(clustered, path, version)
     stats, row_counts = _stage_stats(path, added)
-    return _commit_version(
+    return _commit_or_cleanup(
         path,
         {
             "version": version,
@@ -1241,6 +1304,7 @@ def manifest_compact(
             "dv_removed": dv_files,
             "dv_targets": {},
         },
+        [stage_dir],
     )
 
 
@@ -1307,6 +1371,20 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     for v in keep_versions:
         retained.update(live_files(path, v))
         retained.update(live_dv_state(path, v)[0])
+        # a retained doc's own dv_added must stay readable even after the
+        # vectors are retired from live state — read_changes /
+        # read_change_feed over retained ranges scan them directly
+        retained.update(read_version_doc(path, v).get("dv_added", []))
+        # likewise data files appended by retained data-changing commits:
+        # read_changes scans the ORIGINAL files even after an in-range
+        # rewrite retired them from the live set
+        doc = read_version_doc(path, v)
+        if doc.get("operation", "append") not in (
+            "compact",
+            "materialize",
+            "checkpoint",
+        ):
+            retained.update(doc["added"])
     ever: set[str] = set()
     for v in versions:
         doc = read_version_doc(path, v)
@@ -1317,9 +1395,39 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     # self-contained (full live set, no parent), so later docs still
     # apply incrementally on top. Maintenance op → os.replace, not the
     # create-if-absent commit path.
+    _CHECKPOINT_FIELDS = {
+        "version",
+        "parent",
+        "operation",
+        "schema",
+        "added",
+        "removed",
+        "stats",
+        "row_counts",
+        "blooms",
+        "dv_added",
+        "dv_removed",
+        "dv_targets",
+        "stream_batch_id",
+        "stream_batch_ids",
+    }
+    orig_base = read_version_doc(path, base)
+    # stream replay guard must survive retention: union the batch ids of
+    # every DROPPED ancestor (and the base's own) into the checkpoint
+    dropped_sbids: set = set()
+    for v in versions:
+        if v >= keep_from_version and v != base:
+            continue
+        d = read_version_doc(path, v)
+        if "stream_batch_id" in d:
+            dropped_sbids.add(d["stream_batch_id"])
+        dropped_sbids.update(d.get("stream_batch_ids", []))
     base_schema = _schema_of(path, base)
     base_dv_files, base_dv_targets = live_dv_state(path, base)
     base_doc = {
+        # unknown/extra fields a writer attached to the base commit
+        # (lineage tags, app metadata) carry over verbatim
+        **{k: v for k, v in orig_base.items() if k not in _CHECKPOINT_FIELDS},
         "version": base,
         "parent": None,
         "operation": "checkpoint",
@@ -1333,6 +1441,8 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         "dv_removed": [],
         "dv_targets": base_dv_targets,
     }
+    if dropped_sbids:
+        base_doc["stream_batch_ids"] = sorted(dropped_sbids)
     tmp = os.path.join(_manifest_dir(path), f".ckpt-{os.getpid()}.json")
     with open(tmp, "w") as fh:
         json.dump(base_doc, fh, indent=1, sort_keys=True)

@@ -58,6 +58,50 @@ def test_ngram_jaccard_finds_near_dups(near_dup_docs):
     assert (1, 4) not in got           # unrelated below threshold
 
 
+def test_ngram_jaccard_df_cap(spark, near_dup_docs):
+    """max_shingle_df bounds the self-join's worst key. Non-binding cap →
+    bit-identical output; binding cap drops the common shingle from the
+    JOIN stream only (sizes stay exact), so Jaccard can only DECREASE —
+    pairs may be missed, never falsely added."""
+    uncapped = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            near_dup_docs, "text", "doc_id", threshold=0.3
+        ).collect())
+    )
+    loose = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            near_dup_docs, "text", "doc_id", threshold=0.3,
+            max_shingle_df=1000,
+        ).collect())
+    )
+    assert loose == uncapped  # cap above every df → identical
+
+    # every doc shares the boilerplate prefix; cap=2 drops those shingles
+    boiler = "terms of service apply to this page"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma epsilon"),
+        (3, boiler + " zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1).collect()
+    }
+    capped = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)  # precision: no new pairs
+    for k, j in capped.items():
+        assert j <= full[k] + 1e-12  # jaccard only decreases
+    # the boilerplate-only pair (1,3)/(2,3) loses its shared shingles and
+    # drops out; the genuinely-similar pair (1,2) survives the cap
+    assert (1, 2) in capped
+
+
 def test_simhash_candidates(near_dup_docs):
     cand = simhash_candidates(near_dup_docs, "text", "doc_id")
     got = {(r.left_id, r.right_id) for r in cand.collect()}
@@ -321,8 +365,16 @@ def test_duplicate_components_union_find(spark):
 
     import pytest as _pytest
 
+    # past the guard: auto-routes to distributed star contraction with the
+    # SAME output (never aborts mid-pipeline at scale)
+    routed = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(pairs, max_driver_pairs=2).collect()
+    }
+    assert routed == out
+    # the hard guard stays available for callers that want the abort
     with _pytest.raises(ValueError):
-        duplicate_components(pairs, max_driver_pairs=2)
+        duplicate_components(pairs, max_driver_pairs=2, on_overflow="raise")
 
 
 def test_prepare_corpus_stage_semantics(spark):

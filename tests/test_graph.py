@@ -182,3 +182,45 @@ def test_modularity_closed_form(spark):
     one = labels.selectExpr("node", "0L as label")
     r1 = modularity(df, one).collect()[0]
     assert int(r1["q_num"]) == 0 and r1["q"] == 0.0
+
+
+def test_label_propagation_string_ids_and_stability(spark):
+    """The tie-break must work for ANY orderable node-id type (min_by on
+    (−count, label) — a −label negation would fail on strings), and
+    with_stability must expose the bipartite two-coloring oscillation
+    while staying all-false on a converged clique."""
+    from ihop_reddit_spark.operators.graph import label_propagation
+
+    # string-labeled triangle + pendant: ties resolve to lexicographically
+    # smallest label, same semantics as the numeric path
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    assert all(isinstance(v, str) for v in got.values())
+    # triangle converges to its smallest member's label
+    assert got["a"] == got["b"] == got["c"] == "a"
+
+    # K_{3,3}: synchronous LPA two-colors and NEVER converges — every
+    # node's label moves in the final round, for any round count parity
+    bip = spark.createDataFrame(
+        [(i, j + 10) for i in range(3) for j in range(3)], ["src", "dst"]
+    )
+    for rounds in (2, 3):
+        out = label_propagation(
+            bip, rounds=rounds, with_stability=True
+        ).collect()
+        assert all(r["changed"] for r in out), rounds
+        assert len({r["label"] for r in out}) == 2
+    # converged clique: nothing moves in the final round
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)], ["src", "dst"]
+    )
+    out = label_propagation(k4, rounds=3, with_stability=True).collect()
+    assert not any(r["changed"] for r in out)
+    assert {r["label"] for r in out} == {0}

@@ -657,3 +657,37 @@ def test_manifest_merge_and_cdf_plans(spark, tmp_path):
     assert "LeftSemi" in plan2, plan2
     assert "BroadcastNestedLoopJoin" not in plan2, plan2
     assert "CartesianProduct" not in plan2, plan2
+
+
+def test_corpus_prep_composed_plan_is_distributed(spark, sf_dir):
+    """The round-6 verdict's two 100×-scale hazards in the flagship,
+    pinned closed: (a) the near-dup tier must not run an UNCAPPED shingle
+    self-join (the df-cap semi-join must appear in the pair plan), and
+    (b) connected components must not materialize on the driver — the
+    composed plan carries no LocalTableScan (the union-find's
+    createDataFrame signature); components arrive as checkpointed
+    distributed frames (Scan ExistingRDD)."""
+    from ihop_reddit_spark.datapipe.dedup import ngram_jaccard_pairs
+    from ihop_reddit_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = CorpusPrepConfig()
+    # (a) the flagship's pair tier caps shingle document frequency: the
+    # plan filters the shingle stream through a df-bounded aggregate
+    pair_plan = plan_of(
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id",
+            n=cfg.shingle_n,
+            threshold=cfg.jaccard_threshold,
+            max_shingle_df=cfg.max_shingle_df,
+        )
+    )
+    assert "__df" in pair_plan, pair_plan  # cap aggregate present
+    assert cfg.max_shingle_df is not None  # flagship default is capped
+    # (b) composed plan: all-executor-side near-dup collapse
+    plan = plan_of(prepare_corpus(docs, cfg))
+    assert "LocalTableScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan  # star CC's checkpointed output

@@ -524,7 +524,7 @@ def test_manifest_delete_rewrites_only_hit_files(spark, tmp_path):
     doc = M.read_version_doc(root, v3)
     assert n_rw == len(doc["removed"]) > 0
     # only batch-1 files were touched
-    assert all(f.startswith("data/b00000001/") for f in doc["removed"])
+    assert all(f.startswith("data/b00000001-") for f in doc["removed"])
     untouched = [f for f in before if f not in set(doc["removed"])]
     assert untouched
     for f in untouched:
@@ -1052,3 +1052,132 @@ def test_manifest_change_feed_inserts_and_deletes(spark, tmp_path):
     assert (v1 - want_del) | want_ins == head
     # empty range → inserts only, none
     assert M.read_change_feed(spark, root, M.latest_version(root)).count() == 0
+
+
+def test_manifest_changes_skip_rewrites(spark, tmp_path):
+    """A rewrite (compact/materialize) inside a changes-since range is a
+    data no-op: it neither re-emits the table as inserts nor evicts
+    range-appended files from the feed, and range-committed deletion
+    vectors keep applying even after an in-range rewrite retires them
+    (retirement folds deletes into data — it never resurrects rows)."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50), root)  # v1 — archive
+    # compaction alone in the range used to re-feed the whole archive
+    M.manifest_compact(spark, root, target_files=1)  # v2
+    assert M.read_changes(spark, root, 1).count() == 0
+    assert M.read_change_feed(spark, root, 1).count() == 0
+
+    M.manifest_append(spark.range(50, 70), root)  # v3
+    # v4: vector-delete some archive AND some range-appended rows
+    M.manifest_delete_rows(spark, root, F.col("id").isin(10, 55, 60))
+    # v5: compact — folds the vectors, retires them from live state
+    M.manifest_compact(spark, root, target_files=1)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    # range inserts = v3's rows minus its vector-deleted ones; the
+    # archive (v1, rewritten twice inside the range) never re-appears
+    assert got == [i for i in range(50, 70) if i not in (55, 60)]
+    # head is consistent throughout
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(70) if i not in (10, 55, 60)]
+    # a range below the vacuum/retention horizon fails loudly
+    M.manifest_vacuum(root, keep_from_version=3)
+    with pytest.raises(ValueError, match="oldest retained"):
+        M.read_changes(spark, root, 1)
+
+
+def test_manifest_stage_race_two_writers(spark, tmp_path):
+    """Two writers racing on the same head+1 stage into DISTINCT
+    directories — the loser's cleanup cannot touch the winner's files,
+    and after a retry both appends are visible."""
+    import threading
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10), root)  # v1
+
+    # deterministic variant: stage both writers at version 2, commit both
+    d_a = spark.range(100, 110)
+    d_b = spark.range(200, 210)
+    dir_a, files_a = M._stage_batch(d_a, root, 2)
+    dir_b, files_b = M._stage_batch(d_b, root, 2)
+    assert dir_a != dir_b  # unique per-writer stage dirs
+    assert all(os.path.exists(os.path.join(root, f)) for f in files_a + files_b)
+    doc = {
+        "version": 2, "parent": 1, "operation": "append",
+        "schema": d_a.schema.jsonValue(), "removed": [],
+        "stats": {}, "row_counts": {},
+    }
+    M._commit_or_cleanup(root, {**doc, "added": files_a}, [dir_a])
+    with pytest.raises(M.ConcurrentCommitError):
+        M._commit_or_cleanup(root, {**doc, "added": files_b}, [dir_b])
+    # loser cleaned up its own stage; winner's files are intact
+    assert not os.path.exists(os.path.join(root, dir_b))
+    assert all(os.path.exists(os.path.join(root, f)) for f in files_a)
+    assert sorted(
+        r["id"] for r in M.read_changes(spark, root, 1).collect()
+    ) == list(range(100, 110))
+
+    # threaded variant: concurrent manifest_append with retry-on-loss
+    errs, done = [], []
+
+    def writer(lo, hi):
+        for _ in range(5):
+            try:
+                M.manifest_append(spark.range(lo, hi), root)
+                done.append((lo, hi))
+                return
+            except M.ConcurrentCommitError:
+                continue
+        errs.append((lo, hi))
+
+    t1 = threading.Thread(target=writer, args=(300, 310))
+    t2 = threading.Thread(target=writer, args=(400, 410))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs and len(done) == 2
+    got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert got == sorted(
+        list(range(0, 10)) + list(range(100, 110))
+        + list(range(300, 310)) + list(range(400, 410))
+    )
+
+
+def test_manifest_vacuum_preserves_stream_ids_and_dv_history(spark, tmp_path):
+    """Vacuum's checkpoint doc must not lose the exactly-once stream
+    replay guard (stream_batch_id of dropped ancestors) or writer-extra
+    fields, and dv files referenced by retained docs stay readable for
+    change-feed reads over retained ranges."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.range(0, 30), root, extra={"stream_batch_id": 7}
+    )  # v1
+    M.manifest_append(
+        spark.range(30, 60), root,
+        extra={"stream_batch_id": 8, "lineage": "runA"},
+    )  # v2
+    M.manifest_delete_rows(spark, root, F.col("id").isin(5, 35))  # v3 dv
+    M.manifest_materialize_deletes(spark, root)  # v4 — retires the dv
+
+    assert M.committed_stream_batches(root) == {7, 8}
+    M.manifest_vacuum(root, keep_from_version=2)
+    # v1 was dropped, but its batch id survives in the checkpoint;
+    # the base's own id and extra fields carry over verbatim
+    assert M.committed_stream_batches(root) == {7, 8}
+    base_doc = M.read_version_doc(root, 2)
+    assert base_doc["operation"] == "checkpoint"
+    assert base_doc["lineage"] == "runA"
+    # v3's dv files survive vacuum (referenced by a retained doc) even
+    # though v4 retired them from live state → the change feed over the
+    # retained range still reconstructs the deletes with full content
+    feed = M.read_change_feed(spark, root, 2).collect()
+    dels = {(r["id"],) for r in feed if r["_change_type"] == "delete"}
+    assert dels == {(5,), (35,)}
+    assert M.read_snapshot(spark, root).count() == 58
