@@ -59,16 +59,27 @@ def crawl_corpus(
     chunk_k: int = 3,
     chunk_nibbles: int = 1,
     n_stages: int = 4,
+    exact_urls: bool = False,
 ) -> DataFrame:
     """(id, html, url) pages → (id, chunk_id, stage, chunk_text,
     n_chunk_tokens) staged training chunks. See module docstring for the
-    stage-by-stage plan."""
+    stage-by-stage plan.
+
+    ``exact_urls=True`` canonicalizes the frontier with the urllib-exact
+    twin (``functions.urls.normalize_url_exact`` — punycode hosts,
+    percent-encoding normalization): the right setting on real crawls,
+    where mixed-encoding aliases of one page are daily occurrences. The
+    default stays JVM-side, identical on ASCII escape-free URLs and the
+    cross-engine oracle anchor."""
+    from ..functions.urls import normalize_url_exact
+
+    canon = normalize_url_exact if exact_urls else normalize_url
     did = F.col(id_col)
     ext = pages.select(
         did,
         html_to_text(F.col(html_col)).alias("clean_text"),
         link_density(F.col(html_col)).alias("link_density"),
-        normalize_url(F.col(url_col)).alias("canonical_url"),
+        canon(F.col(url_col)).alias("canonical_url"),
     )
     # multi-consumer boundary #1: the frontier dedup below self-joins the
     # gated frame (min-id aggregate + row recovery) — persist it or the

@@ -2722,6 +2722,87 @@ def c2v_reference_analogy_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# M2 grid-search gate (ml/community2vec.grid_search — the reference's
+# most-used training entry point, ihop/community2vec.py:410-626, grid
+# expand :570-575). Two vector_size combos over the planted-analogy
+# corpus; the gated invariants are the grid CONTRACT: trials reported in
+# grid order with their param ids, best_accuracy is the max over trials,
+# the RETURNED model re-evaluates to exactly that accuracy (the argmax
+# pick is real, not a label), and the winner clears the planted-fixture
+# floor. Float accuracies stay out of the hash (seeded-ML rule); the
+# booleans are the cross-engine-stable projection of them.
+# ---------------------------------------------------------------------------
+@query(
+    "c2v_grid_search_gate",
+    """
+    SELECT CAST(2 AS BIGINT) AS n_trials,
+           'vector_size=4|vector_size=16' AS trial_params,
+           TRUE AS accs_in_range,
+           TRUE AS best_is_max,
+           TRUE AS best_model_matches,
+           TRUE AS best_solves_planted
+    """,
+)
+def c2v_grid_search_gate(spark, sf_dir):
+    """Deliberately data-independent (ignores sf_dir) like the planted
+    gate: it gates the grid HARNESS; trainers on real event data are
+    covered by c2v_event_embeddings."""
+    import random
+
+    from ..ml.community2vec import (
+        C2VParams,
+        EmbeddingMatrix,
+        evaluate_analogies,
+        generate_analogies,
+        grid_search,
+    )
+
+    rng = random.Random(7)
+    n_sections = 6
+    rows = []
+    for i in range(n_sections):
+        for _ in range(30):
+            s1 = [f"city{i}", f"region{i}", "cityness"]
+            s2 = [f"team{i}", f"region{i}", "teamness"]
+            rng.shuffle(s1)
+            rng.shuffle(s2)
+            rows.append((s1,))
+            rows.append((s2,))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "context array<string>")
+    analogies = generate_analogies(
+        {"city-team": [(f"city{i}", f"team{i}") for i in range(n_sections)]}
+    )
+    best_model, summary = grid_search(
+        df,
+        {"vector_size": [4, 16]},
+        analogies,
+        base=C2VParams(epochs=8, seed=100),
+    )
+    trials = summary["trials"]
+    trial_params = "|".join(
+        f"vector_size={t['params']['vector_size']}" for t in trials
+    )
+    accs = [t["total_accuracy"] for t in trials]
+    emb = EmbeddingMatrix.from_vectors_df(best_model.vectors())
+    refit_acc = evaluate_analogies(emb, analogies)["total_accuracy"]
+    return spark.range(1).select(
+        F.lit(len(trials)).cast("long").alias("n_trials"),
+        F.lit(trial_params).alias("trial_params"),
+        F.lit(all(0.0 <= a <= 1.0 for a in accs)).alias("accs_in_range"),
+        F.lit(
+            abs(summary["best_accuracy"] - max(accs)) < 1e-12
+        ).alias("best_is_max"),
+        F.lit(
+            abs(refit_acc - summary["best_accuracy"]) < 1e-9
+        ).alias("best_model_matches"),
+        F.lit(bool(summary["best_accuracy"] >= 0.8)).alias(
+            "best_solves_planted"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Collection-label enrichment (reference ihop/resources/collections/
 # __init__.py:1-32): the vendored subreddit-collection lookup joined onto a
 # deterministic cluster assignment (first md5 hex nibble → 4 buckets — the

@@ -409,6 +409,96 @@ def test_normalize_url_edge_cases(spark):
     assert hosts[1]["d"] == "site.org"
 
 
+def test_normalize_url_exact_mixed_encodings(spark):
+    """The urllib-exact twin: identical to the JVM version on ASCII
+    escape-free URLs (the equivalence contract), and correct on the
+    mixed-encoding aliases only a real parser can fold — IDN hosts to
+    punycode, unreserved percent-escapes decoded, other escape hex
+    uppercased."""
+    from ihop_reddit_spark.functions.urls import (
+        _normalize_url_py,
+        normalize_url,
+        normalize_url_exact,
+    )
+
+    # equivalence on the ASCII escape-free subset (the JVM twin's scope)
+    ascii_urls = [
+        "HTTP://Example.COM:80/A/b/?z=1&a=2#x",
+        "https://WWW.Site.org:443/Path",
+        "http://example.com:8080/x",
+        "http://example.com?utm_source=a&fbclid=b",
+        "http://example.com/",
+        "http://e.com/p?b=2&utm_campaign=x&a=10&A=1",
+        "https://deep.sub.example.co.uk/a/b/c?k=v&k2=v2",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(ascii_urls)], "i long, u string"
+    )
+    both = df.select(
+        "i",
+        normalize_url(F.col("u")).alias("jvm"),
+        normalize_url_exact(F.col("u")).alias("exact"),
+    ).collect()
+    for r in both:
+        assert r["jvm"] == r["exact"], (r["i"], r["jvm"], r["exact"])
+
+    # mixed-encoding fixtures (pure-Python kernel — same code the UDF maps)
+    assert (
+        _normalize_url_py("http://MÜNCHEN.de/straße")
+        == "http://xn--mnchen-3ya.de/stra%C3%9Fe"
+        or _normalize_url_py("http://MÜNCHEN.de/straße").startswith(
+            "http://xn--mnchen-3ya.de/"
+        )
+    )
+    # unreserved escapes decode; reserved/other escape hex uppercases
+    assert (
+        _normalize_url_py("http://e.com/%7Euser/%7e2?x=%2fa%2Fb")
+        == "http://e.com/~user/~2?x=%2Fa%2Fb"
+    )
+    # IDN and its punycode spelling fold to ONE canonical key
+    a = _normalize_url_py("http://münchen.de/p")
+    b = _normalize_url_py("http://xn--mnchen-3ya.de/p")
+    assert a == b == "http://xn--mnchen-3ya.de/p"
+    # tracking params + sort still apply after percent-normalization
+    assert (
+        _normalize_url_py("http://e.com/p?b=%41&utm_source=x&a=1")
+        == "http://e.com/p?a=1&b=A"
+    )
+    # garbage passes through, never raises
+    assert _normalize_url_py("not a url") == "not a url"
+    assert _normalize_url_py(None) is None
+
+
+def test_crawl_corpus_exact_urls_same_on_ascii(spark):
+    """crawl_corpus(exact_urls=True) — the urllib frontier — produces the
+    same staged chunks as the JVM path on ASCII escape-free pages, and
+    folds percent-encoded aliases the JVM path cannot."""
+    from ihop_reddit_spark.plans.crawl_corpus import crawl_corpus
+
+    body = " ".join(f"w{i} sentence body text here." for i in range(12))
+    html = f"<html><body><p>{body}</p></body></html>"
+    pages = spark.createDataFrame(
+        [
+            (1, html, "http://A.com/page"),
+            (2, html + "<p>unique two alpha beta gamma delta too.</p>",
+             "http://a.com/Page"),
+            # percent-alias of doc 1's URL: only the exact path folds it
+            (3, html, "http://a.com/%70age"),
+        ],
+        "doc_id long, html string, url string",
+    )
+    kw = dict(domain_quota=10, min_words_per_line=1, min_lines=1)
+    jvm = crawl_corpus(pages, **kw)
+    exact = crawl_corpus(pages, exact_urls=True, **kw)
+    jvm_ids = {r["doc_id"] for r in jvm.select("doc_id").distinct().collect()}
+    ex_ids = {r["doc_id"] for r in exact.select("doc_id").distinct().collect()}
+    # JVM path: %70age ≠ page → doc 3 survives as its own URL
+    assert 3 in jvm_ids
+    # exact path: %70 decodes to 'p' → doc 3 is a frontier dup of doc 1
+    assert 3 not in ex_ids
+    assert 1 in ex_ids and 2 in ex_ids
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from pyspark.sql import functions as F
 
