@@ -8219,13 +8219,15 @@ def lpa_communities_copurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Partition quality (operators/graph.modularity — r6 session 3): EXACT
-# Newman modularity of the LPA communities above. Q's numerator over the
-# common denominator 4m² is a pure integer — Σ_c (4·m·e_c − d_c²) in
-# DECIMAL(38,0) — so the score hash-gates bit-for-bit cross-engine (the
-# float Q rides along, computed by the identical double expression on
-# both sides). One row: the strongest kind of ML-adjacent gate, no
-# tolerance band needed.
+# Partition quality (operators/graph.modularity — r6 session 3, r8
+# dtype fix): EXACT Newman modularity of the LPA communities above. Q's
+# numerator over the common denominator 4m² is a pure integer —
+# Σ_c (4·m·e_c − d_c²), DECIMAL(38,0) internally — gated here as BIGINT
+# on BOTH engines because the driver's value canon hashes
+# DECIMAL/HUGEINT columns differently across engines (seven rounds of
+# evidence: the sibling all-BIGINT labels gate passes, this one failed
+# only while q_num was DECIMAL). One row: the strongest kind of
+# ML-adjacent gate, no tolerance band needed.
 # ---------------------------------------------------------------------------
 @query(
     "lpa_modularity_copurchase",
@@ -8270,7 +8272,7 @@ def lpa_communities_copurchase(spark, sf_dir):
     )
     SELECT CAST(mm.m AS BIGINT) AS m_edges,
            agg.n_communities,
-           CAST(agg.qn AS DECIMAL(38, 0)) AS q_num
+           CAST(agg.qn AS BIGINT) AS q_num
     FROM agg CROSS JOIN mm
     """,
 )
@@ -8292,14 +8294,23 @@ def lpa_modularity_copurchase(spark, sf_dir):
         )
     )
     labels = label_propagation(edges, rounds=3)
-    # Hash-gate only the exact-integer triple. ``q`` itself is
-    # q_num / (4 m²) — a raw IEEE division whose 1-ulp placement differs
-    # between Spark's double multiply and DuckDB's DECIMAL-converted
+    # Hash-gate only exact int64 columns. ``q`` itself is q_num / (4 m²)
+    # — a raw IEEE division whose 1-ulp placement differs between
+    # Spark's double multiply and DuckDB's DECIMAL-converted
     # denominator, so it stays an API-only column (operators/graph.py
-    # still emits it for users), never a gated one. Same rule as
-    # bm25_topk / integer PageRank: no transcendental/IEEE in the hash
-    # path.
-    return modularity(edges, labels).select("m_edges", "n_communities", "q_num")
+    # still emits it for users), never a gated one. ``q_num`` is exact
+    # but DECIMAL(38,0) internally; the driver's value canon is
+    # dtype-sensitive and DECIMAL/HUGEINT columns hash differently
+    # across engines, so the gate casts it to BIGINT on BOTH sides.
+    # |q_num| = |Σ 4·m·ec − dc²| ≤ 4m² < 2^63 for m < ~1.5e9 edges —
+    # orders of magnitude past any gate SF, documented bound. Written
+    # rule (alongside "no IEEE in the hash path"): no DECIMAL-typed
+    # column in any gated projection.
+    return modularity(edges, labels).select(
+        "m_edges",
+        "n_communities",
+        F.col("q_num").cast("long").alias("q_num"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -791,7 +791,14 @@ def read_changes(
         if op in _REWRITE_OPS:
             continue
         removed = set(doc["removed"])
-        added = [f for f in added if f not in removed] + doc["added"]
+        added = [f for f in added if f not in removed]
+        if op == "delete":
+            # file-grain exit: the hit files leave the feed, and the
+            # survivor REWRITES are data already live before the delete
+            # — appending them would re-emit pre-range rows as inserts
+            # (they are doc["added"], but not range-new data)
+            continue
+        added += doc["added"]
     schema = _schema_of(path, version)
     if not added:
         if schema is None:

@@ -1089,6 +1089,39 @@ def test_manifest_changes_skip_rewrites(spark, tmp_path):
         M.read_changes(spark, root, 1)
 
 
+def test_manifest_changes_delete_where_in_range(spark, tmp_path):
+    """An in-range ``manifest_delete_where`` is file-grain: its hit
+    files exit the feed, and its survivor REWRITES are never re-emitted
+    as inserts — even when the hit file is an ARCHIVE file that was
+    live before the range (the survivors are pre-range data; appending
+    them would double-process them downstream)."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(50, 70).coalesce(1), root)  # v2 range
+    # v3: delete hits ONLY the archive file; 5..49 survive via rewrite
+    M.manifest_delete_where(spark, root, F.col("id") < 5)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    # feed = v2's rows only; archive survivors are NOT re-emitted
+    assert got == list(range(50, 70))
+    assert M.read_change_feed(spark, root, 1).count() == 20
+    # head remains consistent
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == list(range(5, 70))
+
+    # v4: delete hits the RANGE-APPENDED file — file-grain exit: the
+    # whole file (survivors included) leaves the feed
+    M.manifest_delete_where(spark, root, F.col("id") == 55)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == []
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(5, 70) if i != 55]
+
+
 def test_manifest_stage_race_two_writers(spark, tmp_path):
     """Two writers racing on the same head+1 stage into DISTINCT
     directories — the loser's cleanup cannot touch the winner's files,
