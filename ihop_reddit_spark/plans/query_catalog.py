@@ -8305,11 +8305,26 @@ def lpa_modularity_copurchase(spark, sf_dir):
     # |q_num| = |Σ 4·m·ec − dc²| ≤ 4m² < 2^63 for m < ~1.5e9 edges —
     # orders of magnitude past any gate SF, documented bound. Written
     # rule (alongside "no IEEE in the hash path"): no DECIMAL-typed
-    # column in any gated projection.
+    # column in any gated projection. The bound is ENFORCED, not
+    # assumed: Spark's non-ANSI decimal→long cast silently NULLs on
+    # overflow while DuckDB's CAST raises, so an exceeded bound would
+    # compare a NULL hash against a hard oracle error instead of
+    # failing symmetrically — guard it so both engines fail loudly.
+    int64_bound = F.lit("9223372036854775808").cast("decimal(38,0)")
     return modularity(edges, labels).select(
         "m_edges",
         "n_communities",
-        F.col("q_num").cast("long").alias("q_num"),
+        F.when(
+            F.abs(F.col("q_num")) >= int64_bound,
+            F.raise_error(
+                F.lit(
+                    "lpa_modularity_copurchase: |q_num| >= 2^63 — the"
+                    " documented m < ~1.5e9 edge bound was exceeded"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("q_num").cast("long"))
+        .alias("q_num"),
     )
 
 
@@ -9650,40 +9665,173 @@ def tvd_drift_event_mix(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
-# TIME budget (~50 of ~180 queries per round). ROUND-6 rotation
-# (EVIDENCE-FIRST, same policy as r4/r5): the 3 never-driver-sampled r6
-# queries lead (cheap gate -> streaming twin -> the composed flagship),
-# then every remaining query ordered by the round of its MOST RECENT
-# driver sample ascending (r2-stale block next -- 27 queries whose last
-# green row is round 2 -- then r3, r4, r5), ties keeping the prior
-# rotation's cost ordering. Generated from the union of CORRECTNESS_r0*.json
-# keys; pure execution-knob variants stay demoted. Reordering only -- key
-# sets and query bodies untouched.
+# TIME budget (~50 of ~200 queries per round). ROUND-9 rotation
+# (EVIDENCE-FIRST): the 2 never-driver-sampled queries lead
+# (c2v_grid_search_gate, lpa_oscillation_gate — added r7, outside every
+# prior window), then the 4 queries whose PLAN changed since their last
+# driver scoring (lpa_modularity_copurchase: r9 overflow guard;
+# manifest_change_feed_counts: r9 read_changes lineage rewrite;
+# corpus_prep_survivors: r7 caps + star contraction, last scored r5;
+# modern_training_corpus: consumes the same prep, last scored r4), then
+# every remaining query ordered by the round of its MOST RECENT driver
+# sample ascending (the r3-stale block of 48 fills the rest of the
+# window; r4, r5, r8 follow), ties keeping catalog order. Generated from
+# the union of CORRECTNESS_r0*.json keys; pure execution-knob variants
+# stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    "manifest_dv_lifecycle_counts",
-    "manifest_bloom_point_lookups",
-    "wordpiece_invariants_gate",
-    "wordpiece_roundtrip_gate",
-    "lpa_communities_copurchase",
+    "c2v_grid_search_gate",
+    "lpa_oscillation_gate",
     "lpa_modularity_copurchase",
-    "stream_dv_deletes",
-    "manifest_merge_upsert_counts",
     "manifest_change_feed_counts",
-    "avi_decode_gate",
-    "g711_decode_gate",
-    "bloom_decontaminated_documents",
-    "semantic_decontaminated_vectors",
-    "triangle_counts_copurchase",
-    "manifest_timetravel_counts",
-    "manifest_incremental_dedup_pairs",
-    "stream_manifest_appends",
-    "jpeg_decode_gate",
-    "stream_crawl_extraction",
-    "warc_roundtrip_pages",
-    "crawl_corpus",
-    "doc_repetition_features",
-    "dataset_split_sizes",
+    "corpus_prep_survivors",
+    "modern_training_corpus",
+    "event_neighbor_lags",
+    "asof_purchase_to_click",
+    "events_corpus_stats",
+    "hourly_event_counts_gapfilled",
+    "event_scalar_functions",
+    "doc_token_stats_by_lang",
+    "mixture_upsampled_counts",
+    "media_decode_gate",
+    "contamination_report_pairs",
+    "packed_sequence_texts",
+    "inverted_index_terms",
+    "tfidf_topk_docs",
+    "bm25_topk_docs",
+    "lm_doc_quality_scores",
+    "incremental_postings_merge",
+    "perplexity_buckets_by_lang",
+    "grouping_sets_order_totals",
+    "intersect_except_customers",
+    "window_suite_customer_orders",
+    "session_funnel_stages",
+    "winnow_fingerprint_pairs",
+    "span_deduped_documents",
+    "duplicate_substring_spans",
+    "semantic_dedup_survivors",
+    "incremental_semantic_dedup_survivors",
+    "dsir_importance_weights",
+    "dsir_resampled_documents",
+    "c4_sentence_span_dedup",
+    "hll_sketch_rollup_users",
+    "scd2_customer_history",
+    "ks_drift_click_vs_purchase",
+    "mad_outliers_value_by_type",
+    "weighted_sample_docs_by_lang",
+    "pit_scd2_order_segments",
+    "correlated_subquery_small_quantities",
+    "hybrid_search_rrf",
+    "dedup_keep_best_documents",
+    "cohort_retention_weekly",
+    "k_anonymous_event_stats",
+    "incremental_daily_counts_merge",
+    "rolling_7day_user_value",
+    "event_transition_matrix",
+    "corpus_datasheet_by_source",
+    "image_ahash_pairs",
+    "audio_envelope_pairs",
+    "video_framehash_pairs",
+    "ab_test_purchase_rates",
+    "tvd_drift_event_mix",
+    "asof_forward_purchase_to_click",
+    "pca_invariants_gate",
+    "c2v_prep_contexts",
+    "pmi_terms_by_lang",
+    "doc_lang_id",
+    "doc_token_budgets",
+    "duplicate_components_star_ngram",
+    "stream_quality_violations",
+    "stream_histogram_quantiles",
+    "stream_windowed_approx_users",
+    "stream_static_enriched_counts",
+    "stream_dedup_user_event_types",
+    "stream_stream_click_purchase_pairs",
+    "levenshtein_verified_pairs",
+    "greedy_match_invariants_gate",
+    "lda_invariants_gate",
+    "c2v_planted_analogy_gate",
+    "c2v_reference_analogy_gate",
+    "cluster_label_enrichment",
+    "sgns_reference_analogy_gate",
+    "cohens_kappa_event_raters",
+    "fleiss_kappa_doc_raters",
+    "kmeans_elbow_gate",
+    "incremental_minhash_verified_pairs",
+    "incremental_ivf_recall",
+    "pq_ann_recall",
+    "zorder_values_events",
+    "data_quality_report",
+    "interval_overlap_window_sessions",
+    "pii_scrubbed_documents",
+    "chunked_documents",
+    "profile_customer_columns",
+    "table_fingerprint_customer",
+    "key_skew_report_events",
+    "heavy_hitters_event_types",
+    "merge_upsert_customers",
+    "snapshot_diff_customers",
+    "stream_semantic_dedup_survivors",
+    "quality_classifier_gate",
+    "fuzzy_decontaminated_documents",
+    "umass_pair_stats_by_lang",
+    "umass_topic_coherence",
+    "npmi_topic_coherence",
+    "cm_sketch_user_counts",
+    "histogram_sketch_quantiles",
+    "pagerank_copurchase_parts",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
+    "stream_scd2_customer_history",
+    "topn_parts_by_lineitems",
+    "order_lineitem_ship_delay",
+    "range_join_clicks_before_purchase",
+    "user_event_contexts",
+    "pca_projection_2d",
+    "doc_quality_features",
+    "text_pipeline_term_counts",
+    "exact_duplicate_groups",
+    "ngram_jaccard_pairs",
+    "duplicate_components_ngram",
+    "embedding_near_dup_pairs",
+    "embedding_sum_by_label",
+    "knn_bruteforce_cosine",
+    "coherence_task_export",
+    "intruder_task_export",
+    "multimodal_asset_byte_stats",
+    "multimodal_frame_samples",
+    "multimodal_image_features",
+    "multimodal_audio_resample",
+    "stream_windowed_event_counts",
+    "stream_user_sessions",
+    "user_sessions_batch",
+    "stream_sliding_event_counts",
+    "stream_windowed_top_event_types",
+    "stream_user_running_totals",
+    "minhash_near_dup_pairs",
+    "simhash_candidate_pairs",
+    "kmeans_cluster_sizes",
+    "cluster_compare_kmeans_vs_labels",
+    "kmeans_quality_metrics",
+    "cluster_greedy_max_match",
+    "lda_topic_terms",
+    "c2v_event_embeddings",
+    "ivf_ann_topk",
+    "minhash_verified_pairs",
+    "ivf_ann_recall",
+    "png_decode_gate",
+    "gif_decode_gate",
+    "sink_roundtrip_counts",
+    "html_extracted_text",
+    "cdc_chunked_documents",
+    "curriculum_stage_assignments",
+    "domain_quota_survivors",
+    "normalized_url_groups",
+    "dedup_aware_splits",
+    "split_leakage_audit",
+    "incremental_winnow_shared_pairs",
+    "unigram_invariants_gate",
+    "unigram_roundtrip_gate",
     "semi_join_topn_flag_counts",
     "anti_join_customers_without_f_orders",
     "regex_filter_parts",
@@ -9706,159 +9854,32 @@ _SCORING_PRIORITY = [
     "deterministic_sample_documents",
     "approx_distinct_users_by_type",
     "approx_quantiles_value_tolerance",
+    "manifest_incremental_dedup_pairs",
+    "jpeg_decode_gate",
+    "avi_decode_gate",
+    "g711_decode_gate",
+    "manifest_timetravel_counts",
+    "manifest_dv_lifecycle_counts",
+    "manifest_bloom_point_lookups",
+    "stream_manifest_appends",
+    "manifest_merge_upsert_counts",
+    "stream_dv_deletes",
+    "doc_repetition_features",
     "decontaminated_documents",
+    "bloom_decontaminated_documents",
+    "semantic_decontaminated_vectors",
+    "dataset_split_sizes",
+    "crawl_corpus",
+    "stream_crawl_extraction",
+    "warc_roundtrip_pages",
     "mixture_sample_by_source",
     "packed_sequence_bins",
     "curated_training_corpus",
     "c4_cleaned_documents",
-    "c4_sentence_span_dedup",
-    "hll_sketch_rollup_users",
-    "scd2_customer_history",
-    "ks_drift_click_vs_purchase",
-    "mad_outliers_value_by_type",
-    "ab_test_purchase_rates",
-    "tvd_drift_event_mix",
-    "weighted_sample_docs_by_lang",
-    "pit_scd2_order_segments",
-    "correlated_subquery_small_quantities",
-    "hybrid_search_rrf",
-    "dedup_keep_best_documents",
-    "cohort_retention_weekly",
-    "k_anonymous_event_stats",
-    "incremental_daily_counts_merge",
-    "rolling_7day_user_value",
-    "event_transition_matrix",
-    "corpus_datasheet_by_source",
-    "image_ahash_pairs",
-    "audio_envelope_pairs",
-    "video_framehash_pairs",
-    "winnow_fingerprint_pairs",
-    "duplicate_substring_spans",
-    "span_deduped_documents",
-    "semantic_dedup_survivors",
-    "incremental_semantic_dedup_survivors",
-    "dsir_importance_weights",
-    "dsir_resampled_documents",
-    "packed_sequence_texts",
-    "media_decode_gate",
-    "mixture_upsampled_counts",
-    "contamination_report_pairs",
-    "inverted_index_terms",
-    "tfidf_topk_docs",
-    "bm25_topk_docs",
-    "lm_doc_quality_scores",
-    "perplexity_buckets_by_lang",
-    "incremental_postings_merge",
-    "grouping_sets_order_totals",
-    "intersect_except_customers",
-    "window_suite_customer_orders",
-    "session_funnel_stages",
-    "doc_token_stats_by_lang",
-    "events_corpus_stats",
-    "event_scalar_functions",
-    "hourly_event_counts_gapfilled",
-    "event_neighbor_lags",
-    "asof_purchase_to_click",
-    "asof_forward_purchase_to_click",
-    "duplicate_components_star_ngram",
-    "levenshtein_verified_pairs",
-    "zorder_values_events",
-    "data_quality_report",
-    "interval_overlap_window_sessions",
-    "pii_scrubbed_documents",
-    "chunked_documents",
-    "profile_customer_columns",
-    "table_fingerprint_customer",
-    "key_skew_report_events",
-    "heavy_hitters_event_types",
-    "merge_upsert_customers",
-    "snapshot_diff_customers",
-    "cluster_label_enrichment",
-    "cohens_kappa_event_raters",
-    "fleiss_kappa_doc_raters",
-    "kmeans_elbow_gate",
-    "histogram_sketch_quantiles",
-    "stream_histogram_quantiles",
-    "cm_sketch_user_counts",
-    "umass_pair_stats_by_lang",
-    "umass_topic_coherence",
-    "npmi_topic_coherence",
-    "fuzzy_decontaminated_documents",
-    "pca_invariants_gate",
-    "greedy_match_invariants_gate",
-    "lda_invariants_gate",
-    "incremental_minhash_verified_pairs",
-    "stream_quality_violations",
-    "stream_windowed_approx_users",
-    "stream_static_enriched_counts",
-    "stream_dedup_user_event_types",
-    "stream_stream_click_purchase_pairs",
-    "stream_semantic_dedup_survivors",
-    "stream_scd2_customer_history",
-    "c2v_planted_analogy_gate",
-    "c2v_reference_analogy_gate",
-    "sgns_reference_analogy_gate",
-    "pq_ann_recall",
-    "incremental_ivf_recall",
-    "quality_classifier_gate",
-    "modern_training_corpus",
-    "pagerank_copurchase_parts",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
-    "c2v_prep_contexts",
-    "pmi_terms_by_lang",
-    "doc_lang_id",
-    "doc_token_budgets",
-    "sink_roundtrip_counts",
-    "html_extracted_text",
-    "normalized_url_groups",
-    "cdc_chunked_documents",
-    "domain_quota_survivors",
-    "incremental_winnow_shared_pairs",
-    "curriculum_stage_assignments",
-    "split_leakage_audit",
-    "png_decode_gate",
-    "gif_decode_gate",
-    "dedup_aware_splits",
-    "unigram_roundtrip_gate",
-    "unigram_invariants_gate",
-    "ngram_jaccard_pairs",
-    "duplicate_components_ngram",
-    "embedding_near_dup_pairs",
-    "coherence_task_export",
-    "multimodal_frame_samples",
-    "multimodal_image_features",
-    "multimodal_audio_resample",
-    "stream_user_sessions",
-    "stream_sliding_event_counts",
-    "stream_windowed_top_event_types",
-    "stream_user_running_totals",
-    "text_pipeline_term_counts",
-    "embedding_sum_by_label",
-    "intruder_task_export",
-    "doc_quality_features",
-    "exact_duplicate_groups",
-    "knn_bruteforce_cosine",
-    "multimodal_asset_byte_stats",
-    "stream_windowed_event_counts",
-    "user_sessions_batch",
-    "corpus_prep_survivors",
-    "range_join_clicks_before_purchase",
-    "ivf_ann_recall",
-    "kmeans_quality_metrics",
-    "cluster_compare_kmeans_vs_labels",
-    "pca_projection_2d",
-    "minhash_near_dup_pairs",
-    "kmeans_cluster_sizes",
-    "cluster_greedy_max_match",
-    "lda_topic_terms",
-    "c2v_event_embeddings",
-    "ivf_ann_topk",
-    "topn_parts_by_lineitems",
-    "order_lineitem_ship_delay",
-    "user_event_contexts",
-    "simhash_candidate_pairs",
-    "minhash_verified_pairs",
+    "triangle_counts_copurchase",
+    "lpa_communities_copurchase",
+    "wordpiece_invariants_gate",
+    "wordpiece_roundtrip_gate",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.

@@ -752,20 +752,28 @@ def read_changes(
     * ``append``/``merge`` commits ADD rows — their files feed the
       range.
     * ``compact``/``materialize``/``checkpoint`` are data no-ops — a
-      rewrite inside the range neither re-emits the table as inserts
-      nor evicts range-appended files from the feed (the original
-      files are immutable and stay on disk until vacuum, so they are
-      scanned directly even after a rewrite retired them from the
-      live set).
+      rewrite inside the range never re-emits the table as inserts.
+      A rewrite whose inputs are ALL range-new (a "pure" rewrite) is
+      FOLLOWED: the feed scans its outputs instead of the originals,
+      so later in-range deletes and deletion vectors — which target
+      the live (rewritten) file names — line up with the scan set. A
+      rewrite that mixes pre-range files in keeps the original
+      range files in the scan set (they are immutable until vacuum);
+      its outputs carry mixed lineage and cannot be scanned directly.
     * ``rowdelete``/``merge`` DELETION VECTORS committed in the range
-      are applied to the range's files regardless of whether a later
-      in-range rewrite retired them — retirement folds deletes into
-      data, it never resurrects rows.
+      are applied to the range's scan set — retirement by a later
+      rewrite folds deletes into data, it never resurrects rows.
     * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
-      batch grain) removes its hit files from the feed; its survivor
-      rewrites are NOT re-emitted. A range-appended file hit by an
-      in-range ``delete`` therefore exits the feed at file grain —
-      row-exact delete tracking is the deletion-vector path.
+      batch grain): its hit files' range lineage exits the feed, and
+      when EVERY hit file is wholly range-new the survivor rewrites
+      are re-added — survivor rows became live in the range and are
+      live at its end, so the feed stays row-exact. When a hit file
+      carries pre-range rows (an archive file, or a mixed rewrite),
+      survivors cannot be emitted without replaying pre-range data as
+      inserts, so the range-new rows co-located in that file exit at
+      file grain — the documented boundary; row-exact delete tracking
+      across mixed files is the deletion-vector path
+      (``manifest_delete_rows``).
     """
     if version is None:
         version = latest_version(path)
@@ -781,24 +789,66 @@ def read_changes(
         )
     _REWRITE_OPS = {"compact", "materialize", "checkpoint"}
     added: list[str] = []
+    # range lineage: live file -> (scan files carrying its range rows,
+    # wholly-range-new?). Invariant: a pure file is in `added` with
+    # identity lineage; an impure rewrite output maps to the original
+    # range files still scanned on its behalf; a file absent from the
+    # map carries no range rows (pre-range data only).
+    lineage: dict[str, tuple[set, bool]] = {}
     range_dvs: list[str] = []
+
+    def _evict(removed: set) -> tuple[set, bool]:
+        """Pop lineage for ``removed``; return (scan files to evict,
+        every-removed-file-wholly-range-new?)."""
+        scan, all_pure = set(), True
+        for r in removed:
+            sf, pure = lineage.pop(r, (set(), False))
+            scan |= sf
+            all_pure = all_pure and pure
+        return scan, all_pure
+
     for v in list_versions(path):
         if v <= since_version or v > version:
             continue
         doc = read_version_doc(path, v)
         op = doc.get("operation", "append")
         range_dvs += doc.get("dv_added", [])
+        removed = set(doc.get("removed", []))
         if op in _REWRITE_OPS:
+            scan, all_pure = _evict(removed)
+            if not scan:
+                # pre-range-only rewrite: data no-op, outputs carry no
+                # range rows — nothing to track
+                continue
+            if all_pure:
+                # follow the rewrite: outputs replace the originals in
+                # the scan set (same live rows; vectors folded in by
+                # the rewrite then match nothing — already applied)
+                added = [f for f in added if f not in scan]
+                for n in doc["added"]:
+                    added.append(n)
+                    lineage[n] = ({n}, True)
+            else:
+                # mixed rewrite: keep scanning the originals; outputs
+                # answer for them if a later op removes the outputs
+                for n in doc["added"]:
+                    lineage[n] = (set(scan), False)
             continue
-        removed = set(doc["removed"])
-        added = [f for f in added if f not in removed]
+        scan, all_pure = _evict(removed)
+        added = [f for f in added if f not in scan]
         if op == "delete":
-            # file-grain exit: the hit files leave the feed, and the
-            # survivor REWRITES are data already live before the delete
-            # — appending them would re-emit pre-range rows as inserts
-            # (they are doc["added"], but not range-new data)
+            if removed and all_pure:
+                # every hit file is wholly range-new → its survivors
+                # are range-new rows still live at range end: emit them
+                for n in doc["added"]:
+                    added.append(n)
+                    lineage[n] = ({n}, True)
+            # else: survivors mix pre-range rows — file-grain exit for
+            # the co-located range rows (see docstring)
             continue
-        added += doc["added"]
+        for n in doc["added"]:
+            added.append(n)
+            lineage[n] = ({n}, True)
     schema = _schema_of(path, version)
     if not added:
         if schema is None:

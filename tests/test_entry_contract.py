@@ -54,3 +54,42 @@ def test_scoring_order_integrity():
         n for n in qc._SCORING_PRIORITY if n in qc.QUERIES
     ]
     assert order[-len(qc._SCORING_DEMOTED):] == qc._SCORING_DEMOTED
+
+
+def test_no_query_ships_unsampled():
+    """Evidence policy: every catalog query must be (a) inside the
+    driver's ~50-name scoring window, (b) already driver-scored in a
+    committed CORRECTNESS_r*.json, or (c) explicitly demoted with a
+    scored equivalence twin. A new query that lands outside the window
+    with no evidence fails here — the r6–r8 stale-window regression
+    (two queries shipped three rounds without driver evidence) cannot
+    recur silently."""
+    import glob
+    import json
+    import os
+
+    from ihop_reddit_spark.plans import query_catalog as qc
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scored: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        scored |= set(json.load(open(p)))
+    # the driver samples the first ~50 names in dict order
+    window = set(list(qc.QUERIES)[:50])
+    #: demoted names must name a scored twin here — the policy record
+    twins = {
+        "user_event_contexts_salted": "user_event_contexts",
+        "user_event_contexts_capped": "user_event_contexts",
+    }
+    orphans = [
+        n
+        for n in qc.QUERIES
+        if n not in window and n not in scored and n not in twins
+    ]
+    assert not orphans, (
+        "queries with no driver evidence and outside the scoring window: "
+        f"{orphans} — add them to the head of _SCORING_PRIORITY"
+    )
+    assert set(qc._SCORING_DEMOTED) <= set(twins)
+    for demoted, twin in twins.items():
+        assert twin in scored, f"{demoted}'s twin {twin} was never scored"

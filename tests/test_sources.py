@@ -1090,11 +1090,12 @@ def test_manifest_changes_skip_rewrites(spark, tmp_path):
 
 
 def test_manifest_changes_delete_where_in_range(spark, tmp_path):
-    """An in-range ``manifest_delete_where`` is file-grain: its hit
-    files exit the feed, and its survivor REWRITES are never re-emitted
-    as inserts — even when the hit file is an ARCHIVE file that was
-    live before the range (the survivors are pre-range data; appending
-    them would double-process them downstream)."""
+    """An in-range ``manifest_delete_where`` hitting an ARCHIVE file
+    (live before the range) removes nothing from the feed and never
+    re-emits its survivor rewrites (pre-range data; appending them
+    would double-process downstream). Hitting a wholly RANGE-NEW file
+    stays row-exact: the hit file exits and its survivors — rows that
+    became live in the range and are live at its end — are emitted."""
     from ihop_reddit_spark.sources import manifest as M
 
     root = str(tmp_path / "tbl")
@@ -1112,14 +1113,94 @@ def test_manifest_changes_delete_where_in_range(spark, tmp_path):
         r["id"] for r in M.read_snapshot(spark, root).collect()
     ) == list(range(5, 70))
 
-    # v4: delete hits the RANGE-APPENDED file — file-grain exit: the
-    # whole file (survivors included) leaves the feed
+    # v4: delete hits the RANGE-APPENDED file — row-exact: survivors
+    # became live in the range and are still live at its end
     M.manifest_delete_where(spark, root, F.col("id") == 55)
     got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
-    assert got == []
+    assert got == [i for i in range(50, 70) if i != 55]
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root).collect()
     ) == [i for i in range(5, 70) if i != 55]
+
+
+def test_manifest_changes_rewrite_then_delete_in_range(spark, tmp_path):
+    """Rewrite indirection must not defeat delete tracking: a range
+    append compacted into a new file which an in-range delete then
+    hits. Pure case (table born in the range): the feed follows the
+    rewrite, so the delete evicts the rewritten file and emits its
+    survivors — row-exact. Mixed case (compaction folded archive files
+    in): the co-located range rows exit at file grain, and the DELETED
+    rows are never emitted as inserts."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    # --- pure: every compaction input is range-new ---
+    root = str(tmp_path / "pure")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1
+    M.manifest_append(spark.range(50, 70).coalesce(1), root)  # v2
+    M.manifest_compact(spark, root, target_files=1)  # v3: pure rewrite
+    M.manifest_delete_where(spark, root, F.col("id") < 10)  # v4 hits it
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 0).collect())
+    assert got == list(range(10, 70))
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == list(range(10, 70))
+
+    # --- mixed: compaction folds an archive file into the hit file ---
+    root = str(tmp_path / "mixed")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(100, 120).coalesce(1), root)  # v2 range
+    M.manifest_compact(spark, root, target_files=1)  # v3: mixed rewrite
+    M.manifest_delete_where(spark, root, F.col("id") == 105)  # v4
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    # the deleted row is NOT emitted; the range rows co-located in the
+    # mixed hit file exit at file grain (documented boundary) — never
+    # over-emit, never replay archive rows
+    assert got == []
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(50)] + [i for i in range(100, 120) if i != 105]
+
+
+def test_manifest_changes_delete_optimize_append_in_range(spark, tmp_path):
+    """delete → compact → append composed inside ONE range: the feed
+    equals exactly the range-new rows live at range end — the delete's
+    survivors (row-exact, pure hit file), not re-emitted by the mixed
+    compaction, plus the tail append."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(50, 70).coalesce(1), root)  # v2 range
+    M.manifest_delete_where(spark, root, F.col("id") == 55)  # v3
+    M.manifest_compact(spark, root, target_files=1)  # v4: mixed rewrite
+    M.manifest_append(spark.range(70, 80).coalesce(1), root)  # v5
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == [i for i in range(50, 80) if i != 55]
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(80) if i != 55]
+
+
+def test_manifest_changes_dv_after_pure_rewrite(spark, tmp_path):
+    """Deletion vectors committed AFTER an in-range pure rewrite use
+    the rewritten file's coordinates; because the feed follows pure
+    rewrites, those vectors land on the scanned files and the deleted
+    rows are correctly absent. Vectors folded by the rewrite stay
+    applied (retirement never resurrects rows)."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 20).coalesce(1), root)  # v1
+    M.manifest_delete_rows(spark, root, F.col("id") == 3)  # v2 dv
+    M.manifest_compact(spark, root, target_files=1)  # v3 folds the dv
+    M.manifest_delete_rows(spark, root, F.col("id") == 7)  # v4 dv on B
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 0).collect())
+    assert got == [i for i in range(20) if i not in (3, 7)]
+    assert M.read_snapshot(spark, root).count() == 18
 
 
 def test_manifest_stage_race_two_writers(spark, tmp_path):
