@@ -659,6 +659,13 @@ def duplicate_components_distributed(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # the eager checkpoint above materialized `edges` (and its persist),
+    # fully consuming the input plan — release any scoped persists the
+    # caller's pairs carried (same ownership hand-off as
+    # duplicate_components_star; see its docstring)
+    from ..caching import release_scoped_persists
+
+    release_scoped_persists(pairs)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -767,7 +774,20 @@ def duplicate_components_star(
     discipline as the min-label loop — persist alone grows the plan
     geometrically). The tests pin both the union-find equivalence and the
     round-count advantage on a long path graph.
+
+    EAGER: the ``pairs`` plan runs during CONSTRUCTION (the initial
+    ``localCheckpoint(eager=True)`` plus one materialized round per
+    contraction step) — this is not a lazy operator. Because that first
+    checkpoint fully consumes the input plan, any scoped persists
+    registered on ``pairs`` (e.g. the shingle stream cached inside
+    ``ngram_jaccard_pairs``) are RELEASED here — they can never be
+    re-read through this operator, and leaving them cached leaks
+    executor memory until session end. A caller that reuses the same
+    ``pairs`` object for other consumers afterward recomputes it (or
+    persists its own copy before calling).
     """
+    from ..caching import release_scoped_persists
+
     edges = (
         pairs.select(
             F.greatest(F.col("left_id"), F.col("right_id")).alias("u"),
@@ -777,6 +797,7 @@ def duplicate_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    release_scoped_persists(pairs)
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1

@@ -76,6 +76,21 @@ def prepare_corpus(
 ) -> DataFrame:
     """Surviving documents with token budgets:
     ``(doc_id, n_tokens, bpe_tokens)``.
+
+    EAGER: the near-dup tier runs during CONSTRUCTION —
+    ``duplicate_components_star`` materializes the pair join via
+    ``localCheckpoint(eager=True)`` per contraction round — so calling
+    this function executes the quality gates, exact dedup, and the
+    similarity self-join before returning; only the final survivor
+    anti-join and token counting stay lazy in the returned plan.
+
+    Caching ownership: the exact-dedup survivor frame is persisted here
+    (it feeds both the pair join and the survivor scan) and registered
+    on the returned DataFrame — call
+    :func:`ihop_reddit_spark.caching.release_scoped_persists` on the
+    RESULT once consumed. The shingle stream persisted inside the pairs
+    tier is released by ``duplicate_components_star`` itself as soon as
+    the contraction consumes it (it is never re-read afterward).
     """
     cfg = cfg or CorpusPrepConfig()
     text = F.col(text_col)

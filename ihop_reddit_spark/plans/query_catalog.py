@@ -4981,6 +4981,71 @@ def domain_quota_survivors(spark, sf_dir):
     return domain_quota_sample(urls, "url", quota=5, salt="dq1")
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming twin of the domain quota (streaming/crawl.py — r9):
+# the same planted 50-domain corpus arrives as FOUR micro-batches; each
+# batch re-ranks affected domains' survivors ∪ candidates in a manifest
+# state table (evictions = deletion vectors, admissions = appends, batch
+# id on the trailing append for exactly-once). Because admission is
+# content-addressed — a pure function of the URL set, never of arrival
+# order — the final snapshot equals the batch operator, so the oracle is
+# the SAME closed-form window as domain_quota_survivors.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_domain_quota",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.example' || CAST(doc_id % 50 AS VARCHAR)
+               || '.com/page' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    r AS (
+      SELECT doc_id, url,
+             row_number() OVER (
+               PARTITION BY 'example' || CAST(doc_id % 50 AS VARCHAR)
+                            || '.com'
+               ORDER BY substr(md5(concat_ws(chr(30), 'dq1', url)), 1, 8),
+                        url) AS rn
+      FROM u)
+    SELECT doc_id, url FROM r WHERE rn <= 5
+    """,
+)
+def stream_domain_quota(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..streaming.crawl import domain_quota_stream
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.example"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    work = tempfile.mkdtemp(prefix="dq_stream_")
+    try:
+        src = f"{work}/candidates"
+        urls.repartition(4).write.parquet(src)
+        cand = (
+            spark.readStream.schema(urls.schema)
+            .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+            .parquet(src)
+        )
+        root = domain_quota_stream(
+            cand, f"{work}/tbl", url_col="url", quota=5, salt="dq1"
+        )
+        out = M.read_snapshot(spark, root).select("doc_id", "url")
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 @query(
     "normalized_url_groups",
     """
@@ -9680,6 +9745,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "stream_domain_quota",
     "c2v_grid_search_gate",
     "lpa_oscillation_gate",
     "lpa_modularity_copurchase",

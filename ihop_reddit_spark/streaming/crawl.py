@@ -10,15 +10,18 @@ backpressure and exactly-once come from the source/sink contract, not
 from the operator, which is why the batch plan and the stream plan are
 the SAME plan.
 
-Stateful stages (frontier dedup, domain quota) deliberately stay out of
-the projection twin: a global content-addressed quota is a batch
-invariant; its streaming form is the compaction/foreachBatch pattern the
-exactly-once ranked sink already demonstrates (streaming/events.py).
+Stateful stages live in :func:`domain_quota_stream`: the per-domain
+document quota as a foreachBatch maintenance loop over a MANIFEST table
+— the state store is the table itself (snapshot-isolated, time-travel
+auditable), evictions are deletion vectors, and the final state equals
+the batch :func:`~ihop_reddit_spark.datapipe.curation.domain_quota_sample`
+exactly because admission is content-addressed, not arrival-ordered.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,3 +36,120 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def domain_quota_stream(
+    candidates: DataFrame,
+    table_path: str,
+    *,
+    url_col: str = "url",
+    quota: int = 5,
+    salt: str = "dq1",
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Stateful per-domain document quota over a STREAM of crawl
+    candidates — the streaming form of
+    :func:`~ihop_reddit_spark.datapipe.curation.domain_quota_sample`,
+    batch-twin-equivalent by construction.
+
+    The state store is a manifest table holding the current survivors.
+    Each micro-batch (foreachBatch):
+
+    1. restrict the snapshot to the batch's AFFECTED DOMAINS (a
+       domain-key semi-join; at scale, write the table clustered by
+       domain so the manifest's min/max stats skip every untouched
+       file — state reads stay proportional to the batch, not the
+       corpus);
+    2. re-rank survivors ∪ candidates per domain by the
+       content-addressed md5 draw over (salt, url) and keep ``quota``;
+    3. EVICT displaced survivors as deletion vectors
+       (``manifest_delete_rows`` — no data file rewritten) and APPEND
+       the newly admitted rows.
+
+    Because admission is a pure function of the URL SET — never of
+    arrival order — the final snapshot equals the batch operator run
+    on the union of all batches, and replays are naturally idempotent:
+    a replayed batch recomputes evictions that already happened (the
+    vector matches nothing) and admissions already present (the keep
+    set anti-joins to empty). The delete commit intentionally carries
+    NO stream batch id — only the trailing append records it — so a
+    crash between the two commits replays into exactly the missing
+    append, never a skipped eviction. Eviction-before-append is the
+    correctness-critical order.
+
+    Returns ``table_path`` (initialized here if absent).
+    """
+    import os
+
+    from ..datapipe.curation import _md5_prefix
+    from ..functions.urls import url_domain_key
+    from ..operators.joins import anti_join_filter
+    from ..sources import manifest as M
+
+    if not os.path.isdir(os.path.join(table_path, "_manifest")):
+        M.manifest_init(table_path)
+
+    def quota_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in M.committed_stream_batches(table_path):
+            return  # replayed batch — fully committed, exactly-once
+        spark = batch_df.sparkSession
+        cand = (
+            batch_df.dropDuplicates([url_col])
+            .withColumn("__dom", url_domain_key(F.col(url_col)))
+        )
+        doms = cand.select("__dom").distinct()
+        try:
+            state = M.read_snapshot(spark, table_path)
+        except ValueError:
+            state = None  # empty table, no schema yet
+        if state is not None:
+            current = state.withColumn(
+                "__dom", url_domain_key(F.col(url_col))
+            ).join(doms, "__dom", "left_semi")
+            pool = current.unionByName(cand)
+        else:
+            current = None
+            pool = cand
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__dom").orderBy(
+            _md5_prefix(salt, F.col(url_col)), F.col(url_col)
+        )
+        keep = (
+            pool.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= quota)
+            .drop("__rn", "__dom")
+        )
+        if current is not None:
+            evicted = anti_join_filter(
+                current.drop("__dom"), keep.select(url_col), url_col,
+                broadcast_remove=False,
+            ).select(url_col)
+            if not evicted.isEmpty():
+                # no stream_batch_id here — see docstring (replay safety)
+                M.manifest_delete_rows(
+                    spark, table_path, keys=evicted, on=url_col
+                )
+            # the equi-join promotes the key column to the front — restore
+            # the table's column order before the schema-checked append
+            admitted = anti_join_filter(
+                keep, current.select(url_col), url_col,
+                broadcast_remove=False,
+            ).select(*keep.columns)
+        else:
+            admitted = keep
+        if not admitted.isEmpty():
+            M.manifest_append(
+                admitted,
+                table_path,
+                extra={"stream_batch_id": int(batch_id)},
+            )
+
+    writer = candidates.writeStream.foreachBatch(quota_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return table_path

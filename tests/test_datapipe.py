@@ -397,6 +397,31 @@ def test_prepare_corpus_stage_semantics(spark):
     assert out[1]["bpe_tokens"] > 0
 
 
+def test_prepare_corpus_releases_every_scoped_persist(spark):
+    """The composed plan must not leak executor cache: the shingle
+    stream persisted inside the pairs tier is released by the star
+    contraction that consumes it, and releasing the RESULT's handle
+    frees the exact-dedup frame — Spark's DataFrame cache manager ends
+    the run empty (localCheckpoint blocks are RDD-grain, not cached
+    DataFrames, and are reclaimed by the ContextCleaner)."""
+    from ihop_reddit_spark.caching import release_scoped_persists
+    from ihop_reddit_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    spark.catalog.clearCache()
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    rows = [(i, base + f"variant {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, CorpusPrepConfig())
+    out.collect()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert not cache_mgr.isEmpty()  # the exact frame is still held
+    assert release_scoped_persists(out) == 1
+    assert cache_mgr.isEmpty(), "scoped persists leaked past release"
+
+
 def test_int8_embedding_roundtrip_error_bound(spark, sf_dir):
     from pyspark.sql import functions as F2
 

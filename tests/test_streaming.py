@@ -489,3 +489,74 @@ def test_dv_delete_stream_exactly_once_and_idempotent(spark, sf_dir, tmp_path):
     )
     assert (v, n) == (head, 0)
     assert M.read_snapshot(spark, root).count() == want_live
+
+
+def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
+    """The stateful quota stream: candidates arrive in multiple
+    micro-batches (forced orderings that REQUIRE cross-batch eviction),
+    yet the final manifest snapshot equals the batch
+    ``domain_quota_sample`` on the union — admission is
+    content-addressed, never arrival-ordered. Evictions are deletion
+    vectors; replaying the whole stream over the same table is a no-op."""
+    from ihop_reddit_spark.datapipe.curation import domain_quota_sample
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.crawl import domain_quota_stream
+
+    # 3 domains x 12 pages; quota 4 → every domain must evict as later
+    # batches deliver smaller md5 draws
+    rows = [
+        (i, f"http://www.site{i % 3}.com/p{i}") for i in range(36)
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, url string")
+    src = str(tmp_path / "cand")
+    # deliberately adversarial batching: one file per 12-row slice in
+    # doc_id order, so early batches admit rows later draws displace
+    for lo in (0, 12, 24):
+        full.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 12)
+        ).coalesce(1).write.mode("append").parquet(src)
+    cand = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = domain_quota_stream(
+        cand, str(tmp_path / "tbl"), url_col="url", quota=4, salt="tq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["doc_id"], r["url"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    want = {
+        (r["doc_id"], r["url"])
+        for r in domain_quota_sample(full, "url", quota=4, salt="tq").collect()
+    }
+    assert got == want
+    assert len(got) == 12  # 3 domains x quota 4
+    # evictions happened as deletion vectors (some version carries one)
+    ops = [
+        M.read_version_doc(root, v).get("operation")
+        for v in M.list_versions(root)
+    ]
+    assert "rowdelete" in ops
+    head = M.latest_version(root)
+
+    # full replay over the same state table (fresh checkpoint, same
+    # batches): content-addressed admission makes every batch a no-op —
+    # recomputed evictions match nothing, recomputed admissions
+    # anti-join to empty, and no new version commits
+    cand2 = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    domain_quota_stream(
+        cand2, str(tmp_path / "tbl"), url_col="url", quota=4, salt="tq",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert M.latest_version(root) == head
+    assert {
+        (r["doc_id"], r["url"])
+        for r in M.read_snapshot(spark, root).collect()
+    } == want
