@@ -4306,6 +4306,94 @@ def manifest_change_feed_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Change-feed semantics under in-range MAINTENANCE (r9 — the read_changes
+# lineage rewrite): two tables exercise the two delete/rewrite
+# interactions. Table "mixed": an archive append precedes the range; an
+# in-range delete hits only wholly-range-new files, so its SURVIVORS are
+# emitted row-exact; the following compaction folds archive files in
+# (mixed rewrite — feed keeps scanning the immutable originals) and a
+# tail append lands normally. Table "pure": the table is born inside the
+# range, compaction is PURE (all inputs range-new) so the feed FOLLOWS
+# the rewrite, and a delete hitting the rewritten file evicts it and
+# emits its survivors — the rewrite-indirection case. The oracle derives
+# both feeds in closed form from the customer table.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_changes_maintenance_counts",
+    """
+    WITH cust AS (SELECT c_custkey FROM customer),
+    mixed_feed AS (
+      SELECT c_custkey FROM cust
+      WHERE c_custkey % 3 = 1 AND c_custkey % 30 <> 1
+      UNION ALL
+      SELECT c_custkey FROM cust WHERE c_custkey % 3 = 2
+    ),
+    pure_feed AS (
+      SELECT c_custkey FROM cust WHERE c_custkey % 7 <> 2
+    )
+    SELECT 'mixed' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM mixed_feed
+    UNION ALL
+    SELECT 'pure', CAST(COUNT(*) AS BIGINT), CAST(SUM(c_custkey) AS BIGINT)
+    FROM pure_feed
+    """,
+)
+def manifest_changes_maintenance_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def feed_agg(root: str, since: int, tag: str) -> DataFrame:
+        return (
+            M.read_changes(spark, root, since)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+            )
+            .select(F.lit(tag).alias("tag"), "n_rows", "sum_key")
+        )
+
+    work = tempfile.mkdtemp(prefix="mani_maint_")
+    try:
+        # --- mixed: archive + pure-hit delete + mixed compact + append
+        t1 = f"{work}/mixed"
+        M.manifest_init(t1)
+        M.manifest_append(
+            cust.where(F.col("c_custkey") % 3 == 0).repartition(2), t1
+        )  # v1 archive (pre-range)
+        M.manifest_append(
+            cust.where(F.col("c_custkey") % 3 == 1).repartition(2), t1
+        )  # v2 range-new
+        # v3: hits only range files (k≡1 mod 30 ⇒ k≡1 mod 3) → row-exact
+        M.manifest_delete_where(spark, t1, F.col("c_custkey") % 30 == 1)
+        M.manifest_compact(spark, t1, target_files=1)  # v4 mixed rewrite
+        M.manifest_append(
+            cust.where(F.col("c_custkey") % 3 == 2).repartition(2), t1
+        )  # v5 tail append
+        # --- pure: born in range, pure compact, delete hits the rewrite
+        t2 = f"{work}/pure"
+        M.manifest_init(t2)
+        M.manifest_append(
+            cust.where(F.col("c_custkey") % 2 == 0).repartition(2), t2
+        )  # v1
+        M.manifest_append(
+            cust.where(F.col("c_custkey") % 2 == 1).repartition(2), t2
+        )  # v2
+        M.manifest_compact(spark, t2, target_files=1)  # v3 PURE rewrite
+        M.manifest_delete_where(spark, t2, F.col("c_custkey") % 7 == 2)  # v4
+        out = feed_agg(t1, 1, "mixed").unionByName(feed_agg(t2, 0, "pure"))
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -9746,6 +9834,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
     "stream_domain_quota",
+    "manifest_changes_maintenance_counts",
     "c2v_grid_search_gate",
     "lpa_oscillation_gate",
     "lpa_modularity_copurchase",

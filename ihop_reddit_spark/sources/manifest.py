@@ -764,16 +764,20 @@ def read_changes(
       are applied to the range's scan set — retirement by a later
       rewrite folds deletes into data, it never resurrects rows.
     * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
-      batch grain): its hit files' range lineage exits the feed, and
-      when EVERY hit file is wholly range-new the survivor rewrites
-      are re-added — survivor rows became live in the range and are
-      live at its end, so the feed stays row-exact. When a hit file
-      carries pre-range rows (an archive file, or a mixed rewrite),
-      survivors cannot be emitted without replaying pre-range data as
-      inserts, so the range-new rows co-located in that file exit at
-      file grain — the documented boundary; row-exact delete tracking
-      across mixed files is the deletion-vector path
-      (``manifest_delete_rows``).
+      batch grain) is ROW-EXACT whenever its commit carries the
+      ``dv_matched`` position vector (every commit written by this
+      engine does): hit files that are in the scan set stay scanned
+      and the matched rows are vectored out, so survivors of
+      range-new files are emitted and deleted rows never are —
+      regardless of whether the hit set also includes archive files.
+      When all hit files are wholly range-new, the survivor rewrite
+      is emitted instead (fewer files, same rows). The one residual
+      file-grain boundary: a hit file that is an IMPURE in-range
+      rewrite output (the feed scans its originals, whose coordinates
+      the vector cannot address) evicts its range originals wholesale
+      — under-emission, never over-emission. Legacy delete commits
+      without ``dv_matched`` fall back to the same pure-only survivor
+      rule with file-grain eviction elsewhere.
     """
     if version is None:
         version = latest_version(path)
@@ -834,18 +838,47 @@ def read_changes(
                 for n in doc["added"]:
                     lineage[n] = (set(scan), False)
             continue
+        if op == "delete":
+            matched_dv = doc.get("dv_matched", [])
+            all_pure = bool(removed) and all(
+                lineage.get(r, (set(), False))[1] for r in removed
+            )
+            if all_pure or not matched_dv:
+                # pure hit set (or legacy commit): evict the hit files'
+                # range lineage; when every hit file is wholly
+                # range-new, the survivor rewrite carries exactly the
+                # range-new still-live rows — emit it
+                scan, _ = _evict(removed)
+                added = [f for f in added if f not in scan]
+                if removed and all_pure:
+                    for n in doc["added"]:
+                        added.append(n)
+                        lineage[n] = ({n}, True)
+                continue
+            # row-exact path: keep scanned hit files in the feed and
+            # vector out the matched rows (coordinates are against the
+            # immutable originals, which is what the feed scans); only
+            # impure-rewrite hits — scanned via originals the vector
+            # cannot address — exit at file grain
+            in_scan = [r for r in removed if r in set(added)]
+            unmapped = [
+                r
+                for r in removed
+                if r not in set(added) and r in lineage
+            ]
+            if unmapped:
+                scan, _ = _evict(set(unmapped))
+                added = [f for f in added if f not in scan]
+            range_dvs += matched_dv
+            # survivors are NOT emitted (their rows stay live through
+            # the originals + vector); they carry the scanned
+            # originals' lineage for later in-range ops
+            surv_scan = set(in_scan)
+            for n in doc["added"]:
+                lineage[n] = (surv_scan, False)
+            continue
         scan, all_pure = _evict(removed)
         added = [f for f in added if f not in scan]
-        if op == "delete":
-            if removed and all_pure:
-                # every hit file is wholly range-new → its survivors
-                # are range-new rows still live at range end: emit them
-                for n in doc["added"]:
-                    added.append(n)
-                    lineage[n] = ({n}, True)
-            # else: survivors mix pre-range rows — file-grain exit for
-            # the co-located range rows (see docstring)
-            continue
         for n in doc["added"]:
             added.append(n)
             lineage[n] = ({n}, True)
@@ -876,28 +909,33 @@ def read_change_feed(
     * ``insert`` — rows that became live via files appended in the
       range and are still live at its end (exactly ``read_changes``);
     * ``delete`` — rows visible at ``since_version`` that were removed
-      by DELETION VECTORS committed in the range (their content read
-      back from the still-present data files the vectors point into).
+      in the range, whether by DELETION VECTORS (``manifest_delete_rows``
+      / ``manifest_merge_upsert`` / the delete stream) or by a
+      ``manifest_delete_where`` commit carrying its ``dv_matched``
+      position vector — both record exact (file, pos) matches whose
+      content reads back from the still-present original data files.
 
-    Net semantics: a row inserted AND vector-deleted within the range
-    appears as neither (it was never visible at either endpoint) — the
-    grain downstream incremental consumers actually apply. Scope
-    contract, enforced by the engine's own write paths: row-level
-    removal flows through vectors (``manifest_delete_rows`` /
-    ``manifest_merge_upsert`` / the delete stream), so vector commits
-    ARE the row-delete log; ``manifest_delete_where`` is the
-    file-targeted GDPR-batch grain and is deliberately NOT replayed as
-    row deletes (materialize/compact rewrites are data no-ops and emit
-    nothing). Cost: the insert side scans only range-added files; the
-    delete side scans only files the range's vectors point into."""
+    Net semantics: a row inserted AND deleted within the range appears
+    as neither (it was never visible at either endpoint) — the grain
+    downstream incremental consumers actually apply. Every row-removal
+    path this engine writes is therefore replayed exactly; only legacy
+    ``delete`` commits written before ``dv_matched`` existed stay
+    silent at row grain (materialize/compact rewrites are data no-ops
+    and emit nothing, as ever). Cost: the insert side scans only
+    range-added files; the delete side scans only files the range's
+    vectors point into."""
     if version is None:
         version = latest_version(path)
     inserts = read_changes(spark, path, since_version, version)
-    # deletion vectors committed in the range
+    # deletion vectors committed in the range — including the matched
+    # sets of file-targeted deletes (their originals stay on disk until
+    # vacuum, so the content read below still resolves)
     range_dvs: list[str] = []
     for v in list_versions(path):
         if since_version < v <= version:
-            range_dvs += read_version_doc(path, v).get("dv_added", [])
+            doc = read_version_doc(path, v)
+            range_dvs += doc.get("dv_added", [])
+            range_dvs += doc.get("dv_matched", [])
     schema = _schema_of(path, version)
     inserts = inserts.withColumn("_change_type", F.lit("insert"))
     if not range_dvs:
@@ -943,6 +981,15 @@ def manifest_delete_where(
     contract as ``sources.io.targeted_delete``, now with version history
     so the pre-delete snapshot remains auditable until vacuum).
 
+    The matched (file, row-position) set is additionally recorded as a
+    DELETION-VECTOR file under the commit doc's ``dv_matched`` key. It
+    plays no part in live reads (the hit files leave the live set in
+    this same commit, so the vector is inert for snapshots) — it exists
+    so incremental readers stay ROW-EXACT: ``read_changes`` applies it
+    to the immutable original files instead of dropping whole hit files
+    from the feed, and ``read_change_feed`` replays the matches as
+    ``delete`` rows for consumers that apply diffs downstream.
+
     Returns (new_version, n_files_rewritten).
     """
     head = latest_version(path)
@@ -980,6 +1027,16 @@ def manifest_delete_where(
         if survivors.limit(1).count()
         else (None, [])
     )
+    # the matched positions, as a vector over the (immutable) hit files —
+    # row-exact change tracking for incremental readers (see docstring)
+    matched = (
+        live.where(F.coalesce(condition, F.lit(False)))
+        .select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        .coalesce(1)
+    )
+    dv_dir, matched_dv = _stage_batch(matched, path, version, prefix="dv")
     stats, row_counts = _stage_stats(path, added)
     _commit_or_cleanup(
         path,
@@ -990,11 +1047,12 @@ def manifest_delete_where(
             "schema": (schema or survivors.schema).jsonValue(),
             "added": added,
             "removed": hit_rel,
+            "dv_matched": matched_dv,
             "stats": stats,
             "row_counts": row_counts,
             "blooms": _rebuild_blooms(spark, path, added, head),
         },
-        [stage_dir] if stage_dir else [],
+        [d for d in (stage_dir, dv_dir) if d],
     )
     return version, len(hit_rel)
 
@@ -1428,10 +1486,12 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     for v in keep_versions:
         retained.update(live_files(path, v))
         retained.update(live_dv_state(path, v)[0])
-        # a retained doc's own dv_added must stay readable even after the
-        # vectors are retired from live state — read_changes /
-        # read_change_feed over retained ranges scan them directly
+        # a retained doc's own dv_added / dv_matched must stay readable
+        # even after the vectors are retired from live state —
+        # read_changes / read_change_feed over retained ranges scan them
+        # directly
         retained.update(read_version_doc(path, v).get("dv_added", []))
+        retained.update(read_version_doc(path, v).get("dv_matched", []))
         # likewise data files appended by retained data-changing commits:
         # read_changes scans the ORIGINAL files even after an in-range
         # rewrite retired them from the live set
@@ -1447,6 +1507,7 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         doc = read_version_doc(path, v)
         ever.update(doc["added"])
         ever.update(doc.get("dv_added", []))
+        ever.update(doc.get("dv_matched", []))
 
     # checkpoint the base BEFORE dropping its ancestors: its doc becomes
     # self-contained (full live set, no parent), so later docs still
@@ -1465,6 +1526,7 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         "dv_added",
         "dv_removed",
         "dv_targets",
+        "dv_matched",
         "stream_batch_id",
         "stream_batch_ids",
     }

@@ -1107,7 +1107,15 @@ def test_manifest_changes_delete_where_in_range(spark, tmp_path):
     got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
     # feed = v2's rows only; archive survivors are NOT re-emitted
     assert got == list(range(50, 70))
-    assert M.read_change_feed(spark, root, 1).count() == 20
+    # the GDPR delete is replayed row-exactly on the feed's delete side
+    # (rows 0..4 were visible at since_version) via its dv_matched vector
+    feed = M.read_change_feed(spark, root, 1).collect()
+    assert sorted(
+        r["id"] for r in feed if r["_change_type"] == "insert"
+    ) == list(range(50, 70))
+    assert sorted(
+        r["id"] for r in feed if r["_change_type"] == "delete"
+    ) == list(range(5))
     # head remains consistent
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root).collect()
@@ -1182,6 +1190,41 @@ def test_manifest_changes_delete_optimize_append_in_range(spark, tmp_path):
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root).collect()
     ) == [i for i in range(80) if i != 55]
+
+
+def test_manifest_changes_mixed_direct_delete_is_row_exact(spark, tmp_path):
+    """ONE delete hitting an archive file AND a range-appended file
+    simultaneously: the dv_matched vector keeps the range file in the
+    feed minus exactly its deleted rows (previously the whole file
+    exited at file grain), and the change feed replays the
+    archive-visible matches as delete rows — fully row-exact both sides."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(50, 70).coalesce(1), root)  # v2 range
+    # v3: id % 20 == 3 hits rows in BOTH files (3,23,43 | 63)
+    M.manifest_delete_where(spark, root, F.col("id") % 20 == 3)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == [i for i in range(50, 70) if i != 63]
+    feed = M.read_change_feed(spark, root, 1).collect()
+    assert sorted(
+        r["id"] for r in feed if r["_change_type"] == "insert"
+    ) == [i for i in range(50, 70) if i != 63]
+    # only matches visible at since_version appear as deletes (63 nets out)
+    assert sorted(
+        r["id"] for r in feed if r["_change_type"] == "delete"
+    ) == [3, 23, 43]
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(70) if i % 20 != 3]
+    # vacuum keeps the matched vectors of retained delete commits: the
+    # same feed reconstructs after dropping pre-range history
+    M.manifest_vacuum(root, keep_from_version=1)
+    assert sorted(
+        r["id"] for r in M.read_changes(spark, root, 1).collect()
+    ) == [i for i in range(50, 70) if i != 63]
 
 
 def test_manifest_changes_dv_after_pure_rewrite(spark, tmp_path):

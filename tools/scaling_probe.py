@@ -147,7 +147,21 @@ DOC_PROBES = [
     "manifest_bloom_point_lookups",
     "wordpiece_roundtrip_gate",
 ]
-PROBES = EVENT_PROBES + DOC_PROBES
+#: round-9: probes over the REPLICATED customer/lineitem tables (ids
+#: remapped per replica, so per-replica structure is preserved and
+#: cross-replica keys are disjoint). The change-feed lifecycle is
+#: write-dominated (seed append + merge + vector delete scale with
+#: rows; the feed read scans range files + vector anti-join, both ×N);
+#: the maintenance twin adds delete_where rewrites + compaction (×N
+#: survivor rewrite + ×N fold); LPA modularity's co-purchase self-join
+#: fans out per order (per-replica order sizes unchanged → edge volume
+#: ×N, disjoint label spaces → Pregel work ×N).
+REL_PROBES = [
+    "manifest_change_feed_counts",
+    "manifest_changes_maintenance_counts",
+    "lpa_modularity_copurchase",
+]
+PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
 
 def replicate(spark, factor: int, workdir: str, events_only: bool = False) -> None:
@@ -162,7 +176,10 @@ def replicate(spark, factor: int, workdir: str, events_only: bool = False) -> No
             os.symlink(f"{BASE_SF}/documents.parquet", link)
     else:
         _replicate_documents(docs, reps, factor, workdir)
+        _replicate_customer(spark, reps, factor, workdir)
+        _replicate_lineitem(spark, reps, factor, workdir)
     _replicate_events(spark, reps, factor, workdir)
+    # replicated tables already exist as real dirs and skip the symlink
     for t in (
         "region nation customer supplier part orders lineitem embeddings"
     ).split():
@@ -195,6 +212,45 @@ def _replicate_documents(docs, reps, factor: int, workdir: str) -> None:
         )
         .write.mode("overwrite")
         .parquet(f"{workdir}/documents.parquet")
+    )
+
+
+def _replicate_customer(spark, reps, factor: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+    (
+        cust.crossJoin(reps)
+        .select(
+            (F.col("c_custkey") * factor + F.col("__r")).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/customer.parquet")
+    )
+
+
+def _replicate_lineitem(spark, reps, factor: int, workdir: str) -> None:
+    # per-replica co-purchase structure preserved exactly: order AND part
+    # keys are remapped by replica, so each order keeps its size and the
+    # part-graph splits into ``factor`` disjoint components — graph work
+    # scales ×N, never ×N² (cross-replica edges are impossible)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") * factor + F.col("__r")).alias("l_orderkey"),
+            (F.col("l_partkey") * factor + F.col("__r")).alias("l_partkey"),
+            *[
+                c
+                for c in li.columns
+                if c not in ("l_orderkey", "l_partkey")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/lineitem.parquet")
     )
 
 
