@@ -1028,9 +1028,12 @@ def manifest_delete_where(
         else (None, [])
     )
     # the matched positions, as a vector over the (immutable) hit files —
-    # row-exact change tracking for incremental readers (see docstring)
+    # row-exact change tracking for incremental readers (see docstring).
+    # The isin prune keeps this pass hit-file-sized, like the survivor
+    # rewrite: matches can only live in hit files by construction
     matched = (
-        live.where(F.coalesce(condition, F.lit(False)))
+        live.where(F.col("__dv_file").isin(hit_rel))
+        .where(F.coalesce(condition, F.lit(False)))
         .select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         )
