@@ -543,20 +543,48 @@ def _probe_bloom_bits(spark: SparkSession, value, m: int, k: int) -> list[int]:
     return [int(b) for b in row]
 
 
+def _probe_bloom_bits_many(
+    spark: SparkSession, values: list, m: int, k: int
+) -> dict:
+    """Batched :func:`_probe_bloom_bits`: the k bit positions for EVERY
+    value in ONE job (an incremental reader probing thousands of keys
+    per micro-batch cannot afford a job per value). Same expressions as
+    the build side, so hash semantics cannot drift."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return {}
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = df.select(
+        F.col("v"), F.array(*_bloom_position_cols("v", m, k)).alias("bits")
+    ).collect()
+    return {r["v"]: [int(b) for b in r["bits"]] for r in rows}
+
+
 def _prune_files_eq(
     spark: SparkSession, files: list[str], blooms: dict, prune_eq: dict | None
 ) -> list[str]:
-    """Keep each file whose bloom admits EVERY (col == value) predicate
-    in ``prune_eq``. Missing blooms keep the file — like ``_prune_files``
-    this is an I/O optimization, never a filter: callers still apply the
-    real predicate, so a false positive costs a scan, and a true
-    negative (all k bits can't be set) safely skips the file."""
+    """Keep each file whose bloom admits EVERY predicate in ``prune_eq``.
+    A scalar value is ``col == value``; a list/tuple/set is
+    ``col IN (values)`` — the file is kept if ANY listed value is
+    admitted (skipped only when the bloom refutes every one). Missing
+    blooms keep the file — like ``_prune_files`` this is an I/O
+    optimization, never a filter: callers still apply the real
+    predicate, so a false positive costs a scan, and a true negative
+    (all k bits can't be set) safely skips the file. An EMPTY value
+    list is treated as no constraint (conservative keep)."""
     import base64
     import zlib
 
     if not prune_eq:
         return files
-    probe_cache: dict[tuple, list[int]] = {}
+    probe_cache: dict[tuple, dict] = {}
+
+    def probes(col: str, values: list, m: int, k: int) -> dict:
+        key = (col, m, k)
+        if key not in probe_cache:
+            probe_cache[key] = _probe_bloom_bits_many(spark, values, m, k)
+        return probe_cache[key]
+
     kept = []
     for f in files:
         per_file = blooms.get(f, {})
@@ -565,14 +593,20 @@ def _prune_files_eq(
             e = per_file.get(col)
             if e is None or value is None:
                 continue
-            key = (col, e["m"], e["k"])
-            if key not in probe_cache:
-                probe_cache[key] = _probe_bloom_bits(
-                    spark, value, e["m"], e["k"]
-                )
+            vals = (
+                list(value)
+                if isinstance(value, (list, tuple, set, frozenset))
+                else [value]
+            )
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                continue
+            bits_by_val = probes(col, vals, e["m"], e["k"])
             bmp = zlib.decompress(base64.b64decode(e["z64"]))
-            if not all(
-                bmp[b // 8] & (1 << (b % 8)) for b in probe_cache[key]
+            if not any(
+                all(bmp[b // 8] & (1 << (b % 8)) for b in bits_by_val[v])
+                for v in vals
+                if v in bits_by_val
             ):
                 keep = False
                 break
@@ -699,11 +733,16 @@ def read_snapshot(
     I/O optimization only: the caller still applies the real predicate,
     and files without stats are always scanned.
 
-    ``prune_eq`` ({col: value}) skips files whose recorded BLOOM filter
-    proves the value absent — the equality pendant to ``prune`` for
-    columns ranges can't separate (ids, hashes, urls). Same contract:
-    I/O optimization only, the caller still applies the real predicate,
-    files without blooms are always scanned.
+    ``prune_eq`` ({col: value, or col: [values...]}) skips files whose
+    recorded BLOOM filter proves the value absent — the equality
+    pendant to ``prune`` for columns ranges can't separate (ids,
+    hashes, urls). A value LIST is the ``col IN (...)`` form: a file is
+    skipped only when the bloom refutes every listed value (probe bits
+    for the whole list are computed in one job) — the shape an
+    incremental consumer uses to read just the state files its batch
+    touches. Same contract: I/O optimization only, the caller still
+    applies the real predicate, files without blooms are always
+    scanned.
 
     Live deletion vectors (``manifest_delete_rows``) are applied as an
     equi anti-join on (file, row position); a table with no live
@@ -1069,6 +1108,7 @@ def manifest_delete_rows(
     on: str | list[str] | None = None,
     dv_target_files: int = 1,
     extra: dict | None = None,
+    prune_eq: dict | None = None,
 ) -> tuple[int, int]:
     """Row-level delete as a DELETION VECTOR (merge-on-read): ONE scan
     finds the matching (file, row position) pairs; they are committed as
@@ -1094,6 +1134,13 @@ def manifest_delete_rows(
     replayed delete is ALSO naturally idempotent: its rows are already
     vectored, so it matches nothing and commits nothing).
 
+    ``prune_eq`` (same contract as ``read_snapshot``: {col: value or
+    [values...]}) bloom-skips files the delete's matches cannot live in
+    — an incremental consumer evicting per-batch keys scans only its
+    batch's state files, not the whole table. I/O optimization only:
+    pass it solely when the caller KNOWS the match set is confined to
+    rows those predicates select (a wrong hint here under-deletes).
+
     Returns (new_version, n_rows_deleted); no commit if nothing matched.
     """
     if (condition is None) == (keys is None):
@@ -1102,6 +1149,10 @@ def manifest_delete_rows(
         raise ValueError("keys= requires on=")
     head = latest_version(path)
     files = live_files(path, head)
+    if prune_eq:
+        files = _prune_files_eq(
+            spark, files, live_file_blooms(path, head), prune_eq
+        )
     if not files:
         return head, 0
     schema = _schema_of(path, head)

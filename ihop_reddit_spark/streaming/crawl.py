@@ -52,19 +52,21 @@ def domain_quota_stream(
     :func:`~ihop_reddit_spark.datapipe.curation.domain_quota_sample`,
     batch-twin-equivalent by construction.
 
-    The state store is a manifest table holding the current survivors.
+    The state store is a manifest table holding the current survivors
+    — CLUSTERED by the domain key (admissions repartition on ``dom``
+    before landing) and bloom-indexed on it, so each micro-batch reads
+    only the state files whose blooms admit one of ITS domains: state
+    I/O stays proportional to the batch, not the accumulated corpus.
     Each micro-batch (foreachBatch):
 
-    1. restrict the snapshot to the batch's AFFECTED DOMAINS (a
-       domain-key semi-join; at scale, write the table clustered by
-       domain so the manifest's min/max stats skip every untouched
-       file — state reads stay proportional to the batch, not the
-       corpus);
+    1. read the snapshot with ``prune_eq={"dom": batch_domains}``
+       (bloom file skipping; the domain semi-join below remains the
+       real predicate) and restrict to the batch's affected domains;
     2. re-rank survivors ∪ candidates per domain by the
        content-addressed md5 draw over (salt, url) and keep ``quota``;
     3. EVICT displaced survivors as deletion vectors
        (``manifest_delete_rows`` — no data file rewritten) and APPEND
-       the newly admitted rows.
+       the newly admitted rows, domain-clustered and bloom-indexed.
 
     Because admission is a pure function of the URL SET — never of
     arrival order — the final snapshot equals the batch operator run
@@ -93,42 +95,51 @@ def domain_quota_stream(
         if batch_id in M.committed_stream_batches(table_path):
             return  # replayed batch — fully committed, exactly-once
         spark = batch_df.sparkSession
-        cand = (
-            batch_df.dropDuplicates([url_col])
-            .withColumn("__dom", url_domain_key(F.col(url_col)))
+        cand = batch_df.dropDuplicates([url_col]).withColumn(
+            "dom", url_domain_key(F.col(url_col))
         )
-        doms = cand.select("__dom").distinct()
+        doms = cand.select("dom").distinct()
+        batch_doms = [r["dom"] for r in doms.collect()]
         try:
-            state = M.read_snapshot(spark, table_path)
+            # bloom file skipping: only state files holding one of this
+            # batch's domains are read; the semi-join below stays the
+            # real predicate (pruning is I/O-only, never a filter)
+            state = M.read_snapshot(
+                spark, table_path, prune_eq={"dom": batch_doms}
+            )
         except ValueError:
             state = None  # empty table, no schema yet
         if state is not None:
-            current = state.withColumn(
-                "__dom", url_domain_key(F.col(url_col))
-            ).join(doms, "__dom", "left_semi")
-            pool = current.unionByName(cand)
+            current = state.join(doms, "dom", "left_semi")
+            pool = current.select(*cand.columns).unionByName(cand)
         else:
             current = None
             pool = cand
         from pyspark.sql import Window
 
-        w = Window.partitionBy("__dom").orderBy(
+        w = Window.partitionBy("dom").orderBy(
             _md5_prefix(salt, F.col(url_col)), F.col(url_col)
         )
         keep = (
             pool.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= quota)
-            .drop("__rn", "__dom")
+            .drop("__rn")
         )
         if current is not None:
             evicted = anti_join_filter(
-                current.drop("__dom"), keep.select(url_col), url_col,
+                current, keep.select(url_col), url_col,
                 broadcast_remove=False,
             ).select(url_col)
             if not evicted.isEmpty():
-                # no stream_batch_id here — see docstring (replay safety)
+                # no stream_batch_id here — see docstring (replay safety).
+                # Evicted urls live only in this batch's domains, so the
+                # same bloom prune confines the eviction scan too
                 M.manifest_delete_rows(
-                    spark, table_path, keys=evicted, on=url_col
+                    spark,
+                    table_path,
+                    keys=evicted,
+                    on=url_col,
+                    prune_eq={"dom": batch_doms},
                 )
             # the equi-join promotes the key column to the front — restore
             # the table's column order before the schema-checked append
@@ -139,9 +150,18 @@ def domain_quota_stream(
         else:
             admitted = keep
         if not admitted.isEmpty():
+            # RANGE-cluster by domain so each file holds a narrow,
+            # non-overlapping domain slice — the per-file bloom (and
+            # min/max stats) then genuinely separate batches; hash
+            # repartition can collide distinct domains into one file,
+            # and AQE would coalesce an unpinned range exchange. One
+            # file per domain up to a cap; past it each file still
+            # covers a contiguous (bloom-indexed) domain range
+            n_files = max(1, min(len(batch_doms), 64))
             M.manifest_append(
-                admitted,
+                admitted.repartitionByRange(n_files, F.col("dom")),
                 table_path,
+                bloom_columns=("dom",),
                 extra={"stream_batch_id": int(batch_id)},
             )
 

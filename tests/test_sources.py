@@ -853,6 +853,29 @@ def test_manifest_bloom_equality_file_skipping(spark, tmp_path):
     assert M._prune_files_eq(spark, ["x"], {"x": {}}, {"k": "v"}) == ["x"]
     assert M._prune_files_eq(spark, files, blooms, {"k": None}) == files
 
+    # IN-list form (r9): a file is kept iff ANY listed value is admitted;
+    # an all-absent list prunes everything; the batched probe agrees with
+    # the single-value path; empty list = no constraint
+    kept_in = M._prune_files_eq(
+        spark, files, blooms, {"k": ["k1234", "k5555"]}
+    )
+    assert set(kept_in) >= set(kept) and 0 < len(kept_in) < len(files)
+    assert M._prune_files_eq(spark, files, blooms, {"k": ["no1", "no2"]}) == []
+    assert M._prune_files_eq(spark, files, blooms, {"k": []}) == files
+    assert M._probe_bloom_bits_many(
+        spark, ["k1234"], blooms[files[0]]["k"]["m"], blooms[files[0]]["k"]["k"]
+    )["k1234"] == M._probe_bloom_bits(
+        spark, "k1234", blooms[files[0]]["k"]["m"], blooms[files[0]]["k"]["k"]
+    )
+    got_in = (
+        M.read_snapshot(spark, root, prune_eq={"k": ["k1234", "k5555"]})
+        .where(F.col("k").isin("k1234", "k5555"))
+        .collect()
+    )
+    assert sorted((r["k"], r["n"]) for r in got_in) == [
+        ("k1234", 1234), ("k5555", 5555)
+    ]
+
     # deletion vectors only ADD false positives — reads stay correct
     M.manifest_delete_rows(spark, root, F.col("n") == 1234)
     assert (

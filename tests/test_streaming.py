@@ -540,6 +540,14 @@ def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
         for v in M.list_versions(root)
     ]
     assert "rowdelete" in ops
+    # the state table is domain-clustered and bloom-indexed: probing one
+    # domain's key skips part of the state files (state reads per batch
+    # are batch-proportional, not corpus-proportional)
+    files = M.live_files(root)
+    blooms = M.live_file_blooms(root)
+    assert all(blooms.get(f, {}).get("dom") for f in files)
+    kept = M._prune_files_eq(spark, files, blooms, {"dom": ["site0.com"]})
+    assert 0 < len(kept) < len(files)
     head = M.latest_version(root)
 
     # full replay over the same state table (fresh checkpoint, same
