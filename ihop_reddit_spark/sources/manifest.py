@@ -1477,6 +1477,80 @@ def manifest_compact(
     )
 
 
+def manifest_compact_small(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """PARTIAL compaction — bin-pack only the live files smaller than
+    ``max_file_bytes`` into ~``target_file_bytes`` outputs and leave
+    every other file byte-identical. This is the maintenance grain a
+    STREAMING sink needs: each micro-batch appends small files, and
+    rewriting the whole table per maintenance tick (``manifest_compact``)
+    is corpus-proportional work, while this call is proportional to the
+    small-file backlog only — the Delta ``OPTIMIZE`` bin-packing shape.
+
+    Files targeted by LIVE deletion vectors are deliberately left
+    alone: retiring a vector here would break ``live_dv_state``'s
+    all-or-nothing retirement invariant, so vectored files are
+    ``manifest_materialize_deletes``' job (run it first — its rewrites
+    typically fall under ``max_file_bytes`` and pack on the next tick).
+    Data-visible content is a no-op (same snapshot before and after);
+    the commit is a ``compact`` rewrite, so incremental readers treat
+    it exactly like full compaction (followed when its inputs are all
+    range-new, originals kept otherwise).
+
+    Returns (head_after, n_files_packed); no commit when fewer than two
+    pack candidates exist or packing would not reduce the file count.
+    """
+    import math
+
+    head = latest_version(path)
+    files = live_files(path, head)
+    dv_files, dv_targets = live_dv_state(path, head)
+    vectored = set(dv_targets) if dv_files else set()
+    sizes = {f: os.path.getsize(os.path.join(path, f)) for f in files}
+    small = sorted(
+        f
+        for f in files
+        if sizes[f] < max_file_bytes and f not in vectored
+    )
+    if len(small) < 2:
+        return head, 0
+    n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_file_bytes))
+    if n_out >= len(small):
+        return head, 0
+    schema = _schema_of(path, head)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    packed = reader.parquet(
+        *(os.path.join(path, f) for f in small)
+    ).coalesce(n_out)
+    version = head + 1
+    stage_dir, added = _stage_batch(packed, path, version)
+    stats, row_counts = _stage_stats(path, added)
+    _commit_or_cleanup(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "compact",
+            "schema": None if schema is None else schema.jsonValue(),
+            "added": added,
+            "removed": small,
+            "stats": stats,
+            "row_counts": row_counts,
+            "blooms": _rebuild_blooms(spark, path, added, head),
+            "dv_added": [],
+            "dv_removed": [],
+            "dv_targets": {},
+        },
+        [stage_dir],
+    )
+    return version, len(small)
+
+
 def manifest_auto_optimize(
     spark: SparkSession,
     path: str,

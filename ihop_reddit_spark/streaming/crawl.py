@@ -46,6 +46,7 @@ def domain_quota_stream(
     quota: int = 5,
     salt: str = "dq1",
     checkpoint_dir: str | None = None,
+    maintenance_every: int | None = None,
 ) -> str:
     """Stateful per-domain document quota over a STREAM of crawl
     candidates — the streaming form of
@@ -78,6 +79,15 @@ def domain_quota_stream(
     crash between the two commits replays into exactly the missing
     append, never a skipped eviction. Eviction-before-append is the
     correctness-critical order.
+
+    ``maintenance_every=K`` runs the streaming-sink maintenance pair
+    every K batches, inside the loop: ``manifest_materialize_deletes``
+    folds the accumulated eviction vectors (rewrites only vectored
+    files), then ``manifest_compact_small`` bin-packs the small-file
+    backlog — both data no-ops proportional to the backlog, never to
+    the accumulated state, so the table's file count stays bounded
+    while the stream runs instead of degrading until an external cron
+    catches up.
 
     Returns ``table_path`` (initialized here if absent).
     """
@@ -149,6 +159,17 @@ def domain_quota_stream(
             ).select(*keep.columns)
         else:
             admitted = keep
+        if (
+            maintenance_every
+            and batch_id > 0
+            and batch_id % maintenance_every == 0
+        ):
+            # fold eviction vectors (vectored files only), then bin-pack
+            # the small-file backlog — work ∝ backlog, not state size
+            M.manifest_materialize_deletes(spark, table_path)
+            M.manifest_compact_small(
+                spark, table_path, max_file_bytes=32 << 20
+            )
         if not admitted.isEmpty():
             # RANGE-cluster by domain so each file holds a narrow,
             # non-overlapping domain slice — the per-file bloom (and

@@ -1361,3 +1361,82 @@ def test_manifest_vacuum_preserves_stream_ids_and_dv_history(spark, tmp_path):
     dels = {(r["id"],) for r in feed if r["_change_type"] == "delete"}
     assert dels == {(5,), (35,)}
     assert M.read_snapshot(spark, root).count() == 58
+
+
+def test_manifest_compact_small_bin_packs_only_small_files(spark, tmp_path):
+    """Partial compaction: files under the size threshold bin-pack into
+    fewer outputs, large files stay byte-identical, vectored files are
+    left for materialize_deletes, the snapshot is unchanged, and time
+    travel still reaches the pre-compaction layout."""
+    import os as _os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    # v1: one LARGE file (high-entropy payload so parquet can't compress
+    # it under the threshold), v2..v4: six tiny files
+    big = spark.range(0, 20000).select(
+        F.col("id"),
+        F.concat(
+            *(
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(s)), 256)
+                for s in "abcdefgh"
+            )
+        ).alias("pad"),
+    )
+    M.manifest_append(big.coalesce(1), root)
+    for lo in (20000, 20040, 20080):
+        M.manifest_append(
+            spark.range(lo, lo + 40)
+            .select("id", F.lit("y").alias("pad"))
+            .repartition(2),
+            root,
+        )
+    before_files = M.live_files(root)
+    big_files = [
+        f
+        for f in before_files
+        if _os.path.getsize(_os.path.join(root, f)) >= 1 << 20
+    ]
+    assert len(big_files) == 1 and len(before_files) == 7
+    before = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    head_before = M.latest_version(root)
+
+    v, n = M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 20, target_file_bytes=1 << 30
+    )
+    assert v == head_before + 1 and n == 6
+    after_files = M.live_files(root)
+    # the large file is untouched (same name, same bytes); the six small
+    # files packed into one
+    assert big_files[0] in after_files
+    assert len(after_files) == 2
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == before
+    # time travel reaches the pre-pack layout
+    assert M.live_files(root, head_before) == before_files
+
+    # a vectored small file is NOT packed (vector retirement is
+    # materialize/compact's all-or-nothing job)
+    M.manifest_append(
+        spark.range(30000, 30040).select("id", F.lit("z").alias("pad")).repartition(2),
+        root,
+    )
+    M.manifest_delete_rows(spark, root, F.col("id") == 30001)
+    dv_files, dv_targets = M.live_dv_state(root)
+    assert dv_targets
+    v2, n2 = M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 20, target_file_bytes=1 << 30
+    )
+    # only the non-vectored small files packed; the vectored target stayed
+    assert set(dv_targets) <= set(M.live_files(root))
+    assert sorted(r["id"] for r in M.read_snapshot(spark, root).collect()) == [
+        i for i in before + list(range(30000, 30040)) if i != 30001
+    ]
+    # no-commit cases: nothing small enough / packing cannot reduce
+    head = M.latest_version(root)
+    assert M.manifest_compact_small(
+        spark, root, max_file_bytes=1, target_file_bytes=1 << 30
+    ) == (head, 0)

@@ -568,3 +568,48 @@ def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
         (r["doc_id"], r["url"])
         for r in M.read_snapshot(spark, root).collect()
     } == want
+
+
+def test_domain_quota_stream_with_inline_maintenance(spark, tmp_path):
+    """maintenance_every folds eviction vectors and bin-packs small
+    state files INSIDE the stream loop: the final snapshot still equals
+    the batch operator, and the live file count stays bounded instead
+    of growing with every micro-batch."""
+    from ihop_reddit_spark.datapipe.curation import domain_quota_sample
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.crawl import domain_quota_stream
+
+    rows = [(i, f"http://www.site{i % 3}.com/p{i}") for i in range(48)]
+    full = spark.createDataFrame(rows, "doc_id long, url string")
+    src = str(tmp_path / "cand")
+    for lo in range(0, 48, 12):
+        full.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 12)
+        ).coalesce(1).write.mode("append").parquet(src)
+    cand = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = domain_quota_stream(
+        cand, str(tmp_path / "tbl"), url_col="url", quota=4, salt="tq",
+        checkpoint_dir=str(tmp_path / "ckpt"), maintenance_every=2,
+    )
+    got = {
+        (r["doc_id"], r["url"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    want = {
+        (r["doc_id"], r["url"])
+        for r in domain_quota_sample(full, "url", quota=4, salt="tq").collect()
+    }
+    assert got == want
+    ops = [
+        M.read_version_doc(root, v).get("operation")
+        for v in M.list_versions(root)
+    ]
+    # maintenance actually ran inside the loop
+    assert "materialize" in ops or "compact" in ops
+    # file count bounded: 4 batches x up-to-3 domain files each would be
+    # ~12 without maintenance; packing keeps the live set small
+    assert len(M.live_files(root)) <= 6
