@@ -47,6 +47,8 @@ def domain_quota_stream(
     salt: str = "dq1",
     checkpoint_dir: str | None = None,
     maintenance_every: int | None = None,
+    salted: bool = False,
+    n_salts: int = 16,
 ) -> str:
     """Stateful per-domain document quota over a STREAM of crawl
     candidates — the streaming form of
@@ -125,16 +127,38 @@ def domain_quota_stream(
         else:
             current = None
             pool = cand
-        from pyspark.sql import Window
+        if salted:
+            # mega-domain hardening: the per-batch re-rank runs through
+            # the two-phase bounded-partial top-k (no task ever sorts a
+            # whole domain) — same survivors as the window path, the
+            # equivalence domain_quota_sample property-tests
+            from ..operators.windows import top_k_per_group_salted
 
-        w = Window.partitionBy("dom").orderBy(
-            _md5_prefix(salt, F.col(url_col)), F.col(url_col)
-        )
-        keep = (
-            pool.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= quota)
-            .drop("__rn")
-        )
+            top = top_k_per_group_salted(
+                pool.select(
+                    "dom",
+                    _md5_prefix(salt, F.col(url_col)).alias("__h"),
+                    F.col(url_col).alias("__u"),
+                ),
+                "dom",
+                [F.col("__h"), F.col("__u")],
+                quota,
+                n_salts=n_salts,
+            )
+            keep = pool.join(
+                top.select(F.col("__u").alias(url_col)), url_col, "left_semi"
+            ).select(*pool.columns)
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("dom").orderBy(
+                _md5_prefix(salt, F.col(url_col)), F.col(url_col)
+            )
+            keep = (
+                pool.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= quota)
+                .drop("__rn")
+            )
         if current is not None:
             evicted = anti_join_filter(
                 current, keep.select(url_col), url_col,

@@ -613,3 +613,39 @@ def test_domain_quota_stream_with_inline_maintenance(spark, tmp_path):
     # file count bounded: 4 batches x up-to-3 domain files each would be
     # ~12 without maintenance; packing keeps the live set small
     assert len(M.live_files(root)) <= 6
+
+
+def test_domain_quota_stream_salted_equals_window_path(spark, tmp_path):
+    """salted=True routes the per-batch re-rank through the two-phase
+    bounded-partial top-k — same final state as the window path and the
+    batch operator (mega-domain hardening changes the plan, never the
+    survivors)."""
+    from ihop_reddit_spark.datapipe.curation import domain_quota_sample
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.crawl import domain_quota_stream
+
+    rows = [(i, f"http://www.site{i % 2}.com/p{i}") for i in range(30)]
+    full = spark.createDataFrame(rows, "doc_id long, url string")
+    src = str(tmp_path / "cand")
+    for lo in (0, 15):
+        full.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 15)
+        ).coalesce(1).write.mode("append").parquet(src)
+    cand = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = domain_quota_stream(
+        cand, str(tmp_path / "tbl"), url_col="url", quota=3, salt="sq",
+        checkpoint_dir=str(tmp_path / "ckpt"), salted=True, n_salts=4,
+    )
+    got = {
+        (r["doc_id"], r["url"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    want = {
+        (r["doc_id"], r["url"])
+        for r in domain_quota_sample(full, "url", quota=3, salt="sq").collect()
+    }
+    assert got == want and len(got) == 6
