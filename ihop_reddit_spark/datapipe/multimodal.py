@@ -18,12 +18,15 @@ stubbed):
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB size it so a
   batch of payloads fits executor memory (payloads are MBs, not KBs; 64-256
   rows/batch is typical for images).
-* **Five formats decode for REAL, dependency-free**: PNG (stdlib zlib
-  inflate + CRC + full five-filter unfiltering, :func:`decode_png`), 24-bit
-  BMP (:func:`decode_bmp`), animated GIF (:func:`decode_gif`), baseline
-  JPEG (:mod:`.jpeg_codec`, r6), and RIFF/WAVE PCM16 (:func:`decode_wav`)
-  — oracle-gated on planted closed-form pixels/samples. The generic codecs
-  (PIL / libav / torchaudio: WebP, MP4, …) are NOT in this container —
+* **Real, dependency-free decode paths**: PNG (stdlib zlib inflate +
+  CRC + full five-filter unfiltering, :func:`decode_png`), 24-bit BMP
+  (:func:`decode_bmp`), animated GIF (:func:`decode_gif`), baseline
+  JPEG (:mod:`.jpeg_codec`, r6), RIFF/WAVE PCM16 (:func:`decode_wav`),
+  AVI/MJPEG (:mod:`.avi`, r6), and MP4 motion-JPEG (:mod:`.mp4`, r9 —
+  full ISO-BMFF demux; compressed codecs avc1/hev1/… demux but raise
+  the libav stub at decode) — oracle-gated on planted closed-form
+  pixels/samples. The remaining generic codecs (PIL / libav /
+  torchaudio: WebP, H.264, …) are NOT in this container —
   ``decode_fn="real"`` raises ``NotImplementedError`` at the first batch. The
   default ``decode_fn="fake"`` derives every "decoded" statistic
   deterministically from the payload's md5 digest, so tests assert exact
@@ -131,14 +134,15 @@ def _fake_decode_stats(payload: bytes) -> tuple[float, float]:
 
 
 def _real_decode_stats(payload: bytes) -> tuple[float, float]:
-    # STUB — generic media decoding (WebP/MP4/…) needs PIL/libav, not
-    # present in this container. PNG, 24-bit BMP, GIF, baseline JPEG, and
-    # WAV-PCM16 have REAL decoders (decode_image dispatch / decode_wav);
+    # STUB — generic media decoding (WebP/H.264/…) needs PIL/libav, not
+    # present in this container. PNG, 24-bit BMP, GIF, baseline JPEG,
+    # WAV-PCM16, AVI/MJPEG, and MP4/motion-JPEG have REAL decoders
+    # (decode_image dispatch / decode_wav / decode_avi / decode_mp4);
     # swap this function for the actual codec in deployment.
     raise NotImplementedError(
-        "generic media decoding requires PIL/libav; PNG/BMP/GIF/JPEG/WAV "
-        "decode for real via decode_image/decode_wav, use decode_fn='fake' "
-        "otherwise"
+        "generic media decoding requires PIL/libav; PNG/BMP/GIF/JPEG/WAV/"
+        "AVI/MP4-MJPEG decode for real via decode_image/decode_wav/"
+        "decode_avi/decode_mp4, use decode_fn='fake' otherwise"
     )
 
 
@@ -1767,6 +1771,84 @@ def synthesize_avi_assets(
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_mp4_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real MP4 (ISO BMFF) per id: ``2 + id % 3`` grayscale
+    baseline-JPEG samples of four solid 8×8 blocks with planted values
+    ``(41·id + 80·k + 67·f) % 256`` for block ``k`` of sample ``f`` —
+    the motion-JPEG-in-MP4 twin of :func:`synthesize_avi_assets`
+    (different multipliers so a cross-wired container path cannot pass
+    both gates). Sample sizes vary per frame, so the two-per-chunk
+    ``stsc``/``stco`` walk resolves non-trivial offsets on every asset."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg_codec import QUANT_DC8, jpeg_bytes
+    from .mp4 import mp4_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                frames = []
+                for f in range(2 + i % 3):
+                    vals = np.array(
+                        [[(41 * i + 80 * 0 + 67 * f) % 256,
+                          (41 * i + 80 * 1 + 67 * f) % 256],
+                         [(41 * i + 80 * 2 + 67 * f) % 256,
+                          (41 * i + 80 * 3 + 67 * f) % 256]],
+                        dtype=np.uint8,
+                    )
+                    px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                                   size // 2, axis=1)
+                    frames.append(jpeg_bytes(px, quant_luma=QUANT_DC8))
+                rows.append(
+                    (i, mp4_bytes(frames, width=size, height=size, fps=10))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def mp4_frame_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, frame_index, width, height, mean_r, mean_g, mean_b)
+    through the REAL MP4 demuxer + JPEG decoder — same gate surface as
+    :func:`avi_frame_stats`."""
+    import pandas as pd
+
+    from .mp4 import decode_mp4
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                _mp4, frames = decode_mp4(bytes(row["payload"]))
+                for f, px in enumerate(frames):
+                    h, w, _ = px.shape
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            row["asset_id"], f, w, h,
+                            float(m[0]), float(m[1]), float(m[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_index", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, frame_index int, width int, height int,"
+        " mean_r double, mean_g double, mean_b double",
+    )
 
 
 def avi_frame_stats(assets: DataFrame) -> DataFrame:

@@ -3705,6 +3705,60 @@ def avi_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# MP4/motion-JPEG container gate (datapipe/mp4 — r9, closes the r8
+# residual "MP4 decode" for the JPEG sample-entry case). Each asset is a
+# genuine ISO-BMFF file: ftyp + mdat + trailing moov, a vide track whose
+# sample table packs samples TWO PER CHUNK (a real stsc/stco run-length
+# walk with varying sample sizes, not a one-chunk degenerate); sample f
+# of asset i is a baseline JPEG of four solid 8×8 blocks planted at
+# (41·i + 80·k + 67·f) % 256 — different multipliers from the AVI gate,
+# so a cross-wired container path cannot pass both. Exact means prove
+# box walk + stbl expansion + mdat range checks + per-sample
+# Huffman/dequant/IDCT end to end. 1-in-17 id sample: format-path
+# coverage, not corpus volume (every sample count 2/3/4 still hit).
+# ---------------------------------------------------------------------------
+@query(
+    "mp4_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames,
+           TRUE AS mp4_exact
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+)
+def mp4_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import mp4_frame_stats, synthesize_mp4_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+    stats = mp4_frame_stats(synthesize_mp4_assets(docs))
+    i, f = F.col("asset_id"), F.col("frame_index")
+    mean = (
+        ((i * 41 + f * 67) % 256)
+        + ((i * 41 + 80 + f * 67) % 256)
+        + ((i * 41 + 160 + f * 67) % 256)
+        + ((i * 41 + 240 + f * 67) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok")
+    ).agg(
+        F.min("ok").alias("mp4_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "n_frames", "mp4_exact")
+
+
+# ---------------------------------------------------------------------------
 # G.711 telephony-audio gate (r6): each asset is a genuine μ-law (even
 # ids, fmt tag 7) or A-law (odd ids, tag 6) RIFF/WAVE whose sample n
 # carries the planted code (31·id + 7·n) % 256 — across the sampled ids
@@ -9835,6 +9889,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "stream_domain_quota",
     "manifest_changes_maintenance_counts",
+    "mp4_decode_gate",
     "c2v_grid_search_gate",
     "lpa_oscillation_gate",
     "lpa_modularity_copurchase",
