@@ -881,10 +881,16 @@ def decode_image(payload: bytes):
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
-    # STUB boundary — WebP/TIFF decode requires PIL in deployment
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        # lossless (VP8L) decodes for real; lossy VP8 raises its own
+        # marked NotImplementedError inside
+        return decode_webp(payload)
+    # STUB boundary — TIFF/AVIF/… decode requires PIL in deployment
     raise NotImplementedError(
-        "only PNG, 24-bit BMP, GIF, and baseline JPEG decode without PIL;"
-        f" got unknown magic {payload[:4]!r}"
+        "only PNG, 24-bit BMP, GIF, baseline JPEG, and lossless WebP"
+        f" decode without PIL; got unknown magic {payload[:4]!r}"
     )
 
 
@@ -1767,6 +1773,43 @@ def synthesize_avi_assets(
                     frames.append(jpeg_bytes(px, quant_luma=QUANT_DC8))
                 rows.append(
                     (i, avi_bytes(frames, width=size, height=size, fps=10))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_webp_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real lossless WebP (VP8L) per id: four solid 8×8 gray blocks
+    planted at ``(47·id + 80·k) % 256`` for block ``k`` — four distinct
+    values per channel, so the writer transmits CANONICAL prefix codes
+    through the code-length code (the non-trivial decoder path); odd
+    ids additionally ship the SUBTRACT_GREEN transform (gray pixels →
+    residual r=b=0 → the red/blue codes collapse to the SIMPLE form),
+    so one gate run exercises both code forms and the transform
+    inverse."""
+    import numpy as np
+    import pandas as pd
+
+    from .webp import webp_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(47 * i + 80 * 0) % 256, (47 * i + 80 * 1) % 256],
+                     [(47 * i + 80 * 2) % 256, (47 * i + 80 * 3) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                               size // 2, axis=1)
+                px = np.repeat(px[..., None], 3, axis=2)
+                rows.append(
+                    (i, webp_bytes(px, subtract_green=bool(i % 2)))
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 

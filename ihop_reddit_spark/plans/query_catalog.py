@@ -3705,6 +3705,64 @@ def avi_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WebP lossless gate (datapipe/webp — r9, closes the "WebP stays
+# stubbed" residual for the VP8L half). Each asset is a genuine
+# RIFF/WEBP/VP8L file: four solid 8×8 gray blocks planted at
+# (47·i + 80·k) % 256 force CANONICAL prefix codes transmitted through
+# the code-length code; odd ids ship the SUBTRACT_GREEN transform whose
+# residual channels collapse to SIMPLE codes — one run covers both code
+# forms plus a transform inverse. Exact means prove the LSB-first bit
+# reader, canonical tree construction, and pixel reconstruction end to
+# end; assets flow the SAME decode_image dispatch as png/bmp/gif/jpeg.
+# 1-in-19 id sample (format-path coverage, not volume; both parities
+# always present). Lossy VP8 and meta prefix codes remain the marked
+# libwebp stubs.
+# ---------------------------------------------------------------------------
+@query(
+    "webp_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(doc_id % 2) AS BIGINT) AS n_subtract_green,
+           TRUE AS webp_exact
+    FROM documents WHERE doc_id % 19 = 0
+    """,
+)
+def webp_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import image_feature_stats, synthesize_webp_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 19 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_webp_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 47) % 256)
+        + ((i * 47 + 80) % 256)
+        + ((i * 47 + 160) % 256)
+        + ((i * 47 + 240) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        "asset_id",
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(
+        F.min("ok").alias("webp_exact"),
+        F.sum(F.col("asset_id") % 2).cast("long").alias("n_subtract_green"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select(
+        "n_assets", "n_subtract_green", "webp_exact"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP4/motion-JPEG container gate (datapipe/mp4 — r9, closes the r8
 # residual "MP4 decode" for the JPEG sample-entry case). Each asset is a
 # genuine ISO-BMFF file: ftyp + mdat + trailing moov, a vide track whose
@@ -9890,6 +9948,7 @@ _SCORING_PRIORITY = [
     "stream_domain_quota",
     "manifest_changes_maintenance_counts",
     "mp4_decode_gate",
+    "webp_decode_gate",
     "c2v_grid_search_gate",
     "lpa_oscillation_gate",
     "lpa_modularity_copurchase",

@@ -899,11 +899,12 @@ def read_changes(
             # immutable originals, which is what the feed scans); only
             # impure-rewrite hits — scanned via originals the vector
             # cannot address — exit at file grain
-            in_scan = [r for r in removed if r in set(added)]
+            added_set = set(added)
+            in_scan = [r for r in removed if r in added_set]
             unmapped = [
                 r
                 for r in removed
-                if r not in set(added) and r in lineage
+                if r not in added_set and r in lineage
             ]
             if unmapped:
                 scan, _ = _evict(set(unmapped))

@@ -1138,3 +1138,130 @@ def test_mp4_planted_frames_distributed(spark):
         want = sum((41 * i + 80 * k + 67 * f) % 256 for k in range(4)) / 4
         assert (r["width"], r["height"]) == (16, 16)
         assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
+
+
+def test_webp_vp8l_round_trips_and_validation():
+    """VP8L writer → decoder round-trips across code forms (simple ≤2
+    distinct / canonical via the code-length code), subtract-green,
+    odd geometries; corruption and the lossy half fail loudly."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.webp import (
+        decode_webp,
+        parse_webp,
+        webp_bytes,
+    )
+
+    # simple codes (2 distinct per channel)
+    px = np.full((16, 16, 3), 200, np.uint8)
+    px[::2, ::2] = 40
+    px[1::2, 1::2] = 40
+    assert (decode_webp(webp_bytes(px)) == px).all()
+    # canonical codes (4 distinct), deterministic bytes
+    vals = np.array([[13, 93], [173, 253]], np.uint8)
+    px4 = np.repeat(np.repeat(np.repeat(vals, 8, 0), 8, 1)[..., None], 3, 2)
+    blob4 = webp_bytes(px4)
+    assert blob4 == webp_bytes(px4)
+    assert parse_webp(blob4) == (16, 16, False)
+    assert (decode_webp(blob4) == px4).all()
+    # dense many-symbol channels + subtract-green transform inverse
+    rng = np.arange(16 * 16 * 3, dtype=np.uint32)
+    pxr = ((rng * 2654435761) >> 16).astype(np.uint8).reshape(16, 16, 3)
+    assert (decode_webp(webp_bytes(pxr)) == pxr).all()
+    pxc = pxr.copy()
+    pxc[:, :, 0] = (pxc[:, :, 1].astype(int) + 30) % 256
+    assert (decode_webp(webp_bytes(pxc, subtract_green=True)) == pxc).all()
+    # odd geometry, single pixel, single row
+    po = ((np.arange(7 * 13 * 3, dtype=np.uint32) * 131) % 251).astype(
+        np.uint8
+    ).reshape(7, 13, 3)
+    assert (decode_webp(webp_bytes(po)) == po).all()
+    assert (
+        decode_webp(webp_bytes(np.array([[[9, 8, 7]]], np.uint8)))
+        == [[[9, 8, 7]]]
+    ).all()
+    # truncation and signature failures are loud
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(blob4[:-5])
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_webp(b"nope" * 8)
+    # the lossy half stays an honest stub
+    lossy = bytearray(blob4)
+    lossy[12:16] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossless"):
+        parse_webp(bytes(lossy))
+
+
+def test_webp_vp8l_lz77_and_color_cache_decode():
+    """Decoder paths no in-tree writer emits, driven by a hand-built
+    bitstream: a literal, an LZ77 backward reference through the 2D
+    distance map, and a color-cache hit must reconstruct exactly."""
+    import struct
+
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    P = (0xFF << 24) | (10 << 16) | (20 << 8) | 30  # ARGB literal
+    cache_bits = 4
+    cache_idx = (0x1E35A7BD * P & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    bw = W._BitWriter()
+    bw.write(4 - 1, 14)  # width 4
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)  # alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta codes
+    # green alphabet: literal 20, length-sym 256 (len code 0 → 2? no:
+    # lz77 code 1 → value 2), cache sym 280+cache_idx
+    green_syms = [20, 256 + 1, 280 + cache_idx]
+    glens = [0] * (256 + 24 + (1 << cache_bits))
+    glens[green_syms[0]] = 1
+    glens[green_syms[1]] = 2
+    glens[green_syms[2]] = 2
+    W._emit_code_lengths(bw, glens)
+    gcodes = W._codes_of(glens)
+    for vals, alphabet in (([10], 256), ([30], 256), ([255], 256), ([1], 40)):
+        # red/blue/alpha single-symbol; distance code: symbol 1 → lz77
+        # value 2 → distance map entry 2 = (1, 0) → d = 1
+        W._emit_prefix_code(bw, vals, alphabet)
+    # pixel stream: literal P; LZ77 len 2 dist-map(1,0); cache hit
+    c, l = gcodes[20]
+    W._write_code(bw, c, l)  # green 20 → then r/b/a are 0-bit codes
+    c, l = gcodes[256 + 1]
+    W._write_code(bw, c, l)  # length symbol (value 2)
+    # distance: single-symbol code → 0 bits
+    c, l = gcodes[280 + cache_idx]
+    W._write_code(bw, c, l)  # cache hit for the 4th pixel
+
+    data = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    out = W.decode_webp(blob)
+    assert out.shape == (1, 4, 3)
+    assert (out == np.array([[[10, 20, 30]] * 4], np.uint8)).all()
+
+
+def test_webp_planted_assets_through_image_dispatch(spark):
+    """WebP assets flow the same decode_image path as png/bmp/gif/jpeg:
+    planted closed-form means per asset, both code forms + transform."""
+    from ihop_reddit_spark.datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_webp_assets,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 3, 19)], "doc_id long")
+    rows = {r["asset_id"]: r for r in
+            image_feature_stats(synthesize_webp_assets(ids)).collect()}
+    assert set(rows) == {0, 3, 19}
+    for i, r in rows.items():
+        want = sum((47 * i + 80 * k) % 256 for k in range(4)) / 4
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
