@@ -1265,3 +1265,131 @@ def test_webp_planted_assets_through_image_dispatch(spark):
         want = sum((47 * i + 80 * k) % 256 for k in range(4)) / 4
         assert (r["width"], r["height"]) == (16, 16)
         assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
+
+
+def _vp8l_container(bw) -> bytes:
+    import struct
+
+    data = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_webp_vp8l_predictor_transform_decode():
+    """Hand-built stream with the PREDICTOR transform (one 4x4 block,
+    mode 1 = left): residuals reconstruct exactly against the spec's
+    border rules (top-left += 0xFF000000, first row from left, first
+    column from top)."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    bw = W._BitWriter()
+    bw.write(1, 14)  # width 2
+    bw.write(1, 14)  # height 2
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits = 2 → 4x4 blocks → 1x1 mode image
+    # mode sub-image (no meta allowed): cache bit, then 5 codes; one
+    # pixel with green = mode 1 (left), other channels 0
+    bw.write(0, 1)  # no cache
+    for vals, alphabet in (([1], 280), ([0], 256), ([0], 256), ([0], 256), ([0], 40)):
+        W._emit_prefix_code(bw, vals, alphabet)
+    # single-symbol codes are 0-bit → no pixel bits needed
+    bw.write(0, 1)  # end of transforms
+    # main image: residual literals
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    res = [(0, 10, 5, 0), (1, 2, 3, 4), (7, 8, 9, 6), (1, 1, 1, 1)]  # ARGB
+    a_s = [r[0] for r in res]
+    r_s = [r[1] for r in res]
+    g_s = [r[2] for r in res]
+    b_s = [r[3] for r in res]
+    gcodes = W._emit_prefix_code(bw, g_s, 280)
+    rcodes = W._emit_prefix_code(bw, r_s, 256)
+    bcodes = W._emit_prefix_code(bw, b_s, 256)
+    acodes = W._emit_prefix_code(bw, a_s, 256)
+    W._emit_prefix_code(bw, [0], 40)
+    for i in range(4):
+        for codes, v in ((gcodes, g_s[i]), (rcodes, r_s[i]),
+                         (bcodes, b_s[i]), (acodes, a_s[i])):
+            c, l = codes[v]
+            W._write_code(bw, c, l)
+    out = W.decode_webp(_vp8l_container(bw), keep_alpha=True)
+    # spec reconstruction: p00 = res + ff000000; p01 = res + left;
+    # p10 = res + top; p11 = res + left (mode 1)
+    p00 = (255, 10, 5, 0)  # ARGB + ff000000 → A=255
+    p01 = (1 + p00[0] & 255, 2 + p00[1], 3 + p00[2], 4 + p00[3])
+    p10 = (7 + p00[0] & 255, 8 + p00[1], 9 + p00[2], 6 + p00[3])
+    p11 = (1 + p10[0] & 255, 1 + p10[1], 1 + p10[2], 1 + p10[3])
+    want = np.array(
+        [
+            [[p00[1], p00[2], p00[3], p00[0]], [p01[1], p01[2], p01[3], p01[0]]],
+            [[p10[1], p10[2], p10[3], p10[0]], [p11[1], p11[2], p11[3], p11[0]]],
+        ],
+        np.uint8,
+    )
+    assert (out == want).all()
+
+
+def test_webp_vp8l_color_indexing_decode():
+    """Hand-built stream with COLOR_INDEXING (3-color palette → 2-bit
+    bundling, 4 packed pixels per green byte): delta-coded palette and
+    packed indices reconstruct the full-width row exactly."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    bw = W._BitWriter()
+    bw.write(5, 14)  # width 6
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(2, 8)  # 3 colors
+    # palette entropy image (3x1): literals, delta-coded entries —
+    # first (255,10,20,30), then deltas (0,5,5,5) and (0,240,0,0)
+    bw.write(0, 1)  # no cache
+    pal_px = [(255, 10, 20, 30), (0, 5, 5, 5), (0, 240, 0, 0)]
+    pg = [p[2] for p in pal_px]
+    pr = [p[1] for p in pal_px]
+    pb = [p[3] for p in pal_px]
+    pa = [p[0] for p in pal_px]
+    g_c = W._emit_prefix_code(bw, pg, 280)
+    r_c = W._emit_prefix_code(bw, pr, 256)
+    b_c = W._emit_prefix_code(bw, pb, 256)
+    a_c = W._emit_prefix_code(bw, pa, 256)
+    W._emit_prefix_code(bw, [0], 40)
+    for p in pal_px:
+        for codes, v in ((g_c, p[2]), (r_c, p[1]), (b_c, p[3]), (a_c, p[0])):
+            c, l = codes[v]
+            W._write_code(bw, c, l)
+    bw.write(0, 1)  # end of transforms
+    # packed main image: width ceil(6/4) = 2 "pixels", indices in green
+    # channel, 2 bits each LSB-first: pixels [0,1,2,0] → 0b00_10_01_00,
+    # [2,1] → 0b00_00_01_10
+    packed = [0b00100100, 0b00000110]
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    g2 = W._emit_prefix_code(bw, packed, 280)
+    r2 = W._emit_prefix_code(bw, [0], 256)
+    b2 = W._emit_prefix_code(bw, [0], 256)
+    a2 = W._emit_prefix_code(bw, [0], 256)
+    W._emit_prefix_code(bw, [0], 40)
+    del r2, b2, a2
+    for v in packed:
+        c, l = g2[v]
+        W._write_code(bw, c, l)
+    out = W.decode_webp(_vp8l_container(bw), keep_alpha=True)
+    # palette after delta decode: c0=(255,10,20,30), c1=(255,15,25,35),
+    # c2=(255,255,25,35) — as RGBA rows
+    c0, c1, c2 = (10, 20, 30, 255), (15, 25, 35, 255), (255, 25, 35, 255)
+    want = np.array([[c0, c1, c2, c0, c2, c1]], np.uint8)
+    assert out.shape == (1, 6, 4)
+    assert (out == want).all()
