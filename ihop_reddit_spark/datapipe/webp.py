@@ -6,11 +6,10 @@ bitstream — RIFF/WEBP/VP8L framing, the LSB-first bit reader, SIMPLE
 and canonical (code-length-coded) prefix codes, LZ77 backward
 references with the 2D distance map, the color cache, and the inverse
 transforms (SUBTRACT_GREEN, PREDICTOR, COLOR, COLOR_INDEXING with
-pixel bundling) — i.e. the public VP8L specification, stdlib-only.
-Deliberately out of scope, raising the marked ``NotImplementedError``:
-META PREFIX CODES (multiple entropy groups per image — real encoders
-emit them for large photos; fixture- and icon-class images use a single
-group) and the LOSSY VP8 half of WebP (DCT territory, libav/PIL in
+pixel bundling), and META PREFIX CODES (per-block entropy groups) —
+i.e. the complete public VP8L specification, stdlib-only. Deliberately
+out of scope, raising the marked ``NotImplementedError``: the LOSSY
+VP8 half of WebP (boolean-coder + DCT territory, libwebp/PIL in
 deployment). The honest-stub discipline matches the other codecs
 (baseline-only JPEG, MJPEG-only AVI/MP4).
 
@@ -224,17 +223,33 @@ def _decode_pixels(
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid color cache bits {cache_bits}")
         cache = [0] * (1 << cache_bits)
+    meta = None
+    meta_bits = 0
+    meta_w = 1
+    n_groups = 1
     if allow_meta and br.read(1):
-        raise NotImplementedError(
-            "VP8L meta prefix codes (multiple entropy groups) are not"
-            " implemented — single-group images (icon/fixture class)"
-            " decode for real; use libwebp in deployment for large photos"
+        # meta prefix codes: a sub-image assigns every 2^bits × 2^bits
+        # block its own prefix-code group — (red << 8 | green) of the
+        # meta pixel is the group index
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = [
+            ((p >> 8) & 0xFFFF)
+            for p in _decode_pixels(br, meta_w, meta_h, allow_meta=False)
+        ]
+        n_groups = max(meta) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = [
+        (
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
         )
-    green = _read_prefix_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    dist = _read_prefix_code(br, 40)
+        for _ in range(n_groups)
+    ]
 
     px: list[int] = []
     n = w * h
@@ -245,6 +260,12 @@ def _decode_pixels(
             cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
 
     while len(px) < n:
+        if meta is None:
+            green, red, blue, alpha, dist = groups[0]
+        else:
+            x, y = len(px) % w, len(px) // w
+            gi = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            green, red, blue, alpha, dist = groups[gi]
         s = green.decode(br)
         if s < 256:
             g = s

