@@ -146,6 +146,10 @@ DOC_PROBES = [
     # model — linear stream, constant model.
     "manifest_bloom_point_lookups",
     "wordpiece_roundtrip_gate",
+    # round-9 container codecs: per-asset Arrow decode, row-local, no
+    # shuffle — ×N sampled ids ⇒ ×N decode work, like avi_decode_gate
+    "mp4_decode_gate",
+    "webp_decode_gate",
 ]
 #: round-9: probes over the REPLICATED customer/lineitem tables (ids
 #: remapped per replica, so per-replica structure is preserved and
