@@ -258,6 +258,8 @@ def parse_mp4(payload: bytes) -> Mp4File:
         raise ValueError(f"unsupported tkhd version {version}")
 
     mdia = _find(buf, *trak, b"mdia")
+    if mdia is None:
+        raise ValueError("video trak missing mdia")
     mdhd = _find(buf, *mdia, b"mdhd")
     if mdhd is None:
         raise ValueError("video mdia missing mdhd")
@@ -274,14 +276,20 @@ def parse_mp4(payload: bytes) -> Mp4File:
         raise ValueError(f"unsupported mdhd version {mv}")
 
     minf = _find(buf, *mdia, b"minf")
+    if minf is None:
+        raise ValueError("video mdia missing minf")
     stbl = _find(buf, *minf, b"stbl")
     if stbl is None:
         raise ValueError("video minf missing stbl")
 
     stsd = _find(buf, *stbl, b"stsd")
+    if stsd is None:
+        raise ValueError("video stbl missing stsd")
     codec = buf[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
 
     stts = _find(buf, *stbl, b"stts")
+    if stts is None:
+        raise ValueError("video stbl missing stts")
     (n_stts,) = struct.unpack(">I", buf[stts[0] + 4 : stts[0] + 8])
     total_samples = 0
     total_ticks = 0
@@ -296,6 +304,8 @@ def parse_mp4(payload: bytes) -> Mp4File:
     )
 
     stsz = _find(buf, *stbl, b"stsz")
+    if stsz is None:
+        raise ValueError("video stbl missing stsz")
     fixed, n_sz = struct.unpack(">II", buf[stsz[0] + 4 : stsz[0] + 12])
     if n_sz != total_samples:
         raise ValueError(
@@ -330,6 +340,8 @@ def parse_mp4(payload: bytes) -> Mp4File:
         raise ValueError("stbl missing stco/co64")
 
     stsc = _find(buf, *stbl, b"stsc")
+    if stsc is None:
+        raise ValueError("video stbl missing stsc")
     (n_sc,) = struct.unpack(">I", buf[stsc[0] + 4 : stsc[0] + 8])
     sc_entries = [
         struct.unpack(

@@ -344,7 +344,10 @@ def _inv_predictor(px: list[int], w: int, h: int, bits: int, modes: list[int]) -
             else:
                 mode = (modes[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
                 L, T = px[i - 1], px[i - w]
-                TL, TR = px[i - w - 1], px[i - w + 1] if x + 1 < w else px[i - w]
+                # TR on the rightmost column wraps to the CURRENT row's
+                # leftmost pixel (libwebp's contiguous-buffer addressing:
+                # data[i - w + 1] == data[y * w] when x + 1 == w)
+                TL, TR = px[i - w - 1], px[i - w + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -408,9 +411,12 @@ def _inv_color_transform(
         for x in range(w):
             i = y * w + x
             e = elems[(y >> bits) * bw + (x >> bits)]
-            g2r = (e >> 16) & 0xFF  # stored in red channel
-            g2b = (e >> 8) & 0xFF  # stored in green channel
-            r2b = e & 0xFF  # stored in blue channel
+            # transform element channel layout per the spec / libwebp
+            # ColorCodeToMultipliers: green_to_red lives in the BLUE
+            # byte, green_to_blue in GREEN, red_to_blue in RED
+            g2r = e & 0xFF
+            g2b = (e >> 8) & 0xFF
+            r2b = (e >> 16) & 0xFF
             p = px[i]
             g = (p >> 8) & 0xFF
             # deltas use the SIGNED values of already-reconstructed
@@ -452,26 +458,53 @@ def _inv_color_indexing(
     return out
 
 
-def parse_webp(payload: bytes) -> tuple[int, int, bool]:
-    """Container + VP8L header → (width, height, has_alpha_hint)."""
-    buf = bytes(payload)
+def _find_vp8l(buf: bytes) -> tuple[int, int]:
+    """RIFF chunk walk → (payload offset, payload size) of the VP8L
+    chunk. Handles both the simple container (VP8L first) and the VP8X
+    extended container (alpha/EXIF/XMP/ICCP metadata chunks before the
+    image chunk), per the WebP container spec."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP: RIFF/WEBP signature missing")
     (riff_size,) = struct.unpack("<I", buf[4:8])
     if 8 + riff_size > len(buf):
         raise ValueError("truncated WebP: RIFF size past end")
-    fourcc = buf[12:16]
-    if fourcc == b"VP8 ":
+    if buf[12:16] == b"VP8 ":
+        # recognize the lossy half before demanding a well-formed chunk
+        # header — magic-dispatch callers probe with bare signatures
         raise NotImplementedError(
             "lossy WebP (VP8) requires libwebp/PIL in deployment;"
             " lossless (VP8L) decodes for real"
         )
-    if fourcc != b"VP8L":
-        raise ValueError(f"unsupported WebP chunk {fourcc!r}")
-    (chunk_size,) = struct.unpack("<I", buf[16:20])
-    if 20 + chunk_size > len(buf):
-        raise ValueError("truncated WebP: VP8L chunk size past end")
-    data = buf[20 : 20 + chunk_size]
+    pos = 12
+    end = 8 + riff_size
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated WebP: {fourcc!r} chunk past end")
+        if fourcc == b"VP8L":
+            return pos + 8, size
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) requires libwebp/PIL in deployment;"
+                " lossless (VP8L) decodes for real"
+            )
+        if fourcc == b"ANMF" or fourcc == b"ANIM":
+            raise NotImplementedError(
+                "animated WebP requires libwebp in deployment;"
+                " still lossless (VP8L) decodes for real"
+            )
+        if fourcc not in (b"VP8X", b"ALPH", b"EXIF", b"XMP ", b"ICCP"):
+            raise ValueError(f"unsupported WebP chunk {fourcc!r}")
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+def parse_webp(payload: bytes) -> tuple[int, int, bool]:
+    """Container + VP8L header → (width, height, has_alpha_hint)."""
+    buf = bytes(payload)
+    off, size = _find_vp8l(buf)
+    data = buf[off : off + size]
     if not data or data[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(data[1:])
@@ -490,8 +523,8 @@ def decode_webp(payload: bytes, *, keep_alpha: bool = False):
 
     buf = bytes(payload)
     w, h, _alpha = parse_webp(buf)
-    (chunk_size,) = struct.unpack("<I", buf[16:20])
-    br = _BitReader(buf[21 : 20 + chunk_size])
+    off, size = _find_vp8l(buf)
+    br = _BitReader(buf[off + 1 : off + size])
     br.read(14 + 14 + 1 + 3)  # header bits already validated
 
     transforms: list[tuple] = []

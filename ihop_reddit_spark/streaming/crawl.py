@@ -123,7 +123,16 @@ def domain_quota_stream(
             state = None  # empty table, no schema yet
         if state is not None:
             current = state.join(doms, "dom", "left_semi")
-            pool = current.select(*cand.columns).unionByName(cand)
+            # a re-delivered URL that is already an admitted survivor must
+            # occupy ONE slot in the re-rank pool, not two (re-crawls are
+            # the normal case) — keep the stored row and anti-join the
+            # batch's duplicates away, which is deterministic where a
+            # dropDuplicates across the union would keep an arbitrary row
+            fresh = anti_join_filter(
+                cand, current.select(url_col), url_col,
+                broadcast_remove=False,
+            ).select(*cand.columns)
+            pool = current.select(*cand.columns).unionByName(fresh)
         else:
             current = None
             pool = cand

@@ -1438,3 +1438,193 @@ def test_webp_vp8l_meta_prefix_codes_decode():
     out = W.decode_webp(_vp8l_container(bw))
     assert out.shape == (1, 4, 3)
     assert (out == np.array([[[50, 60, 70]] * 4], np.uint8)).all()
+
+
+def test_webp_vp8l_color_transform_decode():
+    """Hand-built stream with the COLOR (cross-color) transform: the
+    transform element's channel layout is g2r in BLUE, g2b in GREEN,
+    r2b in RED (libwebp ColorCodeToMultipliers), exercised with both a
+    positive and a negative signed green — a decoder reading the
+    multipliers from swapped channels cannot reconstruct this."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    g2r, g2b, r2b = 32, 16, 64  # 1.0, 0.5, 2.0 in signed 3.5 fixed point
+    bw = W._BitWriter()
+    bw.write(1, 14)  # width 2
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(1, 2)  # COLOR
+    bw.write(0, 3)  # size_bits = 2 → 4x4 blocks → 1x1 element image
+    bw.write(0, 1)  # element sub-image: no cache
+    # element pixel: green=g2b, red=r2b, blue=g2r, alpha=0
+    for vals, alphabet in (
+        ([g2b], 280), ([r2b], 256), ([g2r], 256), ([0], 256), ([0], 40)
+    ):
+        W._emit_prefix_code(bw, vals, alphabet)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # main image: no cache
+    bw.write(0, 1)  # no meta
+    # residual literals (a, r, g, b): g=10 → gs=+10; g=200 → gs=-56
+    res = [(255, 100, 10, 50), (255, 10, 200, 100)]
+    a_s = [r[0] for r in res]
+    r_s = [r[1] for r in res]
+    g_s = [r[2] for r in res]
+    b_s = [r[3] for r in res]
+    gcodes = W._emit_prefix_code(bw, g_s, 280)
+    rcodes = W._emit_prefix_code(bw, r_s, 256)
+    bcodes = W._emit_prefix_code(bw, b_s, 256)
+    acodes = W._emit_prefix_code(bw, a_s, 256)
+    W._emit_prefix_code(bw, [0], 40)
+    for i in range(2):
+        for codes, v in ((gcodes, g_s[i]), (rcodes, r_s[i]),
+                         (bcodes, b_s[i]), (acodes, a_s[i])):
+            c, l = codes[v]
+            W._write_code(bw, c, l)
+    out = W.decode_webp(_vp8l_container(bw))
+
+    # closed-form inverse: r = r' + (g2r·gs >> 5); b = b' + (g2b·gs >> 5)
+    #                                                + (r2b·rs >> 5)
+    def inv(rp, g, bp):
+        gs = g - 256 if g >= 128 else g
+        r = (rp + ((g2r * gs) >> 5)) & 255
+        rs = r - 256 if r >= 128 else r
+        b = (bp + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 255
+        return r, g, b
+
+    want = np.array([[inv(100, 10, 50), inv(10, 200, 100)]], np.uint8)
+    assert (out == want).all()
+    # the two layouts genuinely disagree on this stream (swap-detector)
+    def inv_swapped(rp, g, bp):
+        gs = g - 256 if g >= 128 else g
+        r = (rp + ((r2b * gs) >> 5)) & 255  # swapped g2r<->r2b
+        rs = r - 256 if r >= 128 else r
+        b = (bp + ((g2b * gs) >> 5) + ((g2r * rs) >> 5)) & 255
+        return r, g, b
+
+    assert inv_swapped(100, 10, 50) != inv(100, 10, 50)
+
+
+def test_webp_vp8l_predictor_right_edge_uses_row_wrap():
+    """TR on the rightmost column is the CURRENT row's leftmost pixel
+    (libwebp contiguous-buffer addressing), not the top pixel: a 2x2
+    image under predictor mode 3 (TR) distinguishes the two."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import webp as W
+
+    bw = W._BitWriter()
+    bw.write(1, 14)  # width 2
+    bw.write(1, 14)  # height 2
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits = 2 → one 4x4 block → 1x1 mode image
+    bw.write(0, 1)  # mode sub-image: no cache
+    for vals, alphabet in (
+        ([3], 280), ([0], 256), ([0], 256), ([0], 256), ([0], 40)
+    ):
+        W._emit_prefix_code(bw, vals, alphabet)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    res = [(0, 10, 5, 0), (1, 2, 3, 4), (7, 8, 9, 6), (1, 1, 1, 1)]  # ARGB
+    a_s = [r[0] for r in res]
+    r_s = [r[1] for r in res]
+    g_s = [r[2] for r in res]
+    b_s = [r[3] for r in res]
+    gcodes = W._emit_prefix_code(bw, g_s, 280)
+    rcodes = W._emit_prefix_code(bw, r_s, 256)
+    bcodes = W._emit_prefix_code(bw, b_s, 256)
+    acodes = W._emit_prefix_code(bw, a_s, 256)
+    W._emit_prefix_code(bw, [0], 40)
+    for i in range(4):
+        for codes, v in ((gcodes, g_s[i]), (rcodes, r_s[i]),
+                         (bcodes, b_s[i]), (acodes, a_s[i])):
+            c, l = codes[v]
+            W._write_code(bw, c, l)
+    out = W.decode_webp(_vp8l_container(bw), keep_alpha=True)
+    # borders: p00 += ff000000; p01 (y=0) from left; p10 (x=0) from top;
+    # p11 is rightmost → TR = px[i-w+1] = p10 (current-row leftmost)
+    p00 = (255, 10, 5, 0)
+    p01 = tuple((a + b) & 255 for a, b in zip(res[1], p00))
+    p10 = tuple((a + b) & 255 for a, b in zip(res[2], p00))
+    p11 = tuple((a + b) & 255 for a, b in zip(res[3], p10))
+    assert p10 != p01  # the wrap genuinely differs from top-fallback
+    want = np.array(
+        [
+            [[p00[1], p00[2], p00[3], p00[0]], [p01[1], p01[2], p01[3], p01[0]]],
+            [[p10[1], p10[2], p10[3], p10[0]], [p11[1], p11[2], p11[3], p11[0]]],
+        ],
+        np.uint8,
+    )
+    assert (out == want).all()
+
+
+def test_webp_vp8x_extended_container():
+    """Real-world lossless WebPs wrap VP8L in a VP8X extended container
+    (metadata chunks first): the RIFF walk finds the VP8L chunk behind
+    VP8X/EXIF/XMP (odd sizes padded to even); VP8X+VP8 stays the marked
+    lossy stub; a metadata-only container fails loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.webp import (
+        decode_webp,
+        parse_webp,
+        webp_bytes,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    simple = webp_bytes(px)
+    (vp8l_size,) = struct.unpack("<I", simple[16:20])
+    vp8l_chunk = simple[12 : 20 + vp8l_size + (vp8l_size & 1)]
+
+    def riff(*chunks):
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(fourcc, payload):
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    vp8x = chunk(b"VP8X", bytes(10))
+    exif = chunk(b"EXIF", b"Exif\x00")  # odd size → pad byte exercised
+    xmp = chunk(b"XMP ", b"<x/>")
+    ext = riff(vp8x, exif, xmp, vp8l_chunk)
+    assert parse_webp(ext) == parse_webp(simple) == (3, 2, False)
+    assert (decode_webp(ext) == px).all()
+    # VP8X wrapping the LOSSY half is still the honest stub
+    lossy = riff(vp8x, chunk(b"VP8 ", b"\x00" * 8))
+    with pytest.raises(NotImplementedError, match="lossy"):
+        parse_webp(lossy)
+    with pytest.raises(NotImplementedError, match="animated"):
+        parse_webp(riff(vp8x, chunk(b"ANIM", bytes(6))))
+    with pytest.raises(ValueError, match="no VP8L"):
+        parse_webp(riff(vp8x, exif))
+
+
+def test_mp4_missing_boxes_fail_loudly():
+    """A structurally valid but incomplete video trak names the missing
+    box in a ValueError (not a TypeError from a None dereference)."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import QUANT_DC8, jpeg_bytes
+    from ihop_reddit_spark.datapipe.mp4 import mp4_bytes, parse_mp4
+
+    frame = jpeg_bytes(np.full((16, 16), 99, np.uint8), quant_luma=QUANT_DC8)
+    blob = mp4_bytes([frame, frame], width=16, height=16, fps=10)
+    for box in (b"minf", b"stsd", b"stts", b"stsc", b"stsz"):
+        broken = blob.replace(box, b"fre" + box[:1], 1)
+        with pytest.raises(ValueError, match=box.decode()):
+            parse_mp4(broken)
+    # without mdia there is no hdlr, so no track qualifies as video
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4(blob.replace(b"mdia", b"frem", 1))

@@ -649,3 +649,45 @@ def test_domain_quota_stream_salted_equals_window_path(spark, tmp_path):
         for r in domain_quota_sample(full, "url", quota=3, salt="sq").collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_domain_quota_stream_redelivered_urls_hold_one_slot(spark, tmp_path):
+    """Re-crawled pages are the NORMAL case: a later batch re-delivering
+    an already-admitted URL must occupy ONE slot in the re-rank pool,
+    not two — batch 2 re-delivers ALL of batch 1 plus new pages, and the
+    final state still equals the batch operator on the distinct union
+    (a duplicated survivor would wrongly evict the quota-th page and
+    leave domains under quota)."""
+    from ihop_reddit_spark.datapipe.curation import domain_quota_sample
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.crawl import domain_quota_stream
+
+    first = [(i, f"http://www.site{i % 2}.com/p{i}") for i in range(10)]
+    extra = [(i, f"http://www.site{i % 2}.com/p{i}") for i in range(10, 20)]
+    b1 = spark.createDataFrame(first, "doc_id long, url string")
+    b2 = spark.createDataFrame(first + extra, "doc_id long, url string")
+    src = str(tmp_path / "cand")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    cand = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    root = domain_quota_stream(
+        cand, str(tmp_path / "tbl"), url_col="url", quota=3, salt="rq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["doc_id"], r["url"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    full = spark.createDataFrame(first + extra, "doc_id long, url string")
+    want = {
+        (r["doc_id"], r["url"])
+        for r in domain_quota_sample(
+            full.dropDuplicates(["url"]), "url", quota=3, salt="rq"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 6  # 2 domains x quota 3 — never under quota
