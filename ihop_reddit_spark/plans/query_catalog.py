@@ -9945,210 +9945,210 @@ def tvd_drift_event_mix(spark, sf_dir):
 # stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    "stream_domain_quota",
-    "manifest_changes_maintenance_counts",
-    "mp4_decode_gate",
-    "webp_decode_gate",
-    "c2v_grid_search_gate",
-    "lpa_oscillation_gate",
-    "lpa_modularity_copurchase",
-    "manifest_change_feed_counts",
-    "corpus_prep_survivors",
-    "modern_training_corpus",
-    "event_neighbor_lags",
-    "asof_purchase_to_click",
-    "events_corpus_stats",
-    "hourly_event_counts_gapfilled",
-    "event_scalar_functions",
-    "doc_token_stats_by_lang",
-    "mixture_upsampled_counts",
-    "media_decode_gate",
-    "contamination_report_pairs",
-    "packed_sequence_texts",
-    "inverted_index_terms",
-    "tfidf_topk_docs",
-    "bm25_topk_docs",
-    "lm_doc_quality_scores",
-    "incremental_postings_merge",
-    "perplexity_buckets_by_lang",
-    "grouping_sets_order_totals",
-    "intersect_except_customers",
-    "window_suite_customer_orders",
-    "session_funnel_stages",
-    "winnow_fingerprint_pairs",
-    "span_deduped_documents",
-    "duplicate_substring_spans",
-    "semantic_dedup_survivors",
-    "incremental_semantic_dedup_survivors",
-    "dsir_importance_weights",
-    "dsir_resampled_documents",
-    "c4_sentence_span_dedup",
-    "hll_sketch_rollup_users",
-    "scd2_customer_history",
-    "ks_drift_click_vs_purchase",
-    "mad_outliers_value_by_type",
-    "weighted_sample_docs_by_lang",
-    "pit_scd2_order_segments",
-    "correlated_subquery_small_quantities",
-    "hybrid_search_rrf",
-    "dedup_keep_best_documents",
-    "cohort_retention_weekly",
-    "k_anonymous_event_stats",
-    "incremental_daily_counts_merge",
-    "rolling_7day_user_value",
-    "event_transition_matrix",
-    "corpus_datasheet_by_source",
-    "image_ahash_pairs",
-    "audio_envelope_pairs",
-    "video_framehash_pairs",
     "ab_test_purchase_rates",
+    "audio_envelope_pairs",
+    "corpus_datasheet_by_source",
+    "event_transition_matrix",
+    "image_ahash_pairs",
+    "rolling_7day_user_value",
     "tvd_drift_event_mix",
+    "video_framehash_pairs",
+    "stream_domain_quota",
+    "webp_decode_gate",
+    "mp4_decode_gate",
+    "media_decode_gate",
     "asof_forward_purchase_to_click",
-    "pca_invariants_gate",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
+    "c2v_planted_analogy_gate",
     "c2v_prep_contexts",
-    "pmi_terms_by_lang",
+    "c2v_reference_analogy_gate",
+    "chunked_documents",
+    "cluster_label_enrichment",
+    "cm_sketch_user_counts",
+    "cohens_kappa_event_raters",
+    "data_quality_report",
     "doc_lang_id",
     "doc_token_budgets",
     "duplicate_components_star_ngram",
-    "stream_quality_violations",
-    "stream_histogram_quantiles",
-    "stream_windowed_approx_users",
-    "stream_static_enriched_counts",
-    "stream_dedup_user_event_types",
-    "stream_stream_click_purchase_pairs",
-    "levenshtein_verified_pairs",
-    "greedy_match_invariants_gate",
-    "lda_invariants_gate",
-    "c2v_planted_analogy_gate",
-    "c2v_reference_analogy_gate",
-    "cluster_label_enrichment",
-    "sgns_reference_analogy_gate",
-    "cohens_kappa_event_raters",
     "fleiss_kappa_doc_raters",
-    "kmeans_elbow_gate",
-    "incremental_minhash_verified_pairs",
-    "incremental_ivf_recall",
-    "pq_ann_recall",
-    "zorder_values_events",
-    "data_quality_report",
-    "interval_overlap_window_sessions",
-    "pii_scrubbed_documents",
-    "chunked_documents",
-    "profile_customer_columns",
-    "table_fingerprint_customer",
-    "key_skew_report_events",
-    "heavy_hitters_event_types",
-    "merge_upsert_customers",
-    "snapshot_diff_customers",
-    "stream_semantic_dedup_survivors",
-    "quality_classifier_gate",
     "fuzzy_decontaminated_documents",
+    "greedy_match_invariants_gate",
+    "heavy_hitters_event_types",
+    "histogram_sketch_quantiles",
+    "incremental_ivf_recall",
+    "incremental_minhash_verified_pairs",
+    "interval_overlap_window_sessions",
+    "key_skew_report_events",
+    "kmeans_elbow_gate",
+    "lda_invariants_gate",
+    "levenshtein_verified_pairs",
+    "merge_upsert_customers",
+    "npmi_topic_coherence",
+    "pagerank_copurchase_parts",
+    "pca_invariants_gate",
+    "pii_scrubbed_documents",
+    "pmi_terms_by_lang",
+    "pq_ann_recall",
+    "profile_customer_columns",
+    "quality_classifier_gate",
+    "sgns_reference_analogy_gate",
+    "snapshot_diff_customers",
+    "stream_dedup_user_event_types",
+    "stream_histogram_quantiles",
+    "stream_quality_violations",
+    "stream_scd2_customer_history",
+    "stream_semantic_dedup_survivors",
+    "stream_static_enriched_counts",
+    "stream_stream_click_purchase_pairs",
+    "stream_windowed_approx_users",
+    "table_fingerprint_customer",
     "umass_pair_stats_by_lang",
     "umass_topic_coherence",
-    "npmi_topic_coherence",
-    "cm_sketch_user_counts",
-    "histogram_sketch_quantiles",
-    "pagerank_copurchase_parts",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
-    "stream_scd2_customer_history",
-    "topn_parts_by_lineitems",
-    "order_lineitem_ship_delay",
-    "range_join_clicks_before_purchase",
-    "user_event_contexts",
-    "pca_projection_2d",
+    "zorder_values_events",
+    "c2v_event_embeddings",
+    "cdc_chunked_documents",
+    "cluster_compare_kmeans_vs_labels",
+    "cluster_greedy_max_match",
+    "coherence_task_export",
+    "curriculum_stage_assignments",
+    "dedup_aware_splits",
     "doc_quality_features",
-    "text_pipeline_term_counts",
-    "exact_duplicate_groups",
-    "ngram_jaccard_pairs",
+    "domain_quota_survivors",
     "duplicate_components_ngram",
     "embedding_near_dup_pairs",
     "embedding_sum_by_label",
-    "knn_bruteforce_cosine",
-    "coherence_task_export",
+    "exact_duplicate_groups",
+    "gif_decode_gate",
+    "html_extracted_text",
+    "incremental_winnow_shared_pairs",
     "intruder_task_export",
+    "ivf_ann_recall",
+    "ivf_ann_topk",
+    "kmeans_cluster_sizes",
+    "kmeans_quality_metrics",
+    "knn_bruteforce_cosine",
+    "lda_topic_terms",
+    "minhash_near_dup_pairs",
+    "minhash_verified_pairs",
     "multimodal_asset_byte_stats",
+    "multimodal_audio_resample",
     "multimodal_frame_samples",
     "multimodal_image_features",
-    "multimodal_audio_resample",
-    "stream_windowed_event_counts",
-    "stream_user_sessions",
-    "user_sessions_batch",
-    "stream_sliding_event_counts",
-    "stream_windowed_top_event_types",
-    "stream_user_running_totals",
-    "minhash_near_dup_pairs",
-    "simhash_candidate_pairs",
-    "kmeans_cluster_sizes",
-    "cluster_compare_kmeans_vs_labels",
-    "kmeans_quality_metrics",
-    "cluster_greedy_max_match",
-    "lda_topic_terms",
-    "c2v_event_embeddings",
-    "ivf_ann_topk",
-    "minhash_verified_pairs",
-    "ivf_ann_recall",
-    "png_decode_gate",
-    "gif_decode_gate",
-    "sink_roundtrip_counts",
-    "html_extracted_text",
-    "cdc_chunked_documents",
-    "curriculum_stage_assignments",
-    "domain_quota_survivors",
+    "ngram_jaccard_pairs",
     "normalized_url_groups",
-    "dedup_aware_splits",
+    "order_lineitem_ship_delay",
+    "pca_projection_2d",
+    "png_decode_gate",
+    "range_join_clicks_before_purchase",
+    "simhash_candidate_pairs",
+    "sink_roundtrip_counts",
     "split_leakage_audit",
-    "incremental_winnow_shared_pairs",
+    "stream_sliding_event_counts",
+    "stream_user_running_totals",
+    "stream_user_sessions",
+    "stream_windowed_event_counts",
+    "stream_windowed_top_event_types",
+    "text_pipeline_term_counts",
+    "topn_parts_by_lineitems",
     "unigram_invariants_gate",
     "unigram_roundtrip_gate",
-    "semi_join_topn_flag_counts",
+    "user_event_contexts",
+    "user_sessions_batch",
     "anti_join_customers_without_f_orders",
-    "regex_filter_parts",
-    "filtered_event_counts",
-    "derived_and_recategorized_customers",
-    "rollup_order_status_totals",
-    "cube_order_status_totals",
-    "pivot_nation_segment_counts",
-    "quantiles_value_by_event_type",
-    "salted_join_event_type_weights",
-    "exclude_top_users",
-    "order_thread_documents",
-    "describe_value_by_event_type",
-    "top3_customers_per_segment",
-    "union_dedup_customers",
-    "table_selection_with_neighbors",
-    "nation_customer_supplier_alignment",
-    "segment_nation_contingency",
-    "json_props_stats_by_type",
-    "deterministic_sample_documents",
     "approx_distinct_users_by_type",
     "approx_quantiles_value_tolerance",
-    "manifest_incremental_dedup_pairs",
-    "jpeg_decode_gate",
     "avi_decode_gate",
-    "g711_decode_gate",
-    "manifest_timetravel_counts",
-    "manifest_dv_lifecycle_counts",
-    "manifest_bloom_point_lookups",
-    "stream_manifest_appends",
-    "manifest_merge_upsert_counts",
-    "stream_dv_deletes",
-    "doc_repetition_features",
-    "decontaminated_documents",
     "bloom_decontaminated_documents",
-    "semantic_decontaminated_vectors",
-    "dataset_split_sizes",
-    "crawl_corpus",
-    "stream_crawl_extraction",
-    "warc_roundtrip_pages",
-    "mixture_sample_by_source",
-    "packed_sequence_bins",
-    "curated_training_corpus",
     "c4_cleaned_documents",
-    "triangle_counts_copurchase",
+    "crawl_corpus",
+    "cube_order_status_totals",
+    "curated_training_corpus",
+    "dataset_split_sizes",
+    "decontaminated_documents",
+    "derived_and_recategorized_customers",
+    "describe_value_by_event_type",
+    "deterministic_sample_documents",
+    "doc_repetition_features",
+    "exclude_top_users",
+    "filtered_event_counts",
+    "g711_decode_gate",
+    "jpeg_decode_gate",
+    "json_props_stats_by_type",
     "lpa_communities_copurchase",
+    "manifest_bloom_point_lookups",
+    "manifest_dv_lifecycle_counts",
+    "manifest_incremental_dedup_pairs",
+    "manifest_merge_upsert_counts",
+    "manifest_timetravel_counts",
+    "mixture_sample_by_source",
+    "nation_customer_supplier_alignment",
+    "order_thread_documents",
+    "packed_sequence_bins",
+    "pivot_nation_segment_counts",
+    "quantiles_value_by_event_type",
+    "regex_filter_parts",
+    "rollup_order_status_totals",
+    "salted_join_event_type_weights",
+    "segment_nation_contingency",
+    "semantic_decontaminated_vectors",
+    "semi_join_topn_flag_counts",
+    "stream_crawl_extraction",
+    "stream_dv_deletes",
+    "stream_manifest_appends",
+    "table_selection_with_neighbors",
+    "top3_customers_per_segment",
+    "triangle_counts_copurchase",
+    "union_dedup_customers",
+    "warc_roundtrip_pages",
     "wordpiece_invariants_gate",
     "wordpiece_roundtrip_gate",
+    "asof_purchase_to_click",
+    "bm25_topk_docs",
+    "c2v_grid_search_gate",
+    "c4_sentence_span_dedup",
+    "cohort_retention_weekly",
+    "contamination_report_pairs",
+    "corpus_prep_survivors",
+    "correlated_subquery_small_quantities",
+    "dedup_keep_best_documents",
+    "doc_token_stats_by_lang",
+    "dsir_importance_weights",
+    "dsir_resampled_documents",
+    "duplicate_substring_spans",
+    "event_neighbor_lags",
+    "event_scalar_functions",
+    "events_corpus_stats",
+    "grouping_sets_order_totals",
+    "hll_sketch_rollup_users",
+    "hourly_event_counts_gapfilled",
+    "hybrid_search_rrf",
+    "incremental_daily_counts_merge",
+    "incremental_postings_merge",
+    "incremental_semantic_dedup_survivors",
+    "intersect_except_customers",
+    "inverted_index_terms",
+    "k_anonymous_event_stats",
+    "ks_drift_click_vs_purchase",
+    "lm_doc_quality_scores",
+    "lpa_modularity_copurchase",
+    "lpa_oscillation_gate",
+    "mad_outliers_value_by_type",
+    "manifest_change_feed_counts",
+    "manifest_changes_maintenance_counts",
+    "mixture_upsampled_counts",
+    "modern_training_corpus",
+    "packed_sequence_texts",
+    "perplexity_buckets_by_lang",
+    "pit_scd2_order_segments",
+    "scd2_customer_history",
+    "semantic_dedup_survivors",
+    "session_funnel_stages",
+    "span_deduped_documents",
+    "tfidf_topk_docs",
+    "weighted_sample_docs_by_lang",
+    "window_suite_customer_orders",
+    "winnow_fingerprint_pairs",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.
