@@ -374,8 +374,35 @@ def _scan_with_pos(
     )
 
 
+#: deletion-vector files have exactly this layout (written by the
+#: delete/merge paths from ``__dv_file``/``__dv_pos``); pinning it on
+#: read skips a parquet schema-inference job per vector read — vector
+#: reads happen on every snapshot/changes/materialize of a vectored
+#: table, so the fixed cost matters
+_DV_SCHEMA = "file string, pos bigint"
+
+
 def _dv_frame(spark: SparkSession, path: str, dv_files: list[str]) -> DataFrame:
-    return spark.read.parquet(*(os.path.join(path, f) for f in dv_files))
+    return spark.read.schema(_DV_SCHEMA).parquet(
+        *(os.path.join(path, f) for f in dv_files)
+    )
+
+
+def _dv_file_counts(path: str, dv_files: list[str]) -> dict[str, int]:
+    """Per-data-file deleted-row counts from freshly staged vector
+    files — a driver-local pyarrow read of the single ``file`` column
+    (same POSIX-path discipline as ``_stage_stats``), not a Spark job:
+    vectors are proportional to the DELETED rows of one commit, and the
+    caller just wrote them, so the read is footer-warm and tiny."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    out: collections.Counter = collections.Counter()
+    for f in dv_files:
+        tbl = pq.read_table(os.path.join(path, f), columns=["file"])
+        out.update(tbl.column("file").to_pylist())
+    return dict(out)
 
 
 def _apply_dvs(
@@ -1045,41 +1072,48 @@ def manifest_delete_where(
         live = _apply_dvs(
             live, _dv_frame(spark, path, dv_files), keep_pos=True
         )
-    hit_rel = sorted(
-        r["__dv_file"]
-        for r in live.where(condition)
-        .select("__dv_file")
-        .distinct()
-        .collect()
-    )
-    if not hit_rel:
-        return head, 0
-    # keep every row where the condition is not TRUE — a NULL-evaluating
-    # predicate must keep the row, not silently drop it
-    survivors = (
-        live.where(F.col("__dv_file").isin(hit_rel))
-        .where(~F.coalesce(condition, F.lit(False)))
-        .drop("__dv_file", "__dv_pos")
-    )
     version = head + 1
+    # ONE full scan stages the matched positions as a vector over the
+    # (immutable) hit files — row-exact change tracking for incremental
+    # readers (see docstring). The hit-file set then falls out of the
+    # staged vector (driver-local read of a tiny file), so finding the
+    # hits and recording them costs a single pass instead of a collect
+    # scan plus a separate vector pass
+    matched = live.where(F.coalesce(condition, F.lit(False))).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    ).coalesce(1)
+    dv_dir, matched_dv = _stage_batch(matched, path, version, prefix="dv")
+    matched_counts = _dv_file_counts(path, matched_dv)
+    if not matched_counts:
+        shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
+        return head, 0
+    hit_rel = sorted(matched_counts)
+    # survivor rewrite scans ONLY the hit files. Keep every row where
+    # the condition is not TRUE — a NULL-evaluating predicate must keep
+    # the row, not silently drop it
+    hit_scan = _scan_with_pos(spark, path, hit_rel, schema)
+    if dv_files and dv_targets:
+        hit_scan = _apply_dvs(
+            hit_scan, _dv_frame(spark, path, dv_files), keep_pos=True
+        )
+    survivors = hit_scan.where(~F.coalesce(condition, F.lit(False))).drop(
+        "__dv_file", "__dv_pos"
+    )
+    # survivor emptiness from METADATA when footer counts cover the hit
+    # files (count − already-vectored − newly-matched, all exact)
+    rc = live_row_counts(path, head)
+    if all(f in rc for f in hit_rel):
+        any_survivors = any(
+            rc[f] - dv_targets.get(f, 0) - matched_counts[f] > 0
+            for f in hit_rel
+        )
+    else:
+        any_survivors = bool(survivors.limit(1).count())
     stage_dir, added = (
         _stage_batch(survivors, path, version)
-        if survivors.limit(1).count()
+        if any_survivors
         else (None, [])
     )
-    # the matched positions, as a vector over the (immutable) hit files —
-    # row-exact change tracking for incremental readers (see docstring).
-    # The isin prune keeps this pass hit-file-sized, like the survivor
-    # rewrite: matches can only live in hit files by construction
-    matched = (
-        live.where(F.col("__dv_file").isin(hit_rel))
-        .where(F.coalesce(condition, F.lit(False)))
-        .select(
-            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
-        )
-        .coalesce(1)
-    )
-    dv_dir, matched_dv = _stage_batch(matched, path, version, prefix="dv")
     stats, row_counts = _stage_stats(path, added)
     _commit_or_cleanup(
         path,
@@ -1176,13 +1210,7 @@ def manifest_delete_rows(
     )
     version = head + 1
     dv_dir, added_dv = _stage_batch(hits, path, version, prefix="dv")
-    per_file = {
-        r["file"]: r["n"]
-        for r in _dv_frame(spark, path, added_dv)
-        .groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    per_file = _dv_file_counts(path, added_dv)
     if not per_file:
         shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
         return head, 0
@@ -1257,13 +1285,7 @@ def manifest_merge_upsert(
             .coalesce(max(1, dv_target_files))
         )
         dv_dir, added_dv = _stage_batch(hits, path, version, prefix="dv")
-        per_file = {
-            r["file"]: r["n"]
-            for r in _dv_frame(spark, path, added_dv)
-            .groupBy("file")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        per_file = _dv_file_counts(path, added_dv)
         if not per_file:
             shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
             added_dv = []
@@ -1316,9 +1338,19 @@ def manifest_materialize_deletes(
         _dv_frame(spark, path, dv_files),
     )
     version = head + 1
+    # emptiness from METADATA when possible (footer row counts minus
+    # vectored rows, both exact) — the limit-count fallback is a real
+    # scan of every affected file, worth skipping on the common path
+    rc = live_row_counts(path, head)
+    if all(f in rc for f in affected):
+        any_survivors = any(
+            rc[f] - dv_targets.get(f, 0) > 0 for f in affected
+        )
+    else:
+        any_survivors = bool(survivors.limit(1).count())
     stage_dir, added = (
         _stage_batch(survivors, path, version)
-        if survivors.limit(1).count()
+        if any_survivors
         else (None, [])
     )
     stats, row_counts = _stage_stats(path, added)
