@@ -4506,6 +4506,78 @@ def manifest_changes_maintenance_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Segmented-compaction change feed (r10 — closes the r9 residual "mixed
+# hit files exit at file grain" boundary): an archive append precedes
+# the range; an in-range append is then BIN-PACKED with the archive file
+# by manifest_compact_small, whose commit records exact per-output
+# SEGMENTS (row provenance). A deletion vector and a partial-overlap
+# delete_where both hit the PACKED file — the feed scans it restricted
+# to its range-new position ranges and nets both vectors row-exactly,
+# while the change feed's delete side replays exactly the ARCHIVE-
+# visible matches through the same segment composition. The oracle
+# derives both sides in closed form from the customer table.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_segmented_feed_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    ins AS (SELECT k FROM cust
+            WHERE k % 3 = 1 AND k % 20 <> 1 AND k % 10 <> 0),
+    del AS (SELECT k FROM cust
+            WHERE k % 3 = 0 AND (k % 20 = 1 OR k % 10 = 0))
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_key
+    FROM ins
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+    FROM del
+    """,
+)
+def manifest_segmented_feed_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    work = tempfile.mkdtemp(prefix="mani_seg_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(
+            cust.where(F.col("k") % 3 == 0).coalesce(1), root
+        )  # v1 archive (pre-range)
+        M.manifest_append(
+            cust.where(F.col("k") % 3 == 1).coalesce(1), root
+        )  # v2 range-new
+        # v3: bin-pack archive + range into ONE file — mixed rewrite
+        # WITH segments; the feed follows it at position-range grain
+        M.manifest_compact_small(
+            spark, root, max_file_bytes=1 << 30, target_file_bytes=1 << 30
+        )
+        # v4: deletion vector against the packed file (both classes hit)
+        M.manifest_delete_rows(spark, root, F.col("k") % 20 == 1)
+        # v5: partial-overlap delete_where against the packed file —
+        # matched positions recorded as dv_matched, survivors rewritten
+        M.manifest_delete_where(spark, root, F.col("k") % 10 == 0)
+        out = (
+            M.read_change_feed(spark, root, 1)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -9945,6 +10017,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "manifest_segmented_feed_counts",
     "ab_test_purchase_rates",
     "audio_envelope_pairs",
     "corpus_datasheet_by_source",

@@ -802,6 +802,77 @@ def read_snapshot(
     return reader.parquet(*(os.path.join(path, f) for f in files))
 
 
+def _merge_pos_ranges(a, b):
+    """Union of two position-range lists ([lo, hi) tuples); ``None``
+    means "the whole file" and absorbs everything."""
+    if a is None or b is None:
+        return None
+    out: list[list[int]] = []
+    for lo, hi in sorted(list(a) + list(b)):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [tuple(r) for r in out]
+
+
+def _map_through_segments(segments: list, source_ranges: dict) -> list:
+    """Map per-source position ranges into OUTPUT coordinates through a
+    rewrite's recorded ``segments`` ([[source, source_lo, n_rows], ...]
+    in output position order). ``source_ranges`` maps source file ->
+    None (whole file) | [lo, hi) list; sources absent from it contribute
+    nothing. Pure interval arithmetic — no data read."""
+    out_ranges: list = []
+    cursor = 0
+    for src, src_lo, cnt in segments:
+        if src in source_ranges:
+            rg = source_ranges[src]
+            if rg is None:
+                out_ranges.append((cursor, cursor + cnt))
+            else:
+                for lo, hi in rg:
+                    s = max(lo, src_lo)
+                    e = min(hi, src_lo + cnt)
+                    if s < e:
+                        out_ranges.append(
+                            (cursor + s - src_lo, cursor + e - src_lo)
+                        )
+        cursor += cnt
+    return _merge_pos_ranges(out_ranges, [])
+
+
+def _since_visibility(
+    path: str, since_version: int, version: int
+) -> dict:
+    """file -> positions holding rows VISIBLE at ``since_version``
+    (None = every position, [lo, hi) list = a subset), for every file a
+    range deletion vector may target: files live at ``since_version``
+    are wholly visible, and segmented rewrite outputs inherit their
+    sources' visibility through interval composition. Files absent from
+    the map hold no provably-visible rows (range-appended data, or
+    rewrite outputs without recorded provenance) — the change feed's
+    delete side skips them rather than over-emit."""
+    vis: dict[str, list | None] = {
+        f: None for f in live_files(path, since_version)
+    }
+    for v in list_versions(path):
+        if v <= since_version or v > version:
+            continue
+        doc = read_version_doc(path, v)
+        if doc.get("operation", "append") in (
+            "compact",
+            "materialize",
+            "checkpoint",
+        ):
+            segments = doc.get("segments")
+            if segments and set(segments) == set(doc.get("added", [])):
+                for n in doc["added"]:
+                    rgs = _map_through_segments(segments[n], vis)
+                    if rgs:
+                        vis[n] = rgs
+    return vis
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -823,27 +894,36 @@ def read_changes(
       FOLLOWED: the feed scans its outputs instead of the originals,
       so later in-range deletes and deletion vectors — which target
       the live (rewritten) file names — line up with the scan set. A
-      rewrite that mixes pre-range files in keeps the original
-      range files in the scan set (they are immutable until vacuum);
-      its outputs carry mixed lineage and cannot be scanned directly.
+      rewrite that mixes pre-range files in is ALSO followed when its
+      commit records ``segments`` (exact per-output row provenance —
+      every ``manifest_compact_small`` commit does) and each input's
+      range rows live at the input's own coordinates: the feed scans
+      the output restricted to the POSITION RANGES its range-new
+      sources landed in, so later deletes and vectors against the
+      output line up row-exactly. A mixed rewrite without segments
+      (full ``manifest_compact``, ``materialize`` over mixed inputs)
+      keeps the original range files in the scan set (they are
+      immutable until vacuum); its outputs carry mixed lineage and
+      cannot be scanned directly.
     * ``rowdelete``/``merge`` DELETION VECTORS committed in the range
       are applied to the range's scan set — retirement by a later
       rewrite folds deletes into data, it never resurrects rows.
     * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
       batch grain) is ROW-EXACT whenever its commit carries the
       ``dv_matched`` position vector (every commit written by this
-      engine does): hit files that are in the scan set stay scanned
-      and the matched rows are vectored out, so survivors of
-      range-new files are emitted and deleted rows never are —
-      regardless of whether the hit set also includes archive files.
-      When all hit files are wholly range-new, the survivor rewrite
-      is emitted instead (fewer files, same rows). The one residual
-      file-grain boundary: a hit file that is an IMPURE in-range
-      rewrite output (the feed scans its originals, whose coordinates
-      the vector cannot address) evicts its range originals wholesale
-      — under-emission, never over-emission. Legacy delete commits
-      without ``dv_matched`` fall back to the same pure-only survivor
-      rule with file-grain eviction elsewhere.
+      engine does): hit files that are in the scan set — whole or
+      segment-restricted — stay scanned and the matched rows are
+      vectored out, so survivors of range-new rows are emitted and
+      deleted rows never are, regardless of whether the hit set also
+      includes archive files or mixed compaction outputs. When all
+      hit files are wholly range-new, the survivor rewrite is emitted
+      instead (fewer files, same rows). The residual file-grain
+      boundary: a hit file scanned VIA OTHER FILES (a segment-less
+      mixed rewrite output, or a delete-survivor file) evicts the
+      files scanned on its behalf wholesale — under-emission, never
+      over-emission. Legacy delete commits without ``dv_matched``
+      fall back to the same pure-only survivor rule with file-grain
+      eviction elsewhere.
     """
     if version is None:
         version = latest_version(path)
@@ -858,22 +938,34 @@ def read_changes(
             f" version {oldest} (vacuumed); read a full snapshot instead"
         )
     _REWRITE_OPS = {"compact", "materialize", "checkpoint"}
-    added: list[str] = []
-    # range lineage: live file -> (scan files carrying its range rows,
-    # wholly-range-new?). Invariant: a pure file is in `added` with
-    # identity lineage; an impure rewrite output maps to the original
-    # range files still scanned on its behalf; a file absent from the
+    # the feed's scan set: file -> None (scan whole — the file is wholly
+    # range-new) or a sorted list of [lo, hi) position ranges holding its
+    # range-new rows (a segmented mixed-rewrite output)
+    scan_ranges: dict[str, list | None] = {}
+    # range lineage: live file -> ({scan file: ranges-or-None carried on
+    # its behalf}, wholly-range-new?). Invariant: a pure file scans
+    # itself whole; a segmented rewrite output scans itself restricted
+    # to ranges; a segment-less mixed output or delete-survivor maps to
+    # OTHER files still scanned on its behalf; a file absent from the
     # map carries no range rows (pre-range data only).
-    lineage: dict[str, tuple[set, bool]] = {}
+    lineage: dict[str, tuple[dict, bool]] = {}
     range_dvs: list[str] = []
 
-    def _evict(removed: set) -> tuple[set, bool]:
-        """Pop lineage for ``removed``; return (scan files to evict,
-        every-removed-file-wholly-range-new?)."""
-        scan, all_pure = set(), True
+    def _scan_add(target: dict, file: str, ranges) -> None:
+        if file in target:
+            target[file] = _merge_pos_ranges(target[file], ranges)
+        else:
+            target[file] = ranges
+
+    def _evict(removed: set) -> tuple[dict, bool]:
+        """Pop lineage for ``removed``; return ({scan file: ranges} to
+        evict, every-removed-file-wholly-range-new?)."""
+        scan: dict = {}
+        all_pure = True
         for r in removed:
-            sf, pure = lineage.pop(r, (set(), False))
-            scan |= sf
+            sd, pure = lineage.pop(r, ({}, False))
+            for f, rg in sd.items():
+                _scan_add(scan, f, rg)
             all_pure = all_pure and pure
         return scan, all_pure
 
@@ -883,9 +975,30 @@ def read_changes(
         doc = read_version_doc(path, v)
         op = doc.get("operation", "append")
         range_dvs += doc.get("dv_added", [])
+        if doc.get("dv_added"):
+            # a vector addresses its TARGET file's coordinates; a target
+            # whose range rows are scanned via OTHER files (segment-less
+            # mixed-rewrite output, delete-survivor file) cannot be
+            # netted row-exactly — those scans exit at file grain
+            # (under-emission, never the over-emission of a silently
+            # unapplied delete)
+            for t in doc.get("dv_targets", {}):
+                sd, _p = lineage.get(t, ({}, False))
+                if sd and set(sd) != {t}:
+                    scan, _ = _evict({t})
+                    for f in scan:
+                        scan_ranges.pop(f, None)
         removed = set(doc.get("removed", []))
         if op in _REWRITE_OPS:
-            scan, all_pure = _evict(removed)
+            per_r = {
+                r: lineage.pop(r, ({}, False)) for r in sorted(removed)
+            }
+            scan: dict = {}
+            all_pure = True
+            for sd, pure in per_r.values():
+                for f, rg in sd.items():
+                    _scan_add(scan, f, rg)
+                all_pure = all_pure and pure
             if not scan:
                 # pre-range-only rewrite: data no-op, outputs carry no
                 # range rows — nothing to track
@@ -894,20 +1007,47 @@ def read_changes(
                 # follow the rewrite: outputs replace the originals in
                 # the scan set (same live rows; vectors folded in by
                 # the rewrite then match nothing — already applied)
-                added = [f for f in added if f not in scan]
+                for f in scan:
+                    scan_ranges.pop(f, None)
                 for n in doc["added"]:
-                    added.append(n)
-                    lineage[n] = ({n}, True)
-            else:
-                # mixed rewrite: keep scanning the originals; outputs
-                # answer for them if a later op removes the outputs
+                    scan_ranges[n] = None
+                    lineage[n] = ({n: None}, True)
+                continue
+            segments = doc.get("segments")
+            self_addressed = all(
+                set(sd) <= {r} for r, (sd, _p) in per_r.items()
+            )
+            if (
+                segments is not None
+                and self_addressed
+                and set(segments) == set(doc["added"])
+            ):
+                # segmented mixed rewrite: follow it — scan each output
+                # restricted to the positions its range-new sources
+                # landed in (exact interval arithmetic, no data read)
+                for f in scan:
+                    scan_ranges.pop(f, None)
+                src_ranges = {
+                    src: sd[src]
+                    for src, (sd, _p) in per_r.items()
+                    if src in sd
+                }
                 for n in doc["added"]:
-                    lineage[n] = (set(scan), False)
+                    merged = _map_through_segments(segments[n], src_ranges)
+                    if merged:
+                        scan_ranges[n] = merged
+                        lineage[n] = ({n: merged}, False)
+                continue
+            # mixed rewrite without provenance: keep scanning the
+            # originals; outputs answer for them if a later op removes
+            # the outputs
+            for n in doc["added"]:
+                lineage[n] = (dict(scan), False)
             continue
         if op == "delete":
             matched_dv = doc.get("dv_matched", [])
             all_pure = bool(removed) and all(
-                lineage.get(r, (set(), False))[1] for r in removed
+                lineage.get(r, ({}, False))[1] for r in removed
             )
             if all_pure or not matched_dv:
                 # pure hit set (or legacy commit): evict the hit files'
@@ -915,53 +1055,75 @@ def read_changes(
                 # range-new, the survivor rewrite carries exactly the
                 # range-new still-live rows — emit it
                 scan, _ = _evict(removed)
-                added = [f for f in added if f not in scan]
+                for f in scan:
+                    scan_ranges.pop(f, None)
                 if removed and all_pure:
                     for n in doc["added"]:
-                        added.append(n)
-                        lineage[n] = ({n}, True)
+                        scan_ranges[n] = None
+                        lineage[n] = ({n: None}, True)
                 continue
-            # row-exact path: keep scanned hit files in the feed and
-            # vector out the matched rows (coordinates are against the
-            # immutable originals, which is what the feed scans); only
-            # impure-rewrite hits — scanned via originals the vector
+            # row-exact path: keep scanned hit files in the feed (whole
+            # or segment-restricted) and vector out the matched rows
+            # (coordinates are against the immutable scanned files);
+            # only hits scanned via OTHER files — which the vector
             # cannot address — exit at file grain
-            added_set = set(added)
-            in_scan = [r for r in removed if r in added_set]
+            in_scan = [r for r in removed if r in scan_ranges]
             unmapped = [
                 r
                 for r in removed
-                if r not in added_set and r in lineage
+                if r not in scan_ranges and r in lineage
             ]
             if unmapped:
                 scan, _ = _evict(set(unmapped))
-                added = [f for f in added if f not in scan]
+                for f in scan:
+                    scan_ranges.pop(f, None)
             range_dvs += matched_dv
             # survivors are NOT emitted (their rows stay live through
-            # the originals + vector); they carry the scanned
-            # originals' lineage for later in-range ops
-            surv_scan = set(in_scan)
+            # the scanned files + vector); they carry the scanned hit
+            # files' lineage for later in-range ops
+            surv_scan = {r: scan_ranges[r] for r in in_scan}
+            for r in in_scan:
+                lineage.pop(r, None)
             for n in doc["added"]:
-                lineage[n] = (surv_scan, False)
+                lineage[n] = (dict(surv_scan), False)
             continue
-        scan, all_pure = _evict(removed)
-        added = [f for f in added if f not in scan]
+        scan, _ = _evict(removed)
+        for f in scan:
+            scan_ranges.pop(f, None)
         for n in doc["added"]:
-            added.append(n)
-            lineage[n] = ({n}, True)
+            scan_ranges[n] = None
+            lineage[n] = ({n: None}, True)
     schema = _schema_of(path, version)
-    if not added:
+    if not scan_ranges:
         if schema is None:
             raise ValueError(f"no schema recorded at {path} yet")
         return spark.createDataFrame([], schema)
-    if range_dvs:
+    whole = sorted(f for f, rg in scan_ranges.items() if rg is None)
+    ranged = {f: rg for f, rg in scan_ranges.items() if rg is not None}
+    if range_dvs or ranged:
         # rows row-deleted within the range are not live at its end; the
         # anti-join self-restricts to the files actually scanned (vectors
-        # aimed at archive files match nothing here)
-        scanned = _scan_with_pos(spark, path, added, schema)
-        return _apply_dvs(scanned, _dv_frame(spark, path, range_dvs))
+        # aimed at archive files match nothing here). Segment-restricted
+        # files additionally filter to their range-new position ranges.
+        scanned = _scan_with_pos(spark, path, sorted(scan_ranges), schema)
+        if ranged:
+            cond = (
+                F.col("__dv_file").isin(whole) if whole else F.lit(False)
+            )
+            for f, rgs in sorted(ranged.items()):
+                in_rg = F.lit(False)
+                for lo, hi in rgs:
+                    in_rg = in_rg | (
+                        (F.col("__dv_pos") >= int(lo))
+                        & (F.col("__dv_pos") < int(hi))
+                    )
+                cond = cond | ((F.col("__dv_file") == f) & in_rg)
+            scanned = scanned.where(cond)
+        if range_dvs:
+            return _apply_dvs(scanned, _dv_frame(spark, path, range_dvs))
+        return scanned.drop("__dv_file", "__dv_pos")
     reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*(os.path.join(path, f) for f in added))
+    return reader.parquet(*(os.path.join(path, f) for f in whole))
 
 
 def read_change_feed(
@@ -1008,26 +1170,41 @@ def read_change_feed(
     if not range_dvs:
         return inserts
     dvs = _dv_frame(spark, path, range_dvs)
-    # rows were VISIBLE at since_version only if their file was live
-    # then — vectors into range-added files net out against inserts
-    live_at_since = set(live_files(path, since_version))
+    # rows were VISIBLE at since_version only if their position was
+    # live then — wholly for files live at since, through segment
+    # composition for rewrite outputs; vectors into range-added files
+    # net out against inserts instead
+    vis = _since_visibility(path, since_version, version)
     targets = sorted(
         {
             r["file"]
             for r in dvs.select("file").distinct().collect()
-            if r["file"] in live_at_since
+            if r["file"] in vis
         }
     )
     if not targets:
         return inserts
+    scanned = _scan_with_pos(spark, path, targets, schema)
+    ranged = {f: vis[f] for f in targets if vis[f] is not None}
+    if ranged:
+        whole = [f for f in targets if vis[f] is None]
+        cond = F.col("__dv_file").isin(whole) if whole else F.lit(False)
+        for f, rgs in sorted(ranged.items()):
+            in_rg = F.lit(False)
+            for lo, hi in rgs:
+                in_rg = in_rg | (
+                    (F.col("__dv_pos") >= int(lo))
+                    & (F.col("__dv_pos") < int(hi))
+                )
+            cond = cond | ((F.col("__dv_file") == f) & in_rg)
+        scanned = scanned.where(cond)
     # the feed wants exactly the vectors' matches — a semi-join on the
     # same renamed keys _apply_dvs anti-joins on
     d = dvs.select(
         F.col("file").alias("__dvv_file"), F.col("pos").alias("__dvv_pos")
     )
     deleted = (
-        _scan_with_pos(spark, path, targets, schema)
-        .join(
+        scanned.join(
             d,
             (F.col("__dv_file") == F.col("__dvv_file"))
             & (F.col("__dv_pos") == F.col("__dvv_pos")),
@@ -1535,11 +1712,20 @@ def manifest_compact_small(
     it exactly like full compaction (followed when its inputs are all
     range-new, originals kept otherwise).
 
+    Each bin is written as an ORDER-PINNED concatenation of whole source
+    files (sorted by name, then source position), and the commit doc
+    records the layout as ``segments`` ({output: [[source, source_lo,
+    n_rows], ...]} in position order). Segments are what lets
+    ``read_changes`` stay row-exact across this rewrite even when it
+    mixes pre-range files in: the feed scans the output restricted to
+    its range-new position ranges instead of evicting at file grain,
+    and later deletion vectors — addressed against the output — apply
+    directly. One write job per bin, no shuffle, no sampling pass; a
+    maintenance tick packs 1-2 bins.
+
     Returns (head_after, n_files_packed); no commit when fewer than two
     pack candidates exist or packing would not reduce the file count.
     """
-    import math
-
     head = latest_version(path)
     files = live_files(path, head)
     dv_files, dv_targets = live_dv_state(path, head)
@@ -1552,17 +1738,51 @@ def manifest_compact_small(
     )
     if len(small) < 2:
         return head, 0
-    n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_file_bytes))
-    if n_out >= len(small):
+    # first-fit bins over the name-sorted candidates — whole files only,
+    # so every output's row provenance is exact metadata
+    bins: list[list[str]] = [[]]
+    acc = 0
+    for f in small:
+        if bins[-1] and acc + sizes[f] > target_file_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sizes[f]
+    if len(bins) >= len(small):
         return head, 0
     schema = _schema_of(path, head)
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    packed = reader.parquet(
-        *(os.path.join(path, f) for f in small)
-    ).coalesce(n_out)
+    rc = live_row_counts(path, head)
     version = head + 1
-    stage_dir, added = _stage_batch(packed, path, version)
+    stage_dirs: list[str] = []
+    added: list[str] = []
+    segments: dict[str, list] = {}
+    for bin_files in bins:
+        packed = (
+            _scan_with_pos(spark, path, bin_files, schema)
+            .coalesce(1)
+            .sortWithinPartitions("__dv_file", "__dv_pos")
+            .drop("__dv_file", "__dv_pos")
+        )
+        d, a = _stage_batch(packed, path, version)
+        stage_dirs.append(d)
+        added += a
+        if a:
+            segs = []
+            for f in bin_files:  # already name-sorted
+                n = rc.get(f)
+                if n is None:
+                    n = _file_row_count(os.path.join(path, f))
+                if n > 0:
+                    segs.append([f, 0, n])
+            segments[a[0]] = segs
     stats, row_counts = _stage_stats(path, added)
+    for out, segs in segments.items():
+        if sum(s[2] for s in segs) != row_counts.get(out):
+            # provenance must be exact or absent — a wrong segment map
+            # would silently corrupt incremental feeds
+            raise ValueError(
+                f"compaction segment rows disagree with staged {out}"
+            )
     _commit_or_cleanup(
         path,
         {
@@ -1578,8 +1798,9 @@ def manifest_compact_small(
             "dv_added": [],
             "dv_removed": [],
             "dv_targets": {},
+            "segments": segments,
         },
-        [stage_dir],
+        stage_dirs,
     )
     return version, len(small)
 

@@ -1440,3 +1440,110 @@ def test_manifest_compact_small_bin_packs_only_small_files(spark, tmp_path):
     assert M.manifest_compact_small(
         spark, root, max_file_bytes=1, target_file_bytes=1 << 30
     ) == (head, 0)
+
+
+def test_manifest_changes_segmented_compaction_row_exact(spark, tmp_path):
+    """Bin-packing compaction records exact per-output SEGMENTS, so a
+    MIXED rewrite no longer exits the feed at file grain: the feed scans
+    the packed file restricted to its range-new position ranges, and a
+    later delete_where / rowdelete against the packed file nets out
+    row-exactly — the r9 residual boundary, closed."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(100, 120).coalesce(1), root)  # v2 range
+    M.manifest_append(spark.range(200, 230).coalesce(1), root)  # v3 range
+    # v4: pack archive + range files into ONE output (mixed, segmented)
+    v, n = M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 30, target_file_bytes=1 << 30
+    )
+    assert n == 3
+    doc = M.read_version_doc(root, v)
+    assert doc["segments"]  # provenance recorded
+    (out,) = doc["added"]
+    assert [s[2] for s in doc["segments"][out]] == [50, 20, 30]
+    # v5: delete hits the packed file across archive AND range rows
+    M.manifest_delete_where(spark, root, F.col("id") % 10 == 5)
+    want = [
+        i
+        for i in list(range(100, 120)) + list(range(200, 230))
+        if i % 10 != 5
+    ]
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == want  # row-exact: survivors of range rows only
+    # v6: a deletion vector against the delete_where SURVIVOR file — its
+    # rows are scanned via the packed original, whose coordinates the
+    # vector cannot address. The feed must exit that lineage at file
+    # grain (under-emission), NEVER emit the deleted row (over-emission)
+    M.manifest_delete_rows(spark, root, F.col("id") == 101)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert 101 not in got
+    assert set(got) <= set(want)
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [
+        i
+        for i in list(range(50)) + list(range(100, 120)) + list(range(200, 230))
+        if i % 10 != 5 and i != 101
+    ]
+    # the change feed's delete side replays archive-visible matches
+    feed = M.read_change_feed(spark, root, 1).collect()
+    assert sorted(
+        r["id"] for r in feed if r["_change_type"] == "delete"
+    ) == [5, 15, 25, 35, 45]
+
+
+def test_manifest_changes_segments_compose_across_packs(spark, tmp_path):
+    """Two bin-packing generations compose: a segmented output packed
+    again maps its range-new ranges through the second pack's segments
+    (pure interval arithmetic), and a vector against the second output
+    still nets row-exactly."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 40).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(100, 130).coalesce(1), root)  # v2 range
+    M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 30, target_file_bytes=1 << 30
+    )  # v3: O1 (segments: archive + range)
+    M.manifest_append(spark.range(200, 210).coalesce(1), root)  # v4 range
+    M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 30, target_file_bytes=1 << 30
+    )  # v5: O2 packs O1 + v4 (O1 self-addressed ranged)
+    M.manifest_delete_rows(spark, root, F.col("id").isin(7, 105, 205))  # v6
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == [i for i in range(100, 130) if i != 105] + [
+        i for i in range(200, 210) if i != 205
+    ]
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [
+        i
+        for i in list(range(40)) + list(range(100, 130)) + list(range(200, 210))
+        if i not in (7, 105, 205)
+    ]
+
+
+def test_manifest_changes_vector_on_unsegmented_mixed_output(spark, tmp_path):
+    """Over-emission regression: a deletion vector targeting a
+    SEGMENT-LESS mixed rewrite output (full compact folding archive
+    files in) addresses coordinates the feed's original-file scan cannot
+    net — the feed must evict that lineage at file grain rather than
+    silently emit the deleted row."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(100, 120).coalesce(1), root)  # v2 range
+    M.manifest_compact(spark, root, target_files=1)  # v3 mixed, no segments
+    M.manifest_delete_rows(spark, root, F.col("id") == 105)  # v4 vector
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert 105 not in got  # never over-emit a deleted row
+    assert set(got) <= {i for i in range(100, 120)}
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == [i for i in range(120) if i != 105 and not (50 <= i < 100)]
