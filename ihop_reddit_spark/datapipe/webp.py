@@ -58,65 +58,126 @@ _DIST_MAP = [
 
 
 class _BitReader:
+    """LSB-first bit reader. Reads are O(1): an 8-byte little-endian
+    window at the current byte covers any n ≤ 57 after the sub-byte
+    shift (the largest single read in VP8L is 18 extra bits)."""
+
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0  # bit position
+        self.nbits = len(buf) * 8
 
     def read(self, n: int) -> int:
-        out = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.buf):
-                raise ValueError("truncated VP8L bitstream")
-            out |= ((self.buf[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return out
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
+            raise ValueError("truncated VP8L bitstream")
+        byte = pos >> 3
+        chunk = int.from_bytes(self.buf[byte : byte + 8], "little")
+        self.pos = end
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        # tolerates running past the end (reads zeros) — the caller
+        # advances by the DECODED symbol's true length and the advance
+        # is bounds-checked there
+        pos = self.pos
+        byte = pos >> 3
+        chunk = int.from_bytes(self.buf[byte : byte + 8], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
     def __init__(self):
         self.bits: list[int] = []
+        self._chunks: list = []  # (n_header_bits_before, np.uint8 bits)
 
     def write(self, value: int, n: int) -> None:
         for i in range(n):
             self.bits.append((value >> i) & 1)
 
+    def extend_bits(self, arr) -> None:
+        """Append a numpy uint8 0/1 array without list round-trips —
+        the batched payload path."""
+        self._chunks.append((len(self.bits), arr))
+
     def bytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (i & 7)
-        return bytes(out)
+        import numpy as np
+
+        parts = []
+        cursor = 0
+        for at, arr in self._chunks:
+            parts.append(np.asarray(self.bits[cursor:at], dtype=np.uint8))
+            parts.append(arr)
+            cursor = at
+        parts.append(np.asarray(self.bits[cursor:], dtype=np.uint8))
+        allbits = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        if allbits.size == 0:
+            return b""
+        return np.packbits(allbits, bitorder="little").tobytes()
 
 
 class _PrefixCode:
-    """Canonical prefix code: decode by walking bits MSB-of-code-first
-    (each stream bit descends one tree level)."""
+    """Canonical prefix code (stream bits MSB-of-code-first). Decode is
+    a single lookup: a table indexed by the next ``max_len`` stream bits
+    (LSB-first window) yields (symbol, length) packed as
+    ``symbol << 4 | length`` — the classic deflate fast-LUT. Codes
+    deeper than ``_LUT_BITS`` fall back to the level-walk dict."""
+
+    _LUT_BITS = 12
 
     def __init__(self, lengths: list[int]):
         # canonical assignment (deflate order: by length, then symbol)
         self.single = None
+        self.lut = None
+        self.fixed_len = None  # all live symbols share this length
         live = [(l, s) for s, l in enumerate(lengths) if l > 0]
         if not live:
             raise ValueError("prefix code with no symbols")
         if len(live) == 1:
             self.single = live[0][1]
+            self.fixed_len = 0
             return
         live.sort()
         code = 0
         prev_len = live[0][0]
         self.table: dict[tuple[int, int], int] = {}
+        self.codes: list[tuple[int, int, int]] = []  # (length, code, sym)
         for l, s in live:
             code <<= l - prev_len
             prev_len = l
             self.table[(l, code)] = s
+            self.codes.append((l, code, s))
             code += 1
         self.max_len = prev_len
         if code != (1 << prev_len):
             raise ValueError("prefix code lengths do not form a full tree")
+        if live[0][0] == prev_len:
+            self.fixed_len = prev_len
+        if self.max_len <= self._LUT_BITS:
+            m = self.max_len
+            lut = [0] * (1 << m)
+            for l, c, s in self.codes:
+                # stream bit i is code bit (l-1-i): the window pattern is
+                # the code bit-reversed within its length
+                pat = 0
+                for i in range(l):
+                    pat |= ((c >> (l - 1 - i)) & 1) << i
+                step = 1 << l
+                packed = (s << 4) | l
+                for w in range(pat, 1 << m, step):
+                    lut[w] = packed
+            self.lut = lut
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            e = self.lut[br.peek(self.max_len)]
+            br.pos += e & 15
+            if br.pos > br.nbits:
+                raise ValueError("truncated VP8L bitstream")
+            return e >> 4
         code = 0
         for l in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
@@ -124,6 +185,20 @@ class _PrefixCode:
             if s is not None:
                 return s
         raise ValueError("invalid prefix code in VP8L stream")
+
+    def window_symbols(self):
+        """Fixed-length codes only: numpy array mapping every
+        ``fixed_len``-bit stream window to its symbol — the vectorized
+        decode table. Full tree ⇒ every window is some symbol."""
+        import numpy as np
+
+        out = np.zeros(1 << self.fixed_len, dtype=np.uint32)
+        for l, c, s in self.codes:
+            pat = 0
+            for i in range(l):
+                pat |= ((c >> (l - 1 - i)) & 1) << i
+            out[pat] = s
+        return out
 
 
 def _codes_of(lengths: list[int]) -> dict[int, tuple[int, int]]:
@@ -210,10 +285,66 @@ def _lz77_value(br: _BitReader, code: int) -> int:
     return offset + br.read(extra) + 1
 
 
+def _decode_literals_vectorized(br, groups, n: int):
+    """Numpy fast path for the dominant decode shape: single group, no
+    color cache, a green code whose live symbols are all literals (< 256
+    ⇒ no LZ77/cache symbols can occur), and fixed-length codes on every
+    channel ⇒ a constant bit stride per pixel. All n pixels decode as
+    one batched bit-gather — no per-pixel Python. Returns a uint32
+    ARGB array, or None when the shape doesn't qualify."""
+    import numpy as np
+
+    green, red, blue, alpha, _dist = groups[0]
+    chans = (green, red, blue, alpha)
+    if any(c.fixed_len is None for c in chans):
+        return None
+    if green.fixed_len and any(
+        s >= 256 for _l, _c, s in green.codes
+    ):
+        return None
+    if green.single is not None and green.single >= 256:
+        return None
+    stride = sum(c.fixed_len for c in chans)
+    if stride == 0:
+        vals = [c.single for c in chans]
+        px = (
+            (vals[3] << 24) | (vals[1] << 16) | (vals[0] << 8) | vals[2]
+        )
+        return np.full(n, px, dtype=np.uint32)
+    base = br.pos
+    if base + stride * n > br.nbits:
+        raise ValueError("truncated VP8L bitstream")
+    bits = np.unpackbits(
+        np.frombuffer(br.buf, dtype=np.uint8), bitorder="little"
+    )
+    offs = (base + stride * np.arange(n, dtype=np.int64)).astype(np.int64)
+
+    def chan(code, off):
+        ln = code.fixed_len
+        if ln == 0:
+            return np.full(n, code.single, dtype=np.uint32), off
+        win = np.zeros(n, dtype=np.int64)
+        for i in range(ln):
+            win |= bits[offs + (off + i)].astype(np.int64) << i
+        return code.window_symbols()[win], off + ln
+
+    g, off = chan(green, 0)
+    r, off = chan(red, off)
+    b, off = chan(blue, off)
+    a, _ = chan(alpha, off)
+    br.pos = base + stride * n
+    return (
+        (a.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    )
+
+
 def _decode_pixels(
     br: _BitReader, w: int, h: int, *, allow_meta: bool
-) -> list[int]:
-    """One VP8L entropy-coded image → row-major ARGB ints."""
+):
+    """One VP8L entropy-coded image → row-major ARGB uint32 array."""
     # syntax order per the spec / libwebp DecodeImageStream: color
     # cache info first, then the meta-prefix bit (ARGB image only)
     cache_bits = 0
@@ -235,7 +366,7 @@ def _decode_pixels(
         meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
         meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
         meta = [
-            ((p >> 8) & 0xFFFF)
+            int((p >> 8) & 0xFFFF)
             for p in _decode_pixels(br, meta_w, meta_h, allow_meta=False)
         ]
         n_groups = max(meta) + 1
@@ -251,8 +382,14 @@ def _decode_pixels(
         for _ in range(n_groups)
     ]
 
-    px: list[int] = []
+    import numpy as np
+
     n = w * h
+    if meta is None and cache is None:
+        fast = _decode_literals_vectorized(br, groups, n)
+        if fast is not None:
+            return fast
+    px: list[int] = []
 
     def emit(p: int) -> None:
         px.append(p)
@@ -293,15 +430,16 @@ def _decode_pixels(
             if cache is None:
                 raise ValueError("VP8L cache symbol without a color cache")
             px.append(cache[s - 280])  # cache hits do not re-insert
-    return px
+    return np.array(px, dtype=np.uint32)
 
 
-def _inv_subtract_green(px: list[int]) -> None:
-    for i, p in enumerate(px):
-        g = (p >> 8) & 0xFF
-        r = (((p >> 16) & 0xFF) + g) & 0xFF
-        b = ((p & 0xFF) + g) & 0xFF
-        px[i] = (p & 0xFF00FF00) | (r << 16) | b
+def _inv_subtract_green(px) -> None:
+    """In-place numpy inverse of SUBTRACT_GREEN on a uint32 ARGB array."""
+    g = (px >> 8) & 0xFF
+    r = ((px >> 16) + g) & 0xFF
+    b = (px + g) & 0xFF
+    px &= 0xFF00FF00
+    px |= (r << 16) | b
 
 
 def _avg2(a: int, b: int) -> int:
@@ -330,7 +468,15 @@ def _clamp_add_sub_half(a: int, b: int) -> int:
     return out
 
 
-def _inv_predictor(px: list[int], w: int, h: int, bits: int, modes: list[int]) -> None:
+def _inv_predictor(arr, w: int, h: int, bits: int, mode_px) -> None:
+    """Inverse PREDICTOR transform (in place on a uint32 ARGB array).
+    Inherently sequential — every pixel depends on already-reconstructed
+    neighbors — so this stays a scalar loop over plain ints (numpy
+    scalar indexing would be slower)."""
+    px = arr.tolist()
+    modes = (
+        mode_px.tolist() if hasattr(mode_px, "tolist") else list(mode_px)
+    )
     bw = (w + (1 << bits) - 1) >> bits
     for y in range(h):
         for x in range(w):
@@ -392,6 +538,9 @@ def _inv_predictor(px: list[int], w: int, h: int, bits: int, modes: list[int]) -
                 | ((((px[i] >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
                 | (((px[i] & 0xFF) + (pred & 0xFF)) & 0xFF)
             )
+    import numpy as np
+
+    arr[:] = np.array(px, dtype=np.uint32)
 
 
 def _delta(t: int, c: int) -> int:
@@ -403,59 +552,63 @@ def _delta(t: int, c: int) -> int:
     return (t * c) >> 5
 
 
-def _inv_color_transform(
-    px: list[int], w: int, h: int, bits: int, elems: list[int]
-) -> None:
+def _inv_color_transform(px, w: int, h: int, bits: int, elems) -> None:
+    """In-place numpy inverse of the cross-COLOR transform. Per-block
+    multipliers broadcast to pixel grain with np.repeat; green is
+    reconstructed first, then red feeds blue — both as signed int32
+    (>> on negative int32 is the same floor shift the spec's C uses).
+    Transform element channel layout per the spec / libwebp
+    ColorCodeToMultipliers: green_to_red lives in the BLUE byte,
+    green_to_blue in GREEN, red_to_blue in RED."""
+    import numpy as np
+
     bw = (w + (1 << bits) - 1) >> bits
-    for y in range(h):
-        for x in range(w):
-            i = y * w + x
-            e = elems[(y >> bits) * bw + (x >> bits)]
-            # transform element channel layout per the spec / libwebp
-            # ColorCodeToMultipliers: green_to_red lives in the BLUE
-            # byte, green_to_blue in GREEN, red_to_blue in RED
-            g2r = e & 0xFF
-            g2b = (e >> 8) & 0xFF
-            r2b = (e >> 16) & 0xFF
-            p = px[i]
-            g = (p >> 8) & 0xFF
-            # deltas use the SIGNED values of already-reconstructed
-            # components (green first, then the restored red)
-            gs = g - 256 if g >= 128 else g
-            r = (((p >> 16) & 0xFF) + _delta(g2r, gs)) & 0xFF
-            rs = r - 256 if r >= 128 else r
-            b = ((p & 0xFF) + _delta(g2b, gs) + _delta(r2b, rs)) & 0xFF
-            px[i] = (p & 0xFF00FF00) | (r << 16) | b
+    bh = (h + (1 << bits) - 1) >> bits
+    e = np.asarray(elems, dtype=np.uint32).reshape(bh, bw)
+    # expand the block grid to pixel grain, then crop to w x h
+    e = np.repeat(np.repeat(e, 1 << bits, axis=0), 1 << bits, axis=1)
+    e = e[:h, :w].reshape(-1)
+
+    def signed(v):
+        v = v.astype(np.int32)
+        return np.where(v >= 128, v - 256, v)
+
+    g2r = signed(e & 0xFF)
+    g2b = signed((e >> 8) & 0xFF)
+    r2b = signed((e >> 16) & 0xFF)
+    gs = signed((px >> 8) & 0xFF)
+    r = (((px >> 16) & 0xFF).astype(np.int32) + ((g2r * gs) >> 5)) & 0xFF
+    rs = np.where(r >= 128, r - 256, r)
+    b = (
+        (px & 0xFF).astype(np.int32) + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)
+    ) & 0xFF
+    px &= 0xFF00FF00
+    px |= (r.astype(np.uint32) << 16) | b.astype(np.uint32)
 
 
-def _inv_color_indexing(
-    px: list[int], w: int, out_w: int, palette: list[int], pbits: int
-) -> list[int]:
+def _inv_color_indexing(px, w: int, out_w: int, palette: list[int], pbits: int):
+    """Numpy inverse of COLOR_INDEXING (palette lookup with pixel
+    bundling): unpack the packed indices vectorized, bounds-check them
+    in one reduction, and gather from the palette."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint32)
     if pbits == 0:
-        out = []
-        for p in px:
-            idx = (p >> 8) & 0xFF
-            if idx >= len(palette):
-                raise ValueError("palette index out of range")
-            out.append(palette[idx])
-        return out
+        idx = (px >> 8) & 0xFF
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return pal[idx]
     per = 1 << pbits  # packed pixels per green byte
     bpp = 8 >> pbits  # bits per packed index
-    out = []
-    h = len(px) // w
-    for y in range(h):
-        row: list[int] = []
-        for x in range(w):
-            g = (px[y * w + x] >> 8) & 0xFF
-            for k in range(per):
-                if len(row) >= out_w:
-                    break
-                idx = (g >> (k * bpp)) & ((1 << bpp) - 1)
-                if idx >= len(palette):
-                    raise ValueError("palette index out of range")
-                row.append(palette[idx])
-        out.extend(row)
-    return out
+    h = px.shape[0] // w
+    g = ((px >> 8) & 0xFF).reshape(h, w)
+    # unpack: (h, w, per) indices, LSB-first within each green byte
+    shifts = (np.arange(per, dtype=np.uint32) * bpp)[None, None, :]
+    idx = (g[:, :, None] >> shifts) & ((1 << bpp) - 1)
+    idx = idx.reshape(h, w * per)[:, :out_w]
+    if idx.size and int(idx.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    return pal[idx].reshape(-1)
 
 
 def _find_vp8l(buf: bytes) -> tuple[int, int]:
@@ -547,7 +700,10 @@ def decode_webp(payload: bytes, *, keep_alpha: bool = False):
             transforms.append(("sg",))
         else:  # COLOR_INDEXING
             n_colors = br.read(8) + 1
-            pal = _decode_pixels(br, n_colors, 1, allow_meta=False)
+            pal = [
+                int(p)
+                for p in _decode_pixels(br, n_colors, 1, allow_meta=False)
+            ]
             # palette entries are delta-coded component-wise
             for i in range(1, n_colors):
                 a = (pal[i] >> 24) + (pal[i - 1] >> 24) & 0xFF
@@ -702,15 +858,24 @@ def _emit_prefix_code(bw: _BitWriter, values: list[int], alphabet: int):
         bw.write(s0, 8)
         bw.write(s1, 8)
         return {s0: (0, 1), s1: (1, 1)}
-    # canonical: near-flat code over the distinct symbols. A canonical
-    # code must form a FULL tree: with d symbols and depth n = ceil(log2
-    # d), giving `2^n - d` symbols length n-1 and the rest length n
-    # satisfies Kraft with equality (s·2 + (d - s) = 2^n leaves).
+    # canonical FLAT code: every live symbol at depth n = ceil(log2 d),
+    # the tree filled to 2^n leaves with unused pad symbols (they never
+    # occur in the payload, so only the transmitted lengths cost bits).
+    # A fixed length per channel is what lets the decoder take its
+    # vectorized literal path and the writer emit the payload batched.
     nbits = (len(distinct) - 1).bit_length()
     lengths = [0] * alphabet
-    shorter = (1 << nbits) - len(distinct)
-    for i, s in enumerate(distinct):
-        lengths[s] = nbits - 1 if i < shorter else nbits
+    for s in distinct:
+        lengths[s] = nbits
+    pad = (1 << nbits) - len(distinct)
+    for s in range(alphabet):
+        if pad == 0:
+            break
+        if lengths[s] == 0:
+            lengths[s] = nbits
+            pad -= 1
+    if pad:
+        raise ValueError("alphabet too small for a flat prefix code")
     _emit_code_lengths(bw, lengths)
     return {s: (c, l) for s, (c, l) in _codes_of(lengths).items()}
 
@@ -747,24 +912,49 @@ def webp_bytes(px, *, subtract_green: bool = False) -> bytes:
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
 
-    gv = g.ravel().astype(int).tolist()
-    rv = r.ravel().astype(int).tolist()
-    bv = b.ravel().astype(int).tolist()
-    green_codes = _emit_prefix_code(bw, gv, 256 + 24)
-    red_codes = _emit_prefix_code(bw, rv, 256)
-    blue_codes = _emit_prefix_code(bw, bv, 256)
+    gv = g.ravel().astype(np.uint8)
+    rv = r.ravel().astype(np.uint8)
+    bv = b.ravel().astype(np.uint8)
+    green_codes = _emit_prefix_code(bw, gv.tolist(), 256 + 24)
+    red_codes = _emit_prefix_code(bw, rv.tolist(), 256)
+    blue_codes = _emit_prefix_code(bw, bv.tolist(), 256)
     alpha_codes = _emit_prefix_code(bw, [255], 256)
     dist_codes = _emit_prefix_code(bw, [0], 40)  # present, never used
-    del dist_codes
-    for i in range(w * h):
-        c, l = green_codes[gv[i]]
-        _write_code(bw, c, l)
-        c, l = red_codes[rv[i]]
-        _write_code(bw, c, l)
-        c, l = blue_codes[bv[i]]
-        _write_code(bw, c, l)
-        c, l = alpha_codes[255]
-        _write_code(bw, c, l)
+    del alpha_codes, dist_codes  # 0-bit codes — no payload bits
+
+    # batched payload emission: per channel a value -> bit-reversed code
+    # pattern table (codes are flat, so one length per channel), one
+    # packed word per pixel, then a single unpack into the bit list
+    def pattern_table(codes):
+        ln = next(iter(codes.values()))[1]
+        if ln == 0:
+            return None, 0
+        pat = np.zeros(256, dtype=np.uint32)
+        for v, (c, l) in codes.items():
+            if v > 255:
+                continue
+            p = 0
+            for i in range(l):
+                p |= ((c >> (l - 1 - i)) & 1) << i
+            pat[v] = p
+        return pat, ln
+
+    words = np.zeros(w * h, dtype=np.uint32)
+    stride = 0
+    for codes, vals in (
+        (green_codes, gv),
+        (red_codes, rv),
+        (blue_codes, bv),
+    ):
+        pat, ln = pattern_table(codes)
+        if ln:
+            words |= pat[vals] << np.uint32(stride)
+            stride += ln
+    if stride:
+        bits = (
+            (words[:, None] >> np.arange(stride, dtype=np.uint32)) & 1
+        ).astype(np.uint8)
+        bw.extend_bits(bits.reshape(-1))
 
     data = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(data)) + data
