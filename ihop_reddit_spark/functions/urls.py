@@ -13,7 +13,13 @@ Scope (documented contract): absolute http(s) URLs. The column
 expressions cover the variants that dominate crawl-frontier duplicates;
 :func:`normalize_url_exact` is the urllib-backed Pandas-UDF twin adding
 punycode/IDN hosts and RFC 3986 percent-encoding normalization (equal to
-the JVM twin on ASCII escape-free URLs — property-pinned). Path-segment
+the JVM twin on ASCII escape-free URLs — property-pinned, and hash-pinned
+cross-engine with planted IDN/percent variants by the
+``normalized_url_groups`` oracle). FOR NON-ASCII CORPORA USE THE EXACT
+PATH: pass ``exact_urls=True`` to ``plans.crawl_corpus`` (or call
+:func:`normalize_url_exact` directly) — the Catalyst default dedups
+non-ASCII hosts imperfectly (no punycode), which on an international
+crawl means missed frontier duplicates, not errors. Path-segment
 resolution (``/a/../b``) remains out of scope for both (rare in frontier
 data and ambiguous without fetch semantics).
 """

@@ -67,10 +67,13 @@ def crawl_corpus(
 
     ``exact_urls=True`` canonicalizes the frontier with the urllib-exact
     twin (``functions.urls.normalize_url_exact`` — punycode hosts,
-    percent-encoding normalization): the right setting on real crawls,
-    where mixed-encoding aliases of one page are daily occurrences. The
-    default stays JVM-side, identical on ASCII escape-free URLs and the
-    cross-engine oracle anchor."""
+    percent-encoding normalization): the DOCUMENTED DEFAULT for any
+    non-ASCII corpus — real crawls hit mixed-encoding aliases of one
+    page daily, and the Catalyst path cannot punycode, so it misses
+    those frontier duplicates. The boolean default stays JVM-side only
+    because it is identical on ASCII escape-free URLs and anchors the
+    cross-engine oracle (both paths hash-pinned, with planted IDN and
+    percent-encoded variants, by ``normalized_url_groups``)."""
     from ..functions.urls import normalize_url_exact
 
     canon = normalize_url_exact if exact_urls else normalize_url

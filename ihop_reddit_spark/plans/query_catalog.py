@@ -5323,7 +5323,7 @@ def stream_domain_quota(spark, sf_dir):
     """
     WITH k AS (
       SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS g,
-             doc_id % 4 AS v
+             doc_id % 6 AS v
       FROM documents)
     SELECT doc_id,
            CASE WHEN v = 3
@@ -5331,24 +5331,34 @@ def stream_domain_quota(spark, sf_dir):
                      || '?a=1&b=2'
                 ELSE 'http://www.example' || g || '.com/path' || g
                      || '?a=1&b=2' END AS canonical_url,
+           CASE WHEN v = 4
+                THEN 'http://xn--mnchen-3ya.site' || g || '.de/p' || g
+                WHEN v = 5
+                THEN 'http://www.example' || g || '.com/p~user' || g
+                     || '?a=%3A1&b=2'
+                WHEN v = 3
+                THEN 'https://www.example' || g || '.com/path' || g
+                     || '?a=1&b=2'
+                ELSE 'http://www.example' || g || '.com/path' || g
+                     || '?a=1&b=2' END AS canonical_url_exact,
            'www.example' || g || '.com' AS host,
            'example' || g || '.com' AS domain_key
     FROM k
     """,
 )
 def normalized_url_groups(spark, sf_dir):
-    from ..functions.urls import normalize_url, url_domain_key, url_host
+    from ..functions.urls import (
+        normalize_url,
+        normalize_url_exact,
+        url_domain_key,
+        url_host,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     g = (F.col("doc_id") % 50).cast("string")
-    v = F.col("doc_id") % 4
+    v = F.col("doc_id") % 6
     raw = (
         F.when(
-            v == 0,
-            F.concat(F.lit("http://www.example"), g, F.lit(".com/path"),
-                     g, F.lit("?b=2&a=1")),
-        )
-        .when(
             v == 1,
             F.concat(F.lit("HTTP://WWW.EXAMPLE"), g, F.lit(".COM:80/path"),
                      g, F.lit("/?a=1&b=2#frag")),
@@ -5358,14 +5368,38 @@ def normalized_url_groups(spark, sf_dir):
             F.concat(F.lit("http://www.example"), g, F.lit(".com/path"),
                      g, F.lit("?utm_source=x&a=1&fbclid=y&b=2")),
         )
-        .otherwise(
+        .when(
+            v == 3,
             F.concat(F.lit("https://www.example"), g, F.lit(".com:443/path"),
                      g, F.lit("?a=1&b=2")),
         )
+        .otherwise(
+            F.concat(F.lit("http://www.example"), g, F.lit(".com/path"),
+                     g, F.lit("?b=2&a=1")),
+        )
+    )
+    # the exact (urllib/Arrow) canonicalizer additionally handles the
+    # aliases Catalyst expressions cannot: IDN hosts (münchen.de ==
+    # xn--mnchen-3ya.de, punycode) and RFC 3986 percent-encoding
+    # normalization (%7e == ~, %3a == %3A) — planted here with
+    # closed-form punycode in the oracle. On the ASCII variants the two
+    # paths agree, which this query hash-pins cross-engine.
+    raw_exact = (
+        F.when(
+            v == 4,
+            F.concat(F.lit("http://MÜNCHEN.site"), g, F.lit(".de/p"), g),
+        )
+        .when(
+            v == 5,
+            F.concat(F.lit("http://www.example"), g, F.lit(".com/p%7euser"),
+                     g, F.lit("?b=2&a=%3a1")),
+        )
+        .otherwise(raw)
     )
     return docs.select(
         "doc_id",
         normalize_url(raw).alias("canonical_url"),
+        normalize_url_exact(raw_exact).alias("canonical_url_exact"),
         url_host(raw).alias("host"),
         url_domain_key(raw).alias("domain_key"),
     )
