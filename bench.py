@@ -84,6 +84,16 @@ HEADLINE = [
     "manifest_dv_lifecycle_counts",
 ]
 
+#: round-10: the STREAMING tier gets a per-round perf series (r9 verdict
+#: item 7) — benched as a SEPARATE section (single run each, cost is
+#: micro-batch loop + commit fixed overhead, not data volume) so the
+#: headline total stays comparable round-over-round while regressions in
+#: the foreachBatch/state-table path still become visible.
+STREAMING = [
+    "stream_domain_quota",     # stateful quota: manifest state, DV evictions
+    "stream_crawl_extraction", # pure-projection stream (same plan as batch)
+]
+
 #: The 18 queries benched since round 1 — their subtotal is emitted as
 #: ``shared_with_r01`` so the round-over-round signal stays comparable
 #: as the headline set grows (VERDICT r3 watch item).
@@ -161,6 +171,22 @@ def main() -> None:
             timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
+    # streaming tier: one measured run each (fixed micro-batch/commit
+    # overhead dominates; best-of-N would double a long wall-clock for
+    # no extra signal), reported OUTSIDE the headline total
+    streaming: dict[str, float] = {}
+    for name in STREAMING:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        streaming[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -173,6 +199,8 @@ def main() -> None:
         # coverage count: if < len(R01_SHARED), a shared query errored or
         # was dropped and the subtotal is NOT comparable to prior rounds
         "shared_with_r01_n": sum(1 for q in R01_SHARED if q in timings),
+        "streaming": streaming,
+        "streaming_total": round(sum(streaming.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

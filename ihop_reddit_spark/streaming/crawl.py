@@ -168,56 +168,71 @@ def domain_quota_stream(
                 .where(F.col("__rn") <= quota)
                 .drop("__rn")
             )
-        if current is not None:
-            evicted = anti_join_filter(
-                current, keep.select(url_col), url_col,
-                broadcast_remove=False,
-            ).select(url_col)
-            if not evicted.isEmpty():
-                # no stream_batch_id here — see docstring (replay safety).
-                # Evicted urls live only in this batch's domains, so the
-                # same bloom prune confines the eviction scan too
-                M.manifest_delete_rows(
-                    spark,
-                    table_path,
-                    keys=evicted,
-                    on=url_col,
-                    prune_eq={"dom": batch_doms},
+        # the re-rank pipeline (state scan + window) feeds the eviction
+        # keys, the admitted set, the append's range sampling AND the
+        # write — persist it once per batch instead of recomputing the
+        # window up to five times (the dominant per-batch cost)
+        keep = keep.persist()
+        cached = [keep]
+        try:
+            if current is not None:
+                evicted = anti_join_filter(
+                    current, keep.select(url_col), url_col,
+                    broadcast_remove=False,
+                ).select(url_col).persist()
+                cached.append(evicted)
+                if not evicted.isEmpty():
+                    # no stream_batch_id here — see docstring (replay
+                    # safety). Evicted urls live only in this batch's
+                    # domains, so the same bloom prune confines the
+                    # eviction scan too
+                    M.manifest_delete_rows(
+                        spark,
+                        table_path,
+                        keys=evicted,
+                        on=url_col,
+                        prune_eq={"dom": batch_doms},
+                    )
+                # the equi-join promotes the key column to the front —
+                # restore the table's column order before the
+                # schema-checked append
+                admitted = anti_join_filter(
+                    keep, current.select(url_col), url_col,
+                    broadcast_remove=False,
+                ).select(*keep.columns).persist()
+                cached.append(admitted)
+            else:
+                admitted = keep
+            if (
+                maintenance_every
+                and batch_id > 0
+                and batch_id % maintenance_every == 0
+            ):
+                # fold eviction vectors (vectored files only), then
+                # bin-pack the small-file backlog — work ∝ backlog,
+                # not state size
+                M.manifest_materialize_deletes(spark, table_path)
+                M.manifest_compact_small(
+                    spark, table_path, max_file_bytes=32 << 20
                 )
-            # the equi-join promotes the key column to the front — restore
-            # the table's column order before the schema-checked append
-            admitted = anti_join_filter(
-                keep, current.select(url_col), url_col,
-                broadcast_remove=False,
-            ).select(*keep.columns)
-        else:
-            admitted = keep
-        if (
-            maintenance_every
-            and batch_id > 0
-            and batch_id % maintenance_every == 0
-        ):
-            # fold eviction vectors (vectored files only), then bin-pack
-            # the small-file backlog — work ∝ backlog, not state size
-            M.manifest_materialize_deletes(spark, table_path)
-            M.manifest_compact_small(
-                spark, table_path, max_file_bytes=32 << 20
-            )
-        if not admitted.isEmpty():
-            # RANGE-cluster by domain so each file holds a narrow,
-            # non-overlapping domain slice — the per-file bloom (and
-            # min/max stats) then genuinely separate batches; hash
-            # repartition can collide distinct domains into one file,
-            # and AQE would coalesce an unpinned range exchange. One
-            # file per domain up to a cap; past it each file still
-            # covers a contiguous (bloom-indexed) domain range
-            n_files = max(1, min(len(batch_doms), 64))
-            M.manifest_append(
-                admitted.repartitionByRange(n_files, F.col("dom")),
-                table_path,
-                bloom_columns=("dom",),
-                extra={"stream_batch_id": int(batch_id)},
-            )
+            if not admitted.isEmpty():
+                # RANGE-cluster by domain so each file holds a narrow,
+                # non-overlapping domain slice — the per-file bloom (and
+                # min/max stats) then genuinely separate batches; hash
+                # repartition can collide distinct domains into one file,
+                # and AQE would coalesce an unpinned range exchange. One
+                # file per domain up to a cap; past it each file still
+                # covers a contiguous (bloom-indexed) domain range
+                n_files = max(1, min(len(batch_doms), 64))
+                M.manifest_append(
+                    admitted.repartitionByRange(n_files, F.col("dom")),
+                    table_path,
+                    bloom_columns=("dom",),
+                    extra={"stream_batch_id": int(batch_id)},
+                )
+        finally:
+            for df in cached:
+                df.unpersist()
 
     writer = candidates.writeStream.foreachBatch(quota_batch).trigger(
         availableNow=True
