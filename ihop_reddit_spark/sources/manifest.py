@@ -1693,6 +1693,7 @@ def manifest_compact_small(
     *,
     max_file_bytes: int = 32 << 20,
     target_file_bytes: int = 128 << 20,
+    cluster_stat: str | None = None,
 ) -> tuple[int, int]:
     """PARTIAL compaction — bin-pack only the live files smaller than
     ``max_file_bytes`` into ~``target_file_bytes`` outputs and leave
@@ -1723,6 +1724,14 @@ def manifest_compact_small(
     directly. One write job per bin, no shuffle, no sampling pass; a
     maintenance tick packs 1-2 bins.
 
+    ``cluster_stat`` names a column whose recorded footer min orders the
+    pack candidates (files without the stat sort last, by name): each
+    bin then covers a CONTIGUOUS range of that column, so per-file
+    blooms/min-max stay narrow after maintenance instead of every packed
+    file spanning the whole key space — the property that keeps an
+    incremental consumer's state reads batch-proportional (the quota
+    stream passes its domain key here). Default (None) orders by name.
+
     Returns (head_after, n_files_packed); no commit when fewer than two
     pack candidates exist or packing would not reduce the file count.
     """
@@ -1738,7 +1747,16 @@ def manifest_compact_small(
     )
     if len(small) < 2:
         return head, 0
-    # first-fit bins over the name-sorted candidates — whole files only,
+    if cluster_stat:
+        stats = live_file_stats(path, head)
+        small.sort(
+            key=lambda f: (
+                (0, stats[f][cluster_stat][0])
+                if cluster_stat in stats.get(f, {})
+                else (1, f)
+            )
+        )
+    # first-fit bins over the ordered candidates — whole files only,
     # so every output's row provenance is exact metadata
     bins: list[list[str]] = [[]]
     acc = 0
@@ -1768,7 +1786,9 @@ def manifest_compact_small(
         added += a
         if a:
             segs = []
-            for f in bin_files:  # already name-sorted
+            # rows in the output sort by (source name, position), which
+            # may differ from the bin's cluster_stat pack order
+            for f in sorted(bin_files):
                 n = rc.get(f)
                 if n is None:
                     n = _file_row_count(os.path.join(path, f))

@@ -47,6 +47,7 @@ def domain_quota_stream(
     salt: str = "dq1",
     checkpoint_dir: str | None = None,
     maintenance_every: int | None = None,
+    maintenance_target_bytes: int = 128 << 20,
     salted: bool = False,
     n_salts: int = 16,
 ) -> str:
@@ -210,10 +211,18 @@ def domain_quota_stream(
             ):
                 # fold eviction vectors (vectored files only), then
                 # bin-pack the small-file backlog — work ∝ backlog,
-                # not state size
+                # not state size. cluster_stat keeps each packed file
+                # on a contiguous DOMAIN range (pack order = recorded
+                # min(dom)), so maintenance never erodes the bloom
+                # skipping that makes state reads batch-proportional
                 M.manifest_materialize_deletes(spark, table_path)
                 M.manifest_compact_small(
-                    spark, table_path, max_file_bytes=32 << 20
+                    spark, table_path,
+                    max_file_bytes=max(
+                        32 << 20, maintenance_target_bytes // 4
+                    ),
+                    target_file_bytes=maintenance_target_bytes,
+                    cluster_stat="dom",
                 )
             if not admitted.isEmpty():
                 # RANGE-cluster by domain so each file holds a narrow,

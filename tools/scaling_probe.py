@@ -277,6 +277,115 @@ def _replicate_events(spark, reps, factor: int, workdir: str) -> None:
     )
 
 
+def probe_stream_quota(factor: int, workdir: str) -> None:
+    """Scale probe for the STATEFUL streaming quota with inline
+    maintenance (r9 verdict item 5): grow the state table xN (xN
+    disjoint domains) while a micro-batch keeps touching a FIXED number
+    of domains, and MEASURE two claims previously only asserted:
+
+    * state reads are batch-proportional — the bloom/range file prune
+      admits roughly constant bytes for a fixed-domain batch while the
+      corpus (total state bytes) grows xN;
+    * inline maintenance (maintenance_every) keeps the live file count
+      bounded while the stream runs, instead of growing per batch.
+
+    Prints one JSON line with both sides at x1 and xN.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.session import get_spark_session
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.crawl import domain_quota_stream
+
+    spark = get_spark_session(
+        "stream_quota_probe", config={"spark.ui.enabled": "false"}
+    )
+
+    PROBE_DOMS = 5  # the fixed per-batch working set
+    BATCHES = 4
+    PER_DOM = 40  # urls per domain per batch — forces evictions (quota 5)
+
+    def build(n_domains: int, tag: str) -> dict:
+        work = tempfile.mkdtemp(prefix=f"sqprobe_{tag}_")
+        rows = spark.range(n_domains * BATCHES * PER_DOM).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("http://www.site"),
+                (F.col("id") % n_domains).cast("string"),
+                F.lit(".com/p"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+        )
+        src = f"{work}/cand"
+        # one file per slice in id order: every batch re-delivers every
+        # domain with fresh urls, so later batches must evict earlier
+        # admissions (the adversarial ordering the operator hardens for)
+        per_batch = n_domains * PER_DOM
+        for b in range(BATCHES):
+            rows.where(
+                (F.col("doc_id") >= b * per_batch)
+                & (F.col("doc_id") < (b + 1) * per_batch)
+            ).coalesce(1).write.mode("append").parquet(src)
+        cand = (
+            spark.readStream.schema("doc_id long, url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        root = domain_quota_stream(
+            cand,
+            f"{work}/tbl",
+            url_col="url",
+            quota=5,
+            salt="sp",
+            checkpoint_dir=f"{work}/ckpt",
+            maintenance_every=2,
+            # probe-scale bin target: keeps several bins alive so the
+            # measurement exercises cluster_stat's contiguous-domain
+            # packing (at deployment scale the 128 MiB default plays
+            # the same role against real file sizes)
+            maintenance_target_bytes=16 << 10,
+        )
+        wall = round(time.time() - t0, 2)
+        files = M.live_files(root)
+        blooms = M.live_file_blooms(root)
+        sizes = {f: os.path.getsize(os.path.join(root, f)) for f in files}
+        probe = [f"site{d}.com" for d in range(PROBE_DOMS)]
+        kept = M._prune_files_eq(spark, files, blooms, {"dom": probe})
+        snap = M.read_snapshot(spark, root)
+        return {
+            "domains": n_domains,
+            "stream_wall_sec": wall,
+            "live_files": len(files),
+            "state_bytes": sum(sizes.values()),
+            "batch_read_files": len(kept),
+            "batch_read_bytes": sum(sizes[f] for f in kept),
+            "state_rows": snap.count(),
+        }
+
+    base = build(50, "x1")
+    scaled = build(50 * factor, "xN")
+    print(
+        json.dumps(
+            {
+                "probe": "stream_quota_maintenance",
+                "factor": factor,
+                "base": base,
+                "scaled": scaled,
+                "state_bytes_ratio": round(
+                    scaled["state_bytes"] / base["state_bytes"], 2
+                ),
+                "batch_read_bytes_ratio": round(
+                    scaled["batch_read_bytes"] / base["batch_read_bytes"], 2
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     only = None
     args = []
@@ -288,8 +397,13 @@ def main() -> None:
         else:
             args.append(a)
     events_only = "--events-only" in sys.argv[1:]
+    stream_quota = "--stream-quota" in args
+    args = [a for a in args if a != "--stream-quota"]
     factor = int(args[0]) if args else 10
     workdir = args[1] if len(args) > 1 else "/tmp/spark_graft_scale"
+    if stream_quota:
+        probe_stream_quota(factor, workdir)
+        return
 
     from ihop_reddit_spark.session import get_spark_session
 
