@@ -1816,6 +1816,41 @@ def synthesize_webp_assets(
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
 
 
+def synthesize_lossy_webp_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real LOSSY WebP (VP8) per id, encoded through the system libwebp
+    at q=95: four solid 8×8 gray blocks planted at ``(53·id + 80·k) %
+    256`` — a DIFFERENT multiplier from the VP8L gate's 47, so a
+    cross-wired lossless/lossy path cannot pass both gates. Solid
+    macroblock-aligned grays reconstruct within ±1 of the plant (YUV
+    fixed-point rounding), which is what the gate asserts. Raises the
+    marked ``NotImplementedError`` when libwebp is absent — the gate
+    then fails loudly rather than fake a lossy decode."""
+    import numpy as np
+    import pandas as pd
+
+    from .webp_native import encode_lossy_rgb
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(53 * i + 80 * 0) % 256, (53 * i + 80 * 1) % 256],
+                     [(53 * i + 80 * 2) % 256, (53 * i + 80 * 3) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                               size // 2, axis=1)
+                px = np.repeat(px[..., None], 3, axis=2)
+                rows.append((i, encode_lossy_rgb(px, 95.0)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
 def synthesize_mp4_assets(
     df: DataFrame, id_col: str = "doc_id", *, size: int = 16
 ) -> DataFrame:

@@ -7,11 +7,16 @@ and canonical (code-length-coded) prefix codes, LZ77 backward
 references with the 2D distance map, the color cache, and the inverse
 transforms (SUBTRACT_GREEN, PREDICTOR, COLOR, COLOR_INDEXING with
 pixel bundling), and META PREFIX CODES (per-block entropy groups) —
-i.e. the complete public VP8L specification, stdlib-only. Deliberately
-out of scope, raising the marked ``NotImplementedError``: the LOSSY
-VP8 half of WebP (boolean-coder + DCT territory, libwebp/PIL in
-deployment). The honest-stub discipline matches the other codecs
-(baseline-only JPEG, MJPEG-only AVI/MP4).
+i.e. the complete public VP8L specification, stdlib-only. The LOSSY
+VP8 half routes to the SYSTEM libwebp through ctypes when the shared
+library is installed (:mod:`.webp_native` — the deployment swap this
+module's stub has named since r6, wired for real in r10 and
+conformance-gated by ``webp_lossy_decode_gate``); without the library
+it raises the marked ``NotImplementedError``, matching the honest-stub
+discipline of the other codecs (baseline-only JPEG, MJPEG-only
+AVI/MP4). libwebp doubles as an independent CONFORMANCE oracle for the
+in-tree VP8L codec: round-trip and hand-built-bitstream tests decode
+every stream through both and require bit-identical pixels.
 
 * :func:`webp_bytes` — writer for literal-only VP8L streams (no LZ77,
   no cache, single prefix group): per channel it emits a SIMPLE prefix
@@ -623,7 +628,9 @@ def _find_vp8l(buf: bytes) -> tuple[int, int]:
         raise ValueError("truncated WebP: RIFF size past end")
     if buf[12:16] == b"VP8 ":
         # recognize the lossy half before demanding a well-formed chunk
-        # header — magic-dispatch callers probe with bare signatures
+        # header — magic-dispatch callers probe with bare signatures.
+        # The caller routes this to the system libwebp when installed
+        # (datapipe.webp_native); without it the boundary stays marked
         raise NotImplementedError(
             "lossy WebP (VP8) requires libwebp/PIL in deployment;"
             " lossless (VP8L) decodes for real"
@@ -654,9 +661,21 @@ def _find_vp8l(buf: bytes) -> tuple[int, int]:
 
 
 def parse_webp(payload: bytes) -> tuple[int, int, bool]:
-    """Container + VP8L header → (width, height, has_alpha_hint)."""
+    """Container + VP8L header → (width, height, has_alpha_hint).
+    Lossy (VP8) containers resolve through the system libwebp when it
+    is installed (the deployment path, now wired for real); without it
+    the marked ``NotImplementedError`` boundary stands."""
     buf = bytes(payload)
-    off, size = _find_vp8l(buf)
+    try:
+        off, size = _find_vp8l(buf)
+    except NotImplementedError as exc:
+        if "lossy" in str(exc):
+            from . import webp_native as N
+
+            if N.libwebp_available():
+                w, h = N.get_info(buf)
+                return w, h, False
+        raise
     data = buf[off : off + size]
     if not data or data[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
@@ -675,8 +694,18 @@ def decode_webp(payload: bytes, *, keep_alpha: bool = False):
     import numpy as np
 
     buf = bytes(payload)
+    try:
+        off, size = _find_vp8l(buf)
+    except NotImplementedError as exc:
+        if "lossy" in str(exc):
+            from . import webp_native as N
+
+            if N.libwebp_available():
+                return (
+                    N.decode_rgba(buf) if keep_alpha else N.decode_rgb(buf)
+                )
+        raise
     w, h, _alpha = parse_webp(buf)
-    off, size = _find_vp8l(buf)
     br = _BitReader(buf[off + 1 : off + size])
     br.read(14 + 14 + 1 + 3)  # header bits already validated
 

@@ -3763,6 +3763,60 @@ def webp_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Lossy-WebP gate (datapipe/webp_native — r10, wires the deployment
+# boundary for real): each asset is a genuine VP8 bitstream encoded at
+# q=95 through the SYSTEM libwebp (ctypes, no Python package), four
+# solid 8x8 gray blocks planted at (53·i + 80·k) % 256 — a different
+# multiplier from the VP8L gate's 47 so a cross-wired lossless/lossy
+# path cannot pass both. Solid macroblock-aligned grays reconstruct
+# within ±1 (YUV fixed-point rounding); the gate asserts per-channel
+# means inside that band plus exact dimensions, through the SAME
+# decode_image dispatch as every other format. 1-in-23 id sample. In a
+# container without libwebp the gate fails loudly (never fakes a lossy
+# decode) — the honest boundary is then visible, not painted over.
+# ---------------------------------------------------------------------------
+@query(
+    "webp_lossy_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS webp_lossy_close
+    FROM documents WHERE doc_id % 23 = 0
+    """,
+)
+def webp_lossy_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_lossy_webp_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_lossy_webp_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 53) % 256)
+        + ((i * 53 + 80) % 256)
+        + ((i * 53 + 160) % 256)
+        + ((i * 53 + 240) % 256)
+    ).cast("double") / 4
+    tol = F.lit(1.0)
+    ok = stats.select(
+        (
+            (F.abs(F.col("mean_r") - mean) <= tol)
+            & (F.abs(F.col("mean_g") - mean) <= tol)
+            & (F.abs(F.col("mean_b") - mean) <= tol)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("webp_lossy_close"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "webp_lossy_close")
+
+
+# ---------------------------------------------------------------------------
 # MP4/motion-JPEG container gate (datapipe/mp4 — r9, closes the r8
 # residual "MP4 decode" for the JPEG sample-entry case). Each asset is a
 # genuine ISO-BMFF file: ftyp + mdat + trailing moov, a vide track whose
@@ -10051,6 +10105,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "webp_lossy_decode_gate",
     "manifest_segmented_feed_counts",
     "ab_test_purchase_rates",
     "audio_envelope_pairs",

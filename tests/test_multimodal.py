@@ -220,10 +220,17 @@ def test_png_round_trip_all_filters_and_planted_colors(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(good))
 
-    # magic dispatch: unknown container (WebP) stays the marked PIL stub
-    # (JPEG left this list in round 6 — it decodes for real now)
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # magic dispatch: a lossy-WebP signature routes to the system
+    # libwebp when installed (truncated garbage fails loudly there); in
+    # library-less environments the marked deployment stub stands
+    from ihop_reddit_spark.datapipe.webp_native import libwebp_available
+
+    if libwebp_available():
+        with pytest.raises(ValueError, match="libwebp"):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    else:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     # planted closed form through deflate + unfilter, distributed
     ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
@@ -1186,11 +1193,19 @@ def test_webp_vp8l_round_trips_and_validation():
         decode_webp(blob4[:-5])
     with pytest.raises(ValueError, match="RIFF"):
         parse_webp(b"nope" * 8)
-    # the lossy half stays an honest stub
+    # the lossy half: system libwebp when installed (a VP8L payload
+    # relabeled VP8 is a corrupt lossy stream — loud ValueError), the
+    # marked stub otherwise
+    from ihop_reddit_spark.datapipe.webp_native import libwebp_available
+
     lossy = bytearray(blob4)
     lossy[12:16] = b"VP8 "
-    with pytest.raises(NotImplementedError, match="lossless"):
-        parse_webp(bytes(lossy))
+    if libwebp_available():
+        with pytest.raises(ValueError, match="libwebp"):
+            parse_webp(bytes(lossy))
+    else:
+        with pytest.raises(NotImplementedError, match="lossless"):
+            parse_webp(bytes(lossy))
 
 
 def test_webp_vp8l_lz77_and_color_cache_decode():
@@ -1600,10 +1615,18 @@ def test_webp_vp8x_extended_container():
     ext = riff(vp8x, exif, xmp, vp8l_chunk)
     assert parse_webp(ext) == parse_webp(simple) == (3, 2, False)
     assert (decode_webp(ext) == px).all()
-    # VP8X wrapping the LOSSY half is still the honest stub
+    # VP8X wrapping the LOSSY half: routed to the system libwebp when
+    # installed (garbage payload fails loudly), marked stub otherwise
+    from ihop_reddit_spark.datapipe.webp_native import libwebp_available
+
     lossy = riff(vp8x, chunk(b"VP8 ", b"\x00" * 8))
-    with pytest.raises(NotImplementedError, match="lossy"):
-        parse_webp(lossy)
+    if libwebp_available():
+        with pytest.raises(ValueError, match="libwebp"):
+            decode_webp(lossy)
+    else:
+        with pytest.raises(NotImplementedError, match="lossy"):
+            parse_webp(lossy)
+    # animation needs libwebpdemux — an honest boundary either way
     with pytest.raises(NotImplementedError, match="animated"):
         parse_webp(riff(vp8x, chunk(b"ANIM", bytes(6))))
     with pytest.raises(ValueError, match="no VP8L"):
@@ -1628,3 +1651,131 @@ def test_mp4_missing_boxes_fail_loudly():
     # without mdia there is no hdlr, so no track qualifies as video
     with pytest.raises(ValueError, match="no video track"):
         parse_mp4(blob.replace(b"mdia", b"frem", 1))
+
+
+def test_webp_lossy_decode_via_system_libwebp():
+    """The lossy (VP8) half decodes FOR REAL through the system libwebp
+    when installed: solid macroblock-aligned grays encoded at q=95
+    reconstruct within ±1 (YUV fixed-point rounding), dimensions exact,
+    deterministic bytes; RGBA surface carries alpha 255."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.webp import decode_webp, parse_webp
+    from ihop_reddit_spark.datapipe.webp_native import (
+        encode_lossy_rgb,
+        libwebp_available,
+        libwebp_encoder_available,
+    )
+
+    if not (libwebp_available() and libwebp_encoder_available()):
+        pytest.skip("system libwebp not installed — stub boundary stands")
+    vals = np.array([[10, 90], [170, 250]], np.uint8)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    px = np.repeat(px[..., None], 3, 2)
+    blob = encode_lossy_rgb(px, 95.0)
+    assert blob == encode_lossy_rgb(px, 95.0)  # deterministic
+    assert blob[12:16] == b"VP8 "  # genuinely the lossy bitstream
+    assert parse_webp(blob) == (16, 16, False)
+    out = decode_webp(blob)
+    assert out.shape == (16, 16, 3)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+    rgba = decode_webp(blob, keep_alpha=True)
+    assert rgba.shape == (16, 16, 4) and (rgba[:, :, 3] == 255).all()
+
+
+def test_webp_vp8l_conformance_against_libwebp():
+    """libwebp as an independent SPEC ORACLE for the in-tree VP8L
+    codec: writer outputs (simple + canonical codes, subtract-green)
+    and the hand-built transform streams must decode bit-identically
+    through both decoders — round-trips alone cannot catch a
+    self-consistent spec deviation (the r9 color-transform channel
+    swap); this can."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import webp as W
+    from ihop_reddit_spark.datapipe.webp_native import (
+        decode_rgb,
+        libwebp_available,
+    )
+
+    if not libwebp_available():
+        pytest.skip("system libwebp not installed")
+    rng = np.random.RandomState(3)
+    for case in range(3):
+        px = rng.randint(0, 256, size=(9 + case, 17 - case, 3)).astype(
+            np.uint8
+        )
+        for sg in (False, True):
+            blob = W.webp_bytes(px, subtract_green=sg)
+            assert (W.decode_webp(blob) == px).all()
+            assert (decode_rgb(blob) == px).all()
+
+    # hand-built COLOR-transform stream (the path no writer emits):
+    # both decoders must reconstruct the same pixels
+    g2r, g2b, r2b = 32, 16, 64
+    bw = W._BitWriter()
+    bw.write(1, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR
+    bw.write(0, 3)
+    bw.write(0, 1)
+    for vals_, alphabet in (
+        ([g2b], 280), ([r2b], 256), ([g2r], 256), ([0], 256), ([0], 40)
+    ):
+        W._emit_prefix_code(bw, vals_, alphabet)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    res = [(255, 100, 10, 50), (255, 10, 200, 100)]
+    codes = [
+        W._emit_prefix_code(bw, [r[2] for r in res], 280),
+        W._emit_prefix_code(bw, [r[1] for r in res], 256),
+        W._emit_prefix_code(bw, [r[3] for r in res], 256),
+        W._emit_prefix_code(bw, [r[0] for r in res], 256),
+    ]
+    W._emit_prefix_code(bw, [0], 40)
+    for r in res:
+        for c, v in zip(codes, (r[2], r[1], r[3], r[0])):
+            cc, ll = c[v]
+            W._write_code(bw, cc, ll)
+    blob = _vp8l_container(bw)
+    ours = W.decode_webp(blob)
+    ref = decode_rgb(blob)
+    assert (ours == ref).all()
+
+    # hand-built PREDICTOR mode-3 stream (right-edge TR wrap)
+    bw = W._BitWriter()
+    bw.write(1, 14)
+    bw.write(1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)
+    bw.write(0, 1)
+    for vals_, alphabet in (
+        ([3], 280), ([0], 256), ([0], 256), ([0], 256), ([0], 40)
+    ):
+        W._emit_prefix_code(bw, vals_, alphabet)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    res = [(0, 10, 5, 0), (1, 2, 3, 4), (7, 8, 9, 6), (1, 1, 1, 1)]
+    codes = [
+        W._emit_prefix_code(bw, [r[2] for r in res], 280),
+        W._emit_prefix_code(bw, [r[1] for r in res], 256),
+        W._emit_prefix_code(bw, [r[3] for r in res], 256),
+        W._emit_prefix_code(bw, [r[0] for r in res], 256),
+    ]
+    W._emit_prefix_code(bw, [0], 40)
+    for r in res:
+        for c, v in zip(codes, (r[2], r[1], r[3], r[0])):
+            cc, ll = c[v]
+            W._write_code(bw, cc, ll)
+    blob = _vp8l_container(bw)
+    assert (W.decode_webp(blob) == decode_rgb(blob)).all()
