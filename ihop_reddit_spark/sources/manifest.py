@@ -816,12 +816,18 @@ def _merge_pos_ranges(a, b):
     return [tuple(r) for r in out]
 
 
-def _map_through_segments(segments: list, source_ranges: dict) -> list:
+def _map_through_segments(segments: list, source_ranges: dict):
     """Map per-source position ranges into OUTPUT coordinates through a
     rewrite's recorded ``segments`` ([[source, source_lo, n_rows], ...]
     in output position order). ``source_ranges`` maps source file ->
     None (whole file) | [lo, hi) list; sources absent from it contribute
-    nothing. Pure interval arithmetic — no data read."""
+    nothing. ``source_lo == -1`` is the WHOLE-FILE-SURVIVORS sentinel
+    (a materialize bin: n_rows survivors of the source in order, but
+    source positions are not affine because deleted rows were dropped)
+    — mappable only when the source's ranges are None (every survivor
+    carries the source's property); PARTIAL ranges over such a segment
+    cannot be mapped, and the whole call returns ``None`` so the caller
+    falls back to file grain. Pure interval arithmetic — no data read."""
     out_ranges: list = []
     cursor = 0
     for src, src_lo, cnt in segments:
@@ -829,6 +835,8 @@ def _map_through_segments(segments: list, source_ranges: dict) -> list:
             rg = source_ranges[src]
             if rg is None:
                 out_ranges.append((cursor, cursor + cnt))
+            elif src_lo == -1:
+                return None  # non-affine segment under partial ranges
             else:
                 for lo, hi in rg:
                     s = max(lo, src_lo)
@@ -1024,20 +1032,28 @@ def read_changes(
             ):
                 # segmented mixed rewrite: follow it — scan each output
                 # restricted to the positions its range-new sources
-                # landed in (exact interval arithmetic, no data read)
-                for f in scan:
-                    scan_ranges.pop(f, None)
+                # landed in (exact interval arithmetic, no data read).
+                # Map EVERY output before evicting anything: a single
+                # non-mappable output (partial ranges over a
+                # whole-file-survivors segment) sends the whole rewrite
+                # to the file-grain fallback below
                 src_ranges = {
                     src: sd[src]
                     for src, (sd, _p) in per_r.items()
                     if src in sd
                 }
-                for n in doc["added"]:
-                    merged = _map_through_segments(segments[n], src_ranges)
-                    if merged:
-                        scan_ranges[n] = merged
-                        lineage[n] = ({n: merged}, False)
-                continue
+                mapped = {
+                    n: _map_through_segments(segments[n], src_ranges)
+                    for n in doc["added"]
+                }
+                if all(m is not None for m in mapped.values()):
+                    for f in scan:
+                        scan_ranges.pop(f, None)
+                    for n, merged in mapped.items():
+                        if merged:
+                            scan_ranges[n] = merged
+                            lineage[n] = ({n: merged}, False)
+                    continue
             # mixed rewrite without provenance: keep scanning the
             # originals; outputs answer for them if a later op removes
             # the outputs
@@ -1494,7 +1510,7 @@ def manifest_merge_upsert(
 
 
 def manifest_materialize_deletes(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, *, target_file_bytes: int = 128 << 20
 ) -> tuple[int, int]:
     """Fold the live deletion vectors into the data: rewrite ONLY the
     files that have deleted rows (survivors re-staged, stats refreshed)
@@ -1503,6 +1519,16 @@ def manifest_materialize_deletes(
     invariant that ``live_dv_state`` leans on. Old versions still
     time-travel to the vectored layout until vacuumed.
 
+    When footer row counts cover the affected files (every commit this
+    engine writes records them), the rewrite is ORDER-PINNED per bin of
+    whole files — like ``manifest_compact_small`` — and the commit doc
+    records ``segments`` with the whole-file-survivors sentinel
+    (``[source, -1, n_survivors]``): exact row counts from metadata,
+    source order preserved, so ``read_changes`` can follow even a MIXED
+    materialize at row grain when each source's range rows are whole
+    (the common streaming-maintenance shape). Legacy tables without row
+    counts fall back to the single-stage rewrite with no segments.
+
     Returns (new_version, n_files_rewritten)."""
     head = latest_version(path)
     dv_files, dv_targets = live_dv_state(path, head)
@@ -1510,27 +1536,60 @@ def manifest_materialize_deletes(
         return head, 0
     affected = sorted(dv_targets)
     schema = _schema_of(path, head)
-    survivors = _apply_dvs(
-        _scan_with_pos(spark, path, affected, schema),
-        _dv_frame(spark, path, dv_files),
-    )
+    dvs = _dv_frame(spark, path, dv_files)
     version = head + 1
-    # emptiness from METADATA when possible (footer row counts minus
-    # vectored rows, both exact) — the limit-count fallback is a real
-    # scan of every affected file, worth skipping on the common path
     rc = live_row_counts(path, head)
+    stage_dirs: list[str] = []
+    added: list[str] = []
+    segments: dict[str, list] = {}
     if all(f in rc for f in affected):
-        any_survivors = any(
-            rc[f] - dv_targets.get(f, 0) > 0 for f in affected
-        )
+        # metadata-exact survivor counts per file; skip files with none
+        surv_n = {f: rc[f] - dv_targets.get(f, 0) for f in affected}
+        live_srcs = [f for f in affected if surv_n[f] > 0]
+        sizes = {
+            f: os.path.getsize(os.path.join(path, f)) for f in live_srcs
+        }
+        bins: list[list[str]] = [[]]
+        acc = 0
+        for f in live_srcs:  # name-sorted (affected is sorted)
+            if bins[-1] and acc + sizes[f] > target_file_bytes:
+                bins.append([])
+                acc = 0
+            bins[-1].append(f)
+            acc += sizes[f]
+        for bin_files in bins:
+            if not bin_files:
+                continue
+            survivors = _apply_dvs(
+                _scan_with_pos(spark, path, bin_files, schema),
+                dvs,
+                keep_pos=True,
+            )
+            packed = (
+                survivors.coalesce(1)
+                .sortWithinPartitions("__dv_file", "__dv_pos")
+                .drop("__dv_file", "__dv_pos")
+            )
+            d, a = _stage_batch(packed, path, version)
+            stage_dirs.append(d)
+            added += a
+            if a:
+                segments[a[0]] = [
+                    [f, -1, surv_n[f]] for f in bin_files
+                ]
     else:
-        any_survivors = bool(survivors.limit(1).count())
-    stage_dir, added = (
-        _stage_batch(survivors, path, version)
-        if any_survivors
-        else (None, [])
-    )
+        survivors = _apply_dvs(
+            _scan_with_pos(spark, path, affected, schema), dvs
+        )
+        if survivors.limit(1).count():
+            d, added = _stage_batch(survivors, path, version)
+            stage_dirs.append(d)
     stats, row_counts = _stage_stats(path, added)
+    for out, segs in segments.items():
+        if sum(s[2] for s in segs) != row_counts.get(out):
+            raise ValueError(
+                f"materialize segment rows disagree with staged {out}"
+            )
     _commit_or_cleanup(
         path,
         {
@@ -1546,8 +1605,9 @@ def manifest_materialize_deletes(
             "dv_added": [],
             "dv_removed": dv_files,
             "dv_targets": {},
+            **({"segments": segments} if segments else {}),
         },
-        [stage_dir] if stage_dir else [],
+        stage_dirs,
     )
     return version, len(affected)
 
@@ -1896,13 +1956,16 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         retained.update(read_version_doc(path, v).get("dv_matched", []))
         # likewise data files appended by retained data-changing commits:
         # read_changes scans the ORIGINAL files even after an in-range
-        # rewrite retired them from the live set
+        # rewrite retired them from the live set. SEGMENTED rewrite
+        # outputs are feed-scannable too (read_changes follows mixed
+        # rewrites through their recorded provenance), so they survive
+        # vacuum the same way
         doc = read_version_doc(path, v)
         if doc.get("operation", "append") not in (
             "compact",
             "materialize",
             "checkpoint",
-        ):
+        ) or doc.get("segments"):
             retained.update(doc["added"])
     ever: set[str] = set()
     for v in versions:

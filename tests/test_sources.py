@@ -1547,3 +1547,54 @@ def test_manifest_changes_vector_on_unsegmented_mixed_output(spark, tmp_path):
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root).collect()
     ) == [i for i in range(120) if i != 105 and not (50 <= i < 100)]
+
+
+def test_manifest_changes_materialize_segments_row_exact(spark, tmp_path):
+    """A MIXED materialize (vectors on archive AND range files folded in
+    one commit) records whole-file-survivors segments, so the feed
+    follows it at row grain: range survivors emitted exactly, archive
+    rows never, and a LATER vector against the materialized output still
+    nets out (coordinates line up because the feed scans the output)."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 50).coalesce(1), root)  # v1 archive
+    M.manifest_append(spark.range(100, 130).coalesce(1), root)  # v2 range
+    # v3: ONE vector delete hitting both files
+    M.manifest_delete_rows(spark, root, F.col("id") % 10 == 4)
+    # v4: materialize — mixed rewrite, segments with the -1 sentinel
+    v, n = M.manifest_materialize_deletes(spark, root)
+    assert n == 2
+    doc = M.read_version_doc(root, v)
+    assert doc["segments"]
+    segs = next(iter(doc["segments"].values()))
+    assert [s[1] for s in segs] == [-1, -1]  # whole-file survivors
+    assert [s[2] for s in segs] == [45, 27]
+    want = [i for i in range(100, 130) if i % 10 != 4]
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == want
+    # v5: a vector against the MATERIALIZED output (the live file)
+    M.manifest_delete_rows(spark, root, F.col("id") == 101)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    assert got == [i for i in want if i != 101]
+    # v6: bin-pack the materialized output with a fresh range append —
+    # -1 segments compose through the second pack (whole-file source)
+    M.manifest_append(spark.range(200, 210).coalesce(1), root)
+    M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 30, target_file_bytes=1 << 30
+    )
+    got = sorted(r["id"] for r in M.read_changes(spark, root, 1).collect())
+    # the packed output's source ranges are PARTIAL for the materialized
+    # file (a vector landed on it), and its segment is non-affine (-1) —
+    # the feed must fall back to file grain for that subtree, never
+    # resurrect 101 or emit archive rows
+    assert 101 not in got
+    assert all(i >= 100 for i in got)
+    assert set(got) >= set(range(200, 210))
+    snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert snap == [
+        i
+        for i in list(range(50)) + list(range(100, 130))
+        if i % 10 != 4 and i != 101
+    ] + list(range(200, 210))  # appended after the vector delete
