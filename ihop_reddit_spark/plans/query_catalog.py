@@ -10107,6 +10107,23 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "webp_lossy_decode_gate",
     "manifest_segmented_feed_counts",
+    "stream_domain_quota",
+    "webp_decode_gate",
+    "mp4_decode_gate",
+    "media_decode_gate",
+    "normalized_url_groups",
+    "manifest_dv_lifecycle_counts",
+    "manifest_changes_maintenance_counts",
+    "manifest_change_feed_counts",
+    "manifest_bloom_point_lookups",
+    "manifest_incremental_dedup_pairs",
+    "manifest_merge_upsert_counts",
+    "manifest_timetravel_counts",
+    "stream_dv_deletes",
+    "stream_manifest_appends",
+    "stream_crawl_extraction",
+    "crawl_corpus",
+    "avi_decode_gate",
     "ab_test_purchase_rates",
     "audio_envelope_pairs",
     "corpus_datasheet_by_source",
@@ -10115,10 +10132,6 @@ _SCORING_PRIORITY = [
     "rolling_7day_user_value",
     "tvd_drift_event_mix",
     "video_framehash_pairs",
-    "stream_domain_quota",
-    "webp_decode_gate",
-    "mp4_decode_gate",
-    "media_decode_gate",
     "asof_forward_purchase_to_click",
     "bpe_merge_invariants_gate",
     "bpe_roundtrip_gate",
@@ -10198,7 +10211,6 @@ _SCORING_PRIORITY = [
     "multimodal_frame_samples",
     "multimodal_image_features",
     "ngram_jaccard_pairs",
-    "normalized_url_groups",
     "order_lineitem_ship_delay",
     "pca_projection_2d",
     "png_decode_gate",
@@ -10220,10 +10232,8 @@ _SCORING_PRIORITY = [
     "anti_join_customers_without_f_orders",
     "approx_distinct_users_by_type",
     "approx_quantiles_value_tolerance",
-    "avi_decode_gate",
     "bloom_decontaminated_documents",
     "c4_cleaned_documents",
-    "crawl_corpus",
     "cube_order_status_totals",
     "curated_training_corpus",
     "dataset_split_sizes",
@@ -10238,11 +10248,6 @@ _SCORING_PRIORITY = [
     "jpeg_decode_gate",
     "json_props_stats_by_type",
     "lpa_communities_copurchase",
-    "manifest_bloom_point_lookups",
-    "manifest_dv_lifecycle_counts",
-    "manifest_incremental_dedup_pairs",
-    "manifest_merge_upsert_counts",
-    "manifest_timetravel_counts",
     "mixture_sample_by_source",
     "nation_customer_supplier_alignment",
     "order_thread_documents",
@@ -10255,9 +10260,6 @@ _SCORING_PRIORITY = [
     "segment_nation_contingency",
     "semantic_decontaminated_vectors",
     "semi_join_topn_flag_counts",
-    "stream_crawl_extraction",
-    "stream_dv_deletes",
-    "stream_manifest_appends",
     "table_selection_with_neighbors",
     "top3_customers_per_segment",
     "triangle_counts_copurchase",
@@ -10296,8 +10298,6 @@ _SCORING_PRIORITY = [
     "lpa_modularity_copurchase",
     "lpa_oscillation_gate",
     "mad_outliers_value_by_type",
-    "manifest_change_feed_counts",
-    "manifest_changes_maintenance_counts",
     "mixture_upsampled_counts",
     "modern_training_corpus",
     "packed_sequence_texts",
