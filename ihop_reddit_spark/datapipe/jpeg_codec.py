@@ -228,8 +228,16 @@ def _encode_blocks(
     writer.write(code, length)
     if s:
         writer.write(amp, s)
+    _encode_ac_band(writer, zz, ac_codes)
+    return int(zz[0])
+
+
+def _encode_ac_band(writer, zz, ac_codes, ss: int = 1, se: int = 63) -> None:
+    """AC run-length encoding of one band (shared by the baseline scan
+    and the progressive first AC scans; the 0x00 symbol is EOB in
+    baseline and EOBRUN=1 in progressive — the same bits either way)."""
     run = 0
-    for k in range(1, 64):
+    for k in range(ss, se + 1):
         v = int(zz[k])
         if v == 0:
             run += 1
@@ -244,9 +252,8 @@ def _encode_blocks(
         writer.write(amp, s)
         run = 0
     if run:
-        code, length = ac_codes[0x00]  # EOB
+        code, length = ac_codes[0x00]
         writer.write(code, length)
-    return int(zz[0])
 
 
 def _plane_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
@@ -288,15 +295,26 @@ def jpeg_bytes(
     quant_chroma: np.ndarray | None = None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential JPEG encoder.
+    """Baseline sequential (default) or PROGRESSIVE JPEG encoder.
 
     ``pixels``: H×W uint8 (grayscale, 1-component stream) or H×W×3 uint8
     RGB. ``subsampling``: "444" (no chroma subsampling) or "420" (2×2 —
     the dominant web layout; chroma planes are 2×2 box-averaged).
-    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none).
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none;
+    baseline only).
+
+    ``progressive=True`` emits SOF2 with a genuine multi-scan script:
+    an interleaved DC-first scan at Al=1, a DC successive-approximation
+    REFINEMENT scan (raw bits), then one non-interleaved full-band AC
+    scan per component (EOBRUN form) — the same quantized coefficients
+    as the baseline stream, so a progressive encode and a baseline
+    encode of the same pixels decode IDENTICALLY (pinned in tests).
     """
     px = np.asarray(pixels, dtype=np.uint8)
+    if progressive and restart_interval:
+        raise ValueError("restart_interval unsupported with progressive")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("jpeg_bytes expects H×W grayscale or H×W×3 RGB")
@@ -368,8 +386,10 @@ def jpeg_bytes(
     for tid, q in enumerate([ql] + ([qc] if ncomp > 1 else [])):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(int(v) for v in q.reshape(64)[ZIGZAG])
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    # SOF0 baseline / SOF2 progressive
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp
+    )
     for ci in range(ncomp):
         hi, vi = samp[ci]
         out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
@@ -380,7 +400,78 @@ def jpeg_bytes(
             out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
+
+    if progressive:
+        def sos(ids_tables, ss, se, ah, al) -> bytes:
+            b = b"\xff\xda" + struct.pack(
+                ">HB", 6 + 2 * len(ids_tables), len(ids_tables)
+            )
+            for cid, tbyte in ids_tables:
+                b += bytes([cid, tbyte])
+            return b + bytes([ss, se, (ah << 4) | al])
+
+        all_ids = [
+            (ci + 1, ((0 if ci == 0 else 1) << 4)) for ci in range(ncomp)
+        ]
+        # scan 1: DC first, interleaved, successive approximation Al=1
+        out += sos(all_ids, 0, 0, 0, 1)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    tsel = 0 if ci == 0 else 1
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(
+                                blocks[ci][my * vi + by, mx * hi + bx][0]
+                            ) >> 1  # DC point transform (arith shift)
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            s, amp = _magnitude(diff)
+                            code, length = dc_codes[tsel][s]
+                            writer.write(code, length)
+                            if s:
+                                writer.write(amp, s)
+        writer.flush()
+        out += writer.out
+        # scan 2: DC refinement — one raw bit per block (Ah=1, Al=0)
+        out += sos(all_ids, 0, 0, 1, 0)
+        writer = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            writer.write(
+                                int(
+                                    blocks[ci][my * vi + by, mx * hi + bx][0]
+                                )
+                                & 1,
+                                1,
+                            )
+        writer.flush()
+        out += writer.out
+        # one full-band AC scan per component, non-interleaved
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            tsel = 0 if ci == 0 else 1
+            cw = -(-w * hi // hmax)
+            ch = -(-h * vi // vmax)
+            bw_, bh_ = -(-cw // 8), -(-ch // 8)
+            out += sos([(ci + 1, tsel)], 1, 63, 0, 0)
+            writer = _BitWriter()
+            for by in range(bh_):
+                for bx in range(bw_):
+                    _encode_ac_band(writer, blocks[ci][by, bx], ac_codes[tsel])
+            writer.flush()
+            out += writer.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS (baseline single scan)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
@@ -494,7 +585,11 @@ def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → H×W×3 uint8 RGB (grayscale replicated)."""
+    """Baseline or progressive JPEG → H×W×3 uint8 RGB (grayscale
+    replicated). Progressive (SOF2) accumulates coefficients across its
+    scans — spectral selection, successive approximation (DC and AC
+    refinement), EOBRUN — then reconstructs once; hierarchical and
+    arithmetic-coded streams keep the marked stub."""
     payload = bytes(payload)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -502,6 +597,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) where comps = [(cid, hi, vi, tq)]
+    progressive = False
+    coeff: dict[int, np.ndarray] | None = None
     i = 2
     n = len(payload)
     planes: dict[int, np.ndarray] = {}
@@ -532,20 +629,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = np.zeros(64, dtype=np.int64)
                 table[ZIGZAG] = vals
                 quant[tq] = table.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            # STUB boundary — progressive/hierarchical/arithmetic JPEG
+            # STUB boundary — hierarchical/lossless/arithmetic JPEG
             # needs libjpeg in deployment
             raise NotImplementedError(
-                f"only baseline/extended-sequential JPEG supported "
-                f"(SOF marker 0xFF{marker:02X})"
+                f"only baseline/extended-sequential/progressive JPEG "
+                f"supported (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT (may hold several tables)
             p = 0
@@ -566,16 +664,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tsel >> 4, tsel & 0x0F)
+                scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             segments, i = _split_entropy(payload, i + 2 + seglen)
-            planes = _decode_scan(
-                frame, quant, huff, scan_tables, segments, restart_interval
-            )
+            if progressive:
+                if coeff is None:
+                    fh, fw, fcomps = frame
+                    hmax = max(c[1] for c in fcomps)
+                    vmax = max(c[2] for c in fcomps)
+                    mcux = -(-fw // (8 * hmax))
+                    mcuy = -(-fh // (8 * vmax))
+                    coeff = {
+                        cid: np.zeros(
+                            (mcuy * vi, mcux * hi, 64), dtype=np.int64
+                        )
+                        for cid, hi, vi, _tq in fcomps
+                    }
+                _progressive_scan(
+                    frame, huff, scan_comps, ss, se, ahal >> 4,
+                    ahal & 0x0F, segments, restart_interval, coeff,
+                )
+            else:
+                planes = _decode_scan(
+                    frame, quant, huff, scan_tables, segments,
+                    restart_interval,
+                )
             continue  # i already advanced past the scan
         # APPn / COM / unknown: skip
         i += 2 + seglen
+    if progressive and coeff is not None:
+        planes = _reconstruct(frame, quant, coeff)
     if frame is None or not planes:
         raise ValueError("JPEG missing SOF/SOS")
     return _compose_rgb(frame, planes)
@@ -630,7 +752,14 @@ def _decode_scan(frame, quant, huff, scan_tables, segments, restart_interval):
                         zz[k] = _extend(reader.read_bits(s), s)
                         k += 1
                     coeff[cid][my * vi + by, mx * hi + bx] = zz
-    # dequantize + batched IDCT per component
+    return _reconstruct(frame, quant, coeff)
+
+
+def _reconstruct(frame, quant, coeff):
+    """Accumulated zigzag coefficients → pixel planes: dequantize +
+    batched vectorized IDCT per component (shared by the baseline
+    single-scan path and the progressive multi-scan path)."""
+    _fh, _fw, comps = frame
     planes = {}
     for cid, hi, vi, tq in comps:
         c = coeff[cid]
@@ -643,6 +772,184 @@ def _decode_scan(frame, quant, huff, scan_tables, segments, restart_interval):
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         planes[cid] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
     return planes
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) scans — T.81 Annex G.1.2 (spectral selection +
+# successive approximation), the semantics libjpeg's jdphuff implements.
+# Coefficients accumulate across scans in a persistent store; the final
+# dequant + IDCT runs once at EOI through the same _reconstruct.
+# --------------------------------------------------------------------------
+
+
+def _comp_block_dims(frame, cid) -> tuple[int, int]:
+    """TRUE block dimensions of one component (non-interleaved scans
+    cover exactly these, not the MCU-padded grid)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, hi, vi, _tq in comps:
+        if c == cid:
+            cw = -(-fw * hi // hmax)
+            ch = -(-fh * vi // vmax)
+            return -(-ch // 8), -(-cw // 8)
+    raise ValueError(f"unknown JPEG component {cid}")
+
+
+def _ac_first(reader, zz, ss, se, al, ac_tab, state) -> None:
+    """First AC scan of a band (Ah=0): runs/EOBRUN, values << Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, zz, ss, se, al, ac_tab, state) -> None:
+    """AC refinement scan (Ah = Al + 1): correction bits for history
+    coefficients, new ±1<<Al insertions, EOBRUN covering the tail."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if reader.read_bit():
+                        if (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if reader.read_bit():
+                    if (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _progressive_scan(
+    frame, huff, scan_comps, ss, se, ah, al, segments, restart_interval,
+    coeff,
+) -> None:
+    """Apply one progressive scan to the persistent coefficient store.
+    ``scan_comps``: [(cid, tdc, tac)] in scan order; ns > 1 ⇒ MCU
+    interleaved (DC scans only, per T.81), ns == 1 ⇒ raster over the
+    component's true blocks."""
+    fh, fw, comps = frame
+    samp = {c: (hi, vi) for c, hi, vi, _tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    state = {"eobrun": 0}
+    preds = {cid: 0 for cid, _tdc, _tac in scan_comps}
+
+    def _restart():
+        nonlocal reader, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("JPEG missing restart segment")
+        reader = _BitReader(segments[seg_idx])
+        state["eobrun"] = 0
+        for c in preds:
+            preds[c] = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if len(scan_comps) > 1:
+            n_units = mcux * mcuy
+            for m in range(n_units):
+                if restart_interval and m and m % restart_interval == 0:
+                    _restart()
+                my, mx = divmod(m, mcux)
+                for cid, tdc, _tac in scan_comps:
+                    hi, vi = samp[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = coeff[cid][my * vi + by, mx * hi + bx]
+                            if ah == 0:
+                                s = _huff_decode(reader, huff[(0, tdc)])
+                                diff = _extend(reader.read_bits(s), s)
+                                preds[cid] += diff
+                                zz[0] = preds[cid] << al
+                            else:
+                                zz[0] = int(zz[0]) | (
+                                    reader.read_bit() << al
+                                )
+        else:
+            cid, tdc, _tac = scan_comps[0]
+            bh, bw = _comp_block_dims(frame, cid)
+            for b in range(bh * bw):
+                if restart_interval and b and b % restart_interval == 0:
+                    _restart()
+                by, bx = divmod(b, bw)
+                zz = coeff[cid][by, bx]
+                if ah == 0:
+                    s = _huff_decode(reader, huff[(0, tdc)])
+                    diff = _extend(reader.read_bits(s), s)
+                    preds[cid] += diff
+                    zz[0] = preds[cid] << al
+                else:
+                    zz[0] = int(zz[0]) | (reader.read_bit() << al)
+        return
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cid, _tdc, tac = scan_comps[0]
+    ac_tab = huff[(1, tac)]
+    bh, bw = _comp_block_dims(frame, cid)
+    for b in range(bh * bw):
+        if restart_interval and b and b % restart_interval == 0:
+            _restart()
+        by, bx = divmod(b, bw)
+        zz = coeff[cid][by, bx]
+        if ah == 0:
+            _ac_first(reader, zz, ss, se, al, ac_tab, state)
+        else:
+            _ac_refine(reader, zz, ss, se, al, ac_tab, state)
 
 
 def _compose_rgb(frame, planes) -> np.ndarray:

@@ -983,6 +983,41 @@ def synthesize_jpeg_assets(
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
 
 
+def synthesize_progressive_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Real PROGRESSIVE (SOF2) JPEG payloads per id: same planted-block
+    discipline as :func:`synthesize_jpeg_assets` but with multipliers
+    ``(59·id + 80·k) % 256`` (distinct from baseline's 37, so a decoder
+    silently falling back to the baseline path cannot pass both gates)
+    and a genuine multi-scan script — interleaved DC first at Al=1, a DC
+    successive-approximation refinement scan, then the non-interleaved
+    AC band scan. DC-step-8 quantization keeps solid blocks lossless, so
+    the gate is integer-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg_codec import QUANT_DC8, jpeg_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(59 * i) % 256, (59 * i + 80) % 256],
+                     [(59 * i + 160) % 256, (59 * i + 240) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append(
+                    (i, jpeg_bytes(px, quant_luma=QUANT_DC8, progressive=True))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
 def synthesize_real_image_assets(
     df: DataFrame, id_col: str = "doc_id", width: int = 16
 ) -> DataFrame:

@@ -3763,6 +3763,61 @@ def webp_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Progressive-JPEG gate (datapipe/jpeg_codec — r10, closes the SOF2
+# half of the "progressive JPEG stays stubbed" residual): each asset is
+# a genuine multi-scan progressive stream — interleaved DC first at
+# Al=1, a DC successive-approximation REFINEMENT scan (raw bits), then
+# the non-interleaved full-band AC scan with EOBRUN — four solid 8x8
+# blocks planted at (59·i + 80·k) % 256 (distinct multiplier from the
+# baseline gate's 37: a decoder silently taking the baseline path
+# cannot pass both). DC-step-8 quantization keeps solid blocks
+# LOSSLESS, so exact means prove the cross-scan coefficient
+# accumulation, the successive-approximation bit algebra, and the
+# shared dequant+IDCT end to end. 1-in-29 id sample. The AC-refinement
+# path the writer does not emit is pinned by a hand-built-stream
+# pytest, same discipline as the VP8L transform tests.
+# ---------------------------------------------------------------------------
+@query(
+    "jpeg_progressive_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS jpeg_progressive_exact
+    FROM documents WHERE doc_id % 29 = 0
+    """,
+)
+def jpeg_progressive_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_progressive_jpeg_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 29 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_progressive_jpeg_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 59) % 256)
+        + ((i * 59 + 80) % 256)
+        + ((i * 59 + 160) % 256)
+        + ((i * 59 + 240) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("jpeg_progressive_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "jpeg_progressive_exact")
+
+
+# ---------------------------------------------------------------------------
 # Lossy-WebP gate (datapipe/webp_native — r10, wires the deployment
 # boundary for real): each asset is a genuine VP8 bitstream encoded at
 # q=95 through the SYSTEM libwebp (ctypes, no Python package), four
@@ -10105,6 +10160,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # stay demoted. Reordering only -- key sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "jpeg_progressive_decode_gate",
     "webp_lossy_decode_gate",
     "manifest_segmented_feed_counts",
     "stream_domain_quota",

@@ -760,7 +760,7 @@ def test_jpeg_restart_intervals():
     assert np.array_equal(decode_jpeg(restarted), plain)
 
 
-def test_jpeg_progressive_is_marked_stub():
+def test_jpeg_hierarchical_is_marked_stub_and_fake_sof2_is_loud():
     import numpy as np
     import pytest as _pytest
 
@@ -768,13 +768,121 @@ def test_jpeg_progressive_is_marked_stub():
 
     px = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(jpeg_bytes(px))
-    # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive is a stub boundary
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    # lossless/hierarchical (SOF3) stays the marked libjpeg boundary
+    data[i + 1] = 0xC3
     with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    # a BASELINE stream relabeled SOF2 is a malformed progressive scan
+    # (Se=63 on a DC scan) — loud ValueError, never silent garbage
+    data[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="Se"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """SOF2 decodes for REAL (r10): the progressive writer emits the
+    same quantized coefficients through a DC-first + DC-refinement +
+    per-component AC scan script, so progressive and baseline encodes
+    of the same pixels must decode bit-identically — gray, 4:4:4 and
+    4:2:0, odd sizes."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.jpeg_codec import decode_jpeg, jpeg_bytes
+
+    rng = np.random.RandomState(11)
+    for shape in ((16, 16), (24, 17), (8, 8)):
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert (
+            decode_jpeg(jpeg_bytes(px, progressive=True))
+            == decode_jpeg(jpeg_bytes(px))
+        ).all()
+    for sub in ("444", "420"):
+        for shape in ((16, 16, 3), (19, 22, 3)):
+            px = rng.randint(0, 256, size=shape).astype(np.uint8)
+            assert (
+                decode_jpeg(jpeg_bytes(px, subsampling=sub, progressive=True))
+                == decode_jpeg(jpeg_bytes(px, subsampling=sub))
+            ).all()
+
+
+def test_jpeg_progressive_ac_refinement_hand_built():
+    """The AC successive-approximation REFINEMENT path (which the
+    in-tree writer does not emit) driven by a hand-built stream: an
+    Al=1 first AC scan plants a coefficient, the Ah=1 refinement scan
+    must apply a correction bit to it, insert a new ±1 past a skipped
+    zero-history position, and honor EOBRUN for the tail."""
+    import struct
+
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe import jpeg_codec as J
+
+    dc_codes = J._canonical_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_codes = J._canonical_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, bits, vals in (
+        (0, J._DC_LUMA_BITS, J._DC_LUMA_VALS),
+        (1, J._AC_LUMA_BITS, J._AC_LUMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    # scan A: DC first (Al=0), dc = 0 → category 0, no amplitude
+    out += sos(0, 0, 0, 0)
+    w = J._BitWriter()
+    c, l = dc_codes[0]
+    w.write(c, l)
+    w.flush()
+    out += w.out
+    # scan B: AC first at Al=1 — zz[1] = extend(3, s=2) << 1 = 6, EOB
+    out += sos(1, 63, 0, 1)
+    w = J._BitWriter()
+    c, l = ac_codes[0x02]
+    w.write(c, l)
+    w.write(3, 2)
+    c, l = ac_codes[0x00]
+    w.write(c, l)
+    w.flush()
+    out += w.out
+    # scan C: AC refinement (Ah=1, Al=0) — RS=0x11 (skip ONE zero-history
+    # position, insert ±1), sign=1 (+1), correction bit 1 for zz[1]
+    # (6 -> 7), placement lands at zz[3]; then EOBRUN for the tail
+    out += sos(1, 63, 1, 0)
+    w = J._BitWriter()
+    c, l = ac_codes[0x11]
+    w.write(c, l)
+    w.write(1, 1)  # sign: positive
+    w.write(1, 1)  # correction bit for the nonzero history coeff zz[1]
+    c, l = ac_codes[0x00]
+    w.write(c, l)  # EOBRUN = 1 (covers the rest of this block)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+
+    got = J.decode_jpeg(bytes(out))
+    # expected: zigzag coefficients [0, 7, 0, 1, 0, ...] through the
+    # same dequant(1) + IDCT the baseline gate already pins
+    zz = np.zeros(64, dtype=np.float64)
+    zz[1] = 7
+    zz[3] = 1
+    nat = np.zeros(64, dtype=np.float64)
+    nat[J.ZIGZAG] = zz
+    block = nat.reshape(8, 8)
+    spatial = J._DCT.T @ block @ J._DCT + 128.0
+    want = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+    assert (got == np.repeat(want[..., None], 3, axis=2)).all()
 
 
 def test_decode_image_dispatches_jpeg_and_real_asset_features(spark):
