@@ -733,12 +733,13 @@ def decode_png(payload: bytes):
     """Real PNG decoder, stdlib-only: chunk walk with CRC verification,
     ``zlib`` inflate, and full scanline unfiltering (all five filter
     types). Supports grayscale / gray+alpha / truecolor /
-    truecolor+alpha / palette (PLTE lookup), 8- and 16-bit depths
-    (16-bit scaled to 8 via the high byte), and Adam7 interlacing
+    truecolor+alpha / palette (PLTE lookup), ALL legal bit depths —
+    1/2/4-bit (MSB-first unpacking, exact 8-bit grayscale rescale), 8-
+    and 16-bit (scaled to 8 via the high byte) — and Adam7 interlacing
     (seven independently-filtered sub-images scattered back — the GIF
     decoder's interlace sibling); returns H×W×3 uint8 RGB (gray
-    replicated, alpha stripped). Sub-byte depths (1/2/4-bit) raise the
-    marked ``NotImplementedError`` — they need PIL in deployment."""
+    replicated, alpha stripped). The r9 sub-byte stub is closed: every
+    color-type x depth combination the PNG spec allows decodes here."""
     import struct
     import zlib
 
@@ -771,28 +772,32 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt_method, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt_method != 0 \
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt_method != 0 \
             or interlace not in (0, 1):
-        # STUB boundary — sub-byte depths (1/2/4-bit) need PIL in deployment
-        raise NotImplementedError(
-            "only 8/16-bit depth-byte-aligned PNG supported without PIL"
+        raise ValueError(
+            f"invalid PNG header (depth {depth}, compression {comp},"
+            f" filter {filt_method}, interlace {interlace})"
         )
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
-        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+        raise ValueError(f"invalid PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"PNG color type {ctype} cannot be {depth}-bit")
     if ctype == 3 and depth == 16:
         raise ValueError("palette PNG cannot be 16-bit")
     raw = zlib.decompress(bytes(idat))
-    nbytes = depth // 8
-    bpp = ch * nbytes
+    nbytes = max(1, depth // 8)
+    bpp = ch * nbytes if depth >= 8 else 1  # filter distance ≥ 1 byte
 
     def unfilter(pos: int, pw: int, ph: int):
         """Unfilter one (sub-)image of ph scanlines × pw pixels starting
         at byte ``pos``; returns (ph, pw, ch) uint8 samples (16-bit
-        scaled to 8 via the high byte) and the next position."""
-        stride = pw * bpp
+        scaled to 8 via the high byte; sub-byte depths bit-unpacked,
+        grayscale rescaled to 8-bit, palette indices raw) and the next
+        position."""
+        stride = pw * bpp if depth >= 8 else -(-pw * ch * depth // 8)
         rows = np.zeros((ph, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int64)
         for y in range(ph):
@@ -827,7 +832,20 @@ def decode_png(payload: bytes):
                 raise ValueError(f"invalid PNG filter type {ft}")
             rows[y] = rec.astype(np.uint8)
             prev = rec
-        samples = rows.reshape(ph, pw, ch, nbytes)[..., 0]  # high byte
+        if depth >= 8:
+            samples = rows.reshape(ph, pw, ch, nbytes)[..., 0]  # high byte
+        else:
+            # sub-byte: unpack MSB-first, group depth bits per sample,
+            # keep the first pw (rows pad to whole bytes)
+            bits = np.unpackbits(rows, axis=1)
+            vals = bits[:, : (stride * 8 // depth) * depth].reshape(
+                ph, -1, depth
+            )
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+            v = (vals.astype(np.int64) * weights).sum(axis=2)[:, :pw]
+            if ctype == 0:  # grayscale: exact 8-bit rescale
+                v = v * (255 // ((1 << depth) - 1))
+            samples = v.astype(np.uint8)[..., np.newaxis]
         return samples, pos
 
     if interlace == 0:
@@ -865,9 +883,9 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG, 24-bit BMP,
-    GIF (first rendered frame), and baseline JPEG decode for REAL
-    (stdlib/numpy codecs — see :mod:`.jpeg_codec` for JPEG); WebP/TIFF
-    remain the marked PIL stub. Every image consumer (aHash, feature
+    GIF (first rendered frame), baseline AND progressive JPEG, and
+    WebP (lossless in-tree, lossy via the system libwebp) decode for
+    REAL; TIFF remains the marked PIL stub. Every image consumer (aHash, feature
     stats) goes through this, so every real format flows the same dedup
     path."""
     payload = bytes(payload)

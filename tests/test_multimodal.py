@@ -966,8 +966,35 @@ def test_png_adam7_interlace_and_16bit_depth():
     assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
     assert np.array_equal(out[:, :, 0], out[:, :, 2])
 
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_png(png(8, 1, 4, 0, 0, b"\x00\x00\x00\x00\x00"))
+    # sub-byte depths decode for REAL now (r10): 4-bit gray, MSB-first
+    # packed, rescaled exactly (v * 17); filter byte 0 + 4 data bytes
+    out = decode_png(png(8, 1, 4, 0, 0, bytes([0, 0x0F, 0x28, 0x5A, 0xC3])))
+    want4 = np.array([0x0, 0xF, 0x2, 0x8, 0x5, 0xA, 0xC, 0x3]) * 17
+    assert np.array_equal(out[0, :, 0], want4.astype(np.uint8))
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    # 1-bit gray with a SUB filter (byte-distance filtering): row of
+    # 16 pixels = 2 bytes; second byte stored as delta to the first
+    row = bytes([1, 0b10110010, (0b01011101 - 0b10110010) % 256])
+    out = decode_png(png(16, 1, 1, 0, 0, row))
+    bits = [int(b) * 255 for b in "1011001001011101"]
+    assert np.array_equal(out[0, :, 0], np.array(bits, np.uint8))
+    # 2-bit PALETTE indices (no rescale — straight PLTE lookup)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 2, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0b00011011])))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert np.array_equal(
+        out[0],
+        np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], np.uint8),
+    )
+    # invalid header stays loud (16-bit palette is illegal, not a stub)
+    with pytest.raises(ValueError):
+        decode_png(png(8, 1, 3, 0, 0, b"\x00\x00"))
 
 
 # ---------------------------------------------------------------------------
