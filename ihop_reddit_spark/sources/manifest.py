@@ -93,9 +93,29 @@ def latest_version(path: str) -> int:
     return versions[-1]
 
 
+#: (abs doc path) -> (mtime_ns, size, parsed doc). Version docs are
+#: immutable once committed (vacuum's checkpoint rewrite replaces the
+#: file, changing its mtime/size — the validators below catch it), and
+#: the log-replay helpers (live_files / live_dv_state / blooms / stats)
+#: each walk EVERY doc per call: without a cache, a streaming sink's
+#: per-batch driver cost grows with table age as commit docs (which
+#: carry bloom bitmaps) get re-parsed dozens of times per micro-batch.
+_VERSION_DOC_CACHE: dict[str, tuple[int, int, dict]] = {}
+
+
 def read_version_doc(path: str, version: int) -> dict:
-    with open(_version_doc_path(path, version)) as fh:
-        return json.load(fh)
+    fp = _version_doc_path(path, version)
+    st = os.stat(fp)
+    key = os.path.abspath(fp)
+    hit = _VERSION_DOC_CACHE.get(key)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2]
+    with open(fp) as fh:
+        doc = json.load(fh)
+    if len(_VERSION_DOC_CACHE) > 4096:
+        _VERSION_DOC_CACHE.clear()  # bound memory; repopulates lazily
+    _VERSION_DOC_CACHE[key] = (st.st_mtime_ns, st.st_size, doc)
+    return doc
 
 
 def _commit_version(path: str, doc: dict) -> int:
