@@ -883,11 +883,12 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """Magic-byte image dispatch → H×W×3 uint8 RGB: PNG, 24-bit BMP,
-    GIF (first rendered frame), baseline AND progressive JPEG, and
-    WebP (lossless in-tree, lossy via the system libwebp) decode for
-    REAL; TIFF remains the marked PIL stub. Every image consumer (aHash, feature
-    stats) goes through this, so every real format flows the same dedup
-    path."""
+    GIF (first rendered frame), baseline AND progressive JPEG, WebP
+    (lossless in-tree, lossy via the system libwebp), and baseline
+    TIFF (r10 — none/PackBits/LZW/Deflate strips; BigTIFF/tiles/CCITT
+    via the system libtiff) decode for REAL; AVIF/HEIC remain the
+    marked PIL stub. Every image consumer (aHash, feature stats) goes
+    through this, so every real format flows the same dedup path."""
     payload = bytes(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -905,10 +906,17 @@ def decode_image(payload: bytes):
         # lossless (VP8L) decodes for real; lossy VP8 raises its own
         # marked NotImplementedError inside
         return decode_webp(payload)
-    # STUB boundary — TIFF/AVIF/… decode requires PIL in deployment
+    if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        from .tiff import decode_tiff
+
+        # baseline TIFF (strips, none/PackBits/LZW/Deflate, gray/
+        # palette/RGB, 1-16 bit) decodes in-tree; BigTIFF/tiles/CCITT
+        # route to the system libtiff or raise the marked stub inside
+        return decode_tiff(payload)
+    # STUB boundary — AVIF/HEIC/… decode requires PIL in deployment
     raise NotImplementedError(
-        "only PNG, 24-bit BMP, GIF, baseline JPEG, and lossless WebP"
-        f" decode without PIL; got unknown magic {payload[:4]!r}"
+        "only PNG, 24-bit BMP, GIF, baseline+progressive JPEG, WebP,"
+        f" and TIFF decode without PIL; got unknown magic {payload[:4]!r}"
     )
 
 
@@ -1112,6 +1120,50 @@ def synthesize_bmp_assets(
                 )
                 px = np.broadcast_to(color, (h, width, 3))
                 rows.append((i, bmp_bytes(px)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_tiff_assets(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
+    """Real TIFF payloads per id: solid ((61i)%256, (97i)%256,
+    (113i)%256) at height ``8 + id % 4`` — the 61 multiplier is
+    distinct from every other format gate (jpeg 37, webp 47, lossy 53,
+    progressive 59), so a dispatcher silently taking another path
+    cannot pass two gates. Ids cycle the compression (i%4: none /
+    PackBits / LZW / Deflate+predictor), byte order (i%2: II/MM) and
+    strip layout (i%3==0: multi-strip at 3 rows), so one gate run
+    covers every writer-reachable baseline combination through the
+    SAME ``decode_image`` dispatch as png/bmp/gif/jpeg/webp."""
+    import numpy as np
+    import pandas as pd
+
+    from .tiff import tiff_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                h = 8 + i % 4
+                color = np.array(
+                    [(61 * i) % 256, (97 * i) % 256, (113 * i) % 256],
+                    dtype=np.uint8,
+                )
+                px = np.broadcast_to(color, (h, width, 3))
+                comp = ("none", "packbits", "lzw", "deflate")[i % 4]
+                rows.append((
+                    i,
+                    tiff_bytes(
+                        px,
+                        compression=comp,
+                        byte_order="II" if i % 2 == 0 else "MM",
+                        predictor=2 if comp == "deflate" else 1,
+                        rows_per_strip=3 if i % 3 == 0 else None,
+                    ),
+                ))
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")

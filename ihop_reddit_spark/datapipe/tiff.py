@@ -1,0 +1,658 @@
+"""Dependency-free baseline TIFF (rev 6.0) codec.
+
+Closes the last still-image honest stub (``decode_image`` carried
+"TIFF requires PIL in deployment" since r6): the in-tree decoder
+implements the real TIFF container and the full BASELINE feature set,
+stdlib + numpy only — II/MM byte orders, IFD walk (first page, like
+GIF's first frame), strip organisation with RowsPerStrip, chunky AND
+planar sample layouts, compressions none / PackBits / LZW (the TIFF
+variant: MSB-first codes, early code-width change, 12-bit cap with
+CLEAR) / Deflate (8 and the legacy 32946, via zlib), the horizontal-
+differencing Predictor, photometrics WhiteIsZero / BlackIsZero /
+RGB (extra samples stripped) / Palette, bit depths 1/2/4/8/16
+(sub-byte unpacked MSB- or LSB-first per FillOrder, 16-bit taken at
+the high byte exactly like the PNG path), and all eight Orientation
+transforms.
+
+What stays OUTSIDE the dependency-free subset routes to the SYSTEM
+libtiff through ctypes when the shared library is installed
+(:mod:`.tiff_native`, same deployment-swap shape as lossy WebP →
+:mod:`.webp_native`): BigTIFF (magic 43), tiled organisation
+(TileWidth), CCITT/JPEG-in-TIFF compressions, and non-RGB color spaces
+(CMYK/YCbCr/CIELab). Without the library those raise the marked
+``NotImplementedError`` naming it — the honest-stub discipline shared
+by every codec in this tier. libtiff also doubles as an independent
+CONFORMANCE oracle: round-trip tests decode writer output through
+both decoders and require bit-identical pixels (round-trips alone
+cannot catch self-consistent spec deviations — the r9 VP8L
+color-transform lesson).
+
+* :func:`tiff_bytes` — writer for 8-bit grayscale / RGB images:
+  single- or multi-strip, II or MM, compression none / packbits /
+  lzw / deflate, optional horizontal predictor. Deterministic bytes
+  for identical input (planted-fixture requirement).
+* :func:`parse_tiff` — header + first-IFD tag walk: (width, height,
+  tag dict) without decoding pixel data.
+* :func:`decode_tiff` — full pixel decode to an H×W×3 uint8 RGB
+  array.
+
+The reference engine has no media path at all (extension-completeness
+tier, per COVERAGE.md north-star section — not reference parity).
+
+Scale shape: row-local Python invoked only inside Arrow-batched
+``mapInPandas`` stages (see ``datapipe/multimodal.py``); zero shuffle,
+zero driver hops.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "tiff_bytes",
+    "parse_tiff",
+    "decode_tiff",
+    "packbits_encode",
+    "packbits_decode",
+    "lzw_encode",
+    "lzw_decode",
+]
+
+_CLEAR, _EOI = 256, 257
+
+# Tag numbers (TIFF 6.0 §8)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_FILLORDER = 266
+_T_STRIP_OFFSETS = 273
+_T_ORIENTATION = 274
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+_T_EXTRA_SAMPLES = 338
+_T_SAMPLE_FORMAT = 339
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9) — run-length; rows packed independently on
+# encode, decode is boundary-agnostic (consumes until expected length).
+# ---------------------------------------------------------------------------
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("TIFF PackBits strip truncated")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal run truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("TIFF PackBits output overruns the strip size")
+    return bytes(out)
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """Pack ONE row (spec: compression never crosses row boundaries)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        # literal segment: until a ≥3 repeat starts (2-byte runs are
+        # cheaper folded into the literal than split out)
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13) — MSB-first code packing with the "early change"
+# of code width (switch one code BEFORE the table fills the width),
+# 12-bit cap, mandatory leading ClearCode.
+# ---------------------------------------------------------------------------
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    acc = nacc = pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    started = False
+    while len(out) < expected:
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW strip truncated (no EOI)")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        code = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
+        if code == _CLEAR:
+            table = [bytes([j]) for j in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            started = True
+            continue
+        if code == _EOI:
+            break
+        if not started:
+            raise ValueError("TIFF LZW stream does not begin with ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW first code after Clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        prev = entry
+        # early change: the NEXT code is wider as soon as the table can
+        # name it (len == 2^width - 1), one earlier than GIF
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+        if len(table) > 4095:
+            raise ValueError("TIFF LZW table overflow without ClearCode")
+    if len(out) != expected:
+        raise ValueError("TIFF LZW output overruns the strip size")
+    return bytes(out)
+
+
+class _BitWriterMSB:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, width: int):
+        self.acc = (self.acc << width) | code
+        self.nacc += width
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
+            self.acc = self.nacc = 0
+        return bytes(self.buf)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    w = _BitWriterMSB()
+    width = 9
+    table: dict[bytes, int] = {bytes([j]): j for j in range(256)}
+    next_code = 258
+    w.write(_CLEAR, width)
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        w.write(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change, seen from the encoder: the decoder's table is
+        # one entry BEHIND this dict (it registers nothing on the first
+        # code after Clear), and it widens once its table length hits
+        # 2^width − 1 — which is exactly when next_code reaches 2^width
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        omega = bytes([b])
+        if next_code > 4093:  # leave room for the entry the decoder adds
+            w.write(table[omega], width)
+            w.write(_CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+            omega = b""
+    if omega:
+        w.write(table[omega], width)
+        # the final code adds a decoder entry with no encoder twin, so
+        # the decoder sits at next_code entries when it reads EOI
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+    w.write(_EOI, width)
+    return w.flush()
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+_COMP_CODE = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}
+
+
+def tiff_bytes(
+    pixels,
+    compression: str = "none",
+    byte_order: str = "II",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    real single-page TIFF. Deterministic for identical input."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, np.newaxis]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("tiff_bytes wants (H,W) gray or (H,W,3) RGB uint8")
+    h, w, spp = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("tiff_bytes: empty image")
+    if compression not in _COMP_CODE:
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and compression in ("none", "packbits"):
+        raise ValueError("predictor 2 pairs with LZW/Deflate only")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    en = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or h
+    if rps <= 0:
+        raise ValueError("rows_per_strip must be positive")
+
+    raw = px
+    if predictor == 2:
+        raw = raw.astype(np.int16)
+        raw[:, 1:, :] -= np.asarray(px, dtype=np.int16)[:, :-1, :]
+        raw = (raw % 256).astype(np.uint8)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        block = raw[y0 : y0 + rps].tobytes()
+        if compression == "none":
+            strips.append(block)
+        elif compression == "packbits":
+            stride = w * spp
+            strips.append(
+                b"".join(
+                    packbits_encode(block[r : r + stride])
+                    for r in range(0, len(block), stride)
+                )
+            )
+        elif compression == "lzw":
+            strips.append(lzw_encode(block))
+        else:
+            strips.append(zlib.compress(block, 6))
+
+    tags: list[tuple[int, int, int, list[int]]] = [
+        (_T_WIDTH, 4, 1, [w]),
+        (_T_HEIGHT, 4, 1, [h]),
+        (_T_BITS, 3, spp, [8] * spp),
+        (_T_COMPRESSION, 3, 1, [_COMP_CODE[compression]]),
+        (_T_PHOTOMETRIC, 3, 1, [2 if spp == 3 else 1]),
+        (_T_STRIP_OFFSETS, 4, len(strips), [0] * len(strips)),  # patched
+        (_T_SPP, 3, 1, [spp]),
+        (_T_ROWS_PER_STRIP, 4, 1, [rps]),
+        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        tags.append((_T_PREDICTOR, 3, 1, [2]))
+    tags.sort(key=lambda t: t[0])
+
+    # layout: header(8) | IFD | overflow values | strip data
+    ifd_size = 2 + 12 * len(tags) + 4
+    overflow: list[bytes] = []
+    off = 8 + ifd_size
+
+    def _pack_vals(typ: int, vals: list[int]) -> bytes:
+        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        return struct.pack(f"{en}{len(vals)}{fmt}", *vals)
+
+    # reserve overflow slots, then strip data offsets become known
+    slots: list[bytes | None] = []
+    for tag, typ, cnt, vals in tags:
+        raw_v = _pack_vals(typ, vals)
+        if len(raw_v) > 4:
+            slots.append(None)  # placeholder, patched below
+            overflow.append(raw_v)
+            off += len(raw_v)
+        else:
+            slots.append(raw_v.ljust(4, b"\x00"))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+
+    # second pass with strip offsets known
+    out = bytearray()
+    out += (b"II" if en == "<" else b"MM") + struct.pack(f"{en}H", 42)
+    out += struct.pack(f"{en}I", 8)
+    out += struct.pack(f"{en}H", len(tags))
+    ov_off = 8 + ifd_size
+    ov_iter = iter(overflow)
+    for (tag, typ, cnt, vals), slot in zip(tags, slots):
+        if tag == _T_STRIP_OFFSETS:
+            vals = strip_offsets
+        raw_v = _pack_vals(typ, vals)
+        if slot is None:
+            next(ov_iter)
+            out += struct.pack(f"{en}HHI", tag, typ, cnt)
+            out += struct.pack(f"{en}I", ov_off)
+            ov_off += len(raw_v)
+        else:
+            out += struct.pack(f"{en}HHI", tag, typ, cnt)
+            out += raw_v.ljust(4, b"\x00")
+    out += struct.pack(f"{en}I", 0)  # next-IFD pointer: single page
+    for (tag, typ, cnt, vals), slot in zip(tags, slots):
+        if slot is None:
+            if tag == _T_STRIP_OFFSETS:
+                vals = strip_offsets
+            out += _pack_vals(typ, vals)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _read_ifd(buf: bytes, off: int, en: str) -> dict[int, list[int]]:
+    if off + 2 > len(buf):
+        raise ValueError("TIFF IFD offset beyond file")
+    (n,) = struct.unpack_from(f"{en}H", buf, off)
+    tags: dict[int, list[int]] = {}
+    pos = off + 2
+    if pos + 12 * n + 4 > len(buf):
+        raise ValueError("TIFF IFD truncated")
+    for _ in range(n):
+        tag, typ, cnt = struct.unpack_from(f"{en}HHI", buf, pos)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:  # unknown value type: skip per spec
+            pos += 12
+            continue
+        total = size * cnt
+        if total <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(f"{en}I", buf, pos + 8)
+            if voff + total > len(buf):
+                raise ValueError(f"TIFF tag {tag} value beyond file")
+        if typ in (3, 8):
+            vals = list(struct.unpack_from(f"{en}{cnt}H", buf, voff))
+        elif typ in (4, 9):
+            vals = list(struct.unpack_from(f"{en}{cnt}I", buf, voff))
+        elif typ in (1, 2, 6, 7):
+            vals = list(buf[voff : voff + cnt])
+        else:  # RATIONAL → numerator/denominator pairs flattened
+            vals = list(struct.unpack_from(f"{en}{2 * cnt}{'I' if typ == 5 else 'i'}", buf, voff))
+        tags[tag] = vals
+        pos += 12
+    return tags
+
+
+def parse_tiff(payload: bytes):
+    """Header + first-IFD walk → (width, height, tags). Loud ValueError
+    diagnostics on structural damage; BigTIFF raises the marked
+    NotImplementedError (libtiff territory, auto-swapped when present)."""
+    buf = bytes(payload)
+    if len(buf) < 8:
+        raise ValueError("TIFF payload shorter than the 8-byte header")
+    if buf[:2] == b"II":
+        en = "<"
+    elif buf[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    (magic,) = struct.unpack_from(f"{en}H", buf, 2)
+    if magic == 43:
+        raise NotImplementedError(
+            "BigTIFF (magic 43) needs the system libtiff in deployment"
+        )
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic} (want 42)")
+    (ifd_off,) = struct.unpack_from(f"{en}I", buf, 4)
+    tags = _read_ifd(buf, ifd_off, en)
+    if _T_WIDTH not in tags or _T_HEIGHT not in tags:
+        raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
+    return tags[_T_WIDTH][0], tags[_T_HEIGHT][0], tags
+
+
+def _decompress_strip(data: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        if len(data) < expected:
+            raise ValueError("TIFF uncompressed strip shorter than expected")
+        return data[:expected]
+    if comp == 32773:
+        return packbits_decode(data, expected)
+    if comp == 5:
+        return lzw_decode(data, expected)
+    if comp in (8, 32946):
+        out = zlib.decompress(data)
+        if len(out) < expected:
+            raise ValueError("TIFF deflate strip shorter than expected")
+        return out[:expected]
+    raise NotImplementedError(
+        f"TIFF compression {comp} (CCITT/JPEG-in-TIFF tiers) needs the"
+        " system libtiff in deployment"
+    )
+
+
+_ORIENT = {
+    1: lambda a: a,
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1],
+    5: lambda a: a.swapaxes(0, 1),
+    6: lambda a: a.swapaxes(0, 1)[:, ::-1],
+    7: lambda a: a.swapaxes(0, 1)[::-1, ::-1],
+    8: lambda a: a.swapaxes(0, 1)[::-1],
+}
+
+
+def decode_tiff(payload: bytes, _native_fallback: bool = True):
+    """Decode the first page to H×W×3 uint8 RGB. The dependency-free
+    path covers the full baseline set (module docstring); the
+    non-baseline tiers route to libtiff when installed, else raise the
+    marked NotImplementedError."""
+    import numpy as np
+
+    try:
+        w, h, tags = parse_tiff(payload)
+        if _T_TILE_WIDTH in tags:
+            raise NotImplementedError(
+                "tiled TIFF organisation needs the system libtiff in"
+                " deployment (strip organisation decodes in-tree)"
+            )
+        bits_l = tags.get(_T_BITS, [1])
+        spp = tags.get(_T_SPP, [1])[0]
+        if len(bits_l) not in (1, spp) or len(set(bits_l)) != 1:
+            raise ValueError(f"TIFF per-sample bit depths differ: {bits_l}")
+        bits = bits_l[0]
+        if bits not in (1, 2, 4, 8, 16):
+            raise ValueError(f"unsupported TIFF bit depth {bits}")
+        if bits < 8 and spp != 1:
+            raise ValueError("sub-byte TIFF depths require 1 sample/pixel")
+        comp = tags.get(_T_COMPRESSION, [1])[0]
+        if _T_PHOTOMETRIC not in tags:
+            raise ValueError("TIFF IFD missing PhotometricInterpretation")
+        photo = tags[_T_PHOTOMETRIC][0]
+        if photo in (5, 6, 8):
+            raise NotImplementedError(
+                f"TIFF photometric {photo} (CMYK/YCbCr/CIELab) needs the"
+                " system libtiff in deployment"
+            )
+        if photo not in (0, 1, 2, 3):
+            raise ValueError(f"invalid TIFF photometric {photo}")
+        if photo == 2 and spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples/pixel")
+        if photo == 3 and spp != 1:
+            raise ValueError("palette TIFF requires 1 sample/pixel")
+        sfmt = set(tags.get(_T_SAMPLE_FORMAT, [1]))
+        if sfmt - {1}:
+            raise ValueError(f"unsupported TIFF sample format {sorted(sfmt)}")
+        planar = tags.get(_T_PLANAR, [1])[0]
+        if planar not in (1, 2):
+            raise ValueError(f"invalid TIFF planar configuration {planar}")
+        predictor = tags.get(_T_PREDICTOR, [1])[0]
+        if predictor == 3:
+            raise ValueError("TIFF floating-point predictor unsupported")
+        if predictor not in (1, 2):
+            raise ValueError(f"invalid TIFF predictor {predictor}")
+        fill = tags.get(_T_FILLORDER, [1])[0]
+        orient = tags.get(_T_ORIENTATION, [1])[0]
+        if orient not in _ORIENT:
+            raise ValueError(f"invalid TIFF orientation {orient}")
+        if _T_STRIP_OFFSETS not in tags:
+            raise ValueError("TIFF IFD missing StripOffsets")
+        offsets = tags[_T_STRIP_OFFSETS]
+        rps = tags.get(_T_ROWS_PER_STRIP, [0xFFFFFFFF])[0] or h
+        rps = min(rps, h)
+        span = spp if planar == 1 else 1
+        stride = (w * span * bits + 7) // 8
+        strips_per_plane = -(-h // rps)
+        n_planes = 1 if planar == 1 else spp
+        if len(offsets) != strips_per_plane * n_planes:
+            raise ValueError(
+                f"TIFF strip count {len(offsets)} ≠ "
+                f"{strips_per_plane}×{n_planes} (RowsPerStrip {rps})"
+            )
+        counts = tags.get(_T_STRIP_COUNTS)
+        if counts is None:
+            if comp != 1:
+                raise ValueError("compressed TIFF missing StripByteCounts")
+            counts = []
+            for s in range(len(offsets)):
+                rows = min(rps, h - (s % strips_per_plane) * rps)
+                counts.append(rows * stride)
+        if len(counts) != len(offsets):
+            raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+
+        planes = []
+        for p in range(n_planes):
+            rows_bytes = bytearray()
+            for s in range(strips_per_plane):
+                idx = p * strips_per_plane + s
+                o, c = offsets[idx], counts[idx]
+                if o + c > len(payload):
+                    raise ValueError(f"TIFF strip {idx} beyond file end")
+                rows = min(rps, h - s * rps)
+                rows_bytes += _decompress_strip(
+                    bytes(payload[o : o + c]), comp, rows * stride
+                )
+            plane = np.frombuffer(bytes(rows_bytes), dtype=np.uint8).reshape(
+                h, stride
+            )
+            planes.append(plane)
+        raw = planes[0] if n_planes == 1 else np.stack(planes, axis=0)
+
+        en = "<" if bytes(payload[:2]) == b"II" else ">"
+        if bits == 16:
+            dt = np.dtype(np.uint16).newbyteorder(en)
+
+            def to_samples(plane2d, nch):
+                v = plane2d.reshape(h, -1).view(np.uint8).reshape(h, stride)
+                u16 = np.frombuffer(v.tobytes(), dtype=dt).reshape(h, w * nch)
+                if predictor == 2:
+                    u16 = np.cumsum(
+                        u16.reshape(h, w, nch).astype(np.int64), axis=1
+                    ) % 65536
+                    return (u16 >> 8).astype(np.uint8)
+                return (u16.reshape(h, w, nch).astype(np.int64) >> 8).astype(
+                    np.uint8
+                )
+
+        elif bits == 8:
+
+            def to_samples(plane2d, nch):
+                v = plane2d.reshape(h, w, nch)
+                if predictor == 2:
+                    v = (
+                        np.cumsum(v.astype(np.int64), axis=1) % 256
+                    ).astype(np.uint8)
+                return v
+
+        else:
+
+            def to_samples(plane2d, nch):  # sub-byte: nch == 1 enforced
+                # FillOrder 2 stores the logical bit stream reversed
+                # within each byte — unpacking little-endian restores it
+                b8 = np.unpackbits(
+                    plane2d, axis=1,
+                    bitorder="big" if fill == 1 else "little",
+                )
+                vals = b8[:, : (stride * 8 // bits) * bits].reshape(h, -1, bits)
+                weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+                v = (vals.astype(np.int64) * weights).sum(axis=2)[:, :w]
+                if predictor == 2:
+                    v = np.cumsum(v, axis=1) % (1 << bits)
+                return v[:, :, np.newaxis].astype(np.uint8)
+
+        if planar == 1:
+            px = to_samples(raw, spp)
+        else:
+            px = np.concatenate([to_samples(p, 1) for p in raw], axis=2)
+
+        if photo == 3:
+            cmap = tags.get(_T_COLORMAP)
+            if cmap is None:
+                raise ValueError("palette TIFF missing ColorMap")
+            n = 1 << bits
+            if len(cmap) != 3 * n:
+                raise ValueError(
+                    f"TIFF ColorMap length {len(cmap)} ≠ 3×2^{bits}"
+                )
+            lut = (np.asarray(cmap, dtype=np.int64).reshape(3, n).T >> 8).astype(
+                np.uint8
+            )
+            idx = px[:, :, 0]
+            rgb = lut[idx]
+        elif photo in (0, 1):
+            g = px[:, :, 0].astype(np.int64)
+            if bits < 8:
+                g = g * (255 // ((1 << bits) - 1))
+            if photo == 0:  # WhiteIsZero
+                g = 255 - g
+            rgb = np.repeat(g.astype(np.uint8)[:, :, np.newaxis], 3, axis=2)
+        else:  # RGB; ExtraSamples (alpha etc.) stripped
+            rgb = px[:, :, :3]
+        return np.ascontiguousarray(_ORIENT[orient](rgb))
+    except NotImplementedError:
+        if _native_fallback:
+            from . import tiff_native
+
+            if tiff_native.libtiff_available():
+                return tiff_native.decode_rgb(payload)
+        raise

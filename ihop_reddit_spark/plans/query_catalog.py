@@ -3763,6 +3763,60 @@ def webp_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TIFF gate (datapipe/tiff — r10, closes the last still-image stub:
+# decode_image carried "TIFF requires PIL" since r6). Each asset is a
+# genuine single-page TIFF of a solid planted color ((61·i)%256,
+# (97·i)%256, (113·i)%256) — multiplier 61 distinct from every other
+# format gate — with ids cycling compression none/PackBits/LZW/
+# Deflate+predictor (i%4), byte order II/MM (i%2) and multi-strip
+# layout (i%3), so exact means prove the IFD walk, all four
+# decompressors, the horizontal predictor and strip reassembly end to
+# end through the SAME decode_image dispatch as the other formats.
+# 1-in-31 id sample. The paths the writer cannot emit (bilevel,
+# palette, 16-bit, planar, orientations, FillOrder 2) are pinned by
+# hand-built-IFD pytests plus libtiff cross-decode conformance, same
+# discipline as VP8L. n_lzw makes the compression cycling
+# oracle-visible: a synthesizer quietly emitting only "none" would
+# still count 4 cycles, but the pytest round-trip tier breaks instead.
+# ---------------------------------------------------------------------------
+@query(
+    "tiff_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lzw,
+           TRUE AS tiff_exact
+    FROM documents WHERE doc_id % 31 = 0
+    """,
+)
+def tiff_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import image_feature_stats, synthesize_tiff_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 31 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_tiff_assets(docs))
+    i = F.col("asset_id")
+    ok = stats.select(
+        "asset_id",
+        (
+            (F.col("mean_r") == ((i * 61) % 256).cast("double"))
+            & (F.col("mean_g") == ((i * 97) % 256).cast("double"))
+            & (F.col("mean_b") == ((i * 113) % 256).cast("double"))
+            & (F.col("width") == 16)
+            & (F.col("height") == 8 + i % 4)
+        ).alias("ok"),
+    ).agg(
+        F.min("ok").alias("tiff_exact"),
+        F.sum((F.col("asset_id") % 4 == 2).cast("long")).alias("n_lzw"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "n_lzw", "tiff_exact")
+
+
+# ---------------------------------------------------------------------------
 # Progressive-JPEG gate (datapipe/jpeg_codec — r10, closes the SOF2
 # half of the "progressive JPEG stays stubbed" residual): each asset is
 # a genuine multi-scan progressive stream — interleaved DC first at
@@ -10145,21 +10199,23 @@ def tvd_drift_event_mix(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
-# TIME budget (~50 of ~200 queries per round). ROUND-9 rotation
-# (EVIDENCE-FIRST): the 2 never-driver-sampled queries lead
-# (c2v_grid_search_gate, lpa_oscillation_gate — added r7, outside every
-# prior window), then the 4 queries whose PLAN changed since their last
-# driver scoring (lpa_modularity_copurchase: r9 overflow guard;
-# manifest_change_feed_counts: r9 read_changes lineage rewrite;
-# corpus_prep_survivors: r7 caps + star contraction, last scored r5;
-# modern_training_corpus: consumes the same prep, last scored r4), then
-# every remaining query ordered by the round of its MOST RECENT driver
-# sample ascending (the r3-stale block of 48 fills the rest of the
-# window; r4, r5, r8 follow), ties keeping catalog order. Generated from
-# the union of CORRECTNESS_r0*.json keys; pure execution-knob variants
-# stay demoted. Reordering only -- key sets and query bodies untouched.
+# TIME budget (~50 of ~210 queries per round). ROUND-10 rotation
+# (EVIDENCE-FIRST): the never-driver-sampled r10-new queries lead
+# (tiff_decode_gate, jpeg_progressive_decode_gate,
+# webp_lossy_decode_gate, manifest_segmented_feed_counts), then every
+# query whose PLAN or inputs changed this round (the quota stream's
+# dedup/persist rewrite, the vectorized VP8L + mp4/media gates, the
+# IDN-variant normalized_url_groups, the manifest family touched by
+# the fixed-cost work and the segment-recording materialize, the
+# streaming tier now in bench), then the r2/r3-stale block
+# (ab_test_purchase_rates … video_framehash_pairs — last driver-scored
+# r2/r3 per the union of CORRECTNESS_r0*.json), then the r4 block
+# ascending by most-recent-sample round, ties keeping catalog order.
+# Pure execution-knob variants stay demoted. Reordering only -- key
+# sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "tiff_decode_gate",
     "jpeg_progressive_decode_gate",
     "webp_lossy_decode_gate",
     "manifest_segmented_feed_counts",

@@ -150,6 +150,10 @@ DOC_PROBES = [
     # shuffle — ×N sampled ids ⇒ ×N decode work, like avi_decode_gate
     "mp4_decode_gate",
     "webp_decode_gate",
+    # round-10: same row-local Arrow shape; ids cycle compression
+    # none/PackBits/LZW/Deflate so the probe covers all four strip
+    # decompressors under ×N asset volume
+    "tiff_decode_gate",
 ]
 #: round-9: probes over the REPLICATED customer/lineitem tables (ids
 #: remapped per replica, so per-replica structure is preserved and
