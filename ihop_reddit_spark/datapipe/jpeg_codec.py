@@ -589,10 +589,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     replicated). Progressive (SOF2) accumulates coefficients across its
     scans — spectral selection, successive approximation (DC and AC
     refinement), EOBRUN — then reconstructs once; hierarchical and
-    arithmetic-coded streams keep the marked stub."""
+    arithmetic-coded streams keep the marked stub. An EXIF APP1
+    orientation (r10, via the TIFF IFD walker) is applied so camera-
+    rotated copies canonicalize to their upright twins' pixels."""
     payload = bytes(payload)
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    exif_orient = 1
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
@@ -694,13 +697,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     restart_interval,
                 )
             continue  # i already advanced past the scan
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            # EXIF rides a TIFF IFD — reuse the TIFF walker; camera-
+            # rotated copies must canonicalize to the same pixels (and
+            # so the same aHash) as their upright twins
+            from .tiff import exif_orientation
+
+            exif_orient = exif_orientation(seg[6:])
         # APPn / COM / unknown: skip
         i += 2 + seglen
     if progressive and coeff is not None:
         planes = _reconstruct(frame, quant, coeff)
     if frame is None or not planes:
         raise ValueError("JPEG missing SOF/SOS")
-    return _compose_rgb(frame, planes)
+    rgb = _compose_rgb(frame, planes)
+    if exif_orient != 1:
+        from .tiff import apply_orientation
+
+        rgb = apply_orientation(rgb, exif_orient)
+    return rgb
 
 
 def _decode_scan(frame, quant, huff, scan_tables, segments, restart_interval):

@@ -53,6 +53,8 @@ __all__ = [
     "tiff_bytes",
     "parse_tiff",
     "decode_tiff",
+    "apply_orientation",
+    "exif_orientation",
     "packbits_encode",
     "packbits_decode",
     "lzw_encode",
@@ -480,6 +482,41 @@ _ORIENT = {
     7: lambda a: a.swapaxes(0, 1)[::-1, ::-1],
     8: lambda a: a.swapaxes(0, 1)[::-1],
 }
+
+
+def apply_orientation(px, orientation: int):
+    """Apply a TIFF/EXIF orientation (1–8) to an H×W×C array; ValueError
+    on values outside the spec."""
+    import numpy as np
+
+    if orientation not in _ORIENT:
+        raise ValueError(f"invalid TIFF orientation {orientation}")
+    return np.ascontiguousarray(_ORIENT[orientation](px))
+
+
+def exif_orientation(blob: bytes) -> int:
+    """Orientation (1–8) from a TIFF-structured EXIF block (an APP1
+    payload after the ``Exif\\0\\0`` signature). Returns 1 when the tag
+    is absent, out of spec, or the block is unparseable: EXIF is
+    ADVISORY metadata riding on an intact image, so — unlike pixel-data
+    damage, which this tier always fails loudly — a broken sidecar must
+    not fail the decode (libjpeg/PIL behave the same way)."""
+    try:
+        if blob[:2] == b"II":
+            en = "<"
+        elif blob[:2] == b"MM":
+            en = ">"
+        else:
+            return 1
+        (magic,) = struct.unpack_from(f"{en}H", blob, 2)
+        if magic != 42:
+            return 1
+        (off,) = struct.unpack_from(f"{en}I", blob, 4)
+        tags = _read_ifd(bytes(blob), off, en)
+        o = tags.get(_T_ORIENTATION, [1])[0]
+        return o if o in _ORIENT else 1
+    except (ValueError, struct.error, IndexError):
+        return 1
 
 
 def decode_tiff(payload: bytes, _native_fallback: bool = True):

@@ -435,3 +435,54 @@ def test_tiff_assets_distributed_planted_colors(spark):
                  (113 * row["asset_id"]) % 256]).all()
     assert comps == {1, 5, 8, 32773}
     assert orders == {b"II", b"MM"}
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (r10) — the TIFF IFD walker applied to JPEG APP1
+# ---------------------------------------------------------------------------
+
+def _with_exif(jpeg: bytes, tiff_blob: bytes) -> bytes:
+    app1 = b"Exif\x00\x00" + tiff_blob
+    return (jpeg[:2] + b"\xff\xe1" + struct.pack(">H", len(app1) + 2)
+            + app1 + jpeg[2:])
+
+
+def test_exif_orientation_helper_parses_and_tolerates_damage():
+    from ihop_reddit_spark.datapipe.tiff import exif_orientation
+
+    for en in ("<", ">"):
+        blob = _build_tiff(en, [(274, 3, [6])], [])
+        assert exif_orientation(blob) == 6
+    # absent tag / out-of-spec value / garbage → advisory default 1
+    assert exif_orientation(_build_tiff("<", [(256, 4, [4])], [])) == 1
+    assert exif_orientation(_build_tiff("<", [(274, 3, [9])], [])) == 1
+    assert exif_orientation(b"garbage") == 1
+    assert exif_orientation(b"II\x2a\x00\xff\xff\xff\xff") == 1
+
+
+def test_jpeg_applies_exif_orientation_exactly():
+    from ihop_reddit_spark.datapipe.jpeg_codec import QUANT_DC8, jpeg_bytes
+    from ihop_reddit_spark.datapipe.multimodal import decode_image
+    from ihop_reddit_spark.datapipe.tiff import apply_orientation
+
+    # two solid 8×8 blocks (64 | 192) — lossless under the DC-step-8
+    # table, so orientation moves exact pixels, not approximations
+    stored = np.repeat(
+        np.repeat(np.array([[64, 192]], dtype=np.uint8), 8, 0), 8, 1
+    )
+    plain = jpeg_bytes(stored, quant_luma=QUANT_DC8)
+    upright = decode_image(plain)
+    assert upright.shape == (8, 16, 3)
+    for orient in range(1, 9):
+        tagged = _with_exif(plain, _build_tiff("<", [(274, 3, [orient])], []))
+        got = decode_image(tagged)
+        assert (got == apply_orientation(upright, orient)).all(), orient
+    # pin orientation 6 absolutely (display[i][j] = stored[h−1−j][i]):
+    # display row i follows stored COLUMN i, so the 64-half (stored
+    # cols 0–7) becomes the top 8 display rows
+    got6 = decode_image(_with_exif(plain, _build_tiff("<", [(274, 3, [6])], [])))
+    assert got6.shape == (16, 8, 3)
+    assert (got6[:8] == 64).all() and (got6[8:] == 192).all()
+    # a broken EXIF block must not fail the intact image
+    got_b = decode_image(_with_exif(plain, b"II\x2a\x00\x99\x99\x99\x99"))
+    assert (got_b == upright).all()
