@@ -492,6 +492,45 @@ def decode_wav_g711(payload: bytes):
     return rate, law, g711_expand(np.frombuffer(data, dtype=np.uint8), law)
 
 
+def decode_audio(payload: bytes):
+    """Magic-byte audio dispatch → (sample_rate, int64 PCM samples, bps)
+    in EXACT integer arithmetic — the audio twin of
+    :func:`decode_image`: RIFF/WAVE (PCM16 raw ints; G.711 μ/A-law
+    through the exact integer LUTs, 16-bit-scaled) and FLAC (r10 — raw
+    stream integers, stereo downmixed ``(L+R)>>1``) decode for real, so
+    every audio consumer (envelope hash, feature stats) flows the same
+    dedup path whatever the container. MP3/Vorbis/Opus remain the
+    marked libav stub."""
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        fmt_tag, channels, rate, bits, data = _parse_wav_chunks(payload)
+        if fmt_tag == 1 and channels == 1 and bits == 16:
+            return rate, np.frombuffer(data, dtype="<i2").astype(np.int64), 16
+        if fmt_tag in _G711_TAGS and channels == 1 and bits == 8:
+            law = _G711_TAGS[fmt_tag]
+            lin = g711_expand(np.frombuffer(data, dtype=np.uint8), law)
+            return rate, lin.astype(np.int64), 16
+        raise ValueError(
+            f"only PCM16/μ-law/A-law mono WAV supported, got"
+            f" fmt_tag={fmt_tag} channels={channels} bits={bits}"
+        )
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        rate, bps, samples = decode_flac(payload)
+        mono = samples[:, 0] if samples.shape[1] == 1 else (
+            (samples[:, 0] + samples[:, 1]) >> 1
+        )
+        return rate, mono, bps
+    # STUB boundary — MP3/Vorbis/Opus decode requires libav in deployment
+    raise NotImplementedError(
+        "only WAV (PCM16/G.711) and FLAC decode without libav; got"
+        f" unknown magic {payload[:4]!r}"
+    )
+
+
 def synthesize_wav_assets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -613,6 +652,90 @@ def g711_feature_stats(assets: DataFrame) -> DataFrame:
         stats,
         "asset_id long, law string, sample_rate long, n_samples long,"
         " sum_linear long",
+    )
+
+
+def synthesize_flac_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 800,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Real FLAC payloads per id: channel ``c`` carries the planted
+    integers ``((67·i + 13·n + 29·c) % 4001) − 2000`` — multiplier 67
+    distinct from every other format gate — with ids cycling channel
+    count (i%2: mono/stereo), stereo decorrelation (independent /
+    left-side / right-side / mid-side), and a forced-VERBATIM tier
+    (i%5==0), all over 256-sample frames with a partial tail. FLAC is
+    lossless over integers, so the gate's closed-form SUM is exact —
+    and every payload's STREAMINFO MD5 re-verifies the full decode."""
+    import numpy as np
+    import pandas as pd
+
+    from .flac import flac_bytes
+
+    modes = ("independent", "left_side", "right_side", "mid_side")
+
+    def gen(it):
+        n = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                ch = 1 + i % 2
+                sig = np.stack(
+                    [((67 * i + 13 * n + 29 * c) % 4001) - 2000
+                     for c in range(ch)],
+                    axis=1,
+                )
+                rows.append((
+                    i,
+                    flac_bytes(
+                        sig if ch == 2 else sig[:, 0],
+                        sample_rate,
+                        block_size=256,
+                        subframe="verbatim" if i % 5 == 0 else "auto",
+                        stereo_mode=modes[(i // 2) % 4] if ch == 2
+                        else "independent",
+                    ),
+                ))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def flac_feature_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, sample_rate, n_channels, n_samples, sum_linear) via
+    the REAL FLAC decoder — raw stream integers, no float scaling, so
+    the gate hash is exact. Arrow-batched, row-local, zero shuffle."""
+    import pandas as pd
+
+    from .flac import decode_flac
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                rate, _bps, samples = decode_flac(bytes(row["payload"]))
+                rows.append((
+                    row["asset_id"],
+                    rate,
+                    samples.shape[1],
+                    samples.shape[0],
+                    int(samples.sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels", "n_samples",
+                    "sum_linear",
+                ],
+            )
+
+    return assets.mapInPandas(
+        stats,
+        "asset_id long, sample_rate long, n_channels long,"
+        " n_samples long, sum_linear long",
     )
 
 
@@ -1372,7 +1495,8 @@ def synthesize_envelope_wav_assets(
 
 
 def audio_envelope_hash(assets: DataFrame, segments: int = 64) -> DataFrame:
-    """Energy-envelope hash via the real WAV parser: recover the integer
+    """Energy-envelope hash via the real audio codecs (WAV or FLAC,
+    through :func:`decode_audio`): recover the integer
     PCM samples, sum squared amplitudes per segment, bit = (segment
     energy >= global mean energy) in EXACT integer arithmetic
     (``e_s · nseg >= total``). Returns ``(asset_id, bits)`` — the same
@@ -1385,8 +1509,10 @@ def audio_envelope_hash(assets: DataFrame, segments: int = 64) -> DataFrame:
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                _rate, samples = decode_wav(bytes(row["payload"]))
-                ints = np.rint(samples * 32767.0).astype(np.int64)
+                # magic dispatch (r10): WAV-PCM16 yields the identical
+                # raw ints as the historical rint(float·32767) path;
+                # FLAC payloads now flow the same envelope operator
+                _rate, ints, _bps = decode_audio(bytes(row["payload"]))
                 n = len(ints) // segments * segments
                 e = (ints[:n] ** 2).reshape(segments, -1).sum(axis=1)
                 total = int(e.sum())

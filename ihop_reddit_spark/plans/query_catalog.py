@@ -3763,6 +3763,54 @@ def webp_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FLAC gate (datapipe/flac — r10, the speech-corpus audio format the
+# wav/G.711 tier lacked). Each asset is a genuine FLAC stream of the
+# planted integers ((67·i + 13·n + 29·c) % 4001) − 2000 — multiplier
+# 67 distinct per format — with ids cycling mono/stereo (i%2), all
+# four stereo decorrelations, and a forced-VERBATIM tier (i%5), over
+# 256-sample rice-coded frames with a partial tail. FLAC is lossless
+# over integers, so exact means prove frame sync + CRC-8/16, the
+# coded-number walk, subframe reconstruction, rice decode, and the
+# inter-channel inverse end to end — and each decode re-verifies the
+# STREAMINFO MD5 of the recovered samples, the format's own
+# whole-stream integrity check. 1-in-43 id sample. LPC subframes,
+# escape partitions and wasted bits — which the synthesizer does not
+# emit — are pinned by round-trip/hand-built pytests (no system
+# libFLAC exists here; documented boundary, MD5 carries conformance).
+# ---------------------------------------------------------------------------
+@query(
+    "flac_decode_gate",
+    """
+    WITH s AS (
+      SELECT d.doc_id,
+             ((67 * d.doc_id + 13 * t.n + 29 * c.c) % 4001) - 2000 AS v
+      FROM documents d,
+           (SELECT range AS n FROM range(800)) t,
+           (SELECT range AS c FROM range(2)) c
+      WHERE d.doc_id % 43 = 0 AND c.c < 1 + d.doc_id % 2
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_linear
+    FROM s GROUP BY doc_id
+    """,
+)
+def flac_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import flac_feature_stats, synthesize_flac_assets
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 43 == 0)
+        .select("doc_id")
+    )
+    return flac_feature_stats(synthesize_flac_assets(docs)).select(
+        "asset_id", "sample_rate", "n_channels", "n_samples", "sum_linear"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TIFF gate (datapipe/tiff — r10, closes the last still-image stub:
 # decode_image carried "TIFF requires PIL" since r6). Each asset is a
 # genuine single-page TIFF of a solid planted color ((61·i)%256,
@@ -10215,6 +10263,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # sets and query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "flac_decode_gate",
     "tiff_decode_gate",
     "jpeg_progressive_decode_gate",
     "webp_lossy_decode_gate",
