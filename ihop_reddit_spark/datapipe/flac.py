@@ -595,6 +595,24 @@ def flac_bytes(
 
     ch_code = {"independent": n_ch - 1, "left_side": 8,
                "right_side": 9, "mid_side": 10}[stereo_mode]
+    # Frame-header sample-rate encoding: prefer the table code (no extra
+    # field), else the 8-bit kHz code, else 16-bit raw, else 16-bit
+    # decahertz. A fixed 16-bit raw code would silently truncate rates
+    # > 65535 Hz (88.2k/96k/192k are all valid FLAC rates).
+    _rate_to_code = {v: k for k, v in _RATE_CODES.items()}
+    if sample_rate in _rate_to_code:
+        sr_code, sr_field, sr_bits = _rate_to_code[sample_rate], None, 0
+    elif sample_rate % 1000 == 0 and sample_rate <= 255000:
+        sr_code, sr_field, sr_bits = 12, sample_rate // 1000, 8
+    elif sample_rate <= 65535:
+        sr_code, sr_field, sr_bits = 13, sample_rate, 16
+    elif sample_rate % 10 == 0 and sample_rate <= 655350:
+        sr_code, sr_field, sr_bits = 14, sample_rate // 10, 16
+    else:
+        raise ValueError(
+            f"sample_rate {sample_rate} not expressible in a FLAC frame "
+            "header (not in the rate table, not a multiple of 1000 <= "
+            "255000, > 65535, and not a multiple of 10 <= 655350)")
     for frame_no, start in enumerate(range(0, n, block_size)):
         block = arr[start : start + block_size]
         bs = len(block)
@@ -603,14 +621,15 @@ def flac_bytes(
         w.write(0, 1)
         w.write(0, 1)  # fixed-blocksize strategy
         w.write(7, 4)  # explicit 16-bit block size (covers the tail)
-        w.write(13, 4)  # explicit 16-bit sample rate
+        w.write(sr_code, 4)
         w.write(ch_code, 4)
         w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
                 if bps in (8, 12, 16, 20, 24, 32) else 0, 3)
         w.write(0, 1)
         _utf8_number(w, frame_no)
         w.write(bs - 1, 16)
-        w.write(sample_rate, 16)
+        if sr_bits:
+            w.write(sr_field, sr_bits)
         hdr = w.bytes() if w.nacc == 0 else None
         if hdr is None:
             raise AssertionError("frame header must be byte-aligned")

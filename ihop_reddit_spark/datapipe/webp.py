@@ -660,6 +660,25 @@ def _find_vp8l(buf: bytes) -> tuple[int, int]:
     raise ValueError("no VP8L chunk in WebP container")
 
 
+def _lossy_alpha_hint(buf: bytes) -> bool:
+    """Alpha hint for a lossy (VP8) container: the VP8X flags byte's
+    alpha bit (0x10) or the presence of an ALPH chunk. VP8 bitstreams
+    carry no alpha themselves — it arrives via these container signals,
+    so hardcoding False would mark lossy-with-alpha images opaque."""
+    pos, end = 12, len(buf)
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            break
+        if fourcc == b"VP8X" and size >= 1 and buf[pos + 8] & 0x10:
+            return True
+        if fourcc == b"ALPH":
+            return True
+        pos += 8 + size + (size & 1)
+    return False
+
+
 def parse_webp(payload: bytes) -> tuple[int, int, bool]:
     """Container + VP8L header → (width, height, has_alpha_hint).
     Lossy (VP8) containers resolve through the system libwebp when it
@@ -674,7 +693,7 @@ def parse_webp(payload: bytes) -> tuple[int, int, bool]:
 
             if N.libwebp_available():
                 w, h = N.get_info(buf)
-                return w, h, False
+                return w, h, _lossy_alpha_hint(buf)
         raise
     data = buf[off : off + size]
     if not data or data[0] != 0x2F:

@@ -53,6 +53,7 @@ module belongs to the training-data-pipeline tier the brief adds on top.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import shutil
@@ -109,13 +110,18 @@ def read_version_doc(path: str, version: int) -> dict:
     key = os.path.abspath(fp)
     hit = _VERSION_DOC_CACHE.get(key)
     if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
-        return hit[2]
+        return copy.deepcopy(hit[2])
     with open(fp) as fh:
         doc = json.load(fh)
     if len(_VERSION_DOC_CACHE) > 4096:
         _VERSION_DOC_CACHE.clear()  # bound memory; repopulates lazily
     _VERSION_DOC_CACHE[key] = (st.st_mtime_ns, st.st_size, doc)
-    return doc
+    # Defensive copy both on hit and on fill: a caller mutating the
+    # returned doc in place (doc['added'].append, popping keys) must not
+    # poison the cached pristine copy for the process lifetime. deepcopy
+    # memo-shares the immutable leaves (the 1 MiB bloom base64 strings),
+    # so the cost is the structure's node count, not its byte size.
+    return copy.deepcopy(doc)
 
 
 def _commit_version(path: str, doc: dict) -> int:
@@ -203,6 +209,27 @@ def _stage_batch(
     return rel, sorted(
         f"{rel}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
     )
+
+
+def _validate_segments(
+    path: str,
+    segments: dict,
+    row_counts: dict,
+    stage_dirs: list[str],
+    op: str,
+) -> None:
+    """Provenance must be exact or absent — a wrong segment map would
+    silently corrupt incremental feeds. On mismatch, remove this
+    writer's staged dirs BEFORE raising: nothing references them yet
+    (no version doc points at them), and vacuum only deletes files
+    referenced by version docs, so leaving them would leak permanently."""
+    for out, segs in segments.items():
+        if sum(s[2] for s in segs) != row_counts.get(out):
+            for rel in stage_dirs:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            raise ValueError(
+                f"{op} segment rows disagree with staged {out}"
+            )
 
 
 def _commit_or_cleanup(path: str, doc: dict, stage_dirs: list[str]) -> int:
@@ -1605,11 +1632,7 @@ def manifest_materialize_deletes(
             d, added = _stage_batch(survivors, path, version)
             stage_dirs.append(d)
     stats, row_counts = _stage_stats(path, added)
-    for out, segs in segments.items():
-        if sum(s[2] for s in segs) != row_counts.get(out):
-            raise ValueError(
-                f"materialize segment rows disagree with staged {out}"
-            )
+    _validate_segments(path, segments, row_counts, stage_dirs, "materialize")
     _commit_or_cleanup(
         path,
         {
@@ -1876,13 +1899,7 @@ def manifest_compact_small(
                     segs.append([f, 0, n])
             segments[a[0]] = segs
     stats, row_counts = _stage_stats(path, added)
-    for out, segs in segments.items():
-        if sum(s[2] for s in segs) != row_counts.get(out):
-            # provenance must be exact or absent — a wrong segment map
-            # would silently corrupt incremental feeds
-            raise ValueError(
-                f"compaction segment rows disagree with staged {out}"
-            )
+    _validate_segments(path, segments, row_counts, stage_dirs, "compaction")
     _commit_or_cleanup(
         path,
         {

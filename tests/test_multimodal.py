@@ -1914,3 +1914,78 @@ def test_webp_vp8l_conformance_against_libwebp():
             W._write_code(bw, cc, ll)
     blob = _vp8l_container(bw)
     assert (W.decode_webp(blob) == decode_rgb(blob)).all()
+
+
+def test_flac_high_sample_rates_roundtrip():
+    """flac_bytes must pick the frame-header rate code per value — a
+    fixed 16-bit raw code silently truncates rates > 65535 Hz (88.2k/
+    96k/192k are all valid FLAC rates) into streams the decoder then
+    rejects. Every encoding path: table code, kHz code (12), 16-bit raw
+    (13), decahertz (14), plus the loud reject for the inexpressible."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.flac import decode_flac, flac_bytes
+
+    sig = (np.sin(np.arange(2048) / 7.0) * 12000).astype(np.int64)
+    sig = sig.reshape(-1, 1)
+    for rate in (96000, 192000, 88200,  # table codes, all > 65535
+                 123000,                # kHz code 12
+                 65535, 44010,          # 16-bit raw code 13
+                 655350):               # decahertz code 14
+        blob = flac_bytes(sig, sample_rate=rate)
+        sr, bps, samples = decode_flac(blob)
+        assert sr == rate
+        assert np.array_equal(np.asarray(samples).reshape(-1, 1), sig)
+    with pytest.raises(ValueError, match="not expressible"):
+        flac_bytes(sig, sample_rate=65537)
+
+
+def test_webp_lossy_alpha_hint_from_container():
+    """parse_webp's has_alpha_hint for lossy (VP8) containers must come
+    from the container signals — the VP8X alpha flag (bit 0x10) or an
+    ALPH chunk — not a hardcoded False: VP8 bitstreams carry no alpha
+    themselves, so lossy-with-alpha images would read as opaque."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.webp import parse_webp
+    from ihop_reddit_spark.datapipe.webp_native import (
+        encode_lossy_rgb,
+        libwebp_available,
+    )
+
+    if not libwebp_available():
+        pytest.skip("system libwebp not installed")
+
+    px = np.full((4, 6, 3), 128, np.uint8)
+    blob = encode_lossy_rgb(px, 95.0)
+    (vp8_size,) = struct.unpack("<I", blob[16:20])
+    vp8_chunk = blob[12 : 20 + vp8_size + (vp8_size & 1)]
+
+    def riff(*chunks):
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(fourcc, payload):
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    def vp8x(flags):
+        # flags byte + 3 reserved + 24-bit (w-1) + 24-bit (h-1), LE
+        return chunk(
+            b"VP8X",
+            bytes([flags, 0, 0, 0])
+            + struct.pack("<I", 6 - 1)[:3]
+            + struct.pack("<I", 4 - 1)[:3],
+        )
+
+    assert parse_webp(blob) == (6, 4, False)  # plain lossy: no alpha
+    with_flag = riff(vp8x(0x10), vp8_chunk)
+    assert parse_webp(with_flag) == (6, 4, True)
+    without_flag = riff(vp8x(0x00), vp8_chunk)
+    assert parse_webp(without_flag) == (6, 4, False)
+    with_alph = riff(vp8x(0x00), chunk(b"ALPH", b"\x00" * 24), vp8_chunk)
+    assert parse_webp(with_alph) == (6, 4, True)

@@ -1598,3 +1598,63 @@ def test_manifest_changes_materialize_segments_row_exact(spark, tmp_path):
         for i in list(range(50)) + list(range(100, 130))
         if i % 10 != 4 and i != 101
     ] + list(range(200, 210))  # appended after the vector delete
+
+
+def test_manifest_version_doc_cache_returns_defensive_copies(spark, tmp_path):
+    """A caller mutating the dict returned by read_version_doc (in-place
+    append / key pop) must not poison the process-lifetime cache — every
+    call, hit or fill, gets an independent structure."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 5), root)
+
+    doc = M.read_version_doc(root, 1)
+    doc["added"].append("junk/poison.parquet")
+    doc.pop("row_counts", None)
+
+    fresh = M.read_version_doc(root, 1)  # cache hit
+    assert fresh is not doc
+    assert "junk/poison.parquet" not in fresh["added"]
+    assert "row_counts" in fresh
+    # mutating the hit's copy is equally harmless
+    fresh["added"].clear()
+    assert M.read_version_doc(root, 1)["added"]
+
+
+def test_manifest_segment_mismatch_removes_staged_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """When the post-staging segment/row-count consistency check fires,
+    the staged (never-committed) output dirs must be deleted before the
+    raise — vacuum only deletes files referenced by version docs, so a
+    leaked stage would be permanent."""
+    import os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    for i in range(3):
+        M.manifest_append(spark.range(i * 4, i * 4 + 4).repartition(1), root)
+    data_dirs_before = set(os.listdir(os.path.join(root, "data")))
+
+    real = M._stage_stats
+
+    def corrupt_stats(path, added):
+        stats, rc = real(path, added)
+        return stats, {k: v + 1 for k, v in rc.items()}
+
+    monkeypatch.setattr(M, "_stage_stats", corrupt_stats)
+    with pytest.raises(ValueError, match="segment rows disagree"):
+        M.manifest_compact_small(spark, root)
+    # no orphaned stage directory survives the failure
+    assert set(os.listdir(os.path.join(root, "data"))) == data_dirs_before
+    monkeypatch.undo()
+    # the table itself is untouched and still compacts cleanly
+    v, n = M.manifest_compact_small(spark, root)
+    assert n == 3
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    ) == list(range(12))
