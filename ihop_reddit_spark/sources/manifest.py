@@ -486,6 +486,170 @@ def _bloom_position_cols(col: str, m: int, k: int) -> list:
     ]
 
 
+# --- pure-Python mirror of Spark's XxHash64 ---------------------------------
+# Bloom bits are pmod(xxhash64(cast(v as string), lit(seed)), m) — a chained
+# JVM hash: acc = XXH64_bytes(utf8(v), 42) (unchanged 42 for NULL), then
+# XXH64's 4-byte finalizer over the INT literal seed. Mirroring it in Python
+# lets tiny builds/probes (a streaming batch's staged files, a 50-value
+# prune_eq list) run on the DRIVER, where the Spark job is pure fixed cost.
+# Bit-equivalence with the JVM expressions is pinned by
+# tests/test_sources.py::test_bloom_bits_python_matches_jvm.
+_XXH_M64 = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXH_P2) & _XXH_M64
+    return (_xxh_rotl(acc, 31) * _XXH_P1) & _XXH_M64
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M64
+        v2 = (seed + _XXH_P2) & _XXH_M64
+        v3 = seed & _XXH_M64
+        v4 = (seed - _XXH_P1) & _XXH_M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _xxh_rotl(v1, 1) + _xxh_rotl(v2, 7)
+            + _xxh_rotl(v3, 12) + _xxh_rotl(v4, 18)
+        ) & _XXH_M64
+        for v in (v1, v2, v3, v4):
+            h ^= _xxh_round(0, v)
+            h = (h * _XXH_P1 + _XXH_P4) & _XXH_M64
+    else:
+        h = (seed + _XXH_P5) & _XXH_M64
+    h = (h + n) & _XXH_M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXH_P1) & _XXH_M64
+        h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_M64
+        h = (_xxh_rotl(h, 11) * _XXH_P1) & _XXH_M64
+        i += 1
+    return _xxh_fmix(h)
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    # XXH64's 4-byte finalizer — Spark hashes INT-typed operands (the
+    # bloom seed literals) through this variant, not the 8-byte one
+    h = (seed + _XXH_P5 + 4) & _XXH_M64
+    h ^= ((value & 0xFFFFFFFF) * _XXH_P1) & _XXH_M64
+    h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M64
+    return _xxh_fmix(h)
+
+
+def _py_bloomable(value) -> bool:
+    """True when Python's str(value) is bit-identical to Spark's
+    cast-to-string for this value's type — str and non-bool int only
+    (bool casts to 'true'/'false' vs Python's 'True'; float formatting
+    diverges at the edges)."""
+    return isinstance(value, str) or (
+        isinstance(value, int) and not isinstance(value, bool)
+    )
+
+
+def _bloom_bits_py(value, m: int, k: int) -> list[int]:
+    """The k bloom bit positions of ``value`` — bit-identical to
+    ``_bloom_position_cols``' JVM expressions. ``None`` mirrors the
+    NULL behaviour (the value hash leaves the accumulator at 42)."""
+    base = 42 if value is None else _xxh64_bytes(str(value).encode(), 42)
+    out = []
+    for seed in range(1, k + 1):
+        h = _xxh64_int(seed, base)
+        out.append((h - (1 << 64) if h >= (1 << 63) else h) % m)
+    return out
+
+
+#: driver-side bloom builds cap at this many staged rows — past it the
+#: distributed pass wins (and is the right shape at scale anyway)
+_BLOOM_DRIVER_MAX_ROWS = 65536
+
+
+def _build_blooms_driver(
+    path: str, files: list[str], columns: list[str], m: int, k: int
+) -> dict | None:
+    """The driver fast path of :func:`_build_blooms` — ``None`` when the
+    batch is too large or a column's type is not Python-cast-safe, and
+    the caller falls through to the distributed pass. Bitmaps are
+    bit-identical to the JVM build (NULL rows contribute the same k
+    null-bits; empty files get the all-zero bloom)."""
+    import base64
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pfs = {}
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(path, f))
+        schema = pf.schema_arrow
+        for col in columns:
+            if col not in schema.names:
+                return None
+            t = schema.field(col).type
+            if not (
+                pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_integer(t)
+            ):
+                return None
+        total += pf.metadata.num_rows
+        pfs[f] = pf
+    if total > _BLOOM_DRIVER_MAX_ROWS:
+        return None
+    bit_cache: dict = {}
+    out: dict[str, dict] = {}
+    for f, pf in pfs.items():
+        out[f] = {}
+        tbl = pf.read(columns=list(columns)) if pf.metadata.num_rows else None
+        for col in columns:
+            bmp = bytearray(m // 8 + 1)
+            vals = set(tbl.column(col).to_pylist()) if tbl is not None else ()
+            for v in vals:
+                bits = bit_cache.get(v)
+                if bits is None:
+                    bits = bit_cache[v] = _bloom_bits_py(v, m, k)
+                for b in bits:
+                    bmp[b // 8] |= 1 << (b % 8)
+            out[f][col] = {
+                "m": m,
+                "k": k,
+                "z64": base64.b64encode(zlib.compress(bytes(bmp))).decode(),
+            }
+    return out
+
+
 def _build_blooms(
     spark: SparkSession,
     path: str,
@@ -500,12 +664,24 @@ def _build_blooms(
     shuffle at ``m`` bits per file per column), then OR the bits into a
     bitmap per file with an Arrow-batched group map. The driver collects
     file-count × m/8 bytes — KBs, never rows. Bitmaps are zlib+base64 in
-    the commit doc (sparse bitmaps compress well)."""
+    the commit doc (sparse bitmaps compress well).
+
+    DRIVER fast path: when the staged batch is small (a streaming
+    micro-batch's admissions) and every bloom column is a string or
+    non-bool integer (whose Spark cast-to-string equals Python's str),
+    the freshly written, footer-warm files are read with pyarrow and
+    hashed through the Python XxHash64 mirror — zero Spark jobs for
+    work that is all fixed cost at that size. Large or non-castable
+    batches take the distributed pass below."""
     import base64
     import zlib
 
     import numpy as np
     import pandas as pd
+
+    driver = _build_blooms_driver(path, files, columns, m, k)
+    if driver is not None:
+        return driver
 
     scan = spark.read.parquet(*(os.path.join(path, f) for f in files))
     rel = F.regexp_extract(
@@ -621,12 +797,15 @@ def _probe_bloom_bits_many(
     spark: SparkSession, values: list, m: int, k: int
 ) -> dict:
     """Batched :func:`_probe_bloom_bits`: the k bit positions for EVERY
-    value in ONE job (an incremental reader probing thousands of keys
-    per micro-batch cannot afford a job per value). Same expressions as
-    the build side, so hash semantics cannot drift."""
+    value — driver-computed through the Python XxHash64 mirror when the
+    values' string cast is Python-safe (str / non-bool int: the common
+    id/hash/url probes — no job at all), one Spark job otherwise. Same
+    bits as the build side either way, so hash semantics cannot drift."""
     vals = [v for v in values if v is not None]
     if not vals:
         return {}
+    if all(_py_bloomable(v) for v in vals):
+        return {v: _bloom_bits_py(v, m, k) for v in vals}
     df = spark.createDataFrame([(v,) for v in vals], ["v"])
     rows = df.select(
         F.col("v"), F.array(*_bloom_position_cols("v", m, k)).alias("bits")
@@ -797,6 +976,7 @@ def read_snapshot(
     *,
     prune: dict | None = None,
     prune_eq: dict | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: head) — time travel. An
     empty table yields an empty frame with the recorded schema.
@@ -821,7 +1001,27 @@ def read_snapshot(
     Live deletion vectors (``manifest_delete_rows``) are applied as an
     equi anti-join on (file, row position); a table with no live
     vectors reads with zero overhead (plain parquet scan, no metadata
-    columns, no join)."""
+    columns, no join).
+
+    ``with_pos=True`` keeps the ``__dv_file``/``__dv_pos`` coordinate
+    columns on every returned row — the deletion-vector address of that
+    row. A caller that reads state, decides which rows to retire, and
+    commits the retirement (``manifest_evict_admit``) positions its
+    evictions from THIS scan instead of paying a second positioning
+    scan inside the delete."""
+
+    def _empty() -> DataFrame:
+        s = schema
+        if with_pos and s is not None:
+            s = T.StructType(
+                list(s.fields)
+                + [
+                    T.StructField("__dv_file", T.StringType()),
+                    T.StructField("__dv_pos", T.LongType()),
+                ]
+            )
+        return spark.createDataFrame([], s)
+
     files = live_files(path, version)
     schema = _schema_of(path, version)
     if not files:
@@ -829,7 +1029,7 @@ def read_snapshot(
             raise ValueError(
                 f"table at {path} is empty and has no recorded schema"
             )
-        return spark.createDataFrame([], schema)
+        return _empty()
     if prune:
         files = _prune_files(files, live_file_stats(path, version), prune)
     if prune_eq:
@@ -837,11 +1037,15 @@ def read_snapshot(
             spark, files, live_file_blooms(path, version), prune_eq
         )
     if not files:
-        return spark.createDataFrame([], schema)
+        return _empty()
     dv_files, dv_targets = live_dv_state(path, version)
     if dv_files and dv_targets:
         scanned = _scan_with_pos(spark, path, files, schema)
-        return _apply_dvs(scanned, _dv_frame(spark, path, dv_files))
+        return _apply_dvs(
+            scanned, _dv_frame(spark, path, dv_files), keep_pos=with_pos
+        )
+    if with_pos:
+        return _scan_with_pos(spark, path, files, schema)
     # pin the VERSION's schema on the scan: after additive evolution,
     # files written before a column existed read it as NULL, and time
     # travel to an old version surfaces that version's (narrower) schema
@@ -1554,6 +1758,117 @@ def manifest_merge_upsert(
         [stage_dir] + ([dv_dir] if added_dv else []),
     )
     return version, n_replaced, n_appended
+
+
+def manifest_evict_admit(
+    spark: SparkSession,
+    path: str,
+    *,
+    hits: DataFrame | None,
+    df: DataFrame | None,
+    dv_target_files: int = 1,
+    bloom_columns: tuple[str, ...] | list[str] = (),
+    bloom_bits: int = 1 << 17,
+    bloom_hashes: int = 7,
+    extra: dict | None = None,
+) -> tuple[int, int, int]:
+    """ATOMIC evict + admit in ONE commit: ``hits`` — rows to retire,
+    PRE-POSITIONED as ``__dv_file``/``__dv_pos`` coordinate pairs from a
+    ``read_snapshot(..., with_pos=True)`` scan — land as a deletion
+    vector, and ``df`` appends, both in the same version doc (the
+    ``merge`` commit shape, like :func:`manifest_merge_upsert` but with
+    independent evict/admit sets, which an upsert cannot express).
+
+    This is the maintenance-loop grain for a streaming state table
+    (the domain-quota stream): per micro-batch it saves (a) the second
+    positioning scan a key-based ``manifest_delete_rows`` pays — the
+    caller already scanned the state to DECIDE the evictions, so the
+    coordinates ride along — (b) one commit + bloom/stats pass, and
+    (c) the driver-side ``isEmpty`` pre-checks: empty halves are
+    detected from the staged files' footer metadata and dropped, so
+    callers never spend a job asking first.
+
+    Exactly-once replay is simpler than the two-commit convention this
+    replaces (eviction commit without a batch id + trailing id-carrying
+    append): a batch id in ``extra`` now covers BOTH halves, so a crash
+    leaves either the whole batch committed or none of it.
+
+    The caller must not let a rewrite (compact/materialize) run between
+    the positioning scan and this commit — coordinates address immutable
+    files, and a rewrite retires them. Returns
+    (version, n_evicted, n_admitted); no commit (head returned) if both
+    halves are empty."""
+    head = latest_version(path)
+    if df is not None:
+        _check_schema(df, path)
+    schema = _schema_of(path, head)
+    version = head + 1
+    stage_dirs: list[str] = []
+    added_dv: list[str] = []
+    per_file: dict[str, int] = {}
+    if hits is not None:
+        dv_dir, added_dv = _stage_batch(
+            hits.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ).coalesce(max(1, dv_target_files)),
+            path,
+            version,
+            prefix="dv",
+        )
+        per_file = _dv_file_counts(path, added_dv)
+        if not per_file:
+            shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
+            added_dv = []
+        else:
+            stage_dirs.append(dv_dir)
+    added: list[str] = []
+    stats: dict = {}
+    row_counts: dict = {}
+    blooms: dict = {}
+    if df is not None:
+        data_dir, added = _stage_batch(df, path, version)
+        stats, row_counts = _stage_stats(path, added)
+        if sum(row_counts.values()) == 0:
+            shutil.rmtree(os.path.join(path, data_dir), ignore_errors=True)
+            added, stats, row_counts = [], {}, {}
+        else:
+            stage_dirs.append(data_dir)
+            blooms = (
+                _build_blooms(
+                    spark, path, added, list(bloom_columns),
+                    bloom_bits, bloom_hashes,
+                )
+                if bloom_columns
+                else _rebuild_blooms(spark, path, added, head)
+            )
+    if not added and not per_file:
+        return head, 0, 0
+    doc_schema = (
+        df.schema.jsonValue()
+        if df is not None
+        else (None if schema is None else schema.jsonValue())
+    )
+    _commit_or_cleanup(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "merge",
+            "schema": doc_schema,
+            "added": added,
+            "removed": [],
+            "stats": stats,
+            "row_counts": row_counts,
+            "blooms": blooms,
+            "dv_added": added_dv,
+            "dv_removed": [],
+            "dv_targets": per_file,
+            **(extra or {}),
+        },
+        stage_dirs,
+    )
+    return version, sum(per_file.values()), sum(row_counts.values())
 
 
 def manifest_materialize_deletes(

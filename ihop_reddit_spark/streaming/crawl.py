@@ -68,29 +68,32 @@ def domain_quota_stream(
        real predicate) and restrict to the batch's affected domains;
     2. re-rank survivors ∪ candidates per domain by the
        content-addressed md5 draw over (salt, url) and keep ``quota``;
-    3. EVICT displaced survivors as deletion vectors
-       (``manifest_delete_rows`` — no data file rewritten) and APPEND
-       the newly admitted rows, domain-clustered and bloom-indexed.
+    3. EVICT displaced survivors and APPEND the newly admitted rows
+       (domain-clustered and bloom-indexed) in ONE commit
+       (``manifest_evict_admit``): the state scan of step 1 carries
+       deletion-vector coordinates (``with_pos=True``), so the evicted
+       set is already positioned — no second scan — and no data file
+       is rewritten.
 
     Because admission is a pure function of the URL SET — never of
     arrival order — the final snapshot equals the batch operator run
     on the union of all batches, and replays are naturally idempotent:
     a replayed batch recomputes evictions that already happened (the
     vector matches nothing) and admissions already present (the keep
-    set anti-joins to empty). The delete commit intentionally carries
-    NO stream batch id — only the trailing append records it — so a
-    crash between the two commits replays into exactly the missing
-    append, never a skipped eviction. Eviction-before-append is the
-    correctness-critical order.
+    set anti-joins to empty). The batch id covers both halves of the
+    single commit, so a crash leaves either the whole batch committed
+    or none of it — no partially-applied eviction is observable.
 
     ``maintenance_every=K`` runs the streaming-sink maintenance pair
-    every K batches, inside the loop: ``manifest_materialize_deletes``
-    folds the accumulated eviction vectors (rewrites only vectored
-    files), then ``manifest_compact_small`` bin-packs the small-file
-    backlog — both data no-ops proportional to the backlog, never to
-    the accumulated state, so the table's file count stays bounded
-    while the stream runs instead of degrading until an external cron
-    catches up.
+    every K batches, inside the loop AFTER the batch's commit (the
+    eviction coordinates address pre-maintenance files, so the rewrite
+    must not slide between the positioning scan and the commit):
+    ``manifest_materialize_deletes`` folds the accumulated eviction
+    vectors (rewrites only vectored files), then
+    ``manifest_compact_small`` bin-packs the small-file backlog — both
+    data no-ops proportional to the backlog, never to the accumulated
+    state, so the table's file count stays bounded while the stream
+    runs instead of degrading until an external cron catches up.
 
     Returns ``table_path`` (initialized here if absent).
     """
@@ -116,14 +119,17 @@ def domain_quota_stream(
         try:
             # bloom file skipping: only state files holding one of this
             # batch's domains are read; the semi-join below stays the
-            # real predicate (pruning is I/O-only, never a filter)
+            # real predicate (pruning is I/O-only, never a filter).
+            # with_pos keeps the deletion-vector coordinates on every
+            # state row, so the eviction below is already positioned
             state = M.read_snapshot(
-                spark, table_path, prune_eq={"dom": batch_doms}
+                spark, table_path, prune_eq={"dom": batch_doms},
+                with_pos=True,
             )
         except ValueError:
             state = None  # empty table, no schema yet
         if state is not None:
-            current = state.join(doms, "dom", "left_semi")
+            current = state.join(doms, "dom", "left_semi").persist()
             # a re-delivered URL that is already an admitted survivor must
             # occupy ONE slot in the re-rank pool, not two (re-crawls are
             # the normal case) — keep the stored row and anti-join the
@@ -170,51 +176,61 @@ def domain_quota_stream(
                 .drop("__rn")
             )
         # the re-rank pipeline (state scan + window) feeds the eviction
-        # keys, the admitted set, the append's range sampling AND the
-        # write — persist it once per batch instead of recomputing the
-        # window up to five times (the dominant per-batch cost)
+        # set, the admitted set AND the write — persist it once per
+        # batch instead of recomputing the window per consumer (the
+        # dominant per-batch cost)
         keep = keep.persist()
         cached = [keep]
+        if current is not None:
+            cached.append(current)
         try:
             if current is not None:
-                evicted = anti_join_filter(
+                # displaced survivors, with the vector coordinates the
+                # state scan already carries — no positioning re-scan
+                hits = anti_join_filter(
                     current, keep.select(url_col), url_col,
                     broadcast_remove=False,
-                ).select(url_col).persist()
-                cached.append(evicted)
-                if not evicted.isEmpty():
-                    # no stream_batch_id here — see docstring (replay
-                    # safety). Evicted urls live only in this batch's
-                    # domains, so the same bloom prune confines the
-                    # eviction scan too
-                    M.manifest_delete_rows(
-                        spark,
-                        table_path,
-                        keys=evicted,
-                        on=url_col,
-                        prune_eq={"dom": batch_doms},
-                    )
+                ).select("__dv_file", "__dv_pos")
                 # the equi-join promotes the key column to the front —
                 # restore the table's column order before the
                 # schema-checked append
                 admitted = anti_join_filter(
                     keep, current.select(url_col), url_col,
                     broadcast_remove=False,
-                ).select(*keep.columns).persist()
-                cached.append(admitted)
+                ).select(*keep.columns)
             else:
-                admitted = keep
+                hits, admitted = None, keep
+            # RANGE-cluster by domain so each file holds a narrow,
+            # non-overlapping domain slice — the per-file bloom (and
+            # min/max stats) then genuinely separate batches; hash
+            # repartition can collide distinct domains into one file,
+            # and AQE would coalesce an unpinned range exchange. One
+            # file per domain up to a cap; past it each file still
+            # covers a contiguous (bloom-indexed) domain range
+            n_files = max(1, min(len(batch_doms), 64))
+            # evict + admit in ONE commit; empty halves are dropped from
+            # the staged footers, so no isEmpty pre-check jobs run here
+            M.manifest_evict_admit(
+                spark,
+                table_path,
+                hits=hits,
+                df=admitted.repartitionByRange(n_files, F.col("dom")),
+                bloom_columns=("dom",),
+                extra={"stream_batch_id": int(batch_id)},
+            )
             if (
                 maintenance_every
                 and batch_id > 0
                 and batch_id % maintenance_every == 0
             ):
-                # fold eviction vectors (vectored files only), then
-                # bin-pack the small-file backlog — work ∝ backlog,
-                # not state size. cluster_stat keeps each packed file
-                # on a contiguous DOMAIN range (pack order = recorded
-                # min(dom)), so maintenance never erodes the bloom
-                # skipping that makes state reads batch-proportional
+                # AFTER the commit (the eviction coordinates address
+                # pre-maintenance files): fold eviction vectors
+                # (vectored files only), then bin-pack the small-file
+                # backlog — work ∝ backlog, not state size.
+                # cluster_stat keeps each packed file on a contiguous
+                # DOMAIN range (pack order = recorded min(dom)), so
+                # maintenance never erodes the bloom skipping that
+                # makes state reads batch-proportional
                 M.manifest_materialize_deletes(spark, table_path)
                 M.manifest_compact_small(
                     spark, table_path,
@@ -223,21 +239,6 @@ def domain_quota_stream(
                     ),
                     target_file_bytes=maintenance_target_bytes,
                     cluster_stat="dom",
-                )
-            if not admitted.isEmpty():
-                # RANGE-cluster by domain so each file holds a narrow,
-                # non-overlapping domain slice — the per-file bloom (and
-                # min/max stats) then genuinely separate batches; hash
-                # repartition can collide distinct domains into one file,
-                # and AQE would coalesce an unpinned range exchange. One
-                # file per domain up to a cap; past it each file still
-                # covers a contiguous (bloom-indexed) domain range
-                n_files = max(1, min(len(batch_doms), 64))
-                M.manifest_append(
-                    admitted.repartitionByRange(n_files, F.col("dom")),
-                    table_path,
-                    bloom_columns=("dom",),
-                    extra={"stream_batch_id": int(batch_id)},
                 )
         finally:
             for df in cached:

@@ -1658,3 +1658,54 @@ def test_manifest_segment_mismatch_removes_staged_dirs(
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root).collect()
     ) == list(range(12))
+
+
+def test_bloom_bits_python_matches_jvm(spark, tmp_path):
+    """The driver-side bloom path (pure-Python XxHash64 mirror) must be
+    BIT-identical to the JVM expressions it replaces — across the
+    stripe path (>= 32 bytes), word/tail lengths, unicode, empty
+    string, negative ints, and NULL — and a driver-built bloom doc must
+    equal the distributed build byte-for-byte."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    m, k = 1 << 17, 7
+    values = [
+        "", "a", "abcd", "abcdefg", "abcdefgh", "example7.com",
+        "x" * 31, "x" * 32, "y" * 33, "z" * 100,
+        "ünïcødé-ブロッサム", "http://www.example0.com/page123",
+        0, 1, -7, 12345, 2**62, -(2**62), None,
+    ]
+    # JVM reference bits through the very expressions the build uses
+    df = spark.createDataFrame(
+        [(str(v) if v is not None else None,) for v in values], "v string"
+    )
+    jvm = [
+        [int(b) for b in r["bits"]]
+        for r in df.select(
+            F.array(*M._bloom_position_cols("v", m, k)).alias("bits")
+        ).collect()
+    ]
+    py = [M._bloom_bits_py(v, m, k) for v in values]
+    assert py == jvm
+
+    # whole-bitmap equivalence: driver build == distributed build
+    df2 = spark.createDataFrame(
+        [(i, f"dom{i % 5}.com" if i % 7 else None) for i in range(200)],
+        "id long, dom string",
+    )
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    rel, added = M._stage_batch(df2.repartition(3), root, 1)
+    drv = M._build_blooms_driver(root, added, ["dom", "id"], m, k)
+    assert drv is not None
+    cap = M._BLOOM_DRIVER_MAX_ROWS
+    try:
+        M._BLOOM_DRIVER_MAX_ROWS = -1  # force the distributed pass
+        dist = M._build_blooms(spark, root, added, ["dom", "id"], m, k)
+    finally:
+        M._BLOOM_DRIVER_MAX_ROWS = cap
+    assert drv == dist
+    # a float column refuses the driver path (cast formatting diverges)
+    df3 = spark.createDataFrame([(1.5,)], "x double")
+    rel3, added3 = M._stage_batch(df3, root, 2)
+    assert M._build_blooms_driver(root, added3, ["x"], m, k) is None

@@ -534,12 +534,20 @@ def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 12  # 3 domains x quota 4
-    # evictions happened as deletion vectors (some version carries one)
-    ops = [
-        M.read_version_doc(root, v).get("operation")
-        for v in M.list_versions(root)
+    # evictions happened as deletion vectors, ATOMIC with the batch's
+    # admissions: at least one version doc carries BOTH dv_added and
+    # added (the single-commit evict+admit), and every batch landed as
+    # exactly one id-carrying commit
+    docs = [
+        M.read_version_doc(root, v) for v in M.list_versions(root)
     ]
-    assert "rowdelete" in ops
+    assert any(d.get("dv_added") and d.get("added") for d in docs)
+    assert sorted(
+        d["stream_batch_id"] for d in docs if "stream_batch_id" in d
+    ) == [0, 1, 2]
+    assert all(
+        d.get("operation") == "merge" for d in docs if "stream_batch_id" in d
+    )
     # the state table is domain-clustered and bloom-indexed: probing one
     # domain's key skips part of the state files (state reads per batch
     # are batch-proportional, not corpus-proportional)
