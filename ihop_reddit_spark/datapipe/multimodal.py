@@ -524,7 +524,16 @@ def decode_audio(payload: bytes):
             (samples[:, 0] + samples[:, 1]) >> 1
         )
         return rate, mono, bps
-    # STUB boundary — MP3/Vorbis/Opus decode requires libav in deployment
+    # STUB boundary — MP3/Vorbis/Opus decode requires libav (or
+    # libmpg123/libmad/libsndfile) in deployment. Container probe,
+    # 2026-08-15 (round 11): ldconfig lists NONE of libmpg123 / libmad /
+    # libavcodec / libsndfile / libmp3lame / libvorbis / libopus, and no
+    # ffmpeg/sox/mpg123 binary exists, so there is nothing to bind via
+    # ctypes the way webp_native.py binds libwebp. An in-tree Layer III
+    # decoder is not honestly buildable either: the spec's huffman and
+    # synthesis-window tables are empirical constants (not derivable),
+    # and with no encoder in the container there is no way to make
+    # conformance fixtures. The boundary stays a loud, named stub.
     raise NotImplementedError(
         "only WAV (PCM16/G.711) and FLAC decode without libav; got"
         f" unknown magic {payload[:4]!r}"

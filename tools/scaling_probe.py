@@ -154,6 +154,12 @@ DOC_PROBES = [
     # none/PackBits/LZW/Deflate so the probe covers all four strip
     # decompressors under ×N asset volume
     "tiff_decode_gate",
+    # round-11: the two r10 codecs that shipped without ×10 rows —
+    # FLAC (rice/LPC decode + STREAMINFO-MD5 verify per asset) and
+    # progressive JPEG (multi-pass scan refinement per asset); both are
+    # the same row-local Arrow decode shape, ×N sampled ids ⇒ ×N work
+    "flac_decode_gate",
+    "jpeg_progressive_decode_gate",
 ]
 #: round-9: probes over the REPLICATED customer/lineitem tables (ids
 #: remapped per replica, so per-replica structure is preserved and
