@@ -4789,6 +4789,75 @@ def manifest_segmented_feed_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r11: the LAST file-grain feed exit, closed — a deletion vector aimed
+# at an INDIRECTLY-scanned file. A mixed-hit delete_where leaves the
+# range originals scanned (row-exact via dv_matched) with the survivor
+# output answering for them; a LATER row-level vector then targets the
+# live SURVIVOR file, whose coordinates the feed's original-file scan
+# cannot see directly. The delete commit's order-pinned segments let
+# read_changes re-address those vector rows to source coordinates
+# (re-ranking survivors minus the folded vectors), so the feed stays
+# row-exact on BOTH sides. Oracle in closed form from the customer key.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_indirect_vector_feed_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    ins AS (SELECT k FROM cust
+            WHERE k % 3 = 1 AND k % 10 <> 0 AND k % 20 <> 7),
+    del AS (SELECT k FROM cust
+            WHERE k % 3 = 0 AND (k % 10 = 0 OR k % 20 = 7))
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_key
+    FROM ins
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+    FROM del
+    """,
+)
+def manifest_indirect_vector_feed_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    work = tempfile.mkdtemp(prefix="mani_ivec_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(
+            cust.where(F.col("k") % 3 == 0).coalesce(1), root
+        )  # v1 archive (pre-range)
+        M.manifest_append(
+            cust.where(F.col("k") % 3 == 1).coalesce(1), root
+        )  # v2 range-new
+        # v3: mixed-hit GDPR delete — both classes contain multiples of
+        # 10, so the hit set spans archive AND range files; the feed
+        # keeps the originals scanned and the survivor rewrite records
+        # order-pinned segments
+        M.manifest_delete_where(spark, root, F.col("k") % 10 == 0)
+        # v4: row-level vector aimed at the live SURVIVOR file — the
+        # indirectly-scanned target the segments re-address
+        M.manifest_delete_rows(spark, root, F.col("k") % 20 == 7)
+        out = (
+            M.read_change_feed(spark, root, 1)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -10247,72 +10316,43 @@ def tvd_drift_event_mix(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Scoring order. The driver walks ``queries()`` in dict order under a global
-# TIME budget (~50 of ~210 queries per round). ROUND-10 rotation
-# (EVIDENCE-FIRST): the never-driver-sampled r10-new queries lead
-# (tiff_decode_gate, jpeg_progressive_decode_gate,
-# webp_lossy_decode_gate, manifest_segmented_feed_counts), then every
-# query whose PLAN or inputs changed this round (the quota stream's
-# dedup/persist rewrite, the vectorized VP8L + mp4/media gates, the
-# IDN-variant normalized_url_groups, the manifest family touched by
-# the fixed-cost work and the segment-recording materialize, the
-# streaming tier now in bench), then the r2/r3-stale block
-# (ab_test_purchase_rates … video_framehash_pairs — last driver-scored
-# r2/r3 per the union of CORRECTNESS_r0*.json), then the r4 block
-# ascending by most-recent-sample round, ties keeping catalog order.
-# Pure execution-knob variants stay demoted. Reordering only -- key
-# sets and query bodies untouched.
+# TIME budget (~50 of ~210 queries per round). ROUND-11 rotation
+# (EVIDENCE-FIRST): the never-driver-sampled
+# manifest_indirect_vector_feed_counts leads, then every query whose
+# PLAN changed this round — the whole manifest family (single-commit
+# evict+admit, driver-side bloom build/probe, segment-recording
+# order-pinned delete_where, vector-translation feed) plus the FLAC
+# encoder rate-code fix and the WebP alpha-hint fix — then a second
+# look at the r10 first-scored block (tiff/jpeg-progressive/mp4/media
+# gates, normalized_url_groups, the crawl tier), then the block the
+# r10 window MISSED (stalest — it was queued at positions 51+ last
+# round), then the freshly-r10-scored block at the back. Pure
+# execution-knob variants stay demoted. Reordering only — key sets and
+# query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
-    "flac_decode_gate",
-    "tiff_decode_gate",
-    "jpeg_progressive_decode_gate",
-    "webp_lossy_decode_gate",
-    "manifest_segmented_feed_counts",
+    "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",
-    "webp_decode_gate",
-    "mp4_decode_gate",
-    "media_decode_gate",
-    "normalized_url_groups",
-    "manifest_dv_lifecycle_counts",
-    "manifest_changes_maintenance_counts",
+    "manifest_segmented_feed_counts",
     "manifest_change_feed_counts",
+    "manifest_changes_maintenance_counts",
+    "manifest_dv_lifecycle_counts",
     "manifest_bloom_point_lookups",
     "manifest_incremental_dedup_pairs",
     "manifest_merge_upsert_counts",
     "manifest_timetravel_counts",
     "stream_dv_deletes",
     "stream_manifest_appends",
+    "flac_decode_gate",
+    "webp_lossy_decode_gate",
+    "webp_decode_gate",
+    "tiff_decode_gate",
+    "jpeg_progressive_decode_gate",
+    "mp4_decode_gate",
+    "media_decode_gate",
+    "normalized_url_groups",
     "stream_crawl_extraction",
     "crawl_corpus",
-    "avi_decode_gate",
-    "ab_test_purchase_rates",
-    "audio_envelope_pairs",
-    "corpus_datasheet_by_source",
-    "event_transition_matrix",
-    "image_ahash_pairs",
-    "rolling_7day_user_value",
-    "tvd_drift_event_mix",
-    "video_framehash_pairs",
-    "asof_forward_purchase_to_click",
-    "bpe_merge_invariants_gate",
-    "bpe_roundtrip_gate",
-    "c2v_planted_analogy_gate",
-    "c2v_prep_contexts",
-    "c2v_reference_analogy_gate",
-    "chunked_documents",
-    "cluster_label_enrichment",
-    "cm_sketch_user_counts",
-    "cohens_kappa_event_raters",
-    "data_quality_report",
-    "doc_lang_id",
-    "doc_token_budgets",
-    "duplicate_components_star_ngram",
-    "fleiss_kappa_doc_raters",
-    "fuzzy_decontaminated_documents",
-    "greedy_match_invariants_gate",
-    "heavy_hitters_event_types",
-    "histogram_sketch_quantiles",
-    "incremental_ivf_recall",
     "incremental_minhash_verified_pairs",
     "interval_overlap_window_sessions",
     "key_skew_report_events",
@@ -10472,6 +10512,35 @@ _SCORING_PRIORITY = [
     "weighted_sample_docs_by_lang",
     "window_suite_customer_orders",
     "winnow_fingerprint_pairs",
+    "avi_decode_gate",
+    "ab_test_purchase_rates",
+    "audio_envelope_pairs",
+    "corpus_datasheet_by_source",
+    "event_transition_matrix",
+    "image_ahash_pairs",
+    "rolling_7day_user_value",
+    "tvd_drift_event_mix",
+    "video_framehash_pairs",
+    "asof_forward_purchase_to_click",
+    "bpe_merge_invariants_gate",
+    "bpe_roundtrip_gate",
+    "c2v_planted_analogy_gate",
+    "c2v_prep_contexts",
+    "c2v_reference_analogy_gate",
+    "chunked_documents",
+    "cluster_label_enrichment",
+    "cm_sketch_user_counts",
+    "cohens_kappa_event_raters",
+    "data_quality_report",
+    "doc_lang_id",
+    "doc_token_budgets",
+    "duplicate_components_star_ngram",
+    "fleiss_kappa_doc_raters",
+    "fuzzy_decontaminated_documents",
+    "greedy_match_invariants_gate",
+    "heavy_hitters_event_types",
+    "histogram_sketch_quantiles",
+    "incremental_ivf_recall",
 ]
 #: Same operator as user_event_contexts, different execution knob — their
 #: green rows (r2) prove nothing extra; spend the window elsewhere.

@@ -1122,6 +1122,7 @@ def _since_visibility(
             "compact",
             "materialize",
             "checkpoint",
+            "delete",  # order-pinned survivor rewrite records segments
         ):
             segments = doc.get("segments")
             if segments and set(segments) == set(doc.get("added", [])):
@@ -1166,7 +1167,15 @@ def read_changes(
       cannot be scanned directly.
     * ``rowdelete``/``merge`` DELETION VECTORS committed in the range
       are applied to the range's scan set — retirement by a later
-      rewrite folds deletes into data, it never resurrects rows.
+      rewrite folds deletes into data, it never resurrects rows. A
+      vector aimed at an INDIRECTLY-scanned file (a rewrite output
+      whose range rows the feed reads via its source files) is
+      re-addressed to source coordinates through the output's recorded
+      ``segments`` (affine segments by interval arithmetic; whole-file-
+      survivors segments by re-ranking the sources minus the folded
+      vectors) — row-exact. Only outputs WITHOUT segments (legacy/full
+      ``manifest_compact``) or chained double-indirection still evict
+      at file grain (under-emission, never over-emission).
     * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
       batch grain) is ROW-EXACT whenever its commit carries the
       ``dv_matched`` position vector (every commit written by this
@@ -1209,6 +1218,17 @@ def read_changes(
     # map carries no range rows (pre-range data only).
     lineage: dict[str, tuple[dict, bool]] = {}
     range_dvs: list[str] = []
+    # row-exact netting for vectors aimed at INDIRECTLY-scanned rewrite
+    # outputs: for an output whose creating commit recorded ``segments``
+    # (order-pinned concatenation of its sources' survivors), a later
+    # vector's output positions are reconstructible back to SOURCE
+    # coordinates — affine segments by interval arithmetic, whole-file-
+    # survivors segments by re-ranking the sources minus the vectors the
+    # rewrite folded. ``indirect_prov`` stashes (segments, folded vector
+    # files, creating commit's removed set) per such output;
+    # ``translate`` collects the targets whose vectors actually need it.
+    indirect_prov: dict[str, tuple[list, list, set]] = {}
+    translate: dict[str, tuple[list, list]] = {}
 
     def _scan_add(target: dict, file: str, ranges) -> None:
         if file in target:
@@ -1236,14 +1256,22 @@ def read_changes(
         range_dvs += doc.get("dv_added", [])
         if doc.get("dv_added"):
             # a vector addresses its TARGET file's coordinates; a target
-            # whose range rows are scanned via OTHER files (segment-less
-            # mixed-rewrite output, delete-survivor file) cannot be
-            # netted row-exactly — those scans exit at file grain
-            # (under-emission, never the over-emission of a silently
-            # unapplied delete)
+            # whose range rows are scanned via OTHER files nets
+            # row-exactly when its creating commit recorded segments
+            # (the vector's positions map back to source coordinates at
+            # assembly — see ``_translated_dv``) and every file scanned
+            # on its behalf is one of those sources at its own
+            # coordinates. Otherwise (segment-less mixed-rewrite
+            # output, chained double-indirection) the scan exits at
+            # file grain — under-emission, never the over-emission of a
+            # silently unapplied delete
             for t in doc.get("dv_targets", {}):
                 sd, _p = lineage.get(t, ({}, False))
                 if sd and set(sd) != {t}:
+                    prov = indirect_prov.get(t)
+                    if prov is not None and set(sd) <= prov[2]:
+                        translate[t] = (prov[0], prov[1])
+                        continue
                     scan, _ = _evict({t})
                     for f in scan:
                         scan_ranges.pop(f, None)
@@ -1305,11 +1333,19 @@ def read_changes(
                             scan_ranges[n] = merged
                             lineage[n] = ({n: merged}, False)
                     continue
-            # mixed rewrite without provenance: keep scanning the
-            # originals; outputs answer for them if a later op removes
-            # the outputs
+            # mixed rewrite without (mappable) provenance: keep scanning
+            # the originals; outputs answer for them if a later op
+            # removes the outputs. Recorded segments still enable
+            # row-exact netting of LATER vectors aimed at an output
+            # (folded set = the vectors this rewrite retired)
             for n in doc["added"]:
                 lineage[n] = (dict(scan), False)
+                if segments and n in segments:
+                    indirect_prov[n] = (
+                        segments[n],
+                        list(doc.get("dv_removed", [])),
+                        removed,
+                    )
             continue
         if op == "delete":
             matched_dv = doc.get("dv_matched", [])
@@ -1347,12 +1383,27 @@ def read_changes(
             range_dvs += matched_dv
             # survivors are NOT emitted (their rows stay live through
             # the scanned files + vector); they carry the scanned hit
-            # files' lineage for later in-range ops
+            # files' lineage for later in-range ops. With recorded
+            # segments (the order-pinned survivor rewrite), a LATER
+            # vector aimed at a survivor file nets row-exactly — its
+            # folded set is the vectors live at this commit's parent
+            # plus the matched vector itself
             surv_scan = {r: scan_ranges[r] for r in in_scan}
             for r in in_scan:
                 lineage.pop(r, None)
+            del_segments = doc.get("segments") or {}
+            del_folded: list[str] | None = None
             for n in doc["added"]:
                 lineage[n] = (dict(surv_scan), False)
+                if n in del_segments:
+                    if del_folded is None:
+                        parent_dvs, _pt = live_dv_state(
+                            path, doc.get("parent")
+                        )
+                        del_folded = list(parent_dvs) + list(matched_dv)
+                    indirect_prov[n] = (
+                        del_segments[n], del_folded, removed
+                    )
             continue
         scan, _ = _evict(removed)
         for f in scan:
@@ -1387,10 +1438,114 @@ def read_changes(
                 cond = cond | ((F.col("__dv_file") == f) & in_rg)
             scanned = scanned.where(cond)
         if range_dvs:
-            return _apply_dvs(scanned, _dv_frame(spark, path, range_dvs))
+            base_dvf = _dv_frame(spark, path, sorted(set(range_dvs)))
+            dvf = base_dvf
+            for t in sorted(translate):
+                segs, folded = translate[t]
+                extra = _translated_dv(
+                    spark, path, schema, t, segs, folded,
+                    base_dvf, set(scan_ranges),
+                )
+                if extra is not None:
+                    dvf = dvf.unionByName(extra)
+            return _apply_dvs(scanned, dvf)
         return scanned.drop("__dv_file", "__dv_pos")
     reader = spark.read if schema is None else spark.read.schema(schema)
     return reader.parquet(*(os.path.join(path, f) for f in whole))
+
+
+def _translated_dv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    target: str,
+    segs: list,
+    folded: list[str],
+    dvf: DataFrame,
+    scanned_files: set,
+) -> DataFrame | None:
+    """Vector rows aimed at ``target`` — an indirectly-scanned rewrite
+    output — re-addressed to SOURCE coordinates through the output's
+    recorded ``segments``, so the feed's anti-join nets them against
+    the files it actually scans.
+
+    The output is an order-pinned concatenation of its segments:
+    affine segments (``[src, src_lo, cnt]``) translate by interval
+    arithmetic alone (no data read); whole-file-survivors segments
+    (``[src, -1, cnt]``) re-rank the source's surviving positions —
+    the source scanned minus the ``folded`` vectors the rewrite
+    applied, ranked per source (position order) plus the segment's
+    driver-computed output offset. Sources outside ``scanned_files``
+    are skipped: their translated rows could not match the feed's scan
+    anyway, and skipping them cannot disturb other sources' ranks (the
+    rank window is per-source). Returns ``None`` when nothing
+    translates."""
+    from pyspark.sql import Window
+
+    tv = dvf.where(F.col("file") == F.lit(target)).select(
+        F.col("pos").alias("__t_pos")
+    )
+    affine: list[tuple] = []
+    sentinel: list[tuple] = []
+    cursor = 0
+    for src, lo, cnt in segs:
+        if lo == -1:
+            sentinel.append((src, int(cnt), cursor))
+        else:
+            affine.append((src, int(lo), int(cnt), cursor))
+        cursor += int(cnt)
+    parts: list[DataFrame] = []
+    aff_scanned = [r for r in affine if r[0] in scanned_files]
+    if aff_scanned:
+        m = spark.createDataFrame(
+            aff_scanned, "src string, lo long, cnt long, off long"
+        )
+        parts.append(
+            tv.join(
+                F.broadcast(m),
+                (F.col("__t_pos") >= F.col("off"))
+                & (F.col("__t_pos") < F.col("off") + F.col("cnt")),
+            ).select(
+                F.col("src").alias("file"),
+                (F.col("__t_pos") - F.col("off") + F.col("lo")).alias("pos"),
+            )
+        )
+    sent_scanned = [r for r in sentinel if r[0] in scanned_files]
+    if sent_scanned:
+        srcs = [s for s, _c, _o in sent_scanned]
+        scan = _scan_with_pos(spark, path, srcs, schema).select(
+            "__dv_file", "__dv_pos"
+        )
+        if folded:
+            scan = _apply_dvs(
+                scan,
+                _dv_frame(spark, path, sorted(set(folded))),
+                keep_pos=True,
+            )
+        w = Window.partitionBy("__dv_file").orderBy("__dv_pos")
+        off = F.create_map(
+            *[
+                x
+                for s, _c, o in sent_scanned
+                for x in (F.lit(s), F.lit(o))
+            ]
+        )
+        mapping = scan.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+            (
+                F.row_number().over(w) - 1 + off[F.col("__dv_file")]
+            ).alias("__t_pos"),
+        )
+        parts.append(
+            mapping.join(tv, "__t_pos", "left_semi").select("file", "pos")
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_change_feed(
@@ -1540,25 +1695,67 @@ def manifest_delete_where(
         hit_scan = _apply_dvs(
             hit_scan, _dv_frame(spark, path, dv_files), keep_pos=True
         )
-    survivors = hit_scan.where(~F.coalesce(condition, F.lit(False))).drop(
-        "__dv_file", "__dv_pos"
-    )
+    keep_cond = ~F.coalesce(condition, F.lit(False))
+    survivors = hit_scan.where(keep_cond).drop("__dv_file", "__dv_pos")
     # survivor emptiness from METADATA when footer counts cover the hit
     # files (count − already-vectored − newly-matched, all exact)
     rc = live_row_counts(path, head)
+    stage_dirs: list[str] = [dv_dir]
+    added: list[str] = []
+    segments: dict[str, list] = {}
     if all(f in rc for f in hit_rel):
-        any_survivors = any(
-            rc[f] - dv_targets.get(f, 0) - matched_counts[f] > 0
+        # metadata-exact survivor counts → ORDER-PINNED rewrite (one
+        # output, sources concatenated in name order, each source's
+        # survivors in position order) with whole-file-survivors
+        # ``segments`` ([src, -1, n]) — the same discipline as
+        # ``manifest_materialize_deletes``, which is what lets
+        # ``read_changes`` net a LATER deletion vector aimed at this
+        # survivor file back to the scanned originals row-exactly
+        # instead of exiting at file grain
+        surv_n = {
+            f: rc[f] - dv_targets.get(f, 0) - matched_counts[f]
             for f in hit_rel
-        )
+        }
+        live_srcs = [f for f in hit_rel if surv_n[f] > 0]
+        sizes = {
+            f: os.path.getsize(os.path.join(path, f)) for f in live_srcs
+        }
+        bins: list[list[str]] = [[]]
+        acc = 0
+        for f in live_srcs:  # name-sorted (hit_rel is sorted)
+            if bins[-1] and acc + sizes[f] > 128 << 20:
+                bins.append([])
+                acc = 0
+            bins[-1].append(f)
+            acc += sizes[f]
+        for bin_files in bins:
+            if not bin_files:
+                continue
+            bin_scan = _scan_with_pos(spark, path, bin_files, schema)
+            if dv_files and dv_targets:
+                bin_scan = _apply_dvs(
+                    bin_scan, _dv_frame(spark, path, dv_files),
+                    keep_pos=True,
+                )
+            packed = (
+                bin_scan.where(keep_cond)
+                .coalesce(1)
+                .sortWithinPartitions("__dv_file", "__dv_pos")
+                .drop("__dv_file", "__dv_pos")
+            )
+            d, a = _stage_batch(packed, path, version)
+            stage_dirs.append(d)
+            added += a
+            if a:
+                segments[a[0]] = [
+                    [f, -1, surv_n[f]] for f in bin_files
+                ]
     else:
-        any_survivors = bool(survivors.limit(1).count())
-    stage_dir, added = (
-        _stage_batch(survivors, path, version)
-        if any_survivors
-        else (None, [])
-    )
+        if survivors.limit(1).count():
+            d, added = _stage_batch(survivors, path, version)
+            stage_dirs.append(d)
     stats, row_counts = _stage_stats(path, added)
+    _validate_segments(path, segments, row_counts, stage_dirs, "delete")
     _commit_or_cleanup(
         path,
         {
@@ -1572,8 +1769,9 @@ def manifest_delete_where(
             "stats": stats,
             "row_counts": row_counts,
             "blooms": _rebuild_blooms(spark, path, added, head),
+            **({"segments": segments} if segments else {}),
         },
-        [d for d in (stage_dir, dv_dir) if d],
+        stage_dirs,
     )
     return version, len(hit_rel)
 

@@ -1709,3 +1709,78 @@ def test_bloom_bits_python_matches_jvm(spark, tmp_path):
     df3 = spark.createDataFrame([(1.5,)], "x double")
     rel3, added3 = M._stage_batch(df3, root, 2)
     assert M._build_blooms_driver(root, added3, ["x"], m, k) is None
+
+
+def test_manifest_changes_vector_on_delete_survivor_row_exact(spark, tmp_path):
+    """The r10 file-grain boundary, closed: a deletion vector aimed at a
+    DELETE-SURVIVOR file (whose range rows the feed scans via the
+    immutable originals) is re-addressed to source coordinates through
+    the delete commit's order-pinned segments — the feed stays
+    row-exact instead of evicting the survivor's lineage wholesale."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).repartition(2), root)  # v1 archive
+    since = 1
+    M.manifest_append(spark.range(10, 20).repartition(2), root)  # v2 range
+    # v3: mixed-hit GDPR delete (multiples of 5 live in archive AND
+    # range files) → row-exact path, survivor rewrite records segments
+    v3, n_rw = M.manifest_delete_where(spark, root, F.col("id") % 5 == 0)
+    doc3 = M.read_version_doc(root, v3)
+    assert doc3.get("segments"), "delete commit must record segments"
+    assert set(doc3["segments"]) == set(doc3["added"])
+    # v4: row-level vector aimed at the live SURVIVOR file(s)
+    keys = spark.createDataFrame([(11,), (16,), (3,)], "id long")
+    v4, n_del = M.manifest_delete_rows(spark, root, keys=keys, on="id")
+    assert n_del == 3
+    # feed: range-new rows still live = 10..19 minus where-deleted
+    # (10, 15) minus vectored (11, 16); the pre-range vector hit (3)
+    # must not leak in
+    got = sorted(r["id"] for r in M.read_changes(spark, root, since).collect())
+    assert got == [12, 13, 14, 17, 18, 19]
+    # the snapshot agrees (sanity: translation never touches live reads)
+    snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert snap == [
+        i for i in range(20) if i % 5 != 0 and i not in (3, 11, 16)
+    ]
+    # change feed: deletes replay the where-matches AND the vectored
+    # rows that were visible at `since`; 11/16 (range-new, netted) are
+    # inserts-side removals, not deletes
+    feed = M.read_change_feed(spark, root, since)
+    dels = sorted(
+        r["id"] for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [0, 3, 5]
+
+
+def test_manifest_changes_vector_on_materialize_fallback_row_exact(
+    spark, tmp_path
+):
+    """Chained case: a segmented compaction leaves RANGED outputs, a
+    materialize folds a vector over them (partial ranges over
+    whole-file-survivors segments → the feed keeps scanning the
+    compaction outputs), and a LATER vector aimed at the materialize
+    output must still net row-exactly via the recorded segments +
+    folded-vector re-ranking."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).coalesce(1), root)  # v1 archive
+    since = 1
+    M.manifest_append(spark.range(10, 20).coalesce(1), root)  # v2 range
+    # v3: mixed bin-pack → segmented output, feed scans it RANGED
+    v3, n = M.manifest_compact_small(spark, root)
+    assert n == 2
+    # v4: vector into the packed file (kills a range row)
+    M.manifest_delete_rows(spark, root, F.col("id") == 12)
+    # v5: materialize folds it → whole-file-survivors segments over a
+    # PARTIAL-range source → non-mappable → fallback lineage + prov
+    M.manifest_materialize_deletes(spark, root)
+    # v6: later vector aimed at the materialize output
+    M.manifest_delete_rows(spark, root, F.col("id") == 17)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, since).collect())
+    assert got == [10, 11, 13, 14, 15, 16, 18, 19]
+    snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert snap == [i for i in range(20) if i not in (12, 17)]
