@@ -1185,13 +1185,14 @@ def read_changes(
       deleted rows never are, regardless of whether the hit set also
       includes archive files or mixed compaction outputs. When all
       hit files are wholly range-new, the survivor rewrite is emitted
-      instead (fewer files, same rows). The residual file-grain
-      boundary: a hit file scanned VIA OTHER FILES (a segment-less
-      mixed rewrite output, or a delete-survivor file) evicts the
-      files scanned on its behalf wholesale — under-emission, never
-      over-emission. Legacy delete commits without ``dv_matched``
-      fall back to the same pure-only survivor rule with file-grain
-      eviction elsewhere.
+      instead (fewer files, same rows). A hit file scanned VIA OTHER
+      FILES nets row-exactly too when its creating commit recorded
+      segments (its matched rows translate to source coordinates and
+      its scans carry to the new survivor output); only segment-less
+      or double-indirect hits evict the files scanned on their behalf
+      wholesale — under-emission, never over-emission. Legacy delete
+      commits without ``dv_matched`` fall back to the same pure-only
+      survivor rule with file-grain eviction elsewhere.
     """
     if version is None:
         version = latest_version(path)
@@ -1367,17 +1368,33 @@ def read_changes(
                 continue
             # row-exact path: keep scanned hit files in the feed (whole
             # or segment-restricted) and vector out the matched rows
-            # (coordinates are against the immutable scanned files);
-            # only hits scanned via OTHER files — which the vector
-            # cannot address — exit at file grain
+            # (coordinates are against the immutable scanned files).
+            # A hit scanned via OTHER files nets row-exactly too when
+            # its creating commit recorded segments — its matched rows
+            # translate to source coordinates like any other vector on
+            # an indirect target — and its underlying scans carry over
+            # to the survivor outputs' lineage; only segment-less /
+            # double-indirect hits still exit at file grain
             in_scan = [r for r in removed if r in scan_ranges]
             unmapped = [
                 r
                 for r in removed
                 if r not in scan_ranges and r in lineage
             ]
-            if unmapped:
-                scan, _ = _evict(set(unmapped))
+            carried: dict = {}
+            evict_rest: set = set()
+            for r in unmapped:
+                prov = indirect_prov.get(r)
+                sd_r, _pr = lineage[r]
+                if prov is not None and set(sd_r) <= prov[2]:
+                    translate[r] = (prov[0], prov[1])
+                    lineage.pop(r)
+                    for f, rg in sd_r.items():
+                        _scan_add(carried, f, rg)
+                else:
+                    evict_rest.add(r)
+            if evict_rest:
+                scan, _ = _evict(evict_rest)
                 for f in scan:
                     scan_ranges.pop(f, None)
             range_dvs += matched_dv
@@ -1389,6 +1406,8 @@ def read_changes(
             # folded set is the vectors live at this commit's parent
             # plus the matched vector itself
             surv_scan = {r: scan_ranges[r] for r in in_scan}
+            for f, rg in carried.items():
+                _scan_add(surv_scan, f, rg)
             for r in in_scan:
                 lineage.pop(r, None)
             del_segments = doc.get("segments") or {}

@@ -1784,3 +1784,37 @@ def test_manifest_changes_vector_on_materialize_fallback_row_exact(
     assert got == [10, 11, 13, 14, 15, 16, 18, 19]
     snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
     assert snap == [i for i in range(20) if i not in (12, 17)]
+
+
+def test_manifest_changes_delete_on_indirect_hit_row_exact(spark, tmp_path):
+    """A SECOND delete_where whose hit set includes the first delete's
+    survivor file (an indirectly-scanned output): its matched vector
+    translates to source coordinates through the first delete's
+    segments, the underlying scans carry to the new survivor output's
+    lineage, and the feed stays row-exact on both sides."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).repartition(2), root)  # v1 archive
+    since = 1
+    M.manifest_append(spark.range(10, 20).repartition(2), root)  # v2 range
+    M.manifest_delete_where(spark, root, F.col("id") % 5 == 0)  # v3 mixed
+    # v4: hits ONLY the survivor file (ids 3 and 17 live; 10 already gone)
+    v4, n_rw = M.manifest_delete_where(spark, root, F.col("id") % 7 == 3)
+    assert n_rw == 1  # exactly the survivor file was hit
+    got = sorted(r["id"] for r in M.read_changes(spark, root, since).collect())
+    assert got == [11, 12, 13, 14, 16, 18, 19]
+    snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert snap == [
+        i for i in range(20) if i % 5 != 0 and i % 7 != 3
+    ]
+    feed = M.read_change_feed(spark, root, since)
+    dels = sorted(
+        r["id"] for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [0, 3, 5]
+    ins = sorted(
+        r["id"] for r in feed.where(F.col("_change_type") == "insert").collect()
+    )
+    assert ins == got
