@@ -4858,6 +4858,73 @@ def manifest_indirect_vector_feed_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r11: atomic UPDATE ... SET ... WHERE (manifest_update_where) — matched
+# rows vectored out and their post-images appended in ONE merge-on-read
+# commit (cost ∝ matched rows; untouched files byte-identical). The
+# change feed replays an update as the natural delete(pre-image) +
+# insert(post-image) pair, and the snapshot row pins the end state.
+# Oracle in closed form from the customer key.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_update_feed_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k, c_custkey * 2 AS v FROM customer),
+    m AS (SELECT k, v FROM cust WHERE k % 10 = 0)
+    SELECT 'delete' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM m
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(v + 1000000) AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'snapshot',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cust),
+           (SELECT CAST(SUM(CASE WHEN k % 10 = 0 THEN v + 1000000
+                                 ELSE v END) AS BIGINT) FROM cust)
+    """,
+)
+def manifest_update_feed_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") * 2).alias("v"),
+    )
+    work = tempfile.mkdtemp(prefix="mani_upd_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(cust.repartition(2), root)  # v1
+        M.manifest_update_where(
+            spark, root, F.col("k") % 10 == 0,
+            {"v": F.col("v") + 1000000},
+        )
+        feed = (
+            M.read_change_feed(spark, root, 1)
+            .groupBy(F.col("_change_type").alias("tag"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+        )
+        snap = M.read_snapshot(spark, root).agg(
+            F.lit("snapshot").alias("tag"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        out = feed.unionByName(snap)
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -10331,6 +10398,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",
     "manifest_segmented_feed_counts",

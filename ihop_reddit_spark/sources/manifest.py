@@ -1977,6 +1977,75 @@ def manifest_merge_upsert(
     return version, n_replaced, n_appended
 
 
+def manifest_update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict,
+    *,
+    dv_target_files: int = 1,
+    extra: dict | None = None,
+) -> tuple[int, int]:
+    """ATOMIC ``UPDATE ... SET ... WHERE``, merge-on-read: ONE scan
+    positions the matched rows, which are vectored out and re-appended
+    with ``set_exprs`` applied ({column: Column expression}, evaluated
+    against the pre-update row) — both halves in one commit via
+    :func:`manifest_evict_admit`, so a reader sees the pre- or
+    post-update table, never a torn one. Untouched files stay
+    byte-identical; cost = one scan + a vector and a data write each
+    proportional to the MATCHED rows, the Delta UPDATE grain at 100 TB.
+
+    Rows whose predicate evaluates NULL are kept unchanged, rows
+    already removed by a live deletion vector are not resurrected, and
+    ``set_exprs`` may only assign EXISTING columns (schema is checked
+    by the append half). ``read_change_feed`` replays an update as the
+    natural delete(pre-image) + insert(post-image) pair.
+
+    Returns (new_version, n_rows_updated); no commit if nothing
+    matched."""
+    head = latest_version(path)
+    files = live_files(path, head)
+    if not files:
+        return head, 0
+    schema = _schema_of(path, head)
+    if schema is not None:
+        unknown = [c for c in set_exprs if c not in set(schema.names)]
+        if unknown:
+            raise ValueError(f"set_exprs assigns unknown columns {unknown}")
+    dv_files, dv_targets = live_dv_state(path, head)
+    live = _scan_with_pos(spark, path, files, schema)
+    if dv_files and dv_targets:
+        live = _apply_dvs(
+            live, _dv_frame(spark, path, dv_files), keep_pos=True
+        )
+    matched = live.where(F.coalesce(condition, F.lit(False))).persist()
+    try:
+        data_cols = [
+            c for c in matched.columns if c not in ("__dv_file", "__dv_pos")
+        ]
+        updated = matched.select(
+            *[
+                set_exprs[c].alias(c) if c in set_exprs else F.col(c)
+                for c in data_cols
+            ]
+        )
+        version, n_evicted, n_admitted = manifest_evict_admit(
+            spark,
+            path,
+            hits=matched.select("__dv_file", "__dv_pos"),
+            df=updated,
+            dv_target_files=dv_target_files,
+            extra=extra,
+        )
+        if version != head and n_evicted != n_admitted:
+            raise AssertionError(
+                f"update tore: {n_evicted} evicted != {n_admitted} admitted"
+            )
+        return version, n_admitted
+    finally:
+        matched.unpersist()
+
+
 def manifest_evict_admit(
     spark: SparkSession,
     path: str,

@@ -1818,3 +1818,56 @@ def test_manifest_changes_delete_on_indirect_hit_row_exact(spark, tmp_path):
         r["id"] for r in feed.where(F.col("_change_type") == "insert").collect()
     )
     assert ins == got
+
+
+def test_manifest_update_where(spark, tmp_path):
+    """UPDATE...SET...WHERE as one merge-on-read commit: matched rows
+    vectored + post-images appended atomically; NULL predicates keep
+    rows; already-vectored rows stay dead; time travel sees the
+    pre-update table; the change feed replays delete(pre) + insert(post);
+    unknown SET columns fail loudly."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    df = spark.range(0, 20).withColumn("v", F.col("id") * 2)
+    M.manifest_append(df.repartition(2), root)  # v1
+    M.manifest_delete_rows(spark, root, F.col("id") == 4)  # v2: vector
+    since = M.latest_version(root)
+    v3, n = M.manifest_update_where(
+        spark, root, F.col("id") % 5 == 0, {"v": F.col("v") + 1000}
+    )
+    assert (v3, n) == (since + 1, 4)  # ids 0,5,10,15
+    got = {r["id"]: r["v"] for r in M.read_snapshot(spark, root).collect()}
+    assert got == {
+        i: i * 2 + (1000 if i % 5 == 0 else 0)
+        for i in range(20) if i != 4
+    }
+    # time travel: pre-update values intact
+    old = {r["id"]: r["v"] for r in M.read_snapshot(spark, root, since).collect()}
+    assert old == {i: i * 2 for i in range(20) if i != 4}
+    # the commit is atomic: one version doc carries vector AND data
+    doc = M.read_version_doc(root, v3)
+    assert doc["dv_added"] and doc["added"]
+    # change feed: delete(pre-image) + insert(post-image) pairs
+    feed = M.read_change_feed(spark, root, since)
+    pre = sorted(
+        (r["id"], r["v"])
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    post = sorted(
+        (r["id"], r["v"])
+        for r in feed.where(F.col("_change_type") == "insert").collect()
+    )
+    assert pre == [(0, 0), (5, 10), (10, 20), (15, 30)]
+    assert post == [(0, 1000), (5, 1010), (10, 1020), (15, 1030)]
+    # NULL-evaluating predicate keeps rows; nothing matched = no commit
+    head = M.latest_version(root)
+    v_same, n0 = M.manifest_update_where(
+        spark, root, F.lit(None).cast("boolean"), {"v": F.lit(0).cast("long")}
+    )
+    assert (v_same, n0) == (head, 0)
+    with pytest.raises(ValueError, match="unknown columns"):
+        M.manifest_update_where(
+            spark, root, F.col("id") == 1, {"nope": F.lit(1)}
+        )
