@@ -174,6 +174,12 @@ REL_PROBES = [
     "manifest_change_feed_counts",
     "manifest_changes_maintenance_counts",
     "lpa_modularity_copurchase",
+    # round-11: vector-translation feed (delete_where's order-pinned
+    # survivor rewrite + per-source re-rank — the rank window is
+    # per-source over survivor rows, so work ∝ rewritten rows) and the
+    # atomic UPDATE (scan + vector + post-image write, all ∝ matches)
+    "manifest_indirect_vector_feed_counts",
+    "manifest_update_feed_counts",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
