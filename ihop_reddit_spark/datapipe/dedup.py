@@ -798,17 +798,36 @@ def duplicate_components_star(
         .localCheckpoint(eager=True)
     )
     release_scoped_persists(pairs)
+
+    # convergence test: a (count, hash-sum) FINGERPRINT per round — one
+    # tiny agg over the just-checkpointed frame — and only when the
+    # fingerprint reports a fixed point, the exact two-sided exceptAll
+    # CONFIRMATION (hash-sum equality alone is not a proof). The exact
+    # check thus runs once at convergence instead of two wide shuffles
+    # every round — the per-round driver cost that dominated small
+    # graphs without weakening the exactness contract.
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal partials: exact and overflow-free under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(edges)
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        changed = (
+        fp = _fingerprint(nxt)
+        if fp == prev_fp and not (
             nxt.exceptAll(edges).limit(1).count()
             or edges.exceptAll(nxt).limit(1).count()
-        )
-        edges = nxt
-        if not changed:
+        ):
+            edges = nxt
             break
+        prev_fp = fp
+        edges = nxt
     else:
         raise RuntimeError(
             f"duplicate_components_star did not converge within "
