@@ -666,6 +666,23 @@ def duplicate_components_distributed(
     from ..caching import release_scoped_persists
 
     release_scoped_persists(pairs)
+
+    # same convergence discipline as duplicate_components_star: a
+    # (count, decimal hash-sum) fingerprint per round, with the exact
+    # changed-labels join run only when the fingerprint reports a fixed
+    # point — labels only ever DECREASE, so an unchanged hash-sum with
+    # a real change would need a collision, which the exact confirm
+    # rules out either way
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "component_id").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -688,15 +705,19 @@ def duplicate_components_distributed(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
+        fp = _fingerprint(new_labels)
+        if fp == prev_fp:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.component_id") != F.col("o.component_id"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
+        prev_fp = fp
         labels = new_labels
-        if changed == 0:
-            break
     else:
         edges.unpersist()
         raise RuntimeError(
