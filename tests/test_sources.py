@@ -1871,3 +1871,49 @@ def test_manifest_update_where(spark, tmp_path):
         M.manifest_update_where(
             spark, root, F.col("id") == 1, {"nope": F.lit(1)}
         )
+
+
+def test_manifest_evict_admit_race_cleans_both_stages(spark, tmp_path):
+    """An evict_admit writer that loses the version race must remove
+    BOTH its staged directories (the vector stage and the data stage) —
+    nothing references them — and a retry on the new head succeeds."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).coalesce(1), root)  # v1
+
+    state = M.read_snapshot(spark, root, with_pos=True)
+    hits = state.where(F.col("id") < 3).select("__dv_file", "__dv_pos")
+    admit = spark.range(100, 105)
+
+    # another writer wins version 2 between this writer's head read and
+    # its commit: force it by committing v2 out from under evict_admit
+    real_latest = M.latest_version
+
+    def stale_then_real(path):
+        M.latest_version = real_latest
+        head = real_latest(path)
+        M.manifest_append(spark.range(50, 55), root)  # the racing winner
+        return head
+
+    M.latest_version = stale_then_real
+    try:
+        with pytest.raises(M.ConcurrentCommitError):
+            M.manifest_evict_admit(spark, root, hits=hits, df=admit)
+    finally:
+        M.latest_version = real_latest
+    # both of the loser's stage dirs are gone: data/ holds only files
+    # referenced by version docs
+    referenced = set()
+    for v in M.list_versions(root):
+        doc = M.read_version_doc(root, v)
+        for f in doc.get("added", []) + doc.get("dv_added", []):
+            referenced.add(f.split("/")[1])
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk == referenced
+    # retry on the new head applies cleanly
+    v, n_ev, n_ad = M.manifest_evict_admit(spark, root, hits=hits, df=admit)
+    assert (n_ev, n_ad) == (3, 5)
+    got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert got == list(range(3, 10)) + list(range(50, 55)) + list(range(100, 105))
