@@ -1917,3 +1917,27 @@ def test_manifest_evict_admit_race_cleans_both_stages(spark, tmp_path):
     assert (n_ev, n_ad) == (3, 5)
     got = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
     assert got == list(range(3, 10)) + list(range(50, 55)) + list(range(100, 105))
+
+
+def test_manifest_vector_translation_survives_vacuum(spark, tmp_path):
+    """The vector-translation feed needs the delete commit's sources and
+    folded vector files AFTER a vacuum: retention keeps every retained
+    version's dv_matched/dv_added and data-changing added files, so a
+    feed over the retained range still nets row-exactly."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).coalesce(1), root)   # v1
+    M.manifest_append(spark.range(10, 20).coalesce(1), root)  # v2
+    since = 2
+    M.manifest_append(spark.range(20, 30).coalesce(1), root)  # v3 range
+    M.manifest_delete_where(spark, root, F.col("id") % 5 == 0)  # v4 mixed
+    keys = spark.createDataFrame([(23,), (7,)], "id long")
+    M.manifest_delete_rows(spark, root, keys=keys, on="id")     # v5 vector
+    # vacuum everything below v2 (v1's files stay: still live)
+    M.manifest_vacuum(root, keep_from_version=2)
+    got = sorted(r["id"] for r in M.read_changes(spark, root, since).collect())
+    assert got == [21, 22, 24, 26, 27, 28, 29]
+    snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
+    assert snap == [i for i in range(30) if i % 5 != 0 and i not in (7, 23)]
