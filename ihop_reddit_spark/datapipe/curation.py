@@ -226,10 +226,14 @@ def decontaminate_bloom(
         F.pmod(F.xxhash64("__g", F.lit(j)), F.lit(n_bits)).alias(f"__p{j}")
         for j in range(n_hashes)
     ]
+    # the benchmark shingle set feeds BOTH the bitmap build and the
+    # exact-verify join — persist it (eval-sized by contract) so the
+    # benchmark explode+distinct runs once, not twice
     bg = (
         exploded_word_shingles(benchmark, text_col, id_col, n=n, sep=sep)
         .select("__g")
         .distinct()
+        .persist()
     )
     positions = (
         bg.select(F.explode(F.array(*pos)).alias("p")).distinct().toPandas()
@@ -265,8 +269,15 @@ def decontaminate_bloom(
 
     candidates = tg.mapInPandas(bloom_test, f"__id {id_type}, __g string")
     contaminated = candidates.join(bg, "__g").select("__id").distinct()
-    return df.join(
-        contaminated.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    from ..caching import register_scoped_persists
+
+    return register_scoped_persists(
+        df.join(
+            contaminated.withColumnRenamed("__id", id_col),
+            id_col,
+            "left_anti",
+        ),
+        bg,
     )
 
 
