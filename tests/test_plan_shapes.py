@@ -223,6 +223,11 @@ def test_merge_upsert_broadcasts_delta_base_never_shuffles(spark, sf_dir):
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     from ihop_reddit_spark.datapipe.curation import decontaminate
 
+    # cached IMRs from earlier catalog-query runs (e.g. the bloom
+    # decontamination's persisted benchmark shingles over this same
+    # table) substitute into matching subtrees and change the static
+    # size estimates the join strategy is asserted on
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.where(F.col("doc_id") % 25 == 0)
     pool = docs.where(F.col("doc_id") % 25 != 0)
