@@ -4925,6 +4925,118 @@ def manifest_update_feed_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r11: METADATA-ONLY schema evolution (manifest_alter_schema) — rename
+# via Delta-style column mapping (files keep their frozen physical
+# names; no byte is rewritten at any table size), widen via Spark-4
+# parquet type promotion (v1's int32 files and v2's int64 files read
+# under ONE bigint schema), add as read-time NULL, and drop+re-add
+# retiring the physical name so the dropped bytes can never resurrect.
+# Time travel to the pre-alter version surfaces the OLD names and
+# types. Oracle in closed form from the customer key.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_schema_evolution_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    v1 AS (SELECT k FROM cust WHERE k % 2 = 0),
+    v2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN 'gold' ELSE 'std' END AS tier
+           FROM cust WHERE k % 2 = 1)
+    SELECT 'head' AS tag,
+           CAST((SELECT COUNT(*) FROM cust) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(k) FROM cust) AS BIGINT) AS sum_k,
+           CAST((SELECT COUNT(*) FROM v2 WHERE tier = 'gold') AS BIGINT)
+               AS n_gold
+    UNION ALL
+    SELECT 'timetravel_v1',
+           CAST((SELECT COUNT(*) FROM v1) AS BIGINT),
+           CAST((SELECT SUM(k) FROM v1) AS BIGINT),
+           CAST(-1 AS BIGINT)
+    UNION ALL
+    SELECT 'feed_inserts',
+           CAST((SELECT COUNT(*) FROM v2) AS BIGINT),
+           CAST((SELECT SUM(k) FROM v2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM v2 WHERE tier = 'gold') AS BIGINT)
+    UNION ALL
+    SELECT 'readd_nulls',
+           CAST((SELECT COUNT(*) FROM cust) AS BIGINT),
+           CAST((SELECT SUM(k) FROM cust) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def manifest_schema_evolution_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("k"),
+        F.col("c_name").alias("name"),
+    )
+    work = tempfile.mkdtemp(prefix="mani_evo_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        # v1: narrow schema (k int32), half the keys
+        M.manifest_append(
+            cust.where(F.col("k") % 2 == 0).repartition(2), root
+        )
+        v1 = M.latest_version(root)
+        # one metadata-only commit: rename + widen + add
+        M.manifest_alter_schema(
+            root,
+            rename={"name": "label"},
+            widen={"k": "bigint"},
+            add=[("tier", "string")],
+        )
+        # v2: the other half arrives already-widened with the new names
+        M.manifest_append(
+            cust.where(F.col("k") % 2 == 1)
+            .select(
+                F.col("k").cast("bigint").alias("k"),
+                F.col("name").alias("label"),
+                F.when(F.col("k") % 3 == 0, F.lit("gold"))
+                .otherwise(F.lit("std"))
+                .alias("tier"),
+            )
+            .repartition(2),
+            root,
+        )
+
+        def row(df: DataFrame, tag: str, gold) -> DataFrame:
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_k"),
+                gold.cast("long").alias("n_gold"),
+            ).select(F.lit(tag).alias("tag"), "*")
+
+        gold_count = F.count(F.when(F.col("tier") == "gold", 1))
+        head = row(M.read_snapshot(spark, root), "head", gold_count)
+        # pre-alter version: OLD column names (k/name), int32 k
+        tt = row(
+            M.read_snapshot(spark, root, v1), "timetravel_v1", F.lit(-1)
+        )
+        feed = row(
+            M.read_changes(spark, root, v1), "feed_inserts", gold_count
+        )
+        # drop + re-add: same logical name, fresh physical name — every
+        # row reads NULL (the 'gold' bytes are unreachable)
+        M.manifest_alter_schema(root, drop=["tier"])
+        M.manifest_alter_schema(root, add=[("tier", "string")])
+        readd = row(
+            M.read_snapshot(spark, root),
+            "readd_nulls",
+            F.count(F.col("tier")),
+        )
+        out = head.unionByName(tt).unionByName(feed).unionByName(readd)
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -10398,6 +10510,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "manifest_schema_evolution_counts",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

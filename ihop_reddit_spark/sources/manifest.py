@@ -188,12 +188,91 @@ def _schema_of(path: str, version: int | None = None) -> T.StructType | None:
     return None
 
 
+def _mapping_of(path: str, version: int | None = None) -> dict:
+    """LOGICAL column name → PHYSICAL column name at ``version`` —
+    non-identity entries only ({} means every file column is named what
+    the table schema names it). Physical names are assigned once, when
+    a column first receives data, and NEVER change; ``rename`` moves
+    the logical name while the files stay byte-identical (the Delta
+    column-mapping / Iceberg field-id discipline, spelled with names
+    because parquet field-ids are not plumbed through every reader).
+    Carried by ``alter_schema`` commits and folded into the checkpoint
+    doc by vacuum, so it survives retention."""
+    if version is None:
+        try:
+            version = latest_version(path)
+        except FileNotFoundError:
+            # staging into a directory with no manifest yet (raw batch
+            # helpers, tests) — identity mapping by definition
+            return {}
+    for v in reversed([x for x in list_versions(path) if x <= version]):
+        doc = read_version_doc(path, v)
+        if "mapping" in doc:
+            return dict(doc["mapping"])
+    return {}
+
+
+def _retired_of(path: str, version: int | None = None) -> list[str]:
+    """PHYSICAL names no longer mapped by any logical column (dropped
+    columns). A re-added column of the same name must NOT resurrect the
+    old files' bytes, so adds avoid these names forever. Cumulative —
+    each alter commit carries the full list forward."""
+    if version is None:
+        version = latest_version(path)
+    for v in reversed([x for x in list_versions(path) if x <= version]):
+        doc = read_version_doc(path, v)
+        if "retired_physical" in doc:
+            return list(doc["retired_physical"])
+    return []
+
+
+def _physical_schema(
+    schema: T.StructType, mapping: dict
+) -> T.StructType:
+    """``schema`` with every field renamed to its physical name —
+    the read schema for the data files themselves."""
+    return T.StructType(
+        [
+            T.StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _rename_simultaneous(df: DataFrame, renames: dict) -> DataFrame:
+    """One projection renaming every column at once. NOT
+    ``withColumnsRenamed`` — that applies its dict sequentially, so a
+    swap-adjacent mapping ({v→id, id→key}) transits through a duplicate
+    name and mis-renames both columns."""
+    if not renames:
+        return df
+    return df.select(
+        *[df[c].alias(renames.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename physical columns back to their logical names (a plan-only
+    projection — no data moves)."""
+    if not mapping:
+        return df
+    return _rename_simultaneous(df, {p: l for l, p in mapping.items()})
+
+
 def _stage_batch(
     df: DataFrame, path: str, version: int, *, prefix: str = "b"
 ) -> tuple[str, list[str]]:
     """Write ``df`` as an (immutable) batch directory for ``version``;
     return ``(rel_dir, part files)`` as root-relative paths. ``prefix``
     "b" stages data batches, "dv" stages deletion-vector batches.
+
+    Data batches arrive in LOGICAL column names and are written under
+    the table's PHYSICAL names (``_mapping_of`` at head) — the one
+    write-side chokepoint of column mapping, mirroring the read-side
+    rename in ``_scan_with_pos``. DV batches (file/pos coordinates)
+    never pass through the mapping.
 
     The directory carries a per-writer random suffix so two writers
     racing on the same head+1 NEVER touch each other's staged files —
@@ -203,6 +282,13 @@ def _stage_batch(
     data file names are unique per writer; only the log is contended."""
     import uuid
 
+    if prefix == "b":
+        mapping = _mapping_of(path)
+        renames = {
+            l: p for l, p in mapping.items() if l in set(df.columns)
+        }
+        if renames:
+            df = _rename_simultaneous(df, renames)
     rel = f"data/{prefix}{version:08d}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, rel)
     df.write.parquet(out)
@@ -402,15 +488,29 @@ def _scan_with_pos(
     path: str,
     files: list[str],
     schema: T.StructType | None,
+    mapping: dict | None = None,
 ) -> DataFrame:
     """Scan ``files`` with two extra columns: ``__dv_file`` (the
     root-relative data-file path, recovered from the reader's
     ``_metadata.file_path`` by matching the layout's own
     ``data/bNNNNNNNN/part-*`` shape — scheme- and root-independent) and
     ``__dv_pos`` (``_metadata.row_index``, the row's position in its
-    immutable file). (file, pos) is the deletion-vector key."""
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    immutable file). (file, pos) is the deletion-vector key.
+
+    ``schema`` is the LOGICAL schema of the version being read;
+    ``mapping`` its logical→physical column mapping. Files are read
+    under physical names (widened types resolve through Spark's
+    parquet type promotion, so an int32 file reads as the table's
+    post-widen bigint) and renamed to logical immediately — every
+    downstream operator sees logical names only."""
+    read_schema = schema
+    if schema is not None and mapping:
+        read_schema = _physical_schema(schema, mapping)
+    reader = (
+        spark.read if read_schema is None else spark.read.schema(read_schema)
+    )
     scan = reader.parquet(*(os.path.join(path, f) for f in files))
+    scan = _to_logical(scan, mapping or {})
     return scan.withColumns(
         {
             "__dv_file": F.regexp_extract(
@@ -933,6 +1033,26 @@ def manifest_append(
     table keeps skipping after maintenance."""
     head = latest_version(path)
     _check_schema(df, path, allow_additive=allow_additive)
+    if allow_additive:
+        # a brand-new column stages under its own name as its physical
+        # name — refuse names already claimed physically by a renamed
+        # column or retired by a drop (the old files' bytes would leak
+        # into the new column); manifest_alter_schema assigns a fresh
+        # physical name for exactly this case
+        stored = _schema_of(path, head)
+        if stored is not None:
+            amap = _mapping_of(path, head)
+            claimed = {
+                amap.get(f.name, f.name) for f in stored.fields
+            } | set(_retired_of(path, head))
+            fresh = [c for c in df.columns if c not in set(stored.names)]
+            bad = [c for c in fresh if c in claimed]
+            if bad:
+                raise ValueError(
+                    f"additive column(s) {bad} collide with physical"
+                    " names in use or retired; use manifest_alter_schema"
+                    " add= instead"
+                )
     version = head + 1
     stage_dir, added = _stage_batch(df, path, version)
     n_live = len(live_files(path, head)) + len(added)
@@ -944,9 +1064,15 @@ def manifest_append(
         )
     stats, row_counts = _stage_stats(path, added)
     spark = df.sparkSession
+    bmap = _mapping_of(path, head)
     blooms = (
         _build_blooms(
-            spark, path, added, list(bloom_columns), bloom_bits, bloom_hashes
+            spark,
+            path,
+            added,
+            [bmap.get(c, c) for c in bloom_columns],
+            bloom_bits,
+            bloom_hashes,
         )
         if bloom_columns
         else _rebuild_blooms(spark, path, added, head)
@@ -1024,6 +1150,7 @@ def read_snapshot(
 
     files = live_files(path, version)
     schema = _schema_of(path, version)
+    mapping = _mapping_of(path, version)
     if not files:
         if schema is None:
             raise ValueError(
@@ -1031,26 +1158,43 @@ def read_snapshot(
             )
         return _empty()
     if prune:
-        files = _prune_files(files, live_file_stats(path, version), prune)
+        # manifest stats/blooms are keyed by PHYSICAL column names (they
+        # come from the data files' footers); callers prune by logical
+        phys_prune = {mapping.get(c, c): v for c, v in prune.items()}
+        files = _prune_files(
+            files, live_file_stats(path, version), phys_prune
+        )
     if prune_eq:
+        phys_eq = {mapping.get(c, c): v for c, v in prune_eq.items()}
         files = _prune_files_eq(
-            spark, files, live_file_blooms(path, version), prune_eq
+            spark, files, live_file_blooms(path, version), phys_eq
         )
     if not files:
         return _empty()
     dv_files, dv_targets = live_dv_state(path, version)
     if dv_files and dv_targets:
-        scanned = _scan_with_pos(spark, path, files, schema)
+        scanned = _scan_with_pos(spark, path, files, schema, mapping)
         return _apply_dvs(
             scanned, _dv_frame(spark, path, dv_files), keep_pos=with_pos
         )
     if with_pos:
-        return _scan_with_pos(spark, path, files, schema)
+        return _scan_with_pos(spark, path, files, schema, mapping)
     # pin the VERSION's schema on the scan: after additive evolution,
-    # files written before a column existed read it as NULL, and time
-    # travel to an old version surfaces that version's (narrower) schema
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*(os.path.join(path, f) for f in files))
+    # files written before a column existed read it as NULL, time
+    # travel to an old version surfaces that version's own (narrower)
+    # schema and column NAMES, and post-rename/widen reads resolve
+    # through the column mapping + parquet type promotion
+    read_schema = (
+        _physical_schema(schema, mapping)
+        if (schema is not None and mapping)
+        else schema
+    )
+    reader = (
+        spark.read if read_schema is None else spark.read.schema(read_schema)
+    )
+    return _to_logical(
+        reader.parquet(*(os.path.join(path, f) for f in files)), mapping
+    )
 
 
 def _merge_pos_ranges(a, b):
@@ -1431,6 +1575,7 @@ def read_changes(
             scan_ranges[n] = None
             lineage[n] = ({n: None}, True)
     schema = _schema_of(path, version)
+    mapping = _mapping_of(path, version)
     if not scan_ranges:
         if schema is None:
             raise ValueError(f"no schema recorded at {path} yet")
@@ -1442,7 +1587,9 @@ def read_changes(
         # anti-join self-restricts to the files actually scanned (vectors
         # aimed at archive files match nothing here). Segment-restricted
         # files additionally filter to their range-new position ranges.
-        scanned = _scan_with_pos(spark, path, sorted(scan_ranges), schema)
+        scanned = _scan_with_pos(
+            spark, path, sorted(scan_ranges), schema, mapping
+        )
         if ranged:
             cond = (
                 F.col("__dv_file").isin(whole) if whole else F.lit(False)
@@ -1463,14 +1610,23 @@ def read_changes(
                 segs, folded = translate[t]
                 extra = _translated_dv(
                     spark, path, schema, t, segs, folded,
-                    base_dvf, set(scan_ranges),
+                    base_dvf, set(scan_ranges), mapping,
                 )
                 if extra is not None:
                     dvf = dvf.unionByName(extra)
             return _apply_dvs(scanned, dvf)
         return scanned.drop("__dv_file", "__dv_pos")
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*(os.path.join(path, f) for f in whole))
+    read_schema = (
+        _physical_schema(schema, mapping)
+        if (schema is not None and mapping)
+        else schema
+    )
+    reader = (
+        spark.read if read_schema is None else spark.read.schema(read_schema)
+    )
+    return _to_logical(
+        reader.parquet(*(os.path.join(path, f) for f in whole)), mapping
+    )
 
 
 def _translated_dv(
@@ -1482,6 +1638,7 @@ def _translated_dv(
     folded: list[str],
     dvf: DataFrame,
     scanned_files: set,
+    mapping: dict | None = None,
 ) -> DataFrame | None:
     """Vector rows aimed at ``target`` — an indirectly-scanned rewrite
     output — re-addressed to SOURCE coordinates through the output's
@@ -1532,7 +1689,7 @@ def _translated_dv(
     sent_scanned = [r for r in sentinel if r[0] in scanned_files]
     if sent_scanned:
         srcs = [s for s, _c, _o in sent_scanned]
-        scan = _scan_with_pos(spark, path, srcs, schema).select(
+        scan = _scan_with_pos(spark, path, srcs, schema, mapping).select(
             "__dv_file", "__dv_pos"
         )
         if folded:
@@ -1607,6 +1764,7 @@ def read_change_feed(
             range_dvs += doc.get("dv_added", [])
             range_dvs += doc.get("dv_matched", [])
     schema = _schema_of(path, version)
+    mapping = _mapping_of(path, version)
     inserts = inserts.withColumn("_change_type", F.lit("insert"))
     if not range_dvs:
         return inserts
@@ -1625,7 +1783,7 @@ def read_change_feed(
     )
     if not targets:
         return inserts
-    scanned = _scan_with_pos(spark, path, targets, schema)
+    scanned = _scan_with_pos(spark, path, targets, schema, mapping)
     ranged = {f: vis[f] for f in targets if vis[f] is not None}
     if ranged:
         whole = [f for f in targets if vis[f] is None]
@@ -1682,8 +1840,9 @@ def manifest_delete_where(
     if not files:
         return head, 0
     schema = _schema_of(path, head)
+    mapping = _mapping_of(path, head)
     dv_files, dv_targets = live_dv_state(path, head)
-    live = _scan_with_pos(spark, path, files, schema)
+    live = _scan_with_pos(spark, path, files, schema, mapping)
     if dv_files and dv_targets:
         # a row already row-deleted must neither trigger a rewrite nor
         # survive into one
@@ -1709,7 +1868,7 @@ def manifest_delete_where(
     # survivor rewrite scans ONLY the hit files. Keep every row where
     # the condition is not TRUE — a NULL-evaluating predicate must keep
     # the row, not silently drop it
-    hit_scan = _scan_with_pos(spark, path, hit_rel, schema)
+    hit_scan = _scan_with_pos(spark, path, hit_rel, schema, mapping)
     if dv_files and dv_targets:
         hit_scan = _apply_dvs(
             hit_scan, _dv_frame(spark, path, dv_files), keep_pos=True
@@ -1750,7 +1909,9 @@ def manifest_delete_where(
         for bin_files in bins:
             if not bin_files:
                 continue
-            bin_scan = _scan_with_pos(spark, path, bin_files, schema)
+            bin_scan = _scan_with_pos(
+                spark, path, bin_files, schema, mapping
+            )
             if dv_files and dv_targets:
                 bin_scan = _apply_dvs(
                     bin_scan, _dv_frame(spark, path, dv_files),
@@ -1845,15 +2006,17 @@ def manifest_delete_rows(
         raise ValueError("keys= requires on=")
     head = latest_version(path)
     files = live_files(path, head)
+    mapping = _mapping_of(path, head)
     if prune_eq:
+        phys_eq = {mapping.get(c, c): v for c, v in prune_eq.items()}
         files = _prune_files_eq(
-            spark, files, live_file_blooms(path, head), prune_eq
+            spark, files, live_file_blooms(path, head), phys_eq
         )
     if not files:
         return head, 0
     schema = _schema_of(path, head)
     dv_files, dv_targets = live_dv_state(path, head)
-    live = _scan_with_pos(spark, path, files, schema)
+    live = _scan_with_pos(spark, path, files, schema, mapping)
     if dv_files and dv_targets:
         live = _apply_dvs(
             live, _dv_frame(spark, path, dv_files), keep_pos=True
@@ -1932,7 +2095,9 @@ def manifest_merge_upsert(
     dv_dir: str | None = None
     if files:
         dv_files, dv_targets = live_dv_state(path, head)
-        live = _scan_with_pos(spark, path, files, schema)
+        live = _scan_with_pos(
+            spark, path, files, schema, _mapping_of(path, head)
+        )
         if dv_files and dv_targets:
             live = _apply_dvs(
                 live, _dv_frame(spark, path, dv_files), keep_pos=True
@@ -2013,7 +2178,9 @@ def manifest_update_where(
         if unknown:
             raise ValueError(f"set_exprs assigns unknown columns {unknown}")
     dv_files, dv_targets = live_dv_state(path, head)
-    live = _scan_with_pos(spark, path, files, schema)
+    live = _scan_with_pos(
+        spark, path, files, schema, _mapping_of(path, head)
+    )
     if dv_files and dv_targets:
         live = _apply_dvs(
             live, _dv_frame(spark, path, dv_files), keep_pos=True
@@ -2044,6 +2211,149 @@ def manifest_update_where(
         return version, n_admitted
     finally:
         matched.unpersist()
+
+
+#: widening transitions the parquet readers resolve natively (Spark 4
+#: type promotion: an int32 file reads under a bigint/double schema with
+#: no rewrite). Keys/values are DataType.typeName() strings. long→double
+#: is deliberately ABSENT — it loses precision above 2^53, so it is a
+#: cast the user must spell out in data, not a metadata-only alter.
+_WIDENINGS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def _parse_field(spec) -> T.StructField:
+    if isinstance(spec, T.StructField):
+        return spec
+    name, ddl = spec
+    return T.StructType.fromDDL(f"`{name}` {ddl}").fields[0]
+
+
+def manifest_alter_schema(
+    path: str,
+    *,
+    add: list | None = None,
+    rename: dict | None = None,
+    widen: dict | None = None,
+    drop: list | None = None,
+) -> int:
+    """METADATA-ONLY schema evolution — no data file is read, touched,
+    or rewritten, at any table size (the Delta/Iceberg ALTER TABLE
+    grain; reference parity target is the schema-migration step users
+    otherwise script by full rewrite):
+
+    * ``add``: new nullable columns (``StructField`` or ``(name, ddl)``
+      pairs). Existing files read them as NULL.
+    * ``rename``: ``{old: new}``. Files keep their PHYSICAL column name
+      forever; the commit's column mapping re-labels it at read time
+      (``_scan_with_pos``/``read_snapshot``) and back at write time
+      (``_stage_batch``) — Delta column-mapping semantics, so a rename
+      is O(1) regardless of table size.
+    * ``widen``: ``{col: ddl}`` along :data:`_WIDENINGS` (int→long,
+      float→double, …). Old files read through Spark's parquet type
+      promotion; new appends must arrive already-widened
+      (``_check_schema`` compares against the widened schema).
+    * ``drop``: metadata-only removal. The physical name is RETIRED —
+      a later ``add`` of the same name gets a fresh physical name, so
+      the old files' bytes can never resurrect under the new column.
+
+    Order of application: drop → rename → widen → add (one commit).
+    Time travel surfaces each version's own schema AND column names:
+    a snapshot at a pre-rename version reads the old names, because
+    both the schema and the mapping are resolved at that version.
+
+    Returns the new version. Raises ``ValueError`` on unknown columns,
+    duplicate result names, or non-widening type changes, and
+    ``ConcurrentCommitError`` when racing another writer (retry on the
+    new head — the alter is cheap to recompute)."""
+    head = latest_version(path)
+    schema = _schema_of(path, head)
+    if schema is None:
+        raise ValueError(
+            f"table at {path} has no schema yet; append data first"
+        )
+    mapping = _mapping_of(path, head)
+    retired = list(_retired_of(path, head))
+    fields = list(schema.fields)
+    version = head + 1
+
+    for c in drop or []:
+        if c not in {f.name for f in fields}:
+            raise ValueError(f"drop: unknown column {c!r}")
+        phys = mapping.pop(c, c)
+        if phys not in retired:
+            retired.append(phys)
+        fields = [f for f in fields if f.name != c]
+    if not fields:
+        raise ValueError("cannot drop every column")
+
+    for old, new in (rename or {}).items():
+        cur = {f.name for f in fields}
+        if old not in cur:
+            raise ValueError(f"rename: unknown column {old!r}")
+        mapping[new] = mapping.pop(old, old)
+        fields = [
+            T.StructField(new, f.dataType, f.nullable)
+            if f.name == old
+            else f
+            for f in fields
+        ]
+    names = [f.name for f in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"alter would duplicate column names: {names}")
+
+    for c, ddl in (widen or {}).items():
+        if c not in names:
+            raise ValueError(f"widen: unknown column {c!r}")
+        new_dt = _parse_field((c, ddl)).dataType
+        for i, f in enumerate(fields):
+            if f.name != c:
+                continue
+            old_t, new_t = f.dataType.typeName(), new_dt.typeName()
+            if old_t == new_t:
+                break
+            if new_t not in _WIDENINGS.get(old_t, ()):
+                raise ValueError(
+                    f"widen: {c!r} {old_t}→{new_t} is not a lossless"
+                    f" parquet-promotable widening ({_WIDENINGS})"
+                )
+            fields[i] = T.StructField(c, new_dt, f.nullable)
+            break
+
+    used_phys = {mapping.get(f.name, f.name) for f in fields} | set(retired)
+    for spec in add or []:
+        fld = _parse_field(spec)
+        if fld.name in {f.name for f in fields}:
+            raise ValueError(f"add: column {fld.name!r} already exists")
+        phys = fld.name
+        if phys in used_phys:
+            phys = f"{fld.name}_p{version}"
+            while phys in used_phys:
+                phys += "x"
+            mapping[fld.name] = phys
+        used_phys.add(phys)
+        # nullable regardless of the spec: old files have no values
+        fields.append(T.StructField(fld.name, fld.dataType, True))
+
+    mapping = {l: p for l, p in mapping.items() if l != p}
+    return _commit_or_cleanup(
+        path,
+        {
+            "version": version,
+            "parent": head,
+            "operation": "alter_schema",
+            "schema": T.StructType(fields).jsonValue(),
+            "mapping": mapping,
+            "retired_physical": sorted(retired),
+            "added": [],
+            "removed": [],
+        },
+        [],
+    )
 
 
 def manifest_evict_admit(
@@ -2120,9 +2430,11 @@ def manifest_evict_admit(
             added, stats, row_counts = [], {}, {}
         else:
             stage_dirs.append(data_dir)
+            emap = _mapping_of(path, head)
             blooms = (
                 _build_blooms(
-                    spark, path, added, list(bloom_columns),
+                    spark, path, added,
+                    [emap.get(c, c) for c in bloom_columns],
                     bloom_bits, bloom_hashes,
                 )
                 if bloom_columns
@@ -2184,6 +2496,7 @@ def manifest_materialize_deletes(
         return head, 0
     affected = sorted(dv_targets)
     schema = _schema_of(path, head)
+    mapping = _mapping_of(path, head)
     dvs = _dv_frame(spark, path, dv_files)
     version = head + 1
     rc = live_row_counts(path, head)
@@ -2209,7 +2522,7 @@ def manifest_materialize_deletes(
             if not bin_files:
                 continue
             survivors = _apply_dvs(
-                _scan_with_pos(spark, path, bin_files, schema),
+                _scan_with_pos(spark, path, bin_files, schema, mapping),
                 dvs,
                 keep_pos=True,
             )
@@ -2227,7 +2540,7 @@ def manifest_materialize_deletes(
                 ]
     else:
         survivors = _apply_dvs(
-            _scan_with_pos(spark, path, affected, schema), dvs
+            _scan_with_pos(spark, path, affected, schema, mapping), dvs
         )
         if survivors.limit(1).count():
             d, added = _stage_batch(survivors, path, version)
@@ -2302,9 +2615,16 @@ def metadata_only_stats(
             " materialize_deletes first"
         )
     stats = live_file_stats(path, version)
+    mapping = _mapping_of(path, version)
+    # a 0-row file has no footer column stats and cannot hold the
+    # extreme row — exactness only needs stats on files WITH rows
+    occupied = [f for f in files if rc[f] > 0]
+    if not occupied:
+        raise ValueError("table has no rows; min/max undefined")
     for col in columns:
-        per = [stats[f][col] for f in files if col in stats.get(f, {})]
-        if len(per) != len(files):
+        pc = mapping.get(col, col)  # stats are keyed by PHYSICAL name
+        per = [stats[f][pc] for f in occupied if pc in stats.get(f, {})]
+        if len(per) != len(occupied):
             raise ValueError(
                 f"column {col!r} lacks footer stats on some live files;"
                 " scan instead"
@@ -2453,10 +2773,12 @@ def manifest_compact_small(
         return head, 0
     if cluster_stat:
         stats = live_file_stats(path, head)
+        # footer stats are keyed by PHYSICAL name; callers order by logical
+        cs = _mapping_of(path, head).get(cluster_stat, cluster_stat)
         small.sort(
             key=lambda f: (
-                (0, stats[f][cluster_stat][0])
-                if cluster_stat in stats.get(f, {})
+                (0, stats[f][cs][0])
+                if cs in stats.get(f, {})
                 else (1, f)
             )
         )
@@ -2478,9 +2800,10 @@ def manifest_compact_small(
     stage_dirs: list[str] = []
     added: list[str] = []
     segments: dict[str, list] = {}
+    cmap = _mapping_of(path, head)
     for bin_files in bins:
         packed = (
-            _scan_with_pos(spark, path, bin_files, schema)
+            _scan_with_pos(spark, path, bin_files, schema, cmap)
             .coalesce(1)
             .sortWithinPartitions("__dv_file", "__dv_pos")
             .drop("__dv_file", "__dv_pos")
@@ -2645,6 +2968,8 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
             dropped_sbids.add(d["stream_batch_id"])
         dropped_sbids.update(d.get("stream_batch_ids", []))
     base_schema = _schema_of(path, base)
+    base_mapping = _mapping_of(path, base)
+    base_retired = _retired_of(path, base)
     base_dv_files, base_dv_targets = live_dv_state(path, base)
     base_doc = {
         # unknown/extra fields a writer attached to the base commit
@@ -2665,6 +2990,12 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     }
     if dropped_sbids:
         base_doc["stream_batch_ids"] = sorted(dropped_sbids)
+    # column mapping + retired-physical survive retention: the alter
+    # commits that carried them may be below the horizon
+    if base_mapping:
+        base_doc["mapping"] = base_mapping
+    if base_retired:
+        base_doc["retired_physical"] = base_retired
     tmp = os.path.join(_manifest_dir(path), f".ckpt-{os.getpid()}.json")
     with open(tmp, "w") as fh:
         json.dump(base_doc, fh, indent=1, sort_keys=True)

@@ -1941,3 +1941,223 @@ def test_manifest_vector_translation_survives_vacuum(spark, tmp_path):
     assert got == [21, 22, 24, 26, 27, 28, 29]
     snap = sorted(r["id"] for r in M.read_snapshot(spark, root).collect())
     assert snap == [i for i in range(30) if i % 5 != 0 and i not in (7, 23)]
+
+
+def test_manifest_alter_schema_rename_widen_add(spark, tmp_path):
+    """Metadata-only evolution: rename via column mapping (files stay
+    byte-identical under their physical names), widen via parquet type
+    promotion, add as read-time NULL — and time travel surfaces each
+    version's OWN names and types."""
+    import hashlib
+    import os as _os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    df1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, bal double"
+    )
+    M.manifest_append(df1.coalesce(1), root)
+    v_pre = M.latest_version(root)
+    pre_files = {
+        f: hashlib.md5(
+            open(_os.path.join(root, f), "rb").read()
+        ).hexdigest()
+        for f in M.live_files(root)
+    }
+
+    M.manifest_alter_schema(
+        root,
+        rename={"name": "label"},
+        widen={"id": "bigint"},
+        add=[("tier", "string")],
+    )
+    # data files untouched — the alter is O(1) metadata
+    assert {
+        f: hashlib.md5(
+            open(_os.path.join(root, f), "rb").read()
+        ).hexdigest()
+        for f in M.live_files(root)
+    } == pre_files
+
+    snap = M.read_snapshot(spark, root)
+    assert snap.schema.simpleString() == (
+        "struct<id:bigint,label:string,bal:double,tier:string>"
+    )
+    assert sorted((r.id, r.label, r.tier) for r in snap.collect()) == [
+        (1, "a", None),
+        (2, "b", None),
+    ]
+    # appends arrive in the NEW schema and stage under physical names
+    M.manifest_append(
+        spark.createDataFrame(
+            [(3, "c", 30.0, "gold")],
+            "id bigint, label string, bal double, tier string",
+        ).coalesce(1),
+        root,
+    )
+    assert sorted(
+        (r.id, r.label, r.tier)
+        for r in M.read_snapshot(spark, root).collect()
+    ) == [(1, "a", None), (2, "b", None), (3, "c", "gold")]
+    # time travel: the PRE-alter version reads its own names and types
+    old = M.read_snapshot(spark, root, v_pre)
+    assert old.schema.simpleString() == (
+        "struct<id:int,name:string,bal:double>"
+    )
+    assert sorted((r.id, r.name) for r in old.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # non-widening alter is refused
+    with pytest.raises(ValueError, match="not a lossless"):
+        M.manifest_alter_schema(root, widen={"bal": "int"})
+    with pytest.raises(ValueError, match="not a lossless"):
+        M.manifest_alter_schema(root, widen={"id": "double"})  # long→double
+
+
+def test_manifest_alter_drop_and_readd_never_resurrects(spark, tmp_path):
+    """Dropping a column retires its PHYSICAL name; re-adding the same
+    logical name maps to a fresh physical name, so the old files' bytes
+    stay invisible — including after vacuum folds the mapping into the
+    checkpoint doc."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame(
+            [(1, "secret"), (2, "hidden")], "id int, note string"
+        ).coalesce(1),
+        root,
+    )
+    M.manifest_alter_schema(root, drop=["note"])
+    assert M.read_snapshot(spark, root).columns == ["id"]
+    # additive append of a RETIRED name is refused (would resurrect the
+    # dropped bytes under the new column)
+    with pytest.raises(ValueError, match="collide with physical"):
+        M.manifest_append(
+            spark.createDataFrame([(3, "x")], "id int, note string"),
+            root,
+            allow_additive=True,
+        )
+    M.manifest_alter_schema(root, add=[("note", "string")])
+    assert [r.note for r in M.read_snapshot(spark, root).collect()] == [
+        None,
+        None,
+    ]
+    # mapping and retirement survive retention
+    M.manifest_append(
+        spark.createDataFrame([(3, "new")], "id int, note string"
+        ).coalesce(1),
+        root,
+    )
+    hv = M.latest_version(root)
+    M.manifest_vacuum(root, keep_from_version=hv)
+    got = sorted(
+        (r.id, r.note) for r in M.read_snapshot(spark, root).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "new")]
+    M.manifest_alter_schema(root, drop=["note"])
+    M.manifest_alter_schema(root, add=[("note", "string")])
+    assert [
+        r.note for r in M.read_snapshot(spark, root).collect()
+    ] == [None, None, None]
+
+
+def test_manifest_alter_interplay_delete_update_feed_pruning(
+    spark, tmp_path
+):
+    """Renamed/widened tables keep the full mutation surface: delete,
+    atomic update, change feed, stats + bloom pruning and metadata-only
+    aggregates all address columns by their LOGICAL names."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id int, name string, bal double",
+        ).coalesce(1),
+        root,
+    )
+    v_pre = M.latest_version(root)
+    M.manifest_alter_schema(
+        root, rename={"name": "label"}, widen={"id": "bigint"}
+    )
+    M.manifest_append(
+        spark.createDataFrame(
+            [(30, "c", 30.0)], "id bigint, label string, bal double"
+        ).coalesce(1),
+        root,
+        bloom_columns=("label",),
+    )
+    M.manifest_delete_where(spark, root, F.col("label") == "b")
+    v, n = M.manifest_update_where(
+        spark, root, F.col("id") == 30, {"bal": F.col("bal") + 1}
+    )
+    assert n == 1
+    assert sorted(
+        (r.id, r.label, r.bal)
+        for r in M.read_snapshot(spark, root).collect()
+    ) == [(1, "a", 10.0), (30, "c", 31.0)]
+    # change feed across the alter nets to the range's visible delta,
+    # emitted under the END version's logical names
+    feed = M.read_change_feed(spark, root, v_pre)
+    assert sorted(
+        (r.id, r._change_type) for r in feed.collect()
+    ) == [(2, "delete"), (30, "insert")]
+    # logical-name pruning: stats ranges and bloom equality both map to
+    # the physical footer keys
+    assert sorted(
+        r.id
+        for r in M.read_snapshot(
+            spark, root, prune={"id": (25, 99)}
+        ).collect()
+    ) == [30]
+    pruned = M.read_snapshot(spark, root, prune_eq={"label": "zzz"})
+    assert 30 not in {r.id for r in pruned.collect()}
+    M.manifest_materialize_deletes(spark, root)
+    meta = M.metadata_only_stats(root, columns=("id",))
+    assert meta["n_rows"] == 2
+    assert meta["min"]["id"] == 1 and meta["max"]["id"] == 30
+
+
+def test_manifest_alter_rename_chain_swap_and_compaction(spark, tmp_path):
+    """Rename chains (a→tmp→b) and swap-adjacent renames resolve through
+    the mapping, and rewrites (compact, compact_small with a renamed
+    cluster_stat) restage under the frozen physical names."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    for lo in (0, 50):
+        M.manifest_append(
+            spark.range(lo, lo + 50)
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1),
+            root,
+        )
+    M.manifest_alter_schema(root, rename={"id": "tmp"})
+    M.manifest_alter_schema(root, rename={"tmp": "key", "v": "id"})
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == ["key", "id"]
+    assert snap.where(F.col("id") == 2 * F.col("key")).count() == 100
+    # compact_small orders by the RENAMED column's footer stat
+    v, n = M.manifest_compact_small(
+        spark, root, max_file_bytes=1 << 30, cluster_stat="key"
+    )
+    assert n == 2
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == ["key", "id"]
+    assert snap.count() == 100
+    M.manifest_compact(spark, root, target_files=1)
+    snap = M.read_snapshot(spark, root)
+    assert snap.where(F.col("id") == 2 * F.col("key")).count() == 100
+    # a NEW column may reuse a vacated LOGICAL name but never a live
+    # physical one: adding "tmp" is fine (physical "tmp" never existed —
+    # the rename kept physical "id"), adding "id" gets a fresh physical
+    M.manifest_alter_schema(root, add=[("tmp", "string")])
+    assert M.read_snapshot(spark, root).columns == ["key", "id", "tmp"]
