@@ -6,10 +6,15 @@ Upgrades the last multimodal stub boundary (VERDICT r8 "what's missing"
 the box demuxer recovers per-sample byte ranges through the full
 ``stbl`` machinery, and samples decode for real when the sample entry
 is ``jpeg`` (motion-JPEG in MP4, the QuickTime/ISO layout) via the
-in-tree baseline-JPEG codec (:mod:`.jpeg_codec`). Compressed codecs
-(``avc1``/``hvc1``/``hev1``/``vp09``/``av01``) demux fine but raise the
-marked ``NotImplementedError`` at decode — the same honest libav
-boundary as H.264-in-AVI. Both halves are stdlib-only:
+in-tree baseline-JPEG codec (:mod:`.jpeg_codec`) or ``av01`` (AV1 —
+r11) via the system libavif/dav1d: each demuxed sample plus the
+track's ``av1C`` record re-wraps as a minimal still-AVIF container
+(:func:`.avif_native.wrap_av1_sample`) and decodes independently.
+Image-sequence tracks (handler ``pict`` — animated AVIF) demux through
+the same machinery. The remaining compressed codecs
+(``avc1``/``hvc1``/``hev1``/``vp09``) demux fine but raise the marked
+``NotImplementedError`` at decode — the same honest libav boundary as
+H.264-in-AVI. The demux/mux halves are stdlib-only:
 
 * :func:`mp4_bytes` — minimal spec-correct writer in the streaming
   layout (``ftyp`` + ``mdat`` + trailing ``moov``): one ``vide`` track
@@ -189,6 +194,8 @@ class Mp4File:
     codec: str
     n_samples: int
     samples: list[bytes]
+    #: raw codec configuration record (av1C payload for ``av01``)
+    codec_config: bytes | None = None
 
 
 def _iter_boxes(buf: bytes, start: int, end: int):
@@ -233,6 +240,9 @@ def parse_mp4(payload: bytes) -> Mp4File:
     mdat_ranges = [(s, e) for fc, s, e in top if fc == b"mdat"]
     moov_s, moov_e = next((s, e) for fc, s, e in top if fc == b"moov")
 
+    # 'vide' is plain video; 'pict' is a HEIF image-sequence track —
+    # the handler animated AVIF (AV1-in-ISOBMFF) declares. Same stbl
+    # machinery either way.
     trak = None
     for fc, s, e in _iter_boxes(buf, moov_s, moov_e):
         if fc != b"trak":
@@ -241,7 +251,7 @@ def parse_mp4(payload: bytes) -> Mp4File:
         if mdia is None:
             continue
         hdlr = _find(buf, *mdia, b"hdlr")
-        if hdlr and buf[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+        if hdlr and buf[hdlr[0] + 8 : hdlr[0] + 12] in (b"vide", b"pict"):
             trak = (s, e)
             break
     if trak is None:
@@ -286,6 +296,17 @@ def parse_mp4(payload: bytes) -> Mp4File:
     if stsd is None:
         raise ValueError("video stbl missing stsd")
     codec = buf[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
+    # the sample entry's codec CONFIGURATION record (av1C for AV1 —
+    # required to decode any sample independently of the container).
+    # Child boxes start after the 78-byte VisualSampleEntry fixed part.
+    codec_config = None
+    (entry_size,) = struct.unpack(">I", buf[stsd[0] + 8 : stsd[0] + 12])
+    entry_end = stsd[0] + 8 + entry_size
+    child_start = stsd[0] + 16 + 78
+    if codec == "av01" and child_start < entry_end <= stsd[1]:
+        cfg = _find(buf, child_start, entry_end, b"av1C")
+        if cfg is not None:
+            codec_config = buf[cfg[0] : cfg[1]]
 
     stts = _find(buf, *stbl, b"stts")
     if stts is None:
@@ -390,6 +411,7 @@ def parse_mp4(payload: bytes) -> Mp4File:
         codec=codec,
         n_samples=total_samples,
         samples=samples,
+        codec_config=codec_config,
     )
 
 
@@ -400,6 +422,33 @@ def decode_mp4(payload: bytes):
     in-tree baseline-JPEG codec; compressed codecs demux but raise the
     honest libav boundary."""
     mp4 = parse_mp4(payload)
+    if mp4.codec == "av01":
+        # AV1 decodes for real through the system libavif (dav1d): each
+        # demuxed sample + the track's av1C record re-wraps as a minimal
+        # still-AVIF container (the engine owns the demux; the codec
+        # work is the system decoder's). Capability-gated like every
+        # native binding — absent libavif raises the marked boundary.
+        from .avif_native import (
+            decode_rgb as _avif_decode,
+            libavif_available,
+            wrap_av1_sample,
+        )
+
+        if not libavif_available():
+            raise NotImplementedError(
+                "MP4 video codec 'av01' requires the system libavif"
+                " (dav1d) in deployment"
+            )
+        if mp4.codec_config is None:
+            raise ValueError("av01 track missing its av1C record")
+        return mp4, [
+            _avif_decode(
+                wrap_av1_sample(
+                    s, mp4.codec_config, mp4.width, mp4.height
+                )
+            )
+            for s in mp4.samples
+        ]
     if mp4.codec.encode("latin1") in _COMPRESSED_CODECS:
         raise NotImplementedError(
             f"MP4 video codec {mp4.codec!r} requires libav in deployment;"

@@ -1045,10 +1045,17 @@ def decode_image(payload: bytes):
         # palette/RGB, 1-16 bit) decodes in-tree; BigTIFF/tiles/CCITT
         # route to the system libtiff or raise the marked stub inside
         return decode_tiff(payload)
-    # STUB boundary — AVIF/HEIC/… decode requires PIL in deployment
+    if payload[4:8] == b"ftyp" and payload[8:12] in (b"avif", b"avis"):
+        from .avif_native import decode_rgb as decode_avif
+
+        # AVIF stills and sequences (first frame) through the system
+        # libavif/dav1d (r11); raises the marked boundary when absent
+        return decode_avif(payload)
+    # STUB boundary — HEIC/JXL/… decode requires PIL in deployment
     raise NotImplementedError(
         "only PNG, 24-bit BMP, GIF, baseline+progressive JPEG, WebP,"
-        f" and TIFF decode without PIL; got unknown magic {payload[:4]!r}"
+        " TIFF, and AVIF decode without PIL; got unknown magic"
+        f" {payload[:4]!r}"
     )
 
 
@@ -2126,6 +2133,84 @@ def synthesize_mp4_assets(
                     frames.append(jpeg_bytes(px, quant_luma=QUANT_DC8))
                 rows.append(
                     (i, mp4_bytes(frames, width=size, height=size, fps=10))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_avif_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real STILL AVIF (AV1) per id, encoded LOSSLESSLY through the
+    system libavif/aom (identity matrix coefficients + YUV444 + full
+    range + quantizer 0): four solid 8×8 blocks planted at
+    ``(79·id + 80·k) % 256`` — a multiplier distinct from every other
+    format gate (bmp/png 37, jpeg 41, webp 47, lossy 53, progressive
+    59, tiff 61/97/113), so a dispatcher silently taking another path
+    cannot pass both gates. Lossless means the gate asserts EXACT means, making the
+    system decoder a conformance oracle for the container + codec
+    plumbing. Raises the marked ``NotImplementedError`` when libavif is
+    absent — the gate then fails loudly rather than fake a decode."""
+    import numpy as np
+    import pandas as pd
+
+    from .avif_native import encode_rgb
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(79 * i + 80 * 0) % 256, (79 * i + 80 * 1) % 256],
+                     [(79 * i + 80 * 2) % 256, (79 * i + 80 * 3) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                               size // 2, axis=1)
+                px = np.repeat(px[..., None], 3, axis=2)
+                rows.append((i, encode_rgb(px, lossless=True)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_av1_video_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real AV1 VIDEO per id: ``2 + id % 3`` lossless all-keyframe AV1
+    frames in an ISOBMFF container (animated AVIF — a genuine ``av01``
+    sample table with stsc/stco/stsz/stts and an ``av1C`` record),
+    planted at ``(71·id + 80·k + 29·f) % 256`` for block ``k`` of frame
+    ``f`` (multipliers distinct from the motion-JPEG containers: avi
+    uses 43/67, mp4 41/67). The gate demuxes with the ENGINE's
+    ``parse_mp4`` box walker and decodes each sample independently
+    through the system AV1 decoder — exact means end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from .avif_native import encode_frames
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                frames = []
+                for f in range(2 + i % 3):
+                    vals = np.array(
+                        [[(71 * i + 80 * 0 + 29 * f) % 256,
+                          (71 * i + 80 * 1 + 29 * f) % 256],
+                         [(71 * i + 80 * 2 + 29 * f) % 256,
+                          (71 * i + 80 * 3 + 29 * f) % 256]],
+                        dtype=np.uint8,
+                    )
+                    px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                                   size // 2, axis=1)
+                    frames.append(np.repeat(px[..., None], 3, axis=2))
+                rows.append(
+                    (i, encode_frames(frames, fps=5, lossless=True))
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 

@@ -3974,6 +3974,118 @@ def webp_lossy_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# AVIF still-image gate (datapipe/avif_native — r11, the first real
+# COMPRESSED-VIDEO-CODEC family: AV1 through the system libavif, dav1d
+# decode / aom encode, bound via ctypes with the struct layout VALIDATED
+# against the library's own default constants before any field is
+# trusted). Assets are encoded LOSSLESSLY (identity matrix coefficients
+# + YUV444 + full range + quantizer 0), so the gate asserts EXACT means
+# — the system decoder doubles as a conformance oracle for the
+# container + RGB/YUV plumbing. Four solid 8×8 blocks at
+# (79·i + 80·k) % 256 (multiplier distinct from every other format
+# gate). 1-in-41 id sample: format-path coverage, not corpus volume.
+# H.264/HEVC/VP9 remain the marked libav boundary.
+# ---------------------------------------------------------------------------
+@query(
+    "avif_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS avif_exact
+    FROM documents WHERE doc_id % 41 = 0
+    """,
+)
+def avif_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_avif_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 41 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_avif_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 79) % 256)
+        + ((i * 79 + 80) % 256)
+        + ((i * 79 + 160) % 256)
+        + ((i * 79 + 240) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("avif_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "avif_exact")
+
+
+# ---------------------------------------------------------------------------
+# AV1 VIDEO gate (r11): each asset is a genuine AV1 image sequence in an
+# ISOBMFF container (animated AVIF — a real av01 sample table with an
+# av1C configuration record and a 'pict' handler track). The gate
+# demuxes with the ENGINE's own datapipe/mp4.py box walker (stsc/stco/
+# stsz/stts expansion, mdat range checks), then decodes EVERY SAMPLE
+# INDEPENDENTLY: the demuxed OBU payload + the track's av1C re-wrap as
+# a minimal spec-correct still AVIF (wrap_av1_sample), which the system
+# dav1d decodes — the engine owns the container path end to end, the
+# codec work is the system decoder's. All-keyframe lossless encodes ⇒
+# exact per-frame means at (71·i + 80·k + 29·f) % 256. 1-in-43 sample.
+# ---------------------------------------------------------------------------
+@query(
+    "av1_mp4_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames,
+           TRUE AS av1_exact
+    FROM documents WHERE doc_id % 43 = 0
+    """,
+)
+def av1_mp4_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        mp4_frame_stats,
+        synthesize_av1_video_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 43 == 0)
+        .select("doc_id")
+    )
+    stats = mp4_frame_stats(synthesize_av1_video_assets(docs))
+    i, f = F.col("asset_id"), F.col("frame_index")
+    mean = (
+        ((i * 71 + f * 29) % 256)
+        + ((i * 71 + 80 + f * 29) % 256)
+        + ((i * 71 + 160 + f * 29) % 256)
+        + ((i * 71 + 240 + f * 29) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("av1_exact"))
+    agg = stats.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    n = agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("nf").cast("long").alias("n_frames"),
+    )
+    return n.crossJoin(ok).select("n_assets", "n_frames", "av1_exact")
+
+
+# ---------------------------------------------------------------------------
 # MP4/motion-JPEG container gate (datapipe/mp4 — r9, closes the r8
 # residual "MP4 decode" for the JPEG sample-entry case). Each asset is a
 # genuine ISO-BMFF file: ftyp + mdat + trailing moov, a vide track whose
@@ -10511,6 +10623,8 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
     "manifest_schema_evolution_counts",
+    "avif_decode_gate",
+    "av1_mp4_decode_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

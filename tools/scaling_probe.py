@@ -180,6 +180,12 @@ REL_PROBES = [
     # atomic UPDATE (scan + vector + post-image write, all ∝ matches)
     "manifest_indirect_vector_feed_counts",
     "manifest_update_feed_counts",
+    # round-11: schema evolution — the alter commits themselves are O(1)
+    # metadata (zero data jobs at ANY size; that asymmetry is the
+    # feature); what scales is the two appends (one pre-alter int32, one
+    # post-alter int64 through the widened read), the mapped snapshot/
+    # feed scans, and the drop+re-add NULL read — all ∝ rows
+    "manifest_schema_evolution_counts",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
