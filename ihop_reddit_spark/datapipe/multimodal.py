@@ -1051,10 +1051,18 @@ def decode_image(payload: bytes):
         # AVIF stills and sequences (first frame) through the system
         # libavif/dav1d (r11); raises the marked boundary when absent
         return decode_avif(payload)
-    # STUB boundary — HEIC/JXL/… decode requires PIL in deployment
+    if payload[4:8] == b"ftyp" and payload[8:12] in (
+        b"heic", b"heix", b"heim", b"heis", b"mif1", b"msf1",
+    ):
+        from .heif_native import decode_rgb as decode_heic
+
+        # HEIC (HEVC-in-HEIF, the iPhone photo format) through the
+        # system libheif/libde265 (r11); marked boundary when absent
+        return decode_heic(payload)
+    # STUB boundary — JXL/JP2/… decode requires PIL in deployment
     raise NotImplementedError(
         "only PNG, 24-bit BMP, GIF, baseline+progressive JPEG, WebP,"
-        " TIFF, and AVIF decode without PIL; got unknown magic"
+        " TIFF, AVIF, and HEIC decode without PIL; got unknown magic"
         f" {payload[:4]!r}"
     )
 
@@ -2165,6 +2173,40 @@ def synthesize_avif_assets(
                 vals = np.array(
                     [[(79 * i + 80 * 0) % 256, (79 * i + 80 * 1) % 256],
                      [(79 * i + 80 * 2) % 256, (79 * i + 80 * 3) % 256]],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                               size // 2, axis=1)
+                px = np.repeat(px[..., None], 3, axis=2)
+                rows.append((i, encode_rgb(px, lossless=True)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_heic_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real HEIC (HEVC-in-HEIF through the system libheif/x265) per id:
+    four solid 8×8 GRAY blocks planted at ``(73·id + 80·k) % 256``.
+    Gray + x265 lossless keeps the roundtrip INTEGER-EXACT (R=G=B ⇒
+    chroma-neutral; subsampling is lossless on constant chroma), so the
+    gate asserts exact means. Multiplier 73 is distinct from every
+    other format gate. Raises the marked ``NotImplementedError`` when
+    libheif/x265 is absent — the gate fails loudly, never fakes."""
+    import numpy as np
+    import pandas as pd
+
+    from .heif_native import encode_rgb
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                vals = np.array(
+                    [[(73 * i + 80 * 0) % 256, (73 * i + 80 * 1) % 256],
+                     [(73 * i + 80 * 2) % 256, (73 * i + 80 * 3) % 256]],
                     dtype=np.uint8,
                 )
                 px = np.repeat(np.repeat(vals, size // 2, axis=0),

@@ -4027,6 +4027,54 @@ def avif_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HEIC gate (datapipe/heif_native — r11): HEVC-in-HEIF, the default
+# iPhone photo format, through the system libheif (libde265 decode /
+# x265 encode — plugin capability probed at bind time, not assumed).
+# Gray planted blocks + x265 lossless are INTEGER-EXACT (R=G=B keeps
+# chroma constant, so 4:2:0 costs nothing), so the gate asserts exact
+# means. Four solid 8×8 blocks at (73·i + 80·k) % 256; 1-in-47 sample.
+# ---------------------------------------------------------------------------
+@query(
+    "heic_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS heic_exact
+    FROM documents WHERE doc_id % 47 = 0
+    """,
+)
+def heic_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_heic_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 47 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_heic_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 73) % 256)
+        + ((i * 73 + 80) % 256)
+        + ((i * 73 + 160) % 256)
+        + ((i * 73 + 240) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("heic_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "heic_exact")
+
+
+# ---------------------------------------------------------------------------
 # AV1 VIDEO gate (r11): each asset is a genuine AV1 image sequence in an
 # ISOBMFF container (animated AVIF — a real av01 sample table with an
 # av1C configuration record and a 'pict' handler track). The gate
@@ -10625,6 +10673,7 @@ _SCORING_PRIORITY = [
     "manifest_schema_evolution_counts",
     "avif_decode_gate",
     "av1_mp4_decode_gate",
+    "heic_decode_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

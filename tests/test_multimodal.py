@@ -2148,3 +2148,75 @@ def test_wrap_av1_sample_minimal_container_is_strict_mode_valid():
         )
         assert wrapped[4:12] == b"ftypavif"
         assert (A.decode_rgb(wrapped) == want).all()
+
+
+# ---------------------------------------------------------------------------
+# HEIC (r11): ctypes bindings to the system libheif (libde265 decode /
+# x265 encode). Opaque-pointer API — only heif_error crosses by value —
+# with plugin capability probed at bind time. Gray + lossless is
+# integer-exact; color at chroma 4:4:4 stays within fixed-point ±2.
+# ---------------------------------------------------------------------------
+
+
+def _heif_ready() -> bool:
+    from ihop_reddit_spark.datapipe.heif_native import (
+        libheif_available,
+        libheif_encoder_available,
+    )
+
+    return libheif_available() and libheif_encoder_available()
+
+
+def test_heic_gray_lossless_roundtrip_exact():
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import heif_native as H
+
+    if not _heif_ready():
+        pytest.skip("system libheif (+x265/libde265) not installed")
+    g = np.zeros((16, 24, 3), np.uint8)
+    g[:8, :12] = 201
+    g[8:, 12:] = 56
+    payload = H.encode_rgb(g, lossless=True)
+    assert payload[4:12] == b"ftypheic"
+    out = H.decode_rgb(payload)
+    assert out.shape == (16, 24, 3)
+    assert (out == g).all()
+    assert H.get_info(payload) == (24, 16)
+
+
+def test_heic_color_444_bounded_and_lossy_differs():
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import heif_native as H
+
+    if not _heif_ready():
+        pytest.skip("system libheif (+x265/libde265) not installed")
+    rng = np.random.RandomState(13)
+    col = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = H.decode_rgb(H.encode_rgb(col, lossless=True, chroma444=True))
+    assert int(np.abs(out.astype(int) - col.astype(int)).max()) <= 2
+    lossy = H.decode_rgb(H.encode_rgb(col, lossless=False, quality=60))
+    assert (lossy != col).any()
+
+
+def test_heic_decode_image_dispatch_and_absence(monkeypatch):
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import heif_native as H
+    from ihop_reddit_spark.datapipe.multimodal import decode_image
+
+    if not _heif_ready():
+        pytest.skip("system libheif (+x265/libde265) not installed")
+    px = np.full((8, 8, 3), 77, np.uint8)
+    payload = H.encode_rgb(px, lossless=True)
+    assert (decode_image(payload) == px).all()
+    monkeypatch.setattr(H, "_LIB", None)
+    monkeypatch.setattr(H, "_TRIED", True)
+    with pytest.raises(NotImplementedError, match="libheif"):
+        H.decode_rgb(payload)
+    with pytest.raises(NotImplementedError, match="libheif"):
+        H.encode_rgb(px)
