@@ -344,3 +344,211 @@ def encode_rgb(
         if img:
             lib.heif_image_release(img)
         lib.heif_context_free(ctx)
+
+
+def extract_hevc(payload: bytes) -> tuple[bytes, bytes, int, int]:
+    """Pull the PRIMARY item's raw HEVC sample (length-prefixed NALs —
+    byte-identical to an MP4 ``hvc1`` sample) plus its ``hvcC``
+    configuration record and ispe dimensions out of a HEIC file, using
+    the engine's own box walker (public ISO/IEC 23008-12 structures:
+    pitm/iloc v0-v2 with file- and idat-construction, ipco/ipma
+    property association). This is how the HEVC-video fixtures are
+    built: encode stills through the system x265, extract, re-mux with
+    ``mp4_bytes(codec="hvc1")``."""
+    import struct
+
+    from .mp4 import _find, _iter_boxes
+
+    buf = bytes(payload)
+    top = list(_iter_boxes(buf, 0, len(buf)))
+    meta = next(((s, e) for fc, s, e in top if fc == b"meta"), None)
+    if meta is None:
+        raise ValueError("HEIC payload has no meta box")
+    ms, me = meta[0] + 4, meta[1]  # skip the FullBox version/flags
+
+    # the CODED item is the hvc1 infe entry — the primary item may be a
+    # derived 'grid' wrapper when the encoder padded to CTU size (the
+    # fixtures use multiples of 64 precisely so the coded item IS the
+    # picture); require exactly one so a tiled image fails loudly
+    iinf = _find(buf, ms, me, b"iinf")
+    if iinf is None:
+        raise ValueError("HEIC meta has no iinf")
+    iinf_ver = buf[iinf[0]]
+    items_start = iinf[0] + (6 if iinf_ver == 0 else 8)
+    hvc1_ids = []
+    for fc, s0, e0 in _iter_boxes(buf, items_start, iinf[1]):
+        if fc != b"infe":
+            continue
+        if buf[s0] != 2:
+            raise ValueError(f"unsupported infe version {buf[s0]}")
+        (item_id,) = struct.unpack(">H", buf[s0 + 4 : s0 + 6])
+        if buf[s0 + 8 : s0 + 12] == b"hvc1":
+            hvc1_ids.append(item_id)
+    if len(hvc1_ids) != 1:
+        raise ValueError(
+            f"expected exactly one coded hvc1 item, found {hvc1_ids}"
+        )
+    primary = hvc1_ids[0]
+
+    idat = _find(buf, ms, me, b"idat")
+
+    iloc = _find(buf, ms, me, b"iloc")
+    if iloc is None:
+        raise ValueError("HEIC meta has no iloc")
+    p = iloc[0]
+    ver = buf[p]
+    p += 4
+    offset_size, length_size = buf[p] >> 4, buf[p] & 15
+    base_offset_size = buf[p + 1] >> 4
+    index_size = (buf[p + 1] & 15) if ver in (1, 2) else 0
+    p += 2
+    if ver < 2:
+        (item_count,) = struct.unpack(">H", buf[p : p + 2])
+        p += 2
+    else:
+        (item_count,) = struct.unpack(">I", buf[p : p + 4])
+        p += 4
+    sample = None
+    for _ in range(item_count):
+        if ver < 2:
+            (item_id,) = struct.unpack(">H", buf[p : p + 2])
+            p += 2
+        else:
+            (item_id,) = struct.unpack(">I", buf[p : p + 4])
+            p += 4
+        method = 0
+        if ver in (1, 2):
+            (cm,) = struct.unpack(">H", buf[p : p + 2])
+            method = cm & 15
+            p += 2
+        p += 2  # data_reference_index
+        base = int.from_bytes(buf[p : p + base_offset_size], "big")
+        p += base_offset_size
+        (extent_count,) = struct.unpack(">H", buf[p : p + 2])
+        p += 2
+        extents = []
+        for _ in range(extent_count):
+            p += index_size
+            off = int.from_bytes(buf[p : p + offset_size], "big")
+            p += offset_size
+            ln = int.from_bytes(buf[p : p + length_size], "big")
+            p += length_size
+            extents.append((off, ln))
+        if item_id != primary:
+            continue
+        parts = []
+        for off, ln in extents:
+            if method == 0:  # absolute file offset
+                lo = base + off
+            elif method == 1:  # offset into idat payload
+                if idat is None:
+                    raise ValueError("iloc idat construction without idat")
+                lo = idat[0] + base + off
+            else:
+                raise ValueError(f"unsupported iloc construction {method}")
+            if lo + ln > len(buf):
+                raise ValueError("iloc extent escapes the file")
+            parts.append(buf[lo : lo + ln])
+        sample = b"".join(parts)
+    if sample is None:
+        raise ValueError(f"coded item {primary} has no iloc entry")
+
+    iprp = _find(buf, ms, me, b"iprp")
+    if iprp is None:
+        raise ValueError("HEIC meta has no iprp")
+    ipco = _find(buf, *iprp, b"ipco")
+    if ipco is None:
+        raise ValueError("HEIC iprp has no ipco")
+    props = list(_iter_boxes(buf, *ipco))  # 1-based property indices
+
+    ipma = _find(buf, *iprp, b"ipma")
+    if ipma is None:
+        raise ValueError("HEIC iprp has no ipma")
+    q = ipma[0]
+    aver, aflags = buf[q], int.from_bytes(buf[q + 1 : q + 4], "big")
+    q += 4
+    (entry_count,) = struct.unpack(">I", buf[q : q + 4])
+    q += 4
+    assoc: list[int] = []
+    for _ in range(entry_count):
+        if aver < 1:
+            (item_id,) = struct.unpack(">H", buf[q : q + 2])
+            q += 2
+        else:
+            (item_id,) = struct.unpack(">I", buf[q : q + 4])
+            q += 4
+        (n_assoc,) = struct.unpack(">B", buf[q : q + 1])
+        q += 1
+        ids = []
+        for _ in range(n_assoc):
+            if aflags & 1:
+                (v,) = struct.unpack(">H", buf[q : q + 2])
+                ids.append(v & 0x7FFF)
+                q += 2
+            else:
+                ids.append(buf[q] & 0x7F)
+                q += 1
+        if item_id == primary:
+            assoc = ids
+    hvcc = None
+    width = height = None
+    for idx in assoc:
+        if not (1 <= idx <= len(props)):
+            continue
+        fc, s0, e0 = props[idx - 1]
+        if fc == b"hvcC":
+            hvcc = buf[s0:e0]
+        elif fc == b"ispe":
+            width, height = struct.unpack(">II", buf[s0 + 4 : s0 + 12])
+    if hvcc is None or width is None:
+        raise ValueError("coded item lacks hvcC/ispe properties")
+    return sample, hvcc, int(width), int(height)
+
+
+def wrap_hevc_sample(
+    sample: bytes, hvcc: bytes, width: int, height: int
+) -> bytes:
+    """Wrap ONE raw HEVC sample (length-prefixed NALs demuxed from an
+    ``hvc1`` video track) in a minimal spec-correct still-HEIC
+    container so the system decoder can decode it independently — the
+    HEVC pendant of ``avif_native.wrap_av1_sample``."""
+    import struct
+
+    from .avif_native import _box, _full
+
+    ftyp = _box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1miaf")
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        b"\x00\x00\x00\x00" + b"pict" + b"\x00" * 12 + b"\x00",
+    )
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infe = _full(
+        b"infe", 2, 0, struct.pack(">HH", 1, 0) + b"hvc1" + b"\x00"
+    )
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    pixi = _full(b"pixi", 0, 0, b"\x03\x08\x08\x08")
+    ipco = _box(b"ipco", ispe + pixi + _box(b"hvcC", hvcc))
+    ipma = _full(
+        b"ipma", 0, 0,
+        struct.pack(">I", 1) + struct.pack(">HB", 1, 3)
+        + bytes([0x01, 0x02, 0x80 | 0x03]),
+    )
+    iprp = _box(b"iprp", ipco + ipma)
+
+    def _iloc(offset: int) -> bytes:
+        return _full(
+            b"iloc", 0, 0,
+            bytes([0x44, 0x00])
+            + struct.pack(">H", 1)
+            + struct.pack(">HH", 1, 0)
+            + struct.pack(">H", 1)
+            + struct.pack(">II", offset, len(sample)),
+        )
+
+    meta = _full(b"meta", 0, 0, hdlr + pitm + _iloc(0) + iinf + iprp)
+    data_off = len(ftyp) + len(meta) + 8
+    meta = _full(
+        b"meta", 0, 0, hdlr + pitm + _iloc(data_off) + iinf + iprp
+    )
+    return ftyp + meta + _box(b"mdat", sample)

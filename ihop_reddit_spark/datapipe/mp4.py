@@ -14,7 +14,11 @@ Image-sequence tracks (handler ``pict`` — animated AVIF) demux through
 the same machinery. The remaining compressed codecs
 (``avc1``/``hvc1``/``hev1``/``vp09``) demux fine but raise the marked
 ``NotImplementedError`` at decode — the same honest libav boundary as
-H.264-in-AVI. The demux/mux halves are stdlib-only:
+H.264-in-AVI. HEVC (``hvc1``/``hev1``) also decodes for real (r11)
+through the system libheif/libde265 by the same per-sample re-wrap
+discipline, and the writer muxes hvc1 tracks — with that, only H.264
+and VP9 remain at the libav boundary. The demux/mux halves are
+stdlib-only:
 
 * :func:`mp4_bytes` — minimal spec-correct writer in the streaming
   layout (``ftyp`` + ``mdat`` + trailing ``moov``): one ``vide`` track
@@ -75,16 +79,29 @@ def mp4_bytes(
     width: int,
     height: int,
     fps: int = 10,
+    codec: str = "jpeg",
+    codec_config: bytes | None = None,
 ) -> bytes:
-    """Serialize already-encoded baseline-JPEG ``frames`` as an MP4 with
-    a single ``jpeg``-sample-entry video track (motion-JPEG in MP4).
+    """Serialize already-encoded ``frames`` as an MP4 with a single
+    video track. ``codec="jpeg"`` (default) writes motion-JPEG samples;
+    ``codec="hvc1"`` writes an HEVC track whose sample entry carries the
+    mandatory ``hvcC`` configuration record in ``codec_config`` (the
+    samples themselves are the standard length-prefixed-NAL payloads).
     Streaming layout: ``ftyp`` + ``mdat`` + ``moov``, so chunk offsets
     are known before the sample table is written."""
     if not frames:
         raise ValueError("an MP4 track needs at least one sample")
-    for f in frames:
-        if bytes(f[:2]) != b"\xff\xd8":
-            raise ValueError("jpeg samples must be JPEG payloads (SOI missing)")
+    if codec == "jpeg":
+        for f in frames:
+            if bytes(f[:2]) != b"\xff\xd8":
+                raise ValueError(
+                    "jpeg samples must be JPEG payloads (SOI missing)"
+                )
+    elif codec == "hvc1":
+        if not codec_config:
+            raise ValueError("an hvc1 track requires its hvcC record")
+    else:
+        raise ValueError(f"unsupported writer codec {codec!r}")
 
     n = len(frames)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
@@ -105,8 +122,11 @@ def mp4_bytes(
     if n == 1:
         stsc_entries = [(1, 1, 1)]
 
+    children = (
+        _box(b"hvcC", codec_config) if codec == "hvc1" else b""
+    )
     stsd_entry = (
-        struct.pack(">I4s", 86, b"jpeg")
+        struct.pack(">I4s", 86 + len(children), codec.encode("latin1"))
         + b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
         + b"\x00" * 16  # pre_defined / reserved
@@ -116,6 +136,7 @@ def mp4_bytes(
         + struct.pack(">H", 1)  # frame_count
         + b"\x00" * 32  # compressorname
         + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        + children
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
@@ -303,8 +324,9 @@ def parse_mp4(payload: bytes) -> Mp4File:
     (entry_size,) = struct.unpack(">I", buf[stsd[0] + 8 : stsd[0] + 12])
     entry_end = stsd[0] + 8 + entry_size
     child_start = stsd[0] + 16 + 78
-    if codec == "av01" and child_start < entry_end <= stsd[1]:
-        cfg = _find(buf, child_start, entry_end, b"av1C")
+    _CONFIG_BOX = {"av01": b"av1C", "hvc1": b"hvcC", "hev1": b"hvcC"}
+    if codec in _CONFIG_BOX and child_start < entry_end <= stsd[1]:
+        cfg = _find(buf, child_start, entry_end, _CONFIG_BOX[codec])
         if cfg is not None:
             codec_config = buf[cfg[0] : cfg[1]]
 
@@ -444,6 +466,31 @@ def decode_mp4(payload: bytes):
         return mp4, [
             _avif_decode(
                 wrap_av1_sample(
+                    s, mp4.codec_config, mp4.width, mp4.height
+                )
+            )
+            for s in mp4.samples
+        ]
+    if mp4.codec in ("hvc1", "hev1"):
+        # HEVC decodes for real through the system libheif (libde265):
+        # each demuxed sample + the track's hvcC record re-wraps as a
+        # minimal still-HEIC container, mirroring the av01 path.
+        from .heif_native import (
+            decode_rgb as _heif_decode,
+            libheif_available,
+            wrap_hevc_sample,
+        )
+
+        if not libheif_available():
+            raise NotImplementedError(
+                f"MP4 video codec {mp4.codec!r} requires the system"
+                " libheif (libde265) in deployment"
+            )
+        if mp4.codec_config is None:
+            raise ValueError("HEVC track missing its hvcC record")
+        return mp4, [
+            _heif_decode(
+                wrap_hevc_sample(
                     s, mp4.codec_config, mp4.width, mp4.height
                 )
             )

@@ -2259,6 +2259,68 @@ def synthesize_av1_video_assets(
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
 
 
+def synthesize_hevc_video_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 64
+) -> DataFrame:
+    """Real HEVC VIDEO per id: ``2 + id % 3`` all-intra x265-lossless
+    frames in an MP4 ``hvc1`` track (a genuine hvcC record + the full
+    stbl machinery via ``mp4_bytes``). Each frame is encoded as a HEIC
+    still through the system x265 and its coded sample EXTRACTED with
+    the engine's own HEIF item walker (``heif_native.extract_hevc``) —
+    an MP4 HEVC sample is byte-identical to a HEIF item payload
+    (length-prefixed NALs), which is what makes the mux legitimate.
+    64×64 (the CTU size) avoids the encoder's grid wrapper, so coded
+    size == displayed size and lossless gray plants are INTEGER-EXACT:
+    four solid 32×32 blocks at ``(101·id + 80·k + 23·f) % 256``."""
+    import numpy as np
+    import pandas as pd
+
+    from .heif_native import encode_rgb, extract_hevc
+    from .mp4 import mp4_bytes
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                samples = []
+                hvcc = None
+                for f in range(2 + i % 3):
+                    vals = np.array(
+                        [[(101 * i + 80 * 0 + 23 * f) % 256,
+                          (101 * i + 80 * 1 + 23 * f) % 256],
+                         [(101 * i + 80 * 2 + 23 * f) % 256,
+                          (101 * i + 80 * 3 + 23 * f) % 256]],
+                        dtype=np.uint8,
+                    )
+                    px = np.repeat(np.repeat(vals, size // 2, axis=0),
+                                   size // 2, axis=1)
+                    px = np.repeat(px[..., None], 3, axis=2)
+                    sample, cfg, w, h = extract_hevc(
+                        encode_rgb(px, lossless=True)
+                    )
+                    if (w, h) != (size, size):
+                        raise ValueError(
+                            f"encoder padded {size}x{size} to {w}x{h}"
+                        )
+                    if hvcc is None:
+                        hvcc = cfg
+                    elif hvcc != cfg:
+                        raise ValueError(
+                            "hvcC drifted between same-shape frames"
+                        )
+                    samples.append(sample)
+                rows.append(
+                    (i, mp4_bytes(
+                        samples, width=size, height=size, fps=5,
+                        codec="hvc1", codec_config=hvcc,
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
 def mp4_frame_stats(assets: DataFrame) -> DataFrame:
     """(asset_id, frame_index, width, height, mean_r, mean_g, mean_b)
     through the REAL MP4 demuxer + JPEG decoder — same gate surface as

@@ -4075,6 +4075,64 @@ def heic_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HEVC VIDEO gate (r11): each asset is a genuine MP4 hvc1 track — the
+# engine's own writer muxes x265-lossless all-intra samples (extracted
+# from HEIC stills by the in-tree HEIF item walker; an MP4 HEVC sample
+# is byte-identical to a HEIF item payload) under a real hvcC record,
+# and the decode side demuxes with parse_mp4 and decodes EVERY SAMPLE
+# independently through the system libde265 via wrap_hevc_sample.
+# 64×64 gray plants are integer-exact ⇒ exact per-frame means at
+# (101·i + 80·k + 23·f) % 256. 1-in-53 sample. With this, the only
+# still-stubbed video codecs are H.264 and VP9 (the libav boundary).
+# ---------------------------------------------------------------------------
+@query(
+    "hevc_mp4_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames,
+           TRUE AS hevc_exact
+    FROM documents WHERE doc_id % 53 = 0
+    """,
+)
+def hevc_mp4_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        mp4_frame_stats,
+        synthesize_hevc_video_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 53 == 0)
+        .select("doc_id")
+    )
+    stats = mp4_frame_stats(synthesize_hevc_video_assets(docs))
+    i, f = F.col("asset_id"), F.col("frame_index")
+    mean = (
+        ((i * 101 + f * 23) % 256)
+        + ((i * 101 + 80 + f * 23) % 256)
+        + ((i * 101 + 160 + f * 23) % 256)
+        + ((i * 101 + 240 + f * 23) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 64)
+            & (F.col("height") == 64)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("hevc_exact"))
+    agg = stats.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    n = agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("nf").cast("long").alias("n_frames"),
+    )
+    return n.crossJoin(ok).select("n_assets", "n_frames", "hevc_exact")
+
+
+# ---------------------------------------------------------------------------
 # AV1 VIDEO gate (r11): each asset is a genuine AV1 image sequence in an
 # ISOBMFF container (animated AVIF — a real av01 sample table with an
 # av1C configuration record and a 'pict' handler track). The gate
@@ -10674,6 +10732,7 @@ _SCORING_PRIORITY = [
     "avif_decode_gate",
     "av1_mp4_decode_gate",
     "heic_decode_gate",
+    "hevc_mp4_decode_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

