@@ -6364,11 +6364,16 @@ def stream_crawl_extraction(spark, sf_dir):
     ),
 )
 def warc_roundtrip_pages(spark, sf_dir):
+    return _warc_roundtrip_pages_impl(spark, sf_dir, encoded=False)
+
+
+def _warc_roundtrip_pages_impl(spark, sf_dir, *, encoded: bool):
     import shutil
     import tempfile
 
     from ..sources.warc import WarcDataSource, warc_record_bytes, write_warc
 
+    codings = [None, "gzip", "deflate", "br", "zstd"]
     spark.dataSource.register(WarcDataSource)
     pages = _crawl_pages(spark, sf_dir).select(
         "doc_id",
@@ -6388,11 +6393,18 @@ def warc_roundtrip_pages(spark, sf_dir):
             if pdf.empty:
                 continue
             recs = [
-                warc_record_bytes(u, h.encode("utf-8"))
-                for u, h in zip(pdf["url"], pdf["html"])
+                warc_record_bytes(
+                    u,
+                    h.encode("utf-8"),
+                    content_encoding=(
+                        codings[int(d) % len(codings)] if encoded else None
+                    ),
+                )
+                for d, u, h in zip(pdf["doc_id"], pdf["url"], pdf["html"])
             ]
             path = os.path.join(
-                write_part.work, f"part-{int(pdf['doc_id'].min()):08d}.warc.gz"
+                write_part.work,
+                f"part-{int(pdf['doc_id'].min()):08d}.warc.gz",
             )
             write_warc(path, recs)
             yield pd.DataFrame({"path": [path], "n": [len(recs)]})
@@ -6426,6 +6438,32 @@ def warc_roundtrip_pages(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+# ---------------------------------------------------------------------------
+# HTTP Content-Encoding gate (r11): the SAME pages, but every response
+# body is compressed with a per-doc coding cycling identity/gzip/
+# deflate/br/zstd (gzip+deflate via zlib, br/zstd via pyarrow's bundled
+# codecs — real crawls are full of these, br alone ~a third of
+# responses). The reader decodes transparently, so the extracted text
+# must hash-identical to the UNENCODED roundtrip — which is exactly
+# what the shared oracle asserts. Compressed fixture bytes are
+# deterministic (gzip mtime=0, content-addressed record ids).
+# ---------------------------------------------------------------------------
+@query(
+    "warc_content_encoding_pages",
+    (
+        "WITH "
+        + _CRAWL_PAGE_SQL
+        + ",\n"
+        + _HTML_EXTRACT_CTES
+        + """
+    SELECT doc_id, CAST(200 AS INTEGER) AS http_status,
+           'text/html' AS content_type, clean_text
+    FROM ext
+    """
+    ),
+)
+def warc_content_encoding_pages(spark, sf_dir):
+    return _warc_roundtrip_pages_impl(spark, sf_dir, encoded=True)
 
 
 # ---------------------------------------------------------------------------
@@ -10733,6 +10771,7 @@ _SCORING_PRIORITY = [
     "av1_mp4_decode_gate",
     "heic_decode_gate",
     "hevc_mp4_decode_gate",
+    "warc_content_encoding_pages",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

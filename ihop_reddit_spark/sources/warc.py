@@ -54,14 +54,25 @@ def warc_record_bytes(
     content_type: str = "text/html",
     status: int = 200,
     record_type: str = "response",
+    content_encoding: str | None = None,
 ) -> bytes:
     """One WARC/1.0 record wrapping an HTTP/1.1 response. The record id is
     content-addressed (md5 of type+url) so fixtures are bit-deterministic
-    — no uuid, no clock."""
+    — no uuid, no clock. ``content_encoding`` COMPRESSES the body with
+    the named HTTP coding (gzip/deflate/br/zstd) and emits the matching
+    ``Content-Encoding`` header — the fixture side of the reader's
+    transparent body decoding."""
+    if content_encoding:
+        payload = _encode_body(payload, content_encoding)
+    enc_hdr = (
+        f"Content-Encoding: {content_encoding}\r\n" if content_encoding
+        else ""
+    )
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(payload)}\r\n\r\n"
+        + enc_hdr
+        + f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode() + payload
     rid = hashlib.md5(f"{record_type}:{url}".encode()).hexdigest()
     head = (
@@ -110,6 +121,72 @@ def write_warc(path: str, records: list[bytes], *, gzip_members: bool = True) ->
         else:
             for p in parts:
                 f.write(p)
+
+
+#: HTTP content codings the reader decodes transparently. gzip/deflate
+#: via zlib; br/zstd via pyarrow's bundled codecs (no extra install —
+#: the same arrow build Spark already requires). Real crawls are full
+#: of these: br alone is ~a third of responses, and a pipeline that
+#: hands compressed bytes to the HTML extractor silently yields junk.
+_CODING_TO_ARROW = {"gzip": "gzip", "x-gzip": "gzip", "br": "brotli",
+                    "zstd": "zstd"}
+
+
+def _encode_body(payload: bytes, coding: str) -> bytes:
+    coding = coding.strip().lower()
+    if coding == "deflate":
+        import zlib
+
+        return zlib.compress(payload)
+    codec = _CODING_TO_ARROW.get(coding)
+    if codec is None:
+        raise ValueError(f"unsupported Content-Encoding {coding!r}")
+    import pyarrow as pa
+
+    if codec == "gzip":
+        import gzip as _gz
+        import io
+
+        buf = io.BytesIO()
+        # mtime=0: deterministic bytes for content-addressed fixtures
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+            fh.write(payload)
+        return buf.getvalue()
+    sink = pa.BufferOutputStream()
+    with pa.output_stream(sink, compression=codec) as out:
+        out.write(payload)
+    return sink.getvalue().to_pybytes()
+
+
+def decode_content_encoding(payload: bytes, encoding: str | None) -> bytes:
+    """Decode one HTTP ``Content-Encoding`` coding (or a comma-chained
+    list, applied right-to-left per RFC 9110). Unknown codings raise —
+    a body the pipeline cannot decode must fail loudly, not flow
+    compressed bytes into the text extractor."""
+    if not encoding:
+        return payload
+    for coding in reversed([c.strip().lower()
+                            for c in encoding.split(",") if c.strip()]):
+        if coding == "identity":
+            continue
+        if coding == "deflate":
+            import zlib
+
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                # some servers send raw deflate without the zlib wrapper
+                payload = zlib.decompress(payload, -15)
+            continue
+        codec = _CODING_TO_ARROW.get(coding)
+        if codec is None:
+            raise ValueError(f"unsupported Content-Encoding {coding!r}")
+        import pyarrow as pa
+
+        payload = pa.input_stream(
+            pa.BufferReader(payload), compression=codec
+        ).read()
+    return payload
 
 
 def _read_exact(stream, n: int) -> bytes:
@@ -175,11 +252,17 @@ def iter_warc_records(stream) -> Iterator[dict]:
                         rec["http_status"] = int(first[1])
                     except ValueError:
                         pass
+                content_encoding = None
                 for hl in http_lines[1:]:
                     k, _, v = hl.decode("utf-8", "replace").partition(":")
-                    if k.strip().lower() == "content-type":
+                    hk = k.strip().lower()
+                    if hk == "content-type":
                         rec["content_type"] = v.strip()
-                rec["payload"] = body
+                    elif hk == "content-encoding":
+                        content_encoding = v.strip()
+                rec["payload"] = decode_content_encoding(
+                    body, content_encoding
+                )
         yield rec
 
 

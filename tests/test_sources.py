@@ -2161,3 +2161,45 @@ def test_manifest_alter_rename_chain_swap_and_compaction(spark, tmp_path):
     # the rename kept physical "id"), adding "id" gets a fresh physical
     M.manifest_alter_schema(root, add=[("tmp", "string")])
     assert M.read_snapshot(spark, root).columns == ["key", "id", "tmp"]
+
+
+def test_warc_content_encoding_transparent_decode():
+    """HTTP bodies compressed with gzip/deflate/br/zstd (and chained
+    codings) decode transparently in the record iterator; unknown
+    codings fail loudly. br/zstd ride pyarrow's bundled codecs — no
+    extra dependency."""
+    import io
+
+    import pytest
+
+    from ihop_reddit_spark.sources.warc import (
+        decode_content_encoding,
+        iter_warc_records,
+        warc_record_bytes,
+    )
+
+    body = b"<html><body>" + b"the quick brown fox " * 40 + b"</body></html>"
+    recs = [
+        warc_record_bytes(
+            f"http://x.test/{enc}", body, content_encoding=enc
+        )
+        for enc in (None, "gzip", "deflate", "br", "zstd")
+    ]
+    out = list(iter_warc_records(io.BytesIO(b"".join(recs))))
+    assert len(out) == 5
+    assert all(r["payload"] == body for r in out)
+    # fixture bytes are deterministic (gzip mtime=0, md5 record ids)
+    assert warc_record_bytes(
+        "http://x/y", body, content_encoding="gzip"
+    ) == warc_record_bytes("http://x/y", body, content_encoding="gzip")
+    # chained codings apply right-to-left; identity is a no-op
+    import zlib
+
+    chained = zlib.compress(body)
+    assert decode_content_encoding(chained, "identity, deflate") == body
+    # raw-deflate servers (no zlib wrapper) still decode
+    raw = zlib.compressobj(wbits=-15)
+    raw_body = raw.compress(body) + raw.flush()
+    assert decode_content_encoding(raw_body, "deflate") == body
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        decode_content_encoding(body, "compress")
