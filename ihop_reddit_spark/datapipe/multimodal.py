@@ -1059,11 +1059,17 @@ def decode_image(payload: bytes):
         # HEIC (HEVC-in-HEIF, the iPhone photo format) through the
         # system libheif/libde265 (r11); marked boundary when absent
         return decode_heic(payload)
+    from .svg_native import looks_like_svg, render_rgb
+
+    if looks_like_svg(payload):
+        # SVG rasterized through the system librsvg + cairo (r11);
+        # marked boundary when absent
+        return render_rgb(payload)
     # STUB boundary — JXL/JP2/… decode requires PIL in deployment
     raise NotImplementedError(
         "only PNG, 24-bit BMP, GIF, baseline+progressive JPEG, WebP,"
-        " TIFF, AVIF, and HEIC decode without PIL; got unknown magic"
-        f" {payload[:4]!r}"
+        " TIFF, AVIF, HEIC, and SVG decode without PIL; got unknown"
+        f" magic {payload[:4]!r}"
     )
 
 
@@ -2254,6 +2260,43 @@ def synthesize_av1_video_assets(
                 rows.append(
                     (i, encode_frames(frames, fps=5, lossless=True))
                 )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")
+
+
+def synthesize_svg_assets(
+    df: DataFrame, id_col: str = "doc_id", *, size: int = 16
+) -> DataFrame:
+    """Real SVG markup per id — four axis-aligned 8×8 rects filled at
+    ``(103·id + 80·k) % 256`` gray (integer coordinates ⇒ no
+    anti-aliased interior ⇒ the rasterized means are EXACT). SVG is
+    text, so the fixture needs no encoder: the gate tests the
+    RENDERER (librsvg + cairo) against markup the engine authors."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            half = size // 2
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                rects = []
+                for k in range(4):
+                    v = (103 * i + 80 * k) % 256
+                    x, y = (k % 2) * half, (k // 2) * half
+                    rects.append(
+                        f'<rect x="{x}" y="{y}" width="{half}"'
+                        f' height="{half}"'
+                        f' fill="#{v:02x}{v:02x}{v:02x}"/>'
+                    )
+                svg = (
+                    '<?xml version="1.0"?>'
+                    '<svg xmlns="http://www.w3.org/2000/svg"'
+                    f' width="{size}" height="{size}">'
+                    + "".join(rects) + "</svg>"
+                ).encode("utf-8")
+                rows.append((i, svg))
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
     return df.select(id_col).mapInPandas(gen, "asset_id long, payload binary")

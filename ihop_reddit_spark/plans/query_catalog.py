@@ -4075,6 +4075,54 @@ def heic_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SVG gate (datapipe/svg_native — r11): vector markup rasterized
+# through the system librsvg + cairo. The fixture is TEXT the engine
+# authors (no encoder in the loop), so the gate tests the renderer:
+# four integer-coordinate 8×8 gray rects at (103·i + 80·k) % 256 have
+# no anti-aliased interior and the rasterized means are EXACT.
+# 1-in-59 id sample.
+# ---------------------------------------------------------------------------
+@query(
+    "svg_decode_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS svg_exact
+    FROM documents WHERE doc_id % 59 = 0
+    """,
+)
+def svg_decode_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        synthesize_svg_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 59 == 0)
+        .select("doc_id")
+    )
+    stats = image_feature_stats(synthesize_svg_assets(docs))
+    i = F.col("asset_id")
+    mean = (
+        ((i * 103) % 256)
+        + ((i * 103 + 80) % 256)
+        + ((i * 103 + 160) % 256)
+        + ((i * 103 + 240) % 256)
+    ).cast("double") / 4
+    ok = stats.select(
+        (
+            (F.col("mean_r") == mean)
+            & (F.col("mean_g") == mean)
+            & (F.col("mean_b") == mean)
+            & (F.col("width") == 16)
+            & (F.col("height") == 16)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("svg_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "svg_exact")
+
+
+# ---------------------------------------------------------------------------
 # HEVC VIDEO gate (r11): each asset is a genuine MP4 hvc1 track — the
 # engine's own writer muxes x265-lossless all-intra samples (extracted
 # from HEIC stills by the in-tree HEIF item walker; an MP4 HEVC sample
@@ -10772,6 +10820,7 @@ _SCORING_PRIORITY = [
     "heic_decode_gate",
     "hevc_mp4_decode_gate",
     "warc_content_encoding_pages",
+    "svg_decode_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

@@ -2284,3 +2284,68 @@ def test_hevc_extract_rejects_gridded_images():
     out = H.decode_rgb(wrapped)
     assert out.shape == (64, 64, 3)
     assert (out[:16, :16] == 90).all()
+
+
+# ---------------------------------------------------------------------------
+# SVG (r11): librsvg + cairo rasterization. Fixtures are authored
+# markup, so these tests exercise the renderer and the premultiplied-
+# BGRA→RGB-over-white conversion.
+# ---------------------------------------------------------------------------
+
+
+def test_svg_render_exact_and_scaled():
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe import svg_native as S
+
+    if not S.librsvg_available():
+        pytest.skip("system librsvg/cairo not installed")
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="32" height="16">'
+        b'<rect x="0" y="0" width="16" height="16" fill="#c86428"/>'
+        b'<rect x="16" y="0" width="16" height="16" fill="#1e3c78"/>'
+        b"</svg>"
+    )
+    out = S.render_rgb(svg)
+    assert out.shape == (16, 32, 3)
+    assert (out[:, :16] == (200, 100, 40)).all()
+    assert (out[:, 16:] == (30, 60, 120)).all()
+    # vector scaling: 2x viewport keeps the fills exact
+    big = S.render_rgb(svg, width=64, height=32)
+    assert big.shape == (32, 64, 3)
+    assert (big[:, :32] == (200, 100, 40)).all()
+    assert (big[:, 32:] == (30, 60, 120)).all()
+    # translucent fill composites over the white page
+    tr = S.render_rgb(
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="4" height="4">'
+        b'<rect width="4" height="4" fill="#000000" fill-opacity="0.5"/>'
+        b"</svg>"
+    )
+    assert abs(int(tr[2, 2, 0]) - 128) <= 1
+
+
+def test_svg_dispatch_sniff_and_errors(monkeypatch):
+    import pytest
+
+    from ihop_reddit_spark.datapipe import svg_native as S
+    from ihop_reddit_spark.datapipe.multimodal import decode_image
+
+    if not S.librsvg_available():
+        pytest.skip("system librsvg/cairo not installed")
+    assert S.looks_like_svg(b'  <svg xmlns="x">')
+    assert S.looks_like_svg(b'<?xml version="1.0"?><svg>')
+    assert not S.looks_like_svg(b"<?xml version='1.0'?><html>")
+    assert not S.looks_like_svg(b"\x89PNG\r\n")
+    svg = (
+        b'<?xml version="1.0"?>'
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="4" height="4">'
+        b'<rect width="4" height="4" fill="#404040"/></svg>'
+    )
+    assert (decode_image(svg) == 64).all()
+    with pytest.raises(ValueError, match="rejected"):
+        S.render_rgb(b"<svg this is not xml")
+    monkeypatch.setattr(S, "_LIBS", None)
+    monkeypatch.setattr(S, "_TRIED", True)
+    with pytest.raises(NotImplementedError, match="librsvg"):
+        S.render_rgb(svg)
