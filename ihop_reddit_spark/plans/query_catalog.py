@@ -4123,6 +4123,65 @@ def svg_decode_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL image resize gate (r11): decode (any decode_image format) →
+# deterministic resample (exact AREA mean on integer-ratio downscales,
+# half-pixel bilinear otherwise) → lossless PNG re-encode. The sources
+# are the in-tree PNG plants (solid ((37i)%256,(59i)%256,(83i)%256)),
+# so EVERY resample of a solid image is integer-exact and the output
+# PNG's decoded means must equal the plants at the new 8×4 geometry.
+# This closes resize_images' former decode_fn="real" PIL stub.
+# ---------------------------------------------------------------------------
+@query(
+    "image_resize_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS resize_exact
+    FROM documents WHERE doc_id % 61 = 0
+    """,
+)
+def image_resize_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        image_feature_stats,
+        resize_images,
+        synthesize_png_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 61 == 0)
+        .select("doc_id")
+    )
+    assets = synthesize_png_assets(docs).select(
+        "asset_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(0.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+    resized = resize_images(assets, 8, 4, decode_fn="real")
+    stats = image_feature_stats(
+        resized.select("asset_id", "payload")
+    )
+    i = F.col("asset_id")
+    ok = stats.select(
+        (
+            (F.col("mean_r") == ((i * 37) % 256).cast("double"))
+            & (F.col("mean_g") == ((i * 59) % 256).cast("double"))
+            & (F.col("mean_b") == ((i * 83) % 256).cast("double"))
+            & (F.col("width") == 8)
+            & (F.col("height") == 4)
+        ).alias("ok"),
+    ).agg(F.min("ok").alias("resize_exact"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_assets"))
+    return n.crossJoin(ok).select("n_assets", "resize_exact")
+
+
+# ---------------------------------------------------------------------------
 # HEVC VIDEO gate (r11): each asset is a genuine MP4 hvc1 track — the
 # engine's own writer muxes x265-lossless all-intra samples (extracted
 # from HEIC stills by the in-tree HEIF item walker; an MP4 HEVC sample
@@ -10821,6 +10880,7 @@ _SCORING_PRIORITY = [
     "hevc_mp4_decode_gate",
     "warc_content_encoding_pages",
     "svg_decode_gate",
+    "image_resize_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

@@ -2349,3 +2349,49 @@ def test_svg_dispatch_sniff_and_errors(monkeypatch):
     monkeypatch.setattr(S, "_TRIED", True)
     with pytest.raises(NotImplementedError, match="librsvg"):
         S.render_rgb(svg)
+
+
+def test_resample_rgb_box_exact_and_bilinear():
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import resample_rgb
+
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :8] = 200
+    px[:8, 8:] = 100
+    px[8:, :8] = 50
+    px[8:, 8:] = 24
+    # integer-ratio downscale = exact AREA mean of each box
+    out = resample_rgb(px, 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert (out[:4, :4] == 200).all() and (out[4:, 4:] == 24).all()
+    # mixed box: 16x16 -> 1x1 is the global mean, exactly
+    one = resample_rgb(px, 1, 1)
+    assert int(one[0, 0, 0]) == round((200 + 100 + 50 + 24) / 4)
+    # non-integer ratio takes bilinear; corners keep their block values
+    up = resample_rgb(px, 24, 24)
+    assert up.shape == (24, 24, 3)
+    assert int(up[0, 0, 0]) == 200 and int(up[23, 23, 0]) == 24
+    # identity is a no-op copy
+    assert (resample_rgb(px, 16, 16) == px).all()
+
+
+def test_resize_images_real_decodes_and_reencodes_png():
+    """decode_fn="real" (formerly the marked PIL stub) now runs
+    decode_image → resample_rgb → in-tree PNG: the resized payload is a
+    genuine PNG whose pixels are the exact box means."""
+    import numpy as np
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_png,
+        png_bytes,
+        resample_rgb,
+    )
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:, :4] = (10, 20, 30)
+    px[:, 4:] = (200, 210, 220)
+    resized = resample_rgb(decode_png(png_bytes(px)), 4, 4)
+    rt = decode_png(png_bytes(resized))
+    assert (rt[:, :2] == (10, 20, 30)).all()
+    assert (rt[:, 2:] == (200, 210, 220)).all()

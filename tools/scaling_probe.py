@@ -160,6 +160,16 @@ DOC_PROBES = [
     # the same row-local Arrow decode shape, ×N sampled ids ⇒ ×N work
     "flac_decode_gate",
     "jpeg_progressive_decode_gate",
+    # round-11 native-codec tier: AVIF/HEIC stills, AV1/HEVC video,
+    # SVG rasterization, and the Content-Encoding WARC roundtrip — all
+    # the same row-local Arrow shape (×N sampled ids ⇒ ×N decode work;
+    # the warc gate additionally scales its write side with chars)
+    "avif_decode_gate",
+    "heic_decode_gate",
+    "av1_mp4_decode_gate",
+    "hevc_mp4_decode_gate",
+    "svg_decode_gate",
+    "warc_content_encoding_pages",
 ]
 #: round-9: probes over the REPLICATED customer/lineitem tables (ids
 #: remapped per replica, so per-replica structure is preserved and
