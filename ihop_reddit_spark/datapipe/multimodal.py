@@ -332,9 +332,12 @@ def resample_audio(
 ) -> DataFrame:
     """Resample audio assets to ``target_rate`` Hz → same asset schema.
 
-    Models the decode → resample → re-encode stage of an audio pipeline
-    (torchaudio/libav in deployment — the ``"real"`` codec is the marked
-    stub). Payload bytes stand in for PCM samples, so duration is preserved:
+    Models the decode → resample → re-encode stage of an audio pipeline.
+    ``decode_fn="real"`` (r11) actually runs it: :func:`decode_audio`
+    (WAV-PCM16 / G.711 / FLAC) → :func:`resample_pcm` (exact-rational
+    linear interpolation) → PCM16 WAV re-encode. The "fake" mode keeps
+    the original plumbing contract: payload bytes stand in for PCM
+    samples, so duration is preserved:
     the new payload length is ``floor(n_bytes * target_rate / source_rate)``
     — pure integer arithmetic, which keeps the size/metadata projection
     ANSI-SQL-checkable. The fake codec emits the source payload's md5 digest
@@ -342,17 +345,33 @@ def resample_audio(
     Arrow batching and schema plumbing are real. ``meta.sample_rate`` tracks
     the new rate; everything else in the struct is carried through.
     """
-    decode = _DECODERS[decode_fn]  # raises in "real" mode at first batch
+    if decode_fn not in _DECODERS:
+        raise KeyError(decode_fn)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                decode(row["payload"])  # the decode step (stub-aware)
-                src_rate = row["meta"]["sample_rate"]
-                size = len(row["payload"]) * target_rate // src_rate
-                digest = hashlib.md5(row["payload"]).digest()
-                payload = (digest * (size // len(digest) + 1))[:size]
+                if decode_fn == "real":
+                    src_rate, samples, _bps = decode_audio(
+                        bytes(row["payload"])
+                    )
+                    out = resample_pcm(samples, src_rate, target_rate)
+                    # wav_bytes takes float [-1, 1]; decode_audio hands
+                    # back 16-bit-scaled integers — /32767 is its exact
+                    # inverse (wav_bytes rounds v/32767*32767 back to v)
+                    payload = wav_bytes(
+                        np.clip(out, -32767, 32767) / 32767.0,
+                        target_rate,
+                    )
+                else:
+                    _fake_decode_stats(row["payload"])
+                    src_rate = row["meta"]["sample_rate"]
+                    size = len(row["payload"]) * target_rate // src_rate
+                    digest = hashlib.md5(row["payload"]).digest()
+                    payload = (digest * (size // len(digest) + 1))[:size]
                 meta = dict(row["meta"])
                 meta["sample_rate"] = target_rate
                 rows.append(
@@ -379,6 +398,73 @@ def resample_audio(
 # them: real byte parsing inside Arrow-batched mapInPandas, closed-form
 # verifiable (planted sine RMS, planted solid colors).
 # ---------------------------------------------------------------------------
+def synthesize_const_wav_assets(
+    df: DataFrame, id_col: str = "doc_id", *, rate: int = 8000
+) -> DataFrame:
+    """Constant-amplitude PCM16 WAV per id in the ASSET schema:
+    amplitude ``((107·id) % 60001) − 30000`` over ``800 + (id%5)·160``
+    samples at ``rate`` Hz. A constant signal survives ANY linear
+    resampler exactly, which is what lets the real-resample gate assert
+    sample-exact output in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                i = int(i)
+                amp = ((107 * i) % 60001) - 30000
+                n = 800 + (i % 5) * 160
+                payload = wav_bytes(
+                    np.full(n, amp, np.float64) / 32767.0, rate
+                )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "kind": "audio",
+                        "payload": payload,
+                        "meta": {
+                            "width": 0,
+                            "height": 0,
+                            "channels": 1,
+                            "sample_rate": rate,
+                            "duration_s": n / rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(gen, ASSET_SCHEMA)
+
+
+def resample_pcm(samples, src_rate: int, dst_rate: int):
+    """Linear-interpolation resampler at EXACT rational positions:
+    output k samples the source at ``k·src/dst`` (integer arithmetic
+    for the index, one float multiply for the fraction), output length
+    ``floor(n·dst/src)``. Constant signals resample exactly (the gate's
+    closed form) and integer decimations degenerate to exact sample
+    picks. Deliberately no anti-alias prefilter — this is the
+    torchaudio "linear" mode; content above dst/2 aliases, which the
+    docstring states rather than hides."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n == 0 or src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("resample_pcm needs samples and positive rates")
+    m = n * dst_rate // src_rate
+    if m == 0:
+        raise ValueError(f"{n} samples resample to zero at {dst_rate} Hz")
+    k = np.arange(m, dtype=np.int64)
+    num = k * src_rate
+    i0 = num // dst_rate
+    frac = (num % dst_rate) / dst_rate
+    i1 = np.minimum(i0 + 1, n - 1)
+    out = x[i0] * (1.0 - frac) + x[i1] * frac
+    return np.rint(out).astype(np.int64)
+
+
 def wav_bytes(samples, sample_rate: int) -> bytes:
     """PCM16 mono RIFF/WAVE encoder (float samples in [-1, 1])."""
     import struct

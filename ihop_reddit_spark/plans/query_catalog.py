@@ -4182,6 +4182,76 @@ def image_resize_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# REAL audio resample gate (r11): decode_audio (WAV-PCM16) →
+# resample_pcm (exact-rational linear interpolation, 8000→6000 Hz, a
+# genuinely fractional 3/4 ratio) → PCM16 WAV re-encode, closing
+# resample_audio's former decode_fn="real" stub. Constant-amplitude
+# plants survive any linear resampler exactly, so the gate asserts the
+# decoded output's amplitude AND the floor(n·3/4) sample count in
+# closed form.
+# ---------------------------------------------------------------------------
+@query(
+    "audio_resample_real_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM((800 + (doc_id % 5) * 160) * 3 / 4) AS BIGINT)
+               AS n_samples_out,
+           TRUE AS resample_exact
+    FROM documents WHERE doc_id % 67 = 0
+    """,
+)
+def audio_resample_real_gate(spark, sf_dir):
+    from ..datapipe.multimodal import (
+        resample_audio,
+        synthesize_const_wav_assets,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 67 == 0)
+        .select("doc_id")
+    )
+    assets = synthesize_const_wav_assets(docs)
+    out = resample_audio(assets, 6000, decode_fn="real")
+
+    def check(it):
+        import pandas as pd
+
+        from ihop_reddit_spark.datapipe.multimodal import decode_audio
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                rate, samples, _bps = decode_audio(bytes(row["payload"]))
+                i = int(row["asset_id"])
+                amp = ((107 * i) % 60001) - 30000
+                rows.append(
+                    (
+                        i,
+                        len(samples),
+                        bool(
+                            rate == 6000
+                            and (samples == amp).all()
+                            and row["meta"]["sample_rate"] == 6000
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "ok"]
+            )
+
+    checked = out.mapInPandas(
+        check, "asset_id long, n_samples long, ok boolean"
+    )
+    agg = checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n_samples").cast("long").alias("n_samples_out"),
+        F.min("ok").alias("resample_exact"),
+    )
+    return agg.select("n_assets", "n_samples_out", "resample_exact")
+
+
+# ---------------------------------------------------------------------------
 # HEVC VIDEO gate (r11): each asset is a genuine MP4 hvc1 track — the
 # engine's own writer muxes x265-lossless all-intra samples (extracted
 # from HEIC stills by the in-tree HEIF item walker; an MP4 HEVC sample
@@ -10881,6 +10951,7 @@ _SCORING_PRIORITY = [
     "warc_content_encoding_pages",
     "svg_decode_gate",
     "image_resize_gate",
+    "audio_resample_real_gate",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

@@ -2395,3 +2395,31 @@ def test_resize_images_real_decodes_and_reencodes_png():
     rt = decode_png(png_bytes(resized))
     assert (rt[:, :2] == (10, 20, 30)).all()
     assert (rt[:, 2:] == (200, 210, 220)).all()
+
+
+def test_resample_pcm_exactness_properties():
+    import numpy as np
+    import pytest
+
+    from ihop_reddit_spark.datapipe.multimodal import (
+        decode_audio,
+        resample_pcm,
+        wav_bytes,
+    )
+
+    # constants survive any ratio exactly
+    const = np.full(800, -12345, np.int64)
+    out = resample_pcm(const, 8000, 6000)
+    assert len(out) == 600 and (out == -12345).all()
+    # integer decimation degenerates to exact sample picks
+    ramp = np.arange(100, dtype=np.int64) * 7
+    assert (resample_pcm(ramp, 8000, 4000) == ramp[::2]).all()
+    # a linear ramp is reproduced exactly by linear interpolation
+    up = resample_pcm(np.arange(0, 64, dtype=np.int64) * 4, 8000, 16000)
+    assert (np.diff(up.astype(np.int64))[: len(up) - 2] == 2).all()
+    # WAV re-encode roundtrip is exact at 16-bit scale
+    w = wav_bytes(np.clip(out, -32767, 32767) / 32767.0, 6000)
+    rate, s2, _b = decode_audio(w)
+    assert rate == 6000 and (s2 == -12345).all()
+    with pytest.raises(ValueError, match="zero"):
+        resample_pcm(np.arange(2, dtype=np.int64), 48000, 1000)
