@@ -94,6 +94,22 @@ STREAMING = [
     "stream_crawl_extraction", # pure-projection stream (same plan as batch)
 ]
 
+#: round-11: the NATIVE-CODEC + schema-evolution tier — also a separate
+#: single-run section (per-asset C-library work + metadata commits, not
+#: data volume) so the headline total stays comparable while the new
+#: system-library paths get a per-round perf series.
+NATIVE = [
+    "manifest_schema_evolution_counts",  # metadata-only ALTER lifecycle
+    "avif_decode_gate",                  # AV1 stills (libavif/dav1d)
+    "heic_decode_gate",                  # HEVC stills (libheif/libde265+x265)
+    "av1_mp4_decode_gate",               # AV1 video, per-sample re-wrap
+    "hevc_mp4_decode_gate",              # HEVC video, per-sample re-wrap
+    "svg_decode_gate",                   # librsvg+cairo rasterization
+    "image_resize_gate",                 # real decode→resample→PNG
+    "audio_resample_real_gate",          # real decode→resample→WAV
+    "warc_content_encoding_pages",       # gzip/deflate/br/zstd bodies
+]
+
 #: The 18 queries benched since round 1 — their subtotal is emitted as
 #: ``shared_with_r01`` so the round-over-round signal stays comparable
 #: as the headline set grows (VERDICT r3 watch item).
@@ -187,6 +203,19 @@ def main() -> None:
         streaming[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
+    native: dict[str, float] = {}
+    for name in NATIVE:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        native[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -201,6 +230,8 @@ def main() -> None:
         "shared_with_r01_n": sum(1 for q in R01_SHARED if q in timings),
         "streaming": streaming,
         "streaming_total": round(sum(streaming.values()), 3),
+        "native": native,
+        "native_total": round(sum(native.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
