@@ -614,3 +614,145 @@ def test_histogram_partials_merge_partition_invariant(spark, rows):
     for q in (250, 500, 750, 1000):
         want = buckets[max(0, -(-q * n // 1000) - 1)]
         assert got[q] == want, (q, buckets)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            ["append", "rename", "widen", "add", "drop", "delete"]
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_manifest_schema_evolution_model_differential(
+    spark, tmp_path_factory, ops, seed
+):
+    """Model-based differential for schema evolution: a random sequence
+    of append / rename / widen / add / drop / delete_where against a
+    plain Python list-of-dicts model. After every step the snapshot
+    must equal the model under the CURRENT logical names, and time
+    travel to any recorded version must equal that version's recorded
+    model — whatever physical names and widened types the files hold."""
+    import random
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    rng = random.Random(seed)
+    root = str(tmp_path_factory.mktemp("evo") / "tbl")
+    M.manifest_init(root)
+
+    # model state: list of column names (logical), per-column type tag
+    # ("int" | "long"), and rows as dicts {logical: value}
+    cols = ["k", "v"]
+    types = {"k": "long", "v": "long"}
+    rows: list[dict] = []
+    next_key = 0
+    dropped_ever: list[str] = []
+    next_col = 0
+    history: list[tuple[int, list, list]] = []  # (version, cols, rows)
+
+    def ddl() -> str:
+        return ", ".join(f"`{c}` {types[c]}" for c in cols)
+
+    def append_batch() -> None:
+        nonlocal next_key
+        batch = []
+        for _ in range(rng.randint(1, 5)):
+            row = {}
+            for c in cols:
+                row[c] = next_key * 7 + len(c)
+            row[cols[0]] = next_key
+            batch.append(row)
+            next_key += 1
+        df = spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in batch], ddl()
+        )
+        M.manifest_append(df.coalesce(1), root)
+        rows.extend(batch)
+
+    append_batch()  # at least one data version before any alter
+    history.append(
+        (M.latest_version(root), list(cols), [dict(r) for r in rows])
+    )
+
+    for op in ops:
+        if op == "append":
+            append_batch()
+        elif op == "rename" and len(cols) >= 2:
+            old = rng.choice(cols[1:])
+            new = f"c{next_col}"
+            next_col += 1
+            M.manifest_alter_schema(root, rename={old: new})
+            cols[cols.index(old)] = new
+            types[new] = types.pop(old)
+            for r in rows:
+                r[new] = r.pop(old)
+        elif op == "widen":
+            targets = [c for c in cols if types[c] == "int"]
+            if not targets:
+                continue
+            c = rng.choice(targets)
+            M.manifest_alter_schema(root, widen={c: "bigint"})
+            types[c] = "long"
+        elif op == "add":
+            new = f"c{next_col}"
+            next_col += 1
+            # sometimes re-add a previously dropped name: the fresh
+            # physical mapping must keep old bytes unreachable
+            if dropped_ever and rng.random() < 0.5:
+                new = dropped_ever[-1]
+                if new in cols:
+                    continue
+            M.manifest_alter_schema(root, add=[(new, "int")])
+            cols.append(new)
+            types[new] = "int"
+            for r in rows:
+                r[new] = None
+        elif op == "drop" and len(cols) >= 3:
+            c = rng.choice(cols[1:])
+            M.manifest_alter_schema(root, drop=[c])
+            cols.remove(c)
+            types.pop(c)
+            dropped_ever.append(c)
+            for r in rows:
+                r.pop(c)
+        elif op == "delete" and rows:
+            mod = rng.randint(2, 4)
+            M.manifest_delete_where(
+                spark, root, F.col(cols[0]) % mod == 0
+            )
+            rows = [r for r in rows if r[cols[0]] % mod != 0]
+        else:
+            continue
+        history.append(
+            (M.latest_version(root), list(cols), [dict(r) for r in rows])
+        )
+
+    def as_set(recs, cs):
+        return {
+            tuple(
+                (None if r[c] is None else int(r[c])) for c in cs
+            )
+            for r in recs
+        }
+
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == cols
+    assert as_set(
+        [row.asDict() for row in snap.collect()], cols
+    ) == as_set(rows, cols)
+    # time travel to every recorded version reproduces that version's
+    # model under that version's own column names
+    for version, vcols, vrows in history:
+        old = M.read_snapshot(spark, root, version)
+        assert old.columns == vcols
+        assert as_set(
+            [row.asDict() for row in old.collect()], vcols
+        ) == as_set(vrows, vcols)
