@@ -2203,3 +2203,44 @@ def test_warc_content_encoding_transparent_decode():
     assert decode_content_encoding(raw_body, "deflate") == body
     with pytest.raises(ValueError, match="unsupported Content-Encoding"):
         decode_content_encoding(body, "compress")
+
+
+def test_manifest_changes_across_mid_range_alter(spark, tmp_path):
+    """A rename/widen INSIDE the feed range: read_changes emits the END
+    version's logical names and both the pre- and post-alter appends'
+    rows — the physical scan resolves old int32 and new int64 files
+    under one widened schema."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame([(0, "seed")], "id int, name string")
+        .coalesce(1),
+        root,
+    )  # v1 (pre-range)
+    since = M.latest_version(root)
+    M.manifest_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+        .coalesce(1),
+        root,
+    )  # v2 (in range, OLD names + int32)
+    M.manifest_alter_schema(
+        root, rename={"name": "label"}, widen={"id": "bigint"}
+    )  # v3 (in range, metadata only)
+    M.manifest_append(
+        spark.createDataFrame([(3, "c")], "id bigint, label string")
+        .coalesce(1),
+        root,
+    )  # v4 (in range, NEW names + int64)
+    M.manifest_delete_rows(spark, root, F.col("label") == "b")  # v5
+    feed = M.read_changes(spark, root, since)
+    assert feed.columns == ["id", "label"]
+    assert sorted((r.id, r.label) for r in feed.collect()) == [
+        (1, "a"),
+        (3, "c"),
+    ]
+    cf = M.read_change_feed(spark, root, since)
+    got = sorted((r.id, r._change_type) for r in cf.collect())
+    # 2 was inserted AND deleted within the range — nets out entirely
+    assert got == [(1, "insert"), (3, "insert")]
