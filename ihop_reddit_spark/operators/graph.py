@@ -362,3 +362,82 @@ def modularity(
         ),
         und,
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """The k-CORE of an undirected graph — the maximal subgraph where
+    every node keeps degree ≥ k — by iterative peeling to the FIXPOINT
+    (Matula & Beck's classic algorithm, distributed form): each round
+    drops every node whose CURRENT degree is below k and restricts the
+    edge set to survivors; deleting one node can push neighbors below
+    k, so the loop runs until a round removes nothing.
+
+    Determinism: the k-core is a unique subgraph (no tie-breaks exist
+    to take), so the result is a pure function of the edge set —
+    bit-identical across engines, which is what lets the oracle unroll
+    the same peel as chained SQL CTEs (extra unrolled rounds past the
+    fixpoint are no-ops, so a generous fixed unroll matches the exact
+    fixpoint).
+
+    Scale shape per round: one degree aggregation + two semi-joins,
+    all AQE-decided equi-joins; ``localCheckpoint(eager=False)`` bounds
+    lineage; rounds are O(peel depth) — bounded by the degeneracy
+    ordering's layer count, single digits on co-occurrence graphs. The
+    convergence probe is ONE count per round (nodes still below k).
+    ``max_rounds`` is a loud guard, not a truncation: exceeding it
+    raises rather than returning a half-peeled set.
+
+    Returns ``(node, core_degree)`` — survivors with their degree
+    INSIDE the core subgraph. Empty frame when no k-core exists.
+    """
+    live = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    scoped = [live]
+    try:
+        for _ in range(max_rounds):
+            deg = (
+                live.select(F.col("u").alias("node"))
+                .union(live.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .persist()
+            )
+            scoped.append(deg)
+            if deg.where(F.col("d") < k).limit(1).count() == 0:
+                return register_scoped_persists(
+                    deg.select(
+                        "node", F.col("d").cast("long").alias("core_degree")
+                    ),
+                    *scoped,
+                )
+            keep = deg.where(F.col("d") >= k).select("node")
+            live = (
+                live.join(
+                    keep.withColumnRenamed("node", "u"), "u", "left_semi"
+                )
+                .join(
+                    keep.withColumnRenamed("node", "v"), "v", "left_semi"
+                )
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+        raise ValueError(
+            f"k-core peel did not converge within max_rounds={max_rounds};"
+            " raise the bound (the oracle unroll must grow with it)"
+        )
+    finally:
+        pass

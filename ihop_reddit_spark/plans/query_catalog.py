@@ -9328,6 +9328,75 @@ def _pagerank_sql(iters: int = 5, unit: int = 1_000_000_000_000) -> str:
     return sql
 
 
+def _kcore_sql(k: int = 80, rounds: int = 10) -> str:
+    # MATERIALIZED: each peel round references its predecessor several
+    # times — DuckDB's default CTE inlining would re-evaluate the whole
+    # chain per reference (exponential work, file-handle exhaustion)
+    sql = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+               (SELECT u AS node FROM e{i - 1}
+                UNION ALL SELECT v FROM e{i - 1}) GROUP BY node),
+    v{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+    e{i} AS MATERIALIZED (SELECT u, v FROM e{i - 1}
+             WHERE u IN (SELECT node FROM v{i})
+               AND v IN (SELECT node FROM v{i}))"""
+    sql += f"""
+    SELECT node AS l_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM e{rounds}
+          UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node
+    ORDER BY core_degree DESC, l_partkey LIMIT 200"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# k-CORE decomposition (operators/graph.kcore — r11) over the part
+# co-purchase graph: iterative peeling to the unique fixpoint (the
+# k-core has no tie-breaks, so it is a pure function of the edge set —
+# the same engine rule as integer PageRank). k=80 sits inside the
+# cascade regime on this graph (≈7%% of parts peel away through ~5
+# cascading rounds at every SF; k≤40 removes nothing, k≥95 collapses
+# the whole graph). The oracle unrolls 10 peel rounds as chained CTEs
+# — past the fixpoint a peel round is a no-op, so the generous fixed
+# unroll equals the exact fixpoint; the Spark side raises loudly if it
+# ever needed more than its max_rounds guard.
+# ---------------------------------------------------------------------------
+@query("kcore_copurchase_parts", _kcore_sql())
+def kcore_copurchase_parts(spark, sf_dir):
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    ed = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    core = kcore(ed, 80, max_rounds=10)
+    return (
+        core.select(
+            F.col("node").alias("l_partkey"),
+            F.col("core_degree"),
+        )
+        .orderBy(F.col("core_degree").desc(), F.col("l_partkey"))
+        .limit(200)
+    )
+
+
 @query("pagerank_copurchase_parts", _pagerank_sql())
 def pagerank_copurchase_parts(spark, sf_dir):
     from ..operators.graph import pagerank
@@ -10952,6 +11021,7 @@ _SCORING_PRIORITY = [
     "svg_decode_gate",
     "image_resize_gate",
     "audio_resample_real_gate",
+    "kcore_copurchase_parts",
     "manifest_update_feed_counts",
     "manifest_indirect_vector_feed_counts",
     "stream_domain_quota",

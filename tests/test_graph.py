@@ -224,3 +224,66 @@ def test_label_propagation_string_ids_and_stability(spark):
     out = label_propagation(k4, rounds=3, with_stability=True).collect()
     assert not any(r["changed"] for r in out)
     assert {r["label"] for r in out} == {0}
+
+
+def test_kcore_peels_to_fixpoint_and_matches_bruteforce(spark):
+    """k-core on a hand-built graph: a 4-clique (3-core) with a pendant
+    path — the path peels over MULTIPLE cascading rounds (each removal
+    exposes the next), which is exactly what a single-round degree
+    filter gets wrong."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.operators.graph import kcore
+
+    clique = list(itertools.combinations([1, 2, 3, 4], 2))
+    path = [(4, 10), (10, 11), (11, 12)]  # peels 12, then 11, then 10
+    ed = spark.createDataFrame(clique + path, "src long, dst long")
+
+    core3 = kcore(ed, 3)
+    got = {(r.node, r.core_degree) for r in core3.collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+    # degree-1 filter alone keeps 10 and 11; only the fixpoint drops them
+    core2 = kcore(ed, 2)
+    assert {r.node for r in core2.collect()} == {1, 2, 3, 4}
+
+    # no 4-core exists — empty frame, not an error
+    assert kcore(ed, 4).count() == 0
+
+    # max_rounds is a loud guard: a long path at k=2 needs one round
+    # per vertex, so an absurdly low bound must raise, never truncate
+    long_path = [(i, i + 1) for i in range(12)]
+    lp = spark.createDataFrame(long_path, "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore(lp, 2, max_rounds=2)
+
+    # brute-force differential on a seeded random graph
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.25
+    }
+    model_adj = {n: set() for n in nodes}
+    for a, b in edges:
+        model_adj[a].add(b)
+        model_adj[b].add(a)
+    k = 5
+    live = {n for n in nodes if model_adj[n]}
+    while True:
+        bad = {n for n in live if len(model_adj[n] & live) < k}
+        if not bad:
+            break
+        live -= bad
+    expect = {(n, len(model_adj[n] & live)) for n in live}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {(r.node, r.core_degree) for r in kcore(df, k).collect()}
+    assert got == expect
