@@ -170,6 +170,8 @@ DOC_PROBES = [
     "hevc_mp4_decode_gate",
     "svg_decode_gate",
     "warc_content_encoding_pages",
+    "image_resize_gate",
+    "audio_resample_real_gate",
 ]
 #: round-9: probes over the REPLICATED customer/lineitem tables (ids
 #: remapped per replica, so per-replica structure is preserved and
@@ -196,6 +198,10 @@ REL_PROBES = [
     # post-alter int64 through the widened read), the mapped snapshot/
     # feed scans, and the drop+re-add NULL read — all ∝ rows
     "manifest_schema_evolution_counts",
+    # round-11: k-core peel over the replicated co-purchase graph —
+    # disjoint per-replica keys ⇒ ×N edges, per-replica cascade
+    # structure preserved, O(peel-depth) rounds unchanged
+    "kcore_copurchase_parts",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
