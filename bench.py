@@ -82,6 +82,11 @@ HEADLINE = [
     # round-6 (session 3) addition: the merge-on-read deletion-vector
     # lifecycle (row delete → vectored reads → materialize)
     "manifest_dv_lifecycle_counts",
+    # round-11 (session 2) additions: blocked entity resolution with the
+    # Jaro-Winkler verify tier, and multi-source BFS hop distances over
+    # the co-purchase graph (both data-volume-proportional)
+    "jaro_winkler_entity_pairs",
+    "bfs_distances_copurchase",
 ]
 
 #: round-10: the STREAMING tier gets a per-round perf series (r9 verdict
@@ -108,6 +113,7 @@ NATIVE = [
     "image_resize_gate",                 # real decode→resample→PNG
     "audio_resample_real_gate",          # real decode→resample→WAV
     "warc_content_encoding_pages",       # gzip/deflate/br/zstd bodies
+    "manifest_clone_divergence_counts",  # shallow clone + divergence + vacuum
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

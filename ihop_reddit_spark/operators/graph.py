@@ -441,3 +441,72 @@ def kcore(
         )
     finally:
         pass
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    *,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances — frontier-at-a-time message
+    passing (the distributed single-source/multi-source shortest-path
+    primitive for unweighted graphs; GraphFrames' ``shortestPaths``
+    grain, re-expressed as DataFrame joins).
+
+    Determinism: hop distance is MIN over path lengths — no tie-breaks
+    — so like pagerank/kcore the result is a pure function of
+    (edge set, seed set) and is hash-gated cross-engine; the oracle
+    unrolls levels as chained CTEs and takes ``MIN(dist)`` per node.
+
+    Scale shape per level: one equi-join frontier✕edges on the source
+    key plus one anti-join against the visited set (both AQE-decided;
+    the frontier is usually the small side and broadcasts). The visited
+    set carries distances and grows monotonically — each level is
+    ``localCheckpoint(eager=False)``-bounded so level K never replans K
+    nested joins. Levels run exactly ``max_hops`` times or until the
+    frontier empties, whichever is first — a bounded-hop contract
+    (unreached nodes are simply absent; callers wanting ∞ semantics
+    left-join the node universe).
+
+    Returns ``(node, dist)`` with ``dist`` in [0, max_hops].
+    """
+    ed = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    )
+    if not directed:
+        ed = ed.union(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            )
+        )
+    ed = ed.where(F.col("s") != F.col("d")).distinct().persist()
+    scoped = [ed]
+
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        reached = (
+            frontier.join(ed, frontier["node"] == ed["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited, "node", "left_anti").withColumn(
+            "dist", F.lit(hop).cast("long")
+        )
+        visited = visited.unionByName(fresh).localCheckpoint(
+            eager=False
+        )
+        frontier = fresh.select("node").localCheckpoint(eager=False)
+    return register_scoped_persists(visited, *scoped)

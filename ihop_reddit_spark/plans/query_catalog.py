@@ -2333,6 +2333,63 @@ def levenshtein_verified_pairs(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Blocked entity resolution with a Jaro-Winkler verify tier
+# (datapipe/dedup.jaro_winkler_scored_pairs — bit-compatible with
+# DuckDB's jaro_winkler_similarity, validated on 60k adversarial
+# pairs, so the raw DOUBLE score sits directly in the oracle hash).
+# Textbook record-linkage shape: block on a coarse attribute pair
+# (name's first token x brand) so candidates stay ~blocks x block^2
+# bounded, then score ONLY candidates — never all-pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "jaro_winkler_entity_pairs",
+    """
+    WITH p AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS w1, p_brand,
+             p_name || ' ' || lower(p_type) AS ent
+      FROM part)
+    SELECT a.p_partkey AS left_key, b.p_partkey AS right_key,
+           jaro_winkler_similarity(a.ent, b.ent) AS jw
+    FROM p a JOIN p b
+      ON a.w1 = b.w1 AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE jaro_winkler_similarity(a.ent, b.ent) >= 0.9
+    """,
+)
+def jaro_winkler_entity_pairs(spark, sf_dir):
+    from ..datapipe.dedup import jaro_winkler_scored_pairs
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
+        "p_brand",
+        F.concat_ws(
+            " ", F.col("p_name"), F.lower(F.col("p_type"))
+        ).alias("ent"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("left_key"),
+        "w1",
+        "p_brand",
+        F.col("ent").alias("__le"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("right_key"),
+        "w1",
+        "p_brand",
+        F.col("ent").alias("__re"),
+    )
+    cands = a.join(b, ["w1", "p_brand"]).where(
+        F.col("left_key") < F.col("right_key")
+    ).select("left_key", "right_key", "__le", "__re")
+    return (
+        jaro_winkler_scored_pairs(cands, "__le", "__re", "jw")
+        .where(F.col("jw") >= 0.9)
+        .select("left_key", "right_key", "jw")
+    )
+
+
 @query("kmeans_cluster_sizes")
 def kmeans_cluster_sizes(spark, sf_dir):
     from ..ml.clustering import ClusteringConfig, kmeans_assign
@@ -5424,6 +5481,108 @@ def manifest_schema_evolution_counts(spark, sf_dir):
             F.count(F.col("tier")),
         )
         out = head.unionByName(tt).unionByName(feed).unionByName(readd)
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE divergence gate (sources/manifest.manifest_clone — the
+# Delta `CREATE TABLE ... SHALLOW CLONE` grain, hardlink-backed so each
+# table's vacuum is independent). Seed a table with two event slices +
+# a live deletion vector, clone it, then DIVERGE: delete clicks from
+# the source, append a third slice to the clone, and vacuum the
+# source's whole pre-rewrite history away. Four tagged aggregate rows
+# pin, against the direct events oracle: both heads after divergence,
+# the clone's time-travel-to-snapshot read (immune to the source
+# vacuum), and the clone's change feed since the clone point.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_clone_divergence_counts",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+    snap AS (
+      SELECT * FROM ev
+      WHERE event_id % 4 IN (0, 1) AND user_id % 11 <> 0
+    ),
+    tagged AS (
+      SELECT 'src_head' AS tag, * FROM snap WHERE event_type <> 'click'
+      UNION ALL
+      SELECT 'clone_head' AS tag, * FROM snap
+      UNION ALL
+      SELECT 'clone_head' AS tag, * FROM ev WHERE event_id % 4 = 2
+      UNION ALL
+      SELECT 'clone_at_snapshot' AS tag, * FROM snap
+      UNION ALL
+      SELECT 'clone_feed_since_snapshot' AS tag, * FROM ev
+      WHERE event_id % 4 = 2
+    )
+    SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM tagged GROUP BY tag
+    """,
+)
+def manifest_clone_divergence_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def aggs(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        ).select(F.lit(tag).alias("tag"), "*")
+
+    work = tempfile.mkdtemp(prefix="mani_clone_")
+    try:
+        src = f"{work}/src"
+        dst = f"{work}/dst"
+        M.manifest_init(src)
+        M.manifest_append(
+            ev.where(F.col("event_id") % 4 == 0).repartition(3), src
+        )
+        M.manifest_append(
+            ev.where(F.col("event_id") % 4 == 1).repartition(2), src
+        )
+        # a live deletion vector at the clone point (merge-on-read rows
+        # the clone must inherit without rewriting anything)
+        M.manifest_delete_rows(spark, src, F.col("user_id") % 11 == 0)
+        M.manifest_clone(src, dst)
+        # diverge: source drops clicks and vacuums its entire
+        # pre-rewrite history; clone appends a third slice
+        M.manifest_delete_where(spark, src, F.col("event_type") == "click")
+        M.manifest_compact(spark, src, target_files=2)
+        M.manifest_vacuum(src, keep_from_version=M.latest_version(src))
+        M.manifest_append(ev.where(F.col("event_id") % 4 == 2), dst)
+        out = (
+            aggs(M.read_snapshot(spark, src), "src_head")
+            .unionByName(aggs(M.read_snapshot(spark, dst), "clone_head"))
+            .unionByName(
+                aggs(M.read_snapshot(spark, dst, 0), "clone_at_snapshot")
+            )
+            .unionByName(
+                aggs(
+                    M.read_changes(spark, dst, 0),
+                    "clone_feed_since_snapshot",
+                )
+            )
+        )
         rows = [tuple(r) for r in out.collect()]
         out_schema = out.schema
     finally:
@@ -9369,6 +9528,67 @@ def _kcore_sql(k: int = 80, rounds: int = 10) -> str:
 # unroll equals the exact fixpoint; the Spark side raises loudly if it
 # ever needed more than its max_rounds guard.
 # ---------------------------------------------------------------------------
+def _bfs_sql(hops: int = 3, seed_mod: int = 251) -> str:
+    sql = f"""
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+    r0 AS (SELECT p_partkey AS node FROM part
+           WHERE p_partkey % {seed_mod} = 0)"""
+    for i in range(1, hops + 1):
+        sql += f""",
+    r{i} AS MATERIALIZED (
+        SELECT DISTINCT ed.d AS node
+        FROM ed JOIN r{i - 1} ON ed.s = r{i - 1}.node)"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT node, {i} AS dist FROM r{i}" for i in range(hops + 1)
+    )
+    sql += f"""
+    SELECT node AS l_partkey, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM ({union}) GROUP BY node"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances (operators/graph.bfs_distances — the
+# unweighted shortest-path primitive) over the part co-purchase graph,
+# seeded at every 251st part. Hop distance is MIN over path lengths —
+# no tie-breaks — so the full (node, dist) table is hash-gated like
+# pagerank/kcore. The oracle unrolls the levels as chained CTEs and
+# takes MIN(dist); the Spark side's visited-set anti-join computes the
+# same minimum by construction (a node joins the frontier exactly once,
+# at its first reachable level).
+# ---------------------------------------------------------------------------
+@query("bfs_distances_copurchase", _bfs_sql())
+def bfs_distances_copurchase(spark, sf_dir):
+    from ..operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    ed = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 251 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_distances(ed, seeds, 3, directed=True).select(
+        F.col("node").alias("l_partkey"), "dist"
+    )
+
+
 @query("kcore_copurchase_parts", _kcore_sql())
 def kcore_copurchase_parts(spark, sf_dir):
     from ..operators.graph import kcore
@@ -11012,6 +11232,9 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "bfs_distances_copurchase",
+    "jaro_winkler_entity_pairs",
+    "manifest_clone_divergence_counts",
     "manifest_schema_evolution_counts",
     "avif_decode_gate",
     "av1_mp4_decode_gate",

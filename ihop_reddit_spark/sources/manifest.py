@@ -3010,3 +3010,112 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         if v < keep_from_version:
             os.unlink(_version_doc_path(path, v))
     return len(doomed)
+
+
+def manifest_clone(
+    src: str,
+    dst: str,
+    *,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create an independent table at ``dst`` whose
+    version 0 is a self-contained snapshot of ``src`` at ``version``
+    (default: head) — zero data copy (Delta ``CREATE TABLE ... SHALLOW
+    CLONE`` semantics, re-expressed for a filesystem/object-store
+    manifest).
+
+    Every live data file, live deletion vector, and their stats/blooms
+    are carried into one checkpoint-style "clone" commit under the SAME
+    relative paths, so every reader (snapshot, time-travel-from-0,
+    change feed, metadata-only aggregate, bloom/min-max pruning) works
+    on the clone unchanged. Bytes are shared via ``os.link`` (hardlink
+    refcounts are this filesystem's conditional-GC: each table's VACUUM
+    unlinks only its own references, and the OS frees the bytes when the
+    last table drops them — no cross-table retention hazard, unlike
+    path-reference clones where vacuuming the source breaks the clone).
+    Cross-device clones degrade to a byte copy per file, loudly
+    recorded in the commit doc (``"linked": false``).
+
+    The source's exactly-once stream replay guard (all committed
+    ``stream_batch_id``s at or below ``version``) is carried into the
+    clone doc: re-delivering an already-cloned micro-batch to the clone
+    is a no-op, exactly as it would be against the source.
+
+    Clone and source diverge freely after this commit — appends,
+    deletes, schema changes, compaction, and vacuum on either side
+    never observe the other. Returns the clone's head version (0).
+    """
+    if version is None:
+        version = latest_version(src)
+    if os.path.isdir(_manifest_dir(dst)) and list_versions(dst):
+        raise FileExistsError(f"manifest table already exists at {dst}")
+
+    files = live_files(src, version)
+    dv_files, dv_targets = live_dv_state(src, version)
+    linked = True
+    for rel in [*files, *dv_files]:
+        sfp = os.path.join(src, rel)
+        dfp = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(dfp), exist_ok=True)
+        try:
+            os.link(sfp, dfp)
+        except FileExistsError:
+            # another cloner racing on the same dst linked this rel
+            # first; identical by construction (same source inode) —
+            # verify rather than trust
+            if os.stat(sfp).st_ino != os.stat(dfp).st_ino:
+                raise
+        except OSError:
+            shutil.copy2(sfp, dfp)  # cross-device (EXDEV): real copy
+            linked = False
+
+    schema = _schema_of(src, version)
+    mapping = _mapping_of(src, version)
+    retired = _retired_of(src, version)
+    sbids: set = set()
+    for v in list_versions(src):
+        if v > version:
+            break
+        d = read_version_doc(src, v)
+        if "stream_batch_id" in d:
+            sbids.add(d["stream_batch_id"])
+        sbids.update(d.get("stream_batch_ids", []))
+    doc = {
+        "version": 0,
+        "parent": None,
+        "operation": "clone",
+        "clone_source": os.path.abspath(src),
+        "clone_source_version": version,
+        "linked": linked,
+        "schema": None if schema is None else schema.jsonValue(),
+        "added": files,
+        "removed": [],
+        "stats": live_file_stats(src, version),
+        "row_counts": live_row_counts(src, version),
+        "blooms": live_file_blooms(src, version),
+        "dv_added": dv_files,
+        "dv_removed": [],
+        "dv_targets": dv_targets,
+    }
+    if mapping:
+        doc["mapping"] = mapping
+    if retired:
+        doc["retired_physical"] = retired
+    if sbids:
+        doc["stream_batch_ids"] = sorted(sbids)
+    try:
+        return _commit_version(dst, doc)
+    except ConcurrentCommitError:
+        # another cloner won version 0; drop any of OUR links its doc
+        # does not reference (racers cloning different source versions
+        # would otherwise leak unreferenced hardlinks forever — vacuum
+        # only deletes files some version doc has named)
+        winner = read_version_doc(dst, 0)
+        keep = set(winner["added"]) | set(winner.get("dv_added", []))
+        for rel in [*files, *dv_files]:
+            if rel not in keep:
+                try:
+                    os.unlink(os.path.join(dst, rel))
+                except FileNotFoundError:
+                    pass
+        raise

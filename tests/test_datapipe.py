@@ -955,3 +955,65 @@ def test_ivf_append_and_crosssession_probe(spark, tmp_path):
     out = ivf_knn(merged, cents, queries, k=3, nprobe=4)
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in per_q)
+
+
+def test_jaro_winkler_matches_duckdb_bit_exact():
+    """The scorer's cross-engine contract: bit-identical doubles vs
+    DuckDB's jaro_winkler_similarity (rapidfuzz conventions), so the
+    raw score column can sit inside an oracle value hash."""
+    import random
+
+    import duckdb
+
+    from ihop_reddit_spark.datapipe.dedup import jaro_winkler
+
+    # hand-pinned classics + rapidfuzz empty-string convention
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(
+        0.9611111111111111, abs=0
+    )
+    assert jaro_winkler("DIXON", "DICKSONX") == 0.8133333333333332
+    assert jaro_winkler("", "") == 0.0
+    assert jaro_winkler("a", "") == 0.0
+    assert jaro_winkler("xy", "yx") == 0.0  # window 0 at len 2
+    # below the 0.7 boost threshold the shared prefix earns nothing
+    assert jaro_winkler("abcdef", "abczzzzzzzzzzzz") == 0.5666666666666667
+
+    rng = random.Random(7)
+    alph = "abcde"
+    pairs = [
+        (
+            "".join(rng.choices(alph, k=rng.randint(0, 9))),
+            "".join(rng.choices(alph, k=rng.randint(0, 9))),
+        )
+        for _ in range(2000)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?,?)", pairs)
+    duck = [v for (v,) in con.sql(
+        "SELECT jaro_winkler_similarity(a,b) FROM p"
+    ).fetchall()]
+    mine = [jaro_winkler(a, b) for a, b in pairs]
+    assert mine == duck  # bitwise, no tolerance
+
+
+def test_jaro_winkler_scored_pairs_nulls_and_passthrough(spark):
+    from ihop_reddit_spark.datapipe.dedup import (
+        jaro_winkler,
+        jaro_winkler_scored_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "small ring", "small rings"),
+            (3, 4, "blue bolt", None),
+            (5, 6, None, None),
+        ],
+        "left_key long, right_key long, a string, b string",
+    )
+    rows = {
+        (r["left_key"], r["right_key"]): r["jw"]
+        for r in jaro_winkler_scored_pairs(pairs, "a", "b").collect()
+    }
+    assert rows[(3, 4)] is None and rows[(5, 6)] is None
+    assert rows[(1, 2)] == jaro_winkler("small ring", "small rings")

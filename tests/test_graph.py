@@ -287,3 +287,45 @@ def test_kcore_peels_to_fixpoint_and_matches_bruteforce(spark):
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
     got = {(r.node, r.core_degree) for r in kcore(df, k).collect()}
     assert got == expect
+
+
+def test_bfs_distances_path_graph_and_unreachable(spark):
+    from ihop_reddit_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5, isolated island 8-9, seed at 1 and 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, seeds, 3).collect()
+    }
+    # node 5 is 4 hops from seed 1 — absent under the max_hops=3 bound;
+    # the undirected default reaches 8 from 9
+    assert got == {(1, 0), (9, 0), (2, 1), (8, 1), (3, 2), (4, 3)}
+
+    # directed: edges only flow forward, so 9 reaches nothing
+    got_dir = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, seeds, 4, directed=True).collect()
+    }
+    assert got_dir == {(1, 0), (9, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+    # frontier empties before max_hops — loop exits early, result stable
+    got_long = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, seeds, 10, directed=True).collect()
+    }
+    assert got_long == got_dir
+
+    # min-distance wins when two seeds reach the same node: seed both
+    # ends of the path, middle node takes the smaller hop count
+    both_ends = spark.createDataFrame([(1,), (5,)], "node long")
+    got_min = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, both_ends, 4).collect()
+    }
+    assert got_min == {
+        (1, 0), (5, 0), (2, 1), (4, 1), (3, 2),
+    }

@@ -2244,3 +2244,128 @@ def test_manifest_changes_across_mid_range_alter(spark, tmp_path):
     got = sorted((r.id, r._change_type) for r in cf.collect())
     # 2 was inserted AND deleted within the range — nets out entirely
     assert got == [(1, "insert"), (3, "insert")]
+
+
+def test_manifest_clone_zero_copy_and_divergence(spark, tmp_path):
+    """SHALLOW CLONE: version 0 of the clone is a self-contained
+    snapshot sharing bytes via hardlinks (inode-equal, zero copy);
+    afterwards the two tables diverge with no cross-talk."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    M.manifest_init(src)
+    M.manifest_append(
+        spark.range(0, 40).withColumn("v", F.col("id") * 2).repartition(3),
+        src,
+    )
+    M.manifest_append(
+        spark.range(40, 60).withColumn("v", F.col("id") * 2), src
+    )
+    # a live deletion vector must survive the clone too
+    M.manifest_delete_rows(spark, src, F.col("id").isin(5, 45))
+
+    assert M.manifest_clone(src, dst) == 0
+
+    # zero copy: every data + dv file is the SAME inode in both tables
+    for rel in M.live_files(dst, 0) + M.live_dv_state(dst, 0)[0]:
+        s = os.stat(os.path.join(src, rel))
+        d = os.stat(os.path.join(dst, rel))
+        assert s.st_ino == d.st_ino and s.st_nlink >= 2
+    assert sorted(r["id"] for r in M.read_snapshot(spark, dst).collect()) == [
+        i for i in range(60) if i not in (5, 45)
+    ]
+
+    # divergence: delete on src, append on dst — neither sees the other
+    M.manifest_delete_where(spark, src, F.col("id") >= 50)
+    M.manifest_append(
+        spark.range(100, 110).withColumn("v", F.col("id") * 2), dst
+    )
+    assert M.read_snapshot(spark, src).count() == 48  # 60-2-10
+    assert M.read_snapshot(spark, dst).count() == 68  # 60-2+10
+    # clone change feed since its snapshot: exactly the appended rows
+    assert sorted(
+        r["id"] for r in M.read_changes(spark, dst, 0).collect()
+    ) == list(range(100, 110))
+
+    # a second clone into the same dst fails loudly
+    with pytest.raises(FileExistsError):
+        M.manifest_clone(src, dst)
+
+
+def test_manifest_clone_survives_source_vacuum(spark, tmp_path):
+    """The vacuum-across-clones hazard: source rewrites everything and
+    vacuums its history — the clone must still read its full snapshot
+    (hardlink refcounts keep shared bytes alive until the LAST table
+    drops them), and vice versa vacuuming the clone never touches
+    source-visible bytes."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    M.manifest_init(src)
+    M.manifest_append(
+        spark.range(0, 30).withColumn("v", F.col("id")).repartition(2), src
+    )
+    M.manifest_clone(src, dst)
+
+    # source: full rewrite then drop all pre-rewrite history
+    M.manifest_delete_where(spark, src, F.col("id") % 2 == 0)
+    M.manifest_compact(spark, src, target_files=1)
+    head = M.latest_version(src)
+    M.manifest_vacuum(src, keep_from_version=head)
+    # the clone still reads the ORIGINAL snapshot in full
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, dst).collect()
+    ) == list(range(30))
+
+    # clone vacuum (no-op horizon) and a clone rewrite never affect src
+    M.manifest_compact(spark, dst, target_files=1)
+    M.manifest_vacuum(dst, keep_from_version=M.latest_version(dst))
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, src).collect()
+    ) == [i for i in range(30) if i % 2 == 1]
+
+
+def test_manifest_clone_carries_mapping_blooms_and_stream_guard(
+    spark, tmp_path
+):
+    """Clone fidelity beyond raw rows: renamed-column mapping, bloom
+    file skipping, footer-stat metadata aggregates, and the
+    exactly-once stream replay guard all carry into the clone doc."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    M.manifest_init(src)
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    M.manifest_append(
+        df, src, bloom_columns=("k",), extra={"stream_batch_id": 7}
+    )
+    M.manifest_alter_schema(src, rename={"v": "val"})
+
+    M.manifest_clone(src, dst)
+
+    # renamed logical schema readable; physical mapping carried
+    snap = M.read_snapshot(spark, dst)
+    assert snap.columns == ["k", "val"]
+    assert M._mapping_of(dst, 0) == M._mapping_of(src)
+    # blooms carried (same per-file entries), so point lookups skip
+    assert M.live_file_blooms(dst, 0) == M.live_file_blooms(
+        src, M.latest_version(src)
+    )
+    # metadata-only count answered from the clone doc alone
+    meta = M.metadata_only_stats(dst)
+    assert meta["n_rows"] == 20
+    # replay guard: the cloned batch id is already committed
+    assert 7 in M.committed_stream_batches(dst)
+    # an append to the clone under the renamed schema round-trips
+    M.manifest_append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        ),
+        dst,
+    )
+    assert M.read_snapshot(spark, dst).count() == 25
