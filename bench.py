@@ -114,6 +114,7 @@ NATIVE = [
     "audio_resample_real_gate",          # real decode→resample→WAV
     "warc_content_encoding_pages",       # gzip/deflate/br/zstd bodies
     "manifest_clone_divergence_counts",  # shallow clone + divergence + vacuum
+    "catalog_txn_consistency_counts",    # atomic multi-table transactions
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

@@ -5591,6 +5591,122 @@ def manifest_clone_divergence_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Atomic MULTI-TABLE transaction gate (sources/catalog.py — the
+# Iceberg/Nessie catalog-commit grain Delta lacks). Three transactions
+# each append an event slice to a FACT table and that slice's
+# (count, cents) rollup row to a SUMMARY table; one extra transaction
+# is deliberately TORN (files staged, catalog doc never written), and
+# one is committed-but-unapplied (doc written, roll-forward skipped) so
+# the reader itself must complete it. Per catalog version, the pinned
+# cross-table reads must agree: the fact pin's own aggregate equals the
+# summary pin's stored rollup — the invariant a torn or half-applied
+# transaction would break. The oracle reproduces the slice algebra
+# directly on events.
+# ---------------------------------------------------------------------------
+@query(
+    "catalog_txn_consistency_counts",
+    """
+    WITH ev AS (SELECT event_id, value FROM events),
+    sl AS (SELECT event_id % 3 AS s, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM ev),
+    cum AS (
+      SELECT cv.cv,
+             CAST(COUNT(*) AS BIGINT) AS fact_rows,
+             CAST(SUM(event_id) AS BIGINT) AS fact_sum_id,
+             CAST(SUM(cents) AS BIGINT) AS fact_cents
+      FROM (VALUES (1), (2), (3)) cv(cv)
+      JOIN sl ON sl.s < cv.cv
+      GROUP BY cv.cv)
+    SELECT cv AS catalog_version, fact_rows, fact_sum_id, fact_cents,
+           CAST(cv AS BIGINT) AS roll_rows,
+           fact_cents AS roll_cents
+    FROM cum
+    """,
+)
+def catalog_txn_consistency_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as C
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="cat_txn_")
+    try:
+        fact = f"{work}/fact"
+        roll = f"{work}/roll"
+        cat = f"{work}/cat"
+        M.manifest_init(fact)
+        M.manifest_init(roll)
+        C.catalog_init(cat, {"fact": fact, "roll": roll})
+
+        def txn(s: int) -> C.CatalogTransaction:
+            t = C.CatalogTransaction(cat)
+            part = ev.where(F.col("event_id") % 3 == s)
+            t.append("fact", part)
+            t.append(
+                "roll",
+                part.agg(
+                    F.lit(s).alias("s"),
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                ).select("s", "n", "cents"),
+            )
+            return t
+
+        txn(0).commit()
+        txn(1).commit()
+        # txn 2: committed but NOT rolled forward — the pinned reader
+        # below must complete it itself
+        t2 = txn(2)
+        head = C.catalog_latest(cat)
+        C._commit_catalog_doc(
+            cat,
+            {
+                "version": head + 1,
+                "parent": head,
+                "operation": "txn",
+                "txn": t2._payloads,
+            },
+        )
+        # a TORN transaction: staged files, no catalog doc — must stay
+        # invisible at every catalog version (its rows would break the
+        # fact==roll invariant at cv3 if it ever leaked)
+        torn = C.CatalogTransaction(cat)
+        torn.append(
+            "fact",
+            ev.where(F.col("event_id") % 3 == 0).withColumn(
+                "cents", F.col("cents") + 1
+            ),
+        )
+
+        out_rows = []
+        for cv in (1, 2, 3):
+            f = C.read_catalog_table(spark, cat, "fact", cv).agg(
+                F.count(F.lit(1)).cast("long"),
+                F.sum("event_id").cast("long"),
+                F.sum("cents").cast("long"),
+            ).collect()[0]
+            r = C.read_catalog_table(spark, cat, "roll", cv).agg(
+                F.count(F.lit(1)).cast("long"),
+                F.sum("cents").cast("long"),
+            ).collect()[0]
+            out_rows.append(
+                (cv, f[0], f[1], f[2], r[0], r[1])
+            )
+        schema = (
+            "catalog_version int, fact_rows long, fact_sum_id long,"
+            " fact_cents long, roll_rows long, roll_cents long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out_rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -11232,6 +11348,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "catalog_txn_consistency_counts",
     "bfs_distances_copurchase",
     "jaro_winkler_entity_pairs",
     "manifest_clone_divergence_counts",

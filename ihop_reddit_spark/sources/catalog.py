@@ -1,0 +1,366 @@
+"""Atomic MULTI-TABLE commits over manifest tables — the catalog grain.
+
+A single manifest table already has Delta-style optimistic transactions
+(``manifest.py``: create-if-absent version docs). What it cannot give is
+an invariant ACROSS tables — "the fact table and its derived summary
+advance together or not at all" — the thing a 100 TB pipeline needs when
+every ingest touches a fact table plus rollups, indexes, and lineage
+side-tables. Delta has no answer (one log per table); Iceberg gets it
+from a catalog-level commit (Nessie/REST catalog). This module is that
+catalog grain, re-expressed with the same two primitives the manifest
+layer already trusts: JSON docs published by POSIX ``os.link``
+create-if-absent, and uniquely-named immutable staged files.
+
+Protocol — a WRITE-AHEAD catalog log with idempotent roll-forward:
+
+1. ``CatalogTransaction.append(table, df)`` stages the batch's parquet
+   files into the table's own data/ directory (uniquely named, invisible
+   — no table version doc references them yet) and records the would-be
+   commit payload (files, stats, row counts, blooms) in the transaction.
+2. ``commit()`` publishes ONE catalog version doc carrying every table's
+   payload. This single create-if-absent is the atomic point: before it,
+   nothing is visible anywhere; after it, the transaction is durable and
+   EVERY table's change is logically committed.
+3. Roll-forward materializes each payload as an ordinary table version
+   doc (tagged ``catalog_txn``) so plain-table readers see it too.
+   Any process can roll forward (readers and later writers do it
+   automatically); materialization is idempotent — the table-doc
+   create-if-absent race is resolved by checking the winner's
+   ``catalog_txn`` tag, and a deterministic marker doc records the
+   assigned table versions once known.
+
+Crash analysis: die before the catalog doc → staged files are orphans,
+nothing visible (``catalog_vacuum_orphans`` reclaims them); die after
+the catalog doc → the transaction IS committed, and the next reader or
+writer completes materialization. There is no window where a reader can
+observe one table's half of a transaction without the other.
+
+Scope contract: transactions carry APPEND payloads (the cross-table
+atomicity case that dominates practice: fact + rollup + index written
+together). Rewriting ops (delete/compact) depend on the table state
+they were computed against and stay single-table — their own doc-level
+transaction already covers them. ``append`` validates against the
+table's schema at stage time and re-validates at materialization.
+
+Consistent cross-table READS: ``catalog_pins`` resolves a catalog
+version to one version per table — every table as of the SAME
+transaction boundary — and ``read_catalog_table`` reads a table at its
+pin. Direct-to-table commits (outside any transaction) remain possible
+and visible to plain ``read_snapshot`` immediately; catalog-pinned
+reads serialize them AFTER the pinned transaction, exactly like
+Iceberg's catalog pointer vs. orphan table metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import manifest as M
+
+_CATALOG_DIR = "_catalog"
+
+
+def _cat_dir(cat: str) -> str:
+    return os.path.join(cat, _CATALOG_DIR)
+
+
+def _cat_doc_path(cat: str, version: int) -> str:
+    return os.path.join(_cat_dir(cat), f"v{version:08d}.json")
+
+
+def _marker_path(cat: str, version: int) -> str:
+    return os.path.join(_cat_dir(cat), f"applied-v{version:08d}.json")
+
+
+def catalog_versions(cat: str) -> list[int]:
+    d = _cat_dir(cat)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no catalog at {cat}")
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def catalog_latest(cat: str) -> int:
+    versions = catalog_versions(cat)
+    if not versions:
+        raise FileNotFoundError(f"no catalog versions at {cat}")
+    return versions[-1]
+
+
+def read_catalog_doc(cat: str, version: int) -> dict:
+    with open(_cat_doc_path(cat, version)) as fh:
+        return json.load(fh)
+
+
+def _commit_catalog_doc(cat: str, doc: dict) -> int:
+    version = doc["version"]
+    d = _cat_dir(cat)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-v{version:08d}-{os.getpid()}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, _cat_doc_path(cat, version))
+    except FileExistsError:
+        raise M.ConcurrentCommitError(
+            f"catalog version {version} at {cat} was committed by"
+            " another writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def catalog_init(cat: str, tables: dict[str, str]) -> int:
+    """Create a catalog over ``tables`` (name → manifest-table path).
+    Tables must already exist (``manifest_init`` them first); their
+    current heads become the catalog's base pins."""
+    if os.path.isdir(_cat_dir(cat)) and catalog_versions(cat):
+        raise FileExistsError(f"catalog already exists at {cat}")
+    base_pins = {
+        # raises if a table doesn't exist; pre-catalog data is pinned
+        # at its init-time head
+        name: M.latest_version(path)
+        for name, path in tables.items()
+    }
+    return _commit_catalog_doc(
+        cat,
+        {
+            "version": 0,
+            "parent": None,
+            "operation": "init",
+            "tables": {
+                name: os.path.abspath(path)
+                for name, path in tables.items()
+            },
+            "base_pins": base_pins,
+            "txn": {},
+        },
+    )
+
+
+def catalog_tables(cat: str) -> dict[str, str]:
+    """name → table path (fixed at init)."""
+    return dict(read_catalog_doc(cat, 0)["tables"])
+
+
+def _find_materialized(path: str, cat: str, cat_version: int) -> int | None:
+    """The table version whose doc carries this catalog txn tag, or
+    None — scanned newest-first (txns only ever materialize forward)."""
+    key = {"catalog": os.path.abspath(cat), "catalog_version": cat_version}
+    for v in reversed(M.list_versions(path)):
+        doc = M.read_version_doc(path, v)
+        tag = doc.get("catalog_txn")
+        if tag == key:
+            return v
+        # a vacuum checkpoint folds dropped docs; its own tag (if any)
+        # was preserved by the checkpoint's carry-over of extra fields
+    return None
+
+
+def roll_forward(cat: str) -> dict[int, dict[str, int]]:
+    """Materialize every committed-but-unapplied catalog transaction as
+    ordinary table version docs, IN CATALOG ORDER (the serialization
+    order of the write-ahead log). Idempotent and safe under races:
+    losing a table-doc create-if-absent race re-reads the winner — ours
+    if it carries this txn's tag, otherwise an interleaved direct commit
+    we simply retry on top of. Returns {catalog_version: {table:
+    assigned table version}} for everything applied or verified."""
+    tables = catalog_tables(cat)
+    applied: dict[int, dict[str, int]] = {}
+    for cv in catalog_versions(cat):
+        if cv == 0:
+            continue
+        marker = _marker_path(cat, cv)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                applied[cv] = json.load(fh)
+            continue
+        doc = read_catalog_doc(cat, cv)
+        assigned: dict[str, int] = {}
+        for name, payload in sorted(doc["txn"].items()):
+            path = tables[name]
+            done = _find_materialized(path, cat, cv)
+            while done is None:
+                head = M.latest_version(path)
+                try:
+                    M._commit_version(
+                        path,
+                        {
+                            "version": head + 1,
+                            "parent": head,
+                            "operation": "append",
+                            "schema": payload["schema"],
+                            "added": payload["added"],
+                            "removed": [],
+                            "stats": payload["stats"],
+                            "row_counts": payload["row_counts"],
+                            "blooms": payload["blooms"],
+                            "catalog_txn": {
+                                "catalog": os.path.abspath(cat),
+                                "catalog_version": cv,
+                            },
+                        },
+                    )
+                    done = head + 1
+                except M.ConcurrentCommitError:
+                    done = _find_materialized(path, cat, cv)
+            assigned[name] = done
+        # marker content is derived from the table logs, so racing
+        # roll-forwarders write identical bytes; os.replace is atomic
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(assigned, fh, indent=1, sort_keys=True)
+        os.replace(tmp, marker)
+        applied[cv] = assigned
+    return applied
+
+
+def catalog_pins(cat: str, version: int | None = None) -> dict[str, int]:
+    """One table version per table — the consistent cross-table
+    snapshot AS OF catalog ``version`` (default head): each table at
+    the version created by its latest transaction ≤ ``version``, or 0
+    pre-transaction. Runs roll-forward first so pins always exist."""
+    applied = roll_forward(cat)
+    if version is None:
+        version = catalog_latest(cat)
+    pins = dict(read_catalog_doc(cat, 0)["base_pins"])
+    for cv in sorted(applied):
+        if cv > version:
+            break
+        pins.update(applied[cv])
+    return pins
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    cat: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read ``table`` at its catalog pin — cross-table consistent with
+    every other table read at the same catalog ``version``."""
+    pins = catalog_pins(cat, version)
+    return M.read_snapshot(
+        spark, catalog_tables(cat)[table], pins[table]
+    )
+
+
+class CatalogTransaction:
+    """Stage appends across tables; ``commit()`` makes them visible
+    atomically (see module docstring for the protocol)."""
+
+    def __init__(self, cat: str):
+        self.cat = cat
+        self.tables = catalog_tables(cat)
+        roll_forward(cat)
+        self._payloads: dict[str, dict] = {}
+        self._stage_dirs: list[tuple[str, str]] = []
+
+    def append(self, table: str, df: DataFrame) -> None:
+        if table not in self.tables:
+            raise KeyError(f"table {table!r} not in catalog {self.cat}")
+        if table in self._payloads:
+            raise ValueError(
+                f"transaction already stages an append to {table!r};"
+                " union the frames into one append"
+            )
+        path = self.tables[table]
+        M._check_schema(df, path)
+        stage_dir, added = M._stage_batch(
+            df, path, M.latest_version(path) + 1
+        )
+        stats, row_counts = M._stage_stats(path, added)
+        blooms = M._rebuild_blooms(
+            df.sparkSession, path, added, M.latest_version(path)
+        )
+        schema = M._schema_of(path)
+        self._payloads[table] = {
+            "op": "append",
+            "schema": (df.schema if schema is None else schema).jsonValue(),
+            "added": added,
+            "stats": stats,
+            "row_counts": row_counts,
+            "blooms": blooms,
+        }
+        self._stage_dirs.append((path, stage_dir))
+
+    def abort(self) -> None:
+        """Delete this transaction's staged files (pre-commit only)."""
+        for path, rel in self._stage_dirs:
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        self._payloads.clear()
+        self._stage_dirs.clear()
+
+    def commit(self, *, max_retries: int = 10) -> int:
+        """Publish the catalog doc (THE atomic point), then roll
+        forward. Losing the catalog-version race retries on the new
+        head — append payloads never conflict semantically, so the
+        retry is safe; the staged files are never re-written."""
+        if not self._payloads:
+            raise ValueError("empty transaction")
+        last: Exception | None = None
+        for _ in range(max_retries):
+            head = catalog_latest(self.cat)
+            try:
+                cv = _commit_catalog_doc(
+                    self.cat,
+                    {
+                        "version": head + 1,
+                        "parent": head,
+                        "operation": "txn",
+                        "txn": self._payloads,
+                    },
+                )
+                roll_forward(self.cat)
+                return cv
+            except M.ConcurrentCommitError as exc:
+                last = exc
+                roll_forward(self.cat)
+        raise M.ConcurrentCommitError(
+            f"catalog commit lost {max_retries} races at {self.cat}"
+        ) from last
+
+
+def catalog_vacuum_orphans(cat: str) -> int:
+    """Reclaim staged files from transactions that died BEFORE their
+    catalog doc (never-visible orphans): delete any data file in an
+    enrolled table that no table version doc AND no committed catalog
+    payload references. Returns files deleted. Runs roll-forward first
+    so committed-but-unapplied payloads are materialized, not swept."""
+    roll_forward(cat)
+    deleted = 0
+    staged_by_catalog: dict[str, set[str]] = {}
+    for cv in catalog_versions(cat):
+        doc = read_catalog_doc(cat, cv)
+        for name, payload in doc.get("txn", {}).items():
+            staged_by_catalog.setdefault(name, set()).update(
+                payload["added"]
+            )
+    for name, path in catalog_tables(cat).items():
+        referenced: set[str] = set(staged_by_catalog.get(name, set()))
+        for v in M.list_versions(path):
+            doc = M.read_version_doc(path, v)
+            referenced.update(doc["added"])
+            referenced.update(doc.get("dv_added", []))
+            referenced.update(doc.get("dv_matched", []))
+        data_root = os.path.join(path, "data")
+        if not os.path.isdir(data_root):
+            continue
+        for batch in os.listdir(data_root):
+            bdir = os.path.join(data_root, batch)
+            for f in os.listdir(bdir):
+                rel = f"data/{batch}/{f}"
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(bdir, f))
+                    deleted += 1
+            if not os.listdir(bdir):
+                os.rmdir(bdir)
+    return deleted

@@ -1,0 +1,179 @@
+"""Atomic multi-table commits (sources/catalog.py): the write-ahead
+catalog log, idempotent roll-forward, crash windows, races, and
+consistent cross-table pins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ihop_reddit_spark.sources import catalog as C
+from ihop_reddit_spark.sources import manifest as M
+
+
+def _mk_tables(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "roll")
+    M.manifest_init(fact)
+    M.manifest_init(roll)
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"fact": fact, "roll": roll})
+    return cat, fact, roll
+
+
+def _txn(spark, cat, lo, hi):
+    """One transaction: rows [lo,hi) into fact + their sum into roll."""
+    t = C.CatalogTransaction(cat)
+    t.append(
+        "fact", spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+    )
+    t.append(
+        "roll",
+        spark.createDataFrame(
+            [(lo, sum(2 * i for i in range(lo, hi)))], "lo long, s long"
+        ),
+    )
+    return t
+
+
+def test_txn_commit_is_atomic_and_pins_are_consistent(spark, tmp_path):
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 10).commit()
+    _txn(spark, cat, 10, 30).commit()
+
+    # plain-table readers see both materialized txns
+    assert M.read_snapshot(spark, fact).count() == 30
+    assert M.read_snapshot(spark, roll).count() == 2
+
+    # catalog pins at version 1: ONLY txn 1, in both tables
+    f1 = C.read_catalog_table(spark, cat, "fact", 1)
+    r1 = C.read_catalog_table(spark, cat, "roll", 1)
+    assert f1.count() == 10
+    assert [r["s"] for r in r1.collect()] == [
+        sum(2 * i for i in range(10))
+    ]
+    # cross-table invariant holds at EVERY catalog version: sum(fact.v)
+    # == sum(roll.s) as of the same pin
+    for cv in (1, 2):
+        fv = C.read_catalog_table(spark, cat, "fact", cv).agg(
+            F.sum("v")
+        ).collect()[0][0]
+        rv = C.read_catalog_table(spark, cat, "roll", cv).agg(
+            F.sum("s")
+        ).collect()[0][0]
+        assert fv == rv
+
+
+def test_torn_txn_invisible_then_completed_by_reader(spark, tmp_path):
+    """Crash AFTER the catalog doc, BEFORE roll-forward: the txn is
+    committed — the next reader materializes it. Crash BEFORE the
+    catalog doc: nothing visible anywhere, orphans reclaimable."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 10).commit()
+
+    # simulate die-after-catalog-doc: stage + write doc, skip roll-forward
+    t = _txn(spark, cat, 10, 20)
+    head = C.catalog_latest(cat)
+    C._commit_catalog_doc(
+        cat,
+        {
+            "version": head + 1,
+            "parent": head,
+            "operation": "txn",
+            "txn": t._payloads,
+        },
+    )
+    # plain table log hasn't advanced yet
+    assert M.read_snapshot(spark, fact).count() == 10
+    # a catalog reader completes the roll-forward and sees it, consistently
+    assert C.read_catalog_table(spark, cat, "fact").count() == 20
+    assert C.read_catalog_table(spark, cat, "roll").count() == 2
+    assert M.read_snapshot(spark, fact).count() == 20
+
+    # simulate die-BEFORE-catalog-doc: stage only
+    t2 = _txn(spark, cat, 20, 25)
+    n_staged = len(t2._stage_dirs)
+    assert n_staged == 2
+    del t2  # "crash": no commit, no abort
+    assert C.read_catalog_table(spark, cat, "fact").count() == 20
+    # the orphan sweep reclaims exactly the dead txn's files
+    assert C.catalog_vacuum_orphans(cat) > 0
+    assert C.catalog_vacuum_orphans(cat) == 0  # idempotent
+    # nothing visible was touched
+    assert C.read_catalog_table(spark, cat, "fact").count() == 20
+    assert M.read_snapshot(spark, roll).count() == 2
+
+
+def test_racing_txns_serialize_and_both_apply(spark, tmp_path):
+    """Two transactions staged against the same catalog head: the loser
+    auto-retries (append payloads never conflict) — both land, in
+    catalog-serialization order, with no lost updates in either table."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    a = _txn(spark, cat, 0, 10)
+    b = _txn(spark, cat, 10, 30)
+    assert a.commit() == 1
+    assert b.commit() == 2  # staged at head 0, retried onto head 1
+
+    assert M.read_snapshot(spark, fact).count() == 30
+    pins = C.catalog_pins(cat)
+    assert pins == {"fact": 2, "roll": 2}
+    # roll-forward is idempotent under repeated invocation
+    before = C.roll_forward(cat)
+    assert C.roll_forward(cat) == before
+
+
+def test_interleaved_direct_commit_does_not_break_txns(spark, tmp_path):
+    """A direct-to-table append between catalog-doc publish and
+    roll-forward: materialization retries on top of it; catalog pins
+    serialize the direct commit before the pending txn."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    t = _txn(spark, cat, 0, 10)
+    head = C.catalog_latest(cat)
+    C._commit_catalog_doc(
+        cat,
+        {
+            "version": head + 1,
+            "parent": head,
+            "operation": "txn",
+            "txn": t._payloads,
+        },
+    )
+    # direct append sneaks in before anyone rolls forward
+    M.manifest_append(
+        spark.range(100, 105).withColumn("v", F.col("id") * 2), fact
+    )
+    applied = C.roll_forward(cat)
+    assert applied[1]["fact"] == 2  # landed after the direct commit
+    assert M.read_snapshot(spark, fact).count() == 15
+    # the catalog pin includes the txn (and, transitively, the earlier
+    # direct rows below it in the log)
+    assert C.read_catalog_table(spark, cat, "fact", 1).count() == 15
+
+
+def test_base_pins_and_bad_table_errors(spark, tmp_path):
+    fact = str(tmp_path / "fact")
+    M.manifest_init(fact)
+    M.manifest_append(spark.range(5).withColumn("v", F.col("id")), fact)
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"fact": fact})
+    # pre-catalog data is pinned at the init-time head
+    assert C.read_catalog_table(spark, cat, "fact").count() == 5
+
+    with pytest.raises(FileExistsError):
+        C.catalog_init(cat, {"fact": fact})
+    t = C.CatalogTransaction(cat)
+    with pytest.raises(KeyError):
+        t.append("nope", spark.range(3))
+    with pytest.raises(ValueError, match="does not match table schema"):
+        t.append("fact", spark.range(3))  # missing column v
+    with pytest.raises(ValueError, match="empty transaction"):
+        t.commit()
+    # abort removes staged files
+    t.append("fact", spark.range(3).withColumn("v", F.col("id")))
+    rel = t._stage_dirs[0][1]
+    assert os.path.isdir(os.path.join(fact, rel))
+    t.abort()
+    assert not os.path.isdir(os.path.join(fact, rel))
