@@ -97,6 +97,7 @@ HEADLINE = [
 STREAMING = [
     "stream_domain_quota",     # stateful quota: manifest state, DV evictions
     "stream_crawl_extraction", # pure-projection stream (same plan as batch)
+    "stream_catalog_txn_counts",  # atomic multi-table micro-batches + replay
 ]
 
 #: round-11: the NATIVE-CODEC + schema-evolution tier — also a separate

@@ -5707,6 +5707,99 @@ def catalog_txn_consistency_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exactly-once MULTI-TABLE streaming (streaming/events.catalog_txn_stream
+# over sources/catalog.py): three micro-batches each land the raw batch
+# in a FACT table and the batch's per-type rollup in a SUMMARY table as
+# one atomic catalog transaction, with the batch id in the catalog doc.
+# The ENTIRE stream is then run a SECOND time with a fresh (checkpoint-
+# free) source — a full replay — and the guard must skip every batch as
+# a unit. The output re-aggregates the rollup table across batches and
+# joins it against the fact table's own per-type aggregate: any torn
+# transaction, double-applied replay, or lost rollup half breaks the
+# equality; the oracle computes both sides directly from events.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_catalog_txn_counts",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS fact_n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS fact_cents,
+           CAST(COUNT(*) AS BIGINT) AS roll_n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS roll_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_catalog_txn_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as C
+    from ..sources import manifest as M
+    from ..streaming.events import catalog_txn_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def rollup(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    work = tempfile.mkdtemp(prefix="cat_stream_")
+    try:
+        src_dir = f"{work}/src"
+        ev.repartition(3).write.parquet(src_dir)
+        fact = f"{work}/fact"
+        roll = f"{work}/roll"
+        cat = f"{work}/cat"
+        M.manifest_init(fact)
+        M.manifest_init(roll)
+        C.catalog_init(cat, {"fact": fact, "roll": roll})
+
+        def run_once():
+            src = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)  # one batch per file
+                .parquet(src_dir)
+            )
+            catalog_txn_stream(src, cat, "fact", "roll", rollup)
+
+        run_once()
+        run_once()  # checkpoint-free rerun = FULL replay; guard skips all
+
+        f = (
+            C.read_catalog_table(spark, cat, "fact")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("fact_n"),
+                F.sum("cents").cast("long").alias("fact_cents"),
+            )
+        )
+        r = (
+            C.read_catalog_table(spark, cat, "roll")
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("roll_n"),
+                F.sum("cents").cast("long").alias("roll_cents"),
+            )
+        )
+        out = f.join(r, "event_type").select(
+            "event_type", "fact_n", "fact_cents", "roll_n", "roll_cents"
+        )
+        rows = [tuple(x) for x in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Streaming twin of the deletion-vector tier (r6 session 3): the GDPR
 # forget-me stream. The manifest table is seeded with the events slice;
 # delete REQUESTS (user ids of purchase events with user_id%7==0) then
@@ -11348,6 +11441,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "stream_catalog_txn_counts",
     "catalog_txn_consistency_counts",
     "bfs_distances_copurchase",
     "jaro_winkler_entity_pairs",

@@ -299,11 +299,18 @@ class CatalogTransaction:
         self._payloads.clear()
         self._stage_dirs.clear()
 
-    def commit(self, *, max_retries: int = 10) -> int:
+    def commit(
+        self, *, extra: dict | None = None, max_retries: int = 10
+    ) -> int:
         """Publish the catalog doc (THE atomic point), then roll
         forward. Losing the catalog-version race retries on the new
         head — append payloads never conflict semantically, so the
-        retry is safe; the staged files are never re-written."""
+        retry is safe; the staged files are never re-written.
+        ``extra`` merges JSON-safe fields into the catalog doc (e.g.
+        ``stream_batch_id``: with the doc as the atomic point, ONE
+        recorded id makes a multi-table micro-batch exactly-once —
+        there is no window where a replay could find the fact half
+        committed and the rollup half missing)."""
         if not self._payloads:
             raise ValueError("empty transaction")
         last: Exception | None = None
@@ -317,6 +324,7 @@ class CatalogTransaction:
                         "parent": head,
                         "operation": "txn",
                         "txn": self._payloads,
+                        **(extra or {}),
                     },
                 )
                 roll_forward(self.cat)
@@ -364,3 +372,17 @@ def catalog_vacuum_orphans(cat: str) -> int:
             if not os.listdir(bdir):
                 os.rmdir(bdir)
     return deleted
+
+
+def catalog_committed_stream_batches(cat: str) -> set[int]:
+    """Stream batch ids recorded in CATALOG docs — the multi-table
+    exactly-once replay guard (single-table pendant:
+    ``manifest.committed_stream_batches``). Because the id lives in
+    the atomic catalog doc, a replayed micro-batch is skipped as a
+    UNIT: it can never re-append one table's half of a transaction."""
+    out = set()
+    for v in catalog_versions(cat):
+        doc = read_catalog_doc(cat, v)
+        if "stream_batch_id" in doc:
+            out.add(doc["stream_batch_id"])
+    return out

@@ -736,3 +736,49 @@ def dv_delete_stream(
     q = writer.start()
     q.awaitTermination()
     return table_path
+
+
+def catalog_txn_stream(
+    src: DataFrame,
+    cat: str,
+    fact_table: str,
+    rollup_table: str,
+    rollup_fn,
+) -> None:
+    """Exactly-once MULTI-TABLE streaming sink: each micro-batch lands
+    the raw batch in ``fact_table`` AND ``rollup_fn(batch)`` in
+    ``rollup_table`` as ONE atomic catalog transaction
+    (:mod:`ihop_reddit_spark.sources.catalog`), with the stream batch
+    id recorded in the catalog doc itself.
+
+    This is the guarantee a per-table transactional sink cannot give:
+    with two independent table logs, a crash between the two appends
+    leaves the fact half visible and the rollup half missing, and the
+    replayed batch must reason about each table separately. Here the
+    catalog doc is the single atomic point — a replay finds its id in
+    :func:`~ihop_reddit_spark.sources.catalog.
+    catalog_committed_stream_batches` and skips the WHOLE transaction,
+    or finds nothing and re-runs the WHOLE transaction; the torn state
+    cannot be observed (a die-after-doc batch is completed by the next
+    reader's roll-forward).
+
+    Per-batch cost: staging writes for both tables + one catalog doc +
+    two table docs (roll-forward) — commit work is O(1) in table size,
+    the same fixed-cost discipline as the single-table manifest sink.
+    """
+    from ..sources import catalog as C
+
+    def txn_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in C.catalog_committed_stream_batches(cat):
+            return  # replayed batch — the guard covers BOTH tables
+        t = C.CatalogTransaction(cat)
+        t.append(fact_table, batch_df)
+        t.append(rollup_table, rollup_fn(batch_df))
+        t.commit(extra={"stream_batch_id": int(batch_id)})
+
+    q = (
+        src.writeStream.foreachBatch(txn_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

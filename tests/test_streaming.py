@@ -699,3 +699,69 @@ def test_domain_quota_stream_redelivered_urls_hold_one_slot(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 6  # 2 domains x quota 3 — never under quota
+
+
+def test_catalog_txn_stream_atomic_exactly_once(spark, tmp_path):
+    """Multi-table streaming sink: each micro-batch is ONE catalog
+    transaction (fact + rollup together); a full checkpoint-free replay
+    is skipped batch-by-batch as a unit, and the final state equals the
+    batch twin computed directly."""
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import catalog_txn_stream
+
+    data = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    src_dir = str(tmp_path / "src")
+    data.repartition(3).write.parquet(src_dir)
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "roll")
+    cat = str(tmp_path / "cat")
+    M.manifest_init(fact)
+    M.manifest_init(roll)
+    C.catalog_init(cat, {"fact": fact, "roll": roll})
+
+    def rollup(b):
+        return b.groupBy("g").agg(F.sum("v").cast("long").alias("s"))
+
+    def run():
+        src = (
+            spark.readStream.schema(data.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        catalog_txn_stream(src, cat, "fact", "roll", rollup)
+
+    run()
+    n_cat = C.catalog_latest(cat)
+    assert n_cat == 3  # one txn per micro-batch
+    assert C.catalog_committed_stream_batches(cat) == {0, 1, 2}
+
+    run()  # full replay, no checkpoint: every batch skipped as a unit
+    assert C.catalog_latest(cat) == n_cat  # nothing re-committed
+
+    # stream ≡ batch, and fact/rollup agree per group
+    got_fact = {
+        (r["g"], r["s"])
+        for r in C.read_catalog_table(spark, cat, "fact")
+        .groupBy("g")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .collect()
+    }
+    got_roll = {
+        (r["g"], r["s"])
+        for r in C.read_catalog_table(spark, cat, "roll")
+        .groupBy("g")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .collect()
+    }
+    want = {
+        (r["g"], r["s"])
+        for r in data.groupBy("g")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .collect()
+    }
+    assert got_fact == want and got_roll == want
