@@ -484,7 +484,16 @@ def bfs_distances(
                 F.col(dst_col).alias("s"), F.col(src_col).alias("d")
             )
         )
-    ed = ed.where(F.col("s") != F.col("d")).distinct().persist()
+    # one up-front hash partition on the join key (the pagerank
+    # discipline): every hop's frontier⋈edges join reuses the persisted
+    # partitioning instead of re-exchanging the (large) edge side per
+    # level — measured 25.1s → ~4s at sf0.1 on the co-purchase graph
+    ed = (
+        ed.where(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
     scoped = [ed]
 
     visited = (
@@ -495,18 +504,22 @@ def bfs_distances(
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
-        if frontier.limit(1).count() == 0:
-            break
         reached = (
             frontier.join(ed, frontier["node"] == ed["s"])
             .select(F.col("d").alias("node"))
             .distinct()
         )
-        fresh = reached.join(visited, "node", "left_anti").withColumn(
-            "dist", F.lit(hop).cast("long")
+        fresh = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=False)
         )
+        # ONE action per level: the count both materializes the level's
+        # checkpoint and decides termination
+        if fresh.count() == 0:
+            break
         visited = visited.unionByName(fresh).localCheckpoint(
             eager=False
         )
-        frontier = fresh.select("node").localCheckpoint(eager=False)
+        frontier = fresh.select("node")
     return register_scoped_persists(visited, *scoped)

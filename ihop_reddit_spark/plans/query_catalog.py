@@ -9745,8 +9745,8 @@ def _bfs_sql(hops: int = 3, seed_mod: int = 251) -> str:
         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey <> b.l_partkey),
-    r0 AS (SELECT p_partkey AS node FROM part
-           WHERE p_partkey % {seed_mod} = 0)"""
+    r0 AS (SELECT DISTINCT l_partkey AS node FROM li
+           WHERE l_partkey % {seed_mod} = 0)"""
     for i in range(1, hops + 1):
         sql += f""",
     r{i} AS MATERIALIZED (
@@ -9788,10 +9788,12 @@ def bfs_distances_copurchase(spark, sf_dir):
         )
         .distinct()
     )
+    # seeds derive from the edge table itself (every 251st ORDERED part)
+    # so they replicate with the graph in the ×N scaling probe
     seeds = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 251 == 0)
-        .select(F.col("p_partkey").alias("node"))
+        li.where(F.col("l_partkey") % 251 == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
     )
     return bfs_distances(ed, seeds, 3, directed=True).select(
         F.col("node").alias("l_partkey"), "dist"

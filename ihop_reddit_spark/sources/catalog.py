@@ -153,15 +153,23 @@ def catalog_tables(cat: str) -> dict[str, str]:
 
 def _find_materialized(path: str, cat: str, cat_version: int) -> int | None:
     """The table version whose doc carries this catalog txn tag, or
-    None — scanned newest-first (txns only ever materialize forward)."""
+    None — scanned newest-first (txns only ever materialize forward).
+
+    Vacuum durability: a checkpoint doc folds the ``catalog_txn`` tags
+    of every DROPPED ancestor into ``catalog_txns_applied``
+    (manifest_vacuum), so a transaction whose own doc fell below the
+    retention horizon still reads as applied — without that, a lost
+    marker file after a vacuum would let roll-forward RE-APPLY it. The
+    checkpoint version stands in as the assigned version (exact
+    point-in-time pins below the horizon are gone anyway — the same
+    contract as single-table time travel after vacuum)."""
     key = {"catalog": os.path.abspath(cat), "catalog_version": cat_version}
     for v in reversed(M.list_versions(path)):
         doc = M.read_version_doc(path, v)
-        tag = doc.get("catalog_txn")
-        if tag == key:
+        if doc.get("catalog_txn") == key:
             return v
-        # a vacuum checkpoint folds dropped docs; its own tag (if any)
-        # was preserved by the checkpoint's carry-over of extra fields
+        if key in doc.get("catalog_txns_applied", []):
+            return v
     return None
 
 

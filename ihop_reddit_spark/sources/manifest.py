@@ -2958,8 +2958,12 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     }
     orig_base = read_version_doc(path, base)
     # stream replay guard must survive retention: union the batch ids of
-    # every DROPPED ancestor (and the base's own) into the checkpoint
+    # every DROPPED ancestor (and the base's own) into the checkpoint.
+    # Same for CATALOG-TRANSACTION tags (sources/catalog.py): roll-
+    # forward's idempotency scan must still find a dropped ancestor's
+    # txn tag, or a lost marker file would let it RE-APPLY the txn.
     dropped_sbids: set = set()
+    dropped_txns: list = []
     for v in versions:
         if v >= keep_from_version and v != base:
             continue
@@ -2967,6 +2971,9 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         if "stream_batch_id" in d:
             dropped_sbids.add(d["stream_batch_id"])
         dropped_sbids.update(d.get("stream_batch_ids", []))
+        if "catalog_txn" in d:
+            dropped_txns.append(d["catalog_txn"])
+        dropped_txns.extend(d.get("catalog_txns_applied", []))
     base_schema = _schema_of(path, base)
     base_mapping = _mapping_of(path, base)
     base_retired = _retired_of(path, base)
@@ -2990,6 +2997,13 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     }
     if dropped_sbids:
         base_doc["stream_batch_ids"] = sorted(dropped_sbids)
+    if dropped_txns:
+        # dedup while preserving JSON-safe dict tags
+        seen: list = []
+        for t in dropped_txns:
+            if t not in seen:
+                seen.append(t)
+        base_doc["catalog_txns_applied"] = seen
     # column mapping + retired-physical survive retention: the alter
     # commits that carried them may be below the horizon
     if base_mapping:

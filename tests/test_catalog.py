@@ -177,3 +177,34 @@ def test_base_pins_and_bad_table_errors(spark, tmp_path):
     assert os.path.isdir(os.path.join(fact, rel))
     t.abort()
     assert not os.path.isdir(os.path.join(fact, rel))
+
+
+def test_roll_forward_never_reapplies_after_vacuum(spark, tmp_path):
+    """Vacuum durability for roll-forward idempotency: a table vacuumed
+    PAST a transaction's version docs, plus a lost marker file, must
+    not let roll-forward re-apply the transaction (the checkpoint doc
+    folds dropped catalog_txn tags into catalog_txns_applied)."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 10).commit()
+    _txn(spark, cat, 10, 20).commit()
+
+    # push both tables' histories past the txns: compact, then vacuum
+    # with the horizon at head — every txn-tagged doc is dropped
+    for p in (fact, roll):
+        M.manifest_compact(spark, p, target_files=1)
+        M.manifest_vacuum(p, keep_from_version=M.latest_version(p))
+
+    # simulate marker loss (a roll-forwarder that died pre-marker)
+    for f in os.listdir(os.path.join(cat, "_catalog")):
+        if f.startswith("applied-"):
+            os.unlink(os.path.join(cat, "_catalog", f))
+
+    before = M.read_snapshot(spark, fact).count()
+    applied = C.roll_forward(cat)  # must verify, never re-apply
+    assert M.read_snapshot(spark, fact).count() == before == 20
+    assert M.read_snapshot(spark, roll).count() == 2
+    # pins resolve to the checkpoint version for below-horizon txns
+    assert set(applied) == {1, 2}
+    # and new transactions still work on the vacuumed tables
+    _txn(spark, cat, 20, 25).commit()
+    assert M.read_snapshot(spark, fact).count() == 25

@@ -756,3 +756,170 @@ def test_manifest_schema_evolution_model_differential(
         assert as_set(
             [row.asDict() for row in old.collect()], vcols
         ) == as_set(vrows, vcols)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            ["txn", "direct", "torn_committed", "dead_staged", "snapshot"]
+        ),
+        min_size=3,
+        max_size=9,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_catalog_txn_model_differential(
+    spark, tmp_path_factory, ops, seed
+):
+    """Model-based differential for catalog transactions: a random
+    interleaving of committed transactions, direct-to-table appends,
+    committed-but-unapplied ("torn") transactions, and abandoned staged
+    transactions, against a plain Python model of each table's log and
+    the catalog's pin history. Invariants: plain snapshots equal the
+    model log; every recorded catalog version's pinned read equals the
+    model's pin-time contents (torn txns materialize AFTER any direct
+    appends that beat them to the log — exactly what roll-forward
+    serialization promises); abandoned stages never become visible."""
+    import random
+
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+
+    rng = random.Random(seed)
+    base = tmp_path_factory.mktemp("cat_model")
+    paths = {"a": str(base / "a"), "b": str(base / "b")}
+    for p in paths.values():
+        M.manifest_init(p)
+    cat = str(base / "cat")
+    C.catalog_init(cat, paths)
+
+    next_val = 0
+    log = {"a": [], "b": []}  # materialized batches, in log order
+    pending: list[dict[str, list[int]]] = []  # committed, unapplied
+    pin_expect: dict[int, dict[str, int]] = {}  # cv -> {table: log len}
+    # model of the HEAD pin: log length at each table's LAST txn
+    # materialization — direct appends after it are (by design) not
+    # visible through the catalog until the next transaction
+    head_pin_len = {"a": 0, "b": 0}
+
+    def batch(n):
+        nonlocal next_val
+        vals = list(range(next_val, next_val + n))
+        next_val += n
+        return vals
+
+    def df_of(vals):
+        return spark.createDataFrame(
+            [(v,) for v in vals], "k long"
+        ).coalesce(1)
+
+    def flush_pending():
+        # model twin of roll_forward: pending txns land in catalog order
+        for txn in pending:
+            for t, vals in sorted(txn.items()):
+                log[t].append(vals)
+                head_pin_len[t] = len(log[t])
+        pending.clear()
+
+    for op in ops:
+        if op == "txn":
+            flush_pending()  # CatalogTransaction.__init__ rolls forward
+            t = C.CatalogTransaction(cat)
+            txn = {}
+            for name in rng.sample(["a", "b"], rng.randint(1, 2)):
+                vals = batch(rng.randint(1, 4))
+                t.append(name, df_of(vals))
+                txn[name] = vals
+            cv = t.commit()  # commit() rolls forward too
+            for name, vals in sorted(txn.items()):
+                log[name].append(vals)
+                head_pin_len[name] = len(log[name])
+            pin_expect[cv] = {n: len(log[n]) for n in txn}
+        elif op == "direct":
+            name = rng.choice(["a", "b"])
+            vals = batch(rng.randint(1, 3))
+            M.manifest_append(df_of(vals), paths[name])
+            log[name].append(vals)
+        elif op == "torn_committed":
+            flush_pending()
+            t = C.CatalogTransaction(cat)
+            txn = {}
+            for name in rng.sample(["a", "b"], rng.randint(1, 2)):
+                vals = batch(rng.randint(1, 3))
+                t.append(name, df_of(vals))
+                txn[name] = vals
+            head = C.catalog_latest(cat)
+            C._commit_catalog_doc(
+                cat,
+                {
+                    "version": head + 1,
+                    "parent": head,
+                    "operation": "txn",
+                    "txn": t._payloads,
+                },
+            )
+            pending.append(txn)
+            # committed == will be visible at this cv once flushed; the
+            # pin must include whatever lands in the log up to and
+            # including this txn's own materialization
+            pin_expect[head + 1] = None  # resolved at flush below
+        elif op == "dead_staged":
+            t = C.CatalogTransaction(cat)
+            t.append(rng.choice(["a", "b"]), df_of(batch(2)))
+            # abandoned: neither committed nor aborted — must never
+            # become visible (its values are burned from the sequence)
+        elif op == "snapshot":
+            C.catalog_pins(cat)  # triggers roll-forward
+            flush_pending()
+
+    C.catalog_pins(cat)  # final roll-forward
+    flush_pending()
+    applied = C.roll_forward(cat)
+
+    def model_vals(name, n_batches):
+        return sorted(v for b in log[name][:n_batches] for v in b)
+
+    def read_vals(df):
+        return sorted(r["k"] for r in df.collect())
+
+    # invariant 1: plain snapshots equal the model logs exactly
+    for name, p in paths.items():
+        want = model_vals(name, len(log[name]))
+        if want:
+            assert read_vals(M.read_snapshot(spark, p)) == want
+        # an always-empty table has no schema to read — nothing to check
+
+    # invariant 2: every catalog version's pinned read equals the
+    # model's pin-time prefix for the txns we recorded directly
+    for cv, want_n in sorted(pin_expect.items()):
+        if want_n is None:
+            continue  # torn txn — covered by invariant 3's monotonicity
+        for name, n in want_n.items():
+            want = model_vals(name, n)
+            if not want:
+                continue
+            got = read_vals(C.read_catalog_table(spark, cat, name, cv))
+            assert got == want, (cv, name)
+
+    # invariant 3: pinned reads are monotone in catalog version, and the
+    # head pin equals the full model log (torn txns included once flushed)
+    for name in paths:
+        if not log[name]:
+            continue
+        prev = -1
+        for cv in sorted(applied):
+            try:
+                n = C.read_catalog_table(spark, cat, name, cv).count()
+            except ValueError:
+                n = 0  # pinned below the table's first batch
+            assert n >= prev
+            prev = n
+        if head_pin_len[name]:
+            assert read_vals(
+                C.read_catalog_table(spark, cat, name)
+            ) == model_vals(name, head_pin_len[name])

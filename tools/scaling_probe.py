@@ -80,6 +80,15 @@ EVENT_PROBES = [
     # anti-join carries ×N vector rows against ×N scan rows — linear
     # both sides, with AQE free to broadcast the (small) vector side.
     "manifest_dv_lifecycle_counts",
+    # round-11 (session 2): the clone gate's write side (seed appends,
+    # divergence delete + compact) scales with rows while the CLONE
+    # itself is file-count-sized (hardlinks + one doc — the asymmetry
+    # is the feature); the catalog-transaction gates' staging writes
+    # scale with rows while commit work (1 catalog doc + 2 table docs
+    # per txn/batch) stays O(1) in table size
+    "manifest_clone_divergence_counts",
+    "catalog_txn_consistency_counts",
+    "stream_catalog_txn_counts",
 ]
 DOC_PROBES = [
     "doc_repetition_features",
@@ -202,6 +211,15 @@ REL_PROBES = [
     # disjoint per-replica keys ⇒ ×N edges, per-replica cascade
     # structure preserved, O(peel-depth) rounds unchanged
     "kcore_copurchase_parts",
+    # round-11 (session 2): BFS seeds derive from the replicated edge
+    # table itself, so the frontier grows ×N with the graph (disjoint
+    # replica components ⇒ per-level join work ×N, level count fixed);
+    # JW entity resolution blocks on (first name token × brand) — the
+    # replica token suffix makes blocks per-replica disjoint, so
+    # candidate pairs (and the Arrow scoring tier) face ×N work, never
+    # ×N² cross-replica pairs
+    "bfs_distances_copurchase",
+    "jaro_winkler_entity_pairs",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
@@ -220,6 +238,7 @@ def replicate(spark, factor: int, workdir: str, events_only: bool = False) -> No
         _replicate_documents(docs, reps, factor, workdir)
         _replicate_customer(spark, reps, factor, workdir)
         _replicate_lineitem(spark, reps, factor, workdir)
+        _replicate_part(spark, reps, factor, workdir)
     _replicate_events(spark, reps, factor, workdir)
     # replicated tables already exist as real dirs and skip the symlink
     for t in (
@@ -269,6 +288,35 @@ def _replicate_customer(spark, reps, factor: int, workdir: str) -> None:
         )
         .write.mode("overwrite")
         .parquet(f"{workdir}/customer.parquet")
+    )
+
+
+def _replicate_part(spark, reps, factor: int, workdir: str) -> None:
+    # partkeys remapped like lineitem's (same formula, so the two tables
+    # stay join-consistent); every name token gets the replica letter
+    # suffix, which keeps per-replica JW-pair structure while making the
+    # (first-token × brand) blocks disjoint across replicas — candidate
+    # growth is ×N, never cross-replica
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(f"{BASE_SF}/part.parquet")
+    (
+        part.crossJoin(reps)
+        .select(
+            (F.col("p_partkey") * factor + F.col("__r")).alias("p_partkey"),
+            F.regexp_replace(
+                F.col("p_name"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1q"), F.char(F.col("__r") + 97)),
+            ).alias("p_name"),
+            *[
+                c
+                for c in part.columns
+                if c not in ("p_partkey", "p_name")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{workdir}/part.parquet")
     )
 
 
