@@ -339,6 +339,32 @@ def _cmd_delete_rows(args) -> None:
     print(_json.dumps(out))
 
 
+def _cmd_clone(args) -> None:
+    from .sources.manifest import manifest_clone
+
+    v = manifest_clone(
+        args.src, args.dst,
+        version=args.version if args.version >= 0 else None,
+    )
+    print(f"cloned {args.src} -> {args.dst} at clone version {v}")
+
+
+def _cmd_txn(args) -> None:
+    """One atomic multi-table append: --append TABLE=PARQUET_PATH pairs
+    land together or not at all (sources/catalog.py)."""
+    from .sources import catalog as C
+
+    spark = _session(args)
+    t = C.CatalogTransaction(args.catalog)
+    for spec in args.append:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--append wants TABLE=PARQUET_PATH, got {spec!r}")
+        t.append(name, spark.read.parquet(path))
+    cv = t.commit()
+    print(f"committed catalog version {cv} ({len(args.append)} tables)")
+
+
 def _cmd_serve(args) -> None:
     from .app import explorer_from_events, make_server
 
@@ -552,6 +578,28 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--key-col", required=True)
     dr.add_argument("--partition-col", required=True)
     dr.set_defaults(func=_cmd_delete_rows)
+
+
+    cn = sub.add_parser(
+        "clone",
+        help="zero-copy SHALLOW CLONE of a manifest table (hardlinks; "
+             "each side's vacuum stays independent)",
+    )
+    cn.add_argument("--src", required=True)
+    cn.add_argument("--dst", required=True)
+    cn.add_argument("--version", type=int, default=-1,
+                    help="source version to clone (default: head)")
+    cn.set_defaults(func=_cmd_clone)
+
+    tx = sub.add_parser(
+        "txn",
+        help="atomic multi-table append through a catalog "
+             "(all tables advance together or not at all)",
+    )
+    tx.add_argument("--catalog", required=True)
+    tx.add_argument("--append", action="append", required=True,
+                    metavar="TABLE=PARQUET_PATH")
+    tx.set_defaults(func=_cmd_txn)
 
     sv = sub.add_parser(
         "serve",

@@ -270,3 +270,37 @@ def test_cli_delete_rows(spark, tmp_path, capsys):
         "rows_deleted": 2,
     }
     assert spark.read.parquet(path).count() == 10
+
+
+def test_cli_clone_and_txn(spark, tmp_path, capsys):
+    from pyspark.sql.functions import col as spark_col
+
+    from ihop_reddit_spark.cli import main
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "roll")
+    M.manifest_init(fact)
+    M.manifest_init(roll)
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"fact": fact, "roll": roll})
+
+    fpath = str(tmp_path / "f.parquet")
+    rpath = str(tmp_path / "r.parquet")
+    spark.range(20).withColumn("v", spark_col("id")).write.parquet(fpath)
+    spark.createDataFrame([(20,)], "n long").write.parquet(rpath)
+
+    main([
+        "txn", "--catalog", cat,
+        "--append", f"fact={fpath}",
+        "--append", f"roll={rpath}",
+    ])
+    assert "committed catalog version 1" in capsys.readouterr().out
+    assert C.read_catalog_table(spark, cat, "fact").count() == 20
+    assert C.read_catalog_table(spark, cat, "roll").count() == 1
+
+    dst = str(tmp_path / "clone")
+    main(["clone", "--src", fact, "--dst", dst])
+    assert "clone version 0" in capsys.readouterr().out
+    assert M.read_snapshot(spark, dst).count() == 20
