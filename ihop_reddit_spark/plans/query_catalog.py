@@ -5707,6 +5707,108 @@ def catalog_txn_consistency_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CHECK-constraint write gate (sources/manifest.manifest_add_constraint —
+# the Delta ALTER TABLE ADD CONSTRAINT grain). The table carries
+# `user_id % 7 <> 0` and `event_type IS NOT NULL`; a conforming slice
+# lands, a violating slice is REJECTED atomically at stage time (stage
+# deleted, no version committed — n_rejected_writes counts the caught
+# aborts), and the violators arrive filtered afterwards. An UPDATE
+# whose post-image would violate is also rejected; a legal UPDATE
+# lands. The oracle rebuilds the final state as pure slice algebra —
+# any half-applied abort, leaked stage, or missed enforcement path
+# breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "constraint_gated_ingest_counts",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type FROM events
+      WHERE user_id % 7 <> 0
+    ),
+    final AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 0 AND user_id % 5 = 0
+                  THEN 'recategorized' ELSE event_type END AS event_type
+      FROM ev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(COUNT(CASE WHEN event_type = 'recategorized' THEN 1 END)
+                AS BIGINT) AS n_recat,
+           CAST(2 AS BIGINT) AS n_rejected_writes
+    FROM final
+    """,
+)
+def constraint_gated_ingest_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="mani_check_")
+    rejected = 0
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(
+            ev.where((F.col("event_id") % 2 == 0) & (F.col("user_id") % 7 != 0)),
+            root,
+        )
+        M.manifest_add_constraint(spark, root, "u7", "user_id % 7 <> 0")
+        M.manifest_add_constraint(
+            spark, root, "et_nn", "event_type IS NOT NULL"
+        )
+        # violating batch: rejected atomically at stage time
+        try:
+            M.manifest_append(ev.where(F.col("event_id") % 2 == 1), root)
+        except ValueError:
+            rejected += 1
+        # the same rows, filtered to conform: accepted
+        M.manifest_append(
+            ev.where(
+                (F.col("event_id") % 2 == 1) & (F.col("user_id") % 7 != 0)
+            ),
+            root,
+        )
+        # UPDATE post-image enforcement: NULLing the type must abort...
+        try:
+            M.manifest_update_where(
+                spark,
+                root,
+                F.col("user_id") % 5 == 0,
+                {"event_type": F.lit(None).cast("string")},
+            )
+        except ValueError:
+            rejected += 1
+        # ...while a legal recategorization lands
+        M.manifest_update_where(
+            spark,
+            root,
+            (F.col("event_id") % 2 == 0) & (F.col("user_id") % 5 == 0),
+            {"event_type": F.lit("recategorized")},
+        )
+        out = M.read_snapshot(spark, root).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.count(F.when(F.col("event_type") == "recategorized", 1))
+            .cast("long")
+            .alias("n_recat"),
+        ).select(
+            "*", F.lit(rejected).cast("long").alias("n_rejected_writes")
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Exactly-once MULTI-TABLE streaming (streaming/events.catalog_txn_stream
 # over sources/catalog.py): three micro-batches each land the raw batch
 # in a FACT table and the batch's per-type rollup in a SUMMARY table as
@@ -11443,6 +11545,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 # query bodies untouched.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "constraint_gated_ingest_counts",
     "stream_catalog_txn_counts",
     "catalog_txn_consistency_counts",
     "bfs_distances_copurchase",

@@ -283,7 +283,7 @@ class CatalogTransaction:
         path = self.tables[table]
         M._check_schema(df, path)
         stage_dir, added = M._stage_batch(
-            df, path, M.latest_version(path) + 1
+            df, path, M.latest_version(path) + 1, verify=True
         )
         stats, row_counts = M._stage_stats(path, added)
         blooms = M._rebuild_blooms(

@@ -262,7 +262,12 @@ def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
 
 
 def _stage_batch(
-    df: DataFrame, path: str, version: int, *, prefix: str = "b"
+    df: DataFrame,
+    path: str,
+    version: int,
+    *,
+    prefix: str = "b",
+    verify: bool = False,
 ) -> tuple[str, list[str]]:
     """Write ``df`` as an (immutable) batch directory for ``version``;
     return ``(rel_dir, part files)`` as root-relative paths. ``prefix``
@@ -273,6 +278,15 @@ def _stage_batch(
     write-side chokepoint of column mapping, mirroring the read-side
     rename in ``_scan_with_pos``. DV batches (file/pos coordinates)
     never pass through the mapping.
+
+    ``verify=True`` additionally enforces the table's CHECK constraints
+    against the freshly staged files (NEW-row write paths: append,
+    merge, update post-image, evict-admit, catalog transactions). The
+    check reads the staged parquet back — one cheap extra scan of the
+    batch, never a recompute of ``df``'s plan — and on violation the
+    stage is deleted and the write aborts with the per-constraint
+    violation counts. Pure rewrites (compact/materialize/delete
+    survivors) carry only pre-existing rows and skip the pass.
 
     The directory carries a per-writer random suffix so two writers
     racing on the same head+1 NEVER touch each other's staged files —
@@ -292,8 +306,131 @@ def _stage_batch(
     rel = f"data/{prefix}{version:08d}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, rel)
     df.write.parquet(out)
+    if prefix == "b" and verify:
+        try:
+            _verify_constraints(df.sparkSession, path, out)
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
     return rel, sorted(
         f"{rel}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
+    )
+
+
+def constraints_of(path: str, version: int | None = None) -> dict:
+    """{name: SQL boolean expression over LOGICAL column names} — the
+    table's CHECK constraints at ``version``. Cumulative like the
+    column mapping: each alter-constraint commit carries the full set,
+    and vacuum folds it into the checkpoint doc."""
+    if version is None:
+        try:
+            version = latest_version(path)
+        except FileNotFoundError:
+            return {}
+    for v in reversed([x for x in list_versions(path) if x <= version]):
+        doc = read_version_doc(path, v)
+        if "constraints" in doc:
+            return dict(doc["constraints"])
+    return {}
+
+
+def _verify_constraints(
+    spark: SparkSession, path: str, staged_dir: str
+) -> None:
+    """Enforce every CHECK constraint against one staged batch dir.
+    SQL-standard semantics: a row violates when the expression is
+    FALSE; UNKNOWN (NULL) passes — spell NOT NULL explicitly
+    (``col IS NOT NULL``) when null rejection is wanted. One combined
+    scan; per-constraint counts only on the failure path."""
+    cons = constraints_of(path)
+    if not cons:
+        return
+    sdf = _to_logical(spark.read.parquet(staged_dir), _mapping_of(path))
+    viol = [
+        (name, ~F.coalesce(F.expr(expr), F.lit(True)))
+        for name, expr in sorted(cons.items())
+    ]
+    combined = viol[0][1]
+    for _, v in viol[1:]:
+        combined = combined | v
+    agg = sdf.where(combined).agg(
+        *[
+            F.count(F.when(v, 1)).alias(name)
+            for name, v in viol
+        ]
+    ).collect()[0]
+    bad = {name: agg[name] for name, _ in viol if agg[name]}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation(s) in staged batch: "
+            + ", ".join(
+                f"{name} ({cons[name]!r}): {n} row(s)"
+                for name, n in sorted(bad.items())
+            )
+            + " — write aborted, table unchanged"
+        )
+
+
+def manifest_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Add a named CHECK constraint (metadata commit) — the Delta
+    ``ALTER TABLE ADD CONSTRAINT`` grain. EXISTING data is validated
+    first (one scan of the live table; a constraint the current rows
+    already violate is refused), then every subsequent new-row write
+    (append, merge, update post-image, evict-admit, catalog
+    transaction) enforces it against its staged batch and aborts —
+    stage deleted, table untouched — on violation."""
+    head = latest_version(path)
+    cons = constraints_of(path, head)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    try:
+        F.expr(expr)
+    except Exception as exc:
+        raise ValueError(f"unparsable constraint expression {expr!r}") from exc
+    if live_files(path, head):
+        existing = read_snapshot(spark, path, head)
+        n_bad = existing.where(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {n_bad} existing"
+                " row(s) violate it"
+            )
+    return _commit_version(
+        path,
+        {
+            "version": head + 1,
+            "parent": head,
+            "operation": "alter_constraint",
+            "schema": None,
+            "added": [],
+            "removed": [],
+            "constraints": {**cons, name: expr},
+        },
+    )
+
+
+def manifest_drop_constraint(path: str, name: str) -> int:
+    """Drop a named CHECK constraint (metadata commit)."""
+    head = latest_version(path)
+    cons = constraints_of(path, head)
+    if name not in cons:
+        raise ValueError(f"no constraint named {name!r}")
+    cons.pop(name)
+    return _commit_version(
+        path,
+        {
+            "version": head + 1,
+            "parent": head,
+            "operation": "alter_constraint",
+            "schema": None,
+            "added": [],
+            "removed": [],
+            "constraints": cons,
+        },
     )
 
 
@@ -1054,7 +1191,7 @@ def manifest_append(
                     " add= instead"
                 )
     version = head + 1
-    stage_dir, added = _stage_batch(df, path, version)
+    stage_dir, added = _stage_batch(df, path, version, verify=True)
     n_live = len(live_files(path, head)) + len(added)
     if n_live > max_manifest_files:
         shutil.rmtree(os.path.join(path, stage_dir), ignore_errors=True)
@@ -2117,7 +2254,7 @@ def manifest_merge_upsert(
             added_dv = []
             dv_dir = None
         n_replaced = sum(per_file.values())
-    stage_dir, added = _stage_batch(df, path, version)
+    stage_dir, added = _stage_batch(df, path, version, verify=True)
     stats, row_counts = _stage_stats(path, added)
     n_appended = sum(row_counts.values())
     _commit_or_cleanup(
@@ -2281,6 +2418,28 @@ def manifest_alter_schema(
     fields = list(schema.fields)
     version = head + 1
 
+    # CHECK constraints reference LOGICAL names as SQL text: renaming or
+    # dropping a referenced column would silently break or orphan the
+    # expression — refuse (the Delta rule), drop the constraint first.
+    # Conservative word-boundary match: a false positive merely asks the
+    # user to drop/re-add, a false negative would corrupt enforcement.
+    cons = constraints_of(path, head)
+    if cons:
+        import re as _re
+
+        touched = set(drop or []) | set((rename or {}).keys())
+        for c in touched:
+            hit = [
+                n
+                for n, e in cons.items()
+                if _re.search(rf"\b{_re.escape(c)}\b", e)
+            ]
+            if hit:
+                raise ValueError(
+                    f"column {c!r} is referenced by CHECK constraint(s)"
+                    f" {sorted(hit)}; drop them before renaming/dropping"
+                )
+
     for c in drop or []:
         if c not in {f.name for f in fields}:
             raise ValueError(f"drop: unknown column {c!r}")
@@ -2423,7 +2582,17 @@ def manifest_evict_admit(
     row_counts: dict = {}
     blooms: dict = {}
     if df is not None:
-        data_dir, added = _stage_batch(df, path, version)
+        try:
+            data_dir, added = _stage_batch(
+                df, path, version, verify=True
+            )
+        except Exception:
+            # a CHECK-constraint abort (or any staging failure) on the
+            # admit half must not orphan the already-staged eviction
+            # vectors — nothing references them yet
+            for rel in stage_dirs:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            raise
         stats, row_counts = _stage_stats(path, added)
         if sum(row_counts.values()) == 0:
             shutil.rmtree(os.path.join(path, data_dir), ignore_errors=True)
@@ -2977,6 +3146,7 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
     base_schema = _schema_of(path, base)
     base_mapping = _mapping_of(path, base)
     base_retired = _retired_of(path, base)
+    base_constraints = constraints_of(path, base)
     base_dv_files, base_dv_targets = live_dv_state(path, base)
     base_doc = {
         # unknown/extra fields a writer attached to the base commit
@@ -3010,6 +3180,8 @@ def manifest_vacuum(path: str, *, keep_from_version: int) -> int:
         base_doc["mapping"] = base_mapping
     if base_retired:
         base_doc["retired_physical"] = base_retired
+    if base_constraints:
+        base_doc["constraints"] = base_constraints
     tmp = os.path.join(_manifest_dir(path), f".ckpt-{os.getpid()}.json")
     with open(tmp, "w") as fh:
         json.dump(base_doc, fh, indent=1, sort_keys=True)
@@ -3086,6 +3258,7 @@ def manifest_clone(
     schema = _schema_of(src, version)
     mapping = _mapping_of(src, version)
     retired = _retired_of(src, version)
+    cons = constraints_of(src, version)
     sbids: set = set()
     for v in list_versions(src):
         if v > version:
@@ -3115,6 +3288,8 @@ def manifest_clone(
         doc["mapping"] = mapping
     if retired:
         doc["retired_physical"] = retired
+    if cons:
+        doc["constraints"] = cons
     if sbids:
         doc["stream_batch_ids"] = sorted(sbids)
     try:

@@ -2369,3 +2369,139 @@ def test_manifest_clone_carries_mapping_blooms_and_stream_guard(
         dst,
     )
     assert M.read_snapshot(spark, dst).count() == 25
+
+
+def test_manifest_check_constraints_gate_every_write_path(spark, tmp_path):
+    """CHECK constraints: existing-data validation on add, staged-abort
+    (stage deleted, table untouched) on violating append / merge /
+    UPDATE post-image, SQL-standard NULL-passes semantics, drop, and
+    the rename/drop guard for referenced columns."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None)], "k long, v long"
+        ),
+        root,
+    )
+    # a constraint existing rows violate is refused
+    with pytest.raises(ValueError, match="existing row"):
+        M.manifest_add_constraint(spark, root, "v_big", "v >= 15")
+    # NULL passes (SQL standard): v >= 0 admits the NULL row
+    M.manifest_add_constraint(spark, root, "v_nonneg", "v >= 0")
+    M.manifest_add_constraint(spark, root, "k_pos", "k > 0")
+    assert M.constraints_of(root) == {
+        "v_nonneg": "v >= 0", "k_pos": "k > 0"
+    }
+
+    head = M.latest_version(root)
+    with pytest.raises(ValueError, match="v_nonneg.*2 row"):
+        M.manifest_append(
+            spark.createDataFrame(
+                [(4, -1), (5, -2), (-6, 7)], "k long, v long"
+            ),
+            root,
+        )
+    # aborted write: no new version, no orphaned stage dirs
+    assert M.latest_version(root) == head
+    batches = os.listdir(os.path.join(root, "data"))
+    live_dirs = {f.split("/")[1] for f in M.live_files(root)}
+    assert set(batches) == live_dirs
+    # a clean append still lands, NULL v included
+    M.manifest_append(
+        spark.createDataFrame([(7, None)], "k long, v long"), root
+    )
+    assert M.read_snapshot(spark, root).count() == 4
+
+    # UPDATE post-image enforcement: making v negative must abort both
+    # halves (vector + append) — table unchanged
+    with pytest.raises(ValueError, match="v_nonneg"):
+        M.manifest_update_where(
+            spark, root, F.col("k") == 1, {"v": F.lit(-5).cast("long")}
+        )
+    assert sorted(
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, root).collect()
+    ) == [(1, 10), (2, 20), (3, None), (7, None)]
+    # the aborted UPDATE's already-staged eviction vectors must not
+    # leak either: every surviving batch dir is doc-referenced
+    referenced = {
+        f.split("/")[1]
+        for f in M.live_files(root) + M.live_dv_state(root)[0]
+    }
+    assert set(os.listdir(os.path.join(root, "data"))) == referenced
+    # a legal update passes
+    M.manifest_update_where(
+        spark, root, F.col("k") == 1, {"v": F.lit(99).cast("long")}
+    )
+    assert {
+        r["v"] for r in M.read_snapshot(spark, root).collect()
+    } == {99, 20, None}
+
+    # referenced columns can't be renamed or dropped under a constraint
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        M.manifest_alter_schema(root, rename={"v": "val"})
+    M.manifest_drop_constraint(root, "v_nonneg")
+    M.manifest_alter_schema(root, rename={"v": "val"})  # now fine
+    # the remaining constraint still enforces under the new schema
+    with pytest.raises(ValueError, match="k_pos"):
+        M.manifest_append(
+            spark.createDataFrame([(-1, 5)], "k long, val long"), root
+        )
+
+
+def test_manifest_constraints_survive_vacuum_and_clone(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.range(1, 10).select(F.col("id").alias("k")), root
+    )
+    M.manifest_add_constraint(spark, root, "k_pos", "k > 0")
+    M.manifest_compact(spark, root, target_files=1)
+    M.manifest_vacuum(root, keep_from_version=M.latest_version(root))
+    # the alter-constraint doc is below the horizon; the checkpoint
+    # carries the set
+    assert M.constraints_of(root) == {"k_pos": "k > 0"}
+    with pytest.raises(ValueError, match="k_pos"):
+        M.manifest_append(
+            spark.createDataFrame([(0,)], "k long"), root
+        )
+
+    dst = str(tmp_path / "clone")
+    M.manifest_clone(root, dst)
+    assert M.constraints_of(dst) == {"k_pos": "k > 0"}
+    with pytest.raises(ValueError, match="k_pos"):
+        M.manifest_append(spark.createDataFrame([(-3,)], "k long"), dst)
+
+
+def test_catalog_txn_append_enforces_constraints(spark, tmp_path):
+    """A violating half aborts the WHOLE transaction at stage time —
+    nothing visible in either table."""
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "roll")
+    M.manifest_init(fact)
+    M.manifest_init(roll)
+    M.manifest_append(
+        spark.createDataFrame([(1, 1)], "k long, v long"), fact
+    )
+    M.manifest_add_constraint(spark, fact, "v_pos", "v > 0")
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"fact": fact, "roll": roll})
+
+    t = C.CatalogTransaction(cat)
+    t.append("roll", spark.createDataFrame([(1,)], "n long"))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(
+            "fact",
+            spark.createDataFrame([(2, -1)], "k long, v long"),
+        )
+    t.abort()
+    assert M.read_snapshot(spark, fact).count() == 1
+    assert C.catalog_latest(cat) == 0
