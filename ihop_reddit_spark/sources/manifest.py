@@ -57,6 +57,7 @@ import copy
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -130,6 +131,10 @@ def _commit_version(path: str, doc: dict) -> int:
     os.link is create-if-absent on POSIX — the one concurrency primitive
     the protocol needs (conditional PUT on an object store)."""
     version = doc["version"]
+    # wall-clock commit stamp (epoch ns) for timestamp time travel;
+    # readers make the series monotone (version_at_timestamp), so clock
+    # jitter between writers never flips resolution order vs versions
+    doc.setdefault("committed_at", time.time_ns())
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-v{version:08d}-{os.getpid()}.json")
@@ -1232,11 +1237,40 @@ def manifest_append(
     )
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Resolve an epoch-seconds timestamp to the table version visible
+    at that instant — Delta's ``TIMESTAMP AS OF`` grain. Commit stamps
+    are made MONOTONE before resolution (each version's effective time
+    is the max stamp seen so far), so writer clock jitter can never
+    order timestamp travel differently from version travel. Raises when
+    ``ts`` precedes the first commit; a ``ts`` past the head resolves to
+    the head (the Delta convention is an error — here the head read is
+    what every caller of a live table wants)."""
+    best = None
+    eff = 0.0
+    for v in list_versions(path):
+        doc = read_version_doc(path, v)
+        # compare in float seconds on BOTH sides: callers hold float
+        # timestamps, and ns-vs-float mixing loses the boundary (2^53
+        # < epoch ns) — the symmetric conversion keeps `ts == stamp/1e9`
+        # resolving inclusively
+        eff = max(eff, int(doc.get("committed_at", 0)) / 1e9)
+        if eff <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} precedes the first commit at {path}"
+            " (or the table predates commit stamps)"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     *,
+    as_of_timestamp: float | None = None,
     prune: dict | None = None,
     prune_eq: dict | None = None,
     with_pos: bool = False,
@@ -1271,7 +1305,17 @@ def read_snapshot(
     row. A caller that reads state, decides which rows to retire, and
     commits the retirement (``manifest_evict_admit``) positions its
     evictions from THIS scan instead of paying a second positioning
-    scan inside the delete."""
+    scan inside the delete.
+
+    ``as_of_timestamp`` (epoch seconds) resolves through
+    :func:`version_at_timestamp` — timestamp time travel; mutually
+    exclusive with ``version``."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR as_of_timestamp, not both"
+            )
+        version = version_at_timestamp(path, as_of_timestamp)
 
     def _empty() -> DataFrame:
         s = schema

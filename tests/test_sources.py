@@ -2505,3 +2505,52 @@ def test_catalog_txn_append_enforces_constraints(spark, tmp_path):
     t.abort()
     assert M.read_snapshot(spark, fact).count() == 1
     assert C.catalog_latest(cat) == 0
+
+
+def test_manifest_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commit stamps resolve monotonically even when a
+    writer's clock regressed, boundaries are inclusive, pre-first-commit
+    raises, and vacuum keeps the base stamp."""
+    import json as _json
+    import time as _time
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 5).select("id"), root)
+    t1 = M.read_version_doc(root, 1)["committed_at"] / 1e9
+    _time.sleep(0.01)
+    M.manifest_append(spark.range(5, 9).select("id"), root)
+
+    # clock REGRESSION: rewrite v2's stamp earlier than v1's
+    p2 = M._version_doc_path(root, 2)
+    d2 = _json.load(open(p2))
+    d2["committed_at"] = int(t1 * 1e9) - 5_000_000
+    _json.dump(d2, open(p2, "w"))
+    M._VERSION_DOC_CACHE.clear()
+
+    # monotone resolution: at t1 the table is v1 OR LATER-with-earlier-
+    # stamp — the effective series clamps v2 to t1, so ts==t1 sees v2
+    assert M.version_at_timestamp(root, t1) == 2
+    # just before t1: only v0/v1 existed; v1's stamp <= t1 by def
+    assert M.version_at_timestamp(root, t1 - 0.001) <= 1
+    # far future resolves to head; pre-creation raises
+    assert M.version_at_timestamp(root, _time.time() + 3600) == 2
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        M.version_at_timestamp(root, 1.0)
+
+    assert (
+        M.read_snapshot(
+            spark, root, as_of_timestamp=_time.time() + 60
+        ).count()
+        == 9
+    )
+    with pytest.raises(ValueError, match="not both"):
+        M.read_snapshot(spark, root, 1, as_of_timestamp=t1)
+
+    # vacuum: the checkpoint keeps the base version's original stamp
+    M.manifest_compact(spark, root, target_files=1)
+    head = M.latest_version(root)
+    M.manifest_vacuum(root, keep_from_version=head)
+    assert "committed_at" in M.read_version_doc(root, head)
