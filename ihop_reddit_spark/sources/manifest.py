@@ -3352,3 +3352,64 @@ def manifest_clone(
                 except FileNotFoundError:
                     pass
         raise
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit history as a DataFrame — Delta's ``DESCRIBE
+    HISTORY`` grain, answered from the MANIFEST ALONE (no data file is
+    opened at any table size): one row per version with the operation,
+    wall-clock commit time, file/row deltas, and the provenance fields
+    the other layers stamp (stream batch ids, catalog transaction tags,
+    clone sources). Newest first."""
+    rows = []
+    for v in reversed(list_versions(path)):
+        doc = read_version_doc(path, v)
+        rc = doc.get("row_counts", {})
+        txn = doc.get("catalog_txn")
+        rows.append(
+            (
+                v,
+                doc.get("operation", "append"),
+                int(doc.get("committed_at", 0)) / 1e9 or None,
+                len(doc.get("added", [])),
+                len(doc.get("removed", [])),
+                sum(rc.values()) if rc else None,
+                sum(doc.get("dv_targets", {}).values()) or None,
+                doc.get("stream_batch_id"),
+                f"{txn['catalog']}@v{txn['catalog_version']}"
+                if txn
+                else None,
+                doc.get("clone_source"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, committed_at double,"
+        " n_files_added int, n_files_removed int, rows_added long,"
+        " rows_deleted long, stream_batch_id long, catalog_txn string,"
+        " clone_source string",
+    )
+
+
+def changes_between_timestamps(
+    spark: SparkSession,
+    path: str,
+    since_ts: float,
+    until_ts: float | None = None,
+) -> DataFrame:
+    """Timestamp form of :func:`read_changes`: rows that became live in
+    the version range ``(version_at(since_ts), version_at(until_ts)]``
+    — both endpoints resolved through the monotone commit-stamp series,
+    so the range means "changes a reader who last looked at ``since_ts``
+    has not yet seen". ``since_ts`` before the first commit means
+    "everything"."""
+    try:
+        lo = version_at_timestamp(path, since_ts)
+    except ValueError:
+        lo = 0
+    hi = (
+        None
+        if until_ts is None
+        else version_at_timestamp(path, until_ts)
+    )
+    return read_changes(spark, path, lo, hi)

@@ -2554,3 +2554,52 @@ def test_manifest_timestamp_time_travel(spark, tmp_path):
     head = M.latest_version(root)
     M.manifest_vacuum(root, keep_from_version=head)
     assert "committed_at" in M.read_version_doc(root, head)
+
+
+def test_describe_history_and_timestamp_changes(spark, tmp_path):
+    """DESCRIBE HISTORY is metadata-only and carries every layer's
+    provenance stamps; timestamp-range change feeds resolve through the
+    monotone stamp series."""
+    import time as _time
+
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    t0 = _time.time()
+    M.manifest_append(
+        spark.range(0, 10).withColumn("v", F.col("id")), root,
+        extra={"stream_batch_id": 3},
+    )
+    t1 = _time.time()
+    _time.sleep(0.01)
+    M.manifest_append(spark.range(10, 25).withColumn("v", F.col("id")), root)
+    M.manifest_delete_rows(spark, root, F.col("id") == 4)
+
+    h = {r["version"]: r for r in M.describe_history(spark, root).collect()}
+    assert h[0]["operation"] == "init"
+    assert h[1]["operation"] == "append" and h[1]["rows_added"] == 10
+    assert h[1]["stream_batch_id"] == 3
+    assert h[2]["rows_added"] == 15
+    assert h[3]["operation"] == "rowdelete"
+    assert h[3]["rows_deleted"] == 1
+    assert h[1]["committed_at"] >= t0
+
+    # catalog txn tag surfaces in history
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"t": root})
+    tx = C.CatalogTransaction(cat)
+    tx.append("t", spark.range(25, 30).withColumn("v", F.col("id")))
+    tx.commit()
+    h2 = M.describe_history(spark, root).collect()[0]
+    assert h2["catalog_txn"] and h2["catalog_txn"].endswith("@v1")
+
+    # timestamp change feed: everything after t1 = second append + txn
+    got = sorted(
+        r["id"]
+        for r in M.changes_between_timestamps(spark, root, t1).collect()
+    )
+    assert got == list(range(10, 30))
+    # pre-creation since_ts means everything (minus the deleted row)
+    assert M.changes_between_timestamps(spark, root, 1.0).count() == 29
