@@ -40,7 +40,11 @@ atomicity case that dominates practice: fact + rollup + index written
 together). Rewriting ops (delete/compact) depend on the table state
 they were computed against and stay single-table — their own doc-level
 transaction already covers them. ``append`` validates against the
-table's schema at stage time and re-validates at materialization.
+table's schema at stage time; materialization defers to any NEWER
+table schema (metadata-only evolution landing between the catalog doc
+and roll-forward stays in force — staged files read correctly through
+the stable physical names), carrying the stage-time schema only as
+provenance.
 
 Consistent cross-table READS: ``catalog_pins`` resolves a catalog
 version to one version per table — every table as of the SAME
@@ -195,17 +199,39 @@ def roll_forward(cat: str) -> dict[int, dict[str, int]]:
         assigned: dict[str, int] = {}
         for name, payload in sorted(doc["txn"].items()):
             path = tables[name]
-            done = _find_materialized(path, cat, cv)
+            done = None
             while done is None:
+                # head is read BEFORE the idempotency scan: a concurrent
+                # roll-forwarder materializing this same txn between the
+                # scan and our commit lands at head+1 first, our
+                # create-if-absent conflicts, and the rescan finds its
+                # tag — the scan-then-read order would instead commit
+                # the same payload twice at two different versions
                 head = M.latest_version(path)
+                done = _find_materialized(path, cat, cv)
+                if done is not None:
+                    break
                 try:
+                    # a schema-bearing commit newer than the stage wins:
+                    # committing the stage-time schema verbatim would
+                    # silently REVERT an interleaved alter_schema. The
+                    # staged files are still correct under the newer
+                    # schema (physical names never change; added columns
+                    # read as NULL, widened types promote natively), so
+                    # the materialized doc carries schema=None unless the
+                    # table has no schema at all yet; the stage-time
+                    # schema is kept as provenance.
+                    cur_schema = M._schema_of(path, head)
                     M._commit_version(
                         path,
                         {
                             "version": head + 1,
                             "parent": head,
                             "operation": "append",
-                            "schema": payload["schema"],
+                            "schema": payload["schema"]
+                            if cur_schema is None
+                            else None,
+                            "staged_schema": payload["schema"],
                             "added": payload["added"],
                             "removed": [],
                             "stats": payload["stats"],
@@ -254,11 +280,15 @@ def read_catalog_table(
     version: int | None = None,
 ) -> DataFrame:
     """Read ``table`` at its catalog pin — cross-table consistent with
-    every other table read at the same catalog ``version``."""
+    every other table read at the same catalog ``version``. A pin that
+    fell below the table's retention horizon (vacuum folded the pinned
+    doc into a checkpoint) clamps to the oldest retained version — the
+    checkpoint that absorbed the pinned rows — instead of silently
+    reading an empty prefix."""
     pins = catalog_pins(cat, version)
-    return M.read_snapshot(
-        spark, catalog_tables(cat)[table], pins[table]
-    )
+    path = catalog_tables(cat)[table]
+    pin = max(pins[table], M.list_versions(path)[0])
+    return M.read_snapshot(spark, path, pin)
 
 
 class CatalogTransaction:
@@ -322,7 +352,22 @@ class CatalogTransaction:
         if not self._payloads:
             raise ValueError("empty transaction")
         last: Exception | None = None
+        sbid = (extra or {}).get("stream_batch_id")
         for _ in range(max_retries):
+            # exactly-once closure for streams, checked on EVERY attempt
+            # (not just after a lost race): a concurrent delivery of the
+            # same micro-batch may have committed at any point after our
+            # staging — landing it again would double-apply the batch
+            if sbid is not None:
+                for cv in catalog_versions(self.cat):
+                    if (
+                        read_catalog_doc(self.cat, cv).get(
+                            "stream_batch_id"
+                        )
+                        == sbid
+                    ):
+                        self.abort()  # our stage is the duplicate
+                        return cv
             head = catalog_latest(self.cat)
             try:
                 cv = _commit_catalog_doc(
@@ -345,12 +390,19 @@ class CatalogTransaction:
         ) from last
 
 
-def catalog_vacuum_orphans(cat: str) -> int:
+def catalog_vacuum_orphans(cat: str, *, min_age_seconds: float = 86400) -> int:
     """Reclaim staged files from transactions that died BEFORE their
     catalog doc (never-visible orphans): delete any data file in an
     enrolled table that no table version doc AND no committed catalog
     payload references. Returns files deleted. Runs roll-forward first
-    so committed-but-unapplied payloads are materialized, not swept."""
+    so committed-but-unapplied payloads are materialized, not swept.
+
+    ``min_age_seconds`` is the LIVE-TRANSACTION grace window (the Delta
+    vacuum-retention discipline): a file younger than it is assumed to
+    belong to an in-flight transaction that has staged but not yet
+    committed, and is left alone — without it, a sweep racing a live
+    ``CatalogTransaction`` would delete files its about-to-publish
+    catalog doc references."""
     roll_forward(cat)
     deleted = 0
     staged_by_catalog: dict[str, set[str]] = {}
@@ -372,10 +424,18 @@ def catalog_vacuum_orphans(cat: str) -> int:
             continue
         for batch in os.listdir(data_root):
             bdir = os.path.join(data_root, batch)
+            import time as _time
+
             for f in os.listdir(bdir):
                 rel = f"data/{batch}/{f}"
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(bdir, f))
+                fp = os.path.join(bdir, f)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and _time.time() - os.stat(fp).st_mtime
+                    >= min_age_seconds
+                ):
+                    os.unlink(fp)
                     deleted += 1
             if not os.listdir(bdir):
                 os.rmdir(bdir)

@@ -1255,7 +1255,11 @@ def version_at_timestamp(path: str, ts: float) -> int:
         # < epoch ns) — the symmetric conversion keeps `ts == stamp/1e9`
         # resolving inclusively
         eff = max(eff, int(doc.get("committed_at", 0)) / 1e9)
-        if eff <= ts:
+        # eff == 0 means no commit at-or-before v carries a stamp (the
+        # table predates commit stamps): such versions can never satisfy
+        # a timestamp query — without this, a stampless table resolves
+        # EVERY timestamp to head, contradicting the error contract
+        if eff and eff <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -3401,12 +3405,12 @@ def changes_between_timestamps(
     the version range ``(version_at(since_ts), version_at(until_ts)]``
     — both endpoints resolved through the monotone commit-stamp series,
     so the range means "changes a reader who last looked at ``since_ts``
-    has not yet seen". ``since_ts`` before the first commit means
-    "everything"."""
-    try:
-        lo = version_at_timestamp(path, since_ts)
-    except ValueError:
-        lo = 0
+    has not yet seen". ``since_ts`` before the first commit raises
+    LOUDLY (read a full snapshot instead): silently mapping it to
+    version 0 would under-emit on tables whose version 0 itself carries
+    rows — a clone's entire snapshot lives in its v0 — the same
+    fail-loud rule read_changes applies to vacuumed ranges."""
+    lo = version_at_timestamp(path, since_ts)
     hi = (
         None
         if until_ts is None

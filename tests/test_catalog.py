@@ -99,9 +99,11 @@ def test_torn_txn_invisible_then_completed_by_reader(spark, tmp_path):
     assert n_staged == 2
     del t2  # "crash": no commit, no abort
     assert C.read_catalog_table(spark, cat, "fact").count() == 20
-    # the orphan sweep reclaims exactly the dead txn's files
-    assert C.catalog_vacuum_orphans(cat) > 0
-    assert C.catalog_vacuum_orphans(cat) == 0  # idempotent
+    # the default grace window protects a possibly-live transaction...
+    assert C.catalog_vacuum_orphans(cat) == 0
+    # ...and an expired one is reclaimed exactly once
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) > 0
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0
     # nothing visible was touched
     assert C.read_catalog_table(spark, cat, "fact").count() == 20
     assert M.read_snapshot(spark, roll).count() == 2
@@ -208,3 +210,87 @@ def test_roll_forward_never_reapplies_after_vacuum(spark, tmp_path):
     # and new transactions still work on the vacuumed tables
     _txn(spark, cat, 20, 25).commit()
     assert M.read_snapshot(spark, fact).count() == 25
+
+
+def test_pin_below_retention_horizon_clamps_to_checkpoint(spark, tmp_path):
+    """Review finding (r11s2): after a table's vacuum folds a pinned
+    version into its checkpoint, the catalog read must clamp to the
+    checkpoint (which holds the pinned rows) instead of silently
+    returning the empty below-horizon prefix."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 10).commit()
+    C.catalog_pins(cat)  # markers written at pin {fact:1, roll:1}
+    for p in (fact, roll):
+        M.manifest_compact(spark, p, target_files=1)
+        M.manifest_vacuum(p, keep_from_version=M.latest_version(p))
+    # marker still names the vacuumed version; the read clamps
+    assert C.read_catalog_table(spark, cat, "fact", 1).count() == 10
+    assert C.read_catalog_table(spark, cat, "roll", 1).count() == 1
+
+
+def test_roll_forward_respects_interleaved_schema_evolution(spark, tmp_path):
+    """Review finding (r11s2): an alter_schema landing between the
+    catalog doc and roll-forward must stay in force — materializing the
+    stage-time schema verbatim would silently revert it."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 5).commit()
+    t = _txn(spark, cat, 5, 10)
+    head = C.catalog_latest(cat)
+    C._commit_catalog_doc(
+        cat,
+        {"version": head + 1, "parent": head, "operation": "txn",
+         "txn": t._payloads},
+    )
+    # alter lands while the txn is committed-but-unapplied
+    M.manifest_alter_schema(fact, add=[("tier", "string")])
+    C.roll_forward(cat)
+    snap = M.read_snapshot(spark, fact)
+    assert "tier" in snap.columns  # the alter survived
+    assert snap.count() == 10
+    assert snap.where(F.col("tier").isNull()).count() == 10
+
+
+def test_concurrent_roll_forwarder_cannot_double_apply(spark, tmp_path):
+    """Review finding (r11s2): the head is pinned BEFORE the
+    idempotency scan. Simulate the losing interleaving: a 'concurrent'
+    roll-forwarder materializes the txn (and its marker is lost); the
+    second roll-forward must verify via the tag, never re-commit."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    t = _txn(spark, cat, 0, 10)
+    head = C.catalog_latest(cat)
+    C._commit_catalog_doc(
+        cat,
+        {"version": head + 1, "parent": head, "operation": "txn",
+         "txn": t._payloads},
+    )
+    # "concurrent winner": materialize fact's payload by hand, with tag
+    p = t._payloads["fact"]
+    M._commit_version(
+        fact,
+        {"version": 1, "parent": 0, "operation": "append",
+         "schema": p["schema"], "added": p["added"], "removed": [],
+         "stats": p["stats"], "row_counts": p["row_counts"],
+         "blooms": p["blooms"],
+         "catalog_txn": {"catalog": os.path.abspath(cat),
+                          "catalog_version": 1}},
+    )
+    applied = C.roll_forward(cat)
+    assert applied[1]["fact"] == 1  # verified, not re-applied
+    assert M.read_snapshot(spark, fact).count() == 10  # rows ONCE
+    assert M.read_snapshot(spark, roll).count() == 1
+
+
+def test_stream_guard_closes_check_then_act_race(spark, tmp_path):
+    """Review finding (r11s2): a concurrent delivery of the SAME
+    micro-batch wins the catalog race; the loser's commit must detect
+    the recorded stream_batch_id, abort its duplicate stage, and return
+    the winner's version — not retry the batch in twice."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    a = _txn(spark, cat, 0, 10)
+    b = _txn(spark, cat, 0, 10)  # same logical micro-batch
+    assert a.commit(extra={"stream_batch_id": 42}) == 1
+    assert b.commit(extra={"stream_batch_id": 42}) == 1  # winner's cv
+    assert C.catalog_latest(cat) == 1
+    assert M.read_snapshot(spark, fact).count() == 10  # not 20
+    # the loser's staged files were aborted, not leaked
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0

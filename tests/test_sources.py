@@ -2601,5 +2601,29 @@ def test_describe_history_and_timestamp_changes(spark, tmp_path):
         for r in M.changes_between_timestamps(spark, root, t1).collect()
     )
     assert got == list(range(10, 30))
-    # pre-creation since_ts means everything (minus the deleted row)
-    assert M.changes_between_timestamps(spark, root, 1.0).count() == 29
+    # pre-creation since_ts fails LOUDLY (a clone's v0 snapshot would
+    # otherwise be silently skipped — review finding r11s2)
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        M.changes_between_timestamps(spark, root, 1.0)
+
+
+def test_version_at_timestamp_stampless_table_raises(spark, tmp_path):
+    """Review finding (r11s2): a table whose docs predate commit stamps
+    must raise for ANY timestamp — not silently resolve to head."""
+    import json as _json
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(5).select("id"), root)
+    for v in M.list_versions(root):
+        p = M._version_doc_path(root, v)
+        d = _json.load(open(p))
+        d.pop("committed_at", None)
+        _json.dump(d, open(p, "w"))
+    M._VERSION_DOC_CACHE.clear()
+    import time as _time
+
+    with pytest.raises(ValueError, match="predates commit stamps"):
+        M.version_at_timestamp(root, _time.time())
