@@ -356,12 +356,20 @@ def _cmd_txn(args) -> None:
 
     spark = _session(args)
     t = C.CatalogTransaction(args.catalog)
-    for spec in args.append:
-        name, _, path = spec.partition("=")
-        if not path:
-            raise SystemExit(f"--append wants TABLE=PARQUET_PATH, got {spec!r}")
-        t.append(name, spark.read.parquet(path))
-    cv = t.commit()
+    try:
+        for spec in args.append:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(
+                    f"--append wants TABLE=PARQUET_PATH, got {spec!r}"
+                )
+            t.append(name, spark.read.parquet(path))
+        cv = t.commit()
+    except BaseException:
+        # a failed append/commit must not leak staged parquet until a
+        # vacuum's 24h grace window — abort() is pre-commit-safe
+        t.abort()
+        raise
     print(f"committed catalog version {cv} ({len(args.append)} tables)")
 
 

@@ -1574,10 +1574,15 @@ def jaro_winkler_scored_pairs(
         ),
     )
     # null-rejecting equi-join: rows with a NULL side miss and keep a
-    # NULL score, preserving the original contract
+    # NULL score. Spark's least/greatest SKIP nulls, so (NULL,'x')
+    # canonicalizes to ('x','x') and would equi-join a genuine
+    # identical pair's score — the explicit isNotNull guards keep
+    # NULL-sided rows from ever matching a scored row.
     out = pairs.join(
         scored,
-        (F.least(left_col, right_col) == F.col("__s1"))
+        F.col(left_col).isNotNull()
+        & F.col(right_col).isNotNull()
+        & (F.least(left_col, right_col) == F.col("__s1"))
         & (F.greatest(left_col, right_col) == F.col("__s2")),
         "left",
     )

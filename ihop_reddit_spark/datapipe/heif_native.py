@@ -306,6 +306,15 @@ def encode_rgb(
             ),
             "get_encoder",
         )
+        # x265 spins up a pools+frame-parallel thread complex PER
+        # ENCODER INSTANCE sized to the machine's cores; under Spark's
+        # per-partition Arrow workers that oversubscribes 32×32 and the
+        # pool setup dominates tiny encodes (measured 12× per-call:
+        # 118ms → 10ms, output byte-identical). Parallelism belongs to
+        # the PARTITIONS, so pin each instance single-threaded; a
+        # libheif without the x265: passthrough just ignores us.
+        lib.heif_encoder_set_parameter(enc, b"x265:pools", b"none")
+        lib.heif_encoder_set_parameter(enc, b"x265:frame-threads", b"1")
         if lossless:
             _check(lib.heif_encoder_set_lossless(enc, 1), "set_lossless")
         else:

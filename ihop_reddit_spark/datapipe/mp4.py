@@ -497,6 +497,19 @@ def decode_mp4(payload: bytes):
             for s in mp4.samples
         ]
     if mp4.codec.encode("latin1") in _COMPRESSED_CODECS:
+        # STUB boundary — H.264 (avc1) / VP9 (vp09) decode requires a
+        # system decoder in deployment. Container probe, 2026-08-16
+        # (round 12): ldconfig lists NONE of libopenh264 / libavcodec /
+        # libx264 / libvpx — the installed codec libraries are exactly
+        # the ones already bound (libde265→HEVC, dav1d/libaom→AV1,
+        # libwebp, librsvg), so there is nothing to bind via ctypes the
+        # way heif_native.py binds libde265. An in-tree H.264 decoder
+        # is out of honest reach for the same reason as MP3 (documented
+        # at datapipe/multimodal.py decode_audio): CABAC context tables
+        # are empirical constants and no encoder exists in the
+        # container to make conformance fixtures. Demux stays real
+        # (sample tables, avcC/vp09 config records); decode stays a
+        # loud, named stub.
         raise NotImplementedError(
             f"MP4 video codec {mp4.codec!r} requires libav in deployment;"
             " 'jpeg' (motion-JPEG) sample entries decode for real"

@@ -386,9 +386,18 @@ def kcore(
     fixpoint are no-ops, so a generous fixed unroll matches the exact
     fixpoint).
 
-    Scale shape per round: one degree aggregation + two semi-joins,
-    all AQE-decided equi-joins; ``localCheckpoint(eager=False)`` bounds
-    lineage; rounds are O(peel depth) — bounded by the degeneracy
+    Scale shape per round (r12 rewrite — the BFS one-action-per-round
+    discipline of 1d8b807 applied here): degrees update INCREMENTALLY
+    instead of being re-aggregated from the edge set. Each round drops
+    the ``bad`` nodes (current degree < k) and subtracts, per surviving
+    neighbor, the edges lost to them: ``bad`` shrinks to a handful of
+    nodes after the first peel, so every join against it is an
+    AQE-broadcast and the EDGE SET IS NEVER RESHUFFLED after the
+    initial dedup — the old shape exchanged the full edge set three
+    times per round (union-regroup degree + two semi-joins), which
+    made the peel scheduling-overhead-bound at bench scale and
+    shuffle-bound at cluster scale. ``localCheckpoint(eager=False)``
+    bounds lineage; rounds are O(peel depth) — the degeneracy
     ordering's layer count, single digits on co-occurrence graphs. The
     convergence probe is ONE count per round (nodes still below k).
     ``max_rounds`` is a loud guard, not a truncation: exceeding it
@@ -397,50 +406,82 @@ def kcore(
     Returns ``(node, core_degree)`` — survivors with their degree
     INSIDE the core subgraph. Empty frame when no k-core exists.
     """
+    # canonicalize in ONE pass: (least, greatest) per input row equals
+    # the both-directions-union + u<v filter but feeds the dedup half
+    # the rows (self-loops drop via u<v; instrumented r12: the edge
+    # build, not the peel, dominated this operator's wall clock)
     live = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
         .persist()
     )
-    scoped = [live]
-    try:
-        for _ in range(max_rounds):
-            deg = (
-                live.select(F.col("u").alias("node"))
-                .union(live.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("d"))
-                .persist()
+    deg = (
+        live.select(F.col("u").alias("node"))
+        .union(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    scoped = [live, deg]
+    for _ in range(max_rounds):
+        bad = deg.where(F.col("d") < k)
+        # FULL count, not limit(1): the probe doubles as the round's
+        # materialization barrier — it fills deg's cache (and live's
+        # lazy checkpoint) completely, so the next round's plan reads
+        # InMemoryRelations instead of re-deriving the whole join chain
+        if bad.count() == 0:
+            return register_scoped_persists(
+                deg.select(
+                    "node", F.col("d").cast("long").alias("core_degree")
+                ),
+                *scoped,
             )
-            scoped.append(deg)
-            if deg.where(F.col("d") < k).limit(1).count() == 0:
-                return register_scoped_persists(
-                    deg.select(
-                        "node", F.col("d").cast("long").alias("core_degree")
-                    ),
-                    *scoped,
-                )
-            keep = deg.where(F.col("d") >= k).select("node")
-            live = (
-                live.join(
-                    keep.withColumnRenamed("node", "u"), "u", "left_semi"
-                )
-                .join(
-                    keep.withColumnRenamed("node", "v"), "v", "left_semi"
-                )
-                .select("u", "v")
-                .localCheckpoint(eager=False)
+        bu = bad.select(F.col("node").alias("u"))
+        bv = bad.select(F.col("node").alias("v"))
+        # per-survivor count of edges lost to this round's drops: only
+        # the (bad, survivor) mixed edges matter — (bad, bad) edges
+        # vanish with both endpoints
+        loss = (
+            live.join(bu, "u", "left_semi")
+            .join(bv, "v", "left_anti")
+            .select(F.col("v").alias("node"))
+            .union(
+                live.join(bv, "v", "left_semi")
+                .join(bu, "u", "left_anti")
+                .select(F.col("u").alias("node"))
             )
-        raise ValueError(
-            f"k-core peel did not converge within max_rounds={max_rounds};"
-            " raise the bound (the oracle unroll must grow with it)"
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("loss"))
         )
-    finally:
-        pass
+        deg = (
+            deg.join(bad.select("node"), "node", "left_anti")
+            .join(loss, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("d") - F.coalesce(F.col("loss"), F.lit(0))
+                ).alias("d"),
+            )
+            # localCheckpoint, NOT persist: deg references deg AND live
+            # references deg (via bad), so without plan truncation the
+            # logical tree quadruples per round and the explain string
+            # alone OOMs the driver by round ~10; the checkpoint both
+            # caches the rows and resets the plan to a LogicalRDD leaf
+            .localCheckpoint(eager=False)
+        )
+        live = (
+            live.join(bu, "u", "left_anti")
+            .join(bv, "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    raise ValueError(
+        f"k-core peel did not converge within max_rounds={max_rounds};"
+        " raise the bound (the oracle unroll must grow with it)"
+    )
 
 
 def bfs_distances(

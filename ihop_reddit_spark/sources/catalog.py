@@ -211,6 +211,32 @@ def roll_forward(cat: str) -> dict[int, dict[str, int]]:
                 done = _find_materialized(path, cat, cv)
                 if done is not None:
                     break
+                # a CHECK constraint that landed on the table log AFTER
+                # this txn staged (table-log order puts it BEFORE our
+                # materialized version) must still gate these rows —
+                # stage-time verify can't have seen it. Verify only the
+                # delta vs the payload's recorded stage-time set; the
+                # common no-new-constraint path costs one dict compare.
+                delta = {
+                    n: e
+                    for n, e in M.constraints_of(path, head).items()
+                    if payload.get("constraints", {}).get(n) != e
+                }
+                if delta:
+                    spark = SparkSession.getActiveSession()
+                    if spark is None:
+                        raise RuntimeError(
+                            f"catalog roll-forward of {cat} v{cv} must"
+                            f" re-verify constraints {sorted(delta)} on"
+                            f" table {name!r} but no SparkSession is"
+                            " active"
+                        )
+                    M._verify_constraints(
+                        spark,
+                        path,
+                        [os.path.join(path, r) for r in payload["added"]],
+                        cons=delta,
+                    )
                 try:
                     # a schema-bearing commit newer than the stage wins:
                     # committing the stage-time schema verbatim would
@@ -327,11 +353,17 @@ class CatalogTransaction:
             "stats": stats,
             "row_counts": row_counts,
             "blooms": blooms,
+            # stage-time CHECK set: roll_forward re-verifies any
+            # constraint added between staging and materialization
+            "constraints": M.constraints_of(path),
         }
         self._stage_dirs.append((path, stage_dir))
 
     def abort(self) -> None:
-        """Delete this transaction's staged files (pre-commit only)."""
+        """Delete this transaction's staged files. A no-op once the
+        catalog doc has published (commit() disowns the stage dirs at
+        that point — the doc owns the files from then on), so callers
+        may safely abort() in a blanket cleanup handler."""
         for path, rel in self._stage_dirs:
             shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
         self._payloads.clear()
@@ -351,15 +383,53 @@ class CatalogTransaction:
         committed and the rollup half missing)."""
         if not self._payloads:
             raise ValueError("empty transaction")
+        # constraints that landed since stage time gate this txn's rows
+        # (table-log order puts them before our materialized version).
+        # Re-verify the delta pre-publish so the common case fails
+        # CLEAN — stage deleted, catalog untouched; the roll-forward
+        # guard covers the residual publish-time race window.
+        for table, payload in self._payloads.items():
+            path = self.tables[table]
+            delta = {
+                n: e
+                for n, e in M.constraints_of(path).items()
+                if payload.get("constraints", {}).get(n) != e
+            }
+            if delta:
+                spark = SparkSession.getActiveSession()
+                try:
+                    if spark is not None:
+                        M._verify_constraints(
+                            spark,
+                            path,
+                            [
+                                os.path.join(path, r)
+                                for r in payload["added"]
+                            ],
+                            cons=delta,
+                        )
+                except ValueError:
+                    self.abort()
+                    raise
         last: Exception | None = None
         sbid = (extra or {}).get("stream_batch_id")
         for _ in range(max_retries):
             # exactly-once closure for streams, checked on EVERY attempt
             # (not just after a lost race): a concurrent delivery of the
             # same micro-batch may have committed at any point after our
-            # staging — landing it again would double-apply the batch
+            # staging — landing it again would double-apply the batch.
+            # Head is read BEFORE the idempotency scan (the same
+            # discipline roll_forward documents): only versions <= head
+            # are scanned, so a duplicate that lands AFTER the head read
+            # forces our head+1 create-if-absent to conflict and the
+            # retry's rescan finds it — scanning first would let a
+            # duplicate slipping in between scan and head read advance
+            # the head and our commit land the batch twice.
+            head = catalog_latest(self.cat)
             if sbid is not None:
                 for cv in catalog_versions(self.cat):
+                    if cv > head:
+                        break
                     if (
                         read_catalog_doc(self.cat, cv).get(
                             "stream_batch_id"
@@ -368,7 +438,6 @@ class CatalogTransaction:
                     ):
                         self.abort()  # our stage is the duplicate
                         return cv
-            head = catalog_latest(self.cat)
             try:
                 cv = _commit_catalog_doc(
                     self.cat,
@@ -380,6 +449,10 @@ class CatalogTransaction:
                         **(extra or {}),
                     },
                 )
+                # the published doc now owns the staged files: a later
+                # abort() (e.g. a caller's cleanup handler reacting to
+                # a roll-forward error) must NOT delete them
+                self._stage_dirs.clear()
                 roll_forward(self.cat)
                 return cv
             except M.ConcurrentCommitError as exc:

@@ -340,17 +340,25 @@ def constraints_of(path: str, version: int | None = None) -> dict:
 
 
 def _verify_constraints(
-    spark: SparkSession, path: str, staged_dir: str
+    spark: SparkSession,
+    path: str,
+    staged_dir: str | list[str],
+    cons: dict | None = None,
 ) -> None:
-    """Enforce every CHECK constraint against one staged batch dir.
-    SQL-standard semantics: a row violates when the expression is
-    FALSE; UNKNOWN (NULL) passes — spell NOT NULL explicitly
-    (``col IS NOT NULL``) when null rejection is wanted. One combined
-    scan; per-constraint counts only on the failure path."""
-    cons = constraints_of(path)
+    """Enforce CHECK constraints against one staged batch (a dir, or
+    an explicit list of parquet paths). SQL-standard semantics: a row
+    violates when the expression is FALSE; UNKNOWN (NULL) passes —
+    spell NOT NULL explicitly (``col IS NOT NULL``) when null
+    rejection is wanted. One combined scan; per-constraint counts only
+    on the failure path. ``cons`` overrides the set checked (used by
+    catalog roll-forward to verify only the constraints added since
+    stage time)."""
+    if cons is None:
+        cons = constraints_of(path)
     if not cons:
         return
-    sdf = _to_logical(spark.read.parquet(staged_dir), _mapping_of(path))
+    paths = staged_dir if isinstance(staged_dir, list) else [staged_dir]
+    sdf = _to_logical(spark.read.parquet(*paths), _mapping_of(path))
     viol = [
         (name, ~F.coalesce(F.expr(expr), F.lit(True)))
         for name, expr in sorted(cons.items())
@@ -1502,9 +1510,11 @@ def read_changes(
       re-addressed to source coordinates through the output's recorded
       ``segments`` (affine segments by interval arithmetic; whole-file-
       survivors segments by re-ranking the sources minus the folded
-      vectors) — row-exact. Only outputs WITHOUT segments (legacy/full
-      ``manifest_compact``) or chained double-indirection still evict
-      at file grain (under-emission, never over-emission).
+      vectors) — row-exact, INCLUDING through chains of rewrites
+      (each hop re-addresses through its own recorded segments,
+      depth-bounded). Only outputs WITHOUT segments (legacy/full
+      ``manifest_compact``) still evict at file grain (under-emission,
+      never over-emission).
     * ``delete`` (``manifest_delete_where``, the file-targeted GDPR
       batch grain) is ROW-EXACT whenever its commit carries the
       ``dv_matched`` position vector (every commit written by this
@@ -1516,10 +1526,10 @@ def read_changes(
       hit files are wholly range-new, the survivor rewrite is emitted
       instead (fewer files, same rows). A hit file scanned VIA OTHER
       FILES nets row-exactly too when its creating commit recorded
-      segments (its matched rows translate to source coordinates and
-      its scans carry to the new survivor output); only segment-less
-      or double-indirect hits evict the files scanned on their behalf
-      wholesale — under-emission, never over-emission. Legacy delete
+      segments (its matched rows translate to source coordinates —
+      through chained rewrites too — and its scans carry to the new
+      survivor output); only segment-less hits evict the files scanned
+      on their behalf wholesale — under-emission, never over-emission. Legacy delete
       commits without ``dv_matched`` fall back to the same pure-only
       survivor rule with file-grain eviction elsewhere.
     """
@@ -1566,6 +1576,33 @@ def read_changes(
         else:
             target[file] = ranges
 
+    _MAX_CHAIN_HOPS = 8
+
+    def _chain_cover(t: str, depth: int = 0):
+        """Files a vector aimed at ``t`` can be re-addressed onto by
+        translating HOP BY HOP through recorded segments (r12 — closes
+        the former chained-double-indirection file-grain exit): each
+        hop's direct sources plus, for a source that is itself an
+        indirectly-scanned rewrite output, that source's own transitive
+        cover. Acceptance needs ``t``'s scan set inside the cover —
+        every scanned copy of a deleted row is then guaranteed to
+        receive its translated vector at assembly. Returns ``None``
+        when ``t`` has no recorded provenance; hops past the depth
+        guard contribute nothing (their leaves stay uncovered, so a
+        scan set that needs them falls back to file grain — matching
+        the assembly loop's own bound)."""
+        prov = indirect_prov.get(t)
+        if prov is None or depth >= _MAX_CHAIN_HOPS:
+            return None
+        cover: set = set(prov[2])
+        for src, _lo, _cnt in prov[0]:
+            cover.add(src)
+            if src not in scan_ranges and src in indirect_prov:
+                sub = _chain_cover(src, depth + 1)
+                if sub:
+                    cover |= sub
+        return cover
+
     def _evict(removed: set) -> tuple[dict, bool]:
         """Pop lineage for ``removed``; return ({scan file: ranges} to
         evict, every-removed-file-wholly-range-new?)."""
@@ -1591,15 +1628,20 @@ def read_changes(
             # (the vector's positions map back to source coordinates at
             # assembly — see ``_translated_dv``) and every file scanned
             # on its behalf is one of those sources at its own
-            # coordinates. Otherwise (segment-less mixed-rewrite
-            # output, chained double-indirection) the scan exits at
-            # file grain — under-emission, never the over-emission of a
-            # silently unapplied delete
+            # coordinates — hop by hop through chained rewrites
+            # (r12). Otherwise (segment-less mixed-rewrite output) the
+            # scan exits at file grain — under-emission, never the
+            # over-emission of a silently unapplied delete
             for t in doc.get("dv_targets", {}):
                 sd, _p = lineage.get(t, ({}, False))
                 if sd and set(sd) != {t}:
                     prov = indirect_prov.get(t)
-                    if prov is not None and set(sd) <= prov[2]:
+                    cover = _chain_cover(t)
+                    if (
+                        prov is not None
+                        and cover is not None
+                        and set(sd) <= cover
+                    ):
                         translate[t] = (prov[0], prov[1])
                         continue
                     scan, _ = _evict({t})
@@ -1701,9 +1743,9 @@ def read_changes(
             # A hit scanned via OTHER files nets row-exactly too when
             # its creating commit recorded segments — its matched rows
             # translate to source coordinates like any other vector on
-            # an indirect target — and its underlying scans carry over
-            # to the survivor outputs' lineage; only segment-less /
-            # double-indirect hits still exit at file grain
+            # an indirect target, through chained rewrites too — and
+            # its underlying scans carry over to the survivor outputs'
+            # lineage; only segment-less hits still exit at file grain
             in_scan = [r for r in removed if r in scan_ranges]
             unmapped = [
                 r
@@ -1715,7 +1757,12 @@ def read_changes(
             for r in unmapped:
                 prov = indirect_prov.get(r)
                 sd_r, _pr = lineage[r]
-                if prov is not None and set(sd_r) <= prov[2]:
+                cover = _chain_cover(r)
+                if (
+                    prov is not None
+                    and cover is not None
+                    and set(sd_r) <= cover
+                ):
                     translate[r] = (prov[0], prov[1])
                     lineage.pop(r)
                     for f, rg in sd_r.items():
@@ -1791,14 +1838,53 @@ def read_changes(
         if range_dvs:
             base_dvf = _dv_frame(spark, path, sorted(set(range_dvs)))
             dvf = base_dvf
-            for t in sorted(translate):
-                segs, folded = translate[t]
-                extra = _translated_dv(
-                    spark, path, schema, t, segs, folded,
-                    base_dvf, set(scan_ranges), mapping,
-                )
-                if extra is not None:
-                    dvf = dvf.unionByName(extra)
+            scanned_set = set(scan_ranges)
+            # hop-by-hop chain translation (r12): rows re-addressed onto
+            # an INTERMEDIATE rewrite output (itself indirectly scanned)
+            # re-enter the worklist with that output's own recorded
+            # provenance, so vectors compose through chained rewrites —
+            # affine and whole-file-survivors hops alike. Bounded by the
+            # same depth guard the acceptance cover uses, so an accepted
+            # target always drains before the bound.
+            work = [
+                (t, *translate[t], base_dvf) for t in sorted(translate)
+            ]
+            for _hop in range(_MAX_CHAIN_HOPS):
+                nxt: list = []
+                for t, segs, folded, src_frame in work:
+                    hop_files = sorted(
+                        {
+                            s
+                            for s, _lo, _cnt in segs
+                            if s not in scanned_set
+                            and s in indirect_prov
+                        }
+                    )
+                    extra = _translated_dv(
+                        spark, path, schema, t, segs, folded,
+                        src_frame, scanned_set | set(hop_files), mapping,
+                    )
+                    if extra is None:
+                        continue
+                    if hop_files:
+                        dvf = dvf.unionByName(
+                            extra.where(~F.col("file").isin(hop_files))
+                        )
+                        for m in hop_files:
+                            p = indirect_prov[m]
+                            nxt.append(
+                                (
+                                    m,
+                                    p[0],
+                                    p[1],
+                                    extra.where(F.col("file") == m),
+                                )
+                            )
+                    else:
+                        dvf = dvf.unionByName(extra)
+                if not nxt:
+                    break
+                work = nxt
             return _apply_dvs(scanned, dvf)
         return scanned.drop("__dv_file", "__dv_pos")
     read_schema = (
@@ -2325,6 +2411,221 @@ def manifest_merge_upsert(
         [stage_dir] + ([dv_dir] if added_dv else []),
     )
     return version, n_replaced, n_appended
+
+
+def manifest_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str | list[str],
+    *,
+    matched_update: dict | None = None,
+    matched_update_condition=None,
+    matched_delete_condition=None,
+    not_matched_insert: bool = False,
+    not_matched_insert_condition=None,
+    not_matched_by_source_delete: bool = False,
+    not_matched_by_source_delete_condition=None,
+    dv_target_files: int = 1,
+    extra: dict | None = None,
+) -> tuple[int, int, int, int]:
+    """Full conditional ``MERGE INTO`` (the Delta/Iceberg MERGE grain —
+    reference parity for the CDC-apply step users otherwise script as
+    delete+update+insert passes), ONE atomic merge-on-read commit:
+
+    * ``WHEN MATCHED [AND matched_delete_condition] THEN DELETE`` —
+      evaluated FIRST (the CDC tombstone pattern); matched rows
+      satisfying it are vectored out with no post-image.
+    * ``WHEN MATCHED [AND matched_update_condition] THEN UPDATE SET
+      matched_update`` — remaining matched rows are vectored out and
+      re-appended with the SET expressions applied. Conditions and SET
+      values are Column expressions (or SQL strings) over the aliased
+      join: target columns as ``t.<col>``, source columns as
+      ``s.<col>`` — e.g. ``{"v": F.expr("s.v")}``.
+    * ``WHEN NOT MATCHED [AND not_matched_insert_condition] THEN
+      INSERT`` (``not_matched_insert=True``) — source-only rows insert;
+      the source must carry every target column. Condition over
+      ``s.<col>``.
+    * ``WHEN NOT MATCHED BY SOURCE [AND ..._condition] THEN DELETE``
+      (``not_matched_by_source_delete=True``) — target-only rows are
+      vectored out (the sync/mirror pattern). Condition over PLAIN
+      target column names (no source side exists for these rows).
+
+    All four clause outputs land in ONE version doc via
+    :func:`manifest_evict_admit` (vector + staged batch), so a reader
+    sees the pre- or post-merge table, never a torn one; untouched
+    files stay byte-identical and cost is one positioning scan + writes
+    proportional to the AFFECTED rows — the 100 TB MERGE shape. SQL-
+    standard NULL semantics: a condition evaluating NULL does not fire
+    its clause. Rows already dead under a live deletion vector never
+    resurrect. Like Delta, a merge REFUSES (ValueError, no commit) when
+    more than one source row tries to modify the same target row — a
+    nondeterministic merge is a bug, not a tie to break. The caller
+    must not let a rewrite run between scan and commit (the
+    evict-admit coordinate contract). ``read_change_feed`` replays the
+    merge as delete(pre-image) rows plus insert(post-image/new) rows.
+
+    Returns ``(version, n_updated, n_deleted, n_inserted)``; no commit
+    (head returned) when no clause fires."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    def _cond(c):
+        return F.expr(c) if isinstance(c, str) else c
+
+    head = latest_version(path)
+    files = live_files(path, head)
+    schema = _schema_of(path, head)
+    if schema is None and files:
+        raise ValueError(f"no schema recorded at {path}")
+    if not files:
+        # empty target: only the NOT MATCHED insert clause can fire
+        if not not_matched_insert:
+            return head, 0, 0, 0
+        ins = source
+        if not_matched_insert_condition is not None:
+            c = not_matched_insert_condition
+            ins = source.alias("s").where(
+                F.coalesce(F.expr(c) if isinstance(c, str) else c,
+                           F.lit(False))
+            )
+        version, _e, n_ins = manifest_evict_admit(
+            spark, path, hits=None, df=ins,
+            dv_target_files=dv_target_files, extra=extra,
+        )
+        return version, 0, 0, n_ins if version != head else 0
+    dv_files, dv_targets = live_dv_state(path, head)
+    live = _scan_with_pos(
+        spark, path, files, schema, _mapping_of(path, head)
+    )
+    if dv_files and dv_targets:
+        live = _apply_dvs(
+            live, _dv_frame(spark, path, dv_files), keep_pos=True
+        )
+    data_cols = [
+        c for c in live.columns if c not in ("__dv_file", "__dv_pos")
+    ]
+    if matched_update is not None:
+        unknown = [c for c in matched_update if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"matched_update assigns unknown columns {unknown}"
+            )
+    t = live.alias("t")
+    s = source.alias("s")
+    key = None
+    for k in on_cols:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        key = eq if key is None else (key & eq)
+    matched = t.join(s, key, "inner").persist()
+    try:
+        hit_parts: list[DataFrame] = []
+        updated = None
+        if matched_delete_condition is not None:
+            dc = F.coalesce(_cond(matched_delete_condition), F.lit(False))
+            mdel = matched.where(dc)
+            hit_parts.append(mdel.select("t.__dv_file", "t.__dv_pos"))
+        else:
+            dc = F.lit(False)
+            mdel = None
+        if matched_update is not None:
+            uc = (
+                F.coalesce(_cond(matched_update_condition), F.lit(False))
+                if matched_update_condition is not None
+                else F.lit(True)
+            )
+            mupd = matched.where(uc & ~dc)
+            hit_parts.append(mupd.select("t.__dv_file", "t.__dv_pos"))
+            updated = mupd.select(
+                *[
+                    _cond(matched_update[c]).alias(c)
+                    if c in matched_update
+                    else F.col(f"t.{c}").alias(c)
+                    for c in data_cols
+                ]
+            )
+        # Delta's multi-match refusal: >1 source row MODIFYING one
+        # target row is nondeterministic — check over the rows the
+        # matched clauses actually fire on
+        if hit_parts:
+            aff = hit_parts[0]
+            for p in hit_parts[1:]:
+                aff = aff.union(p)
+            n_dup = (
+                aff.groupBy("__dv_file", "__dv_pos")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .count()
+            )
+            if n_dup:
+                raise ValueError(
+                    f"MERGE INTO refused: {n_dup} target row(s) are"
+                    " modified by more than one source row — dedupe the"
+                    " source on the merge key first"
+                )
+        inserts = None
+        if not_matched_insert:
+            missing = [c for c in data_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    "not_matched_insert requires the source to carry"
+                    f" every target column; missing {missing}"
+                )
+            src_only = s.join(
+                live.select(*on_cols).distinct(), on_cols, "left_anti"
+            )
+            if not_matched_insert_condition is not None:
+                src_only = src_only.where(
+                    F.coalesce(
+                        _cond(not_matched_insert_condition), F.lit(False)
+                    )
+                )
+            inserts = src_only.select(
+                *[F.col(c) for c in data_cols]
+            )
+        if not_matched_by_source_delete:
+            tgt_only = live.join(
+                source.select(*on_cols).distinct(), on_cols, "left_anti"
+            )
+            if not_matched_by_source_delete_condition is not None:
+                tgt_only = tgt_only.where(
+                    F.coalesce(
+                        _cond(not_matched_by_source_delete_condition),
+                        F.lit(False),
+                    )
+                )
+            hit_parts.append(tgt_only.select("__dv_file", "__dv_pos"))
+        hits = None
+        if hit_parts:
+            hits = hit_parts[0]
+            for p in hit_parts[1:]:
+                hits = hits.union(p)
+            hits = hits.select(
+                F.col("__dv_file"), F.col("__dv_pos")
+            ).distinct()
+        admits = None
+        if updated is not None and inserts is not None:
+            admits = updated.unionByName(inserts)
+        elif updated is not None:
+            admits = updated
+        elif inserts is not None:
+            admits = inserts
+        n_updated = updated.count() if updated is not None else 0
+        version, n_evicted, n_admitted = manifest_evict_admit(
+            spark,
+            path,
+            hits=hits,
+            df=admits,
+            dv_target_files=dv_target_files,
+            extra=extra,
+        )
+        return (
+            version,
+            n_updated if version != head else 0,
+            (n_evicted - n_updated) if version != head else 0,
+            (n_admitted - n_updated) if version != head else 0,
+        )
+    finally:
+        matched.unpersist()
 
 
 def manifest_update_where(

@@ -294,3 +294,70 @@ def test_stream_guard_closes_check_then_act_race(spark, tmp_path):
     assert M.read_snapshot(spark, fact).count() == 10  # not 20
     # the loser's staged files were aborted, not leaked
     assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0
+
+
+def test_stream_guard_duplicate_landing_after_version_listing(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: commit() must read head FIRST and scan only versions
+    <= head for the stream_batch_id. A duplicate delivery landing right
+    AFTER a version listing is computed must force a create-if-absent
+    conflict and a rescan — the old scan-then-read-head order let the
+    duplicate advance the head so our commit landed the batch twice."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    a = _txn(spark, cat, 0, 10)
+    b = _txn(spark, cat, 0, 10)  # same logical micro-batch
+    real = C.catalog_versions
+    state = {"fired": False}
+
+    def versions_then_duplicate(c):
+        out = real(c)  # listing computed BEFORE the duplicate lands
+        if not state["fired"]:
+            state["fired"] = True
+            a.commit(extra={"stream_batch_id": 7})
+        return out
+
+    monkeypatch.setattr(C, "catalog_versions", versions_then_duplicate)
+    assert b.commit(extra={"stream_batch_id": 7}) == 1  # winner's cv
+    assert C.catalog_latest(cat) == 1
+    assert M.read_snapshot(spark, fact).count() == 10  # ONCE, not twice
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0
+
+
+def test_constraint_added_between_stage_and_commit_gates_txn(
+    spark, tmp_path
+):
+    """ADVICE r11: a CHECK constraint landing between staging and
+    commit still gates the txn's rows (table-log order puts the
+    constraint BEFORE the txn's materialized version). Pre-publish
+    failure is clean: catalog untouched, stage deleted."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    t = _txn(spark, cat, 0, 10)  # staged fact rows have v = id*2 <= 18
+    M.manifest_add_constraint(spark, fact, "v_small", "v < 10")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.commit()
+    assert C.catalog_latest(cat) == 0
+    assert not M.live_files(fact, M.latest_version(fact))
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0
+
+
+def test_roll_forward_reverifies_constraint_delta(spark, tmp_path):
+    """The publish-time residue of the same race: the catalog doc is
+    already committed when the constraint lands — roll_forward must
+    refuse to materialize the violating staged rows, and dropping the
+    constraint unblocks the write-ahead log."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    t = _txn(spark, cat, 0, 10)
+    C._commit_catalog_doc(
+        cat,
+        {"version": 1, "parent": 0, "operation": "txn",
+         "txn": t._payloads},
+    )
+    M.manifest_add_constraint(spark, fact, "v_small", "v < 10")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        C.roll_forward(cat)
+    assert not M.live_files(fact, M.latest_version(fact))  # nothing landed
+    M.manifest_drop_constraint(fact, "v_small")
+    C.roll_forward(cat)
+    assert M.read_snapshot(spark, fact).count() == 10
+    assert M.read_snapshot(spark, roll).count() == 1

@@ -304,3 +304,29 @@ def test_cli_clone_and_txn(spark, tmp_path, capsys):
     main(["clone", "--src", fact, "--dst", dst])
     assert "clone version 0" in capsys.readouterr().out
     assert M.read_snapshot(spark, dst).count() == 20
+
+
+def test_cli_txn_failure_aborts_stage(spark, tmp_path):
+    """ADVICE r11: a failing append/commit must abort the staged
+    parquet, not leak it until vacuum's 24h grace window."""
+    import pytest
+
+    from ihop_reddit_spark.cli import main
+    from ihop_reddit_spark.sources import catalog as C
+    from ihop_reddit_spark.sources import manifest as M
+
+    fact = str(tmp_path / "fact")
+    M.manifest_init(fact)
+    cat = str(tmp_path / "cat")
+    C.catalog_init(cat, {"fact": fact})
+    fpath = str(tmp_path / "f.parquet")
+    spark.range(5).write.parquet(fpath)
+    with pytest.raises(KeyError):
+        main([
+            "txn", "--catalog", cat,
+            "--append", f"fact={fpath}",
+            "--append", f"bogus={fpath}",  # not in the catalog
+        ])
+    assert C.catalog_latest(cat) == 0
+    # nothing orphaned: the fact stage was aborted on the failure path
+    assert C.catalog_vacuum_orphans(cat, min_age_seconds=0) == 0

@@ -1017,3 +1017,21 @@ def test_jaro_winkler_scored_pairs_nulls_and_passthrough(spark):
     }
     assert rows[(3, 4)] is None and rows[(5, 6)] is None
     assert rows[(1, 2)] == jaro_winkler("small ring", "small rings")
+
+
+def test_jaro_winkler_null_side_never_borrows_identical_pair_score(spark):
+    """ADVICE r11: Spark's least/greatest SKIP nulls, so (NULL,'x')
+    canonicalizes to ('x','x') and — without the isNotNull join guards
+    — would borrow a genuine identical pair's 1.0 score instead of
+    scoring NULL."""
+    from ihop_reddit_spark.datapipe.dedup import jaro_winkler_scored_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "x", "x"), (2, None, "x"), (3, "x", None)],
+        "k long, a string, b string",
+    )
+    out = jaro_winkler_scored_pairs(pairs, "a", "b").collect()
+    assert len(out) == 3  # no join fan-out
+    rows = {r["k"]: r["jw"] for r in out}
+    assert rows[1] == 1.0
+    assert rows[2] is None and rows[3] is None

@@ -2627,3 +2627,170 @@ def test_version_at_timestamp_stampless_table_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="predates commit stamps"):
         M.version_at_timestamp(root, _time.time())
+
+
+def test_manifest_changes_chained_double_indirection_row_exact(
+    spark, tmp_path
+):
+    """VERDICT r11 item 5: a delete whose hit file is indirect over
+    ANOTHER indirect file (survivor-of-survivor chains) used to exit at
+    file grain. The hop-by-hop chain translation re-addresses each
+    matched vector through every intermediate's recorded segments, so
+    THREE stacked delete_where survivors stay row-exact on both feed
+    sides."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(spark.range(0, 10).coalesce(1), root)  # v1 archive
+    since = 1
+    M.manifest_append(spark.range(10, 20).coalesce(1), root)  # v2 range
+    M.manifest_delete_where(spark, root, F.col("id") % 5 == 0)  # v3: S1
+    M.manifest_delete_where(spark, root, F.col("id") % 7 == 3)  # v4: S2
+    # v5 hits S2 — a survivor file indirect over S1, itself indirect
+    # over the originals (the formerly file-grain chained case)
+    v5, n5 = M.manifest_delete_where(spark, root, F.col("id") == 11)
+    assert n5 == 1
+    got = sorted(
+        r["id"] for r in M.read_changes(spark, root, since).collect()
+    )
+    assert got == [12, 13, 14, 16, 18, 19]
+    # one hop deeper: v6 hits S3 (indirect over S2 over S1)
+    v6, n6 = M.manifest_delete_where(spark, root, F.col("id") == 18)
+    assert n6 == 1
+    got = sorted(
+        r["id"] for r in M.read_changes(spark, root, since).collect()
+    )
+    assert got == [12, 13, 14, 16, 19]
+    snap = sorted(
+        r["id"] for r in M.read_snapshot(spark, root).collect()
+    )
+    assert snap == [
+        i for i in range(20)
+        if i % 5 != 0 and i % 7 != 3 and i not in (11, 18)
+    ]
+    feed = M.read_change_feed(spark, root, since)
+    dels = sorted(
+        r["id"]
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [0, 3, 5]  # only archive-visible matches replay
+    ins = sorted(
+        r["id"]
+        for r in feed.where(F.col("_change_type") == "insert").collect()
+    )
+    assert ins == got
+
+
+def test_manifest_merge_into_full_clauses(spark, tmp_path):
+    """Full conditional MERGE INTO: matched-delete evaluated first,
+    conditional matched-update with source-referencing SET, conditional
+    not-matched insert, conditional not-matched-by-source delete — all
+    in ONE commit, replayed by the change feed as delete+insert pairs."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    tgt = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    M.manifest_append(tgt.repartition(2), root)  # v1
+    since = 1
+    src = spark.createDataFrame(
+        [(k, k * 3) for k in range(0, 20, 2)] + [(100, 300), (101, 303)],
+        "k long, v long",
+    )
+    version, n_upd, n_del, n_ins = M.manifest_merge_into(
+        spark, root, src, "k",
+        matched_delete_condition="t.k % 10 = 0",
+        matched_update={"v": F.expr("s.v")},
+        matched_update_condition="s.v > t.v",
+        not_matched_insert=True,
+        not_matched_insert_condition="s.k < 101",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_delete_condition="k % 9 = 0",
+    )
+    assert version == 2  # ONE commit
+    assert (n_upd, n_del, n_ins) == (8, 3, 1)  # upd: evens-{0,10};
+    # del: matched {0,10} + unmatched-by-source {9}; ins: {100}
+    got = {
+        r["k"]: r["v"]
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    want = {}
+    for k in range(20):
+        if k in (0, 10, 9):
+            continue
+        want[k] = k * 3 if k % 2 == 0 else k * 2
+    want[100] = 300
+    assert got == want
+    # change feed: pre-images of every vectored row + post-images/new
+    feed = M.read_change_feed(spark, root, since)
+    pre = sorted(
+        (r["k"], r["v"])
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    assert pre == sorted(
+        [(0, 0), (10, 20), (9, 18)]
+        + [(k, 2 * k) for k in range(2, 20, 2) if k != 10]
+    )
+    post = sorted(
+        (r["k"], r["v"])
+        for r in feed.where(F.col("_change_type") == "insert").collect()
+    )
+    assert post == sorted(
+        [(100, 300)] + [(k, 3 * k) for k in range(2, 20, 2) if k != 10]
+    )
+
+
+def test_manifest_merge_into_guards(spark, tmp_path):
+    """Multi-match refusal (Delta semantics), duplicate not-matched
+    source rows still insert (no modification ambiguity), empty-target
+    insert-only path, no-op merge commits nothing."""
+    import pytest
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), root
+    )
+    dup = spark.createDataFrame(
+        [(1, 11), (1, 12)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="more than one source row"):
+        M.manifest_merge_into(
+            spark, root, dup, "k", matched_update={"v": F.expr("s.v")}
+        )
+    assert M.latest_version(root) == 1  # refused merge committed nothing
+    # duplicate source keys that only INSERT are fine (Delta allows)
+    dup_new = spark.createDataFrame(
+        [(7, 70), (7, 71)], "k long, v long"
+    )
+    v, n_upd, n_del, n_ins = M.manifest_merge_into(
+        spark, root, dup_new, "k", not_matched_insert=True
+    )
+    assert (n_upd, n_del, n_ins) == (0, 0, 2)
+    # no clause fires -> no commit
+    v2 = M.manifest_merge_into(
+        spark, root,
+        spark.createDataFrame([(999, 0)], "k long, v long"), "k",
+        matched_update={"v": F.expr("s.v")},
+    )
+    assert v2 == (v, 0, 0, 0)
+    # empty target: insert-only path
+    root2 = str(tmp_path / "empty")
+    M.manifest_init(root2)
+    M.manifest_append(
+        spark.createDataFrame([], "k long, v long"), root2
+    )
+    v3, _, _, n3 = M.manifest_merge_into(
+        spark, root2,
+        spark.createDataFrame([(5, 50)], "k long, v long"), "k",
+        not_matched_insert=True,
+    )
+    assert n3 == 1
+    assert [tuple(r) for r in M.read_snapshot(spark, root2).collect()] == [
+        (5, 50)
+    ]
