@@ -6116,6 +6116,65 @@ def stream_dv_deletes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r12: streaming CDC-APPLY through the full conditional MERGE
+# (streaming/events.merge_into_stream → manifest_merge_into): forget
+# requests land as the matched-DELETE clause, activity as an additive
+# matched-UPDATE, both halves of each micro-batch in ONE merge-on-read
+# commit carrying the stream batch id. The run is genuinely multi-batch
+# (3 staged source files, maxFilesPerTrigger=1) and is then REPLAYED
+# from a fresh checkpoint — exactly-once means the replay changes
+# nothing. The CDC algebra is batch-order-independent by construction
+# (additive updates, permanent tombstones), so the oracle is closed
+# form over the raw events: forgotten users absent, everyone else at
+# their total event count.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_merge_into_counts",
+    """
+    WITH fin AS (
+      SELECT user_id AS k, COUNT(*) AS v
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+      HAVING MAX(CASE WHEN event_type = 'purchase' AND user_id % 7 = 0
+                 THEN 1 ELSE 0 END) = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM fin
+    """,
+)
+def stream_merge_into_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..streaming.events import merge_into_stream
+
+    work = tempfile.mkdtemp(prefix="mani_minto_stream_")
+    try:
+        root = merge_into_stream(
+            spark, sf_dir, f"{work}/tbl", checkpoint_dir=f"{work}/ckpt"
+        )
+        # full replay from a FRESH checkpoint: every batch id is
+        # already committed, so the merge skips whole batches and the
+        # head is bit-identical (exactly-once, both clauses at once)
+        merge_into_stream(
+            spark, sf_dir, root, checkpoint_dir=f"{work}/ckpt2"
+        )
+        out = M.read_snapshot(spark, root).agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        rows = [tuple(r) for r in out.collect()]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -11768,6 +11827,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "manifest_chained_indirect_feed_counts",
     "merge_into_feed_counts",
+    "stream_merge_into_counts",
     "kcore_copurchase_parts",
     "hevc_mp4_decode_gate",
     "av1_mp4_decode_gate",

@@ -782,3 +782,101 @@ def catalog_txn_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def merge_into_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    *,
+    checkpoint_dir: str | None = None,
+    n_source_files: int = 3,
+) -> str:
+    """Streaming CDC-APPLY: each micro-batch merges into a manifest
+    state table through the full conditional MERGE
+    (:func:`~ihop_reddit_spark.sources.manifest.manifest_merge_into`) —
+    forget requests (purchase events of ``user_id % 7 == 0`` users, the
+    repo's GDPR shape) land as the matched-DELETE clause, everything
+    else as an additive matched-UPDATE (``v = t.v + s.n``), both halves
+    of every batch in ONE atomic merge-on-read commit with the stream
+    batch id recorded in it.
+
+    Exactly-once: a replayed batch id is skipped whole via
+    :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`
+    — there is no window where the batch's deletes landed but its
+    updates did not, because they are one commit. The CDC algebra is
+    deliberately batch-order-independent (additive updates; permanent
+    tombstones — no insert clause resurrects a forgotten user), so the
+    final state has a closed form over the raw events regardless of
+    how the source carves micro-batches.
+
+    The events slice is staged as ``n_source_files`` parquet files read
+    with ``maxFilesPerTrigger=1``, so the run exercises REAL multi-batch
+    sequencing, not a single-batch degenerate. Returns ``table_path``."""
+    import os
+
+    from ..sources import manifest as M
+    from ..sources.reddit import read_parquet_tables
+
+    ev = (
+        read_parquet_tables(spark, sf_dir, ["events"])["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type")
+    )
+    if not os.path.isdir(os.path.join(table_path, "_manifest")):
+        M.manifest_init(table_path)
+        seed = (
+            ev.select(F.col("user_id").alias("k"))
+            .distinct()
+            .withColumn("v", F.lit(0).cast("long"))
+        )
+        M.manifest_append(seed.repartition(4), table_path)
+
+    src_dir = (
+        f"{checkpoint_dir}_src"
+        if checkpoint_dir is not None
+        else os.path.join(table_path, "_cdc_src")
+    )
+    if not os.path.isdir(src_dir):
+        for b in range(n_source_files):
+            ev.where(
+                F.col("event_id") % n_source_files == b
+            ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in M.committed_stream_batches(table_path):
+            return  # replayed batch — both clauses already landed
+        src = batch_df.groupBy(
+            F.col("user_id").alias("k")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("user_id") % 7 == 0)
+                ).cast("int")
+            ).alias("forget"),
+        )
+        M.manifest_merge_into(
+            batch_df.sparkSession,
+            table_path,
+            src,
+            "k",
+            matched_delete_condition="s.forget = 1",
+            matched_update={"v": F.expr("t.v + s.n")},
+            extra={"stream_batch_id": int(batch_id)},
+        )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return table_path

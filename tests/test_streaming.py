@@ -765,3 +765,55 @@ def test_catalog_txn_stream_atomic_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got_fact == want and got_roll == want
+
+
+def test_merge_into_stream_multi_batch_and_replay(spark, sf_dir, tmp_path):
+    """Streaming CDC-apply via the full conditional MERGE: additive
+    updates accumulate across REAL micro-batches (3 source files,
+    maxFilesPerTrigger=1), forget requests delete atomically with the
+    same batch's updates, and a full replay from a fresh checkpoint
+    changes nothing (every batch id already committed)."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import merge_into_stream
+
+    root = merge_into_stream(
+        spark, sf_dir, str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    want = {
+        (r["k"], r["v"])
+        for r in ev.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("user_id") % 7 == 0)
+                ).cast("int")
+            ).alias("f"),
+        )
+        .where(F.col("f") == 0)
+        .select("k", "v")
+        .collect()
+    }
+    got = {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    assert got == want
+    assert len(M.committed_stream_batches(root)) >= 2  # real multi-batch
+    head = M.latest_version(root)
+    # full replay, fresh checkpoint: exactly-once, head untouched
+    merge_into_stream(
+        spark, sf_dir, root, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert M.latest_version(root) == head
+    assert {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, root).collect()
+    } == want
