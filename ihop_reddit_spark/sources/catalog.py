@@ -327,6 +327,7 @@ class CatalogTransaction:
         roll_forward(cat)
         self._payloads: dict[str, dict] = {}
         self._stage_dirs: list[tuple[str, str]] = []
+        self._committed: int | None = None
 
     def append(self, table: str, df: DataFrame) -> None:
         if table not in self.tables:
@@ -381,6 +382,13 @@ class CatalogTransaction:
         recorded id makes a multi-table micro-batch exactly-once —
         there is no window where a replay could find the fact half
         committed and the rollup half missing)."""
+        # a commit that already PUBLISHED its doc but raised afterwards
+        # (e.g. roll-forward hit a constraint delta) must not publish a
+        # second doc over the same staged files on retry — the rows
+        # would land twice; finish the roll-forward and return instead
+        if self._committed is not None:
+            roll_forward(self.cat)
+            return self._committed
         if not self._payloads:
             raise ValueError("empty transaction")
         # constraints that landed since stage time gate this txn's rows
@@ -451,8 +459,10 @@ class CatalogTransaction:
                 )
                 # the published doc now owns the staged files: a later
                 # abort() (e.g. a caller's cleanup handler reacting to
-                # a roll-forward error) must NOT delete them
+                # a roll-forward error) must NOT delete them, and a
+                # retried commit() must NOT publish a second doc
                 self._stage_dirs.clear()
+                self._committed = cv
                 roll_forward(self.cat)
                 return cv
             except M.ConcurrentCommitError as exc:

@@ -358,7 +358,23 @@ def _verify_constraints(
     if not cons:
         return
     paths = staged_dir if isinstance(staged_dir, list) else [staged_dir]
-    sdf = _to_logical(spark.read.parquet(*paths), _mapping_of(path))
+    if not paths:
+        return  # an empty staged batch has no rows to violate
+    # read under the table's CURRENT physical schema, not the files'
+    # own footer schema: a constraint referencing a column added after
+    # the batch was staged must see NULL (SQL UNKNOWN passes), not an
+    # unresolved-column error
+    schema = _schema_of(path)
+    mapping = _mapping_of(path)
+    read_schema = (
+        _physical_schema(schema, mapping)
+        if (schema is not None and mapping)
+        else schema
+    )
+    reader = (
+        spark.read if read_schema is None else spark.read.schema(read_schema)
+    )
+    sdf = _to_logical(reader.parquet(*paths), mapping)
     viol = [
         (name, ~F.coalesce(F.expr(expr), F.lit(True)))
         for name, expr in sorted(cons.items())
@@ -1867,6 +1883,11 @@ def read_changes(
                     if extra is None:
                         continue
                     if hop_files:
+                        # multi-consumed below (direct slice + one per
+                        # hop file): materialize ONCE — each filter
+                        # would otherwise re-run the whole translation,
+                        # including sentinel-segment source scans
+                        extra = extra.localCheckpoint(eager=True)
                         dvf = dvf.unionByName(
                             extra.where(~F.col("file").isin(hop_files))
                         )
@@ -2481,13 +2502,25 @@ def manifest_merge_into(
         # empty target: only the NOT MATCHED insert clause can fire
         if not not_matched_insert:
             return head, 0, 0, 0
-        ins = source
+        ins = source.alias("s")
         if not_matched_insert_condition is not None:
             c = not_matched_insert_condition
-            ins = source.alias("s").where(
+            ins = ins.where(
                 F.coalesce(F.expr(c) if isinstance(c, str) else c,
                            F.lit(False))
             )
+        if schema is not None:
+            # same projection discipline as the non-empty path: insert
+            # exactly the table columns, refuse a source missing any —
+            # helper columns (the CDC shape) must neither crash the
+            # schema check nor leak into the table
+            missing = [c for c in schema.names if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    "not_matched_insert requires the source to carry"
+                    f" every target column; missing {missing}"
+                )
+            ins = ins.select(*[F.col(c) for c in schema.names])
         version, _e, n_ins = manifest_evict_admit(
             spark, path, hits=None, df=ins,
             dv_target_files=dv_target_files, extra=extra,

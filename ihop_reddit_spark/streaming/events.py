@@ -838,10 +838,17 @@ def merge_into_stream(
         else os.path.join(table_path, "_cdc_src")
     )
     if not os.path.isdir(src_dir):
+        # stage-then-rename: a crash mid-staging must not leave a
+        # partial dir a rerun would mistake for the complete source
+        import shutil
+
+        tmp = f"{src_dir}.staging"
+        shutil.rmtree(tmp, ignore_errors=True)
         for b in range(n_source_files):
             ev.where(
                 F.col("event_id") % n_source_files == b
-            ).coalesce(1).write.mode("append").parquet(src_dir)
+            ).coalesce(1).write.mode("append").parquet(tmp)
+        os.rename(tmp, src_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -361,3 +361,56 @@ def test_roll_forward_reverifies_constraint_delta(spark, tmp_path):
     C.roll_forward(cat)
     assert M.read_snapshot(spark, fact).count() == 10
     assert M.read_snapshot(spark, roll).count() == 1
+
+
+def test_constraint_on_column_added_after_staging_passes_as_null(
+    spark, tmp_path
+):
+    """Review r12: the constraint-delta re-verify must read staged
+    files under the table's CURRENT schema — a CHECK on a column added
+    after staging sees NULL (SQL UNKNOWN passes), not an
+    unresolved-column crash; and an empty staged batch passes
+    trivially."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 5).commit()  # seed: fact now has a schema
+    t = _txn(spark, cat, 5, 15)
+    M.manifest_alter_schema(fact, add=[("c", "long")])
+    M.manifest_add_constraint(spark, fact, "c_pos", "c > 0")
+    cv = t.commit()  # staged rows have no c -> NULL -> passes
+    assert cv == 2
+    assert M.read_snapshot(spark, fact).count() == 15
+
+    # empty staged half + constraint delta: nothing to violate
+    t2 = C.CatalogTransaction(cat)
+    t2.append("fact", spark.range(0, 0).withColumn(
+        "v", F.col("id") * 2).withColumn("c", F.lit(1).cast("long")))
+    t2.append("roll", spark.createDataFrame([(99, 0)], "lo long, s long"))
+    M.manifest_add_constraint(spark, fact, "c_big", "c > 100")
+    assert t2.commit() == 3
+
+
+def test_commit_retry_after_post_publish_error_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12: commit() that raised AFTER publishing its doc must
+    not publish a second doc over the same staged files on retry — the
+    rows would land twice."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    t = _txn(spark, cat, 0, 10)
+    real = C.roll_forward
+    state = {"raised": False}
+
+    def boom_once(c):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("injected post-publish failure")
+        return real(c)
+
+    monkeypatch.setattr(C, "roll_forward", boom_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        t.commit()
+    assert C.catalog_latest(cat) == 1  # doc IS published
+    cv = t.commit()  # retry: same doc, no second publish
+    assert cv == 1
+    assert C.catalog_latest(cat) == 1
+    assert M.read_snapshot(spark, fact).count() == 10  # ONCE

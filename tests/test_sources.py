@@ -2794,3 +2794,40 @@ def test_manifest_merge_into_guards(spark, tmp_path):
     assert [tuple(r) for r in M.read_snapshot(spark, root2).collect()] == [
         (5, 50)
     ]
+
+
+def test_manifest_merge_into_empty_target_projects_helper_columns(
+    spark, tmp_path
+):
+    """Review r12: the empty-target insert path must project to the
+    table schema like the non-empty path — CDC helper columns neither
+    crash the schema check nor leak into the table."""
+    import pytest
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1),
+        root,
+    )
+    M.manifest_delete_where(spark, root, F.col("k") >= 0)  # now empty
+    assert not M.live_files(root, M.latest_version(root))
+    src = spark.createDataFrame(
+        [(2, 20, 1)], "k long, v long, helper long"
+    )
+    v, n_upd, n_del, n_ins = M.manifest_merge_into(
+        spark, root, src, "k", not_matched_insert=True
+    )
+    assert (n_upd, n_del, n_ins) == (0, 0, 1)
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == ["k", "v"]  # helper column did not leak
+    assert [tuple(r) for r in snap.collect()] == [(2, 20)]
+    # and a source MISSING a table column is refused
+    with pytest.raises(ValueError, match="missing"):
+        M.manifest_merge_into(
+            spark, root,
+            spark.createDataFrame([(3,)], "k long"), "k",
+            not_matched_insert=True,
+        )

@@ -84,13 +84,22 @@ def main() -> None:
     artifact = dict(base)
     artifact["queries"] = merged
     artifact["value"] = round(sum(merged.values()), 3)
-    # min-merge the extra sections bench.py reports, when present
+    # min-merge the extra sections bench.py reports, when present, and
+    # RECOMPUTE their *_total fields so the artifact stays internally
+    # consistent (run[0]'s totals would not sum to min-merged sections)
     for extra in ("streaming", "native", "shared_with_r01"):
         vals = [r.get(extra) for r in runs if r.get(extra) is not None]
         if vals and all(isinstance(v, dict) for v in vals):
-            artifact[extra] = {
-                q: min(v[q] for v in vals) for q in vals[0]
-            }
+            keys = set(vals[0])
+            if any(set(v) != keys for v in vals[1:]):
+                raise SystemExit(
+                    f"{extra!r} key sets differ across runs"
+                )
+            artifact[extra] = {q: min(v[q] for v in vals) for q in keys}
+            if f"{extra}_total" in artifact:
+                artifact[f"{extra}_total"] = round(
+                    sum(artifact[extra].values()), 3
+                )
         elif vals:
             artifact[extra] = min(vals)
     artifact["dispersion"] = {
