@@ -869,6 +869,11 @@ def test_catalog_txn_model_differential(
             # including this txn's own materialization
             pin_expect[head + 1] = None  # resolved at flush below
         elif op == "dead_staged":
+            # the constructor rolls forward too — the model must flush
+            # BEFORE recording later ops, or a torn txn would appear to
+            # materialize after a direct append it actually preceded
+            # (hypothesis-found model gap, r12)
+            flush_pending()
             t = C.CatalogTransaction(cat)
             t.append(rng.choice(["a", "b"]), df_of(batch(2)))
             # abandoned: neither committed nor aborted — must never
