@@ -499,8 +499,9 @@ def decode_mp4(payload: bytes):
     if mp4.codec.encode("latin1") in _COMPRESSED_CODECS:
         # STUB boundary — H.264 (avc1) / VP9 (vp09) decode requires a
         # system decoder in deployment. Container probe, 2026-08-16
-        # (round 12): ldconfig lists NONE of libopenh264 / libavcodec /
-        # libx264 / libvpx — the installed codec libraries are exactly
+        # (re-run round 13; first run round 12): ldconfig lists NONE
+        # of libopenh264 / libavcodec / libx264 / libvpx, and
+        # ctypes.util.find_library returns None for all four — the installed codec libraries are exactly
         # the ones already bound (libde265→HEVC, dav1d/libaom→AV1,
         # libwebp, librsvg), so there is nothing to bind via ctypes the
         # way heif_native.py binds libde265. An in-tree H.264 decoder

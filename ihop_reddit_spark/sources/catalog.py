@@ -60,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -105,6 +106,11 @@ def read_catalog_doc(cat: str, version: int) -> dict:
 
 def _commit_catalog_doc(cat: str, doc: dict) -> int:
     version = doc["version"]
+    # wall-clock commit stamp (epoch ns) for catalog timestamp time
+    # travel — same discipline as manifest._commit_version: readers
+    # make the series monotone (catalog_version_at_timestamp), so clock
+    # jitter between writers never flips resolution order vs versions
+    doc.setdefault("committed_at", time.time_ns())
     d = _cat_dir(cat)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-v{version:08d}-{os.getpid()}.json")
@@ -299,6 +305,68 @@ def catalog_pins(cat: str, version: int | None = None) -> dict[str, int]:
     return pins
 
 
+def catalog_version_at_timestamp(cat: str, ts: float) -> int:
+    """Resolve an epoch-seconds timestamp to the catalog version
+    visible at that instant — the catalog twin of
+    :func:`~ihop_reddit_spark.sources.manifest.version_at_timestamp`,
+    with the same monotone-stamp discipline (each version's effective
+    time is the max commit stamp seen so far, so writer clock jitter
+    never orders timestamp travel differently from version travel).
+    Raises when ``ts`` precedes the first commit or the catalog
+    predates commit stamps; a ``ts`` past the head resolves to head."""
+    best = None
+    eff = 0.0
+    for cv in catalog_versions(cat):
+        doc = read_catalog_doc(cat, cv)
+        # float seconds on both sides — ns-vs-float mixing loses the
+        # boundary (2^53 < epoch ns); see version_at_timestamp
+        eff = max(eff, int(doc.get("committed_at", 0)) / 1e9)
+        if eff and eff <= ts:
+            best = cv
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} precedes the first commit at catalog {cat}"
+            " (or the catalog predates commit stamps)"
+        )
+    return best
+
+
+def catalog_snapshot_asof(
+    spark: SparkSession,
+    cat: str,
+    *,
+    version: int | None = None,
+    as_of_timestamp: float | None = None,
+) -> dict[str, DataFrame]:
+    """EVERY table of the catalog at one consistent transaction
+    boundary — multi-table time travel, the transaction twin of
+    per-table ``manifest_timetravel``: ``{table: DataFrame}`` with each
+    table at its :func:`catalog_pins` pin AS OF catalog ``version``
+    (or the version resolved from ``as_of_timestamp``; mutually
+    exclusive; default head).
+
+    The pins are the catalog's TRANSACTIONAL state: a table whose
+    manifest advanced independently between catalog commits (a direct
+    ``manifest_append`` outside any transaction) reads at its pinned
+    transaction version — the direct commit is serialized AFTER the
+    pinned transaction and becomes visible only from the first catalog
+    version whose own transaction materialized on top of it, exactly
+    like Iceberg's catalog pointer vs orphan table metadata (module
+    docstring, "Consistent cross-table READS"). Pins below a table's
+    retention horizon clamp to the oldest retained version, as in
+    :func:`read_catalog_table`."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_timestamp, not both")
+        version = catalog_version_at_timestamp(cat, as_of_timestamp)
+    pins = catalog_pins(cat, version)
+    out: dict[str, DataFrame] = {}
+    for name, path in sorted(catalog_tables(cat).items()):
+        pin = max(pins[name], M.list_versions(path)[0])
+        out[name] = M.read_snapshot(spark, path, pin)
+    return out
+
+
 def read_catalog_table(
     spark: SparkSession,
     cat: str,
@@ -339,8 +407,17 @@ class CatalogTransaction:
             )
         path = self.tables[table]
         M._check_schema(df, path)
+        # constraint snapshot taken ONCE, before staging: the same dict
+        # is both verified against the staged files and recorded in the
+        # payload, so recorded == verified by construction. Reading a
+        # second snapshot after the _stage_stats/_rebuild_blooms jobs
+        # would let a constraint added in that window be recorded as
+        # seen yet never verified — and the commit()/roll_forward delta
+        # compare (which only re-verifies entries that DIFFER from the
+        # recorded set) would then skip it.
+        cons = M.constraints_of(path)
         stage_dir, added = M._stage_batch(
-            df, path, M.latest_version(path) + 1, verify=True
+            df, path, M.latest_version(path) + 1, verify=True, cons=cons
         )
         stats, row_counts = M._stage_stats(path, added)
         blooms = M._rebuild_blooms(
@@ -354,9 +431,9 @@ class CatalogTransaction:
             "stats": stats,
             "row_counts": row_counts,
             "blooms": blooms,
-            # stage-time CHECK set: roll_forward re-verifies any
-            # constraint added between staging and materialization
-            "constraints": M.constraints_of(path),
+            # the pre-stage snapshot verified above — roll_forward
+            # re-verifies any constraint added after it
+            "constraints": cons,
         }
         self._stage_dirs.append((path, stage_dir))
 
@@ -405,17 +482,29 @@ class CatalogTransaction:
             }
             if delta:
                 spark = SparkSession.getActiveSession()
+                if spark is None:
+                    # mirror roll_forward: publishing unverified would
+                    # leave a committed-but-unmaterializable txn that
+                    # wedges every catalog reader/writer (all of which
+                    # roll forward) until the constraint is dropped —
+                    # failing BEFORE publish is clean (stage aborted,
+                    # catalog untouched)
+                    self.abort()
+                    raise RuntimeError(
+                        f"catalog commit at {self.cat} must re-verify"
+                        f" constraints {sorted(delta)} on table"
+                        f" {table!r} but no SparkSession is active"
+                    )
                 try:
-                    if spark is not None:
-                        M._verify_constraints(
-                            spark,
-                            path,
-                            [
-                                os.path.join(path, r)
-                                for r in payload["added"]
-                            ],
-                            cons=delta,
-                        )
+                    M._verify_constraints(
+                        spark,
+                        path,
+                        [
+                            os.path.join(path, r)
+                            for r in payload["added"]
+                        ],
+                        cons=delta,
+                    )
                 except ValueError:
                     self.abort()
                     raise

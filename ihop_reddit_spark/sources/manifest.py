@@ -273,6 +273,7 @@ def _stage_batch(
     *,
     prefix: str = "b",
     verify: bool = False,
+    cons: dict | None = None,
 ) -> tuple[str, list[str]]:
     """Write ``df`` as an (immutable) batch directory for ``version``;
     return ``(rel_dir, part files)`` as root-relative paths. ``prefix``
@@ -313,7 +314,14 @@ def _stage_batch(
     df.write.parquet(out)
     if prefix == "b" and verify:
         try:
-            _verify_constraints(df.sparkSession, path, out)
+            # ``cons`` lets the caller pin the verified set to a
+            # snapshot it took BEFORE staging (catalog transactions
+            # record the verified set in the payload; reading it here,
+            # after the stage write, would let a constraint landing in
+            # that window be recorded as stage-time-seen yet never
+            # verified — the roll-forward delta compare would then
+            # skip it)
+            _verify_constraints(df.sparkSession, path, out, cons=cons)
         except Exception:
             shutil.rmtree(out, ignore_errors=True)
             raise
@@ -1906,6 +1914,24 @@ def read_changes(
                 if not nxt:
                     break
                 work = nxt
+            else:
+                # the loop exhausted its hop budget with targets still
+                # pending. _chain_cover's identical depth bound makes
+                # this unreachable TODAY (an accepted target always
+                # drains before the bound) — but that invariant lives
+                # in a different function, and if the two constants
+                # ever diverge, silently dropping the residual vectors
+                # would OVER-EMIT in the change feed (deleted rows
+                # emitted as inserts). Fail loudly instead.
+                if nxt:
+                    raise RuntimeError(
+                        f"chain translation at {path} exhausted"
+                        f" {_MAX_CHAIN_HOPS} hops with"
+                        f" {len(nxt)} targets still pending"
+                        f" ({sorted(t for t, *_ in nxt)[:5]}…) —"
+                        " _MAX_CHAIN_HOPS no longer matches"
+                        " _chain_cover's acceptance bound"
+                    )
             return _apply_dvs(scanned, dvf)
         return scanned.drop("__dv_file", "__dv_pos")
     read_schema = (
@@ -2447,6 +2473,7 @@ def manifest_merge_into(
     not_matched_insert_condition=None,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_delete_condition=None,
+    with_schema_evolution: bool = False,
     dv_target_files: int = 1,
     extra: dict | None = None,
 ) -> tuple[int, int, int, int]:
@@ -2486,6 +2513,19 @@ def manifest_merge_into(
     evict-admit coordinate contract). ``read_change_feed`` replays the
     merge as delete(pre-image) rows plus insert(post-image/new) rows.
 
+    ``with_schema_evolution=True`` (Delta's ``withSchemaEvolution()``
+    analog, scoped to the INSERT clause — the CDC-feed-grew-columns
+    case): source columns ABSENT from the target schema no longer
+    refuse; they widen the target additively in the SAME atomic commit
+    (nullable, older files read them as NULL — the
+    ``manifest_append(allow_additive=True)`` grain, with the identical
+    physical-name collision guard). Inserted rows carry their source
+    values; rows re-appended by the UPDATE clause carry NULL for the
+    new columns (``matched_update`` SET expressions still address
+    pre-evolution target columns only). ``read_change_feed`` replays
+    across the widen: pre-image deletes surface the old columns as
+    NULL, inserts carry the new values.
+
     Returns ``(version, n_updated, n_deleted, n_inserted)``; no commit
     (head returned) when no clause fires."""
     on_cols = [on] if isinstance(on, str) else list(on)
@@ -2493,6 +2533,11 @@ def manifest_merge_into(
     def _cond(c):
         return F.expr(c) if isinstance(c, str) else c
 
+    if with_schema_evolution and not not_matched_insert:
+        raise ValueError(
+            "with_schema_evolution requires not_matched_insert=True —"
+            " only the INSERT clause introduces new columns"
+        )
     head = latest_version(path)
     files = live_files(path, head)
     schema = _schema_of(path, head)
@@ -2520,10 +2565,14 @@ def manifest_merge_into(
                     "not_matched_insert requires the source to carry"
                     f" every target column; missing {missing}"
                 )
-            ins = ins.select(*[F.col(c) for c in schema.names])
+            keep = list(schema.names)
+            if with_schema_evolution:
+                keep += [c for c in source.columns if c not in keep]
+            ins = ins.select(*[F.col(c) for c in keep])
         version, _e, n_ins = manifest_evict_admit(
             spark, path, hits=None, df=ins,
             dv_target_files=dv_target_files, extra=extra,
+            allow_additive=with_schema_evolution,
         )
         return version, 0, 0, n_ins if version != head else 0
     dv_files, dv_targets = live_dv_state(path, head)
@@ -2537,6 +2586,18 @@ def manifest_merge_into(
     data_cols = [
         c for c in live.columns if c not in ("__dv_file", "__dv_pos")
     ]
+    # evolution columns: source-only columns that will widen the target
+    # (insert their source values; updated rows re-append NULL). The
+    # physical-name collision guard runs in manifest_evict_admit.
+    evo_cols = (
+        [
+            (f.name, f.dataType)
+            for f in source.schema.fields
+            if f.name not in data_cols
+        ]
+        if with_schema_evolution
+        else []
+    )
     if matched_update is not None:
         unknown = [c for c in matched_update if c not in data_cols]
         if unknown:
@@ -2574,7 +2635,10 @@ def manifest_merge_into(
                     if c in matched_update
                     else F.col(f"t.{c}").alias(c)
                     for c in data_cols
-                ]
+                ],
+                *[
+                    F.lit(None).cast(dt).alias(c) for c, dt in evo_cols
+                ],
             )
         # Delta's multi-match refusal: >1 source row MODIFYING one
         # target row is nondeterministic — check over the rows the
@@ -2613,7 +2677,8 @@ def manifest_merge_into(
                     )
                 )
             inserts = src_only.select(
-                *[F.col(c) for c in data_cols]
+                *[F.col(c) for c in data_cols],
+                *[F.col(c) for c, _dt in evo_cols],
             )
         if not_matched_by_source_delete:
             tgt_only = live.join(
@@ -2650,6 +2715,7 @@ def manifest_merge_into(
             df=admits,
             dv_target_files=dv_target_files,
             extra=extra,
+            allow_additive=bool(evo_cols),
         )
         return (
             version,
@@ -2908,6 +2974,7 @@ def manifest_evict_admit(
     bloom_bits: int = 1 << 17,
     bloom_hashes: int = 7,
     extra: dict | None = None,
+    allow_additive: bool = False,
 ) -> tuple[int, int, int]:
     """ATOMIC evict + admit in ONE commit: ``hits`` — rows to retire,
     PRE-POSITIONED as ``__dv_file``/``__dv_pos`` coordinate pairs from a
@@ -2932,12 +2999,37 @@ def manifest_evict_admit(
 
     The caller must not let a rewrite (compact/materialize) run between
     the positioning scan and this commit — coordinates address immutable
-    files, and a rewrite retires them. Returns
+    files, and a rewrite retires them. ``allow_additive`` permits NEW
+    columns in ``df`` (the MERGE schema-evolution path): the commit
+    records the widened schema, older files read the new columns as
+    NULL, with the same physical-name collision guard as
+    ``manifest_append``. Returns
     (version, n_evicted, n_admitted); no commit (head returned) if both
     halves are empty."""
     head = latest_version(path)
     if df is not None:
-        _check_schema(df, path)
+        _check_schema(df, path, allow_additive=allow_additive)
+        if allow_additive:
+            # same physical-name guard as manifest_append: a brand-new
+            # column stages under its own name — refuse names claimed
+            # by a renamed column's physical name or retired by a drop
+            # (the old files' bytes would leak into the new column)
+            stored = _schema_of(path, head)
+            if stored is not None:
+                amap = _mapping_of(path, head)
+                claimed = {
+                    amap.get(f.name, f.name) for f in stored.fields
+                } | set(_retired_of(path, head))
+                fresh = [
+                    c for c in df.columns if c not in set(stored.names)
+                ]
+                bad = [c for c in fresh if c in claimed]
+                if bad:
+                    raise ValueError(
+                        f"additive column(s) {bad} collide with physical"
+                        " names in use or retired; use"
+                        " manifest_alter_schema add= instead"
+                    )
     schema = _schema_of(path, head)
     version = head + 1
     stage_dirs: list[str] = []

@@ -801,9 +801,12 @@ def merge_into_stream(
     of every batch in ONE atomic merge-on-read commit with the stream
     batch id recorded in it.
 
-    Exactly-once: a replayed batch id is skipped whole via
-    :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`
-    — there is no window where the batch's deletes landed but its
+    Exactly-once: a replayed batch is skipped whole via
+    :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`,
+    keyed on the batch's SOURCE FILE identity (stable across
+    checkpoints — safe even when a fresh checkpoint re-enumerates the
+    files in a different order, where the raw batch id would not be) —
+    and there is no window where the batch's deletes landed but its
     updates did not, because they are one commit. The CDC algebra is
     deliberately batch-order-independent (additive updates; permanent
     tombstones — no insert clause resurrects a forgotten user), so the
@@ -839,15 +842,17 @@ def merge_into_stream(
     )
     if not os.path.isdir(src_dir):
         # stage-then-rename: a crash mid-staging must not leave a
-        # partial dir a rerun would mistake for the complete source
+        # partial dir a rerun would mistake for the complete source.
+        # ONE Spark job: repartitionByRange carves the slice into
+        # n_source_files range buckets written in a single pass (the
+        # old shape re-scanned the events table once per file).
         import shutil
 
         tmp = f"{src_dir}.staging"
         shutil.rmtree(tmp, ignore_errors=True)
-        for b in range(n_source_files):
-            ev.where(
-                F.col("event_id") % n_source_files == b
-            ).coalesce(1).write.mode("append").parquet(tmp)
+        ev.repartitionByRange(
+            n_source_files, "event_id"
+        ).write.parquet(tmp)
         os.rename(tmp, src_dir)
     stream = (
         spark.readStream.schema(ev.schema)
@@ -856,7 +861,21 @@ def merge_into_stream(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in M.committed_stream_batches(table_path):
+        # The idempotency key is derived from the SOURCE FILE identity
+        # of the batch, not the stream batch id: the batch-id→file
+        # mapping is pinned only by the streaming checkpoint, so
+        # resuming a PARTIALLY-completed run with a fresh checkpoint
+        # may enumerate the files in a different order — a never-
+        # applied file could then be skipped under an already-committed
+        # id while an applied file re-applies under a new id, and the
+        # additive ``v = t.v + s.n`` update is not idempotent. File
+        # basenames are stable across checkpoints by construction (the
+        # staged source dir is immutable once renamed into place).
+        files = sorted(
+            os.path.basename(f) for f in batch_df.inputFiles()
+        )
+        key = "files:" + ",".join(files) if files else int(batch_id)
+        if key in M.committed_stream_batches(table_path):
             return  # replayed batch — both clauses already landed
         src = batch_df.groupBy(
             F.col("user_id").alias("k")
@@ -876,7 +895,7 @@ def merge_into_stream(
             "k",
             matched_delete_condition="s.forget = 1",
             matched_update={"v": F.expr("t.v + s.n")},
-            extra={"stream_batch_id": int(batch_id)},
+            extra={"stream_batch_id": key},
         )
 
     writer = stream.writeStream.foreachBatch(merge_batch).trigger(
