@@ -134,11 +134,37 @@ R01_SHARED = [
 ]
 
 
+def _sentinel_sec() -> float:
+    """One pinned single-threaded CPU kernel (DuckDB, data-independent,
+    fixed size) timed best-of-2 — the box-speed sentinel (VERDICT r12
+    item 2). Every bench artifact carries its pre/post readings so
+    cross-round ABSOLUTE comparisons can be renormalized mechanically
+    (``tools/bench_compare.py``): when the same fixed kernel reads 1.4×
+    slower than another round, the box — not the code — drifted. The
+    kernel is CPU-bound and allocation-light, so it measures exactly
+    the resource Spark task slots contend for."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=1")
+    q = "SELECT sum(cast(i as hugeint)*i) FROM range(30000000) t(i)"
+    con.execute("SELECT sum(i) FROM range(100000) t(i)").fetchall()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     # session.py accepts '*' for this variable; shuffle.partitions needs an int
     shuffle_parts = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
+
+    sentinel_pre = _sentinel_sec()
 
     from ihop_reddit_spark.session import get_spark_session
 
@@ -241,6 +267,15 @@ def main() -> None:
         "native": native,
         "native_total": round(sum(native.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # post-run sentinel BEFORE spark.stop(): it must see the same box
+    # conditions the measured queries saw (executors still resident)
+    sentinel_post = _sentinel_sec()
+    result["sentinel"] = {
+        "pre": sentinel_pre,
+        "post": sentinel_post,
+        "min": min(sentinel_pre, sentinel_post),
+        "kernel": "duckdb threads=1 sum(i*i) range(30e6) best-of-2",
     }
     if errors:
         # survivors' total is still reported above; failures are explicit

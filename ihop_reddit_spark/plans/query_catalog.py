@@ -53,6 +53,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: VERDICT r12 item 6 — the one guarded chokepoint for every gate-side
+#: driver collect in this module. Gate outputs are k/support-bounded by
+#: construction (aggregates, per-version counters, sketch frames); the
+#: guard makes that bound EXPLICIT and enforced: the transfer itself is
+#: capped via limit(cap+1), so even a violating plan cannot flood the
+#: driver — it raises with the query name instead. Scalar
+#: ``.agg(...).collect()[0]`` sites (provably 1 row, no groupBy) do not
+#: route through here.
+_GATE_COLLECT_CAP = 2048
+
+
+def _collect_rows(df: DataFrame, cap: int = _GATE_COLLECT_CAP, what: str = ""):
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise AssertionError(
+            f"gate collect {what or 'result'} exceeded its {cap}-row"
+            " bound — a gate output became data-proportional"
+        )
+    return rows
+
+
 #: Event-time storage dispatch lives in functions/event_time.py — the ONE
 #: place that knows whether events.ts is LONG nanoseconds (legacy
 #: TIMESTAMP(NANOS) under nanosAsLong) or a Spark timestamp type (parquet
@@ -2066,7 +2087,7 @@ def stream_histogram_quantiles(spark, sf_dir):
         # materialize the (support-sized) quantile frame so the work dir
         # — partials parquet + checkpoint — can be deleted instead of
         # accumulating across harness runs
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2522,7 +2543,7 @@ def cluster_greedy_max_match(spark, sf_dir):
     cont = contingency_table(
         _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
     )
-    rows = [(r[0], r[1], r[2]) for r in cont.collect()]
+    rows = [(r[0], r[1], r[2]) for r in _collect_rows(cont)]
     result = greedy_max_match(rows)
     return spark.createDataFrame(
         [(c1, int(c2), int(n)) for c1, c2, n in result["pairs"]],
@@ -2557,7 +2578,7 @@ def greedy_match_invariants_gate(spark, sf_dir):
     cont = contingency_table(
         _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
     )
-    rows = [(r[0], r[1], r[2]) for r in cont.collect()]
+    rows = [(r[0], r[1], r[2]) for r in _collect_rows(cont)]
     result = greedy_max_match(rows)
     pairs = result["pairs"]
     cell = {(c1, c2): n for c1, c2, n in rows}
@@ -3330,7 +3351,7 @@ def manifest_incremental_dedup_pairs(spark, sf_dir):
             "jaccard",
         ).where(F.col("new_id") % 2 != F.col("indexed_id") % 2)
         out = cand.join(cross, ["new_id", "indexed_id"])
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
         cand.unpersist()
     finally:
@@ -4692,7 +4713,7 @@ def manifest_timetravel_counts(spark, sf_dir):
                 )
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -4815,7 +4836,7 @@ def manifest_dv_lifecycle_counts(spark, sf_dir):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -4938,7 +4959,7 @@ def stream_manifest_appends(spark, sf_dir):
             .cast("long")
             .alias("sum_value_cents"),
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5049,7 +5070,7 @@ def manifest_merge_upsert_counts(spark, sf_dir):
                 aggs(M.read_snapshot(spark, root, 1), "timetravel_seed")
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5132,7 +5153,7 @@ def manifest_change_feed_counts(spark, sf_dir):
                 F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5220,7 +5241,7 @@ def manifest_changes_maintenance_counts(spark, sf_dir):
         M.manifest_compact(spark, t2, target_files=1)  # v3 PURE rewrite
         M.manifest_delete_where(spark, t2, F.col("c_custkey") % 7 == 2)  # v4
         out = feed_agg(t1, 1, "mixed").unionByName(feed_agg(t2, 0, "pure"))
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5292,7 +5313,7 @@ def manifest_segmented_feed_counts(spark, sf_dir):
                 F.sum("k").cast("long").alias("sum_key"),
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5361,7 +5382,7 @@ def manifest_indirect_vector_feed_counts(spark, sf_dir):
                 F.sum("k").cast("long").alias("sum_key"),
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5439,7 +5460,7 @@ def manifest_chained_indirect_feed_counts(spark, sf_dir):
                 F.sum("k").cast("long").alias("sum_key"),
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5506,7 +5527,7 @@ def manifest_update_feed_counts(spark, sf_dir):
             F.sum("v").cast("long").alias("sum_v"),
         )
         out = feed.unionByName(snap)
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5618,7 +5639,7 @@ def manifest_schema_evolution_counts(spark, sf_dir):
             F.count(F.col("tier")),
         )
         out = head.unionByName(tt).unionByName(feed).unionByName(readd)
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5720,7 +5741,7 @@ def manifest_clone_divergence_counts(spark, sf_dir):
                 )
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -5938,7 +5959,7 @@ def constraint_gated_ingest_counts(spark, sf_dir):
         ).select(
             "*", F.lit(rejected).cast("long").alias("n_rejected_writes")
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6031,7 +6052,7 @@ def stream_catalog_txn_counts(spark, sf_dir):
         out = f.join(r, "event_type").select(
             "event_type", "fact_n", "fact_cents", "roll_n", "roll_cents"
         )
-        rows = [tuple(x) for x in out.collect()]
+        rows = [tuple(x) for x in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6108,7 +6129,7 @@ def stream_dv_deletes(spark, sf_dir):
                 aggs(M.read_snapshot(spark, root, 1), "timetravel_seed")
             )
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6167,7 +6188,7 @@ def stream_merge_into_counts(spark, sf_dir):
             F.sum("k").cast("long").alias("sum_k"),
             F.sum("v").cast("long").alias("sum_v"),
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6240,7 +6261,7 @@ def sink_roundtrip_counts(spark, sf_dir):
         back_c = spark.read.csv(f"{work}/ev_csv", schema=schema)
         out = aggs(back_j, "jsonl").unionByName(aggs(back_c, "csv_bz2"))
         # materialize the 2-row result so the temp dir can be deleted
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -6831,7 +6852,7 @@ def stream_domain_quota(spark, sf_dir):
             cand, f"{work}/tbl", url_col="url", quota=5, salt="dq1"
         )
         out = M.read_snapshot(spark, root).select("doc_id", "url")
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -7276,7 +7297,7 @@ def _warc_roundtrip_pages_impl(spark, sf_dir, *, encoded: bool):
             ),
         )
         # materialize so the temp dir can be deleted (doc-count-bounded)
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -8070,11 +8091,247 @@ def merge_into_feed_counts(spark, sf_dir):
             F.sum("k").cast("long").alias("sum_k"),
             F.sum("v").cast("long").alias("sum_v"),
         )
-        rows = [tuple(r) for r in out.collect()]
+        rows = [tuple(r) for r in _collect_rows(out)]
         out_schema = out.schema
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# r13: MERGE schema evolution (manifest_merge_into with_schema_evolution
+# — Delta's withSchemaEvolution analog, INSERT-clause scope). The CDC
+# feed grew a column: the merge widens the target additively in the SAME
+# atomic commit — inserted rows carry the new column's source values,
+# updated rows re-append NULL for it, pre-widen time travel still
+# surfaces the 2-column schema, and read_change_feed replays correctly
+# ACROSS the widen (pre-image deletes read old files under the widened
+# schema as NULL). Oracle replays the clause algebra in closed form.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_schema_evolution_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    fin AS (
+      SELECT k, 2 * k AS v, CAST(NULL AS VARCHAR) AS seg
+      FROM cust WHERE k % 2 = 1
+      UNION ALL
+      SELECT k, 3 * k, NULL FROM cust WHERE k % 2 = 0 AND k % 10 <> 0
+      UNION ALL
+      SELECT k + 5000000, 3 * (k + 5000000), 'i'
+      FROM cust WHERE k % 7 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(COUNT(seg) AS BIGINT) AS n_seg,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cust WHERE k % 2 = 0)
+             AS feed_deletes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cust
+            WHERE k % 2 = 0 AND k % 10 <> 0)
+           + (SELECT CAST(COUNT(*) AS BIGINT) FROM cust WHERE k % 7 = 0)
+             AS feed_inserts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cust WHERE k % 7 = 0)
+             AS feed_ins_seg,
+           CAST(2 AS BIGINT) AS pre_widen_cols,
+           CAST(3 AS BIGINT) AS post_widen_cols
+    FROM fin
+    """,
+)
+def merge_schema_evolution_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") * 2).alias("v"),
+    )
+    # the grown CDC feed: matched half updates v, k%10 tombstones
+    # delete, source-only rows insert — and EVERY source row carries
+    # the new column the target does not have yet
+    src = (
+        cust.where(F.col("k") % 2 == 0)
+        .select("k", (F.col("k") * 3).alias("v"), F.lit("m").alias("seg"))
+        .unionByName(
+            cust.where(F.col("k") % 7 == 0).select(
+                (F.col("k") + 5000000).alias("k"),
+                ((F.col("k") + 5000000) * 3).alias("v"),
+                F.lit("i").alias("seg"),
+            )
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mani_mevo_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(cust.repartition(2), root)
+        base = M.latest_version(root)
+        ver, _u, _d, _i = M.manifest_merge_into(
+            spark, root, src, "k",
+            matched_delete_condition="t.k % 10 = 0",
+            matched_update={"v": F.expr("s.v")},
+            not_matched_insert=True,
+            with_schema_evolution=True,
+        )
+        snap = M.read_snapshot(spark, root, ver)
+        feed = M.read_change_feed(spark, root, base, ver)
+        s = snap.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.count("seg").cast("long").alias("n_seg"),
+        ).collect()[0]
+        f = feed.agg(
+            F.sum(
+                (F.col("_change_type") == "delete").cast("long")
+            ).alias("d"),
+            F.sum(
+                (F.col("_change_type") == "insert").cast("long")
+            ).alias("i"),
+            F.sum(
+                (
+                    (F.col("_change_type") == "insert")
+                    & F.col("seg").isNotNull()
+                ).cast("long")
+            ).alias("iseg"),
+        ).collect()[0]
+        pre_cols = len(M.read_snapshot(spark, root, base).columns)
+        post_cols = len(snap.columns)
+        rows = [
+            (
+                s["n_rows"], s["sum_v"], s["n_seg"],
+                f["d"], f["i"], f["iseg"],
+                pre_cols, post_cols,
+            )
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, sum_v long, n_seg long, feed_deletes long,"
+        " feed_inserts long, feed_ins_seg long, pre_widen_cols long,"
+        " post_widen_cols long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13: catalog-level time travel (catalog_snapshot_asof — multi-table
+# consistent snapshot AS OF a catalog version or timestamp, the
+# transaction twin of per-table manifest_timetravel). The fact table
+# ADVANCES INDEPENDENTLY between catalog commits (a direct
+# manifest_append outside any transaction): the cv1 snapshot must pin
+# BEFORE it (fact table-version 1) while the head snapshot's pin (3,
+# the cv2 transaction materialized on top) serializes it IN — the pins
+# column gates exactly that. The 'ts' rows resolve a wall-clock stamp
+# captured between the commits through catalog_version_at_timestamp.
+# Oracle replays the slice algebra on events.
+# ---------------------------------------------------------------------------
+@query(
+    "catalog_snapshot_asof_counts",
+    """
+    WITH ev AS (SELECT event_id FROM events),
+    s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS s
+           FROM ev WHERE event_id % 3 = 0),
+    s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS s
+           FROM ev WHERE event_id % 3 = 2),
+    al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS s FROM ev)
+    SELECT * FROM (
+      SELECT 'v1' AS label, 'fact' AS tbl, CAST(1 AS BIGINT) AS pin,
+             n AS n_rows, s AS agg FROM s0
+      UNION ALL SELECT 'v1', 'dim', 1, 1, (SELECT n FROM s0)
+      UNION ALL SELECT 'ts', 'fact', 1, (SELECT n FROM s0),
+                       (SELECT s FROM s0)
+      UNION ALL SELECT 'ts', 'dim', 1, 1, (SELECT n FROM s0)
+      UNION ALL SELECT 'head', 'fact', 3, (SELECT n FROM al),
+                       (SELECT s FROM al)
+      UNION ALL SELECT 'head', 'dim', 2, 2,
+                       (SELECT n FROM s0) + (SELECT n FROM s2)
+    )
+    """,
+)
+def catalog_snapshot_asof_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..sources import catalog as C
+    from ..sources import manifest as M
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    work = tempfile.mkdtemp(prefix="cat_asof_")
+    try:
+        fact = f"{work}/fact"
+        dim = f"{work}/dim"
+        cat = f"{work}/cat"
+        M.manifest_init(fact)
+        M.manifest_init(dim)
+        C.catalog_init(cat, {"fact": fact, "dim": dim})
+
+        def txn(s: int) -> None:
+            t = C.CatalogTransaction(cat)
+            part = ev.where(F.col("event_id") % 3 == s)
+            t.append("fact", part)
+            t.append(
+                "dim",
+                part.agg(
+                    F.lit(s).cast("long").alias("s"),
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                ).select("s", "n"),
+            )
+            t.commit()
+
+        txn(0)  # catalog v1
+        ts_mid = _time.time()  # between cv1 and cv2
+        # INDEPENDENT advance: a direct append outside any transaction
+        # (fact table-version 2) — catalog pins must serialize it AFTER
+        # cv1 (invisible at cv1/ts) and the cv2 txn materializes on top
+        # of it (visible from head)
+        M.manifest_append(ev.where(F.col("event_id") % 3 == 1), fact)
+        txn(2)  # catalog v2
+        rv = C.catalog_version_at_timestamp(cat, ts_mid)
+        if rv != 1:
+            raise AssertionError(
+                f"timestamp between cv1 and cv2 resolved to {rv}"
+            )
+        out_rows = []
+        for label, snap, pins in (
+            (
+                "v1",
+                C.catalog_snapshot_asof(spark, cat, version=1),
+                C.catalog_pins(cat, 1),
+            ),
+            (
+                "ts",
+                C.catalog_snapshot_asof(
+                    spark, cat, as_of_timestamp=ts_mid
+                ),
+                C.catalog_pins(cat, rv),
+            ),
+            (
+                "head",
+                C.catalog_snapshot_asof(spark, cat),
+                C.catalog_pins(cat),
+            ),
+        ):
+            fr = snap["fact"].agg(
+                F.count(F.lit(1)).cast("long"),
+                F.sum("event_id").cast("long"),
+            ).collect()[0]
+            dr = snap["dim"].agg(
+                F.count(F.lit(1)).cast("long"),
+                F.sum("n").cast("long"),
+            ).collect()[0]
+            out_rows.append((label, "fact", pins["fact"], fr[0], fr[1]))
+            out_rows.append((label, "dim", pins["dim"], dr[0], dr[1]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "label string, tbl string, pin long, n_rows long, agg long",
+    )
 
 
 @query(
@@ -10659,8 +10916,17 @@ def unigram_invariants_gate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     m = train_unigram(docs, "text", **_UNIGRAM_KW)
+    # the ONE corpus-dependent gate collect (distinct-word frame):
+    # vocab-scale by construction at bench SFs, but the bound is now
+    # explicit — 64k distinct words is far past any synthetic corpus
+    # here and still trivially driver-safe (VERDICT r12 item 6)
     corpus_words = [
-        r["word"] for r in word_frequencies(docs, "text").collect()
+        r["word"]
+        for r in _collect_rows(
+            word_frequencies(docs, "text"),
+            cap=65536,
+            what="unigram_invariants_gate word frame",
+        )
     ]
     corpus_chars = {c for w in corpus_words for c in w}
     vocab = set(m.counts)
@@ -11823,8 +12089,19 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ordering + constraint re-verify consumers, and the Jaro-Winkler
 # null-guarded join — then a re-sample of the r11 first-scored block,
 # then the stalest remainder. Reordering only.
+#
+# ROUND-13 rotation (EVIDENCE-FIRST): the two never-driver-sampled r13
+# queries lead (MERGE schema evolution, catalog AS-OF snapshots), then
+# every query whose code path changed this round — the merge/evict-admit
+# consumers (with_schema_evolution threading), the catalog-transaction
+# consumers (pre-stage constraint snapshot, no-session commit refusal,
+# commit stamps), the CDC stream (file-identity idempotency key +
+# single-pass staging), and the chain-translation consumers (hop-budget
+# assert) — then the stalest remainder from prior windows.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "merge_schema_evolution_counts",
+    "catalog_snapshot_asof_counts",
     "manifest_chained_indirect_feed_counts",
     "merge_into_feed_counts",
     "stream_merge_into_counts",

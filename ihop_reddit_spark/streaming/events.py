@@ -803,11 +803,14 @@ def merge_into_stream(
 
     Exactly-once: a replayed batch is skipped whole via
     :func:`~ihop_reddit_spark.sources.manifest.committed_stream_batches`,
-    keyed on the batch's SOURCE FILE identity (stable across
-    checkpoints — safe even when a fresh checkpoint re-enumerates the
-    files in a different order, where the raw batch id would not be) —
-    and there is no window where the batch's deletes landed but its
-    updates did not, because they are one commit. The CDC algebra is
+    keyed on the batch's CONTENT identity (the event_id min/max/count
+    of its deterministically-carved slice — stable across checkpoints
+    and across re-staged source dirs, so
+    resuming a partially-completed run with a fresh checkpoint that
+    re-enumerates the files in a different order stays safe, where the
+    raw batch id would not be) — and there is no window where the
+    batch's deletes landed but its updates did not, because they are
+    one commit. The CDC algebra is
     deliberately batch-order-independent (additive updates; permanent
     tombstones — no insert clause resurrects a forgotten user), so the
     final state has a closed form over the raw events regardless of
@@ -843,15 +846,19 @@ def merge_into_stream(
     if not os.path.isdir(src_dir):
         # stage-then-rename: a crash mid-staging must not leave a
         # partial dir a rerun would mistake for the complete source.
-        # ONE Spark job: repartitionByRange carves the slice into
-        # n_source_files range buckets written in a single pass (the
-        # old shape re-scanned the events table once per file).
+        # ONE Spark job: a hash repartition on the DETERMINISTIC bucket
+        # expression event_id % n carves the slice in a single pass
+        # (the old shape re-scanned the events table once per file).
+        # NOT repartitionByRange — its sampled boundaries vary run to
+        # run, and a re-staged source (fresh checkpoint dir) must carve
+        # into byte-identical slices so the content-identity keys below
+        # recognize already-applied batches.
         import shutil
 
         tmp = f"{src_dir}.staging"
         shutil.rmtree(tmp, ignore_errors=True)
-        ev.repartitionByRange(
-            n_source_files, "event_id"
+        ev.repartition(
+            n_source_files, F.col("event_id") % n_source_files
         ).write.parquet(tmp)
         os.rename(tmp, src_dir)
     stream = (
@@ -861,20 +868,27 @@ def merge_into_stream(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # The idempotency key is derived from the SOURCE FILE identity
-        # of the batch, not the stream batch id: the batch-id→file
-        # mapping is pinned only by the streaming checkpoint, so
-        # resuming a PARTIALLY-completed run with a fresh checkpoint
-        # may enumerate the files in a different order — a never-
-        # applied file could then be skipped under an already-committed
-        # id while an applied file re-applies under a new id, and the
-        # additive ``v = t.v + s.n`` update is not idempotent. File
-        # basenames are stable across checkpoints by construction (the
-        # staged source dir is immutable once renamed into place).
-        files = sorted(
-            os.path.basename(f) for f in batch_df.inputFiles()
-        )
-        key = "files:" + ",".join(files) if files else int(batch_id)
+        # The idempotency key is derived from the batch's CONTENT
+        # identity, not the stream batch id: the batch-id→file mapping
+        # is pinned only by the streaming checkpoint, so resuming a
+        # PARTIALLY-completed run with a fresh checkpoint may enumerate
+        # the source files in a different order — a never-applied file
+        # could then be skipped under an already-committed id while an
+        # applied file re-applies under a new id, and the additive
+        # ``v = t.v + s.n`` update is not idempotent. The staged source
+        # files are DISJOINT deterministic slices of the events table,
+        # so (min, max, count) of event_id identifies a batch uniquely
+        # (disjoint non-empty sets cannot share a minimum) regardless
+        # of enumeration order — and identically across re-staged
+        # source dirs. One cheap extra agg per micro-batch;
+        # ``inputFiles()`` is empty on streaming batch frames, so file
+        # names cannot serve as the key.
+        ident = batch_df.agg(
+            F.min("event_id"), F.max("event_id"), F.count(F.lit(1))
+        ).collect()[0]
+        if ident[2] == 0:
+            return  # empty batch: no clause could fire
+        key = f"slice:{ident[0]}:{ident[1]}:{ident[2]}"
         if key in M.committed_stream_batches(table_path):
             return  # replayed batch — both clauses already landed
         src = batch_df.groupBy(

@@ -414,3 +414,80 @@ def test_commit_retry_after_post_publish_error_is_idempotent(
     assert cv == 1
     assert C.catalog_latest(cat) == 1
     assert M.read_snapshot(spark, fact).count() == 10  # ONCE
+
+
+def test_catalog_snapshot_asof_version_and_timestamp(spark, tmp_path):
+    """Multi-table AS-OF snapshots: pins serialize an independent
+    direct-to-table append AFTER the pinned transaction; a wall-clock
+    timestamp between commits resolves through the monotone stamps."""
+    import time
+
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 0, 10).commit()  # cv1 -> fact v1
+    ts_mid = time.time()
+    # independent advance between catalog commits (fact v2)
+    M.manifest_append(
+        spark.range(100, 105).withColumn("v", F.col("id") * 2), fact
+    )
+    _txn(spark, cat, 10, 30).commit()  # cv2 -> fact v3
+
+    assert C.catalog_version_at_timestamp(cat, ts_mid) == 1
+    assert C.catalog_version_at_timestamp(cat, time.time()) == 2
+
+    s1 = C.catalog_snapshot_asof(spark, cat, version=1)
+    assert sorted(s1) == ["fact", "roll"]
+    # cv1: the direct append is NOT visible (pin is the cv1 txn doc)
+    assert s1["fact"].count() == 10
+    assert s1["roll"].count() == 1
+    st = C.catalog_snapshot_asof(spark, cat, as_of_timestamp=ts_mid)
+    assert st["fact"].count() == 10
+    # head: cv2's txn materialized ON TOP of the direct append, which
+    # is therefore serialized in
+    sh = C.catalog_snapshot_asof(spark, cat)
+    assert sh["fact"].count() == 10 + 5 + 20
+    assert sh["roll"].count() == 2
+    pins = C.catalog_pins(cat)
+    assert pins["fact"] == 3  # v2 was the direct append
+
+    with pytest.raises(ValueError, match="not both"):
+        C.catalog_snapshot_asof(
+            spark, cat, version=1, as_of_timestamp=ts_mid
+        )
+    with pytest.raises(ValueError, match="precedes"):
+        C.catalog_version_at_timestamp(cat, 1.0)
+
+
+def test_catalog_append_records_the_verified_constraint_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: the constraint set recorded in the payload must BE
+    the set verified at stage time — a constraint landing between the
+    stage-time verify and payload assembly must read as a DELTA (and be
+    re-verified at commit), never as already-seen."""
+    cat, fact, roll = _mk_tables(spark, tmp_path)
+    _txn(spark, cat, 1, 5).commit()
+
+    t = C.CatalogTransaction(cat)
+    real_stats = M._stage_stats
+
+    def add_constraint_mid_append(path, added):
+        # lands AFTER staging+verify, BEFORE payload assembly — the
+        # old second constraints_of read recorded it as seen
+        if not M.constraints_of(fact):
+            # passes the 4 pre-existing rows (v in 2..8), violates the
+            # staged batch (v in 10..14)
+            M.manifest_add_constraint(spark, fact, "v_cap", "v < 10")
+        return real_stats(path, added)
+
+    monkeypatch.setattr(M, "_stage_stats", add_constraint_mid_append)
+    t.append("fact", spark.range(5, 8).withColumn("v", F.col("id") * 2))
+    monkeypatch.setattr(M, "_stage_stats", real_stats)
+    # the payload must NOT claim the mid-window constraint was seen
+    assert "v_cap" not in t._payloads["fact"]["constraints"]
+    t.append("roll", spark.createDataFrame([(5, 0)], "lo long, s long"))
+    # commit's delta re-verify now catches the violation CLEAN:
+    # stage aborted, catalog untouched
+    with pytest.raises(ValueError, match="v_cap"):
+        t.commit()
+    assert C.catalog_latest(cat) == 1
+    assert M.read_snapshot(spark, fact).count() == 4

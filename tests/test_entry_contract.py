@@ -93,3 +93,29 @@ def test_no_query_ships_unsampled():
     assert set(qc._SCORING_DEMOTED) <= set(twins)
     for demoted, twin in twins.items():
         assert twin in scored, f"{demoted}'s twin {twin} was never scored"
+
+
+def test_gate_collects_are_bounded():
+    """VERDICT r12 item 6: every driver-side collect in the query
+    catalog is either the guarded helper itself, a provably-1-row
+    scalar aggregate (``.collect()[0]``), or routed through
+    _collect_rows — no gate collect is unbounded."""
+    import inspect
+
+    from ihop_reddit_spark.plans import query_catalog as qc
+
+    src = inspect.getsource(qc).splitlines()
+    bad = []
+    for i, line in enumerate(src, 1):
+        if ".collect()" not in line:
+            continue
+        if "_collect_rows(" in line:
+            continue  # routed through the guard
+        if ".collect()[0]" in line or (
+            i < len(src) and ").collect()[0]" in src[i]
+        ):
+            continue  # scalar aggregate: exactly one row by shape
+        if "limit(cap + 1)" in line:
+            continue  # the guard's own transfer, capped by limit
+        bad.append((i, line.strip()))
+    assert not bad, f"unguarded gate collects: {bad}"

@@ -2831,3 +2831,104 @@ def test_manifest_merge_into_empty_target_projects_helper_columns(
             spark.createDataFrame([(3,)], "k long"), "k",
             not_matched_insert=True,
         )
+
+
+def test_manifest_merge_into_schema_evolution(spark, tmp_path):
+    """with_schema_evolution (Delta withSchemaEvolution, INSERT scope):
+    extra source columns widen the target in the SAME atomic commit —
+    inserts carry source values, updated rows re-append NULL, pre-widen
+    time travel surfaces the old schema, and the change feed replays
+    across the widen."""
+    import pytest
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        root,
+    )
+    base = M.latest_version(root)
+    src = spark.createDataFrame(
+        [(2, 200, "b"), (3, 0, "c"), (4, 400, "d")],
+        "k long, v long, tag string",
+    )
+    ver, n_upd, n_del, n_ins = M.manifest_merge_into(
+        spark, root, src, "k",
+        matched_update={"v": F.expr("s.v")},
+        matched_delete_condition="s.v = 0",
+        not_matched_insert=True,
+        with_schema_evolution=True,
+    )
+    assert ver == base + 1  # ONE commit widened AND merged
+    assert (n_upd, n_del, n_ins) == (1, 1, 1)
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == ["k", "v", "tag"]
+    got = {(r["k"], r["v"], r["tag"]) for r in snap.collect()}
+    # updated row re-appends NULL for the new column; insert carries it
+    assert got == {(1, 10, None), (2, 200, None), (4, 400, "d")}
+    # pre-widen time travel: the old 2-column schema
+    assert M.read_snapshot(spark, root, base).columns == ["k", "v"]
+    # change feed across the widen: pre-images read old files under the
+    # widened schema (tag NULL), inserts carry the new values
+    feed = M.read_change_feed(spark, root, base, ver)
+    rows = {
+        (r["k"], r["v"], r["tag"], r["_change_type"])
+        for r in feed.collect()
+    }
+    assert rows == {
+        (2, 20, None, "delete"),
+        (3, 30, None, "delete"),
+        (2, 200, None, "insert"),
+        (4, 400, "d", "insert"),
+    }
+    # evolution without the INSERT clause is meaningless — refused
+    with pytest.raises(ValueError, match="not_matched_insert"):
+        M.manifest_merge_into(
+            spark, root, src, "k",
+            matched_update={"v": F.expr("s.v")},
+            with_schema_evolution=True,
+        )
+    # a new column colliding with a RETIRED physical name is refused
+    # (the dropped column's bytes would resurrect)
+    M.manifest_alter_schema(root, drop=["tag"])
+    with pytest.raises(ValueError, match="collide"):
+        M.manifest_merge_into(
+            spark, root,
+            spark.createDataFrame(
+                [(9, 90, "z")], "k long, v long, tag string"
+            ),
+            "k",
+            not_matched_insert=True,
+            with_schema_evolution=True,
+        )
+
+
+def test_manifest_merge_into_empty_target_schema_evolution(
+    spark, tmp_path
+):
+    """The empty-target insert-only path also widens under evolution
+    (and still projects away nothing — every source column lands)."""
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1),
+        root,
+    )
+    M.manifest_delete_where(spark, root, F.col("k") >= 0)
+    v, _u, _d, n_ins = M.manifest_merge_into(
+        spark, root,
+        spark.createDataFrame([(5, 50, "w")], "k long, v long, tag string"),
+        "k",
+        not_matched_insert=True,
+        with_schema_evolution=True,
+    )
+    assert n_ins == 1
+    snap = M.read_snapshot(spark, root)
+    assert snap.columns == ["k", "v", "tag"]
+    assert [tuple(r) for r in snap.collect()] == [(5, 50, "w")]

@@ -817,3 +817,100 @@ def test_merge_into_stream_multi_batch_and_replay(spark, sf_dir, tmp_path):
         (r["k"], r["v"])
         for r in M.read_snapshot(spark, root).collect()
     } == want
+
+
+def test_merge_into_stream_partial_resume_fresh_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12: exactly-once must survive resuming a PARTIALLY
+    completed run with a FRESH checkpoint. The idempotency key is the
+    batch's content identity (event_id min/max/count of its slice), so
+    a pre-applied file is skipped no matter what batch id a new
+    checkpoint assigns it — with raw batch ids, a reordered enumeration
+    could re-apply it (the additive update is not idempotent)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import merge_into_stream
+
+    # full run once — yields the staged immutable source dir + the
+    # closed-form final state
+    done = merge_into_stream(
+        spark, sf_dir, str(tmp_path / "done"),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    want = {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, done).collect()
+    }
+    src_dir = str(tmp_path / "ckpt1") + "_src"
+    files = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+
+    # simulate the partial run: seed a second table the way the stream
+    # does, apply ONLY the first file's merge, record its FILE key
+    part = str(tmp_path / "partial")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type")
+    )
+    M.manifest_init(part)
+    M.manifest_append(
+        ev.select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("v", F.lit(0).cast("long"))
+        .repartition(4),
+        part,
+    )
+    # first NON-EMPTY slice (the deterministic mod-carve may leave a
+    # hash-collided partition empty; empty batches are skipped whole)
+    b0 = key0 = None
+    for f in files:
+        cand = spark.read.parquet(os.path.join(src_dir, f))
+        ident = cand.agg(
+            F.min("event_id"), F.max("event_id"), F.count(F.lit(1))
+        ).collect()[0]
+        if ident[2] > 0:
+            b0 = cand
+            key0 = f"slice:{ident[0]}:{ident[1]}:{ident[2]}"
+            break
+    assert b0 is not None
+    src0 = b0.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("user_id") % 7 == 0)
+            ).cast("int")
+        ).alias("forget"),
+    )
+    M.manifest_merge_into(
+        spark, part, src0, "k",
+        matched_delete_condition="s.forget = 1",
+        matched_update={"v": F.expr("t.v + s.n")},
+        extra={"stream_batch_id": key0},
+    )
+    mid_head = M.latest_version(part)
+
+    # resume with a FRESH checkpoint over the SAME source dir: the
+    # applied file must be skipped, the remaining files applied once
+    shutil.copytree(src_dir, str(tmp_path / "ckpt2") + "_src")
+    merge_into_stream(
+        spark, sf_dir, part, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, part).collect()
+    }
+    assert got == want
+    # and the pre-applied file's merge did not land twice
+    keys = M.committed_stream_batches(part)
+    assert key0 in keys
+    assert all(str(k).startswith("slice:") for k in keys)
+    assert M.latest_version(part) > mid_head

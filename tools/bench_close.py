@@ -108,6 +108,16 @@ def main() -> None:
         "gate": args.max_dispersion,
         "merge": "per-query min",
     }
+    # box-speed sentinel (VERDICT r12 item 2): bench.py times a pinned
+    # single-threaded kernel pre+post each run; carry every run's
+    # reading so cross-round absolutes renormalize mechanically
+    sents = [r.get("sentinel") for r in runs if r.get("sentinel")]
+    if sents:
+        artifact["sentinel"] = {
+            "runs": [s["min"] for s in sents],
+            "min": min(s["min"] for s in sents),
+            "kernel": sents[0].get("kernel"),
+        }
     line = json.dumps(artifact)
     print(line)
     if args.out:

@@ -66,6 +66,23 @@ def main() -> None:
         sys.exit(2)
     names = list(rounds)
     latest = names[-1]
+    # box-speed sentinel renormalization (VERDICT r12 item 2): rounds
+    # that carry the pinned single-thread kernel's timing get their
+    # query times rescaled to the FASTEST box observed (t * s_ref/s_n),
+    # so a slow-box round compares on code, not on contention. Rounds
+    # without a sentinel (pre-r13) stay raw — their flags keep the old
+    # semantics.
+    sent = {
+        n: (d.get("sentinel") or {}).get("min") for n, d in rounds.items()
+    }
+    have = {n: s for n, s in sent.items() if s}
+    s_ref = min(have.values()) if have else None
+
+    def norm(n: str, v: float) -> float:
+        if s_ref and sent.get(n):
+            return v * (s_ref / sent[n])
+        return v
+
     queries = sorted(
         {q for d in rounds.values() for q in d.get("queries", {})}
     )
@@ -79,11 +96,14 @@ def main() -> None:
         }
         if q not in rounds[latest].get("queries", {}):
             continue
-        cur = series[latest]
-        prior = [v for n, v in series.items() if n != latest]
+        nseries = {n: round(norm(n, v), 3) for n, v in series.items()}
+        cur = nseries[latest]
+        prior = [v for n, v in nseries.items() if n != latest]
         anchor = min(prior) if prior else cur
         ratio = round(cur / anchor, 2) if anchor > 0 else None
         entry = {"series": series, "anchor_min": anchor, "ratio": ratio}
+        if sent.get(latest):
+            entry["series_norm"] = nseries
         if prior and ratio is not None and ratio > threshold:
             entry["FLAG"] = True
             flags.append(q)
@@ -99,6 +119,9 @@ def main() -> None:
                 "latest": latest,
                 "threshold": threshold,
                 "flagged": flags,
+                "sentinel_min_by_round": {
+                    n: s for n, s in sent.items() if s
+                },
                 "shared_with_r01": shared,
                 "queries": table,
             },
