@@ -8215,6 +8215,75 @@ def merge_schema_evolution_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r13: the last MERGE clause — WHEN NOT MATCHED BY SOURCE THEN UPDATE
+# (Delta parity; the staleness-flag pattern: rows the feed stopped
+# mentioning get marked, rows it tombstones get deleted, in ONE atomic
+# commit with DELETE winning where both fire). Oracle replays the clause
+# algebra in closed form from the customer key.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_into_sync_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    fin AS (
+      SELECT k, 3 * k AS v, 'live' AS st FROM cust WHERE k % 2 = 0
+      UNION ALL
+      SELECT k,
+             CASE WHEN k % 5 = 0 THEN 2 * k + 1 ELSE 2 * k END,
+             CASE WHEN k % 5 = 0 THEN 'stale' ELSE 'live' END
+      FROM cust WHERE k % 2 = 1 AND k % 9 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(CASE WHEN st = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stale
+    FROM fin
+    """,
+)
+def merge_into_sync_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") * 2).alias("v"),
+        F.lit("live").alias("st"),
+    )
+    src = cust.where(F.col("k") % 2 == 0).select(
+        "k", (F.col("k") * 3).alias("v")
+    )
+    work = tempfile.mkdtemp(prefix="mani_sync_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        M.manifest_append(cust.repartition(2), root)
+        M.manifest_merge_into(
+            spark, root, src, "k",
+            matched_update={"v": F.expr("s.v")},
+            not_matched_by_source_delete=True,
+            not_matched_by_source_delete_condition="k % 9 = 0",
+            not_matched_by_source_update={
+                "v": F.expr("v + 1"), "st": F.lit("stale")
+            },
+            not_matched_by_source_update_condition="k % 5 = 0",
+        )
+        out = M.read_snapshot(spark, root).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum(
+                (F.col("st") == "stale").cast("long")
+            ).alias("n_stale"),
+        )
+        rows = [tuple(r) for r in _collect_rows(out)]
+        out_schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # r13: catalog-level time travel (catalog_snapshot_asof — multi-table
 # consistent snapshot AS OF a catalog version or timestamp, the
 # transaction twin of per-table manifest_timetravel). The fact table
@@ -12102,6 +12171,7 @@ def tvd_drift_event_mix(spark, sf_dir):
 _SCORING_PRIORITY = [
     "merge_schema_evolution_counts",
     "catalog_snapshot_asof_counts",
+    "merge_into_sync_counts",
     "manifest_chained_indirect_feed_counts",
     "merge_into_feed_counts",
     "stream_merge_into_counts",

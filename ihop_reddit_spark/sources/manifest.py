@@ -2473,6 +2473,8 @@ def manifest_merge_into(
     not_matched_insert_condition=None,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_delete_condition=None,
+    not_matched_by_source_update: dict | None = None,
+    not_matched_by_source_update_condition=None,
     with_schema_evolution: bool = False,
     dv_target_files: int = 1,
     extra: dict | None = None,
@@ -2498,6 +2500,12 @@ def manifest_merge_into(
       (``not_matched_by_source_delete=True``) — target-only rows are
       vectored out (the sync/mirror pattern). Condition over PLAIN
       target column names (no source side exists for these rows).
+    * ``WHEN NOT MATCHED BY SOURCE [AND ..._condition] THEN UPDATE SET
+      not_matched_by_source_update`` — remaining target-only rows are
+      vectored out and re-appended with the SET expressions applied
+      (the staleness-flag pattern: mark rows the feed stopped
+      mentioning). SET values and condition over PLAIN target column
+      names; the DELETE clause wins on rows satisfying both.
 
     All four clause outputs land in ONE version doc via
     :func:`manifest_evict_admit` (vector + staged batch), so a reader
@@ -2598,12 +2606,16 @@ def manifest_merge_into(
         if with_schema_evolution
         else []
     )
-    if matched_update is not None:
-        unknown = [c for c in matched_update if c not in data_cols]
-        if unknown:
-            raise ValueError(
-                f"matched_update assigns unknown columns {unknown}"
-            )
+    for label, upd in (
+        ("matched_update", matched_update),
+        ("not_matched_by_source_update", not_matched_by_source_update),
+    ):
+        if upd is not None:
+            unknown = [c for c in upd if c not in data_cols]
+            if unknown:
+                raise ValueError(
+                    f"{label} assigns unknown columns {unknown}"
+                )
     t = live.alias("t")
     s = source.alias("s")
     key = None
@@ -2680,18 +2692,55 @@ def manifest_merge_into(
                 *[F.col(c) for c in data_cols],
                 *[F.col(c) for c, _dt in evo_cols],
             )
-        if not_matched_by_source_delete:
+        nbs_updated = None
+        if not_matched_by_source_delete or (
+            not_matched_by_source_update is not None
+        ):
             tgt_only = live.join(
                 source.select(*on_cols).distinct(), on_cols, "left_anti"
             )
-            if not_matched_by_source_delete_condition is not None:
-                tgt_only = tgt_only.where(
+            # DELETE wins on rows satisfying both clauses — the same
+            # precedence the matched side pins (CDC tombstone pattern)
+            if not_matched_by_source_delete:
+                ndc = (
                     F.coalesce(
                         _cond(not_matched_by_source_delete_condition),
                         F.lit(False),
                     )
+                    if not_matched_by_source_delete_condition is not None
+                    else F.lit(True)
                 )
-            hit_parts.append(tgt_only.select("__dv_file", "__dv_pos"))
+            else:
+                ndc = F.lit(False)
+            if not_matched_by_source_delete:
+                hit_parts.append(
+                    tgt_only.where(ndc).select("__dv_file", "__dv_pos")
+                )
+            if not_matched_by_source_update is not None:
+                nuc = (
+                    F.coalesce(
+                        _cond(not_matched_by_source_update_condition),
+                        F.lit(False),
+                    )
+                    if not_matched_by_source_update_condition is not None
+                    else F.lit(True)
+                )
+                nbsu = tgt_only.where(nuc & ~ndc)
+                hit_parts.append(
+                    nbsu.select("__dv_file", "__dv_pos")
+                )
+                nbs_updated = nbsu.select(
+                    *[
+                        _cond(not_matched_by_source_update[c]).alias(c)
+                        if c in not_matched_by_source_update
+                        else F.col(c)
+                        for c in data_cols
+                    ],
+                    *[
+                        F.lit(None).cast(dt).alias(c)
+                        for c, dt in evo_cols
+                    ],
+                )
         hits = None
         if hit_parts:
             hits = hit_parts[0]
@@ -2701,13 +2750,13 @@ def manifest_merge_into(
                 F.col("__dv_file"), F.col("__dv_pos")
             ).distinct()
         admits = None
-        if updated is not None and inserts is not None:
-            admits = updated.unionByName(inserts)
-        elif updated is not None:
-            admits = updated
-        elif inserts is not None:
-            admits = inserts
-        n_updated = updated.count() if updated is not None else 0
+        for part in (updated, nbs_updated, inserts):
+            if part is None:
+                continue
+            admits = part if admits is None else admits.unionByName(part)
+        n_updated = (updated.count() if updated is not None else 0) + (
+            nbs_updated.count() if nbs_updated is not None else 0
+        )
         version, n_evicted, n_admitted = manifest_evict_admit(
             spark,
             path,

@@ -105,6 +105,7 @@ def test_recategorize_labels_views(explorer):
         explorer.recategorize({})
 
 
+@pytest.mark.slow
 def test_http_round_trip(explorer):
     """The VERDICT item-4 contract: one select→filter→table round-trip
     driven end-to-end through the HTTP surface."""
@@ -207,6 +208,7 @@ def test_scatter_html_page_highlight_flow(explorer):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_tsne_projection_option(spark, explorer):
     """The reference app plots t-SNE coordinates; train(projection=
     'tsne') must produce the same assignment frame shape."""
@@ -241,6 +243,7 @@ def test_http_csv_export(explorer):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_collection_selection(spark):
     """The reference app's TODO shipped: selecting a named collection
     pulls every member present in the vocabulary into the table."""

@@ -42,6 +42,7 @@ def ref_bpe(word_counts: dict[str, int], k: int):
     return out
 
 
+@pytest.mark.slow
 def test_train_matches_reference_on_classic_example(spark):
     docs = spark.createDataFrame(
         [
@@ -57,6 +58,7 @@ def test_train_matches_reference_on_classic_example(spark):
     assert got == ref_bpe(dict(wc), 8)
 
 
+@pytest.mark.slow
 def test_train_matches_reference_on_real_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     wc = Counter(
@@ -81,6 +83,7 @@ def test_encode_word_prefers_lowest_rank():
     assert encode_word("est", {("s", "t"): 0}) == ["e", "st"]
 
 
+@pytest.mark.slow
 def test_encode_roundtrips_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     merges = train_bpe(docs, "text", num_merges=10)

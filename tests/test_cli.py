@@ -4,6 +4,8 @@ in /root/reference)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -35,6 +37,7 @@ def test_cli_c2v_prep(spark, tmp_path):
     assert os.path.isdir(f"{out}/vocab_csv") and os.path.isdir(f"{out}/contexts_csv")
 
 
+@pytest.mark.slow
 def test_cli_corpus_prep(spark, sf_dir, tmp_path):
     out = str(tmp_path / "corpus")
     main(
@@ -48,6 +51,7 @@ def test_cli_corpus_prep(spark, sf_dir, tmp_path):
     assert set(res.columns) == {"doc_id", "n_tokens", "bpe_tokens"}
 
 
+@pytest.mark.slow
 def test_cli_cluster_and_topics(spark, sf_dir, tmp_path):
     out = str(tmp_path / "cl")
     main(
@@ -124,6 +128,7 @@ def test_cli_compact_and_skew_report(spark, sf_dir, tmp_path, capsys):
     assert len(lines) == 6  # header + 5 event types
 
 
+@pytest.mark.slow
 def test_cli_semantic_dedup_winnow_dsir(spark, tmp_path):
     emb_src = "/root/testdata/sf0.001/embeddings.parquet"
     docs_src = "/root/testdata/sf0.001/documents.parquet"
@@ -149,6 +154,7 @@ def test_cli_semantic_dedup_winnow_dsir(spark, tmp_path):
     assert w.where("weight != 0.0").count() == 0
 
 
+@pytest.mark.slow
 def test_cli_round5_commands(spark, tmp_path):
     docs_src = "/root/testdata/sf0.001/documents.parquet"
 
@@ -204,6 +210,7 @@ def test_cli_sql_command(spark, tmp_path):
     assert df.count() == 5 and set(df.columns) == {"c_mktsegment", "n"}
 
 
+@pytest.mark.slow
 def test_cli_coherence_and_ivf_append(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -77,6 +77,7 @@ def test_assign_split_is_content_addressed(spark, docs):
     assert {r["doc_id"]: r["split"] for r in re.collect()} == rows
 
 
+@pytest.mark.slow
 def test_component_split_assign_keeps_duplicates_together(spark):
     from ihop_reddit_spark.datapipe.curation import (
         component_split_assign,
@@ -469,6 +470,7 @@ def test_normalize_url_exact_mixed_encodings(spark):
     assert _normalize_url_py(None) is None
 
 
+@pytest.mark.slow
 def test_crawl_corpus_exact_urls_same_on_ascii(spark):
     """crawl_corpus(exact_urls=True) — the urllib frontier — produces the
     same staged chunks as the JVM path on ASCII escape-free pages, and
@@ -602,6 +604,7 @@ def test_dsir_weight_is_zero_when_target_equals_corpus(spark):
     assert not any(r["selected"] for r in got)
 
 
+@pytest.mark.slow
 def test_dsir_resample_deterministic_and_weight_biased(spark):
     from ihop_reddit_spark.datapipe.curation import dsir_resample
 
@@ -709,6 +712,7 @@ def test_contamination_report_counts_shared_ngrams(spark, docs):
     assert rep == {(3, 2): 1}
 
 
+@pytest.mark.slow
 def test_fuzzy_decontaminate_drops_near_dups_only(spark):
     from ihop_reddit_spark.datapipe.curation import fuzzy_decontaminate
 
@@ -735,6 +739,7 @@ def test_fuzzy_decontaminate_drops_near_dups_only(spark):
     assert got == [2, 3]
 
 
+@pytest.mark.slow
 def test_fuzzy_decontaminate_string_ids(spark):
     """Review r4: ids of any type must work — a silent cast-to-null
     would keep contaminated docs with no error."""
@@ -763,6 +768,7 @@ def test_fuzzy_decontaminate_string_ids(spark):
 # ---------------------------------------------------------------------------
 # Composed crawl-extraction flagship (plans/crawl_corpus.py — round 6)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_crawl_corpus_composition_end_to_end(spark):
     """Pages with planted junk/variants flow the whole pipeline: the
     link-farm page is gated, URL variants collapse to the min-id row,
@@ -841,6 +847,7 @@ def test_crawl_corpus_plan_is_jvm_only(spark, sf_dir):
     assert "Python" not in plan
 
 
+@pytest.mark.slow
 def test_decontaminate_bloom_equals_exact(spark, docs):
     """The Bloom prefilter must give IDENTICAL drops to the exact path —
     including under a deliberately tiny bitmap (high false-positive

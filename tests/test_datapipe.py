@@ -58,6 +58,7 @@ def test_ngram_jaccard_finds_near_dups(near_dup_docs):
     assert (1, 4) not in got           # unrelated below threshold
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_df_cap(spark, near_dup_docs):
     """max_shingle_df bounds the self-join's worst key. Non-binding cap →
     bit-identical output; binding cap drops the common shingle from the
@@ -147,6 +148,7 @@ def test_brute_force_knn_matches_numpy(embeddings):
         assert spark_order == order
 
 
+@pytest.mark.slow
 def test_ivf_knn_recall(embeddings):
     queries = embeddings.where(F.col("vec_id") < 5)
     exact = brute_force_knn(embeddings, queries, k=5, deterministic=False)
@@ -164,6 +166,7 @@ def test_ivf_knn_recall(embeddings):
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 cells
 
 
+@pytest.mark.slow
 def test_ivf_knn_distributed_matches_driver_path(embeddings):
     """VERDICT r4 item 7: the mapInPandas query path must return the
     SAME answers as the driver-collected path, with no forced broadcast
@@ -206,6 +209,7 @@ def test_ivf_knn_distributed_matches_driver_path(embeddings):
     assert "BroadcastExchange" not in plan, plan
 
 
+@pytest.mark.slow
 def test_ivf_pq_knn_distributed_matches_driver_path(embeddings):
     from ihop_reddit_spark.datapipe.similarity import (
         ivf_pq_knn,
@@ -320,6 +324,7 @@ def test_vector_sum_by_group_closed_form(spark):
     }
 
 
+@pytest.mark.slow
 def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     import io
     from contextlib import redirect_stdout
@@ -353,6 +358,7 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, from_disk.collect())) == sorted(map(tuple, in_mem.collect()))
 
 
+@pytest.mark.slow
 def test_duplicate_components_union_find(spark):
     from ihop_reddit_spark.datapipe.dedup import duplicate_components
 
@@ -377,6 +383,7 @@ def test_duplicate_components_union_find(spark):
         duplicate_components(pairs, max_driver_pairs=2, on_overflow="raise")
 
 
+@pytest.mark.slow
 def test_prepare_corpus_stage_semantics(spark):
     from ihop_reddit_spark.plans.corpus_prep import CorpusPrepConfig, prepare_corpus
 
@@ -397,6 +404,7 @@ def test_prepare_corpus_stage_semantics(spark):
     assert out[1]["bpe_tokens"] > 0
 
 
+@pytest.mark.slow
 def test_prepare_corpus_releases_every_scoped_persist(spark):
     """The composed plan must not leak executor cache: the shingle
     stream persisted inside the pairs tier is released by the star
@@ -445,6 +453,7 @@ def test_int8_embedding_roundtrip_error_bound(spark, sf_dir):
     assert all(-128 <= v <= 127 for v in row["p"]["q"])
 
 
+@pytest.mark.slow
 def test_empty_input_robustness(spark):
     from pyspark.sql import functions as F2
 
@@ -528,6 +537,7 @@ def test_constraint_report_single_pass(spark):
 # ---------------------------------------------------------------------------
 # incremental MinHash index
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_incremental_minhash_index_finds_cross_batch_dups(spark, tmp_path):
     from ihop_reddit_spark.datapipe.dedup import (
         build_minhash_index,
@@ -607,6 +617,7 @@ def test_incremental_minhash_join_is_bucket_local(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+@pytest.mark.slow
 def test_incremental_winnow_index_roundtrip_and_bucket_local(
     spark, sf_dir, tmp_path
 ):
@@ -675,6 +686,7 @@ def test_pq_codebooks_deterministic_and_encode_shapes(spark):
         assert all(0 <= c < 16 for c in r["pq_codes"])
 
 
+@pytest.mark.slow
 def test_ivf_pq_rerank_recovers_planted_duplicate(spark):
     import pyspark.sql.functions as F
 
@@ -702,6 +714,7 @@ def test_ivf_pq_rerank_recovers_planted_duplicate(spark):
     assert top["cosine"] > 0.999999
 
 
+@pytest.mark.slow
 def test_pq_index_round_trip(spark, tmp_path):
     import numpy as np
     import pyspark.sql.functions as F
@@ -758,6 +771,7 @@ def test_dedup_keep_best_keeps_best_scored_member(spark):
     assert got == [2, 4, 5]
 
 
+@pytest.mark.slow
 def test_simhash_arrow_path_matches_catalyst_bits(spark):
     from pyspark.sql import functions as F
 
@@ -810,6 +824,7 @@ def test_dedup_keep_best_custom_id_col(spark):
     assert got == [11, 12]
 
 
+@pytest.mark.slow
 def test_dedup_keep_best_string_ids_and_text_col_param(spark):
     """ADVICE r3: ids only need to be ORDERABLE (no negation), and the
     default score's text column is parameterized."""
@@ -844,6 +859,7 @@ def test_dedup_keep_best_string_ids_and_text_col_param(spark):
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_scd2_apply_duplicate_delta_keys_one_open_row(spark):
     """ADVICE r3: duplicate keys within one delta batch must resolve to
     ONE open row per key (deterministic max-struct pick), for both
@@ -903,6 +919,7 @@ def test_scd2_apply_rejects_empty_tracked(spark):
         scd2_apply(hist, snap, ["k"], [], eff=1)
 
 
+@pytest.mark.slow
 def test_ivf_append_and_crosssession_probe(spark, tmp_path):
     """Incremental IVF: append a new batch to a persisted index via the
     model-free centroid assignment, then probe with centroids read back

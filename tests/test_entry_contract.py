@@ -4,6 +4,7 @@ and result schemas are collect-stable."""
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+import pytest
 
 
 def test_oracles_subset_of_queries():
@@ -21,6 +22,7 @@ def test_entry_smoke(spark):
     assert all(r.context_length >= 2 for r in rows)
 
 
+@pytest.mark.slow
 def test_every_catalog_query_runs_at_smallest_sf(spark):
     """Every queries() entry must execute and return a stable schema at
     sf0.001 — the same sweep the driver's t1 smoke performs, in CI."""

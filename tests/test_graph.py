@@ -4,6 +4,8 @@ truncation behavior and dangling nodes."""
 
 from __future__ import annotations
 
+import pytest
+
 from ihop_reddit_spark.caching import release_scoped_persists
 from ihop_reddit_spark.operators.graph import DEFAULT_UNIT, pagerank
 
@@ -24,6 +26,7 @@ def _model(edges, iters, unit=DEFAULT_UNIT):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_python_model(spark):
     # cycle + hub + dangling sink (7 has no out-edges) + truncating degrees
     edges = [
@@ -40,6 +43,7 @@ def test_pagerank_matches_python_model(spark):
         assert got == _model(edges, iters)
 
 
+@pytest.mark.slow
 def test_pagerank_symmetric_pair_is_stationary(spark):
     # A<->B with unit divisible by 100: rank stays exactly at unit
     df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
@@ -49,6 +53,7 @@ def test_pagerank_symmetric_pair_is_stationary(spark):
     assert got == {1: DEFAULT_UNIT, 2: DEFAULT_UNIT}
 
 
+@pytest.mark.slow
 def test_triangle_count_exact_vs_bruteforce(spark):
     """Random graph vs itertools enumeration — global and per-node, plus
     the degenerate shapes (no triangles, directed-duplicate input)."""
@@ -90,6 +95,7 @@ def test_triangle_count_exact_vs_bruteforce(spark):
     assert triangle_count(path).count() == 0
 
 
+@pytest.mark.slow
 def test_label_propagation_matches_python_model(spark):
     from collections import Counter, defaultdict
 
@@ -162,6 +168,7 @@ def test_label_propagation_matches_python_model(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_modularity_closed_form(spark):
     from ihop_reddit_spark.operators.graph import (
         label_propagation,
@@ -184,6 +191,7 @@ def test_modularity_closed_form(spark):
     assert int(r1["q_num"]) == 0 and r1["q"] == 0.0
 
 
+@pytest.mark.slow
 def test_label_propagation_string_ids_and_stability(spark):
     """The tie-break must work for ANY orderable node-id type (min_by on
     (−count, label) — a −label negation would fail on strings), and
@@ -226,6 +234,7 @@ def test_label_propagation_string_ids_and_stability(spark):
     assert {r["label"] for r in out} == {0}
 
 
+@pytest.mark.slow
 def test_kcore_peels_to_fixpoint_and_matches_bruteforce(spark):
     """k-core on a hand-built graph: a 4-clique (3-core) with a pendant
     path — the path peels over MULTIPLE cascading rounds (each removal
@@ -289,6 +298,7 @@ def test_kcore_peels_to_fixpoint_and_matches_bruteforce(spark):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_bfs_distances_path_graph_and_unreachable(spark):
     from ihop_reddit_spark.operators.graph import bfs_distances
 

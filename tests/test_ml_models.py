@@ -163,6 +163,7 @@ def test_kmeans_recovers_blobs(blobs):
     assert silhouette(out, "vec") > 0.8
 
 
+@pytest.mark.slow
 def test_ch_db_match_sklearn(blobs):
     out, _ = kmeans_assign(blobs, "vec", ClusteringConfig(n_clusters=3, seed=1))
     rows = out.select("vec", "cluster_id").collect()
@@ -478,6 +479,7 @@ def test_agglomerative_numpy_recovers_planted_partition(spark):
 # ---------------------------------------------------------------------------
 # fasttext-style quality classifier (ml/quality_classifier.py)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_quality_classifier_learns_planted_signal_and_round_trips(
     spark, tmp_path
 ):

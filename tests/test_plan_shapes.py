@@ -14,6 +14,7 @@ from contextlib import redirect_stdout
 from pyspark.sql import functions as F
 
 from ihop_reddit_spark.functions.event_time import ts_epoch_seconds
+import pytest
 
 
 def plan_of(df) -> str:
@@ -414,6 +415,7 @@ def test_html_extraction_is_shuffle_free_jvm_projection(spark, sf_dir):
     assert "text" in read_schema and "n_chars" not in read_schema
 
 
+@pytest.mark.slow
 def test_no_forced_broadcast_on_corpus_proportional_frames(spark, sf_dir):
     """The round-4 verdict's lead defect: forced ``F.broadcast`` hints on
     frames that grow with the corpus (exact-dedup keepers, near-dup drop
@@ -664,6 +666,7 @@ def test_manifest_merge_and_cdf_plans(spark, tmp_path):
     assert "CartesianProduct" not in plan2, plan2
 
 
+@pytest.mark.slow
 def test_corpus_prep_composed_plan_is_distributed(spark, sf_dir):
     """The round-6 verdict's two 100×-scale hazards in the flagship,
     pinned closed: (a) the near-dup tier must not run an UNCAPPED shingle

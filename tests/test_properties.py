@@ -15,6 +15,7 @@ import bisect
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
 
 SETTINGS = settings(
     max_examples=12,
@@ -28,6 +29,7 @@ SETTINGS = settings(
     counts=st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=40),
     frac=st.sampled_from([0.0, 0.05, 0.25, 0.5, 0.9]),
 )
+@pytest.mark.slow
 def test_exclude_top_percent_matches_percent_rank_spec(spark, counts, frac):
     from ihop_reddit_spark.operators.windows import (
         exclude_top_percent,
@@ -56,6 +58,7 @@ def test_exclude_top_percent_matches_percent_rank_spec(spark, counts, frac):
         st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25
     ),
 )
+@pytest.mark.slow
 def test_asof_join_matches_python_model(spark, left, right):
     from ihop_reddit_spark.operators.joins import asof_join
 
@@ -97,6 +100,7 @@ def test_asof_join_matches_python_model(spark, left, right):
     ),
     n=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 def test_ngram_jaccard_matches_set_model(spark, docs, n):
     from ihop_reddit_spark.datapipe.dedup import ngram_jaccard_pairs
 
@@ -135,6 +139,7 @@ def test_ngram_jaccard_matches_set_model(spark, docs, n):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_grouped_concat_matches_python_model(spark, rows):
     from ihop_reddit_spark.operators.aggregates import grouped_concat
 
@@ -162,6 +167,7 @@ def test_grouped_concat_matches_python_model(spark, rows):
     ),
     threshold=st.sampled_from([0.2, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_prefix_filter_jaccard_equals_plain(spark, docs, threshold):
     from ihop_reddit_spark.datapipe.dedup import (
         ngram_jaccard_pairs,
@@ -193,6 +199,7 @@ def test_prefix_filter_jaccard_equals_plain(spark, docs, threshold):
     ),
     n_salts=st.sampled_from([1, 3, 16]),
 )
+@pytest.mark.slow
 def test_salted_grouped_concat_equals_plain(spark, rows, n_salts):
     from ihop_reddit_spark.operators.aggregates import (
         grouped_concat,
@@ -224,6 +231,7 @@ def test_salted_grouped_concat_equals_plain(spark, rows, n_salts):
     k=st.sampled_from([1, 3, 7]),
     n_salts=st.sampled_from([1, 4, 16]),
 )
+@pytest.mark.slow
 def test_salted_top_k_equals_window_path(spark, rows, k, n_salts):
     """top_k_per_group_salted keeps exactly the window path's rows for
     any group shapes, k, and salt counts (unique order keys — the
@@ -259,6 +267,7 @@ def test_salted_top_k_equals_window_path(spark, rows, k, n_salts):
         max_size=15,
     )
 )
+@pytest.mark.slow
 def test_distributed_components_match_union_find(spark, edges):
     from ihop_reddit_spark.datapipe.dedup import (
         duplicate_components,
@@ -288,6 +297,7 @@ def test_distributed_components_match_union_find(spark, edges):
         max_size=15,
     )
 )
+@pytest.mark.slow
 def test_star_components_match_union_find(spark, edges):
     from ihop_reddit_spark.datapipe.dedup import (
         duplicate_components,
@@ -307,6 +317,7 @@ def test_star_components_match_union_find(spark, edges):
     assert uf == star
 
 
+@pytest.mark.slow
 def test_star_components_converge_fast_on_chains(spark):
     """The reason duplicate_components_star exists: O(log n) rounds on
     diameter-n graphs, where min-label propagation needs n-1 rounds (it
@@ -336,6 +347,7 @@ def test_star_components_converge_fast_on_chains(spark):
         max_size=15,
     ),
 )
+@pytest.mark.slow
 def test_merge_then_diff_recovers_delta(spark, base, delta):
     """diff(base, merge(base, delta)) must classify exactly the keys delta
     actually changed: inserts of unseen keys + updates with a new value."""
@@ -373,6 +385,7 @@ def test_merge_then_diff_recovers_delta(spark, base, delta):
     ),
     budget=st.sampled_from([5, 16, 100]),
 )
+@pytest.mark.slow
 def test_pack_sequences_matches_python_cumsum(spark, tokens, budget):
     from ihop_reddit_spark.datapipe.curation import pack_sequences
 
@@ -405,6 +418,7 @@ def test_pack_sequences_matches_python_cumsum(spark, tokens, budget):
     budget=st.sampled_from([5, 16, 100]),
     shard_width=st.sampled_from([1, 3, 7]),
 )
+@pytest.mark.slow
 def test_pack_sequences_sharded_equals_single_window(
     spark, tokens, budget, shard_width
 ):
@@ -434,6 +448,7 @@ def test_pack_sequences_sharded_equals_single_window(
     chunk=st.sampled_from([3, 5, 8]),
     overlap=st.sampled_from([0, 1, 2]),
 )
+@pytest.mark.slow
 def test_chunk_documents_matches_python_model(spark, tokens, chunk, overlap):
     from ihop_reddit_spark.datapipe.curation import chunk_documents
 
@@ -467,6 +482,7 @@ def test_chunk_documents_matches_python_model(spark, tokens, chunk, overlap):
     ),
     width=st.sampled_from([7, 50, 200]),
 )
+@pytest.mark.slow
 def test_interval_overlap_join_equals_theta_join(spark, lefts, rights, width):
     from ihop_reddit_spark.operators.joins import interval_overlap_join
 
@@ -506,6 +522,7 @@ def test_interval_overlap_join_equals_theta_join(spark, lefts, rights, width):
         min_size=1, max_size=4,
     )
 )
+@pytest.mark.slow
 def test_scd2_apply_invariants_vs_python_model(spark, deltas):
     from ihop_reddit_spark.operators.setops import (
         SCD2_OPEN_END,
@@ -578,6 +595,7 @@ def test_scd2_apply_invariants_vs_python_model(spark, deltas):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_histogram_partials_merge_partition_invariant(spark, rows):
     """Mergeable-sketch law: however the input is split into partials,
     the merged histogram equals the direct single-pass histogram, and
@@ -631,6 +649,7 @@ def test_histogram_partials_merge_partition_invariant(spark, rows):
     ),
     seed=st.integers(min_value=0, max_value=10_000),
 )
+@pytest.mark.slow
 def test_manifest_schema_evolution_model_differential(
     spark, tmp_path_factory, ops, seed
 ):
@@ -773,6 +792,7 @@ def test_manifest_schema_evolution_model_differential(
     ),
     seed=st.integers(min_value=0, max_value=10_000),
 )
+@pytest.mark.slow
 def test_catalog_txn_model_differential(
     spark, tmp_path_factory, ops, seed
 ):

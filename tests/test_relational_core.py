@@ -436,6 +436,7 @@ def test_deterministic_sample_content_addressed(spark):
     assert deterministic_sample(df, ["k"], 1.0).count() == 2000
 
 
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark):
     from ihop_reddit_spark.operators.joins import salted_join
 
@@ -532,6 +533,7 @@ def test_interval_overlap_join_matches_theta_join(spark):
     assert (3, 14) not in got
 
 
+@pytest.mark.slow
 def test_scd2_apply_all_paths(spark):
     from ihop_reddit_spark.operators.setops import (
         SCD2_OPEN_END,
@@ -580,6 +582,7 @@ def test_scd2_apply_all_paths(spark):
         assert len(live) == 1
 
 
+@pytest.mark.slow
 def test_weighted_sample_per_group_properties(spark):
     from ihop_reddit_spark.operators.setops import weighted_sample_per_group
 

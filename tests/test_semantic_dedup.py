@@ -139,6 +139,7 @@ def planted_embeddings(spark):
     )
 
 
+@pytest.mark.slow
 def test_sign_lsh_semantic_dedup_soundness(spark, planted_embeddings):
     emb = planted_embeddings
     # noise-only same-direction pairs sit at cos ~0.993; the planted
@@ -162,6 +163,7 @@ def test_sign_lsh_semantic_dedup_soundness(spark, planted_embeddings):
     assert 100 in survivors
 
 
+@pytest.mark.slow
 def test_kmeans_semantic_dedup_exact_dups_never_escape(
     spark, planted_embeddings
 ):
@@ -219,6 +221,7 @@ def test_blocked_pair_scores_grouped_stays_within_groups(
     assert (100, 102) in got
 
 
+@pytest.mark.slow
 def test_incremental_semantic_index_bucket_local_and_result_identical(
     spark, tmp_path
 ):

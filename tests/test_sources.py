@@ -284,6 +284,7 @@ def test_observed_write_reports_metrics_in_one_pass(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+@pytest.mark.slow
 def test_targeted_delete_prunes_and_scrubs(spark, tmp_path):
     """GDPR-style deletion: only partitions containing deleted keys are
     rewritten; untouched partition FILES stay byte-identical; a fully
@@ -1363,6 +1364,7 @@ def test_manifest_vacuum_preserves_stream_ids_and_dv_history(spark, tmp_path):
     assert M.read_snapshot(spark, root).count() == 58
 
 
+@pytest.mark.slow
 def test_manifest_compact_small_bin_packs_only_small_files(spark, tmp_path):
     """Partial compaction: files under the size threshold bin-pack into
     fewer outputs, large files stay byte-identical, vectored files are
@@ -1442,6 +1444,7 @@ def test_manifest_compact_small_bin_packs_only_small_files(spark, tmp_path):
     ) == (head, 0)
 
 
+@pytest.mark.slow
 def test_manifest_changes_segmented_compaction_row_exact(spark, tmp_path):
     """Bin-packing compaction records exact per-output SEGMENTS, so a
     MIXED rewrite no longer exits the feed at file grain: the feed scans
@@ -2066,6 +2069,7 @@ def test_manifest_alter_drop_and_readd_never_resurrects(spark, tmp_path):
     ] == [None, None, None]
 
 
+@pytest.mark.slow
 def test_manifest_alter_interplay_delete_update_feed_pruning(
     spark, tmp_path
 ):
@@ -2205,6 +2209,7 @@ def test_warc_content_encoding_transparent_decode():
         decode_content_encoding(body, "compress")
 
 
+@pytest.mark.slow
 def test_manifest_changes_across_mid_range_alter(spark, tmp_path):
     """A rename/widen INSIDE the feed range: read_changes emits the END
     version's logical names and both the pre- and post-alter appends'
@@ -2371,6 +2376,7 @@ def test_manifest_clone_carries_mapping_blooms_and_stream_guard(
     assert M.read_snapshot(spark, dst).count() == 25
 
 
+@pytest.mark.slow
 def test_manifest_check_constraints_gate_every_write_path(spark, tmp_path):
     """CHECK constraints: existing-data validation on add, staged-abort
     (stage deleted, table untouched) on violating append / merge /
@@ -2629,6 +2635,7 @@ def test_version_at_timestamp_stampless_table_raises(spark, tmp_path):
         M.version_at_timestamp(root, _time.time())
 
 
+@pytest.mark.slow
 def test_manifest_changes_chained_double_indirection_row_exact(
     spark, tmp_path
 ):
@@ -2932,3 +2939,53 @@ def test_manifest_merge_into_empty_target_schema_evolution(
     snap = M.read_snapshot(spark, root)
     assert snap.columns == ["k", "v", "tag"]
     assert [tuple(r) for r in snap.collect()] == [(5, 50, "w")]
+
+
+def test_manifest_merge_into_not_matched_by_source_update(
+    spark, tmp_path
+):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE (Delta parity): target-only
+    rows get SET expressions over plain target names; the DELETE clause
+    wins where both fire; NULL conditions do not fire; counts attribute
+    NBS updates to n_updated."""
+    import pytest
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.createDataFrame(
+            [(k, 10 * k, "live") for k in range(8)],
+            "k long, v long, st string",
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(1, 111), (2, 222)], "k long, v long")
+    ver, n_upd, n_del, n_ins = M.manifest_merge_into(
+        spark, root, src, "k",
+        matched_update={"v": F.expr("s.v")},
+        not_matched_by_source_delete=True,
+        not_matched_by_source_delete_condition="k % 3 = 0",
+        not_matched_by_source_update={
+            "st": F.lit("stale"), "v": F.expr("v + 1")
+        },
+        not_matched_by_source_update_condition="k >= 4",
+    )
+    assert ver == 2  # ONE commit
+    # matched updates {1,2} + NBS updates {4,5,7}; deletes {0,3,6}
+    assert (n_upd, n_del, n_ins) == (5, 3, 0)
+    got = {
+        (r["k"], r["v"], r["st"])
+        for r in M.read_snapshot(spark, root).collect()
+    }
+    assert got == {
+        (1, 111, "live"), (2, 222, "live"),
+        (4, 41, "stale"), (5, 51, "stale"), (7, 71, "stale"),
+    }
+    # unknown SET column refused
+    with pytest.raises(ValueError, match="not_matched_by_source_update"):
+        M.manifest_merge_into(
+            spark, root, src, "k",
+            not_matched_by_source_update={"nope": F.lit(1)},
+        )

@@ -3,6 +3,8 @@ their batch equivalents computed in the same session."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ihop_reddit_spark.functions.event_time import ts_epoch_seconds
@@ -34,6 +36,7 @@ def test_windowed_counts_equal_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     from ihop_reddit_spark.streaming.events import dedup_events_stream
 
@@ -45,6 +48,7 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     assert len(got) == streamed.count()  # exactly one emission per key
 
 
+@pytest.mark.slow
 def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
     from ihop_reddit_spark.streaming.events import click_purchase_join_stream
 
@@ -117,6 +121,7 @@ def test_sessions_equal_batch_gaps_and_islands(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_user_running_totals_stateful(spark, sf_dir):
     import numpy as np
     from pyspark.sql import functions as F
@@ -169,6 +174,7 @@ def test_stream_quality_violations_equal_batch(spark, sf_dir):
         assert out[h]["v_props_missing_k"] == row["v_props"]
 
 
+@pytest.mark.slow
 def test_ranked_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     """foreachBatch ranked sink: output equals the batch top-k, and
     re-running against the same checkpoint is a no-op (exactly-once
@@ -217,6 +223,7 @@ def test_ranked_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 def test_semantic_dedup_stream_matches_batch_incremental(spark):
     """The streamed survivors must equal the one-shot batch incremental
     result — the per-row drop decision is batch-boundary independent."""
@@ -491,6 +498,7 @@ def test_dv_delete_stream_exactly_once_and_idempotent(spark, sf_dir, tmp_path):
     assert M.read_snapshot(spark, root).count() == want_live
 
 
+@pytest.mark.slow
 def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
     """The stateful quota stream: candidates arrive in multiple
     micro-batches (forced orderings that REQUIRE cross-batch eviction),
@@ -578,6 +586,7 @@ def test_domain_quota_stream_matches_batch_and_replays(spark, tmp_path):
     } == want
 
 
+@pytest.mark.slow
 def test_domain_quota_stream_with_inline_maintenance(spark, tmp_path):
     """maintenance_every folds eviction vectors and bin-packs small
     state files INSIDE the stream loop: the final snapshot still equals
@@ -623,6 +632,7 @@ def test_domain_quota_stream_with_inline_maintenance(spark, tmp_path):
     assert len(M.live_files(root)) <= 6
 
 
+@pytest.mark.slow
 def test_domain_quota_stream_salted_equals_window_path(spark, tmp_path):
     """salted=True routes the per-batch re-rank through the two-phase
     bounded-partial top-k — same final state as the window path and the
@@ -659,6 +669,7 @@ def test_domain_quota_stream_salted_equals_window_path(spark, tmp_path):
     assert got == want and len(got) == 6
 
 
+@pytest.mark.slow
 def test_domain_quota_stream_redelivered_urls_hold_one_slot(spark, tmp_path):
     """Re-crawled pages are the NORMAL case: a later batch re-delivering
     an already-admitted URL must occupy ONE slot in the re-rank pool,
@@ -767,6 +778,7 @@ def test_catalog_txn_stream_atomic_exactly_once(spark, tmp_path):
     assert got_fact == want and got_roll == want
 
 
+@pytest.mark.slow
 def test_merge_into_stream_multi_batch_and_replay(spark, sf_dir, tmp_path):
     """Streaming CDC-apply via the full conditional MERGE: additive
     updates accumulate across REAL micro-batches (3 source files,
@@ -819,6 +831,7 @@ def test_merge_into_stream_multi_batch_and_replay(spark, sf_dir, tmp_path):
     } == want
 
 
+@pytest.mark.slow
 def test_merge_into_stream_partial_resume_fresh_checkpoint(
     spark, sf_dir, tmp_path
 ):

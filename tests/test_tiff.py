@@ -29,6 +29,7 @@ HAVE_LIBTIFF = tiff_native.libtiff_available()
 # Compression primitives
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_lzw_round_trip_fuzz_width_growth_and_clears():
     rng = np.random.default_rng(11)
     for n in (0, 1, 2, 255, 4093, 20000, 200000):

@@ -4,6 +4,8 @@ determinism, and corpus round-trips."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import math
 
@@ -101,6 +103,7 @@ def test_viterbi_fuzz_vs_bruteforce():
         assert abs(lp(got) - lp(ref)) < 1e-9, (word, got, ref)
 
 
+@pytest.mark.slow
 def test_train_learns_planted_pieces(spark):
     rows = [("abab abab ababab xyz",)] * 30 + [("qrs xyz qrs",)] * 10
     df = spark.createDataFrame(rows, "text string")
@@ -119,6 +122,7 @@ def test_train_learns_planted_pieces(spark):
     assert m.counts == m2.counts
 
 
+@pytest.mark.slow
 def test_encode_roundtrips_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     m = train_unigram(
@@ -135,6 +139,7 @@ def test_encode_roundtrips_corpus(spark):
     assert total_tokens < total_chars  # subword model compresses
 
 
+@pytest.mark.slow
 def test_tokenizer_model_save_load_roundtrip(spark, tmp_path):
     """S8 parity for the tokenizer tier: a reloaded model encodes
     identically (unigram and BPE)."""

@@ -5,6 +5,8 @@ full-vocabulary round-trip must hold on a real corpus slice."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -61,6 +63,7 @@ def ref_wordpiece(word_counts: dict[str, int], k: int):
     return merges
 
 
+@pytest.mark.slow
 def test_train_matches_reference_on_classic_example(spark):
     docs = spark.createDataFrame(
         [
@@ -82,6 +85,7 @@ def test_train_matches_reference_on_classic_example(spark):
     assert m.vocab == alpha + fused
 
 
+@pytest.mark.slow
 def test_train_matches_reference_on_real_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     wc = Counter(
@@ -119,6 +123,7 @@ def test_encode_greedy_longest_match_and_unk():
     assert encode_word_wordpiece("x" * 999, vocab) == [UNK]
 
 
+@pytest.mark.slow
 def test_roundtrip_and_save_load(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     m = train_wordpiece(docs, "text", num_merges=8)

@@ -89,6 +89,14 @@ EVENT_PROBES = [
     "manifest_clone_divergence_counts",
     "catalog_txn_consistency_counts",
     "stream_catalog_txn_counts",
+    # round-13: streaming CDC MERGE — seed + staged source scale with
+    # rows; each micro-batch's merge pays one positioning scan of the
+    # state table plus writes ∝ AFFECTED rows (the manifest_merge_into
+    # claim under test), with batch count fixed by n_source_files; the
+    # catalog AS-OF gate's txn staging writes scale with rows while the
+    # snapshot pins + roll-forward stay O(1) in table size
+    "stream_merge_into_counts",
+    "catalog_snapshot_asof_counts",
 ]
 DOC_PROBES = [
     "doc_repetition_features",
@@ -220,6 +228,18 @@ REL_PROBES = [
     # ×N² cross-replica pairs
     "bfs_distances_copurchase",
     "jaro_winkler_entity_pairs",
+    # round-13 (VERDICT r12 item 3): the conditional-MERGE tiers. The
+    # docstring claim under test (manifest.py manifest_merge_into) is
+    # that MERGE cost scales with AFFECTED rows, not table size: the
+    # seed append and the matched/insert clause volumes all replicate
+    # ×N here, so the ratio should track ×N — while the commit itself
+    # (one doc + one vector + one staged batch) stays O(1) in count.
+    # The evolution twin adds the additive widen (metadata-only) to the
+    # same shape; the chained feed composes two rewrites + vector
+    # translation over ×N rows (translation joins are segment-sized).
+    "merge_into_feed_counts",
+    "merge_schema_evolution_counts",
+    "manifest_chained_indirect_feed_counts",
 ]
 PROBES = EVENT_PROBES + DOC_PROBES + REL_PROBES
 
