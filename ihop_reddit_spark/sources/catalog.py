@@ -314,21 +314,21 @@ def catalog_version_at_timestamp(cat: str, ts: float) -> int:
     never orders timestamp travel differently from version travel).
     Raises when ``ts`` precedes the first commit or the catalog
     predates commit stamps; a ``ts`` past the head resolves to head."""
-    best = None
-    eff = 0.0
-    for cv in catalog_versions(cat):
-        doc = read_catalog_doc(cat, cv)
-        # float seconds on both sides — ns-vs-float mixing loses the
-        # boundary (2^53 < epoch ns); see version_at_timestamp
-        eff = max(eff, int(doc.get("committed_at", 0)) / 1e9)
-        if eff and eff <= ts:
-            best = cv
-    if best is None:
-        raise ValueError(
-            f"timestamp {ts} precedes the first commit at catalog {cat}"
-            " (or the catalog predates commit stamps)"
-        )
-    return best
+    return M.resolve_at_timestamp(
+        catalog_versions(cat),
+        lambda cv: read_catalog_doc(cat, cv),
+        ts,
+        f"catalog {cat}",
+    )
+
+
+def _clamped_pin(path: str, pin: int) -> int:
+    """THE retention-clamp rule, shared by every catalog-pinned read: a
+    pin that fell below the table's retention horizon (vacuum folded
+    the pinned doc into a checkpoint) clamps to the oldest retained
+    version — the checkpoint that absorbed the pinned rows — instead of
+    silently reading an empty prefix."""
+    return max(pin, M.list_versions(path)[0])
 
 
 def catalog_snapshot_asof(
@@ -362,8 +362,7 @@ def catalog_snapshot_asof(
     pins = catalog_pins(cat, version)
     out: dict[str, DataFrame] = {}
     for name, path in sorted(catalog_tables(cat).items()):
-        pin = max(pins[name], M.list_versions(path)[0])
-        out[name] = M.read_snapshot(spark, path, pin)
+        out[name] = M.read_snapshot(spark, path, _clamped_pin(path, pins[name]))
     return out
 
 
@@ -374,15 +373,11 @@ def read_catalog_table(
     version: int | None = None,
 ) -> DataFrame:
     """Read ``table`` at its catalog pin — cross-table consistent with
-    every other table read at the same catalog ``version``. A pin that
-    fell below the table's retention horizon (vacuum folded the pinned
-    doc into a checkpoint) clamps to the oldest retained version — the
-    checkpoint that absorbed the pinned rows — instead of silently
-    reading an empty prefix."""
+    every other table read at the same catalog ``version``, with the
+    shared retention clamp (:func:`_clamped_pin`)."""
     pins = catalog_pins(cat, version)
     path = catalog_tables(cat)[table]
-    pin = max(pins[table], M.list_versions(path)[0])
-    return M.read_snapshot(spark, path, pin)
+    return M.read_snapshot(spark, path, _clamped_pin(path, pins[table]))
 
 
 class CatalogTransaction:

@@ -1269,36 +1269,45 @@ def manifest_append(
     )
 
 
-def version_at_timestamp(path: str, ts: float) -> int:
-    """Resolve an epoch-seconds timestamp to the table version visible
-    at that instant — Delta's ``TIMESTAMP AS OF`` grain. Commit stamps
-    are made MONOTONE before resolution (each version's effective time
-    is the max stamp seen so far), so writer clock jitter can never
-    order timestamp travel differently from version travel. Raises when
-    ``ts`` precedes the first commit; a ``ts`` past the head resolves to
-    the head (the Delta convention is an error — here the head read is
-    what every caller of a live table wants)."""
+def resolve_at_timestamp(versions, read_doc, ts: float, what: str) -> int:
+    """Shared monotone-stamp TIMESTAMP AS OF resolver — one copy of the
+    subtle parts, used by both table (``version_at_timestamp``) and
+    catalog (``catalog.catalog_version_at_timestamp``) travel so the
+    two can never diverge. Commit stamps are made MONOTONE before
+    resolution (each version's effective time is the max stamp seen so
+    far), so writer clock jitter can never order timestamp travel
+    differently from version travel. Raises when ``ts`` precedes the
+    first stamped commit; a ``ts`` past the head resolves to head."""
     best = None
     eff = 0.0
-    for v in list_versions(path):
-        doc = read_version_doc(path, v)
+    for v in versions:
+        doc = read_doc(v)
         # compare in float seconds on BOTH sides: callers hold float
         # timestamps, and ns-vs-float mixing loses the boundary (2^53
         # < epoch ns) — the symmetric conversion keeps `ts == stamp/1e9`
         # resolving inclusively
         eff = max(eff, int(doc.get("committed_at", 0)) / 1e9)
         # eff == 0 means no commit at-or-before v carries a stamp (the
-        # table predates commit stamps): such versions can never satisfy
-        # a timestamp query — without this, a stampless table resolves
+        # log predates commit stamps): such versions can never satisfy
+        # a timestamp query — without this, a stampless log resolves
         # EVERY timestamp to head, contradicting the error contract
         if eff and eff <= ts:
             best = v
     if best is None:
         raise ValueError(
-            f"timestamp {ts} precedes the first commit at {path}"
-            " (or the table predates commit stamps)"
+            f"timestamp {ts} precedes the first commit at {what}"
+            " (or the log predates commit stamps)"
         )
     return best
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Resolve an epoch-seconds timestamp to the table version visible
+    at that instant — Delta's ``TIMESTAMP AS OF`` grain (see
+    :func:`resolve_at_timestamp` for the monotone-stamp semantics)."""
+    return resolve_at_timestamp(
+        list_versions(path), lambda v: read_version_doc(path, v), ts, path
+    )
 
 
 def read_snapshot(
@@ -1915,23 +1924,23 @@ def read_changes(
                     break
                 work = nxt
             else:
-                # the loop exhausted its hop budget with targets still
-                # pending. _chain_cover's identical depth bound makes
-                # this unreachable TODAY (an accepted target always
-                # drains before the bound) — but that invariant lives
-                # in a different function, and if the two constants
-                # ever diverge, silently dropping the residual vectors
-                # would OVER-EMIT in the change feed (deleted rows
-                # emitted as inserts). Fail loudly instead.
-                if nxt:
-                    raise RuntimeError(
-                        f"chain translation at {path} exhausted"
-                        f" {_MAX_CHAIN_HOPS} hops with"
-                        f" {len(nxt)} targets still pending"
-                        f" ({sorted(t for t, *_ in nxt)[:5]}…) —"
-                        " _MAX_CHAIN_HOPS no longer matches"
-                        " _chain_cover's acceptance bound"
-                    )
+                # reachable ONLY with nxt non-empty (a drained worklist
+                # breaks): the loop exhausted its hop budget with
+                # targets still pending. _chain_cover's identical depth
+                # bound makes this unreachable TODAY (an accepted
+                # target always drains before the bound) — but that
+                # invariant lives in a different function, and if the
+                # two constants ever diverge, silently dropping the
+                # residual vectors would OVER-EMIT in the change feed
+                # (deleted rows emitted as inserts). Fail loudly.
+                raise RuntimeError(
+                    f"chain translation at {path} exhausted"
+                    f" {_MAX_CHAIN_HOPS} hops with"
+                    f" {len(nxt)} targets still pending"
+                    f" ({sorted(t for t, *_ in nxt)[:5]}…) —"
+                    " _MAX_CHAIN_HOPS no longer matches"
+                    " _chain_cover's acceptance bound"
+                )
             return _apply_dvs(scanned, dvf)
         return scanned.drop("__dv_file", "__dv_pos")
     read_schema = (
@@ -2623,6 +2632,7 @@ def manifest_merge_into(
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         key = eq if key is None else (key & eq)
     matched = t.join(s, key, "inner").persist()
+    persisted = [matched]
     try:
         hit_parts: list[DataFrame] = []
         updated = None
@@ -2696,9 +2706,13 @@ def manifest_merge_into(
         if not_matched_by_source_delete or (
             not_matched_by_source_update is not None
         ):
+            # multi-consumed like `matched` (delete hits, update hits,
+            # the admits staging and its count): persist so the
+            # live-scan + anti-join runs once, not up to four times
             tgt_only = live.join(
                 source.select(*on_cols).distinct(), on_cols, "left_anti"
-            )
+            ).persist()
+            persisted.append(tgt_only)
             # DELETE wins on rows satisfying both clauses — the same
             # precedence the matched side pins (CDC tombstone pattern)
             if not_matched_by_source_delete:
@@ -2773,7 +2787,8 @@ def manifest_merge_into(
             (n_admitted - n_updated) if version != head else 0,
         )
     finally:
-        matched.unpersist()
+        for df_ in persisted:
+            df_.unpersist()
 
 
 def manifest_update_where(

@@ -816,9 +816,12 @@ def merge_into_stream(
     final state has a closed form over the raw events regardless of
     how the source carves micro-batches.
 
-    The events slice is staged as ``n_source_files`` parquet files read
-    with ``maxFilesPerTrigger=1``, so the run exercises REAL multi-batch
-    sequencing, not a single-batch degenerate. Returns ``table_path``."""
+    The events slice is staged ONCE, with the table (``_cdc_src``), as
+    ``n_source_files`` parquet files read with ``maxFilesPerTrigger=1``
+    — real multi-batch sequencing, not a single-batch degenerate; the
+    carve binds at first staging, so resumes with a different
+    ``n_source_files`` reuse the original slices rather than re-carving
+    under keys that match nothing. Returns ``table_path``."""
     import os
 
     from ..sources import manifest as M
@@ -838,11 +841,15 @@ def merge_into_stream(
         )
         M.manifest_append(seed.repartition(4), table_path)
 
-    src_dir = (
-        f"{checkpoint_dir}_src"
-        if checkpoint_dir is not None
-        else os.path.join(table_path, "_cdc_src")
-    )
+    # the staged source lives with the TABLE, not the checkpoint: a
+    # resume — fresh checkpoint or not, and whatever n_source_files it
+    # passes — finds the dir and reuses the original carve, so the
+    # content-identity keys below always compare like with like. (A
+    # checkpoint-derived path would re-stage under a fresh checkpoint,
+    # and a different n would carve different slices whose keys match
+    # nothing — re-applying committed events.) n_source_files therefore
+    # binds only at FIRST staging.
+    src_dir = os.path.join(table_path, "_cdc_src")
     if not os.path.isdir(src_dir):
         # stage-then-rename: a crash mid-staging must not leave a
         # partial dir a rerun would mistake for the complete source.
@@ -850,9 +857,9 @@ def merge_into_stream(
         # expression event_id % n carves the slice in a single pass
         # (the old shape re-scanned the events table once per file).
         # NOT repartitionByRange — its sampled boundaries vary run to
-        # run, and a re-staged source (fresh checkpoint dir) must carve
-        # into byte-identical slices so the content-identity keys below
-        # recognize already-applied batches.
+        # run, and identical re-carves (e.g. a copied table) must
+        # produce byte-identical slices so the content-identity keys
+        # below recognize already-applied batches.
         import shutil
 
         tmp = f"{src_dir}.staging"

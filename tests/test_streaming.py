@@ -859,7 +859,7 @@ def test_merge_into_stream_partial_resume_fresh_checkpoint(
         (r["k"], r["v"])
         for r in M.read_snapshot(spark, done).collect()
     }
-    src_dir = str(tmp_path / "ckpt1") + "_src"
+    src_dir = os.path.join(done, "_cdc_src")  # staged WITH the table
     files = sorted(
         f for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
@@ -911,9 +911,10 @@ def test_merge_into_stream_partial_resume_fresh_checkpoint(
     )
     mid_head = M.latest_version(part)
 
-    # resume with a FRESH checkpoint over the SAME source dir: the
+    # resume with a FRESH checkpoint: the table-local staged source is
+    # reused (same carve regardless of what n a resume would pass), the
     # applied file must be skipped, the remaining files applied once
-    shutil.copytree(src_dir, str(tmp_path / "ckpt2") + "_src")
+    shutil.copytree(src_dir, os.path.join(part, "_cdc_src"))
     merge_into_stream(
         spark, sf_dir, part, checkpoint_dir=str(tmp_path / "ckpt2")
     )

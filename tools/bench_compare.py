@@ -66,20 +66,25 @@ def main() -> None:
         sys.exit(2)
     names = list(rounds)
     latest = names[-1]
-    # box-speed sentinel renormalization (VERDICT r12 item 2): rounds
-    # that carry the pinned single-thread kernel's timing get their
-    # query times rescaled to the FASTEST box observed (t * s_ref/s_n),
-    # so a slow-box round compares on code, not on contention. Rounds
-    # without a sentinel (pre-r13) stay raw — their flags keep the old
-    # semantics.
+    # box-speed sentinel renormalization (VERDICT r12 item 2):
+    # normalization is applied ONLY when the LATEST round carries the
+    # pinned single-thread kernel's timing — then every sentinel-
+    # carrying round's times rescale to the fastest box observed
+    # (t * s_ref/s_n) and flags fire on ratio_norm, so a slow-box round
+    # compares on code, not on contention. When the latest round has no
+    # sentinel (pre-r13 candidate), EVERYTHING stays raw — rescaling
+    # only the priors would tighten the gate against the raw candidate.
+    # Raw series/anchor_min/ratio are always emitted under their
+    # original names so any entry is auditable from its own output.
     sent = {
         n: (d.get("sentinel") or {}).get("min") for n, d in rounds.items()
     }
     have = {n: s for n, s in sent.items() if s}
+    normalize = bool(sent.get(latest)) and len(have) > 1
     s_ref = min(have.values()) if have else None
 
     def norm(n: str, v: float) -> float:
-        if s_ref and sent.get(n):
+        if normalize and sent.get(n):
             return v * (s_ref / sent[n])
         return v
 
@@ -96,15 +101,25 @@ def main() -> None:
         }
         if q not in rounds[latest].get("queries", {}):
             continue
-        nseries = {n: round(norm(n, v), 3) for n, v in series.items()}
-        cur = nseries[latest]
-        prior = [v for n, v in nseries.items() if n != latest]
-        anchor = min(prior) if prior else cur
-        ratio = round(cur / anchor, 2) if anchor > 0 else None
+        prior_raw = [v for n, v in series.items() if n != latest]
+        anchor = min(prior_raw) if prior_raw else series[latest]
+        ratio = (
+            round(series[latest] / anchor, 2) if anchor > 0 else None
+        )
         entry = {"series": series, "anchor_min": anchor, "ratio": ratio}
-        if sent.get(latest):
+        gate_ratio = ratio
+        if normalize:
+            nseries = {
+                n: round(norm(n, v), 3) for n, v in series.items()
+            }
+            np = [v for n, v in nseries.items() if n != latest]
+            na = min(np) if np else nseries[latest]
+            nr = round(nseries[latest] / na, 2) if na > 0 else None
             entry["series_norm"] = nseries
-        if prior and ratio is not None and ratio > threshold:
+            entry["anchor_min_norm"] = na
+            entry["ratio_norm"] = nr
+            gate_ratio = nr
+        if prior_raw and gate_ratio is not None and gate_ratio > threshold:
             entry["FLAG"] = True
             flags.append(q)
         table[q] = entry
