@@ -74,6 +74,19 @@ def _collect_rows(df: DataFrame, cap: int = _GATE_COLLECT_CAP, what: str = ""):
     return rows
 
 
+def _detach_from_tempdir(df: DataFrame) -> DataFrame:
+    """VERDICT r13 item 1 — materialize a DATA-PROPORTIONAL gate result
+    DISTRIBUTED (executor block storage, lineage truncated) so the temp
+    directory backing its scan can be deleted before returning. Unlike
+    the ``_collect_rows`` round-trip this never lands the rows on the
+    driver: ``localCheckpoint(eager=True)`` runs the plan once, stores
+    each partition in the block manager, and the returned frame reads
+    those blocks — O(rows/partition) per executor, O(1) on the driver,
+    so the result scales with the cluster instead of failing the
+    driver-collect cap at bigger SFs."""
+    return df.localCheckpoint(eager=True)
+
+
 #: Event-time storage dispatch lives in functions/event_time.py — the ONE
 #: place that knows whether events.ts is LONG nanoseconds (legacy
 #: TIMESTAMP(NANOS) under nanosAsLong) or a Spark timestamp type (parquet
@@ -3351,12 +3364,13 @@ def manifest_incremental_dedup_pairs(spark, sf_dir):
             "jaccard",
         ).where(F.col("new_id") % 2 != F.col("indexed_id") % 2)
         out = cand.join(cross, ["new_id", "indexed_id"])
-        rows = [tuple(r) for r in _collect_rows(out)]
-        out_schema = out.schema
+        # near-dup pair count grows with the corpus → materialize
+        # distributed before the manifest tempdir goes away
+        out = _detach_from_tempdir(out)
         cand.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -7296,12 +7310,13 @@ def _warc_roundtrip_pages_impl(spark, sf_dir, *, encoded: bool):
                 "clean_text"
             ),
         )
-        # materialize so the temp dir can be deleted (doc-count-bounded)
-        rows = [tuple(r) for r in _collect_rows(out)]
-        out_schema = out.schema
+        # one row per crawl page → doc-PROPORTIONAL: materialize
+        # distributed (never through the driver) before deleting the
+        # WARC tempdir the scan reads from
+        out = _detach_from_tempdir(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema)
+    return out
 # ---------------------------------------------------------------------------
 # HTTP Content-Encoding gate (r11): the SAME pages, but every response
 # body is compressed with a per-doc coding cycling identity/gzip/

@@ -121,3 +121,34 @@ def test_gate_collects_are_bounded():
             continue  # the guard's own transfer, capped by limit
         bad.append((i, line.strip()))
     assert not bad, f"unguarded gate collects: {bad}"
+
+
+def test_data_proportional_gates_materialize_distributed(spark):
+    """VERDICT r13 item 1: gates whose output is data-PROPORTIONAL
+    (one row per crawl page / per near-dup pair) must materialize via
+    ``_detach_from_tempdir`` (executor-side localCheckpoint), never a
+    driver collect — the r13 close bench failed at sf0.1 exactly
+    because the WARC round-trip collected one row per document."""
+    import inspect
+
+    from ihop_reddit_spark.plans import query_catalog as qc
+
+    for fn in (qc._warc_roundtrip_pages_impl,):
+        src = inspect.getsource(fn)
+        assert "_detach_from_tempdir" in src
+        assert "_collect_rows" not in src and ".collect()" not in src
+    src = inspect.getsource(qc.manifest_incremental_dedup_pairs)
+    assert "_detach_from_tempdir" in src
+
+    # the checkpointed frame must survive its tempdir's deletion: run
+    # the real gate (it deletes the WARC dir before returning) and
+    # consume the result afterwards
+    out = qc.QUERIES["warc_roundtrip_pages"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert out.columns == [
+        "doc_id",
+        "http_status",
+        "content_type",
+        "clean_text",
+    ]
