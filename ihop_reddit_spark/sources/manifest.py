@@ -3869,7 +3869,13 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 len(doc.get("removed", [])),
                 sum(rc.values()) if rc else None,
                 sum(doc.get("dv_targets", {}).values()) or None,
-                doc.get("stream_batch_id"),
+                # stringified: batch ids are ints for file-replay
+                # streams but CONTENT keys ("slice:min:max:count") for
+                # CDC merge streams (streaming/events.py) — a long
+                # column would make createDataFrame raise on the latter
+                None
+                if doc.get("stream_batch_id") is None
+                else str(doc["stream_batch_id"]),
                 f"{txn['catalog']}@v{txn['catalog_version']}"
                 if txn
                 else None,
@@ -3880,7 +3886,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, operation string, committed_at double,"
         " n_files_added int, n_files_removed int, rows_added long,"
-        " rows_deleted long, stream_batch_id long, catalog_txn string,"
+        " rows_deleted long, stream_batch_id string, catalog_txn string,"
         " clone_source string",
     )
 

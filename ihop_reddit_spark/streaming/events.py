@@ -864,10 +864,51 @@ def merge_into_stream(
 
         tmp = f"{src_dir}.staging"
         shutil.rmtree(tmp, ignore_errors=True)
-        ev.repartition(
-            n_source_files, F.col("event_id") % n_source_files
-        ).write.parquet(tmp)
-        os.rename(tmp, src_dir)
+        # partitionBy (not a bare hash repartition): repartition(n,
+        # event_id % n) HASH-partitions the bucket VALUE, so several
+        # buckets can collide into one task while others stay empty —
+        # fewer than n non-empty slices, silently weakening the
+        # multi-batch contract (ADVICE r13). partitionBy guarantees
+        # every non-empty bucket lands in its own directory whatever
+        # the task placement; the single repartition keeps it one
+        # Spark job. Bucket dirs are then FLATTENED to slice files
+        # (partitionBy already excludes __bucket from the data, so the
+        # flat files carry exactly ev.schema).
+        (
+            ev.withColumn(
+                "__bucket",
+                (F.col("event_id") % n_source_files).cast("int"),
+            )
+            .repartition(n_source_files, "__bucket")
+            .write.partitionBy("__bucket")
+            .parquet(tmp)
+        )
+        flat = f"{src_dir}.flat"
+        shutil.rmtree(flat, ignore_errors=True)
+        os.makedirs(flat)
+        n_slices = 0
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            for i, fn in enumerate(
+                sorted(
+                    f
+                    for f in os.listdir(os.path.join(tmp, d))
+                    if f.endswith(".parquet")
+                )
+            ):
+                os.rename(
+                    os.path.join(tmp, d, fn),
+                    os.path.join(flat, f"slice-{b:05d}-{i}.parquet"),
+                )
+                n_slices += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        assert n_slices >= 2, (
+            f"CDC source staged only {n_slices} non-empty slice(s) — "
+            "multi-batch sequencing requires at least 2"
+        )
+        os.rename(flat, src_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -896,8 +937,19 @@ def merge_into_stream(
         if ident[2] == 0:
             return  # empty batch: no clause could fire
         key = f"slice:{ident[0]}:{ident[1]}:{ident[2]}"
-        if key in M.committed_stream_batches(table_path):
+        committed = M.committed_stream_batches(table_path)
+        if key in committed:
             return  # replayed batch — both clauses already landed
+        # legacy tables (pre-content-key) committed POSITIONAL int
+        # batch ids; honor those too so resuming such a table under
+        # its original checkpoint doesn't re-apply every batch
+        # (ADVICE r13). Positional ids are only pinned by that
+        # checkpoint — a FRESH-checkpoint resume of a legacy table
+        # remains unsafe and the table should be rebuilt. New-scheme
+        # tables commit string keys only, so the int can never
+        # spuriously match.
+        if int(batch_id) in committed:
+            return
         src = batch_df.groupBy(
             F.col("user_id").alias("k")
         ).agg(

@@ -2586,7 +2586,8 @@ def test_describe_history_and_timestamp_changes(spark, tmp_path):
     h = {r["version"]: r for r in M.describe_history(spark, root).collect()}
     assert h[0]["operation"] == "init"
     assert h[1]["operation"] == "append" and h[1]["rows_added"] == 10
-    assert h[1]["stream_batch_id"] == 3
+    # stringified so CDC-merge CONTENT keys ("slice:...") fit the column
+    assert h[1]["stream_batch_id"] == "3"
     assert h[2]["rows_added"] == 15
     assert h[3]["operation"] == "rowdelete"
     assert h[3]["rows_deleted"] == 1
@@ -2611,6 +2612,29 @@ def test_describe_history_and_timestamp_changes(spark, tmp_path):
     # otherwise be silently skipped — review finding r11s2)
     with pytest.raises(ValueError, match="precedes the first commit"):
         M.changes_between_timestamps(spark, root, 1.0)
+
+
+def test_describe_history_on_cdc_merge_content_keys(spark, tmp_path):
+    """ADVICE r13: merge_into_stream stamps STRING content keys
+    ("slice:min:max:count") into stream_batch_id; describe_history on
+    such a table used to raise (LongType cannot accept a str)."""
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    M.manifest_init(root)
+    M.manifest_append(
+        spark.range(0, 10).withColumn("v", F.col("id")), root,
+        extra={"stream_batch_id": "slice:0:9:10"},
+    )
+    M.manifest_append(
+        spark.range(10, 12).withColumn("v", F.col("id")), root,
+        extra={"stream_batch_id": 1},
+    )
+    h = {r["version"]: r for r in M.describe_history(spark, root).collect()}
+    assert h[1]["stream_batch_id"] == "slice:0:9:10"
+    assert h[2]["stream_batch_id"] == "1"
 
 
 def test_version_at_timestamp_stampless_table_raises(spark, tmp_path):

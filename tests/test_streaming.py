@@ -928,3 +928,111 @@ def test_merge_into_stream_partial_resume_fresh_checkpoint(
     assert key0 in keys
     assert all(str(k).startswith("slice:") for k in keys)
     assert M.latest_version(part) > mid_head
+
+
+@pytest.mark.slow
+def test_merge_into_stream_carve_one_bucket_per_file(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: the staged CDC source is carved with partitionBy,
+    so every slice file holds exactly ONE bucket's rows and every
+    non-empty bucket gets its own file — a bare hash repartition on
+    the bucket expression could collide several buckets into one
+    partition and leave others empty, silently degrading the
+    multi-batch contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.streaming.events import merge_into_stream
+
+    root = merge_into_stream(
+        spark, sf_dir, str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"), n_source_files=3,
+    )
+    src_dir = os.path.join(root, "_cdc_src")
+    files = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    seen_buckets = set()
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(os.path.join(src_dir, f))
+        rows = pdf.count()
+        assert rows > 0  # no empty slices survive staging
+        total += rows
+        buckets = {
+            r[0]
+            for r in pdf.select(
+                (F.col("event_id") % 3).cast("int")
+            ).distinct().collect()
+        }
+        assert len(buckets) == 1  # one bucket per file
+        seen_buckets |= buckets
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    assert total == ev.count()  # carve is a partition of the events
+    assert seen_buckets == {0, 1, 2}
+
+
+@pytest.mark.slow
+def test_merge_into_stream_honors_legacy_int_batch_ids(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: a pre-content-key table committed POSITIONAL int
+    batch ids; resuming it must skip those batches instead of
+    double-applying the additive update. With every positional id
+    pre-committed, the stream must be a complete no-op regardless of
+    file enumeration order."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.streaming.events import merge_into_stream
+
+    done = merge_into_stream(
+        spark, sf_dir, str(tmp_path / "donor"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    src_dir = os.path.join(done, "_cdc_src")
+    n_files = len(
+        [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type")
+    )
+    legacy = str(tmp_path / "legacy")
+    M.manifest_init(legacy)
+    seed = (
+        ev.select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("v", F.lit(0).cast("long"))
+    )
+    M.manifest_append(seed.repartition(4), legacy)
+    # the legacy scheme: every batch already committed under its int id
+    M.manifest_append(
+        seed.limit(0), legacy,
+        extra={"stream_batch_ids": list(range(n_files))},
+    )
+    baseline = {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, legacy).collect()
+    }
+    head = M.latest_version(legacy)
+
+    shutil.copytree(src_dir, os.path.join(legacy, "_cdc_src"))
+    merge_into_stream(
+        spark, sf_dir, legacy, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert M.latest_version(legacy) == head  # nothing re-applied
+    assert {
+        (r["k"], r["v"])
+        for r in M.read_snapshot(spark, legacy).collect()
+    } == baseline
