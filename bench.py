@@ -98,6 +98,9 @@ STREAMING = [
     "stream_domain_quota",     # stateful quota: manifest state, DV evictions
     "stream_crawl_extraction", # pure-projection stream (same plan as batch)
     "stream_catalog_txn_counts",  # atomic multi-table micro-batches + replay
+    # round-14: CDC MERGE whose feed grows a column mid-stream + full
+    # two-phase replay across the widen (commit-protocol bound)
+    "stream_merge_evolution_counts",
 ]
 
 #: round-11: the NATIVE-CODEC + schema-evolution tier — also a separate
@@ -116,6 +119,9 @@ NATIVE = [
     "warc_content_encoding_pages",       # gzip/deflate/br/zstd bodies
     "manifest_clone_divergence_counts",  # shallow clone + divergence + vacuum
     "catalog_txn_consistency_counts",    # atomic multi-table transactions
+    # round-14: manifest-tier OPTIMIZE ZORDER (row-grain z rewrite +
+    # Morton file-pack maintenance; commit/metadata bound)
+    "manifest_zorder_compact_counts",
 ]
 
 #: The 18 queries benched since round 1 — their subtotal is emitted as

@@ -5404,6 +5404,128 @@ def manifest_indirect_vector_feed_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r14 (VERDICT r13 item 6): Z-ORDER compaction at the manifest tier —
+# Delta OPTIMIZE ZORDER's two claims, both gated. (1) The row-grain
+# rewrite (manifest_compact cluster_by=[k, eid], composing
+# sources/layout.zvalue with min/max-normalized dims) is a DATA NO-OP:
+# snapshot count/sum hash-identical before and after, and the change
+# feed since v2 is byte-stable across the rewrite (mixed inputs ⇒
+# originals kept). (2) The layout measurably TIGHTENS: 8 hash-
+# partitioned append files each span ~the full user_id range, while 4
+# z-ordered files cover bounded rectangles — the gate asserts the
+# summed per-file footer span at least halves, then runs the
+# maintenance-grain twin (manifest_compact_small cluster_stat_pair —
+# FILE-grain Morton pack order, segments preserved) and re-checks
+# snapshot + feed. Spans come from footer stats (metadata-only); the
+# oracle derives every value in closed form from the events table.
+# ---------------------------------------------------------------------------
+@query(
+    "manifest_zorder_compact_counts",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, event_id AS eid FROM events
+      WHERE user_id IS NOT NULL),
+    snap AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s
+      FROM ev),
+    feed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s
+      FROM ev WHERE eid % 4 IN (2, 3))
+    SELECT 'snapshot_before' AS tag, n AS n_rows, s AS sum_key FROM snap
+    UNION ALL SELECT 'snapshot_after', n, s FROM snap
+    UNION ALL SELECT 'snapshot_packed', n, s FROM snap
+    UNION ALL SELECT 'feed_before', n, s FROM feed
+    UNION ALL SELECT 'feed_after', n, s FROM feed
+    UNION ALL SELECT 'feed_packed', n, s FROM feed
+    UNION ALL SELECT 'span_tightened', CAST(1 AS BIGINT),
+                     CAST(4 AS BIGINT)
+    """,
+)
+def manifest_zorder_compact_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("k"), F.col("event_id").alias("eid")
+        )
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("sum_key"),
+        ).select(F.lit(tag).alias("tag"), "n_rows", "sum_key")
+
+    def k_span(root: str) -> int:
+        stats = M.live_file_stats(root)
+        return sum(
+            s["k"][1] - s["k"][0] for s in stats.values() if "k" in s
+        )
+
+    work = tempfile.mkdtemp(prefix="mani_zorder_")
+    try:
+        root = f"{work}/tbl"
+        M.manifest_init(root)
+        for b in range(4):  # v1..v4: hash-partitioned, unclustered
+            M.manifest_append(
+                ev.where(F.col("eid") % 4 == b).repartition(2), root
+            )
+        span_before = k_span(root)
+        out = agg(M.read_snapshot(spark, root), "snapshot_before")
+        out = out.unionByName(
+            agg(M.read_changes(spark, root, 2), "feed_before")
+        )
+        # v5: row-grain z-order rewrite (normalized Morton interleave)
+        M.manifest_compact(
+            spark, root, target_files=4, cluster_by=["k", "eid"]
+        )
+        span_after = k_span(root)
+        n_files_after = len(M.live_files(root))
+        out = out.unionByName(
+            agg(M.read_snapshot(spark, root), "snapshot_after")
+        )
+        out = out.unionByName(
+            agg(M.read_changes(spark, root, 2), "feed_after")
+        )
+        # v6: maintenance-grain twin — Morton FILE pack order, whole
+        # files only, segments keep the feed row-exact
+        M.manifest_compact_small(
+            spark,
+            root,
+            max_file_bytes=1 << 30,
+            target_file_bytes=1 << 30,
+            cluster_stat_pair=("k", "eid"),
+        )
+        out = out.unionByName(
+            agg(M.read_snapshot(spark, root), "snapshot_packed")
+        )
+        out = out.unionByName(
+            agg(M.read_changes(spark, root, 2), "feed_packed")
+        )
+        out = out.unionByName(
+            spark.createDataFrame(
+                [
+                    (
+                        "span_tightened",
+                        int(2 * span_after < span_before),
+                        n_files_after,
+                    )
+                ],
+                "tag string, n_rows long, sum_key long",
+            )
+        )
+        out = _detach_from_tempdir(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # r12: CHAINED double-indirection, closed (VERDICT r11 item 5) — deletes
 # whose hit file is a survivor-of-a-survivor (indirect over another
 # indirect file) used to exit the feed at file grain. read_changes now
@@ -6207,6 +6329,83 @@ def stream_merge_into_counts(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 item 7): streaming CDC MERGE whose feed GROWS A
+# COLUMN mid-stream (streaming/events.merge_evolution_stream →
+# manifest_merge_into with_schema_evolution) — phase 1 merges a narrow
+# (k, v) feed, phase 2 switches to (k, v, seg): updates keep flowing,
+# inserts carry the new column, and the widen lands atomically with the
+# first insert-bearing batch. The whole two-phase stream is then
+# REPLAYED from fresh checkpoints against the now-wider table: phase-
+# tagged content-identity keys skip every batch whole (head untouched,
+# replay_noop = 1). Pre/post column counts pin WHEN the widen happened;
+# the oracle derives the final state in closed form from customer.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_merge_evolution_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    fin AS (
+      SELECT k,
+             CASE WHEN k % 5 = 2 THEN 7 * k
+                  WHEN k % 3 = 1 THEN 3 * k
+                  ELSE 2 * k END AS v,
+             CAST(NULL AS VARCHAR) AS seg
+      FROM cust
+      UNION ALL
+      SELECT k + 9000000, 7 * (k + 9000000), 'n'
+      FROM cust WHERE k % 13 = 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(COUNT(seg) AS BIGINT) AS n_seg,
+           CAST(2 AS BIGINT) AS pre_widen_cols,
+           CAST(3 AS BIGINT) AS post_widen_cols,
+           CAST(1 AS BIGINT) AS replay_noop
+    FROM fin
+    """,
+)
+def stream_merge_evolution_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..streaming.events import merge_evolution_stream
+
+    work = tempfile.mkdtemp(prefix="mani_mevo_stream_")
+    try:
+        root, phase1_head = merge_evolution_stream(
+            spark, sf_dir, f"{work}/tbl", checkpoint_dir=f"{work}/ckpt"
+        )
+        head = M.latest_version(root)
+        # full two-phase replay, fresh checkpoints, AFTER the widen:
+        # every batch skips via its phase-tagged content key
+        merge_evolution_stream(
+            spark, sf_dir, root, checkpoint_dir=f"{work}/ckpt2"
+        )
+        replay_noop = int(M.latest_version(root) == head)
+        pre_cols = len(M.read_snapshot(spark, root, phase1_head).columns)
+        snap = M.read_snapshot(spark, root)
+        s = snap.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.count("seg").cast("long").alias("n_seg"),
+        ).collect()[0]
+        rows = [
+            (
+                s["n_rows"], s["sum_v"], s["n_seg"],
+                pre_cols, len(snap.columns), replay_noop,
+            )
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, sum_v long, n_seg long, pre_widen_cols long,"
+        " post_widen_cols long, replay_noop long",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -12182,14 +12381,27 @@ def tvd_drift_event_mix(spark, sf_dir):
 # commit stamps), the CDC stream (file-identity idempotency key +
 # single-pass staging), and the chain-translation consumers (hop-budget
 # assert) — then the stalest remainder from prior windows.
+#
+# ROUND-14 rotation (EVIDENCE-FIRST): the two REPAIRED WARC gates lead
+# (driver-collect → distributed localCheckpoint materialization — the
+# r13 close-bench failure; the fix must be driver-visible, VERDICT r13
+# item 5), then the round's two new gates (manifest-tier OPTIMIZE
+# ZORDER; streaming MERGE schema evolution), then the queries whose
+# code paths changed (the third detached materialization; the CDC
+# stream's partitionBy carve + legacy-id resume) — then the r13 head.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    "warc_roundtrip_pages",
+    "warc_content_encoding_pages",
+    "manifest_zorder_compact_counts",
+    "stream_merge_evolution_counts",
+    "manifest_incremental_dedup_pairs",
+    "stream_merge_into_counts",
     "merge_schema_evolution_counts",
     "catalog_snapshot_asof_counts",
     "merge_into_sync_counts",
     "manifest_chained_indirect_feed_counts",
     "merge_into_feed_counts",
-    "stream_merge_into_counts",
     "kcore_copurchase_parts",
     "hevc_mp4_decode_gate",
     "av1_mp4_decode_gate",
@@ -12219,12 +12431,10 @@ _SCORING_PRIORITY = [
     "bfs_distances_copurchase",
     "manifest_clone_divergence_counts",
     "manifest_schema_evolution_counts",
-    "warc_content_encoding_pages",
     "manifest_update_feed_counts",
     "stream_domain_quota",
     "manifest_dv_lifecycle_counts",
     "manifest_bloom_point_lookups",
-    "manifest_incremental_dedup_pairs",
     "manifest_merge_upsert_counts",
     "manifest_timetravel_counts",
     "stream_dv_deletes",
@@ -12342,7 +12552,6 @@ _SCORING_PRIORITY = [
     "top3_customers_per_segment",
     "triangle_counts_copurchase",
     "union_dedup_customers",
-    "warc_roundtrip_pages",
     "wordpiece_invariants_gate",
     "wordpiece_roundtrip_gate",
     "asof_purchase_to_click",

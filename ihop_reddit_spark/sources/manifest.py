@@ -3382,9 +3382,52 @@ def manifest_compact(
         elif len(cluster_by) == 2:
             from .layout import zvalue
 
-            z = zvalue(
-                F.col(cluster_by[0]), F.col(cluster_by[1]), zorder_bits
-            )
+            # zvalue interleaves the LOW ``zorder_bits`` bits, so raw
+            # values beyond 2^bits would cluster on low bits only
+            # (x and x + 2^bits collide — no rectangle bound in raw
+            # value space). Normalize each dim to the bits-wide grid
+            # by its LIVE global min/max first — read from footer
+            # stats (metadata-only) with a one-row agg fallback.
+            stats = live_file_stats(path, head)
+            cmap = _mapping_of(path, head)
+            grid = (1 << zorder_bits) - 1
+            dims = []
+            for c in cluster_by:
+                pc = cmap.get(c, c)
+                mins = [
+                    s[pc][0]
+                    for s in stats.values()
+                    if pc in s and s[pc][0] is not None
+                ]
+                maxs = [
+                    s[pc][1]
+                    for s in stats.values()
+                    if pc in s and s[pc][1] is not None
+                ]
+                numeric = all(
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    for v in mins + maxs
+                )
+                if mins and maxs and numeric:
+                    lo, hi = min(mins), max(maxs)
+                else:
+                    r = snap.agg(F.min(c), F.max(c)).collect()[0]
+                    lo, hi = r[0], r[1]
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"cluster_by column {c!r} has no numeric"
+                        " min/max to normalize the z-order grid"
+                    )
+                span = max(hi - lo, 1)
+                dims.append(
+                    (
+                        (F.col(c) - F.lit(lo))
+                        * F.lit(grid)
+                        / F.lit(span)
+                    ).cast("long")
+                )
+            z = zvalue(dims[0], dims[1], zorder_bits)
             clustered = (
                 snap.withColumn("__z", z)
                 .repartitionByRange(target_files, "__z")
@@ -3425,6 +3468,7 @@ def manifest_compact_small(
     max_file_bytes: int = 32 << 20,
     target_file_bytes: int = 128 << 20,
     cluster_stat: str | None = None,
+    cluster_stat_pair: tuple[str, str] | None = None,
 ) -> tuple[int, int]:
     """PARTIAL compaction — bin-pack only the live files smaller than
     ``max_file_bytes`` into ~``target_file_bytes`` outputs and leave
@@ -3463,6 +3507,16 @@ def manifest_compact_small(
     incremental consumer's state reads batch-proportional (the quota
     stream passes its domain key here). Default (None) orders by name.
 
+    ``cluster_stat_pair`` is the two-dimensional form (Delta OPTIMIZE
+    ZORDER at the maintenance grain, composed with
+    ``sources.layout``'s Morton interleave): candidates order by the
+    z-value of their quantized footer ``(min_a, min_b)``, so each bin
+    covers a bounded RECTANGLE in both dims — and because the
+    clustering acts at FILE grain (pack order only, rows untouched),
+    the order-pinned segments contract below is preserved exactly,
+    which a row-grain z-order rewrite could not do. Row-grain
+    re-clustering is ``manifest_compact(cluster_by=[a, b])``'s job.
+
     Returns (head_after, n_files_packed); no commit when fewer than two
     pack candidates exist or packing would not reduce the file count.
     """
@@ -3478,6 +3532,10 @@ def manifest_compact_small(
     )
     if len(small) < 2:
         return head, 0
+    if cluster_stat and cluster_stat_pair:
+        raise ValueError(
+            "cluster_stat and cluster_stat_pair are mutually exclusive"
+        )
     if cluster_stat:
         stats = live_file_stats(path, head)
         # footer stats are keyed by PHYSICAL name; callers order by logical
@@ -3489,6 +3547,48 @@ def manifest_compact_small(
                 else (1, f)
             )
         )
+    elif cluster_stat_pair:
+        stats = live_file_stats(path, head)
+        cmap = _mapping_of(path, head)
+        ca, cb = (
+            cmap.get(cluster_stat_pair[0], cluster_stat_pair[0]),
+            cmap.get(cluster_stat_pair[1], cluster_stat_pair[1]),
+        )
+        def _num(v) -> bool:
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+        withstats = [
+            f
+            for f in small
+            if ca in stats.get(f, {})
+            and cb in stats.get(f, {})
+            and _num(stats[f][ca][0])
+            and _num(stats[f][cb][0])
+        ]
+        # quantize each dim's footer MIN over the candidates to a
+        # 10-bit grid, then order by the Morton interleave — driver
+        # work is O(candidate files), never row-sized
+        def _grid(vals: list) -> dict:
+            lo, hi = min(vals), max(vals)
+            span = (hi - lo) or 1
+            return {v: int((v - lo) * 1023 / span) for v in set(vals)}
+
+        if withstats:
+            ga = _grid([stats[f][ca][0] for f in withstats])
+            gb = _grid([stats[f][cb][0] for f in withstats])
+
+            def _z(f: str) -> int:
+                x = ga[stats[f][ca][0]]
+                y = gb[stats[f][cb][0]]
+                z = 0
+                for i in range(10):
+                    z |= ((x >> i) & 1) << (2 * i)
+                    z |= ((y >> i) & 1) << (2 * i + 1)
+                return z
+
+            small.sort(
+                key=lambda f: (0, _z(f), f) if f in set(withstats) else (1, 0, f)
+            )
     # first-fit bins over the ordered candidates — whole files only,
     # so every output's row provenance is exact metadata
     bins: list[list[str]] = [[]]

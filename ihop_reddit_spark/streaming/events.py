@@ -784,6 +784,62 @@ def catalog_txn_stream(
     q.awaitTermination()
 
 
+def _stage_slices(df: DataFrame, src_dir: str, bucket_expr, n: int) -> None:
+    """Stage ``df`` as deterministic slice files under ``src_dir`` for a
+    file-per-micro-batch CDC source, one bucket per file.
+
+    partitionBy (not a bare hash repartition): ``repartition(n,
+    bucket_expr)`` HASH-partitions the bucket VALUE, so several buckets
+    can collide into one task while others stay empty — fewer than n
+    non-empty slices, silently weakening the multi-batch contract
+    (ADVICE r13). partitionBy guarantees every non-empty bucket lands
+    in its own directory whatever the task placement; the single
+    repartition keeps it one Spark job. Bucket dirs are then FLATTENED
+    to ``slice-<bucket>-<i>.parquet`` files (partitionBy already
+    excludes the bucket column from the data, so the flat files carry
+    exactly ``df``'s schema). Stage-then-rename: a crash mid-staging
+    must not leave a partial dir a rerun would mistake for the
+    complete source.
+    """
+    import os
+    import shutil
+
+    tmp = f"{src_dir}.staging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.withColumn("__bucket", bucket_expr.cast("int"))
+        .repartition(n, "__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(tmp)
+    )
+    flat = f"{src_dir}.flat"
+    shutil.rmtree(flat, ignore_errors=True)
+    os.makedirs(flat)
+    n_slices = 0
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("__bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        for i, fn in enumerate(
+            sorted(
+                f
+                for f in os.listdir(os.path.join(tmp, d))
+                if f.endswith(".parquet")
+            )
+        ):
+            os.rename(
+                os.path.join(tmp, d, fn),
+                os.path.join(flat, f"slice-{b:05d}-{i}.parquet"),
+            )
+            n_slices += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    assert n_slices >= 2, (
+        f"CDC source staged only {n_slices} non-empty slice(s) — "
+        "multi-batch sequencing requires at least 2"
+    )
+    os.rename(flat, src_dir)
+
+
 def merge_into_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -851,64 +907,16 @@ def merge_into_stream(
     # binds only at FIRST staging.
     src_dir = os.path.join(table_path, "_cdc_src")
     if not os.path.isdir(src_dir):
-        # stage-then-rename: a crash mid-staging must not leave a
-        # partial dir a rerun would mistake for the complete source.
-        # ONE Spark job: a hash repartition on the DETERMINISTIC bucket
-        # expression event_id % n carves the slice in a single pass
-        # (the old shape re-scanned the events table once per file).
-        # NOT repartitionByRange — its sampled boundaries vary run to
-        # run, and identical re-carves (e.g. a copied table) must
-        # produce byte-identical slices so the content-identity keys
-        # below recognize already-applied batches.
-        import shutil
-
-        tmp = f"{src_dir}.staging"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # partitionBy (not a bare hash repartition): repartition(n,
-        # event_id % n) HASH-partitions the bucket VALUE, so several
-        # buckets can collide into one task while others stay empty —
-        # fewer than n non-empty slices, silently weakening the
-        # multi-batch contract (ADVICE r13). partitionBy guarantees
-        # every non-empty bucket lands in its own directory whatever
-        # the task placement; the single repartition keeps it one
-        # Spark job. Bucket dirs are then FLATTENED to slice files
-        # (partitionBy already excludes __bucket from the data, so the
-        # flat files carry exactly ev.schema).
-        (
-            ev.withColumn(
-                "__bucket",
-                (F.col("event_id") % n_source_files).cast("int"),
-            )
-            .repartition(n_source_files, "__bucket")
-            .write.partitionBy("__bucket")
-            .parquet(tmp)
+        # ONE Spark job on the DETERMINISTIC bucket expression
+        # event_id % n (the old shape re-scanned the events table once
+        # per file). NOT repartitionByRange — its sampled boundaries
+        # vary run to run, and identical re-carves (e.g. a copied
+        # table) must produce byte-identical slices so the content-
+        # identity keys below recognize already-applied batches.
+        _stage_slices(
+            ev, src_dir, F.col("event_id") % n_source_files,
+            n_source_files,
         )
-        flat = f"{src_dir}.flat"
-        shutil.rmtree(flat, ignore_errors=True)
-        os.makedirs(flat)
-        n_slices = 0
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("__bucket="):
-                continue
-            b = int(d.split("=", 1)[1])
-            for i, fn in enumerate(
-                sorted(
-                    f
-                    for f in os.listdir(os.path.join(tmp, d))
-                    if f.endswith(".parquet")
-                )
-            ):
-                os.rename(
-                    os.path.join(tmp, d, fn),
-                    os.path.join(flat, f"slice-{b:05d}-{i}.parquet"),
-                )
-                n_slices += 1
-        shutil.rmtree(tmp, ignore_errors=True)
-        assert n_slices >= 2, (
-            f"CDC source staged only {n_slices} non-empty slice(s) — "
-            "multi-batch sequencing requires at least 2"
-        )
-        os.rename(flat, src_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -979,3 +987,131 @@ def merge_into_stream(
     q = writer.start()
     q.awaitTermination()
     return table_path
+
+
+def merge_evolution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, int]:
+    """Streaming CDC-APPLY whose feed GROWS A COLUMN mid-stream — the
+    real-world schema-change case the batch MERGE gate
+    (``merge_schema_evolution_counts``) covers, composed with
+    :func:`~ihop_reddit_spark.sources.manifest.manifest_merge_into`'s
+    ``with_schema_evolution`` (VERDICT r13 item 7).
+
+    Target seed (v1): every customer key ``k`` with ``v = 2k``. Two
+    stream phases, each a real multi-batch ``availableNow`` run over
+    table-local staged slices (one bucket per file, ``k % 2``):
+
+    * **Phase 1 — narrow schema** ``(k, v)``: keys ``k % 3 == 1``
+      update ``v = 3k`` (plain matched-UPDATE, no evolution).
+    * **Phase 2 — wide schema** ``(k, v, seg)``: keys ``k % 5 == 2``
+      update ``v = 7k``; NEW keys ``k + 9_000_000`` (``k % 13 == 3``)
+      INSERT carrying ``seg`` — ``with_schema_evolution=True`` widens
+      the target in the same atomic commit as the first insert-bearing
+      batch. Matched updates never touch ``seg`` (INSERT-scope
+      evolution), so pre-existing rows read NULL through the widened
+      schema.
+
+    Exactly-once ACROSS the widen: idempotency keys are the batch's
+    content identity prefixed with the phase tag
+    (``evo1:``/``evo2:`` + k min/max/count), so a full replay — fresh
+    checkpoints, wider table schema — skips every batch whole and the
+    head version is untouched. Updates are value-assignments (not
+    additive), so the key prefix also guards against the two phases'
+    overlapping key ranges colliding.
+
+    Returns ``(table_path, head_after_phase1)`` — the phase-1 head lets
+    callers pin the PRE-widen column count for the evolution check.
+    """
+    import os
+
+    from ..sources import manifest as M
+    from ..sources.reddit import read_parquet_tables
+
+    cust = (
+        read_parquet_tables(spark, sf_dir, ["customer"])["customer"]
+        .select(F.col("c_custkey").alias("k"))
+    )
+    if not os.path.isdir(os.path.join(table_path, "_manifest")):
+        M.manifest_init(table_path)
+        M.manifest_append(
+            cust.withColumn("v", (F.col("k") * 2).cast("long"))
+            .repartition(2),
+            table_path,
+        )
+
+    phase1_src = cust.where(F.col("k") % 3 == 1).select(
+        "k", (F.col("k") * 3).cast("long").alias("v")
+    )
+    phase2_src = (
+        cust.where(F.col("k") % 5 == 2)
+        .select(
+            "k",
+            (F.col("k") * 7).cast("long").alias("v"),
+            F.lit("w").alias("seg"),
+        )
+        .unionByName(
+            cust.where(F.col("k") % 13 == 3).select(
+                (F.col("k") + 9_000_000).alias("k"),
+                ((F.col("k") + 9_000_000) * 7).cast("long").alias("v"),
+                F.lit("n").alias("seg"),
+            )
+        )
+    )
+
+    def run_phase(src_df: DataFrame, tag: str, merge_kwargs: dict) -> None:
+        src_dir = os.path.join(table_path, f"_evo_src_{tag}")
+        if not os.path.isdir(src_dir):
+            _stage_slices(src_df, src_dir, F.col("k") % 2, 2)
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            ident = batch_df.agg(
+                F.min("k"), F.max("k"), F.count(F.lit(1))
+            ).collect()[0]
+            if ident[2] == 0:
+                return
+            key = f"{tag}:{ident[0]}:{ident[1]}:{ident[2]}"
+            if key in M.committed_stream_batches(table_path):
+                return  # replayed batch — schema widen included
+            M.manifest_merge_into(
+                batch_df.sparkSession,
+                table_path,
+                batch_df,
+                "k",
+                extra={"stream_batch_id": key},
+                **merge_kwargs,
+            )
+
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        writer = stream.writeStream.foreachBatch(merge_batch).trigger(
+            availableNow=True
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option(
+                "checkpointLocation", os.path.join(checkpoint_dir, tag)
+            )
+        q = writer.start()
+        q.awaitTermination()
+
+    run_phase(
+        phase1_src, "evo1",
+        {"matched_update": {"v": F.expr("s.v")}},
+    )
+    head_after_phase1 = M.latest_version(table_path)
+    run_phase(
+        phase2_src, "evo2",
+        {
+            "matched_update": {"v": F.expr("s.v")},
+            "not_matched_insert": True,
+            "with_schema_evolution": True,
+        },
+    )
+    return table_path, head_after_phase1

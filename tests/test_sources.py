@@ -3013,3 +3013,69 @@ def test_manifest_merge_into_not_matched_by_source_update(
             spark, root, src, "k",
             not_matched_by_source_update={"nope": F.lit(1)},
         )
+
+
+def test_compact_small_cluster_stat_pair_packs_rectangles(spark, tmp_path):
+    """r14 (VERDICT r13 item 6): OPTIMIZE ZORDER at the maintenance
+    grain — pack candidates order by the Morton code of their quantized
+    footer (min_a, min_b), so each bin covers a bounded RECTANGLE in
+    both dims, where single-column (or name) ordering leaves bins
+    spanning the full range of the other dim. Rows are untouched (whole
+    files, order-pinned segments), so the snapshot stays identical."""
+    import os
+
+    from ihop_reddit_spark.sources import manifest as M
+
+    def build(root, order_pair):
+        M.manifest_init(root)
+        # 4x4 grid of cells appended ROW-MAJOR: name order clusters a
+        # but spans the full b range inside any 4-file bin
+        for gx in range(4):
+            for gy in range(4):
+                cell = spark.range(20).select(
+                    (F.col("id") % 10 + gx * 100).alias("a"),
+                    (F.col("id") / 10).cast("long").alias("h"),
+                ).select(
+                    "a", (F.col("h") * 5 + gy * 100).alias("b")
+                )
+                M.manifest_append(cell.coalesce(1), root)
+        fsize = max(
+            os.path.getsize(os.path.join(root, f))
+            for f in M.live_files(root)
+        )
+        v, packed = M.manifest_compact_small(
+            spark,
+            root,
+            max_file_bytes=1 << 30,
+            target_file_bytes=int(fsize * 4.5),
+            cluster_stat_pair=("a", "b") if order_pair else None,
+        )
+        assert packed == 16
+        stats = M.live_file_stats(root)
+        return [
+            (s["a"][1] - s["a"][0], s["b"][1] - s["b"][0])
+            for s in stats.values()
+        ]
+
+    zspans = build(str(tmp_path / "z"), True)
+    nspans = build(str(tmp_path / "n"), False)
+    assert len(zspans) == 4 and len(nspans) == 4
+    # Morton pack order: every bin a 2x2 quadrant — bounded in BOTH dims
+    assert max(sa for sa, _ in zspans) <= 120
+    assert max(sb for _, sb in zspans) <= 120
+    # row-major name order: a tight, b spans the whole grid
+    assert max(sb for _, sb in nspans) >= 300
+
+    # data no-op + provenance: snapshot identical to the 16-cell union
+    snap = M.read_snapshot(spark, str(tmp_path / "z"))
+    assert snap.count() == 16 * 20
+    assert snap.agg(F.sum("a"), F.sum("b")).collect()[0] == \
+        M.read_snapshot(spark, str(tmp_path / "n")).agg(
+            F.sum("a"), F.sum("b")
+        ).collect()[0]
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        M.manifest_compact_small(
+            spark, str(tmp_path / "z"),
+            cluster_stat="a", cluster_stat_pair=("a", "b"),
+        )
