@@ -6409,6 +6409,97 @@ def stream_merge_evolution_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r14: INCREMENTALLY-MAINTAINED MATERIALIZED VIEW (sources/matview.py)
+# — the rollup a 100 TB pipeline schedules instead of re-running its
+# GROUP BY: built once from a snapshot, then advanced purely from the
+# source's row-level change feed (cost ∝ changed rows) with per-group
+# deltas applied as ONE atomic MERGE carrying the new watermark. The
+# gate drives the full lifecycle: create → append-heavy refresh (new
+# group born) → delete-heavy refresh (that group's count reaches zero
+# and its row LEAVES the view via the merge's delete clause) → a
+# data-no-op source compaction (watermark-only advance) → an idempotent
+# re-refresh. The oracle recomputes the final rollup in closed form —
+# an incremental drift anywhere breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "matview_incremental_counts",
+    """
+    WITH cust AS (SELECT c_custkey AS k FROM customer),
+    rws AS (
+      SELECT k % 4 AS seg, k AS v FROM cust
+      UNION ALL
+      SELECT k % 4, k + 6000000 FROM cust WHERE k % 11 = 0
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM rws GROUP BY seg
+    """,
+)
+def matview_incremental_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..sources.matview import matview_create, matview_refresh
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    base = cust.select(
+        "k", (F.col("k") % 4).alias("seg"), F.col("k").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix="matview_")
+    try:
+        src = f"{work}/src"
+        view = f"{work}/view"
+        M.manifest_init(src)
+        M.manifest_append(base.repartition(2), src)
+        matview_create(
+            spark, src, view, ["seg"],
+            {"n_rows": ("count", None), "sum_v": ("sum", "v")},
+        )
+        # source mutation wave 1: a brand-new group (seg=7) plus growth
+        # in every existing group
+        M.manifest_append(
+            cust.where(F.col("k") % 9 == 0).select(
+                (F.col("k") + 5000000).alias("k"),
+                F.lit(7).cast("long").alias("seg"),
+                (F.col("k") + 5000000).alias("v"),
+            ).unionByName(
+                cust.where(F.col("k") % 11 == 0).select(
+                    (F.col("k") + 6000000).alias("k"),
+                    (F.col("k") % 4).alias("seg"),
+                    (F.col("k") + 6000000).alias("v"),
+                )
+            ).coalesce(1),
+            src,
+        )
+        _v, n1 = matview_refresh(spark, view)
+        assert n1 >= 1  # delta-group grain, not source-size grain
+        # wave 2: carve group 7 down in two different delete shapes —
+        # a row-level vector, then a predicate delete that finishes it
+        M.manifest_delete_rows(
+            spark, src, (F.col("seg") == 7) & (F.col("k") % 2 == 1)
+        )
+        M.manifest_delete_where(spark, src, F.col("seg") == 7)
+        matview_refresh(spark, view)  # group 7 exits via delete clause
+        # wave 3: data-no-op maintenance — watermark-only advance
+        M.manifest_compact(spark, src, target_files=1)
+        _v, n3 = matview_refresh(spark, view)
+        assert n3 == 0
+        head = M.latest_version(view)
+        matview_refresh(spark, view)  # idempotent: src not advanced
+        assert M.latest_version(view) == head
+        out = M.read_snapshot(spark, view).select(
+            "seg", "n_rows", "sum_v"
+        )
+        out = _detach_from_tempdir(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -12395,6 +12486,7 @@ _SCORING_PRIORITY = [
     "warc_content_encoding_pages",
     "manifest_zorder_compact_counts",
     "stream_merge_evolution_counts",
+    "matview_incremental_counts",
     "manifest_incremental_dedup_pairs",
     "stream_merge_into_counts",
     "merge_schema_evolution_counts",

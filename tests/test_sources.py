@@ -3079,3 +3079,97 @@ def test_compact_small_cluster_stat_pair_packs_rectangles(spark, tmp_path):
             spark, str(tmp_path / "z"),
             cluster_stat="a", cluster_stat_pair=("a", "b"),
         )
+
+
+def test_matview_incremental_equals_full_recompute(spark, tmp_path):
+    """r14: the incrementally-refreshed materialized aggregate equals a
+    full recompute after appends, vector deletes, predicate deletes,
+    and a data-no-op compaction — and the refresh is watermark-
+    idempotent."""
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.sources.matview import (
+        matview_create,
+        matview_refresh,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    M.manifest_init(src)
+    rows = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    M.manifest_append(rows.repartition(2), src)
+    matview_create(
+        spark, src, view, ["g"],
+        {"n": ("count", None), "s": ("sum", "v")},
+    )
+
+    # mutations: new group 9, growth, partial + full deletes
+    M.manifest_append(
+        spark.range(300, 340).select(
+            F.col("id").alias("k"),
+            F.lit(9).cast("long").alias("g"),
+            (F.col("id") * 3).alias("v"),
+        ).coalesce(1),
+        src,
+    )
+    M.manifest_delete_rows(spark, src, F.col("k") % 7 == 3)
+    _v, nd = matview_refresh(spark, view)
+    assert nd >= 1
+    M.manifest_delete_where(spark, src, F.col("g") == 9)  # group exits
+    M.manifest_compact(spark, src, target_files=1)
+    matview_refresh(spark, view)
+
+    got = {
+        (r["g"], r["n"], r["s"])
+        for r in M.read_snapshot(spark, view).collect()
+    }
+    want = {
+        (r["g"], r["n"], r["s"])
+        for r in M.read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not any(g == 9 for g, _n, _s in got)  # dead group left
+
+    head = M.latest_version(view)
+    assert matview_refresh(spark, view) == (head, 0)  # idempotent
+    assert M.latest_version(view) == head
+
+
+def test_matview_refuses_non_additive_and_countless_specs(spark, tmp_path):
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.sources.matview import (
+        matview_create,
+        matview_refresh,
+    )
+
+    src = str(tmp_path / "src")
+    M.manifest_init(src)
+    M.manifest_append(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g"),
+            F.col("id").alias("v"),
+        ),
+        src,
+    )
+    with pytest.raises(ValueError, match="additive"):
+        matview_create(
+            spark, src, str(tmp_path / "v1"), ["g"],
+            {"n": ("count", None), "m": ("max", "v")},
+        )
+    with pytest.raises(ValueError, match="count"):
+        matview_create(
+            spark, src, str(tmp_path / "v2"), ["g"],
+            {"s": ("sum", "v")},
+        )
+    # a plain manifest table is not a view
+    with pytest.raises(ValueError, match="spec"):
+        matview_refresh(spark, src)
