@@ -6500,6 +6500,113 @@ def matview_incremental_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r14: incremental maintenance of an AGGREGATE-OVER-JOIN view
+# (sources/matview.py matview_join_*) — the textbook two-table IVM
+# identity ΔJ = ΔA ⋈ B_new ∪ A_old ⋈ ΔB, delta-joined against ONE
+# snapshot per side and merged like the single-table view. The gate
+# drives the hard cases by construction: a dimension delete CASCADES
+# (every order of a dropped customer leaves the rollup through the
+# A_old⋈ΔB term), fact appends referencing NOT-YET-EXISTENT dimension
+# rows stay invisible (inner join) until the dimension arrives — the
+# late-arriving-dimension case — and a later dimension append makes
+# exactly those facts appear without touching the fact feed again.
+# Oracle: the final rollup in closed form over orders ⋈ customer.
+# ---------------------------------------------------------------------------
+@query(
+    "matview_join_incremental_counts",
+    """
+    WITH b AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+      WHERE c_custkey % 10 <> 7
+      UNION ALL
+      SELECT c_custkey + 7000000, 'Z' FROM customer
+      WHERE c_custkey % 25 = 0
+    ),
+    a AS (
+      SELECT o_orderkey AS ok, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey FROM orders
+      WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_custkey + 7000000 FROM orders
+      WHERE o_orderkey % 17 = 3
+    ),
+    af AS (SELECT * FROM a WHERE ok % 7 <> 2)
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ok) AS BIGINT) AS sum_ok
+    FROM af JOIN b USING (k) GROUP BY seg
+    """,
+)
+def matview_join_incremental_counts(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import manifest as M
+    from ..sources.matview import (
+        matview_join_create,
+        matview_join_refresh,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("k")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    work = tempfile.mkdtemp(prefix="matview_join_")
+    try:
+        src_a, src_b = f"{work}/orders", f"{work}/cust"
+        view = f"{work}/view"
+        M.manifest_init(src_a)
+        M.manifest_append(orders.repartition(2), src_a)
+        M.manifest_init(src_b)
+        M.manifest_append(cust.repartition(2), src_b)
+        matview_join_create(
+            spark, src_a, src_b, view, "k", ["seg"],
+            {"n_orders": ("count", None), "sum_ok": ("sum", "ok")},
+        )
+        # dimension delete — cascades through A_old ⋈ ΔB
+        M.manifest_delete_where(spark, src_b, F.col("k") % 10 == 7)
+        # fact appends: growth for live customers AND orders pointing
+        # at customers that DO NOT EXIST YET (late-arriving dimension)
+        M.manifest_append(
+            orders.where(F.col("ok") % 13 == 1).select(
+                (F.col("ok") + 100000000).alias("ok"), "k"
+            ).unionByName(
+                orders.where(F.col("ok") % 17 == 3).select(
+                    (F.col("ok") + 200000000).alias("ok"),
+                    (F.col("k") + 7000000).alias("k"),
+                )
+            ).coalesce(1),
+            src_a,
+        )
+        M.manifest_delete_rows(spark, src_a, F.col("ok") % 7 == 2)
+        _v, n1 = matview_join_refresh(spark, view)
+        assert n1 >= 1
+        # the dimension arrives late: exactly the dangling facts appear
+        M.manifest_append(
+            cust.where(F.col("k") % 25 == 0).select(
+                (F.col("k") + 7000000).alias("k"),
+                F.lit("Z").alias("seg"),
+            ).coalesce(1),
+            src_b,
+        )
+        _v, n2 = matview_join_refresh(spark, view)
+        assert n2 >= 1
+        head = M.latest_version(view)
+        matview_join_refresh(spark, view)  # neither source advanced
+        assert M.latest_version(view) == head
+        out = M.read_snapshot(spark, view).select(
+            "seg", "n_orders", "sum_ok"
+        )
+        out = _detach_from_tempdir(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Sink/source round-trip gate (sources/io.write_jsonl + write_compressed_csv,
 # sources/reddit.read_jsonl — S1/S5/S6): write the events table to JSONL and
 # bzip2 CSV in a temp dir, read both back through the schema-on-read scan
@@ -12487,6 +12594,7 @@ _SCORING_PRIORITY = [
     "manifest_zorder_compact_counts",
     "stream_merge_evolution_counts",
     "matview_incremental_counts",
+    "matview_join_incremental_counts",
     "manifest_incremental_dedup_pairs",
     "stream_merge_into_counts",
     "merge_schema_evolution_counts",

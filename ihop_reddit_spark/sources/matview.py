@@ -118,6 +118,10 @@ def matview_refresh(spark: SparkSession, view_root: str) -> tuple[int, int]:
     re-run finds the watermark already at head, nothing commits.
     Returns ``(view_head, n_delta_groups)``."""
     spec = _spec_of(view_root)
+    if spec.get("kind") == "join":
+        raise ValueError(
+            f"{view_root} is a join view — use matview_join_refresh"
+        )
     src_root, keys = spec["src"], spec["keys"]
     aggs = {c: tuple(v) for c, v in spec["aggs"].items()}
     through = spec["through"]
@@ -167,6 +171,166 @@ def matview_refresh(spark: SparkSession, view_root: str) -> tuple[int, int]:
         matched_update={
             c: F.expr(f"t.{c} + s.{c}") for c in aggs
         },
+        not_matched_insert=True,
+        extra={_SPEC_KEY: new_spec},
+    )
+    return M.latest_version(view_root), n_groups
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-over-JOIN views (two-table incremental view maintenance).
+# The delta algebra is the textbook IVM identity: with A_new = A_old+ΔA,
+#   J_new − J_old = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+# — exact, no overlap term (the ΔA⋈ΔB cross term is inside ΔA⋈B_new).
+# Each feed row carries a ±1 sign; joined delta rows keep their side's
+# sign, per-group folds give the aggregate delta, and the same MERGE
+# apply/watermark protocol as the single-table view finishes the job.
+# Cost ∝ |ΔA| + |ΔB| joined against ONE snapshot each (bloom/stat
+# pruning applies) — never a recompute of the full join.
+# ---------------------------------------------------------------------------
+
+
+def matview_join_create(
+    spark: SparkSession,
+    src_a: str,
+    src_b: str,
+    view_root: str,
+    join_key: list[str] | str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> int:
+    """Full build of ``SELECT keys, aggs FROM A JOIN B USING join_key
+    GROUP BY keys`` at both sources' current heads. Non-join columns of
+    the two sources must not collide (qualified views are a rebuild
+    concern, not a refresh one). Same additive-aggregate rules as
+    :func:`matview_create`."""
+    import os
+
+    jk = [join_key] if isinstance(join_key, str) else list(join_key)
+    kinds = [k for k, _ in aggs.values()]
+    bad = [k for k in kinds if k not in _SUPPORTED]
+    if bad:
+        raise ValueError(
+            f"unsupported aggregate kind(s) {bad}: only additive"
+            f" {list(_SUPPORTED)} can be maintained from delta feeds"
+        )
+    if kinds.count("count") != 1:
+        raise ValueError(
+            "exactly one aggregate must be a count — it witnesses"
+            " group liveness for the refresh's delete clause"
+        )
+    ha, hb = M.latest_version(src_a), M.latest_version(src_b)
+    a = M.read_snapshot(spark, src_a, ha)
+    b = M.read_snapshot(spark, src_b, hb)
+    clash = (set(a.columns) & set(b.columns)) - set(jk)
+    if clash:
+        raise ValueError(
+            f"non-join columns collide across sources: {sorted(clash)}"
+        )
+    view = a.join(b, jk).groupBy(*keys).agg(*_agg_exprs(aggs))
+    M.manifest_init(view_root)
+    M.manifest_append(
+        view.repartition(
+            max(1, min(4, spark.sparkContext.defaultParallelism))
+        ),
+        view_root,
+        extra={
+            _SPEC_KEY: {
+                "kind": "join",
+                "src_a": os.path.abspath(src_a),
+                "src_b": os.path.abspath(src_b),
+                "join_key": jk,
+                "keys": list(keys),
+                "aggs": {c: [k, s] for c, (k, s) in aggs.items()},
+                "through_a": ha,
+                "through_b": hb,
+            }
+        },
+    )
+    return M.latest_version(view_root)
+
+
+def _signed_feed(spark, root: str, since: int, until: int) -> DataFrame:
+    feed = M.read_change_feed(spark, root, since, until)
+    return feed.withColumn(
+        "__sign",
+        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    ).drop("_change_type")
+
+
+def matview_join_refresh(
+    spark: SparkSession, view_root: str
+) -> tuple[int, int]:
+    """Incremental refresh of a join view:
+    ``ΔJ = ΔA ⋈ B@head_b  ∪  A@through_a ⋈ ΔB`` folded per group and
+    applied as one atomic MERGE carrying both new watermarks.
+    Idempotent when neither source advanced. Returns
+    ``(view_head, n_delta_groups)``."""
+    spec = _spec_of(view_root)
+    if spec.get("kind") != "join":
+        raise ValueError(
+            f"{view_root} is a single-table view — use matview_refresh"
+        )
+    src_a, src_b = spec["src_a"], spec["src_b"]
+    jk, keys = spec["join_key"], spec["keys"]
+    aggs = {c: tuple(v) for c, v in spec["aggs"].items()}
+    ta, tb = spec["through_a"], spec["through_b"]
+    ha, hb = M.latest_version(src_a), M.latest_version(src_b)
+    if ha <= ta and hb <= tb:
+        return M.latest_version(view_root), 0
+    cnt_col = next(c for c, (k, _) in aggs.items() if k == "count")
+
+    parts = []
+    if ha > ta:
+        # ΔA against B at its NEW head
+        parts.append(
+            _signed_feed(spark, src_a, ta, ha).join(
+                M.read_snapshot(spark, src_b, hb), jk
+            )
+        )
+    if hb > tb:
+        # A at its OLD watermark against ΔB
+        parts.append(
+            M.read_snapshot(spark, src_a, ta).join(
+                _signed_feed(spark, src_b, tb, hb), jk
+            )
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.unionByName(p)
+
+    delta_exprs = []
+    for col, (kind, src) in aggs.items():
+        term = (
+            F.col("__sign")
+            if kind == "count"
+            else F.col("__sign") * F.col(src)
+        )
+        delta_exprs.append(F.sum(term).cast("long").alias(col))
+    delta = (
+        joined.groupBy(*keys)
+        .agg(*delta_exprs)
+        .where(" OR ".join(f"{c} <> 0" for c in aggs))
+    )
+    new_spec = {**spec, "through_a": ha, "through_b": hb}
+    n_groups = delta.count()
+    if n_groups == 0:
+        view_schema = M.read_snapshot(spark, view_root).schema
+        M.manifest_append(
+            spark.createDataFrame([], view_schema),
+            view_root,
+            extra={_SPEC_KEY: new_spec},
+        )
+        return M.latest_version(view_root), 0
+    M.manifest_merge_into(
+        spark,
+        view_root,
+        delta,
+        keys,
+        matched_delete_condition=f"t.{cnt_col} + s.{cnt_col} = 0",
+        matched_update={c: F.expr(f"t.{c} + s.{c}") for c in aggs},
         not_matched_insert=True,
         extra={_SPEC_KEY: new_spec},
     )

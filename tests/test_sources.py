@@ -3173,3 +3173,85 @@ def test_matview_refuses_non_additive_and_countless_specs(spark, tmp_path):
     # a plain manifest table is not a view
     with pytest.raises(ValueError, match="spec"):
         matview_refresh(spark, src)
+
+
+def test_matview_join_incremental_equals_full_recompute(spark, tmp_path):
+    """r14 join-view IVM: after fact appends/deletes AND dimension
+    appends/deletes (including the cascade and late-arriving-dimension
+    cases), the incrementally-refreshed join rollup equals a full
+    recompute of A ⋈ B at both heads."""
+    from ihop_reddit_spark.sources import manifest as M
+    from ihop_reddit_spark.sources.matview import (
+        matview_join_create,
+        matview_join_refresh,
+    )
+
+    a_root, b_root = str(tmp_path / "a"), str(tmp_path / "b")
+    view = str(tmp_path / "view")
+    facts = spark.range(0, 400).select(
+        F.col("id").alias("fid"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dims = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    M.manifest_init(a_root)
+    M.manifest_append(facts.repartition(2), a_root)
+    M.manifest_init(b_root)
+    M.manifest_append(dims.coalesce(1), b_root)
+    matview_join_create(
+        spark, a_root, b_root, view, "k", ["g"],
+        {"n": ("count", None), "s": ("sum", "v")},
+    )
+
+    # facts for a dimension that does not exist yet (k=25) + growth
+    M.manifest_append(
+        spark.range(400, 450).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 2 == 0, 25).otherwise(3)
+            .cast("long").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        ).coalesce(1),
+        a_root,
+    )
+    M.manifest_delete_rows(spark, a_root, F.col("fid") % 9 == 4)
+    M.manifest_delete_where(spark, b_root, F.col("k") % 5 == 2)  # cascade
+    matview_join_refresh(spark, view)
+    # the dimension arrives: k=25 joins a NEW group g=7
+    M.manifest_append(
+        spark.createDataFrame([(25, 7)], "k long, g long"), b_root
+    )
+    matview_join_refresh(spark, view)
+    head = M.latest_version(view)
+    assert matview_join_refresh(spark, view) == (head, 0)
+
+    got = {
+        (r["g"], r["n"], r["s"])
+        for r in M.read_snapshot(spark, view).collect()
+    }
+    want = {
+        (r["g"], r["n"], r["s"])
+        for r in M.read_snapshot(spark, a_root)
+        .join(M.read_snapshot(spark, b_root), "k")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert any(g == 7 for g, _n, _s in got)  # late dimension landed
+
+    # column-collision refusal
+    with pytest.raises(ValueError, match="collide"):
+        matview_join_create(
+            spark, a_root, a_root, str(tmp_path / "bad"), "k", ["k"],
+            {"n": ("count", None)},
+        )
+    # single-table refresh refuses a join view
+    from ihop_reddit_spark.sources.matview import matview_refresh
+
+    with pytest.raises(ValueError, match="join view"):
+        matview_refresh(spark, view)
