@@ -45,6 +45,80 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     return F.array_distinct(grams)
 
 
+def _shingle_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    sep: str,
+) -> tuple[DataFrame, Column]:
+    """Shared narrow base for the shingle operators: returns
+    ``(base, grams)`` where ``base`` is (``__id``, ``__toks``) and
+    ``grams`` is the per-row DISTINCT shingle-array expression over
+    ``__toks``.
+
+    The tokens are materialized into a column in a first projection so the
+    shingle-building lambda references a bound attribute (split runs once
+    per row, not once per shingle position). ``slice`` is O(n) per
+    position, so the expression is O(tokens·n) per doc and needs no
+    per-doc window shuffle. Docs with < n tokens yield their whole lowered
+    text as the single shingle (same semantics as :func:`word_shingles`).
+
+    Narrow chains inherit SCAN parallelism — a small single-file input
+    would serialize the whole shingle build on one core (the old window
+    shape was accidentally rescued by its own shuffles). Fan out to the
+    core count ONLY when the scan is under-parallel: at real scale the
+    condition is false and no exchange is added, and the shuffle that does
+    fire carries raw text — strictly fewer bytes than the exploded token
+    stream the old shape shuffled. Hash on ``__id`` so downstream per-doc
+    aggregates/joins can reuse the exchange.
+    """
+    narrow = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
+            narrow = narrow.repartition(sc.defaultParallelism, "__id")
+    toks = F.split(F.lower(F.col("__text")), sep)
+    base = narrow.select("__id", toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(1))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))
+        )
+    )
+    return base, grams
+
+
+def doc_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    sep: str = " ",
+) -> DataFrame:
+    """(``__id``, ``__grams`` array<string>) — the DISTINCT word n-gram
+    shingles of each document as one row, zero shuffles (at scan
+    parallelism; see :func:`_shingle_parts` for the under-parallel-scan
+    fan-out). Every downstream consumer (sizes, arrays, signatures)
+    derives narrow from this frame instead of re-shuffling the exploded
+    stream.
+
+    Consumers that EXPLODE ``__grams`` must either persist this frame
+    first or go through :func:`exploded_word_shingles`: exploding the
+    raw column reference trips Catalyst's ``InferFiltersFromGenerate``,
+    which clones the whole (interpreted, non-codegen) shingle expression
+    into a ``size(...) > 0`` filter pushed below the fan-out exchange —
+    the expression then runs TWICE, one copy at raw scan parallelism
+    (measured 4× slower on a single-file scan).
+    """
+    base, grams = _shingle_parts(df, text_col, id_col, n, sep)
+    return base.select("__id", grams.alias("__grams"))
+
+
 def exploded_word_shingles(
     df: DataFrame,
     text_col: str,
@@ -54,44 +128,18 @@ def exploded_word_shingles(
 ) -> DataFrame:
     """Distinct (``__id``, ``__g``) word n-gram shingle rows, O(tokens)/doc.
 
-    posexplode the tokens once, build each shingle from ``lead()`` neighbors
-    over a per-doc window (one shuffle on the doc id — balanced regardless of
-    doc-length skew), dedup per doc. Docs with < n tokens contribute their
-    whole lowered text as a single shingle (same semantics as
-    :func:`word_shingles`). ~3× faster than exploding the lambda-built
-    shingle arrays, and the shuffle replaces the O(n²) expression work.
+    One explode over the :func:`_shingle_parts` array EXPRESSION — per-doc
+    distinctness comes from the ``array_distinct`` inside the array build,
+    so the stream needs no ``dropDuplicates`` shuffle and no per-doc
+    window (r14: the old posexplode + lead()-window + dropDuplicates shape
+    cost two shuffles per call site for the same rows). The generator
+    consumes the expression inline, NOT a projected column:
+    ``InferFiltersFromGenerate`` only fires on column references, so this
+    shape keeps the expensive interpreted expression evaluated exactly
+    once (see :func:`doc_shingles` docstring for the trap).
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), sep)).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("__id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = (
-        toks.select(
-            "__id",
-            F.concat_ws(" ", *parts).alias("__g"),
-            F.lead("tok", n - 1).over(w).alias("__last"),
-        )
-        .where(F.col("__last").isNotNull())
-        .select("__id", "__g")
-    )
-    short = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            # re-join with ' ' — the same joiner the n-gram path uses — so
-            # semantics match word_shingles for ANY sep
-            F.array_join(
-                F.split(F.lower(F.col(text_col)), sep), " "
-            ).alias("__g"),
-            F.size(F.split(F.lower(F.col(text_col)), sep)).alias("__n"),
-        )
-        .where(F.col("__n") < n)
-        .select("__id", "__g")
-    )
-    return grams.unionByName(short).dropDuplicates(["__id", "__g"])
+    base, grams = _shingle_parts(df, text_col, id_col, n, sep)
+    return base.select("__id", F.explode(grams).alias("__g"))
 
 
 def exact_duplicates(
@@ -259,22 +307,29 @@ def ngram_jaccard_pairs(
     hashed by id, the join shuffles co-partitioned, and AQE demotes to
     broadcast on its own when the input really is candidate-sized.
     """
-    # the shingle stream feeds BOTH self-join sides and the size table, and
-    # Catalyst does not reuse the exchange across the aliased self-join
+    # the shingle-array base feeds BOTH self-join sides and the size table,
+    # and Catalyst does not reuse the exchange across the aliased self-join
     # (measured: 16 scans, 0 ReusedExchange without persist) — persist the
-    # ~|tokens| row stream once, in memory with disk spill
-    persisted = exploded_word_shingles(df, text_col, id_col, n).persist()
-    exploded = persisted
-    sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    # one-row-per-doc array frame once, in memory with disk spill (r14:
+    # this replaces persisting the exploded stream — same bytes, but sizes
+    # now derive narrow from the array instead of a groupBy shuffle)
+    persisted = doc_shingles(df, text_col, id_col, n).persist()
+    sizes = persisted.select("__id", F.size("__grams").alias("__n"))
+    exploded = persisted.select("__id", F.explode("__grams").alias("__g"))
     if max_shingle_df is not None:
-        rare = (
-            exploded.groupBy("__g")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # r14: per-shingle document frequency via a window over __g instead
+        # of a groupBy + semi-join — one exchange on __g that the self-join
+        # below immediately reuses (the old shape paid a df-agg shuffle AND
+        # a semi-join shuffle before the join's own exchanges)
+        from pyspark.sql import Window
+
+        exploded = (
+            exploded.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+            )
             .where(F.col("__df") <= max_shingle_df)
-            .select("__g")
+            .drop("__df")
         )
-        # corpus-proportional frame — no broadcast hint, AQE decides
-        exploded = exploded.join(rare, "__g", "left_semi")
     # NOTE (measured): pre-filtering the join on the exact length band
     # (t·|B| ≤ |A| ≤ |B|/t) was tried and REJECTED — attaching sizes to the
     # shingle stream costs an extra broadcast join and wider shuffle rows,
@@ -337,10 +392,11 @@ def minhash_near_dup(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = (
-        exploded_word_shingles(df, text_col, id_col, n)
-        .groupBy("__id")
-        .agg(F.collect_list("__g").alias("__sh"))
+    # r14: the per-doc shingle array comes straight from doc_shingles —
+    # narrow, no explode + groupBy(collect_list) round trip (HashingTF with
+    # binary=True is set-semantic, so array order is irrelevant)
+    shingled = doc_shingles(df, text_col, id_col, n).select(
+        "__id", F.col("__grams").alias("__sh")
     )
     tf = HashingTF(
         inputCol="__sh", outputCol="__vec", numFeatures=num_features, binary=True
@@ -492,11 +548,19 @@ def ngram_jaccard_pairs_prefix(
     thresholds (t ≥ 0.7, prefix ≤ 0.3·|S|) or heavy-tailed shingle
     distributions (natural text), and the plain join otherwise.
     """
-    ex = exploded_word_shingles(df, text_col, id_col, n)
+    # r14: sizes and the verify arrays derive narrow from the per-doc
+    # shingle-array base — only the shingle-frequency agg still shuffles
+    # the exploded stream. The base feeds FOUR consumers (explode, sizes,
+    # both array fetches): persist it so the shingle expression runs once,
+    # and so the explode below reads a cached column (the inferred
+    # size>0 filter is then a cheap array-length probe, not a clone of
+    # the whole shingle expression — see doc_shingles docstring).
+    base = doc_shingles(df, text_col, id_col, n).persist()
+    ex = base.select("__id", F.explode("__grams").alias("__g"))
     from pyspark.sql import Window
 
     gfreq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = base.select("__id", F.size("__grams").alias("__n"))
     w = Window.partitionBy("__id").orderBy("__df", "__g")
     # sizes is per-document (corpus-proportional) — no broadcast hint; the
     # ranked stream is already partitioned by __id for the window, so the
@@ -517,7 +581,7 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    arrays = ex.groupBy("__id").agg(F.collect_list("__g").alias("__sh"))
+    arrays = base.select("__id", F.col("__grams").alias("__sh"))
     out = (
         cand.join(
             arrays.select(
@@ -543,8 +607,11 @@ def ngram_jaccard_pairs_prefix(
             F.col("inter") / (F.col("n_left") + F.col("n_right") - F.col("inter")),
         )
     )
-    return out.where(F.col("jaccard") >= threshold).select(
-        "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+    return register_scoped_persists(
+        out.where(F.col("jaccard") >= threshold).select(
+            "left_id", "right_id", "inter", "n_left", "n_right", "jaccard"
+        ),
+        base,
     )
 
 
@@ -891,19 +958,27 @@ def minhash_signatures(
     coefficients to a fitted model object, which an incremental pipeline
     would have to version and ship alongside the data).
 
-    One shingle explode + one groupBy(id) with H min-aggregates (map-side
-    partial: the shuffle carries H longs per doc, not the shingle stream).
+    Fully NARROW (r14): the doc's distinct shingles are built as one array
+    per row (:func:`doc_shingles`) and each slot is
+    ``array_min(transform(grams, g -> xxhash64(i, g)))`` — a per-row
+    expression, so signature computation costs zero shuffles (the old
+    shape paid the explode + a groupBy(id) exchange for the same longs).
     Docs shorter than ``n`` words shingle as their whole text (see
-    :func:`exploded_word_shingles`).
+    :func:`doc_shingles`).
 
     Returns (``__id``, h0..h{H-1}).
     """
-    sh = exploded_word_shingles(df, text_col, id_col, n)
-    return sh.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("__g"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    sh = doc_shingles(df, text_col, id_col, n)
+
+    # NB: the slot index must be captured via a factory — a two-parameter
+    # lambda (g, i) would be interpreted by F.transform as (element, index)
+    def _slot(i: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("__grams"), lambda g: F.xxhash64(F.lit(i), g))
+        )
+
+    return sh.select(
+        "__id", *[_slot(i).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 

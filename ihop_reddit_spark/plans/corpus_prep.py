@@ -101,19 +101,28 @@ def prepare_corpus(
         & (feats["n_tokens"] >= cfg.min_tokens)
         & TX.predict_lang(text).isin(*cfg.keep_langs)
     )
-    # exact dedup: keep the smallest id per fingerprint. `keepers` is one
-    # row per DISTINCT TEXT — corpus-proportional, so no broadcast hint:
-    # the semi-join shuffles on id (AQE may still pick broadcast when the
-    # dedup ratio makes it genuinely small, but forcing it would abort at
-    # the 8 GiB BroadcastExchange limit at 100 TB).
-    keepers = gated.groupBy(TX.fingerprint(text).alias("__fp")).agg(
-        F.min(id_col).alias(id_col)
+    # exact dedup: keep the smallest id per fingerprint — as a min() window
+    # over the fingerprint (r14). The old groupBy(fp).min(id) + left-semi
+    # shape evaluated the (expensive) gate expressions TWICE (once per join
+    # side) and paid three exchanges (fp-agg, gated-by-id, keepers-by-id);
+    # the window evaluates the gate once and shuffles the survivors once,
+    # on fp. One full-row shuffle is the floor for exact dedup at 100 TB
+    # (the keeper set is corpus-proportional — never broadcastable).
+    from pyspark.sql import Window
+
+    min_id = F.min(id_col).over(
+        Window.partitionBy(TX.fingerprint(text))
     )
     # `exact` feeds both the similarity join (driver-actioned inside
     # duplicate_components) and the final survivor scan — persist it so the
     # scan + gates run once. MEMORY_AND_DISK: survivors of the gates are a
     # fraction of the corpus, and disk spill beats recompute here.
-    exact = gated.join(keepers.select(id_col), id_col, "left_semi").persist()
+    exact = (
+        gated.withColumn("__keep", F.col(id_col) == min_id)
+        .where("__keep")
+        .drop("__keep")
+        .persist()
+    )
     # near-dup collapse: pairs → components → drop every non-representative.
     # Strategy is config-routed; both paths bound the self-join's worst key
     # (prefix filtering excludes high-frequency shingles from every doc's
