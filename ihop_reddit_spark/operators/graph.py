@@ -68,7 +68,12 @@ def pagerank(
     # of re-exchanging the (large) edge side K times (measured 16% at
     # sf0.1; at cluster scale it is the difference between K and 1 edge
     # shuffles whenever contrib outgrows the broadcast threshold)
-    e = e.distinct().repartition("__src").persist()
+    # repartition FIRST, then dedup: hash partitioning on __src already
+    # satisfies the (__src, __dst) clustering dropDuplicates needs, so the
+    # dedup runs in the same stage with NO second exchange (the old
+    # distinct().repartition() shape exchanged the edge set twice — once
+    # on the pair, once on the key)
+    e = e.repartition("__src").dropDuplicates(["__src", "__dst"]).persist()
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -235,8 +240,10 @@ def label_propagation(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .repartition("v")  # the per-round join key (neighbor side)
+        # dedup AFTER the repartition: v-partitioning satisfies the
+        # (u, v) clustering, so this adds no second edge exchange
+        .dropDuplicates(["u", "v"])
         .persist()
     )
     labels = (
@@ -529,10 +536,13 @@ def bfs_distances(
     # discipline): every hop's frontier⋈edges join reuses the persisted
     # partitioning instead of re-exchanging the (large) edge side per
     # level — measured 25.1s → ~4s at sf0.1 on the co-purchase graph
+    # repartition first, dedup second: partitioning on s satisfies the
+    # (s, d) clustering, so dropDuplicates adds no second exchange (the
+    # pagerank discipline, one edge shuffle instead of two)
     ed = (
         ed.where(F.col("s") != F.col("d"))
-        .distinct()
         .repartition("s")
+        .dropDuplicates(["s", "d"])
         .persist()
     )
     scoped = [ed]

@@ -7687,8 +7687,13 @@ def _warc_roundtrip_pages_impl(spark, sf_dir, *, encoded: bool):
     work = tempfile.mkdtemp(prefix="warc_rt_")
     write_part.work = work
     try:
+        # one WARC file per task, and one READ task per file later (gzip
+        # members don't split) — 8 hard-coded tasks left 3/4 of the box
+        # idle through both the compress AND decompress stages (guide
+        # §2.6/§6); size the fan-out to the core count instead
+        n_parts = spark.sparkContext.defaultParallelism
         n_files = (
-            pages.repartition(8, "doc_id")
+            pages.repartition(n_parts, "doc_id")
             .mapInPandas(write_part, "path string, n long")
             .count()
         )
@@ -10878,13 +10883,27 @@ def _bfs_sql(hops: int = 3, seed_mod: int = 251) -> str:
 # same minimum by construction (a node joins the frontier exactly once,
 # at its first reachable level).
 # ---------------------------------------------------------------------------
+def _copurchase_li(spark, sf_dir):
+    """Distinct (l_orderkey, l_partkey) pairs for the co-purchase graph
+    queries — repartitioned on the SELF-JOIN key before the dedup:
+    orderkey partitioning satisfies the (orderkey, partkey) clustering,
+    so dropDuplicates adds no exchange of its own AND the aliased
+    self-join downstream reuses the partitioning outright (r14: the old
+    .distinct() shape exchanged on the pair, then the join re-exchanged
+    both sides on the orderkey)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+
+
 @query("bfs_distances_copurchase", _bfs_sql())
 def bfs_distances_copurchase(spark, sf_dir):
     from ..operators.graph import bfs_distances
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = _copurchase_li(spark, sf_dir)
     ed = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -10911,9 +10930,7 @@ def bfs_distances_copurchase(spark, sf_dir):
 def kcore_copurchase_parts(spark, sf_dir):
     from ..operators.graph import kcore
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = _copurchase_li(spark, sf_dir)
     ed = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -10941,9 +10958,7 @@ def kcore_copurchase_parts(spark, sf_dir):
 def pagerank_copurchase_parts(spark, sf_dir):
     from ..operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = _copurchase_li(spark, sf_dir)
     a = li.alias("a")
     b = li.alias("b")
     edges = a.join(b, "l_orderkey").where(
@@ -10995,11 +11010,7 @@ def pagerank_copurchase_parts(spark, sf_dir):
 def triangle_counts_copurchase(spark, sf_dir):
     from ..operators.graph import triangle_count
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _copurchase_li(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -11065,11 +11076,7 @@ def triangle_counts_copurchase(spark, sf_dir):
 def lpa_communities_copurchase(spark, sf_dir):
     from ..operators.graph import label_propagation
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _copurchase_li(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -11151,11 +11158,7 @@ def lpa_communities_copurchase(spark, sf_dir):
 def lpa_modularity_copurchase(spark, sf_dir):
     from ..operators.graph import label_propagation, modularity
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _copurchase_li(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
