@@ -980,7 +980,12 @@ def hashed_ngram_features(
     """(doc_id, b): one row per unigram AND bigram occurrence, hashed into
     ``n_buckets`` via the engine-portable md5→BIGINT hash. Row-local (zero
     shuffle), O(tokens) per doc — the DSIR featurizer."""
+    from ..operators.partitioning import fan_out_if_narrow
     from .retrieval import doc_bigrams, tokens
+
+    # per-gram md5 dominates and is row-local (zero shuffle downstream of
+    # it until the bucket aggregate) — rescue an under-parallel scan
+    df = fan_out_if_narrow(df.select(id_col, text_col), id_col)
 
     def bucket(g: Column) -> Column:
         return F.pmod(

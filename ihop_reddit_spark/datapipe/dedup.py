@@ -73,13 +73,14 @@ def _shingle_parts(
     stream the old shape shuffled. Hash on ``__id`` so downstream per-doc
     aggregates/joins can reuse the exchange.
     """
-    narrow = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    from ..operators.partitioning import fan_out_if_narrow
+
+    narrow = fan_out_if_narrow(
+        df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        ),
+        "__id",
     )
-    if not df.isStreaming:
-        sc = df.sparkSession.sparkContext
-        if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
-            narrow = narrow.repartition(sc.defaultParallelism, "__id")
     toks = F.split(F.lower(F.col("__text")), sep)
     base = narrow.select("__id", toks.alias("__toks"))
     starts = F.sequence(
@@ -213,9 +214,13 @@ def simhash_signatures_arrow(
                 out.loc[out["__sig"] == -1, "__sig"] = pd.NA
             yield out
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        sign_batch, "__id long, __sig long"
-    )
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # per-token Python md5 is pure CPU and sits upstream of any exchange
+    # — rescue an under-parallel scan so the Arrow stage uses every core
+    return fan_out_if_narrow(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).mapInPandas(sign_batch, "__id long, __sig long")
 
 
 def simhash_candidates(
@@ -1127,10 +1132,17 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    base = (
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # the per-gram hash is the measured dominant term (×10 probe) and
+    # runs upstream of the window's exchange — fan out an under-parallel
+    # scan so it never serializes on one core; hashed on __id, which the
+    # sliding-window min below reuses as its partitioning
+    base = fan_out_if_narrow(
         df.where(F.octet_length(F.col(text_col)) == F.length(F.col(text_col)))
         .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
-        .where(F.length("__t") >= k + w - 1)
+        .where(F.length("__t") >= k + w - 1),
+        "__id",
     )
     grams = base.select(
         "__id",
@@ -1336,10 +1348,15 @@ def duplicate_substring_spans(
     """
     from pyspark.sql import Window
 
-    base = (
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # per-gram md5 dominates and runs upstream of the first (hash-key)
+    # exchange — rescue an under-parallel scan (same as winnowing)
+    base = fan_out_if_narrow(
         df.where(F.octet_length(F.col(text_col)) == F.length(F.col(text_col)))
         .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
-        .where(F.length("__t") >= k)
+        .where(F.length("__t") >= k),
+        "__id",
     )
     grams = base.select(
         "__id",

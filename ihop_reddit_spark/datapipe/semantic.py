@@ -109,29 +109,46 @@ def sign_lsh_buckets(
     for t, _j, signs in rows:
         by_table.setdefault(t, []).append(signs)
 
-    base = df.select(
-        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # n_tables×n_bits interpreted dot products per row (zip_with/aggregate
+    # lambdas do not codegen) sit upstream of any exchange — rescue an
+    # under-parallel scan so the bucket build uses every core
+    base = fan_out_if_narrow(
+        df.select(
+            F.col(id_col).alias("__id"),
+            quantize(F.col(vec_col)).alias("__qv"),
+        ),
+        "__id",
     )
-    entries = []
-    for t in range(n_tables):
-        bucket = None
-        for j, signs in enumerate(by_table[t]):
-            lit_signs = F.array(*[F.lit(s) for s in signs])
-            dot = F.aggregate(
-                F.zip_with(F.col("__qv"), lit_signs, lambda a, s: a * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            term = (
-                F.when(dot >= 0, F.lit(1 << j).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            bucket = term if bucket is None else bucket + term
-        entries.append(
-            F.struct(F.lit(t).cast("int").alias("t"), bucket.alias("bucket"))
+    # The whole bucket array is built as ONE SQL string → one py4j call.
+    # The Column-API form (per-element F.lit + per-(t,j) zip_with/
+    # aggregate builders) cost ~15k py4j round trips ≈ 2-4s of pure
+    # DRIVER plan construction per query (guide §7.3, planning as the
+    # bottleneck); the parsed expression tree — and therefore the
+    # buckets — are identical.
+    def _dot_sql(signs: list[int]) -> str:
+        arr = ",".join(str(s) for s in signs)
+        return (
+            f"aggregate(zip_with(__qv, array({arr}), (a, s) -> a * s),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
+
+    structs = []
+    for t in range(n_tables):
+        terms = [
+            f"(CASE WHEN {_dot_sql(signs)} >= 0"
+            f" THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j, signs in enumerate(by_table[t])
+        ]
+        structs.append(
+            f"named_struct('t', CAST({t} AS INT),"
+            f" 'bucket', {' + '.join(terms)})"
+        )
+    entries = F.expr("array(" + ", ".join(structs) + ")")
     return base.select(
-        "__id", F.explode(F.array(*entries)).alias("__e")
+        "__id", F.explode(entries).alias("__e")
     ).select("__id", F.col("__e.t").alias("t"), F.col("__e.bucket").alias("bucket"))
 
 
@@ -176,8 +193,16 @@ def sign_lsh_semantic_dedup(
         .select("left_id", "right_id")
         .distinct()
     )
-    side = df.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__qv")
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # quantize + norm are interpreted HOFs too; the verify joins are
+    # id-keyed, so hash the fan-out on the id they join with
+    side = fan_out_if_narrow(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__qv"),
+        ),
+        "__vid",
     ).withColumn("__nrm", raw_norm(F.col("__qv")))
     scored = cand.join(
         side.select(
