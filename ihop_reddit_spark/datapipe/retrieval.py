@@ -325,10 +325,18 @@ def doc_bigrams(
         "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
         " (t, i) -> struct(t AS w1, _toks[i + 1] AS w2))"
     )
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # row-local explode inherits scan parallelism — rescue an
+    # under-parallel scan, hashed on the doc id the per-doc scoring
+    # aggregate downstream reuses
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            tokens(F.col(text_col), sep).alias("_toks"),
+        fan_out_if_narrow(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                tokens(F.col(text_col), sep).alias("_toks"),
+            ),
+            "doc_id",
         )
         .select("doc_id", F.explode(pairs).alias("_pair"))
         .select("doc_id", F.col("_pair.w1"), F.col("_pair.w2"))

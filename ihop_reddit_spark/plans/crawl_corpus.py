@@ -76,8 +76,14 @@ def crawl_corpus(
     percent-encoded variants, by ``normalized_url_groups``)."""
     from ..functions.urls import normalize_url_exact
 
+    from ..operators.partitioning import fan_out_if_narrow
+
     canon = normalize_url_exact if exact_urls else normalize_url
     did = F.col(id_col)
+    # the regex extraction chain (html_to_text + link_density) is the
+    # plan's per-row-heaviest stage and runs at scan parallelism — rescue
+    # an under-parallel scan before it (no-op on real many-split crawls)
+    pages = fan_out_if_narrow(pages, id_col)
     ext = pages.select(
         did,
         html_to_text(F.col(html_col)).alias("clean_text"),

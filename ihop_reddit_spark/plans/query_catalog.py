@@ -706,8 +706,16 @@ def exclude_top_users(spark, sf_dir):
     """,
 )
 def order_thread_documents(spark, sf_dir):
+    from ..operators.partitioning import fan_out_if_narrow
+
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # the broadcast join + partial collect_list aggregate run at the
+    # fact scan's parallelism — fan out an under-parallel scan, hashed
+    # on the join key so the BHJ's output-partitioning expansion lets
+    # the groupBy(o_orderkey) reuse the exchange (still 1 total)
+    li = fan_out_if_narrow(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
     return assemble_thread_documents(
         joined,
@@ -1212,7 +1220,16 @@ from .c2v_prep import EVENTS_C2V_CFG as _C2V_CFG  # noqa: E402
     """,
 )
 def c2v_prep_contexts(spark, sf_dir):
-    return user_contexts(_t(spark, sf_dir, "events"), _C2V_CFG)
+    from ..operators.partitioning import fan_out_if_narrow
+
+    # the top-N count, the semi-join probe and the context partial
+    # aggregate all run at the fact scan's parallelism — fan out an
+    # under-parallel scan hashed on the user key, which the contexts
+    # groupBy then reuses as its exchange (same shuffle count)
+    ev = fan_out_if_narrow(
+        _t(spark, sf_dir, "events"), _C2V_CFG.user_col
+    )
+    return user_contexts(ev, _C2V_CFG)
 
 
 # ---------------------------------------------------------------------------
