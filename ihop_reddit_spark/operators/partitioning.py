@@ -1,37 +1,78 @@
 """Scan-parallelism fan-out for compute-heavy narrow chains.
 
-A narrow chain (project/filter/explode, no exchange) runs at SCAN
-parallelism — one task per input split. Parquet splits at row-group
-boundaries, so a small table written as one file with one row group
-serializes EVERY per-row expression upstream of the first shuffle onto
-a single core, however many the box has. At real scale inputs arrive as
-many files/row groups and the condition below is false — the fan-out is
-an under-parallel-scan rescue, not a tuning constant (guide §2.5 input
-skew: "one huge unsplittable file — repartition immediately after the
-read").
+A narrow chain (project/filter/explode, broadcast join — no exchange)
+runs at SCAN parallelism: one task per input split. Parquet splits at
+row-group boundaries, so a small table written as one file with one row
+group serializes EVERY per-row expression upstream of the first shuffle
+onto a single core, however many the box has. At real scale inputs
+arrive as many files/row groups and the probe below says "enough splits"
+— the fan-out is an under-parallel-scan rescue, not a tuning constant
+(guide §2.5 input skew: "one huge unsplittable file — repartition
+immediately after the read").
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap upper-ish estimate of the frame's scan parallelism from its
+    backing files — analysis-only (``inputFiles`` collects scan leaves;
+    no physical planning, unlike ``df.rdd``, which re-plans the whole
+    subtree and measured ~0.5s per probe on composed inputs).
+
+    Returns None when the frame is not file-backed (in-memory sources,
+    empty leaf list) — callers fall back to the precise probe. Files
+    whose size cannot be read count as one split each (conservative:
+    prefer fanning out)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - non-file-backed plans
+        return None
+    if not files:
+        return None
+    max_bytes = int(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+    )
+    est = 0
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0  # remote/unreadable: count the file as one split
+        est += max(1, -(-size // max_bytes))  # ceil
+    return est
 
 
 def fan_out_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` — hashed on
     ``key_cols`` so downstream per-key operators can reuse the exchange
-    — ONLY when its current plan would run on fewer partitions than the
-    cluster has cores. No-op for streaming frames (``.rdd`` is illegal
-    there; micro-batch frames pass through foreachBatch as batch frames
-    and DO get the fan-out).
+    — ONLY when its scan parallelism is below the core count. No-op for
+    streaming frames (``.rdd``/``inputFiles`` are illegal there;
+    micro-batch frames pass through foreachBatch as batch frames and DO
+    get the fan-out).
 
-    The partition probe plans the frame but runs no job; callers sit on
-    cheap-to-plan scans/projections.
+    Probe order: file-based estimate first (analysis-only), the precise
+    ``.rdd`` partition count only for non-file-backed frames. A
+    few-files frame that already sits behind its own exchange gets a
+    redundant (cheap, small-data) fan-out — that case only arises at
+    small scale, where the extra exchange is noise; at real scale many
+    splits make the probe a no-op before any repartition fires.
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    est = _estimated_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(
         target
