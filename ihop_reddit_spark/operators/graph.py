@@ -83,17 +83,17 @@ def pagerank(
         .persist()
     )
     base = F.lit((15 * unit) // 100).cast("long")
+    # carry the out-degree INSIDE ranks: the contribution step is then a
+    # pure projection instead of a per-iteration ranks⋈nodes join (r14 —
+    # K fewer joins; the rebuild join against the node universe remains,
+    # it is what re-materializes rank rows for message-less nodes)
     ranks = nodes.select(
-        "node", F.lit(unit).cast("long").alias("rank_units")
+        "node", "__deg", F.lit(unit).cast("long").alias("rank_units")
     )
     for _ in range(iterations):
-        contrib = (
-            ranks.join(nodes, "node")
-            .where(F.col("__deg").isNotNull())
-            .select(
-                F.col("node").alias("__src"),
-                F.expr("rank_units div __deg").alias("__c"),
-            )
+        contrib = ranks.where(F.col("__deg").isNotNull()).select(
+            F.col("node").alias("__src"),
+            F.expr("rank_units div __deg").alias("__c"),
         )
         recv = (
             e.join(contrib, "__src")
@@ -102,10 +102,11 @@ def pagerank(
             .withColumnRenamed("__dst", "node")
         )
         ranks = (
-            nodes.select("node")
+            nodes.select("node", "__deg")
             .join(recv, "node", "left")
             .select(
                 "node",
+                "__deg",
                 (
                     base
                     + F.expr("(85 * coalesce(__m, 0L)) div 100")
@@ -113,7 +114,9 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return register_scoped_persists(ranks, e, nodes)
+    return register_scoped_persists(
+        ranks.select("node", "rank_units"), e, nodes
+    )
 
 
 def triangle_count(
