@@ -2639,7 +2639,12 @@ def manifest_merge_into(
         if matched_delete_condition is not None:
             dc = F.coalesce(_cond(matched_delete_condition), F.lit(False))
             mdel = matched.where(dc)
-            hit_parts.append(mdel.select("t.__dv_file", "t.__dv_pos"))
+            hit_parts.append(
+                mdel.select(
+                    "t.__dv_file", "t.__dv_pos",
+                    F.lit(0).cast("long").alias("__u"),
+                )
+            )
         else:
             dc = F.lit(False)
             mdel = None
@@ -2650,7 +2655,12 @@ def manifest_merge_into(
                 else F.lit(True)
             )
             mupd = matched.where(uc & ~dc)
-            hit_parts.append(mupd.select("t.__dv_file", "t.__dv_pos"))
+            hit_parts.append(
+                mupd.select(
+                    "t.__dv_file", "t.__dv_pos",
+                    F.lit(1).cast("long").alias("__u"),
+                )
+            )
             updated = mupd.select(
                 *[
                     _cond(matched_update[c]).alias(c)
@@ -2662,25 +2672,6 @@ def manifest_merge_into(
                     F.lit(None).cast(dt).alias(c) for c, dt in evo_cols
                 ],
             )
-        # Delta's multi-match refusal: >1 source row MODIFYING one
-        # target row is nondeterministic — check over the rows the
-        # matched clauses actually fire on
-        if hit_parts:
-            aff = hit_parts[0]
-            for p in hit_parts[1:]:
-                aff = aff.union(p)
-            n_dup = (
-                aff.groupBy("__dv_file", "__dv_pos")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > 1)
-                .count()
-            )
-            if n_dup:
-                raise ValueError(
-                    f"MERGE INTO refused: {n_dup} target row(s) are"
-                    " modified by more than one source row — dedupe the"
-                    " source on the merge key first"
-                )
         inserts = None
         if not_matched_insert:
             missing = [c for c in data_cols if c not in source.columns]
@@ -2728,7 +2719,10 @@ def manifest_merge_into(
                 ndc = F.lit(False)
             if not_matched_by_source_delete:
                 hit_parts.append(
-                    tgt_only.where(ndc).select("__dv_file", "__dv_pos")
+                    tgt_only.where(ndc).select(
+                        "__dv_file", "__dv_pos",
+                        F.lit(0).cast("long").alias("__u"),
+                    )
                 )
             if not_matched_by_source_update is not None:
                 nuc = (
@@ -2741,7 +2735,10 @@ def manifest_merge_into(
                 )
                 nbsu = tgt_only.where(nuc & ~ndc)
                 hit_parts.append(
-                    nbsu.select("__dv_file", "__dv_pos")
+                    nbsu.select(
+                        "__dv_file", "__dv_pos",
+                        F.lit(1).cast("long").alias("__u"),
+                    )
                 )
                 nbs_updated = nbsu.select(
                     *[
@@ -2756,11 +2753,39 @@ def manifest_merge_into(
                     ],
                 )
         hits = None
+        n_updated = 0
         if hit_parts:
-            hits = hit_parts[0]
+            aff = hit_parts[0]
             for p in hit_parts[1:]:
-                hits = hits.union(p)
-            hits = hits.select(
+                aff = aff.union(p)
+            # ONE pre-commit pass computes BOTH driver numbers (r14 —
+            # this was two jobs: a multi-match count, then an updated
+            # count): per-coordinate multiplicity for Delta's
+            # multi-match refusal, and the update-row total as the sum
+            # of the per-part __u flags (update-clause parts carry 1,
+            # delete-clause parts 0 — identical to counting the mupd
+            # and nbsu frames separately, duplicates included, which a
+            # positive dups check refuses anyway).
+            guard = (
+                aff.groupBy("__dv_file", "__dv_pos")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.sum("__u").alias("__uu"),
+                )
+                .agg(
+                    F.sum((F.col("__n") > 1).cast("long")).alias("dups"),
+                    F.sum("__uu").alias("upd"),
+                )
+                .collect()[0]
+            )
+            if guard["dups"]:
+                raise ValueError(
+                    f"MERGE INTO refused: {guard['dups']} target row(s)"
+                    " are modified by more than one source row — dedupe"
+                    " the source on the merge key first"
+                )
+            n_updated = int(guard["upd"] or 0)
+            hits = aff.select(
                 F.col("__dv_file"), F.col("__dv_pos")
             ).distinct()
         admits = None
@@ -2768,9 +2793,6 @@ def manifest_merge_into(
             if part is None:
                 continue
             admits = part if admits is None else admits.unionByName(part)
-        n_updated = (updated.count() if updated is not None else 0) + (
-            nbs_updated.count() if nbs_updated is not None else 0
-        )
         version, n_evicted, n_admitted = manifest_evict_admit(
             spark,
             path,
