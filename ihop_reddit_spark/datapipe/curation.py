@@ -1028,13 +1028,39 @@ def dsir_weights(
     exact rationals; log2 is the single transcendental and its per-doc sum
     is decimal-cast then rounded to 4 decimals — the same libm-ulp
     discipline as the perplexity tier (hash-green since round 4).
-    """
-    from ..operators.aggregates import decimal_sum
 
-    cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, sep)
-    tf_ = hashed_ngram_features(target, text_col, id_col, n_buckets, sep)
-    q_counts = cf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cq"))
-    p_counts = tf_.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    The featurizer runs ONCE per side (r14): the corpus occurrence stream
+    collapses to per-document bucket counts ``(doc_id, b, c)`` and that
+    frame is persisted — it feeds the bucket model, the model total AND
+    the per-doc scoring, which previously each re-ran the per-gram md5
+    over the whole corpus (3 full featurization passes; the target model
+    + its total paid 2 more). The weight sum stays bit-identical: the
+    per-occurrence ``Σ dec(lr)`` becomes ``Σ c·dec(lr)`` with the product
+    in decimal(24,12)×decimal(13,0) → decimal(38,12) — exactly at the
+    precision cap, so no scale adjustment and no rounding.
+
+    Caching ownership: the persisted count frames are registered on the
+    result — release with
+    :func:`ihop_reddit_spark.caching.release_scoped_persists` (or
+    ``spark.catalog.clearCache()``) once consumed.
+    """
+    from ..caching import register_scoped_persists
+
+    cfc = (
+        hashed_ngram_features(corpus, text_col, id_col, n_buckets, sep)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    q_counts = (
+        cfc.groupBy("b").agg(F.sum("c").cast("long").alias("cq")).persist()
+    )
+    p_counts = (
+        hashed_ngram_features(target, text_col, id_col, n_buckets, sep)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cp"))
+        .persist()
+    )
     q_total = q_counts.agg(F.sum("cq").alias("tq"))
     p_total = p_counts.agg(F.sum("cp").alias("tp"))
     ratio = (
@@ -1057,16 +1083,23 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    scored = cf.join(F.broadcast(ratio), "b")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_features"),
-        F.round(decimal_sum("lr", 38, 12).cast("double"), 4).alias("weight"),
+    scored = cfc.join(F.broadcast(ratio), "b")
+    out = scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_features"),
+        F.round(
+            F.sum(
+                F.col("lr").cast("decimal(24,12)")
+                * F.col("c").cast("decimal(13,0)")
+            ).cast("double"),
+            4,
+        ).alias("weight"),
     ).select(
         "doc_id",
         "n_features",
         "weight",
         (F.col("weight") > 0).alias("selected"),
     )
+    return register_scoped_persists(out, cfc, q_counts, p_counts)
 
 
 def dsir_resample(
@@ -1095,6 +1128,8 @@ def dsir_resample(
     """
     import math
 
+    from ..caching import register_scoped_persists
+
     w = dsir_weights(corpus, target, text_col, id_col, n_buckets, sep)
     u = (
         F.conv(_md5_prefix(salt, F.col("doc_id")), 16, 10)
@@ -1106,11 +1141,14 @@ def dsir_resample(
     key = F.round(
         F.col("weight") + gumbel / F.lit(math.log(2.0)), 4
     ).alias("gkey")
-    return (
+    out = (
         w.select("doc_id", "weight", key)
         .orderBy(F.col("gkey").desc(), F.col("doc_id"))
         .limit(k)
     )
+    # the derived frame does not inherit w's scoped-persist handle —
+    # re-register so callers releasing the RESULT free dsir_weights' caches
+    return register_scoped_persists(out, *getattr(w, "_scoped_persists", []))
 
 
 def fuzzy_decontaminate(
