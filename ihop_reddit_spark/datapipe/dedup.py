@@ -846,6 +846,52 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One fused large-star∘small-star contraction round — THREE exchanges
+    where composing :func:`_large_star` + :func:`_small_star` pays five:
+
+    * large-star's window exchange is an explicit ``repartition("u")``;
+    * large-star's output is already canonical (every emitted pair is
+      ``(v, m)`` with ``m ≤ u < v``, so u' > v' by construction) — the
+      small-star greatest/least re-canonicalization and its ``distinct``
+      are no-ops Catalyst cannot prove away, so they are simply omitted;
+    * each dedup shares one exchange with the window that follows it:
+      hash partitioning on ``u`` (the key subset) satisfies the
+      ``(u, v)`` clustering ``dropDuplicates`` needs AND the window's
+      ``u`` clustering, so aggregate + window run in the same stage (the
+      pagerank/bfs edge-build discipline from ``operators/graph.py``).
+
+    Output set is bit-identical to ``_small_star(_large_star(edges))``
+    for any input (the symmetrization re-derives both directions);
+    ``tests/test_datapipe.py`` pins the per-round equivalence.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition("u")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    ls = (
+        sym.withColumn("m", m)
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
+    with_m = ls.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    to_min = with_m.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = with_m.select("u", F.col("m").alias("v"))
+    return (
+        to_min.unionByName(self_link)
+        .where(F.col("u") != F.col("v"))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
+
+
 def duplicate_components_star(
     pairs: DataFrame,
     max_iterations: int = 50,
@@ -912,7 +958,7 @@ def duplicate_components_star(
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt = _star_round(edges).localCheckpoint(eager=True)
         fp = _fingerprint(nxt)
         if fp == prev_fp and not (
             nxt.exceptAll(edges).limit(1).count()

@@ -1052,3 +1052,49 @@ def test_jaro_winkler_null_side_never_borrows_identical_pair_score(spark):
     rows = {r["k"]: r["jw"] for r in out}
     assert rows[1] == 1.0
     assert rows[2] is None and rows[3] is None
+
+
+def test_fused_star_round_matches_composed_large_small(spark):
+    """The r14 fused contraction round (_star_round, 3 exchanges) must
+    emit exactly the edge set of the composed _small_star(_large_star(e))
+    (5 exchanges) on every round of a contraction — including inputs
+    that are mid-contraction (non-canonical directions, chains, cliques,
+    self-converged stars)."""
+    from ihop_reddit_spark.datapipe.dedup import (
+        _large_star,
+        _small_star,
+        _star_round,
+    )
+
+    cases = [
+        # chain (the O(log n) motivation), clique, two components,
+        # already-contracted star, reversed/duplicated directions
+        [(i, i + 1) for i in range(8)],
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        [(1, 2), (2, 3), (10, 11), (12, 11)],
+        [(5, 0), (6, 0), (7, 0)],
+        [(2, 1), (1, 2), (3, 1), (9, 9 - 5)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "u long, v long")
+        composed = {
+            (r["u"], r["v"])
+            for r in _small_star(_large_star(df)).collect()
+        }
+        fused = {(r["u"], r["v"]) for r in _star_round(df).collect()}
+        assert fused == composed, (edges, fused, composed)
+        # and iterating the fused round still reaches the same fixpoint
+        cur, seen = df, 0
+        while seen < 10:
+            nxt_c = _small_star(_large_star(cur))
+            nxt_f = _star_round(cur)
+            got_c = {(r["u"], r["v"]) for r in nxt_c.collect()}
+            got_f = {(r["u"], r["v"]) for r in nxt_f.collect()}
+            assert got_f == got_c, (edges, seen, got_f, got_c)
+            prev = {(r["u"], r["v"]) for r in cur.collect()}
+            if got_c == prev:
+                break
+            cur = spark.createDataFrame(
+                sorted(got_c) or [(0, 0)], "u long, v long"
+            )
+            seen += 1
