@@ -353,7 +353,17 @@ def train_bigram_lm(
     P(w2|w1) = (c12 + 1) / (c1 + V). Two count shuffles keyed by n-gram;
     the model tables are vocabulary-sized (≪ corpus) and broadcast at
     scoring time.
+
+    ``unigram_counts`` is PERSISTED (vocabulary-sized cache): it feeds
+    both the scoring join and ``vocab_size``, which otherwise re-runs
+    the whole corpus tokenize+explode+count pass just to count the
+    model's rows (r14 — one full corpus pass removed; measured neutral
+    at bench scale where passes are cheap and parallel). The handle
+    rides on every returned frame; release any of them (or
+    ``spark.catalog.clearCache()``) once the model is consumed.
     """
+    from ..caching import register_scoped_persists
+
     bg = doc_bigrams(df, text_col, id_col, sep)
     bigram_counts = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
@@ -363,10 +373,12 @@ def train_bigram_lm(
     )
     unigram_counts = unigrams.groupBy("w1").agg(
         F.count(F.lit(1)).cast("long").alias("c1")
-    )
+    ).persist()
     vocab_size = unigram_counts.select(
         F.count(F.lit(1)).cast("long").alias("v")
     )
+    for frame in (bigram_counts, vocab_size, unigram_counts):
+        register_scoped_persists(frame, unigram_counts)
     return bigram_counts, unigram_counts, vocab_size
 
 
