@@ -111,7 +111,18 @@ def umass_pair_stats(
     |docs|·|topic vocab ∩ doc| rows, and the per-doc self-join is over
     that restricted frame only, so the pair stage is bounded by topic
     size (k·M terms), never corpus vocabulary.
+
+    Both multi-consumer frames are PERSISTED (r14, re-measured this
+    round with interleaved best-of-N — overturning the earlier
+    same-box rejection): ``topics`` feeds the vocabulary and BOTH pair
+    sides (3 executions of the caller's — often corpus-heavy — topic
+    derivation), and ``dt`` feeds the two d_w broadcasts and both
+    sides of the co-document self-join (4 executions of the corpus
+    explode). Handles ride on the result frame.
     """
+    from ..caching import register_scoped_persists
+
+    topics = topics.persist()
     vocab = topics.select(F.col(term_col).alias("__t")).distinct()
     dt = (
         docs.select(
@@ -120,6 +131,7 @@ def umass_pair_stats(
         )
         .join(F.broadcast(vocab), "__t", "left_semi")
         .distinct()
+        .persist()
     )
     d_w = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__d"))
     a = topics.select(
@@ -148,7 +160,7 @@ def umass_pair_stats(
     n_docs_df = docs.select(F.col(id_col)).distinct().agg(
         F.count(F.lit(1)).alias("__n_docs")
     )
-    return (
+    out = (
         pairs.join(co, ["term_l", "term_m"], "left")
         .join(
             F.broadcast(d_w.select(F.col("__t").alias("term_l"),
@@ -173,6 +185,7 @@ def umass_pair_stats(
             F.col("__n_docs").cast("long").alias("n_docs"),
         )
     )
+    return register_scoped_persists(out, topics, dt)
 
 
 def umass_coherence(
@@ -191,16 +204,21 @@ def umass_coherence(
     for the one step (ln) that can differ by an ulp across libms. Pairs
     with ``d_l = 0`` (earlier term in no document) are skipped, mirroring
     Gensim's handling. Returns ``(topic_col, n_pairs, coherence)``."""
+    from ..caching import register_scoped_persists
+
     stats = umass_pair_stats(
         docs, id_col, text_col, topics,
         topic_col=topic_col, term_col=term_col, rank_col=rank_col, sep=sep,
     )
     scored = stats.where(F.col("d_l") > 0)
-    return scored.groupBy(topic_col).agg(
+    out = scored.groupBy(topic_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(
             F.sum(F.log((F.col("d_ml") + 1) / F.col("d_l"))), 4
         ).alias("coherence"),
+    )
+    return register_scoped_persists(
+        out, *getattr(stats, "_scoped_persists", [])
     )
 
 
@@ -239,7 +257,12 @@ def npmi_coherence(
             / -F.log(F.col("d_ml") / F.col("n_docs"))
         ).alias("__npmi"),
     )
-    return per_pair.groupBy(topic_col).agg(
+    from ..caching import register_scoped_persists
+
+    out = per_pair.groupBy(topic_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.avg("__npmi"), 4).alias("npmi"),
+    )
+    return register_scoped_persists(
+        out, *getattr(stats, "_scoped_persists", [])
     )
