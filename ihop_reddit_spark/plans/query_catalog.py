@@ -8955,8 +8955,18 @@ def curated_training_corpus(spark, sf_dir):
     )
     clean = docs.join(keep, "doc_id", "left_semi").select(*docs.columns)
     bench = docs.where(F.col("doc_id") % 25 == 0)
-    pool = clean.where(F.col("doc_id") % 25 != 0)
-    decon = decontaminate(pool, bench, "text", "doc_id", n=5)
+    # pool feeds decontaminate's shingle stream AND its anti-join back —
+    # persisted so the repetition-filter bigram pass runs once, not twice
+    pool = clean.where(F.col("doc_id") % 25 != 0).persist()
+    # multi-consumer stage boundary (r14): the post-decontamination
+    # survivors feed the mixture-rate model (counts + totals) AND the
+    # mixture filter AND everything downstream — without the persist the
+    # whole repetition-filter + shingle-decontamination chain re-runs per
+    # consumer (multiplicatively: 60 parquet scans in the before-plan, 6
+    # after). The token count is precomputed into a narrow 3-column frame
+    # before packing (the pack_sequences docstring rule), so the packing
+    # window never shuffles document text.
+    decon = decontaminate(pool, bench, "text", "doc_id", n=5).persist()
     mixed = mixture_sample(decon, "source", "doc_id", "mixcap")
     tr = assign_split(
         mixed,
@@ -8964,15 +8974,23 @@ def curated_training_corpus(spark, sf_dir):
         "splitcap",
         [("train", "e6666666"), ("rest", None)],
     ).where(F.col("split") == "train")
+    slim = tr.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("__ntok"),
+    )
     packed = pack_sequences(
-        tr, "source", "doc_id", TX.token_count(F.col("text")), 512,
+        slim, "source", "doc_id", F.col("__ntok"), 512,
         shard_width=100,
     )
-    return packed.groupBy("source").agg(
+    out = packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("bin").cast("long").alias("n_bins"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+    from ..caching import register_scoped_persists
+
+    return register_scoped_persists(out, pool, decon)
 
 
 # ---------------------------------------------------------------------------
