@@ -2793,6 +2793,11 @@ def manifest_merge_into(
             if part is None:
                 continue
             admits = part if admits is None else admits.unionByName(part)
+        # NB (r14): no explicit pre-write repartition/rebalance — the
+        # admit frames end in AQE-coalescible shuffles, so the staged
+        # batch is already advisory-sized (measured: 1-2 files per
+        # commit at bench scale; a REBALANCE hint added an exchange for
+        # zero file-count change)
         version, n_evicted, n_admitted = manifest_evict_admit(
             spark,
             path,
