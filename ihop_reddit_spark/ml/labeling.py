@@ -34,28 +34,15 @@ def pmi_term_labels(
     top_k: int | None = 10,
     with_pmi: bool = False,
 ) -> DataFrame:
-    """Top PMI-lift terms per class: (class, term, n_tc, n_c, n_t, lift[, pmi], rank).
-
-    One corpus pass (r14): every token lands in exactly one
-    ``(class, term)`` cell, so the class totals, term totals and grand
-    total are integer sums over the ``n_tc`` contingency frame — which is
-    model-sized (classes × vocabulary) and persisted. The old shape
-    re-tokenized the corpus once per marginal (4 full passes).
-    """
-    from ..caching import register_scoped_persists
-
+    """Top PMI-lift terms per class: (class, term, n_tc, n_c, n_t, lift[, pmi], rank)."""
     toks = df.select(
         F.col(class_col),
         F.explode(F.split(F.lower(F.col(text_col)), sep)).alias("term"),
     )
-    n_tc = (
-        toks.groupBy(class_col, "term")
-        .agg(F.count(F.lit(1)).alias("n_tc"))
-        .persist()
-    )
-    n_c = n_tc.groupBy(class_col).agg(F.sum("n_tc").alias("n_c"))
-    n_t = n_tc.groupBy("term").agg(F.sum("n_tc").alias("n_t"))
-    total = n_tc.select(F.sum("n_tc").alias("n_total"))
+    n_tc = toks.groupBy(class_col, "term").agg(F.count(F.lit(1)).alias("n_tc"))
+    n_c = toks.groupBy(class_col).agg(F.count(F.lit(1)).alias("n_c"))
+    n_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
     scored = (
         n_tc.join(F.broadcast(n_c), class_col)
         .join(n_t, "term")
@@ -76,13 +63,11 @@ def pmi_term_labels(
     if with_pmi:
         scored = scored.withColumn("pmi", F.log2(F.col("lift")))
     if top_k is None:
-        return register_scoped_persists(scored, n_tc)
+        return scored
     out = top_k_per_group(
         scored, class_col, [F.col("lift").desc(), F.col("term").asc()], top_k
     )
-    return register_scoped_persists(
-        out.withColumn("rank", F.col("rank").cast("long")), n_tc
-    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def umass_pair_stats(
