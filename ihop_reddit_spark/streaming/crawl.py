@@ -209,21 +209,25 @@ def domain_quota_stream(
             # RANGE-cluster by domain so each file holds a narrow,
             # non-overlapping domain slice — the per-file bloom (and
             # min/max stats) then genuinely separate batches; hash
-            # repartition would collide distinct domains into one file.
-            # The partition count is NOT pinned (r14): an n-less range
-            # exchange is AQE-coalescible, so tiny batches land as one
-            # file instead of one near-empty file per domain (measured
-            # 50 files/1.1s → 1 file/0.55s per staged write at bench
-            # scale) while big batches keep advisory-sized files —
-            # coalescing merges ADJACENT ranges, so every file still
-            # covers a contiguous (bloom-indexed) domain range
+            # repartition can collide distinct domains into one file,
+            # and AQE would coalesce an unpinned range exchange. One
+            # file per domain up to a cap; past it each file still
+            # covers a contiguous (bloom-indexed) domain range.
+            # (r14: an n-less AQE-coalesced range exchange halves the
+            # staged-write cost at bench scale — 50 near-empty files →
+            # 1 — but merges ALL domains into that one file, so probing
+            # one domain's key prunes nothing and state reads stop
+            # being batch-proportional; the slow lane pins exactly that
+            # skipping property. Pinned count kept — the per-domain
+            # file granularity IS the state-read contract.)
+            n_files = max(1, min(len(batch_doms), 64))
             # evict + admit in ONE commit; empty halves are dropped from
             # the staged footers, so no isEmpty pre-check jobs run here
             M.manifest_evict_admit(
                 spark,
                 table_path,
                 hits=hits,
-                df=admitted.repartitionByRange(F.col("dom")),
+                df=admitted.repartitionByRange(n_files, F.col("dom")),
                 bloom_columns=("dom",),
                 extra={"stream_batch_id": int(batch_id)},
             )
