@@ -985,7 +985,10 @@ def hashed_ngram_features(
 
     # per-gram md5 dominates and is row-local (zero shuffle downstream of
     # it until the bucket aggregate) — rescue an under-parallel scan
-    df = fan_out_if_narrow(df.select(id_col, text_col), id_col)
+    df = fan_out_if_narrow(
+        df.select(id_col, text_col), id_col,
+        heavy=True,  # per-gram md5 dominates (DSIR featurizer)
+    )
 
     def bucket(g: Column) -> Column:
         return F.pmod(

@@ -80,6 +80,7 @@ def _shingle_parts(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
         ),
         "__id",
+        heavy=True,  # interpreted shingle-array build (CodegenFallback)
     )
     toks = F.split(F.lower(F.col("__text")), sep)
     base = narrow.select("__id", toks.alias("__toks"))
@@ -755,11 +756,10 @@ def duplicate_components_distributed(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev_fp = _fingerprint(labels)
-    for _ in range(max_iterations):
+    def _propagate(cur: DataFrame) -> DataFrame:
         neighbor_min = (
             edges.join(
-                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                cur.withColumnRenamed("doc_id", "dst").withColumnRenamed(
                     "component_id", "nbr_label"
                 ),
                 "dst",
@@ -767,17 +767,30 @@ def duplicate_components_distributed(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
-                ).alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
+        return cur.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("nbr_min"), F.col("component_id")),
+            ).alias("component_id"),
         )
+
+    # BATCHED iterations (r15, same shape and argument as the star
+    # loop): two propagation steps compose lazily per checkpoint, so
+    # the eager-checkpoint + fingerprint-collect fixed cost is paid
+    # every other step; labels only ever decrease, so a fixpoint of the
+    # composed map is a fixpoint of one step, the label SEQUENCE is
+    # unchanged, and the exact changed-rows confirmation still gates
+    # the exit.
+    rounds_per_check = 2
+    prev_fp = _fingerprint(labels)
+    done = 0
+    while done < max_iterations:
+        new_labels = labels
+        for _ in range(min(rounds_per_check, max_iterations - done)):
+            new_labels = _propagate(new_labels)
+            done += 1
+        new_labels = new_labels.localCheckpoint(eager=True)
         fp = _fingerprint(new_labels)
         if fp == prev_fp:
             changed = (
@@ -954,11 +967,27 @@ def duplicate_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # BATCHED rounds (r15, guide §1.2 distributed-algorithm costs): two
+    # contraction rounds compose LAZILY between checkpoints, so the
+    # per-materialization fixed cost (eager checkpoint job + fingerprint
+    # collect — the dominant term on small graphs) is paid every OTHER
+    # round while lineage stays bounded at 2 rounds (6 exchanges).
+    # Convergence is unchanged: the round map is deterministic and its
+    # potential strictly decreases until the fixpoint, so "invariant
+    # under 2 rounds" ⟺ "invariant under 1", the visited edge-set
+    # SEQUENCE is identical (we merely materialize every other element),
+    # and the exact exceptAll confirmation still gates the exit — the
+    # only cost is up to ROUNDS_PER_CHECK-1 no-op rounds inside the
+    # final lazy batch.
+    rounds_per_check = 2
     prev_fp = _fingerprint(edges)
     rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        nxt = _star_round(edges).localCheckpoint(eager=True)
+    while rounds < max_iterations:
+        nxt = edges
+        for _ in range(min(rounds_per_check, max_iterations - rounds)):
+            nxt = _star_round(nxt)
+            rounds += 1
+        nxt = nxt.localCheckpoint(eager=True)
         fp = _fingerprint(nxt)
         if fp == prev_fp and not (
             nxt.exceptAll(edges).limit(1).count()
@@ -1189,6 +1218,7 @@ def winnow_fingerprints(
         .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
         .where(F.length("__t") >= k + w - 1),
         "__id",
+        heavy=True,  # per-gram md5 is the ×10-probed dominant term
     )
     grams = base.select(
         "__id",
@@ -1403,6 +1433,7 @@ def duplicate_substring_spans(
         .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t"))
         .where(F.length("__t") >= k),
         "__id",
+        heavy=True,  # per-gram md5 dominates (same as winnowing)
     )
     grams = base.select(
         "__id",

@@ -120,6 +120,7 @@ def sign_lsh_buckets(
             quantize(F.col(vec_col)).alias("__qv"),
         ),
         "__id",
+        heavy=True,  # interpreted zip_with/aggregate dot products
     )
     # The whole bucket array is built as ONE SQL string → one py4j call.
     # The Column-API form (per-element F.lit + per-(t,j) zip_with/
@@ -203,6 +204,7 @@ def sign_lsh_semantic_dedup(
             quantize(F.col(vec_col)).alias("__qv"),
         ),
         "__vid",
+        heavy=True,  # interpreted quantize/norm HOFs
     ).withColumn("__nrm", raw_norm(F.col("__qv")))
     scored = cand.join(
         side.select(

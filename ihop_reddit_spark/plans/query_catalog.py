@@ -714,7 +714,8 @@ def order_thread_documents(spark, sf_dir):
     # on the join key so the BHJ's output-partitioning expansion lets
     # the groupBy(o_orderkey) reuse the exchange (still 1 total)
     li = fan_out_if_narrow(
-        _t(spark, sf_dir, "lineitem"), "l_orderkey"
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+        heavy=True,  # fact-scan rescue: BHJ + collect_list partials
     )
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
     return assemble_thread_documents(
@@ -1227,7 +1228,8 @@ def c2v_prep_contexts(spark, sf_dir):
     # under-parallel scan hashed on the user key, which the contexts
     # groupBy then reuses as its exchange (same shuffle count)
     ev = fan_out_if_narrow(
-        _t(spark, sf_dir, "events"), _C2V_CFG.user_col
+        _t(spark, sf_dir, "events"), _C2V_CFG.user_col,
+        heavy=True,  # fact-scan rescue: topN/semi/context partials
     )
     return user_contexts(ev, _C2V_CFG)
 
@@ -9173,11 +9175,18 @@ def lm_doc_quality_scores(spark, sf_dir):
     train add-one bigram counts on the corpus, score every document's mean
     log2 bigram probability. Model tables are vocab-sized broadcasts; the
     corpus shuffles once at doc grain."""
+    from ..caching import register_scoped_persists
     from ..datapipe.retrieval import lm_quality_scores, train_bigram_lm
 
     docs = _t(spark, sf_dir, "documents")
     bigrams, unigrams, vocab = train_bigram_lm(docs, "text", "doc_id")
-    return lm_quality_scores(docs, bigrams, unigrams, vocab)
+    # re-register the model's scoped persists on the frame this query
+    # returns (r15, ADVICE r14): the release contract travels on the
+    # returned OBJECT, and deriving via lm_quality_scores drops it
+    return register_scoped_persists(
+        lm_quality_scores(docs, bigrams, unigrams, vocab),
+        *getattr(unigrams, "_scoped_persists", []),
+    )
 
 
 @query(
@@ -9304,13 +9313,20 @@ def perplexity_buckets_by_lang(spark, sf_dir):
         F.ntile(3).over(win).cast("long").alias("bucket"),
         "avg_logprob",
     )
-    return bucketed.groupBy("lang", "bucket").agg(
+    out = bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(
             decimal_sum("avg_logprob", 38, 12).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("mean_logprob"),
+    )
+    # propagate the model's release handle (r15, ADVICE r14 — same
+    # contract note as lm_doc_quality_scores above)
+    from ..caching import register_scoped_persists
+
+    return register_scoped_persists(
+        out, *getattr(unigrams, "_scoped_persists", [])
     )
 
 
