@@ -266,6 +266,97 @@ def _to_logical(df: DataFrame, mapping: dict) -> DataFrame:
     return _rename_simultaneous(df, {p: l for l, p in mapping.items()})
 
 
+#: rows one clustered-stage writer task handles before the stage adds
+#: another writer task — the scale knob for the one-task-many-files
+#: staged write (r15): a micro-batch stages from ONE task however many
+#: per-key files it needs, while a production-sized batch fans out to
+#: ceil(rows / this) tasks (capped at cores and at the key count)
+_CLUSTER_STAGE_ROWS_PER_TASK = 1 << 19
+
+
+def _write_clustered_stage(
+    df: DataFrame, out: str, cluster_col: str, tasks: int, files_cap: int
+) -> None:
+    """One-task-many-files staged write (r15, VERDICT r14 item 3): land
+    ``df`` as parquet files that each cover WHOLE values of
+    ``cluster_col`` — the per-key file granularity that keeps manifest
+    bloom/stat pruning batch-proportional (the domain-quota state-read
+    contract) — WITHOUT paying one near-empty Spark task per file, which
+    is what ``repartitionByRange(n_keys, key)`` cost per micro-batch
+    (plus its boundary-sampling job).
+
+    ``tasks`` writer tasks, hash-clustered on the key so no key ever
+    straddles two tasks; each task sorts its slice by the key and writes
+    one file per key, grouping CONTIGUOUS keys into shared files only
+    once the per-batch ``files_cap`` budget is exceeded (the same
+    bounded-file-count behaviour the pinned range partitioning had).
+    File names are deterministic per (task, chunk) and land via atomic
+    rename from a dot-prefixed temp name the stage's ``.parquet`` filter
+    ignores, so task retries and speculative attempts REPLACE their own
+    output instead of duplicating it — safe because nothing references
+    a staged file until the commit doc is written, after which files
+    are immutable (the DV-coordinate contract needs immutability only
+    from commit time on)."""
+    import pyarrow as pa
+
+    os.makedirs(out, exist_ok=True)
+    files_per_task = max(1, files_cap // max(1, tasks))
+    codec = df.sparkSession.conf.get(
+        "spark.sql.parquet.compression.codec", "snappy"
+    )
+    codec = {"uncompressed": "none"}.get(codec, codec)
+
+    def _write(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        got = list(batches)
+        written = 0
+        if got:
+            tbl = pa.Table.from_batches(got).sort_by(
+                [(cluster_col, "ascending")]
+            )
+            pid = TaskContext.get().partitionId()
+            arr = tbl.column(cluster_col).combine_chunks()
+            n = len(arr)
+            if n > 1:
+                # run boundaries over the sorted key column; NULL
+                # comparisons fill as boundaries (extra boundaries only
+                # — file-count stays capped by the chunking below)
+                neq = pc.fill_null(
+                    pc.not_equal(arr.slice(1), arr.slice(0, n - 1)), True
+                ).to_numpy(zero_copy_only=False)
+                starts = np.flatnonzero(
+                    np.concatenate(([True], neq.astype(bool)))
+                )
+            else:
+                starts = np.array([0])
+            counts = np.diff(np.append(starts, n))
+            n_keys = len(counts)
+            n_files = min(n_keys, files_per_task)
+            kpf = -(-n_keys // n_files)
+            start = 0
+            for fi, k0 in enumerate(range(0, n_keys, kpf)):
+                length = int(counts[k0 : k0 + kpf].sum())
+                name = f"part-{pid:05d}-{fi:04d}.parquet"
+                tmp = os.path.join(out, f".{name}.inprogress")
+                pq.write_table(
+                    tbl.slice(start, length), tmp, compression=codec
+                )
+                os.replace(tmp, os.path.join(out, name))
+                start += length
+                written += length
+        yield pa.record_batch({"n": pa.array([written], type=pa.int64())})
+
+    (
+        df.repartition(max(1, tasks), F.col(cluster_col))
+        .mapInArrow(_write, "n bigint")
+        .collect()
+    )
+
+
 def _stage_batch(
     df: DataFrame,
     path: str,
@@ -274,6 +365,9 @@ def _stage_batch(
     prefix: str = "b",
     verify: bool = False,
     cons: dict | None = None,
+    cluster_by: str | None = None,
+    cluster_tasks: int = 1,
+    cluster_files_cap: int = 64,
 ) -> tuple[str, list[str]]:
     """Write ``df`` as an (immutable) batch directory for ``version``;
     return ``(rel_dir, part files)`` as root-relative paths. ``prefix``
@@ -309,9 +403,16 @@ def _stage_batch(
         }
         if renames:
             df = _rename_simultaneous(df, renames)
+        if cluster_by is not None:
+            cluster_by = renames.get(cluster_by, cluster_by)
     rel = f"data/{prefix}{version:08d}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(path, rel)
-    df.write.parquet(out)
+    if cluster_by is not None:
+        _write_clustered_stage(
+            df, out, cluster_by, cluster_tasks, cluster_files_cap
+        )
+    else:
+        df.write.parquet(out)
     if prefix == "b" and verify:
         try:
             # ``cons`` lets the caller pin the verified set to a
@@ -3066,6 +3167,8 @@ def manifest_evict_admit(
     bloom_hashes: int = 7,
     extra: dict | None = None,
     allow_additive: bool = False,
+    cluster_by: str | None = None,
+    cluster_tasks: int = 1,
 ) -> tuple[int, int, int]:
     """ATOMIC evict + admit in ONE commit: ``hits`` — rows to retire,
     PRE-POSITIONED as ``__dv_file``/``__dv_pos`` coordinate pairs from a
@@ -3126,8 +3229,12 @@ def manifest_evict_admit(
     stage_dirs: list[str] = []
     added_dv: list[str] = []
     per_file: dict[str, int] = {}
-    if hits is not None:
-        dv_dir, added_dv = _stage_batch(
+    dv_dir: str | None = None
+    data_dir: str | None = None
+    added: list[str] = []
+
+    def _stage_dv() -> tuple[str, list[str]]:
+        return _stage_batch(
             hits.select(
                 F.col("__dv_file").alias("file"),
                 F.col("__dv_pos").alias("pos"),
@@ -3136,28 +3243,68 @@ def manifest_evict_admit(
             version,
             prefix="dv",
         )
+
+    def _stage_data() -> tuple[str, list[str]]:
+        # cluster_by routes the admit half through the clustered
+        # one-task-many-files writer (per-key file granularity at
+        # cluster_tasks writer tasks — the streaming state-table
+        # grain); None keeps the plain parallel parquet write
+        return _stage_batch(
+            df, path, version, verify=True,
+            cluster_by=cluster_by, cluster_tasks=cluster_tasks,
+        )
+
+    if hits is not None and df is not None:
+        # OVERLAP the two independent staging jobs (r15, VERDICT r14
+        # item 4 / guide §2.6): the dv write and the admit write share
+        # no state and land in separate uniquely-named dirs — atomicity
+        # lives in the single commit doc below, not in write order — so
+        # per MERGE/evict-admit commit the fixed job latency is paid
+        # once, not twice. Inheritable threads keep job descriptions /
+        # groups correct per job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_dv = pool.submit(inheritable_thread_target(_stage_dv))
+            fut_data = pool.submit(inheritable_thread_target(_stage_data))
+            dv_exc: Exception | None = None
+            data_exc: Exception | None = None
+            try:
+                dv_dir, added_dv = fut_dv.result()
+            except Exception as exc:  # noqa: BLE001 - joined below
+                dv_exc = exc
+            try:
+                data_dir, added = fut_data.result()
+            except Exception as exc:  # noqa: BLE001 - joined below
+                data_exc = exc
+        if dv_exc is not None or data_exc is not None:
+            # a CHECK-constraint abort (or any staging failure) on
+            # either half must not orphan the other's staged files —
+            # nothing references them yet
+            for rel in (dv_dir, data_dir):
+                if rel is not None:
+                    shutil.rmtree(
+                        os.path.join(path, rel), ignore_errors=True
+                    )
+            raise data_exc or dv_exc
+    elif hits is not None:
+        dv_dir, added_dv = _stage_dv()
+    elif df is not None:
+        data_dir, added = _stage_data()
+
+    if added_dv:
         per_file = _dv_file_counts(path, added_dv)
         if not per_file:
             shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
             added_dv = []
         else:
             stage_dirs.append(dv_dir)
-    added: list[str] = []
     stats: dict = {}
     row_counts: dict = {}
     blooms: dict = {}
-    if df is not None:
-        try:
-            data_dir, added = _stage_batch(
-                df, path, version, verify=True
-            )
-        except Exception:
-            # a CHECK-constraint abort (or any staging failure) on the
-            # admit half must not orphan the already-staged eviction
-            # vectors — nothing references them yet
-            for rel in stage_dirs:
-                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
-            raise
+    if data_dir is not None:
         stats, row_counts = _stage_stats(path, added)
         if sum(row_counts.values()) == 0:
             shutil.rmtree(os.path.join(path, data_dir), ignore_errors=True)

