@@ -243,6 +243,22 @@ def main() -> None:
         streaming[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
+    # Re-warm the Arrow Python-worker pool before the single-run native
+    # tier (r15, VERDICT r14 item 5 — measurement fix, additions-only):
+    # the tier runs once per query, so a worker pool gone cold over the
+    # long streaming tier shows up as 4-5 s of fork+import noise on
+    # whichever codec gate runs first (r14: gif_decode_gate "regressed"
+    # 2x on untouched code; this baseline: warc 25 s cold vs 1.7 s
+    # steady). Same warmup queries as the suite preamble, tiny SF.
+    for warm_q in ("multimodal_frame_samples", "embedding_near_dup_pairs"):
+        try:
+            queries[warm_q](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 - warmup must never fail the bench
+            pass
+    spark.catalog.clearCache()
+
     native: dict[str, float] = {}
     for name in NATIVE:
         t0 = time.time()
@@ -287,8 +303,27 @@ def main() -> None:
         # survivors' total is still reported above; failures are explicit
         result["errors"] = errors
         result["n_failed"] = len(errors)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Truncation-proofing (r15, VERDICT r14 item 2: the driver wrapper
+    # keeps a bounded TAIL of stdout and twice cut the head off this
+    # JSON line, nulling a whole round's perf comparison). Two defenses,
+    # both additions-only — the stdout contract (ONE JSON line, same
+    # keys, same env handling) is unchanged:
+    #  1. a sidecar file the wrapper cannot truncate;
+    #  2. spark.stop() BEFORE the print, so the JSON is the last thing
+    #     on stdout and a tail capture always ends with the full line.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the channel
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
