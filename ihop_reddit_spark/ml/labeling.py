@@ -107,7 +107,11 @@ def umass_pair_stats(
     """
     from ..caching import register_scoped_persists
 
-    topics = topics.persist()
+    # persist an operator-OWNED derived copy, never the caller's object
+    # (r15, ADVICE r14): .persist() on the argument raises if the caller
+    # already persisted it at another storage level, and the release
+    # handle on the result would unpersist a frame the caller owns
+    topics = topics.select("*").persist()
     vocab = topics.select(F.col(term_col).alias("__t")).distinct()
     dt = (
         docs.select(
