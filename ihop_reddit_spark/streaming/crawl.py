@@ -111,11 +111,14 @@ def domain_quota_stream(
         if batch_id in M.committed_stream_batches(table_path):
             return  # replayed batch — fully committed, exactly-once
         spark = batch_df.sparkSession
+        # persist the deduped batch (r15): it feeds the domain collect,
+        # the fresh anti-join and the pool union — without the cache the
+        # tiny dropDuplicates shuffle re-runs per consumer, and inside a
+        # stream every extra job is pure fixed cost
         cand = batch_df.dropDuplicates([url_col]).withColumn(
             "dom", url_domain_key(F.col(url_col))
-        )
-        doms = cand.select("dom").distinct()
-        batch_doms = [r["dom"] for r in doms.collect()]
+        ).persist()
+        batch_doms = [r["dom"] for r in cand.select("dom").distinct().collect()]
         try:
             # bloom file skipping: only state files holding one of this
             # batch's domains are read; the semi-join below stays the
@@ -129,7 +132,12 @@ def domain_quota_stream(
         except ValueError:
             state = None  # empty table, no schema yet
         if state is not None:
-            current = state.join(doms, "dom", "left_semi").persist()
+            # restrict to the batch's domains with the ALREADY-collected
+            # list (r15) — the former left-semi against a distinct-dom
+            # frame re-executed the batch chain and paid a join for a
+            # predicate the driver already holds; IN over a (bounded,
+            # per-batch) domain list is the same filter with zero jobs
+            current = state.where(F.col("dom").isin(batch_doms)).persist()
             # a re-delivered URL that is already an admitted survivor must
             # occupy ONE slot in the re-rank pool, not two (re-crawls are
             # the normal case) — keep the stored row and anti-join the
@@ -180,7 +188,7 @@ def domain_quota_stream(
         # batch instead of recomputing the window per consumer (the
         # dominant per-batch cost)
         keep = keep.persist()
-        cached = [keep]
+        cached = [keep, cand]
         if current is not None:
             cached.append(current)
         try:
