@@ -12641,19 +12641,64 @@ def tvd_drift_event_mix(spark, sf_dir):
 # ZORDER; streaming MERGE schema evolution), then the queries whose
 # code paths changed (the third detached materialization; the CDC
 # stream's partitionBy carve + legacy-id resume) — then the r13 head.
+#
+# ROUND-15 rotation (EVIDENCE-FIRST, VERDICT r14 item 1): the r14 window
+# front-loaded the inherited build-round gates and scored NONE of the
+# queries whose plans the r14 optimizer rebuilt — their correctness
+# rested on builder-run differentials only. This window leads with that
+# rewritten tier (shingle/dedup narrow rebuild, adaptive fan-out,
+# LSH-expression build, exact-dedup window, multi-pass model persists),
+# then the queries THIS round touched (components-loop round batching,
+# fan-out width cap, clustered quota staging + merge stage overlap,
+# scoped-persist propagation), then the five queries rotated out of the
+# r13 window, then the r14-scored head (stalest last). Reordering only.
 # ---------------------------------------------------------------------------
 _SCORING_PRIORITY = [
+    # r14-rewritten tier, never driver-scored since the rewrite
+    "ngram_jaccard_pairs",
+    "corpus_prep_survivors",
+    "incremental_minhash_verified_pairs",
+    "semantic_dedup_survivors",
+    "winnow_fingerprint_pairs",
+    "duplicate_substring_spans",
+    "order_thread_documents",
+    "c2v_prep_contexts",
+    "curated_training_corpus",
+    "dsir_importance_weights",
+    "umass_pair_stats_by_lang",
+    "minhash_verified_pairs",
+    "dedup_keep_best_documents",
+    "fuzzy_decontaminated_documents",
+    "perplexity_buckets_by_lang",
+    "lm_doc_quality_scores",
+    # r15 touched paths (this round's plan/loop changes)
+    "dedup_aware_splits",
+    "duplicate_components_ngram",
+    "duplicate_components_star_ngram",
+    "split_leakage_audit",
+    "simhash_candidate_pairs",
+    "stream_domain_quota",
+    "stream_merge_evolution_counts",
+    "merge_into_sync_counts",
+    "merge_schema_evolution_counts",
+    "manifest_merge_upsert_counts",
+    "manifest_incremental_dedup_pairs",
+    "manifest_dv_lifecycle_counts",
+    "stream_dv_deletes",
+    # rotated out of the r13 window, still unscored since
+    "media_decode_gate",
+    "normalized_url_groups",
+    "stream_crawl_extraction",
+    "crawl_corpus",
+    "interval_overlap_window_sessions",
+    # r14-scored head (freshest evidence — resample last among heads)
     "warc_roundtrip_pages",
     "warc_content_encoding_pages",
     "manifest_zorder_compact_counts",
-    "stream_merge_evolution_counts",
     "matview_incremental_counts",
     "matview_join_incremental_counts",
-    "manifest_incremental_dedup_pairs",
     "stream_merge_into_counts",
-    "merge_schema_evolution_counts",
     "catalog_snapshot_asof_counts",
-    "merge_into_sync_counts",
     "manifest_chained_indirect_feed_counts",
     "merge_into_feed_counts",
     "kcore_copurchase_parts",
@@ -12686,19 +12731,9 @@ _SCORING_PRIORITY = [
     "manifest_clone_divergence_counts",
     "manifest_schema_evolution_counts",
     "manifest_update_feed_counts",
-    "stream_domain_quota",
-    "manifest_dv_lifecycle_counts",
     "manifest_bloom_point_lookups",
-    "manifest_merge_upsert_counts",
     "manifest_timetravel_counts",
-    "stream_dv_deletes",
     "stream_manifest_appends",
-    "media_decode_gate",
-    "normalized_url_groups",
-    "stream_crawl_extraction",
-    "crawl_corpus",
-    "incremental_minhash_verified_pairs",
-    "interval_overlap_window_sessions",
     "key_skew_report_events",
     "kmeans_elbow_gate",
     "lda_invariants_gate",
@@ -12723,7 +12758,6 @@ _SCORING_PRIORITY = [
     "stream_stream_click_purchase_pairs",
     "stream_windowed_approx_users",
     "table_fingerprint_customer",
-    "umass_pair_stats_by_lang",
     "umass_topic_coherence",
     "zorder_values_events",
     "c2v_event_embeddings",
@@ -12732,10 +12766,8 @@ _SCORING_PRIORITY = [
     "cluster_greedy_max_match",
     "coherence_task_export",
     "curriculum_stage_assignments",
-    "dedup_aware_splits",
     "doc_quality_features",
     "domain_quota_survivors",
-    "duplicate_components_ngram",
     "embedding_near_dup_pairs",
     "embedding_sum_by_label",
     "exact_duplicate_groups",
@@ -12749,19 +12781,15 @@ _SCORING_PRIORITY = [
     "knn_bruteforce_cosine",
     "lda_topic_terms",
     "minhash_near_dup_pairs",
-    "minhash_verified_pairs",
     "multimodal_asset_byte_stats",
     "multimodal_audio_resample",
     "multimodal_frame_samples",
     "multimodal_image_features",
-    "ngram_jaccard_pairs",
     "order_lineitem_ship_delay",
     "pca_projection_2d",
     "png_decode_gate",
     "range_join_clicks_before_purchase",
-    "simhash_candidate_pairs",
     "sink_roundtrip_counts",
-    "split_leakage_audit",
     "stream_sliding_event_counts",
     "stream_user_running_totals",
     "stream_user_sessions",
@@ -12779,7 +12807,6 @@ _SCORING_PRIORITY = [
     "bloom_decontaminated_documents",
     "c4_cleaned_documents",
     "cube_order_status_totals",
-    "curated_training_corpus",
     "dataset_split_sizes",
     "decontaminated_documents",
     "derived_and_recategorized_customers",
@@ -12792,7 +12819,6 @@ _SCORING_PRIORITY = [
     "lpa_communities_copurchase",
     "mixture_sample_by_source",
     "nation_customer_supplier_alignment",
-    "order_thread_documents",
     "packed_sequence_bins",
     "pivot_nation_segment_counts",
     "quantiles_value_by_event_type",
@@ -12814,13 +12840,9 @@ _SCORING_PRIORITY = [
     "c4_sentence_span_dedup",
     "cohort_retention_weekly",
     "contamination_report_pairs",
-    "corpus_prep_survivors",
     "correlated_subquery_small_quantities",
-    "dedup_keep_best_documents",
     "doc_token_stats_by_lang",
-    "dsir_importance_weights",
     "dsir_resampled_documents",
-    "duplicate_substring_spans",
     "event_neighbor_lags",
     "event_scalar_functions",
     "events_corpus_stats",
@@ -12835,23 +12857,19 @@ _SCORING_PRIORITY = [
     "inverted_index_terms",
     "k_anonymous_event_stats",
     "ks_drift_click_vs_purchase",
-    "lm_doc_quality_scores",
     "lpa_modularity_copurchase",
     "lpa_oscillation_gate",
     "mad_outliers_value_by_type",
     "mixture_upsampled_counts",
     "modern_training_corpus",
     "packed_sequence_texts",
-    "perplexity_buckets_by_lang",
     "pit_scd2_order_segments",
     "scd2_customer_history",
-    "semantic_dedup_survivors",
     "session_funnel_stages",
     "span_deduped_documents",
     "tfidf_topk_docs",
     "weighted_sample_docs_by_lang",
     "window_suite_customer_orders",
-    "winnow_fingerprint_pairs",
     "ab_test_purchase_rates",
     "audio_envelope_pairs",
     "corpus_datasheet_by_source",
@@ -12864,7 +12882,6 @@ _SCORING_PRIORITY = [
     "bpe_merge_invariants_gate",
     "bpe_roundtrip_gate",
     "c2v_planted_analogy_gate",
-    "c2v_prep_contexts",
     "c2v_reference_analogy_gate",
     "chunked_documents",
     "cluster_label_enrichment",
@@ -12873,9 +12890,7 @@ _SCORING_PRIORITY = [
     "data_quality_report",
     "doc_lang_id",
     "doc_token_budgets",
-    "duplicate_components_star_ngram",
     "fleiss_kappa_doc_raters",
-    "fuzzy_decontaminated_documents",
     "greedy_match_invariants_gate",
     "heavy_hitters_event_types",
     "histogram_sketch_quantiles",
@@ -12893,7 +12908,8 @@ def _scoring_order(d: dict) -> dict:
     rest = [
         n for n in d if n not in _SCORING_PRIORITY and n not in _SCORING_DEMOTED
     ]
-    order = (
+    order = dict.fromkeys(  # dedupe, first occurrence wins (r15: the
+        # rotation promotes names to the head without pruning the tail)
         [n for n in _SCORING_PRIORITY if n in d]
         + rest
         + [n for n in _SCORING_DEMOTED if n in d]
