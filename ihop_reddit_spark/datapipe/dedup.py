@@ -731,15 +731,13 @@ def duplicate_components_distributed(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # the eager checkpoint above materialized `edges` (and its persist),
-    # fully consuming the input plan — release any scoped persists the
-    # caller's pairs carried (same ownership hand-off as
-    # duplicate_components_star; see its docstring)
+    # lazy checkpoint (r15): the initial fingerprint below materializes
+    # it (and `edges`' persist) in the same job — the scoped persists the
+    # caller's pairs carried are released only after that first action,
+    # preserving the ownership hand-off duplicate_components_star pins
     from ..caching import release_scoped_persists
-
-    release_scoped_persists(pairs)
 
     # same convergence discipline as duplicate_components_star: a
     # (count, decimal hash-sum) fingerprint per round, with the exact
@@ -783,15 +781,16 @@ def duplicate_components_distributed(
     # unchanged, and the exact changed-rows confirmation still gates
     # the exit.
     rounds_per_check = 2
-    prev_fp = _fingerprint(labels)
+    prev_fp = _fingerprint(labels)  # materializes the initial checkpoint
+    release_scoped_persists(pairs)
     done = 0
     while done < max_iterations:
         new_labels = labels
         for _ in range(min(rounds_per_check, max_iterations - done)):
             new_labels = _propagate(new_labels)
             done += 1
-        new_labels = new_labels.localCheckpoint(eager=True)
-        fp = _fingerprint(new_labels)
+        new_labels = new_labels.localCheckpoint(eager=False)
+        fp = _fingerprint(new_labels)  # one job: materialize + fingerprint
         if fp == prev_fp:
             changed = (
                 new_labels.alias("n")
@@ -941,6 +940,13 @@ def duplicate_components_star(
     """
     from ..caching import release_scoped_persists
 
+    # LAZY checkpoints throughout this loop (r15): a lazy localCheckpoint
+    # truncates lineage exactly like an eager one, but lets the very next
+    # fingerprint action materialize it — ONE Spark job per step instead
+    # of materialize + fingerprint, on a loop whose cost is all fixed
+    # per-job latency at small graph sizes. The initial fingerprint runs
+    # BEFORE the input's scoped persists are released, so the input plan
+    # still executes against its caches.
     edges = (
         pairs.select(
             F.greatest(F.col("left_id"), F.col("right_id")).alias("u"),
@@ -948,9 +954,8 @@ def duplicate_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    release_scoped_persists(pairs)
 
     # convergence test: a (count, hash-sum) FINGERPRINT per round — one
     # tiny agg over the just-checkpointed frame — and only when the
@@ -980,15 +985,16 @@ def duplicate_components_star(
     # only cost is up to ROUNDS_PER_CHECK-1 no-op rounds inside the
     # final lazy batch.
     rounds_per_check = 2
-    prev_fp = _fingerprint(edges)
+    prev_fp = _fingerprint(edges)  # materializes the initial checkpoint
+    release_scoped_persists(pairs)
     rounds = 0
     while rounds < max_iterations:
         nxt = edges
         for _ in range(min(rounds_per_check, max_iterations - rounds)):
             nxt = _star_round(nxt)
             rounds += 1
-        nxt = nxt.localCheckpoint(eager=True)
-        fp = _fingerprint(nxt)
+        nxt = nxt.localCheckpoint(eager=False)
+        fp = _fingerprint(nxt)  # one job: materializes AND fingerprints
         if fp == prev_fp and not (
             nxt.exceptAll(edges).limit(1).count()
             or edges.exceptAll(nxt).limit(1).count()
