@@ -2854,11 +2854,13 @@ def manifest_merge_into(
                     ],
                 )
         hits = None
-        n_updated = 0
+        guard_check = None
+        guard_out: dict = {}
         if hit_parts:
             aff = hit_parts[0]
             for p in hit_parts[1:]:
                 aff = aff.union(p)
+
             # ONE pre-commit pass computes BOTH driver numbers (r14 —
             # this was two jobs: a multi-match count, then an updated
             # count): per-coordinate multiplicity for Delta's
@@ -2866,26 +2868,34 @@ def manifest_merge_into(
             # of the per-part __u flags (update-clause parts carry 1,
             # delete-clause parts 0 — identical to counting the mupd
             # and nbsu frames separately, duplicates included, which a
-            # positive dups check refuses anyway).
-            guard = (
-                aff.groupBy("__dv_file", "__dv_pos")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.sum("__u").alias("__uu"),
+            # positive dups check refuses anyway). r15: the pass rides
+            # manifest_evict_admit's pre_commit hook, running
+            # CONCURRENTLY with the staging writes — it reads only the
+            # persisted matched/tgt_only frames, and a refusal still
+            # aborts the commit with the staged dirs deleted, so the
+            # observable semantics (no commit, same exception) are
+            # unchanged.
+            def guard_check() -> None:
+                guard = (
+                    aff.groupBy("__dv_file", "__dv_pos")
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.sum("__u").alias("__uu"),
+                    )
+                    .agg(
+                        F.sum((F.col("__n") > 1).cast("long")).alias("dups"),
+                        F.sum("__uu").alias("upd"),
+                    )
+                    .collect()[0]
                 )
-                .agg(
-                    F.sum((F.col("__n") > 1).cast("long")).alias("dups"),
-                    F.sum("__uu").alias("upd"),
-                )
-                .collect()[0]
-            )
-            if guard["dups"]:
-                raise ValueError(
-                    f"MERGE INTO refused: {guard['dups']} target row(s)"
-                    " are modified by more than one source row — dedupe"
-                    " the source on the merge key first"
-                )
-            n_updated = int(guard["upd"] or 0)
+                if guard["dups"]:
+                    raise ValueError(
+                        f"MERGE INTO refused: {guard['dups']} target"
+                        " row(s) are modified by more than one source"
+                        " row — dedupe the source on the merge key first"
+                    )
+                guard_out["upd"] = int(guard["upd"] or 0)
+
             hits = aff.select(
                 F.col("__dv_file"), F.col("__dv_pos")
             ).distinct()
@@ -2907,7 +2917,9 @@ def manifest_merge_into(
             dv_target_files=dv_target_files,
             extra=extra,
             allow_additive=bool(evo_cols),
+            pre_commit=guard_check,
         )
+        n_updated = guard_out.get("upd", 0)
         return (
             version,
             n_updated if version != head else 0,
@@ -3169,6 +3181,7 @@ def manifest_evict_admit(
     allow_additive: bool = False,
     cluster_by: str | None = None,
     cluster_tasks: int = 1,
+    pre_commit=None,
 ) -> tuple[int, int, int]:
     """ATOMIC evict + admit in ONE commit: ``hits`` — rows to retire,
     PRE-POSITIONED as ``__dv_file``/``__dv_pos`` coordinate pairs from a
@@ -3199,7 +3212,16 @@ def manifest_evict_admit(
     NULL, with the same physical-name collision guard as
     ``manifest_append``. Returns
     (version, n_evicted, n_admitted); no commit (head returned) if both
-    halves are empty."""
+    halves are empty.
+
+    ``pre_commit`` (r15): an optional zero-arg callable that must
+    SUCCEED before the commit lands — MERGE's multi-match refusal
+    aggregation rides here. It only needs to finish before the COMMIT,
+    not before staging, so it runs concurrently with the staging jobs
+    (guide §2.6); if it raises, every staged dir is deleted and its
+    error wins over any staging error — the observable outcome (no
+    commit, table unchanged, the refusal's exception) is identical to
+    running it first."""
     head = latest_version(path)
     if df is not None:
         _check_schema(df, path, allow_additive=allow_additive)
@@ -3254,45 +3276,64 @@ def manifest_evict_admit(
             cluster_by=cluster_by, cluster_tasks=cluster_tasks,
         )
 
-    if hits is not None and df is not None:
-        # OVERLAP the two independent staging jobs (r15, VERDICT r14
-        # item 4 / guide §2.6): the dv write and the admit write share
-        # no state and land in separate uniquely-named dirs — atomicity
-        # lives in the single commit doc below, not in write order — so
-        # per MERGE/evict-admit commit the fixed job latency is paid
-        # once, not twice. Inheritable threads keep job descriptions /
+    work = []
+    if pre_commit is not None:
+        work.append(("pre", pre_commit))
+    if df is not None:
+        work.append(("data", _stage_data))
+    if hits is not None:
+        work.append(("dv", _stage_dv))
+    if len(work) > 1:
+        # OVERLAP the independent pre-commit jobs (r15, VERDICT r14
+        # item 4 / guide §2.6): the dv write, the admit write and the
+        # caller's pre-commit check share no state and the writes land
+        # in separate uniquely-named dirs — atomicity lives in the
+        # single commit doc below, not in write order — so per
+        # MERGE/evict-admit commit the fixed job latency is paid once,
+        # not N times. Inheritable threads keep job descriptions /
         # groups correct per job.
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark import inheritable_thread_target
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_dv = pool.submit(inheritable_thread_target(_stage_dv))
-            fut_data = pool.submit(inheritable_thread_target(_stage_data))
-            dv_exc: Exception | None = None
-            data_exc: Exception | None = None
-            try:
-                dv_dir, added_dv = fut_dv.result()
-            except Exception as exc:  # noqa: BLE001 - joined below
-                dv_exc = exc
-            try:
-                data_dir, added = fut_data.result()
-            except Exception as exc:  # noqa: BLE001 - joined below
-                data_exc = exc
-        if dv_exc is not None or data_exc is not None:
-            # a CHECK-constraint abort (or any staging failure) on
-            # either half must not orphan the other's staged files —
-            # nothing references them yet
+        results: dict = {}
+        errors: dict = {}
+        with ThreadPoolExecutor(max_workers=len(work)) as pool:
+            futs = {
+                kind: pool.submit(inheritable_thread_target(fn))
+                for kind, fn in work
+            }
+            for kind, fut in futs.items():
+                try:
+                    results[kind] = fut.result()
+                except Exception as exc:  # noqa: BLE001 - joined below
+                    errors[kind] = exc
+        if "dv" in results:
+            dv_dir, added_dv = results["dv"]
+        if "data" in results:
+            data_dir, added = results["data"]
+        if errors:
+            # a refusal or staging failure on ANY part must not orphan
+            # the others' staged files — nothing references them yet.
+            # Error priority mirrors the sequential order this replaces:
+            # the caller's refusal wins over an admit-half abort, which
+            # wins over a dv failure.
             for rel in (dv_dir, data_dir):
                 if rel is not None:
                     shutil.rmtree(
                         os.path.join(path, rel), ignore_errors=True
                     )
-            raise data_exc or dv_exc
-    elif hits is not None:
-        dv_dir, added_dv = _stage_dv()
-    elif df is not None:
-        data_dir, added = _stage_data()
+            raise (
+                errors.get("pre") or errors.get("data") or errors.get("dv")
+            )
+    elif work:
+        kind, fn = work[0]
+        if kind == "dv":
+            dv_dir, added_dv = fn()
+        elif kind == "data":
+            data_dir, added = fn()
+        else:
+            fn()
 
     if added_dv:
         per_file = _dv_file_counts(path, added_dv)
