@@ -111,6 +111,13 @@ DOC_PROBES = [
     # scaling story is the index/LM builds below plus the plan shape).
     "inverted_index_terms",
     "lm_doc_quality_scores",
+    # r15 (VERDICT r14 item 7): the r14 narrow shingle-ARRAY rebuild
+    # under ×10 rows — replica suffixes make word shingles disjoint
+    # across replicas, so per-replica near-dup structure (and the df
+    # cap's per-shingle frequencies) is preserved while pair work
+    # scales ×N. The replicated table is written as MANY parquet files,
+    # so this also exercises fan_out_if_narrow's many-splits no-op path.
+    "ngram_jaccard_pairs",
     # winnowing (round 4): the replica token suffix changes every char
     # k-gram, so fingerprint sets are disjoint across replicas — per-replica
     # shared-passage structure is preserved and the df cap sees the same
