@@ -2538,14 +2538,49 @@ def manifest_merge_upsert(
             )
             .coalesce(max(1, dv_target_files))
         )
-        dv_dir, added_dv = _stage_batch(hits, path, version, prefix="dv")
+        # overlap the vector write and the data write (r15 — the same
+        # independent-staging argument as manifest_evict_admit: both
+        # land in uniquely-named dirs, atomicity is the commit doc)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        stage_dir = None
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_dv = pool.submit(
+                inheritable_thread_target(
+                    lambda: _stage_batch(hits, path, version, prefix="dv")
+                )
+            )
+            fut_data = pool.submit(
+                inheritable_thread_target(
+                    lambda: _stage_batch(df, path, version, verify=True)
+                )
+            )
+            dv_exc = data_exc = None
+            try:
+                dv_dir, added_dv = fut_dv.result()
+            except Exception as exc:  # noqa: BLE001 - joined below
+                dv_exc = exc
+            try:
+                stage_dir, added = fut_data.result()
+            except Exception as exc:  # noqa: BLE001 - joined below
+                data_exc = exc
+        if dv_exc is not None or data_exc is not None:
+            for rel in (dv_dir, stage_dir):
+                if rel is not None:
+                    shutil.rmtree(
+                        os.path.join(path, rel), ignore_errors=True
+                    )
+            raise data_exc or dv_exc
         per_file = _dv_file_counts(path, added_dv)
         if not per_file:
             shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
             added_dv = []
             dv_dir = None
         n_replaced = sum(per_file.values())
-    stage_dir, added = _stage_batch(df, path, version, verify=True)
+    else:
+        stage_dir, added = _stage_batch(df, path, version, verify=True)
     stats, row_counts = _stage_stats(path, added)
     n_appended = sum(row_counts.values())
     _commit_or_cleanup(
