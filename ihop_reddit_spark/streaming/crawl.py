@@ -205,13 +205,7 @@ def domain_quota_stream(
                 admitted = anti_join_filter(
                     keep, current.select(url_col), url_col,
                     broadcast_remove=False,
-                ).select(*keep.columns).persist()
-                # admitted is executed TWICE downstream (the writer-task
-                # sizing count, then the staging write) — persist so the
-                # anti-join shuffles run once per batch, not per
-                # consumer (r14: _stage_batch was 50% of the per-batch
-                # wall clock)
-                cached.append(admitted)
+                ).select(*keep.columns)
             else:
                 hits, admitted = None, keep
             # Stage the admits through the manifest's CLUSTERED writer
@@ -228,14 +222,19 @@ def domain_quota_stream(
             # ceil(rows / 512k) tasks — one at micro-batch scale, more
             # as real batch sizes grow (never local-tuned: the knob is
             # row volume, and keys never straddle writer tasks).
-            # admitted is persisted, so this count materializes the
-            # same cache the staging write reads — no extra pass.
+            # admitted is bounded by CONSTRUCTION: at most `quota` rows
+            # per affected domain survive the re-rank, so the writer
+            # sizing needs no count job (r15 — the earlier count() cost
+            # one job + a full scan per batch; the bound is exact
+            # enough for task sizing, and admitted then has a single
+            # consumer, so it needs no persist either).
             writer_tasks = max(
                 1,
                 min(
                     len(batch_doms),
                     spark.sparkContext.defaultParallelism,
-                    -(-admitted.count() // M._CLUSTER_STAGE_ROWS_PER_TASK),
+                    -(-(quota * len(batch_doms))
+                      // M._CLUSTER_STAGE_ROWS_PER_TASK),
                 ),
             )
             # evict + admit in ONE commit; empty halves are dropped from
