@@ -322,7 +322,10 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout remains the channel
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - the artifact must print regardless
+        pass
     print(line, flush=True)
 
 
